@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Money/discount columns carry 2-decimal semantics stored as double;
+  * `Money` casts them to DECIMAL(18,2) so aggregation is exact and
+  * order-independent — required for bit-exact oracle (DuckDB) parity
+  * and the right choice at 100 TB anyway (no FP drift across partition
+  * orders / AQE re-plans).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+      // to TimestampType; read the raw int64 nanos and narrow to micros
+      // (exact floor division, matching DuckDB's epoch_us()).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** DECIMAL(18,2) view of a 2-decimal double column (exact). */
+  def money(c: String) = col(c).cast(DecimalType(18, 2))
+}
