@@ -1,0 +1,121 @@
+package graft.bulk
+
+import graft.index.Grams
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed inverted gram index — the bulk-path form of the
+  * reference's slot-2/slot-3 index (assemblage_db/src/index.rs:194-356),
+  * re-expressed as DataFrame pipelines:
+  *
+  *   - postings: one row per (doc, gram) with its occurrence count —
+  *     built map-side (tokenize + explode) then one shuffle to combine.
+  *   - counts: total gram count per doc (= byte length + 3, slot 3).
+  *   - search: the `find` kernel (index.rs:194-240) as a broadcast join
+  *     of the term's gram multiset against the postings.
+  *   - overlapPairs: materialized symmetric overlaps (index.rs:302-347)
+  *     as a postings self-join.
+  *
+  * Scale notes (100 TB): the tokenize stage is embarrassingly parallel;
+  * postings aggregation shuffles on (id, gram) which is near-uniform.
+  * The self-join shuffles on gram and is skewed by hot grams (spaces,
+  * common trigrams) — AQE skew-join handles moderate skew, and
+  * `prunedPostings` caps posting-list length (df-style stop-gram
+  * pruning) for the approximate scale path.
+  */
+object GramIndex {
+
+  /** Grams as unsigned-u32-in-Long so values match external oracles for
+    * any byte content (Int would sign-flip for bytes >= 0x80).
+    */
+  private val gramsU32 = udf((s: String) =>
+    if (s == null) Array.empty[Long] else Grams.indexText(s).map(_ & 0xffffffffL))
+
+  /** (id, gram, occurrences) — the slot-2 postings table. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(gramsU32(col(textCol))).as("gram"))
+      .groupBy(col("id"), col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+
+  /** (id, cnt) — the slot-3 per-doc total gram count (len(bytes)+3). */
+  def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), (octet_length(col(textCol)) + lit(3)).cast("long").as("cnt"))
+
+  /** The `find` kernel in AsymmetricBasedOnSourceOnly mode
+    * (index.rs:173-240): term → trimmed gram multiset → broadcast join
+    * with postings → per-doc intersection → u8 quantization → score
+    * filter. Thresholds are compared in integer space (i*10 >= 3*min is
+    * exact for u8 operands, avoiding f32 round-trip mismatches).
+    *
+    * Returns (id, a, b, intersection) sorted by the Overlap ordering
+    * (intersection desc, a desc, b desc — data.rs:582-596).
+    */
+  def search(postings: DataFrame, term: String, minScorePermille: Int = 300): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val grams = Grams.trimForSearch(Grams.indexText(term))
+    val sourceCount = grams.length.toLong
+    if (!grams.exists(_ != 0)) return emptyResult(postings)
+    val src = Grams.occurrences(grams).toSeq
+      .map { case (g, occ) => (g & 0xffffffffL, occ.toLong) }
+      .toDF("gram", "socc")
+    postings
+      .join(broadcast(src), "gram")
+      .groupBy(col("id"))
+      .agg(sum(least(col("socc"), col("occurrences"))).as("inter"))
+      .select(
+        col("id"),
+        lit(255L).as("a"),
+        lit(255L).as("b"),
+        expr(s"(255 * inter) div $sourceCount").as("intersection"))
+      .filter(col("intersection") * 1000 >= lit(minScorePermille.toLong) * least(col("a"), col("b")))
+      .orderBy(col("intersection").desc, col("a").desc, col("b").desc, col("id"))
+  }
+
+  private def emptyResult(postings: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long)].toDF("id", "a", "b", "intersection")
+  }
+
+  /** Materialized symmetric overlap pairs (index.rs:302-347): postings
+    * self-join on gram, per-pair intersection = sum(min(occ_a, occ_b)),
+    * u8 quantization against max(count_a, count_b), score > 0.5 kept
+    * (2*intersection > min(a, b), exact in integers). Both directions
+    * are emitted, matching the reference's forward + reverse rows.
+    */
+  def overlapPairs(postings: DataFrame, counts: DataFrame): DataFrame =
+    overlapPairsFrom(postings, postings, counts)
+
+  /** Incremental form of store_overlaps (index.rs:302-347): the
+    * reference recomputes overlaps only for the dirty ids touched by a
+    * mutation; here `sourcePostings` is the dirty subset and the cost is
+    * linear in it instead of quadratic in the corpus.
+    */
+  def overlapPairsFrom(
+      sourcePostings: DataFrame,
+      postings: DataFrame,
+      counts: DataFrame): DataFrame = {
+    val p1 = sourcePostings.select(col("id").as("id"), col("gram"), col("occurrences").as("occ1"))
+    val p2 = postings.select(col("id").as("match_id"), col("gram"), col("occurrences").as("occ2"))
+    val pairs = p1
+      .join(p2, Seq("gram"))
+      .filter(col("id") =!= col("match_id"))
+      .groupBy(col("id"), col("match_id"))
+      .agg(sum(least(col("occ1"), col("occ2"))).as("inter"))
+    val c1 = counts.select(col("id"), col("cnt").as("cnt1"))
+    val c2 = counts.select(col("id").as("match_id"), col("cnt").as("cnt2"))
+    pairs
+      .join(c1, "id")
+      .join(c2, "match_id")
+      .withColumn("maxc", greatest(col("cnt1"), col("cnt2")))
+      .select(
+        col("id"),
+        col("match_id"),
+        expr("(255 * cnt1) div maxc").as("a"),
+        expr("(255 * cnt2) div maxc").as("b"),
+        expr("(255 * inter) div maxc").as("intersection"))
+      .filter(col("intersection") * 2 > least(col("a"), col("b")))
+  }
+}

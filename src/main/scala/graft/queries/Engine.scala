@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.bulk.GramIndex
+import graft.index.Grams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's own query surface — gram inverted index, similarity
+  * search, and materialized overlaps (SURVEY §2.4) — run over the
+  * driver's `documents` table, with exact DuckDB SQL oracles (the gram
+  * tokenizer is re-derived in SQL, so the whole pipeline is checked
+  * bit-for-bit including the u8 quantization).
+  */
+object Engine {
+
+  private val searchTerm = "hash value table"
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Slot-2 postings build: tokenize → explode → combine (1 shuffle).
+    "q20_gram_postings" -> ((s, dir) => {
+      GramIndex.postings(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("gram"), col("occurrences"))
+    }),
+
+    // `search(term)` — index.rs:173-184: asymmetric find, end-trim,
+    // score >= 0.3, u8-quantized.
+    "q21_search_term" -> ((s, dir) => {
+      val p = GramIndex.postings(docs(s, dir), "doc_id", "text")
+      GramIndex.search(p, searchTerm)
+        .select(col("id").as("doc_id"), col("a"), col("b"), col("intersection"))
+    }),
+
+    // Materialized symmetric overlaps — index.rs:302-347: all-pairs
+    // similarity self-join at score > 0.5, forward + reverse rows.
+    "q22_overlap_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = GramIndex.postings(d, "doc_id", "text")
+      val c = GramIndex.counts(d, "doc_id", "text")
+      GramIndex.overlapPairs(p, c)
+        .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
+    }),
+
+    // Incremental overlap refresh for a dirty-id set — the reference's
+    // actual write-path operation (store_overlaps over Diff.ids,
+    // index.rs:302-347): linear in the dirty set, not quadratic in the
+    // corpus.
+    "q23_overlap_dirty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = GramIndex.postings(d, "doc_id", "text")
+      val c = GramIndex.counts(d, "doc_id", "text")
+      val dirty = p.filter(col("id") % 50 === 0)
+      GramIndex.overlapPairsFrom(dirty, p, c)
+        .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
+    }))
+
+  /** DuckDB re-derivation of indexText (index.rs:826-835): byte k of the
+    * zero-padded text, 4-byte big-endian windows as u32. Documents are
+    * printable ASCII so ord(codepoint) == byte value.
+    */
+  private val postingsCte =
+    """grams AS (
+         SELECT doc_id,
+           (CASE WHEN k-3 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-3 AS INT),1)) ELSE 0 END)*16777216 +
+           (CASE WHEN k-2 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-2 AS INT),1)) ELSE 0 END)*65536 +
+           (CASE WHEN k-1 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-1 AS INT),1)) ELSE 0 END)*256 +
+           (CASE WHEN k   BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k   AS INT),1)) ELSE 0 END) AS gram
+         FROM documents, UNNEST(range(1, len(text)+4)) AS t(k)
+       ),
+       postings AS (
+         SELECT doc_id, gram, count(*) AS occurrences FROM grams GROUP BY doc_id, gram
+       )"""
+
+  private def searchOracle(term: String): String = {
+    val grams = Grams.trimForSearch(Grams.indexText(term))
+    val srcCount = grams.length
+    val values = Grams.occurrences(grams).toSeq.sorted
+      .map { case (g, occ) => s"(${g & 0xffffffffL}, $occ)" }
+      .mkString(", ")
+    s"""WITH $postingsCte,
+        src(gram, socc) AS (VALUES $values),
+        matches AS (
+          SELECT doc_id, sum(least(socc, occurrences)) AS inter
+          FROM postings JOIN src USING (gram) GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(255 AS BIGINT) AS a, CAST(255 AS BIGINT) AS b,
+               (255*inter)//$srcCount AS intersection
+        FROM matches
+        WHERE ((255*inter)//$srcCount)*1000 >= 300*255"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_gram_postings" ->
+      s"WITH $postingsCte SELECT doc_id, gram, occurrences FROM postings",
+    "q21_search_term" -> searchOracle(searchTerm),
+    "q22_overlap_pairs" ->
+      s"""WITH $postingsCte,
+          counts AS (SELECT doc_id, len(text)+3 AS cnt FROM documents),
+          pairs AS (
+            SELECT p1.doc_id AS doc_id, p2.doc_id AS match_id,
+                   sum(least(p1.occurrences, p2.occurrences)) AS inter
+            FROM postings p1 JOIN postings p2 USING (gram)
+            WHERE p1.doc_id <> p2.doc_id
+            GROUP BY 1, 2
+          ),
+          quantized AS (
+            SELECT pairs.doc_id AS doc_id, match_id,
+                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
+                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
+                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+            FROM pairs
+            JOIN counts c1 ON pairs.doc_id = c1.doc_id
+            JOIN counts c2 ON pairs.match_id = c2.doc_id
+          )
+          SELECT doc_id, match_id, a, b, intersection FROM quantized
+          WHERE intersection*2 > least(a, b)""",
+    "q23_overlap_dirty" ->
+      s"""WITH $postingsCte,
+          counts AS (SELECT doc_id, len(text)+3 AS cnt FROM documents),
+          pairs AS (
+            SELECT p1.doc_id AS doc_id, p2.doc_id AS match_id,
+                   sum(least(p1.occurrences, p2.occurrences)) AS inter
+            FROM postings p1 JOIN postings p2 USING (gram)
+            WHERE p1.doc_id <> p2.doc_id AND p1.doc_id % 50 = 0
+            GROUP BY 1, 2
+          ),
+          quantized AS (
+            SELECT pairs.doc_id AS doc_id, match_id,
+                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
+                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
+                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+            FROM pairs
+            JOIN counts c1 ON pairs.doc_id = c1.doc_id
+            JOIN counts c2 ON pairs.match_id = c2.doc_id
+          )
+          SELECT doc_id, match_id, a, b, intersection FROM quantized
+          WHERE intersection*2 > least(a, b)""")
+}
