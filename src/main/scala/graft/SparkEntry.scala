@@ -11,13 +11,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Engine.queries
+    graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
+      graft.queries.Pipelines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.Engine.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.Engine.oracleSql ++
+      graft.queries.Pipelines.oracleSql
 
   /** Headline queries Bench times. Excludes q22: full all-pairs overlap
     * materialization is inherently quadratic on this self-similar corpus

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (digest groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash shuffle on the digest — near-uniform keys.
+  *   - Jaccard pairs go through an inverted shingle index (join on
+  *     shingle), never a cross join; hot shingles are the skew risk —
+  *     `maxShingleFreq` drops stop-shingles (df-pruning) on the scale
+  *     path, and AQE skew-join splits the rest.
+  *   - MinHash signatures are one groupBy with `numPerm` min() aggregates
+  *     (columns, not a numPerm× row blowup); LSH banding turns the
+  *     quadratic candidate space into equi-joins on (band, key).
+  *   - SimHash reduces each doc to one 60-bit fingerprint; the
+  *     Hamming-ball join uses the pigeonhole chunk trick (4 chunks →
+  *     any pair within distance d shares a chunk if d < 4) so it is
+  *     also an equi-join, verified by bit_count(xor).
+  */
+object Dedup {
+
+  /** Exact dedup: every row mapped to its group's canonical (min) id.
+    * One shuffle on the content digest; `group_size > 1` marks dups.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("digest")
+    docs
+      .select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+      .withColumn("canonical_id", min("id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("id"), col("canonical_id"), col("group_size"))
+  }
+
+  /** Distinct (id, shingle) pairs — the inverted index feeding Jaccard
+    * and MinHash. `maxShingleFreq` (scale path) drops shingles appearing
+    * in more than that many docs: stop-shingles contribute O(df²) join
+    * pairs but almost no discriminative signal.
+    */
+  def shingleSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"), explode(Hashing.shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    maxShingleFreq.fold(sets) { cap =>
+      val hot = sets.groupBy("shingle").count().filter(col("count") > cap).select("shingle")
+      sets.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard: inverted-index self-join,
+    * |∩| per pair, |∪| from per-doc set sizes. The threshold is a
+    * rational `num/den` compared in integer space (no FP) — e.g.
+    * (1, 2) keeps jaccard > 0.5. Emits id_a < id_b once.
+    */
+  def jaccardPairs(shingleSets: DataFrame, num: Int, den: Int): DataFrame = {
+    val sizes = shingleSets.groupBy("id").agg(count(lit(1)).as("setsize"))
+    val a = shingleSets.select(col("id").as("id_a"), col("shingle"))
+    val b = shingleSets.select(col("id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("setsize").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("setsize").as("size_b")), "id_b")
+      .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
+      .filter(col("inter") * den > col("union_size") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_size"))
+  }
+
+  /** MinHash signatures: one groupBy over the shingle sets with
+    * `numPerm` min(hash) aggregates — signature as columns `h0..h{n-1}`
+    * plus the assembled `sig` array. Map-side partial min makes the
+    * shuffle carry only numPerm longs per doc.
+    */
+  def minhashSignatures(shingleSets: DataFrame, numPerm: Int): DataFrame = {
+    val aggs = (0 until numPerm).map(i =>
+      min(Hashing.hash60Seeded(i, col("shingle"))).as(s"h$i"))
+    shingleSets
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until numPerm).map(i => col(s"h$i")): _*))
+      .select("id", "sig")
+  }
+
+  /** LSH banding: each signature split into `bands` bands of `rowsPerBand`
+    * values; band key = md5 of the comma-joined slice. Docs colliding in
+    * any band become candidate pairs (id_a < id_b, distinct) — an
+    * equi-join on (band, key), no quadratic work.
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keys = signatures.select(
+      col("id"),
+      explode(array((0 until bands).map { j =>
+        struct(
+          lit(j).as("band"),
+          md5(concat_ws(",",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), j * rowsPerBand + r + 1).cast("string")): _*)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    keys.as("x")
+      .join(keys.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, verified: LSH candidates filtered by
+    * exact Jaccard above num/den. Cost: signatures + banding join +
+    * verification restricted to candidates (linear-ish in near-dups).
+    */
+  def minhashLshPairs(
+      shingleSets: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      num: Int,
+      den: Int): DataFrame = {
+    val candidates = lshCandidates(minhashSignatures(shingleSets, numPerm), bands, numPerm / bands)
+    jaccardPairs(shingleSets, num, den)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** 60-bit SimHash fingerprints over tf-weighted tokens: per bit, the
+    * signed sum of token counts (+cnt if the token hash has the bit,
+    * −cnt otherwise); fingerprint has bit b set iff the sum is positive.
+    * One groupBy(id) with 60 sum() aggregates — columns, not rows.
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(Hashing.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("th", Hashing.hash60(col("token")))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt")))
+        .as(s"s$b"))
+    val fp = (0 until 60)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("fingerprint", fp)
+      .select("id", "fingerprint")
+  }
+
+  /** Near-dup pairs within Hamming distance `maxHamming` of the 60-bit
+    * SimHash: pigeonhole over 4 15-bit chunks (any pair with distance
+    * ≤ 3 collides on some chunk; larger budgets still prune massively),
+    * then exact bit_count(xor) verification. Equi-joins only.
+    */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = fingerprints.select(
+      col("id"),
+      col("fingerprint"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fingerprint"), c * 15).bitwiseAND(0x7fff).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("fingerprint"), col("ck.chunk"), col("ck.ckey"))
+    chunks.as("x")
+      .join(chunks.as("y"), Seq("chunk", "ckey"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"),
+        col("y.id").as("id_b"),
+        bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{AsOfJoin, Components, Dedup, Media, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data pipeline operators as driver-contract queries, each
+  * with an exact DuckDB oracle: streaming-shaped event analytics
+  * (windows, as-of, JSON), the dedup family (exact / Jaccard /
+  * MinHash+LSH / SimHash / embedding-cosine), similarity search (brute
+  * force + LSH), dedup clustering (GraphX), text analysis, and the
+  * multimodal binary-column pipeline.
+  */
+object Pipelines {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1h windows over the event stream (batch form of the
+    // Structured Streaming windowed agg in graft.streaming).
+    "q16_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("hour_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // As-of join: each purchase matched to the user's latest preceding
+    // click (inclusive) — union + keyed window, no broadcast.
+    "q17_asof_purchase_click" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(
+          col("user_id"), col("ts"),
+          col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"))
+      AsOfJoin.leftAsOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("click_id", "click_ts_us"))
+        .select(
+          col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
+    }),
+
+    // JSON prop extraction + conditional aggregation.
+    "q18_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("k") > 50, 1)).as("n_hi"),
+          sum(col("k")).as("sum_k"))
+    }),
+
+    // Exact dedup: canonical (min-id) mapping per content digest.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("canonical_id"), col("group_size"))
+    }),
+
+    // Near-dup pairs by exact word-3-gram Jaccard > 0.5 (integer-space
+    // threshold) through the inverted shingle index.
+    "q31_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3), num = 1, den = 2)
+    }),
+
+    // MinHash(64) + LSH(16 bands × 4) candidates, verified by exact
+    // Jaccard > 0.5 — the sub-quadratic scale path for q31.
+    "q32_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(
+        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3),
+        numPerm = 64, bands = 16, num = 1, den = 2)
+    }),
+
+    // SimHash(60-bit, tf-weighted) near-dup pairs within Hamming ≤ 3
+    // via the 4-chunk pigeonhole join.
+    "q33_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(
+        Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
+    }),
+
+    // Embedding-cosine near-dup pairs at cosine ≥ 0.45 (exact).
+    "q34_dedup_embedding" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+    }),
+
+    // Brute-force cosine top-10 for the query subset (vec_id % 100 = 0).
+    "q35_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
+    // LSH-bucketed ANN (4 deterministic hyperplanes → 16 buckets),
+    // exact-cosine rerank inside the query's bucket.
+    "q36_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0), dim = 64, numPlanes = 4, k = 10)
+    }),
+
+    // Duplicate clusters: GraphX connected components over the Jaccard
+    // near-dup pairs; every doc mapped to its cluster's min id.
+    "q37_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingleSets(docs, "doc_id", "text", k = 3), num = 1, den = 2)
+      Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs)
+    }),
+
+    // Language ID by stopword-hit argmax.
+    "q40_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Quality features + integer score.
+    "q41_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Whitespace + BPE-ish token counts.
+    "q42_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Rolling-hash document fingerprints.
+    "q43_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Multimodal binary pipeline: text → binary blob → stub decode →
+    // per-frame digests, via typed Dataset mapPartitions.
+    "q50_media_features" -> ((s, dir) => {
+      Media.extractFeatures(Media.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "n_bytes", "n_frames", "frame_digest", "width", "height")
+    }))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Shared CTE fragments re-derive the deterministic
+  // hashes (md5-based hash60) and tokenization bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  /** hash60 of a SQL string expression. */
+  private def h60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+              FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)"""
+
+  private val jaccardCte =
+    s"""$shingleCte,
+       shcnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
+               FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
+               WHERE inter * 2 > ca.c + cb.c - inter)"""
+
+  /** Sequential-fold double dot product of two DOUBLE[] exprs (same IEEE
+    * op order as Similarity.dot).
+    */
+  private def sqlDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, [$a[CAST(i AS INT)] * $b[CAST(i AS INT)] for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+
+  private def sqlCosine(a: String, b: String, dim: Int): String =
+    s"(${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)})))"
+
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private val stopwordValues: String =
+    TextAnalysis.stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_hourly_events" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q17_asof_purchase_click" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    "q18_json_props" ->
+      """SELECT event_type,
+         count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_hi,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY 1""",
+
+    "q30_dedup_exact" ->
+      """SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+         FROM documents""",
+
+    "q31_dedup_jaccard" ->
+      s"WITH $jaccardCte SELECT id_a, id_b, inter, union_size FROM jac",
+
+    "q32_dedup_minhash_lsh" ->
+      s"""WITH $jaccardCte,
+         mh AS (SELECT doc_id, i, min(${h60("i::VARCHAR || '|' || shingle")}) AS h
+                FROM sh, UNNEST(range(64)) AS t(i) GROUP BY doc_id, i),
+         bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+                FROM mh GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT j.id_a, j.id_b, j.inter, j.union_size FROM jac j
+         WHERE EXISTS (SELECT 1 FROM cand WHERE cand.id_a = j.id_a AND cand.id_b = j.id_b)""",
+
+    "q33_dedup_simhash" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS cnt FROM
+              (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
+              GROUP BY 1, 2),
+         th AS (SELECT doc_id, cnt, ${h60("token")} AS h FROM tf),
+         bits AS (SELECT doc_id, b,
+                  sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+                  FROM th, UNNEST(range(60)) AS t(b) GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS f
+                FROM bits GROUP BY 1),
+         ch AS (SELECT doc_id, f, c, (f >> CAST(c*15 AS INT)) & 32767 AS ckey
+                FROM fp, UNNEST(range(4)) AS t(c)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                       bit_count(xor(x.f, y.f)) AS hamming
+                FROM ch x JOIN ch y ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    "q34_dedup_embedding" ->
+      s"""WITH $embCte
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE ${sqlCosine("a.v", "b.v", 64)} >= 0.45""",
+
+    "q35_ann_topk" ->
+      s"""WITH $embCte,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
+                    FROM q JOIN e ON e.vec_id <> query_id)
+         SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q36_ann_lsh" ->
+      s"""WITH $embCte,
+         eq AS (SELECT vec_id, v,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings JOIN e USING (vec_id)),
+         pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
+                FROM range(4) t(p), range(64) u(j)),
+         dots AS (SELECT eq.vec_id, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
+                  FROM eq, pl GROUP BY 1, 2),
+         sig AS (SELECT vec_id,
+                 sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+                 FROM dots GROUP BY 1),
+         q AS (SELECT s.vec_id AS query_id, s.bucket, e.v AS qv
+               FROM sig s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id % 100 = 0),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
+                    FROM q JOIN sig cs ON cs.bucket = q.bucket
+                    JOIN e ON e.vec_id = cs.vec_id AND e.vec_id <> query_id)
+         SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         edges AS (SELECT id_a AS a, id_b AS b FROM jac
+                   UNION SELECT id_b, id_a FROM jac),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    "q40_lang_id" ->
+      s"""WITH hits AS (SELECT doc_id, lang, count(*) AS hits FROM
+              (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents) t
+              JOIN (VALUES $stopwordValues) AS sw(lang, word) ON tok = word
+              GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang, hits,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+                  FROM hits)
+         SELECT d.doc_id,
+                coalesce(b.lang, 'und') AS predicted_lang,
+                coalesce(b.hits, 0) AS hits
+         FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
+
+    "q41_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, n_punct,
+           (CAST(n_uniq_tokens AS BIGINT) * 1000) // greatest(n_tokens, 1) AS uniq_permille,
+           (CAST(n_uniq_tokens AS BIGINT) * 500) // greatest(n_tokens, 1)
+             + (CAST(least(n_tokens, 400) AS BIGINT) * 500) // 400 AS quality_score
+         FROM f""",
+
+    "q42_token_counts" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+         length(text) AS n_chars
+         FROM documents""",
+
+    "q43_fingerprints" ->
+      s"""SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) for i in range(1, len(text)+1)]),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_hash,
+         CASE WHEN len(text) >= 8 THEN
+           list_min([${h60("substr(text, CAST(i AS INT), 8)")} for i in range(1, len(text)-6)])
+         ELSE NULL END AS min_window_hash
+         FROM documents""",
+
+    "q50_media_features" ->
+      s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),
+         fr AS (SELECT doc_id, md5(string_agg(md5(substr(text, CAST(k*256+1 AS INT), 256)), '' ORDER BY k)) AS fd
+                FROM f, UNNEST(range(nf)) AS t(k) GROUP BY doc_id),
+         h AS (SELECT doc_id, ${h60("text")} AS h60, nb, nf FROM f)
+         SELECT h.doc_id, nb AS n_bytes, nf AS n_frames, fr.fd AS frame_digest,
+                64 + h60 % 1024 AS width, 64 + (h60 // 1024) % 1024 AS height
+         FROM h JOIN fr USING (doc_id)""")
+}
