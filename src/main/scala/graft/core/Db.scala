@@ -625,4 +625,88 @@ final class GraftDb {
   def replace(id: Gid, index: Int, child: Child): Unit = update(id)(_.updated(index, child))
   def insert(id: Gid, index: Int, child: Child): Unit = update(id)(cs => cs.patch(index, Seq(child), 0))
   def push(id: Gid, child: Child): Unit = update(id)(_ :+ child)
+
+  // ------------------------------------------------------------------
+  // Export / import with XOR namespacing (index.rs:456-655)
+  // ------------------------------------------------------------------
+
+  def exportBlob(id: Gid): (ExportBlob, Set[Gid]) = exportSince(id, 0L)
+
+  /** Snapshot the subtree at `id` into a portable blob, keeping only
+    * nodes modified after `since`; parents are filtered to the exported
+    * id set; a synthetic root (nil id → Page[id]) is injected when the
+    * subtree does not contain the root (index.rs:456-531).
+    */
+  def exportSince(id: Gid, since: Long): (ExportBlob, Set[Gid]) = {
+    val collected = mutable.LinkedHashMap.empty[Gid, (Node, Set[Parent], Long)]
+    val stack = mutable.Stack(id)
+    while (stack.nonEmpty) {
+      val cur = stack.pop()
+      if (!collected.contains(cur)) {
+        val node = get(cur).getOrElse(idNotFound(cur, "export"))
+        val ps = parents(cur)
+        val lastTs = nodes.versions(cur).last.ts
+        node.children.foreach(c => stack.push(childId(c)))
+        collected(cur) = (node, ps, lastTs)
+      }
+    }
+    val ids = collected.keySet.toSet
+    var nodeRows = Vector.newBuilder[(Gid, Node)]
+    val parentRows = mutable.HashMap.empty[Gid, Set[Parent]]
+    for ((nid, (node, ps, lastTs)) <- collected.toVector.sortBy(_._1)) {
+      if (lastTs > since) {
+        nodeRows += (nid -> node)
+        parentRows(nid) = ps.filter(p => ids.contains(p.id))
+      }
+    }
+    if (!ids.contains(Gid.root)) {
+      parentRows(id) = Set(Parent(Gid.root, 0))
+      nodeRows += (Gid.root -> Node.List(Layout.Page, Vector(Child.Lazy(id))))
+      parentRows(Gid.root) = Set.empty
+    }
+    (ExportBlob(nodeRows.result(), parentRows.toMap), ids)
+  }
+
+  /** Append an exported blob, XOR-ing every id (nodes, children,
+    * parents) with `namespace` to prevent collisions, then reindex the
+    * imported subtrees incrementally (index.rs:551-629).
+    */
+  def importBlob(blob: ExportBlob, namespace: Gid): Unit = {
+    val before = new IndexState
+    val idsExported = blob.nodes.map(_._1)
+    val idsImported = idsExported.map(_.xor(namespace))
+    idsImported.foreach { iid =>
+      if (nodes.versions(iid).nonEmpty) buildIndex(before, iid)
+    }
+    for ((eid, node) <- blob.nodes) {
+      val mapped = node.withChildren(node.children.map {
+        case Child.Lazy(c)  => Child.Lazy(c.xor(namespace)): Child
+        case e              => e
+      })
+      val iid = eid.xor(namespace)
+      nodes.append(iid, mapped, now())
+      val ps = blob.parents.getOrElse(eid, Set.empty)
+        .map(p => Parent(p.id.xor(namespace), p.index))
+      parentsOf.append(iid, ps, now())
+    }
+    val after = new IndexState
+    idsImported.foreach(buildIndex(after, _))
+    val diff = GramDiff(before.blocks, after.blocks)
+    storeCount(after.blocks)
+    storeGrams(diff)
+    storeOverlaps(after.all, diff.ids)
+    if (!GramDiff(before.all, after.all).isEmpty)
+      idsImported.foreach(iid => updateParentIndex(iid, before, after))
+  }
+
+  private[core] def nowTs(): Long = now()
+}
+
+/** Portable export container: node rows (ordered by id) plus parent
+  * sets — the engine's analog of the reference's MemoryStorage byte
+  * blob. The bulk path persists the same shape as parquet.
+  */
+final case class ExportBlob(nodes: Vector[(Gid, Node)], parents: Map[Gid, Set[Parent]]) {
+  def isEmpty: Boolean = nodes.isEmpty && parents.isEmpty
+  def ids: Vector[Gid] = nodes.map(_._1)
 }
