@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming-shaped operators, written once against the unified
+  * DataFrame API so the SAME definition runs as a batch job or a
+  * Structured Streaming query (readStream → transform → writeStream).
+  *
+  * The reference's only streaming semantics are append-only timestamped
+  * broadcast episodes with a consumer watermark (SURVEY §2.8) — late
+  * data cannot occur there by construction. The generalized operators
+  * here add real event-time watermarks for the training-pipeline case.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event stats (the streaming form of q16): with a
+    * 2-hour watermark a streaming run emits finalized windows and
+    * bounds state; on a batch frame the watermark is a no-op and the
+    * result is identical to the batch query — one definition, two
+    * execution modes.
+    */
+  def hourlyEventStats(events: DataFrame, withWatermark: Boolean = true): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming exact dedup: first-seen row per content digest wins;
+    * the watermark bounds the dedup state (duplicates farther apart
+    * than the watermark may both survive — the standard streaming
+    * trade-off, resolved by a periodic batch compaction pass).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicates("digest")
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user stats via explicit state (the
+    * mapGroupsWithState form of custom incremental maintenance —
+    * the engine's gram-index delta maintenance is the same shape:
+    * keyed state + per-batch delta).
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserStats(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Broadcast-episode ingestion: the hub's object-store layout
+    * (`<dir>/<broadcastId>/ep_<ts>.parquet`) consumed as a file-arrival
+    * stream — the Spark-native form of fetch_broadcast's episode
+    * watermark (new files == episodes newer than last_updated; the
+    * source tracks processed files, so the watermark is free).
+    */
+  def readEpisodes(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("broadcast_id STRING, episode_ts LONG, node_id BINARY, kind STRING, payload STRING")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+
+  /** Per-broadcast episode/node counts over the episode stream. */
+  def episodeStats(episodes: DataFrame): DataFrame =
+    episodes
+      .groupBy(col("broadcast_id"))
+      .agg(
+        approx_count_distinct(col("episode_ts")).as("n_episodes"),
+        count(lit(1)).as("n_rows"),
+        max(col("episode_ts")).as("last_updated"))
+}

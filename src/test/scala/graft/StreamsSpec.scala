@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import graft.streaming.Streams.UserEvent
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Structured Streaming semantics: the same operator definitions run
+  * in batch and as incremental streaming queries with state.
+  */
+class StreamsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-streams-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val events = Seq(
+    Ev(1, ts(5), 1, "click", 1.5),
+    Ev(2, ts(20), 1, "view", 2.0),
+    Ev(3, ts(65), 2, "click", 3.25),
+    Ev(4, ts(70), 1, "click", 4.0),
+    Ev(5, ts(130), 2, "view", 0.5))
+
+  test("hourlyEventStats: streaming result equals batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val batch = Streams.hourlyEventStats(events.toDF(), withWatermark = false)
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[Ev]
+    val query = Streams.hourlyEventStats(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Complete())
+      .start()
+    input.addData(events: _*)
+    query.processAllAvailable()
+    val streamed = s.table("hourly").collect().map(_.toSeq).toSet
+    query.stop()
+
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("dedupStream keeps the first row per content digest") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[Doc]
+    val query = Streams.dedupStream(input.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append())
+      .start()
+    input.addData(
+      Doc(1, ts(0), "same text"),
+      Doc(2, ts(1), "same text"),
+      Doc(3, ts(2), "other text"))
+    query.processAllAvailable()
+    input.addData(Doc(4, ts(3), "same text"), Doc(5, ts(4), "third text"))
+    query.processAllAvailable()
+    val rows = s.table("dedup").as[Doc].collect()
+    query.stop()
+
+    assert(rows.map(_.text).sorted.toSeq === Seq("other text", "same text", "third text"))
+    // within a micro-batch the survivor is arbitrary, but the batch-2
+    // duplicate (doc 4) must lose to batch-1 state
+    assert(Set(1L, 2L).contains(rows.filter(_.text == "same text").map(_.doc_id).head))
+  }
+
+  test("runningUserStats accumulates keyed state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = Streams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("userstats").outputMode(OutputMode.Update())
+      .start()
+    input.addData(UserEvent(1, ts(0), 1.0), UserEvent(1, ts(1), 2.0), UserEvent(2, ts(2), 5.0))
+    query.processAllAvailable()
+    input.addData(UserEvent(1, ts(3), 4.0))
+    query.processAllAvailable()
+    val finalStats = s.table("userstats").as[Streams.UserStats].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    query.stop()
+
+    assert(finalStats(1L) === Streams.UserStats(1L, 3L, 7.0))
+    assert(finalStats(2L) === Streams.UserStats(2L, 1L, 5.0))
+  }
+
+  test("episode file stream aggregates per-broadcast stats") {
+    val s = spark
+    import s.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-episodes").toString
+    Seq(
+      ("b1", 100L, Array[Byte](1), "TEXT", "hello"),
+      ("b1", 100L, Array[Byte](2), "TEXT", "world"),
+      ("b2", 105L, Array[Byte](3), "TEXT", "other"))
+      .toDF("broadcast_id", "episode_ts", "node_id", "kind", "payload")
+      .write.mode("append").parquet(dir)
+
+    val query = Streams.episodeStats(Streams.readEpisodes(s, dir))
+      .writeStream.format("memory").queryName("episodes").outputMode(OutputMode.Complete())
+      .start()
+    query.processAllAvailable()
+
+    // a later episode arrives as a new file
+    Seq(("b1", 110L, Array[Byte](4), "TEXT", "update"))
+      .toDF("broadcast_id", "episode_ts", "node_id", "kind", "payload")
+      .write.mode("append").parquet(dir)
+    query.processAllAvailable()
+    val rows = s.table("episodes").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    query.stop()
+
+    assert(rows("b1") === ((3L, 110L)))
+    assert(rows("b2") === ((1L, 105L)))
+  }
+}
