@@ -75,15 +75,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("union_size"))
   }
 
+  /** Minhash permutation family: universal affine hashes
+    * `(A_i * h + B_i) mod P` over ONE base md5 hash per shingle —
+    * one md5 instead of numPerm md5s per shingle row (the md5s were
+    * ~80% of signature cost). P = 2^31 - 1 keeps A*h + B < 2^63.
+    * Constants are md5-derived so any external engine can re-derive
+    * the exact signatures.
+    */
+  val MinhashPrime: Long = 2147483647L
+  def minhashCoeffs(numPerm: Int): IndexedSeq[(Long, Long)] =
+    (0 until numPerm).map(i => (
+      Hashing.hash60Jvm(s"a$i") % (MinhashPrime - 1) + 1,
+      Hashing.hash60Jvm(s"b$i") % MinhashPrime))
+
   /** MinHash signatures: one groupBy over the shingle sets with
-    * `numPerm` min(hash) aggregates — signature as columns `h0..h{n-1}`
-    * plus the assembled `sig` array. Map-side partial min makes the
-    * shuffle carry only numPerm longs per doc.
+    * `numPerm` min(affine hash) aggregates — signature as columns,
+    * then assembled into the `sig` array. Map-side partial min makes
+    * the shuffle carry only numPerm longs per doc.
     */
   def minhashSignatures(shingleSets: DataFrame, numPerm: Int): DataFrame = {
-    val aggs = (0 until numPerm).map(i =>
-      min(Hashing.hash60Seeded(i, col("shingle"))).as(s"h$i"))
-    shingleSets
+    val coeffs = minhashCoeffs(numPerm)
+    val withBase = shingleSets.withColumn("h", Hashing.hash60(col("shingle")) % MinhashPrime)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashPrime).as(s"h$i")
+    }
+    withBase
       .groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until numPerm).map(i => col(s"h$i")): _*))
@@ -114,8 +130,10 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs, verified: LSH candidates filtered by
-    * exact Jaccard above num/den. Cost: signatures + banding join +
-    * verification restricted to candidates (linear-ish in near-dups).
+    * exact Jaccard above num/den. The verification joins the shingle
+    * sets down to candidate ids FIRST, so exact-Jaccard cost is linear
+    * in the candidate set, never quadratic in the corpus — this is the
+    * whole point of the LSH path vs. plain jaccardPairs.
     */
   def minhashLshPairs(
       shingleSets: DataFrame,
@@ -123,9 +141,16 @@ object Dedup {
       bands: Int,
       num: Int,
       den: Int): DataFrame = {
-    val candidates = lshCandidates(minhashSignatures(shingleSets, numPerm), bands, numPerm / bands)
-    jaccardPairs(shingleSets, num, den)
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    // The band-key self-join and the two downstream uses would each
+    // recompute the signature pipeline — persist both layers.
+    val signatures = minhashSignatures(shingleSets, numPerm).persist()
+    val candidates = lshCandidates(signatures, bands, numPerm / bands).persist()
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val subset = shingleSets.join(broadcast(candidateIds), Seq("id"), "left_semi")
+    jaccardPairs(subset, num, den)
+      .join(broadcast(candidates), Seq("id_a", "id_b"), "left_semi")
   }
 
   /** 60-bit SimHash fingerprints over tf-weighted tokens: per bit, the

@@ -21,6 +21,16 @@ object Hashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] — bit-identical, used to bake
+    * deterministic constants (minhash permutations, LSH hyperplanes)
+    * into plans and oracles.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
   /** Seeded family of hash60s (minhash permutations, LSH planes). */
   def hash60Seeded(seed: Int, c: Column): Column =
     hash60(concat(lit(s"$seed|"), c))
@@ -32,12 +42,27 @@ object Hashing {
   /** Ordered word k-shingles joined by single spaces; docs shorter than
     * k tokens emit no shingles (they never participate in shingle-based
     * similarity — the standard convention).
+    *
+    * A single-pass UDF rather than transform/element_at: Catalyst
+    * higher-order lambdas are interpreted and re-evaluate the token
+    * regex per element (measured ~6× slower on 3 KB docs).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + lit(1))): _*)))
-      .otherwise(array().cast("array<string>"))
+  private val tokenPattern = java.util.regex.Pattern.compile("\\S+")
+  private val shingleUdf = udf { (text: String, k: Int) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val m = tokenPattern.matcher(text)
+      while (m.find()) toks += m.group()
+      if (toks.length < k) Array.empty[String]
+      else Array.tabulate(toks.length - k + 1) { i =>
+        val sb = new StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + k) { sb += ' '; sb ++= toks(j); j += 1 }
+        sb.result()
+      }
+    }
   }
+
+  def shingles(text: Column, k: Int): Column = shingleUdf(text, lit(k))
 }

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and a deterministic
   * random-hyperplane LSH variant as the scale path.
   *
-  * FP discipline: cosine is computed in double with a fixed sequential
-  * fold (`aggregate` over `zip_with`), so the identical expression in an
-  * external engine (DuckDB `list_reduce`) produces bit-identical IEEE
-  * results — required for oracle hash-parity. LSH sign bits use
-  * integer-quantized embeddings (floor(x*1000)) so bucketing is exact
-  * integer math with zero FP boundary risk.
+  * FP discipline: cosine is a sequential left-fold dot product in
+  * double — the same IEEE op order as the external oracle's
+  * `list_reduce`, so results are bit-identical. The fold runs in a
+  * tight-loop Scala UDF (Catalyst higher-order lambdas are interpreted
+  * per element — ~20× slower for 64-dim vectors at millions of pairs);
+  * per-vector norms are computed once per row, not per pair, which is
+  * also exactly what the oracle's sqrt(dot(a,a)) evaluates to.
   *
   * Scale design (100 TB): queries are broadcast (they are the small
   * side by construction); the corpus side never shuffles for the
@@ -22,28 +23,64 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential left-fold double dot product (IEEE order = oracle's
+    * list_reduce with 0.0 prepended).
+    */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The hot-path form: vectors pre-packed into little-endian byte
+    * buffers so the per-pair fold reads primitive doubles with zero
+    * boxing (boxed Seq[Double] was the dominant cost at millions of
+    * pairs). Identical IEEE sequence → identical results.
+    */
+  private val packUdf = udf { (v: Seq[Double]) =>
+    val bb = java.nio.ByteBuffer.allocate(v.length * 8)
+    v.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private val dotPacked = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    var s = 0.0
+    var i = 0
+    val n = a.length / 8
+    while (i < n) { s += ba.getDouble(i * 8) * bb.getDouble(i * 8); i += 1 }
+    s
+  }
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential left-fold dot product — order-deterministic IEEE. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
+  /** Column-expression cosine (kept for composability; the operators
+    * below use the precomputed-norm fast path).
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    dotUdf(ad, bd) / (sqrt(dotUdf(ad, ad)) * sqrt(dotUdf(bd, bd)))
   }
+
+  /** (id, packed vector, norm) — packing and norms once per vector. */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
+    emb.select(col(idCol).as(s"${prefix}id"), packUdf(asDouble(col(vecCol))).as(s"${prefix}v"))
+      .withColumn(s"${prefix}nrm", sqrt(dotPacked(col(s"${prefix}v"), col(s"${prefix}v"))))
 
   /** Near-dup pairs at cosine ≥ threshold (id_a < id_b). All-pairs —
     * exact but quadratic; the LSH path below is the scale variant.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+    val a = withNorm(emb, idCol, vecCol, "a")
+    val b = withNorm(emb, idCol, vecCol, "b")
+    a.join(b, col("aid") < col("bid"))
+      .withColumn("sim", dotPacked(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col("aid").as("id_a"), col("bid").as("id_b"))
   }
 
   /** Exact brute-force cosine top-k for a query subset: queries are
@@ -56,38 +93,46 @@ object Similarity {
       vecCol: String,
       queries: DataFrame,
       k: Int): DataFrame = {
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = withNorm(emb, idCol, vecCol, "n")
+    val q = withNorm(queries, idCol, vecCol, "q")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
+    corpus.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", dotPacked(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Integer-quantized embedding: floor(x*1000) per component — exact
-    * in any engine, used for LSH sign bits.
-    */
-  private def quantized(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
-
   /** Deterministic hyperplane component p,j in [-1000, 1000]:
     * hash60("p_j") % 2001 - 1000. Reproducible anywhere md5 exists.
     */
-  private def planeComponent(p: Int, j: Int): Column =
-    Hashing.hash60(lit(s"${p}_$j")) % 2001 - 1000
+  private def planeMatrix(dim: Int, numPlanes: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dim)((p, j) => Hashing.hash60Jvm(s"${p}_$j") % 2001 - 1000)
 
-  /** `numPlanes`-bit signature: bit p set iff the integer dot product
-    * with deterministic hyperplane p is positive. Exact integer math.
+  /** `numPlanes`-bit signature over the integer-quantized embedding
+    * (floor(x*1000)): bit p set iff the integer dot with plane p is
+    * positive — exact integer math, zero FP boundary risk.
     */
-  def lshSignature(vec: Column, dim: Int, numPlanes: Int): Column =
-    (0 until numPlanes).map { p =>
-      val d = (0 until dim)
-        .map(j => element_at(quantized(vec), j + 1) * planeComponent(p, j))
-        .reduce(_ + _)
-      when(d > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+  private def signatureUdf(dim: Int, numPlanes: Int) = {
+    val planes = planeMatrix(dim, numPlanes)
+    udf { (v: Seq[Float]) =>
+      val q = new Array[Long](v.length)
+      var j = 0
+      while (j < v.length) { q(j) = math.floor(v(j).toDouble * 1000).toLong; j += 1 }
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var d = 0L
+        var i = 0
+        val plane = planes(p)
+        while (i < q.length) { d += q(i) * plane(i); i += 1 }
+        if (d > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  }
 
   /** LSH-bucketed ANN: candidates share the query's full signature
     * bucket, reranked by exact cosine. Trades recall for a pruned scan;
@@ -101,17 +146,18 @@ object Similarity {
       dim: Int,
       numPlanes: Int,
       k: Int): DataFrame = {
-    val sig = lshSignature(col("v"), dim, numPlanes)
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .withColumn("bucket", sig)
-      .withColumnRenamed("v", "nv")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
-      .withColumn("bucket", sig)
-      .withColumnRenamed("v", "qv")
+    val sig = signatureUdf(dim, numPlanes)
+    val corpus = emb.select(col(idCol).as("nid"),
+        packUdf(asDouble(col(vecCol))).as("nv"), sig(col(vecCol)).as("bucket"))
+      .withColumn("nnrm", sqrt(dotPacked(col("nv"), col("nv"))))
+    val q = queries.select(col(idCol).as("qid"),
+        packUdf(asDouble(col(vecCol))).as("qv"), sig(col(vecCol)).as("bucket"))
+      .withColumn("qnrm", sqrt(dotPacked(col("qv"), col("qv"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     corpus.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dotPacked(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -50,6 +50,9 @@ object Engine {
     // corpus.
     "q23_overlap_dirty" -> ((s, dir) => {
       val d = docs(s, dir)
+      // postings feed both sides of the dirty-overlap join; the shared
+      // aggregation exchange is deduplicated by ReusedExchange, which
+      // beats caching 8.7M rows
       val p = GramIndex.postings(d, "doc_id", "text")
       val c = GramIndex.counts(d, "doc_id", "text")
       val dirty = p.filter(col("id") % 50 === 0)

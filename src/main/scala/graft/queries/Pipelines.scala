@@ -68,17 +68,21 @@ object Pipelines {
     }),
 
     // Near-dup pairs by exact word-3-gram Jaccard > 0.5 (integer-space
-    // threshold) through the inverted shingle index.
+    // threshold) through the inverted shingle index. The shingle sets
+    // feed three consumers (set sizes + both join sides) — persisted so
+    // the tokenize+distinct runs once, not per consumer.
     "q31_dedup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(
-        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3), num = 1, den = 2)
+        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3).persist(),
+        num = 1, den = 2)
     }),
 
     // MinHash(64) + LSH(16 bands × 4) candidates, verified by exact
-    // Jaccard > 0.5 — the sub-quadratic scale path for q31.
+    // Jaccard > 0.5 restricted to candidates — the sub-quadratic scale
+    // path for q31.
     "q32_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(
-        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3),
+        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3).persist(),
         numPerm = 64, bands = 16, num = 1, den = 2)
     }),
 
@@ -114,7 +118,7 @@ object Pipelines {
     "q37_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(
-        Dedup.shingleSets(docs, "doc_id", "text", k = 3), num = 1, den = 2)
+        Dedup.shingleSets(docs, "doc_id", "text", k = 3).persist(), num = 1, den = 2)
       Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs)
     }),
 
@@ -212,8 +216,11 @@ object Pipelines {
 
     "q32_dedup_minhash_lsh" ->
       s"""WITH $jaccardCte,
-         mh AS (SELECT doc_id, i, min(${h60("i::VARCHAR || '|' || shingle")}) AS h
-                FROM sh, UNNEST(range(64)) AS t(i) GROUP BY doc_id, i),
+         perm(i, a, b) AS (VALUES ${graft.ops.Dedup.minhashCoeffs(64).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+         hh AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM sh),
+         mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+                FROM hh, perm GROUP BY doc_id, i),
          bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
                 FROM mh GROUP BY doc_id, i // 4),
          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling harness: time one operator pipeline in isolation
+  * and dump its formatted plan. Usage:
+  *   sbt "runMain graft.tools.Prof <sfDir> <what>"
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "jaccard"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f; println(s"[prof] $name: ${(System.nanoTime() - t0) / 1e9}s")
+    }
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.count()
+    what match {
+      case "jaccard" =>
+        val ss = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
+        time("shingleSets count")(ss.count())
+        val jp = graft.ops.Dedup.jaccardPairs(ss, 1, 2)
+        time("jaccardPairs noop")(jp.write.format("noop").mode("overwrite").save())
+        val ssc = ss.persist()
+        ssc.count()
+        val jp2 = graft.ops.Dedup.jaccardPairs(ssc, 1, 2)
+        time("jaccardPairs cached")(jp2.write.format("noop").mode("overwrite").save())
+        jp.explain("formatted")
+      case "minhash" =>
+        val ss = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+        time("shingleSets")(ss.count())
+        val sig = graft.ops.Dedup.minhashSignatures(ss, 64)
+        time("signatures")(sig.write.format("noop").mode("overwrite").save())
+        val sigc = sig.persist()
+        sigc.count()
+        val cand = graft.ops.Dedup.lshCandidates(sigc, 16, 4)
+        time("candidates")(cand.write.format("noop").mode("overwrite").save())
+      case "embedding" =>
+        val emb = graft.Tables.load(spark, dir, "embeddings")
+        emb.count()
+        val cp = graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
+        time("cosinePairs noop")(cp.write.format("noop").mode("overwrite").save())
+        cp.explain("formatted")
+      case other =>
+        val q = graft.SparkEntry.queries(other)(spark, dir)
+        time(other)(q.write.format("noop").mode("overwrite").save())
+        q.explain("formatted")
+    }
+    spark.stop()
+  }
+}
