@@ -25,18 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object GramIndex {
 
-  /** Grams as unsigned-u32-in-Long so values match external oracles for
-    * any byte content (Int would sign-flip for bytes >= 0x80).
+  /** (id, gram, occurrences) — the slot-2 postings table. The
+    * tokenizer is the native codegen expression graft.functions
+    * .GramTokens (grams as unsigned-u32-in-Long so values match
+    * external oracles for any byte content — Int would sign-flip for
+    * bytes >= 0x80).
     */
-  private val gramsU32 = udf((s: String) =>
-    if (s == null) Array.empty[Long] else Grams.indexText(s).map(_ & 0xffffffffL))
-
-  /** (id, gram, occurrences) — the slot-2 postings table. */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GramTokens.ensureRegistered(docs.sparkSession)
     docs
-      .select(col(idCol).as("id"), explode(gramsU32(col(textCol))).as("gram"))
+      .select(col(idCol).as("id"),
+        explode(call_function("graft_grams", col(textCol))).as("gram"))
       .groupBy(col("id"), col("gram"))
       .agg(count(lit(1)).as("occurrences"))
+  }
 
   /** (id, cnt) — the slot-3 per-doc total gram count (len(bytes)+3). */
   def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
