@@ -700,6 +700,22 @@ final class GraftDb {
   }
 
   private[core] def nowTs(): Long = now()
+
+  // ------------------------------------------------------------------
+  // Raw slot restore (snapshot load path, graft.bulk.Persistence):
+  // direct writes that bypass indexing — the caller supplies already-
+  // consistent slot contents.
+  // ------------------------------------------------------------------
+
+  def restoreRaw(id: Gid, node: Node, ps: Set[Parent]): Unit = {
+    nodes.append(id, node, now())
+    parentsOf.append(id, ps, now())
+  }
+  def restoreGrams(gram: Int, postings: Map[Gid, Int]): Unit =
+    gramsSlot.append(gram, postings, now())
+  def restoreCount(id: Gid, cnt: Int): Unit = countsSlot.append(id, cnt, now())
+  def restoreOverlaps(id: Gid, os: Vector[Overlap]): Unit =
+    overlapsSlot.append(id, os, now())
 }
 
 /** Portable export container: node rows (ordered by id) plus parent
