@@ -134,6 +134,45 @@ object Similarity {
     }
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `numCentroids`
+    * cells by nearest centroid (deterministic training-free centroids:
+    * the vectors with the lowest ids); a query probes its `nprobe`
+    * nearest cells and reranks exactly within them. At 100 TB the
+    * assignment is one broadcast pass, cells are the partitioning key,
+    * and a query touches nprobe/numCentroids of the corpus.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = withNorm(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
+    def assign(side: DataFrame, prefix: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(s"${prefix}id")
+        .orderBy(col("csim").desc, col("cid"))
+      side.join(broadcast(cents))
+        .withColumn("csim",
+          dotPacked(col(s"${prefix}v"), col("cv")) / (col(s"${prefix}nrm") * col("cnrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}nrm"),
+          col("cid").as("cell"))
+    }
+    val cells = assign(withNorm(emb, idCol, vecCol, "n"), "n", keep = 1)
+    val probes = assign(withNorm(queries, idCol, vecCol, "q"), "q", keep = nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dotPacked(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's full signature
     * bucket, reranked by exact cosine. Trades recall for a pruned scan;
     * with B planes the corpus scan shrinks ~2^B-fold in expectation.

@@ -113,6 +113,14 @@ object Pipelines {
         queries = emb.filter(col("vec_id") % 100 === 0), dim = 64, numPlanes = 4, k = 10)
     }),
 
+    // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
+    "q38_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0),
+        numCentroids = 16, nprobe = 2, k = 10)
+    }),
+
     // Duplicate clusters: GraphX connected components over the Jaccard
     // near-dup pairs; every doc mapped to its cluster's min id.
     "q37_dedup_clusters" -> ((s, dir) => {
@@ -280,6 +288,29 @@ object Pipelines {
                       ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
                     FROM q JOIN sig cs ON cs.bucket = q.bucket
                     JOIN e ON e.vec_id = cs.vec_id AND e.vec_id <> query_id)
+         SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q38_ann_ivf" ->
+      s"""WITH $embCte,
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlCosine("e.v", "c.cv", 64)} DESC, c.cid) AS rn
+             FROM e, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlCosine("e.v", "c.cv", 64)} DESC, c.cid) AS rn
+             FROM e, cents c WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         scored AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY ${sqlCosine("q.v", "n.v", 64)} DESC, n.vec_id) AS rank
+                    FROM probes p
+                    JOIN cells cl ON cl.cell = p.cell
+                    JOIN e n ON n.vec_id = cl.vec_id
+                    JOIN e q ON q.vec_id = p.query_id
+                    WHERE n.vec_id <> p.query_id)
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
 
     "q37_dedup_clusters" ->
