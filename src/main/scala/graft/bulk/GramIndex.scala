@@ -40,6 +40,21 @@ object GramIndex {
       .agg(count(lit(1)).as("occurrences"))
   }
 
+  /** df-pruning scale path: drop postings of grams occurring in more
+    * than `maxDocFreq` docs. Stop-grams (spaces, common trigrams)
+    * contribute O(df²) pairs to the overlap self-join and almost no
+    * discriminative signal; pruning bounds the join superlinearity at
+    * corpus scale. Approximate — the exact operators keep full
+    * postings.
+    */
+  def prunedPostings(postings: DataFrame, maxDocFreq: Long): DataFrame = {
+    val hot = postings.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("gram")
+    postings.join(broadcast(hot), Seq("gram"), "left_anti")
+  }
+
   /** (id, cnt) — the slot-3 per-doc total gram count (len(bytes)+3). */
   def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), (octet_length(col(textCol)) + lit(3)).cast("long").as("cnt"))
