@@ -96,6 +96,34 @@ object GramIndex {
     Seq.empty[(Long, Long, Long, Long)].toDF("id", "a", "b", "intersection")
   }
 
+  /** Salted variant of the overlap join for skewed gram distributions:
+    * the zero-padding grams ([0,0,0,x] etc.) appear in EVERY document,
+    * so a plain hash join on `gram` sends all their postings to single
+    * reducers. Salting splits each hot key `saltFactor` ways: the
+    * match side scatters each posting to one random-but-deterministic
+    * salt, the source side replicates each posting to all salts —
+    * every (gram, salt) partition then holds 1/saltFactor of the hot
+    * key's pairs. Identical results to the unsalted join (the
+    * pair-level aggregation is salt-agnostic); use when AQE's runtime
+    * skew splitting isn't available (e.g. cached inputs).
+    */
+  def overlapPairsSalted(
+      sourcePostings: DataFrame,
+      postings: DataFrame,
+      counts: DataFrame,
+      saltFactor: Int): DataFrame = {
+    val p1 = sourcePostings.select(col("id").as("id"), col("gram"), col("occurrences").as("occ1"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    val p2 = postings.select(col("id").as("match_id"), col("gram"), col("occurrences").as("occ2"))
+      .withColumn("salt", pmod(hash(col("match_id")), lit(saltFactor)))
+    val pairs = p1
+      .join(p2, Seq("gram", "salt"))
+      .filter(col("id") =!= col("match_id"))
+      .groupBy(col("id"), col("match_id"))
+      .agg(sum(least(col("occ1"), col("occ2"))).as("inter"))
+    quantizePairs(pairs, counts)
+  }
+
   /** Materialized symmetric overlap pairs (index.rs:302-347): postings
     * self-join on gram, per-pair intersection = sum(min(occ_a, occ_b)),
     * u8 quantization against max(count_a, count_b), score > 0.5 kept
@@ -121,6 +149,14 @@ object GramIndex {
       .filter(col("id") =!= col("match_id"))
       .groupBy(col("id"), col("match_id"))
       .agg(sum(least(col("occ1"), col("occ2"))).as("inter"))
+    quantizePairs(pairs, counts)
+  }
+
+  /** u8 quantization + score-threshold tail shared by the overlap
+    * joins: (id, match_id, inter) × counts → (id, match_id, a, b,
+    * intersection) with 2*intersection > min(a, b).
+    */
+  private def quantizePairs(pairs: DataFrame, counts: DataFrame): DataFrame = {
     val c1 = counts.select(col("id"), col("cnt").as("cnt1"))
     val c2 = counts.select(col("id").as("match_id"), col("cnt").as("cnt2"))
     pairs

@@ -51,6 +51,20 @@ class GramIndexParitySpec extends AnyFunSuite {
     }
   }
 
+  test("salted overlap join equals the plain overlap join") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val postings = GramIndex.postings(docs, "doc_id", "text").persist()
+    val counts = GramIndex.counts(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val plain = rows(GramIndex.overlapPairsFrom(postings, postings, counts))
+    val salted = rows(GramIndex.overlapPairsSalted(postings, postings, counts, saltFactor = 4))
+    assert(plain.nonEmpty)
+    assert(salted === plain)
+  }
+
   test("pruned postings drop only hot grams") {
     val s = spark
     import s.implicits._
