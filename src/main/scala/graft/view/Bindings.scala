@@ -25,8 +25,11 @@ object SyncedSection {
 final class Bindings(db: GraftDb, broadcasts: Option[BroadcastClient] = None) {
   private val view = new View(db)
 
-  /** Render the tile for a node (or a subscribed broadcast root). */
-  def refresh(id: Gid): Tile = view.tile(id)
+  /** Render the tile for a node (or a subscribed broadcast root),
+    * including its live broadcast list (lib.rs:460-463).
+    */
+  def refresh(id: Gid): Tile =
+    view.tile(id, broadcasts.map(_.listBroadcasts(id)).getOrElse(Vector.empty))
 
   /** Subscribe-and-render a broadcast's namespaced root. */
   def refreshBroadcast(broadcastId: Gid): Tile = {
@@ -51,7 +54,8 @@ final class Bindings(db: GraftDb, broadcasts: Option[BroadcastClient] = None) {
       case None      => db.add(replacement)
       case Some(tid) => db.swap(tid, replacement); tid
     }
-    val result = view.tile(targetId)
+    val result = view.tile(targetId,
+      broadcasts.map(_.listBroadcasts(targetId)).getOrElse(Vector.empty))
     broadcasts.foreach(_.updateBroadcasts(targetId))
     result
   }

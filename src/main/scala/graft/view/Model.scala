@@ -67,6 +67,7 @@ final case class Section(
 final case class Tile(
     id: Gid,
     preview: VBlock,
+    broadcasts: Vector[graft.core.BroadcastMeta],
     sections: Vector[Section],
     branches: Vector[Branch])
 

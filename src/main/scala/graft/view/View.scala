@@ -104,7 +104,7 @@ final class View(db: GraftDb) {
   /** Full page view with per-subsection before/after branch injection
     * and parent-link branches (lib.rs:460-588).
     */
-  def tile(id: Gid): Tile = {
+  def tile(id: Gid, broadcasts: Vector[graft.core.BroadcastMeta] = Vector.empty): Tile = {
     val idsInView = db.descendantsUntilLinks(id)
     val secs = sections(id, splitSpans = true).map { section =>
       section.copy(subsections = section.subsections.map { sub =>
@@ -157,6 +157,6 @@ final class View(db: GraftDb) {
       } else None
     }.sorted
 
-    Tile(id, previewLink(id).block, secs, parentBranches)
+    Tile(id, previewLink(id).block, broadcasts, secs, parentBranches)
   }
 }
