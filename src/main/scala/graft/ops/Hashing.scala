@@ -31,10 +31,6 @@ object Hashing {
     java.lang.Long.parseLong(d.substring(0, 15), 16)
   }
 
-  /** Seeded family of hash60s (minhash permutations, LSH planes). */
-  def hash60Seeded(seed: Int, c: Column): Column =
-    hash60(concat(lit(s"$seed|"), c))
-
   /** Whitespace tokens; empty tokens never produced. */
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
