@@ -44,6 +44,23 @@ object Engine {
         .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
     }),
 
+    // The scale path for full overlap materialization: stop-gram
+    // pruning (df > 50) bounds the self-join superlinearity — the
+    // padding/space grams that appear in every doc contribute O(n²)
+    // pairs and no signal. Deterministic, so exactly oracle-checkable;
+    // unlike q22 this is bench-runnable at any SF.
+    "q24_overlap_pruned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = GramIndex.prunedPostings(
+        GramIndex.postings(d, "doc_id", "text"), maxDocFreq = 50).persist()
+      // sizes relative to the SURVIVING (distinctive) grams — overlap
+      // on rare content is the near-dup signal; common-gram mass is
+      // noise at corpus scale anyway
+      val c = p.groupBy("id").agg(sum(col("occurrences")).as("cnt"))
+      GramIndex.overlapPairs(p, c)
+        .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
+    }),
+
     // Incremental overlap refresh for a dirty-id set — the reference's
     // actual write-path operation (store_overlaps over Diff.ids,
     // index.rs:302-347): linear in the dirty set, not quadratic in the
@@ -106,6 +123,30 @@ object Engine {
             SELECT p1.doc_id AS doc_id, p2.doc_id AS match_id,
                    sum(least(p1.occurrences, p2.occurrences)) AS inter
             FROM postings p1 JOIN postings p2 USING (gram)
+            WHERE p1.doc_id <> p2.doc_id
+            GROUP BY 1, 2
+          ),
+          quantized AS (
+            SELECT pairs.doc_id AS doc_id, match_id,
+                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
+                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
+                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+            FROM pairs
+            JOIN counts c1 ON pairs.doc_id = c1.doc_id
+            JOIN counts c2 ON pairs.match_id = c2.doc_id
+          )
+          SELECT doc_id, match_id, a, b, intersection FROM quantized
+          WHERE intersection*2 > least(a, b)""",
+    "q24_overlap_pruned" ->
+      s"""WITH $postingsCte,
+          df AS (SELECT gram, count(*) AS c FROM postings GROUP BY 1),
+          pruned AS (SELECT p.doc_id, p.gram, p.occurrences
+                     FROM postings p JOIN df USING (gram) WHERE df.c <= 50),
+          counts AS (SELECT doc_id, sum(occurrences) AS cnt FROM pruned GROUP BY 1),
+          pairs AS (
+            SELECT p1.doc_id AS doc_id, p2.doc_id AS match_id,
+                   sum(least(p1.occurrences, p2.occurrences)) AS inter
+            FROM pruned p1 JOIN pruned p2 USING (gram)
             WHERE p1.doc_id <> p2.doc_id
             GROUP BY 1, 2
           ),
