@@ -33,19 +33,21 @@ object Pipelines {
     }),
 
     // As-of join: each purchase matched to the user's latest preceding
-    // click (inclusive) — union + keyed window, no broadcast.
+    // click (inclusive) — the native AsOfJoinExec (custom plan node:
+    // co-partitioned sort-merge, single pass). The composed
+    // union+window form (graft.ops.AsOfJoin) is result-identical
+    // (NativeAsOfSpec).
     "q17_asof_purchase_click" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(
-          col("user_id"), col("ts"),
+          col("user_id").as("r_user"), col("ts").as("r_ts"),
           col("event_id").as("click_id"),
           unix_micros(col("ts")).as("click_ts_us"))
-      AsOfJoin.leftAsOf(purchases, clicks,
-        leftKey = "user_id", rightKey = "user_id",
-        leftTs = "ts", rightTs = "ts",
-        rightVals = Seq("click_id", "click_ts_us"))
+      graft.plans.NativeAsOf.leftAsOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "r_user", leftTs = "ts", rightTs = "r_ts")
         .select(
           col("event_id"), col("user_id"), col("click_id"),
           (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
