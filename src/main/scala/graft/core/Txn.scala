@@ -40,16 +40,18 @@ final class Txn[K, V](store: SlotStore[K, V], clock: MonotonicClock) {
   def remove(k: K): Unit = { require(!done); writes(k) = None }
 
   /** Apply buffered writes atomically; conflict if any read key gained
-    * versions since it was read.
+    * versions since it was read. All writes carry ONE commit timestamp
+    * (the reference's group-commit entry, timestamps.rs:163-186).
     */
   def commit(): Unit = {
     require(!done, "transaction already finished")
     done = true
     val conflicted = readHeights.exists { case (k, h) => store.versions(k).length != h }
     if (conflicted) throw new TxnConflict
+    val ts = clock.now()
     writes.foreach {
-      case (k, Some(v)) => store.append(k, v, clock.now())
-      case (k, None)    => store.remove(k, clock.now())
+      case (k, Some(v)) => store.append(k, v, ts)
+      case (k, None)    => store.remove(k, ts)
     }
   }
 

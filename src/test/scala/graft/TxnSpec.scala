@@ -75,6 +75,48 @@ class TxnSpec extends AnyFunSuite {
     assert(store.get("foo") === Some(10))
   }
 
+  test("a transaction's writes share one commit timestamp") {
+    val (store, clock) = fixture()
+    val t = Txn.begin(store, clock)
+    t.insert("a", 1)
+    t.insert("b", 2)
+    t.insert("c", 3)
+    t.commit()
+    val stamps = Seq("a", "b", "c").map(k => store.versions(k).last.ts)
+    assert(stamps.head > 0)
+    assert(stamps.distinct.length === 1)
+  }
+
+  test("version history keeps tombstones until merge (kv get_versions)") {
+    val (store, clock) = fixture()
+    def commitOne(f: Txn[String, Int] => Unit): Unit = {
+      val t = Txn.begin(store, clock); f(t); t.commit()
+    }
+    commitOne(_.insert("key foo", 1))
+    commitOne(_.insert("key foo", 2))
+    commitOne(_.remove("key foo"))
+    commitOne(_.insert("key foo", 4))
+
+    val versions = store.versions("key foo")
+    assert(versions.length === 4)
+    assert(versions.map(v => if (v.isRemoved) None else Some(v.value)) ===
+      Vector(Some(1), Some(2), None, Some(4)))
+    assert(versions.map(_.ts) === versions.map(_.ts).sorted)
+
+    store.merge()
+    assert(store.versions("key foo").length === 1)
+    assert(store.get("key foo") === Some(4))
+  }
+
+  test("lastUpdated tracks the latest commit timestamp") {
+    val (store, clock) = fixture()
+    assert(store.lastUpdated === None)
+    val t = Txn.begin(store, clock)
+    t.insert("k", 1)
+    t.commit()
+    assert(store.lastUpdated === Some(store.versions("k").last.ts))
+  }
+
   test("abort discards buffered writes") {
     val (store, clock) = fixture()
     val t = Txn.begin(store, clock)
