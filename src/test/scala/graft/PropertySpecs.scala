@@ -67,6 +67,34 @@ object OverlapProps extends Properties("Overlaps") {
       }
     }
 
+  // Incremental maintenance never drifts: after arbitrary edits, the
+  // per-block gram count (slot 3) equals the sum of that block's
+  // posting occurrences (slot 2) — i.e. the delta pipeline reproduces
+  // what a from-scratch rebuild would store.
+  property("postings/count consistency under random edits") =
+    Prop.forAll(
+      Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, sentence)),
+      Gen.listOfN(3, Gen.zip(Gen.chooseNum(0, 100), sentence))) { (texts, edits) =>
+      val db = new GraftDb
+      val ids = texts.map { t =>
+        val id = db.add(Node.Text(t))
+        db.add(Node.List(Layout.Page, Vector(Child.Lazy(id))))
+        id
+      }
+      edits.foreach { case (pick, replacement) =>
+        db.swap(ids(pick % ids.length), Node.Text(replacement))
+      }
+      val occSums = scala.collection.mutable.HashMap.empty[graft.model.Gid, Int]
+      db.gramsSlot.liveKeys.foreach { gram =>
+        db.gramsSlot.get(gram).get.foreach { case (id, occ) =>
+          if (occ > 0) occSums(id) = occSums.getOrElse(id, 0) + occ
+        }
+      }
+      db.countsSlot.liveKeys.forall { id =>
+        db.countsSlot.get(id).contains(occSums.getOrElse(id, 0))
+      }
+    }
+
   // search() finds every indexed block under its own full text with a
   // perfect score.
   property("self-search scores 1.0") = Prop.forAll(sentence) { text =>
