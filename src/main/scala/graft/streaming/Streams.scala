@@ -69,6 +69,53 @@ object Streams {
       }
   }
 
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+
+  /** Event-time sessionization with explicit state
+    * (flatMapGroupsWithState + EventTimeTimeout): a session closes when
+    * a gap larger than `gapMinutes` arrives for the key, or when the
+    * watermark passes the session end + gap (timeout). This is the
+    * streaming twin of the batch lag()-window sessionization (q13):
+    * same session boundaries, emitted incrementally with bounded state
+    * (one open session per active user).
+    */
+  def sessionize(events: Dataset[UserEvent], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start_us * 1000, s.end_us * 1000, s.n))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case null => cur = SessionState(t, t, 1)
+                case s if t - s.end_us <= gapMs =>
+                  cur = SessionState(s.start_us, math.max(s.end_us, t), s.n + 1)
+                case s =>
+                  closed ::= Session(user, s.start_us * 1000, s.end_us * 1000, s.n)
+                  cur = SessionState(t, t, 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end_us + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Broadcast-episode ingestion: the hub's object-store layout
     * (`<dir>/<broadcastId>/ep_<ts>.parquet`) consumed as a file-arrival
     * stream — the Spark-native form of fetch_broadcast's episode

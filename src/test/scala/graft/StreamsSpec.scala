@@ -101,6 +101,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(finalStats(2L) === Streams.UserStats(2L, 1L, 5.0))
   }
 
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val query = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append())
+      .start()
+    // timestamps must sit above the initial (epoch) watermark or the
+    // first rows are dropped as late
+    val base = 8640000000L // 100 days in ms
+    def bts(minutes: Long) = new Timestamp(base + minutes * 60000L)
+    // user 1: two events 10 min apart (one session), then a 2h gap event
+    input.addData(UserEvent(1, bts(0), 1.0), UserEvent(1, bts(10), 2.0), UserEvent(2, bts(5), 1.0))
+    query.processAllAvailable()
+    input.addData(UserEvent(1, bts(130), 3.0))
+    query.processAllAvailable()
+    // the gap closes user 1's first session explicitly
+    val afterGap = s.table("sessions").as[Streams.Session].collect()
+    assert(afterGap.exists(se => se.user_id == 1 && se.n_events == 2 &&
+      se.start_us == base * 1000 && se.end_us == (base + 10L * 60000) * 1000))
+    // advancing the watermark far enough times out user 2's idle session
+    input.addData(UserEvent(3, bts(500), 1.0))
+    query.processAllAvailable()
+    input.addData(UserEvent(3, bts(501), 1.0))
+    query.processAllAvailable()
+    val all = s.table("sessions").as[Streams.Session].collect()
+    query.stop()
+    assert(all.exists(se => se.user_id == 2 && se.n_events == 1))
+  }
+
   test("episode file stream aggregates per-broadcast stats") {
     val s = spark
     import s.implicits._
