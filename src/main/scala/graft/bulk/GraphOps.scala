@@ -60,7 +60,7 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
-    var visited = Seq(rootId).toDF("id").cache()
+    var visited = Seq(rootId).toDF("id").localCheckpoint()
     var frontier = visited
     var growing = true
     while (growing) {
@@ -68,15 +68,57 @@ object GraphOps {
         .select(col("child_id").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
-        .cache()
-      val n = next.count()
-      if (n == 0) growing = false
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
       else {
-        visited = visited.unionByName(next).cache()
+        visited = visited.unionByName(next).localCheckpoint()
         frontier = next
       }
     }
     e.unpersist()
+    visited
+  }
+
+  /** Link-aware descendants (descendants_until_links, lib.rs:771-797):
+    * the BFS stops at children rendered as links (block child of a
+    * span parent) — link targets are included but not expanded. Uses
+    * the bulk span classification to derive the link predicate, so the
+    * whole computation stays in DataFrame land.
+    */
+  def descendantsUntilLinks(nodes: DataFrame, edges: DataFrame, rootId: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val spans = spanClass(nodes, edges)
+    // an edge may be traversed unless the child renders as a link
+    val traversable = edges
+      .join(spans.withColumnRenamed("id", "parent_id").withColumnRenamed("is_span", "parent_span"), "parent_id")
+      .join(spans.withColumnRenamed("id", "child_id").withColumnRenamed("is_span", "child_span"), "child_id")
+      .select(col("parent_id"), col("child_id"),
+        (col("parent_span") && !col("child_span")).as("is_link"))
+      .distinct()
+      .cache()
+    // localCheckpoint truncates lineage each round — without it the
+    // round-N plan nests all earlier rounds and codegen/planning blows
+    // up exponentially (the standard iterative-DataFrame-loop trap).
+    var visited = Seq(rootId).toDF("id").localCheckpoint()
+    var frontier = visited
+    var growing = true
+    while (growing) {
+      val reached = traversable.join(frontier, traversable("parent_id") === frontier("id"))
+        .select(col("child_id").as("id"), col("is_link"))
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      // link targets are collected but never expanded
+      val next = reached.filter(!col("is_link")).select("id").distinct().localCheckpoint()
+      val linked = reached.filter(col("is_link")).select("id").distinct()
+      val newIds = next.unionByName(linked).distinct()
+      if (newIds.isEmpty) growing = false
+      else {
+        visited = visited.unionByName(newIds).localCheckpoint()
+        frontier = next
+      }
+    }
+    traversable.unpersist()
     visited
   }
 
@@ -104,8 +146,8 @@ object GraphOps {
       val n = step.count()
       if (n == 0) progress = false // unresolvable = cyclic styled chains
       else {
-        resolved = resolved.unionByName(step).cache()
-        pending = pending.join(step.select("id"), Seq("id"), "left_anti").cache()
+        resolved = resolved.unionByName(step).localCheckpoint()
+        pending = pending.join(step.select("id"), Seq("id"), "left_anti").localCheckpoint()
       }
     }
     resolved

@@ -46,6 +46,17 @@ class BulkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk link-aware descendants equals serving-path descendantsUntilLinks") {
+    val (db, root) = builtDb()
+    val (nodes, edges) = GraphOps.tablesFrom(db, spark)
+    for (start <- Seq(root) ++ db.nodes.liveKeys.take(4)) {
+      val bulk = GraphOps.descendantsUntilLinks(nodes, edges, start.toString)
+        .collect().map(_.getString(0)).toSet
+      val serving = db.descendantsUntilLinks(start).map(_.toString)
+      assert(bulk === serving, s"descendantsUntilLinks mismatch for $start")
+    }
+  }
+
   test("bulk span classification equals serving-path isSpan") {
     val (db, _) = builtDb()
     val (nodes, edges) = GraphOps.tablesFrom(db, spark)
