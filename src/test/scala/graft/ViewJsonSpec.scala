@@ -1,0 +1,40 @@
+package graft
+
+import graft.core.GraftDb
+import graft.model.{Child, Gid, Node}
+import graft.view.{Bindings, SyncedSection, ViewJson}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON exchange format, shape-matched to the reference's serde output
+  * (model.rs annotations + the documented markup_to_json expectation).
+  */
+class ViewJsonSpec extends AnyFunSuite {
+
+  test("markup_to_json matches the reference's documented output") {
+    assert(ViewJson.markupToJson("*some markup*") ===
+      """{"type":"Text","spans":[{"type":"Text","styles":["Bold"],"text":"some markup"}]}""")
+  }
+
+  test("block styles serialize with PascalCase names, empty styles omitted") {
+    assert(ViewJson.markupToJson("># quoted heading") ===
+      """{"type":"Text","styles":["Heading","Quote"],"spans":[{"type":"Text","text":"quoted heading"}]}""")
+  }
+
+  test("tile serializes to stable tagged JSON") {
+    val db = new GraftDb
+    val bindings = new Bindings(db)
+    val id1 = db.add(Node.text("foo"))
+    db.push(Gid.root, Child.Lazy(id1))
+    val tile = bindings.sync(Some(Gid.root), Vector(
+      SyncedSection.Existing(id1),
+      SyncedSection.Edited(Vector("# bar"))))
+    val json = ViewJson.tile(tile)
+    assert(json.startsWith("{\"id\":\"00000000-0000-0000-0000-000000000000\""))
+    assert(json.contains("\"preview\":{\"type\":\"Text\""))
+    assert(json.contains("\"hasMultipleParents\":false"))
+    assert(json.contains("\"styles\":[\"Heading\"]"))
+    assert(json.contains("\"text\":\"bar\""))
+    // escaping round-trips control characters safely
+    assert(ViewJson.markupToJson("a\\\"b\tc").contains("\\\"") )
+  }
+}
