@@ -196,7 +196,7 @@ object Dedup {
       .select(
         col("x.id").as("id_a"),
         col("y.id").as("id_b"),
-        bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))).as("hamming"))
+        bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

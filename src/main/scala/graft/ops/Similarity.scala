@@ -101,7 +101,7 @@ object Similarity {
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
   /** Deterministic hyperplane component p,j in [-1000, 1000]:
@@ -170,7 +170,7 @@ object Similarity {
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
   /** LSH-bucketed ANN: candidates share the query's full signature
@@ -199,6 +199,6 @@ object Similarity {
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 }

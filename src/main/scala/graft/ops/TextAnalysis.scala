@@ -59,10 +59,10 @@ object TextAnalysis {
     val toks = Hashing.tokens(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
-      length(col(textCol)).as("n_chars"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_uniq_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_punct"))
       .withColumn("uniq_permille",
         expr("(cast(n_uniq_tokens as bigint) * 1000) div greatest(n_tokens, 1)"))
       .withColumn("quality_score",
@@ -78,10 +78,10 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      size(Hashing.tokens(col(textCol))).as("ws_tokens"),
+      size(Hashing.tokens(col(textCol))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .as("bpe_tokens"),
-      length(col(textCol)).as("n_chars"))
+        .cast("long").as("bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
 
   /** Document fingerprinting: a polynomial rolling hash of the whole
     * text (mod 1e9+7, exact in Long) plus the min hash over all 8-char

@@ -107,14 +107,14 @@ object Engine {
           FROM postings JOIN src USING (gram) GROUP BY doc_id
         )
         SELECT doc_id, CAST(255 AS BIGINT) AS a, CAST(255 AS BIGINT) AS b,
-               (255*inter)//$srcCount AS intersection
+               CAST((255*inter)//$srcCount AS BIGINT) AS intersection
         FROM matches
         WHERE ((255*inter)//$srcCount)*1000 >= 300*255"""
   }
 
   val oracleSql: Map[String, String] = Map(
     "q20_gram_postings" ->
-      s"WITH $postingsCte SELECT doc_id, gram, occurrences FROM postings",
+      s"WITH $postingsCte SELECT doc_id, CAST(gram AS BIGINT) AS gram, occurrences FROM postings",
     "q21_search_term" -> searchOracle(searchTerm),
     "q22_overlap_pairs" ->
       s"""WITH $postingsCte,
@@ -128,9 +128,9 @@ object Engine {
           ),
           quantized AS (
             SELECT pairs.doc_id AS doc_id, match_id,
-                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
-                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
-                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+                   CAST((255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS a,
+                   CAST((255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS b,
+                   CAST((255*inter)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS intersection
             FROM pairs
             JOIN counts c1 ON pairs.doc_id = c1.doc_id
             JOIN counts c2 ON pairs.match_id = c2.doc_id
@@ -152,9 +152,9 @@ object Engine {
           ),
           quantized AS (
             SELECT pairs.doc_id AS doc_id, match_id,
-                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
-                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
-                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+                   CAST((255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS a,
+                   CAST((255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS b,
+                   CAST((255*inter)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS intersection
             FROM pairs
             JOIN counts c1 ON pairs.doc_id = c1.doc_id
             JOIN counts c2 ON pairs.match_id = c2.doc_id
@@ -173,9 +173,9 @@ object Engine {
           ),
           quantized AS (
             SELECT pairs.doc_id AS doc_id, match_id,
-                   (255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS a,
-                   (255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS b,
-                   (255*inter)//greatest(c1.cnt, c2.cnt) AS intersection
+                   CAST((255*c1.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS a,
+                   CAST((255*c2.cnt)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS b,
+                   CAST((255*inter)//greatest(c1.cnt, c2.cnt) AS BIGINT) AS intersection
             FROM pairs
             JOIN counts c1 ON pairs.doc_id = c1.doc_id
             JOIN counts c2 ON pairs.match_id = c2.doc_id

@@ -26,7 +26,7 @@ object Pipelines {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).cast("double").as("sum_value"))
         .select(
           unix_micros(col("window.start")).as("hour_us"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -199,7 +199,7 @@ object Pipelines {
     "q16_hourly_events" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
          count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
 
     "q17_asof_purchase_click" ->
@@ -212,7 +212,7 @@ object Pipelines {
     "q18_json_props" ->
       """SELECT event_type,
          count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_hi,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1""",
 
     "q30_dedup_exact" ->
@@ -252,7 +252,7 @@ object Pipelines {
          ch AS (SELECT doc_id, f, c, (f >> CAST(c*15 AS INT)) & 32767 AS ckey
                 FROM fp, UNNEST(range(4)) AS t(c)),
          pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-                       bit_count(xor(x.f, y.f)) AS hamming
+                       CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS hamming
                 FROM ch x JOIN ch y ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
          SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
 

@@ -15,16 +15,20 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Numeric policy: all aggregated money flows through DECIMAL so
   * results are exact and independent of partition/aggregation order
-  * (FP sums would drift under AQE re-plans at scale). Final casts pin
-  * the output scale so Spark and DuckDB hash identically.
+  * (FP sums would drift under AQE re-plans at scale). OUTPUT columns
+  * are then cast to plain int64/float64/string: the exact decimal sum
+  * converts to the one nearest double on both engines (unscaled values
+  * stay < 2^53 at oracle scale), while DECIMAL/DATE outputs round-trip
+  * differently through arrow/pandas readers (Decimal('4.90') vs 4.9,
+  * date vs timestamp) and break representation-level hashing.
   */
 object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
   private val m = Tables.money _
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2))
-  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 4))
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2)).cast("double")
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 4)).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: single scan, map-side partial agg, 6 groups.
@@ -71,7 +75,7 @@ object Relational {
       val li = t(s, dir, "lineitem")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
         .agg(dec4(sum(m("l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - m("l_discount"))))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -103,7 +107,8 @@ object Relational {
       t(s, dir, "orders")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), m("o_totalprice").as("totalprice"))
+        .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+          col("o_orderkey"), col("o_totalprice").as("totalprice"))
     }),
 
     // Set ops on key domains.
@@ -135,7 +140,7 @@ object Relational {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
-        .select(col("o_orderkey"), col("o_custkey"), m("o_totalprice").as("totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("totalprice"))
     }),
 
     // Latest-version-per-key window: the engine's MVCC "latest" primitive
@@ -191,30 +196,30 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= DATE '2000-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
            AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
     "q03_revenue_by_brand" ->
       """SELECT p_brand,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
     "q04_top_orders" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
-         GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+         GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q05_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
@@ -225,7 +230,7 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_mktsegment""",
     "q07_topk_per_customer" ->
-      """SELECT o_custkey, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM (
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice AS totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders) WHERE rnk <= 3""",
@@ -237,18 +242,18 @@ object Relational {
          INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
     "q10_nation_profile" ->
       """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
     "q11_global_top_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q12_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
     "q13_sessions_per_user" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
                   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
@@ -256,12 +261,12 @@ object Relational {
            FROM events) GROUP BY user_id""",
     "q14_rollup_nation_segment" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, c_mktsegment)""",
     "q15_region_rollout" ->
       """SELECT r_name, count(DISTINCT c_custkey) AS n_customers, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_totalprice
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
