@@ -81,11 +81,12 @@ object Pipelines {
 
     // MinHash(64) + LSH(16 bands × 4) candidates, verified by exact
     // Jaccard > 0.5 restricted to candidates — the sub-quadratic scale
-    // path for q31.
+    // path for q31. Native one-pass signature kernel; the shingle
+    // explode runs only over candidate docs.
     "q32_dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(
-        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3).persist(),
-        numPerm = 64, bands = 16, num = 1, den = 2)
+      Dedup.minhashLshPairsNative(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
     }),
 
     // SimHash(60-bit, tf-weighted) near-dup pairs within Hamming ≤ 3

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native one-pass dedup kernels (SimHash60, MinHashSig) vs their
+  * composed explode+groupBy twins: identical output on varied docs,
+  * identical absence semantics for degenerate docs, and identical
+  * end-to-end near-dup pairs through the LSH pipeline.
+  */
+class DedupKernelsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-dedupkernels-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "pack my box with five dozen liquor jugs"),
+      (5L, "the the the repeated repeated tokens tokens tokens here"),
+      (6L, "one two"), // fewer than k=3 tokens: no shingles
+      (7L, "   "), // whitespace only: no tokens at all
+      (8L, "unicode é漢字 tokens mixed in the stream É again é漢字"),
+      (9L, "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+  }
+
+  test("native SimHash fingerprints equal the composed form") {
+    val native = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashFingerprintsComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === composed)
+    assert(!native.contains(7L)) // token-less doc absent from both
+    assert(native.contains(6L)) // two tokens still fingerprint
+  }
+
+  test("native MinHash signatures equal the composed form") {
+    val shingles = Dedup.shingleSets(docs, "doc_id", "text", k = 3)
+    val composed = Dedup.minhashSignatures(shingles, numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = Dedup.minhashSignaturesNative(docs, "doc_id", "text", k = 3, numPerm = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === composed)
+    assert(!native.contains(6L) && !native.contains(7L)) // < k tokens: absent
+    assert(native(3L) === native(4L)) // identical docs, identical sigs
+  }
+
+  test("native LSH pipeline emits the same near-dup pairs") {
+    val composed = Dedup.minhashLshPairs(
+      Dedup.shingleSets(docs, "doc_id", "text", k = 3),
+      numPerm = 16, bands = 4, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = Dedup.minhashLshPairsNative(
+      docs, "doc_id", "text", k = 3, numPerm = 16, bands = 4, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === composed)
+    assert(native.contains((3L, 4L))) // exact dup pair must survive
+  }
+}
