@@ -10,14 +10,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // AQE is the right default on a cluster (see GraftSession) but is a
-    // net loss at bench scale: its per-query-stage materialization
-    // barriers add ~0.3 s × many small stages (measured +8 s/suite at
-    // sf0.1) while runtime re-planning has nothing to fix on MB-sized
-    // shuffles.
+    // AQE measured on vs off over the full suite at sf0.1 (2026-08-12,
+    // idle machine): 45.2 s vs 47.4 s — a small net WIN, mostly from
+    // partition coalescing on the overlap/jaccard joins, so it stays
+    // on (also the cluster-correct default). The skewed joins don't
+    // depend on it — they salt/broadcast explicitly.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

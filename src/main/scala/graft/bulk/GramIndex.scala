@@ -90,10 +90,18 @@ object GramIndex {
       .orderBy(col("intersection").desc, col("a").desc, col("b").desc, col("id"))
   }
 
+  /** Zero-row result with the SAME schema the non-empty search path
+    * produces — `id` preserves the postings' id type (a hardcoded Long
+    * would break unions with real results downstream).
+    */
   private def emptyResult(postings: DataFrame): DataFrame = {
     val spark = postings.sparkSession
-    import spark.implicits._
-    Seq.empty[(Long, Long, Long, Long)].toDF("id", "a", "b", "intersection")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", postings.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("intersection", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
   }
 
   /** Salted variant of the overlap join for skewed gram distributions:

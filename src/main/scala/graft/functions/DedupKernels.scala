@@ -178,6 +178,51 @@ object MinHashSig {
   }
 }
 
+/** Distinct word k-shingles of a text column in one pass: the
+  * per-doc dedup happens in memory inside the kernel, so the
+  * inverted-index build needs NO distinct() shuffle (the composed
+  * form explodes raw shingles and dedups with a full shuffle). Null
+  * for docs with fewer than k tokens — explode drops them for free.
+  */
+case class ShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_set"
+  override def nullSafeEval(input: Any): Any =
+    ShingleSet.compute(input.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val toks = DedupHash.tokenize(s.toString)
+    if (toks.length < k) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j < i + k) { sb.append(' '); sb.append(toks(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_shingle_set")
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[ShingleSet].getCanonicalName, "graft_shingle_set")
+  val builder: Seq[Expression] => Expression = { c =>
+    ShingleSet(Cast(c.head, StringType), c(1).eval().asInstanceOf[Number].intValue())
+  }
+}
+
 /** LSH band keys (md5 hex of the comma-joined signature slice per
   * band) straight from the text in one pass. Returning the BAND KEYS
   * rather than the signature matters for the plan: a downstream
@@ -246,5 +291,7 @@ object DedupKernels {
       registry.registerFunction(MinHashSig.functionName, MinHashSig.info, MinHashSig.builder)
     if (!registry.functionExists(MinHashBands.functionName))
       registry.registerFunction(MinHashBands.functionName, MinHashBands.info, MinHashBands.builder)
+    if (!registry.functionExists(ShingleSet.functionName))
+      registry.registerFunction(ShingleSet.functionName, ShingleSet.info, ShingleSet.builder)
   }
 }

@@ -55,6 +55,45 @@ object Dedup {
     }
   }
 
+  /** Scale-path Jaccard near-dup pairs from raw docs: the native
+    * ShingleSet kernel dedups per doc in memory (no distinct()
+    * shuffle), and the df-cap is ALWAYS applied — shingles appearing
+    * in more than `maxShingleFreq` docs are stop-shingles that
+    * contribute O(df²) join pairs and almost no signal; dropping them
+    * is what keeps the inverted-index self-join alive at 100 TB. The
+    * df aggregation shuffles on the same key as the pair join, so its
+    * exchange is reused; the hot set and per-doc sizes are broadcast.
+    * Set sizes count KEPT shingles only (cap mirrored by the oracle).
+    */
+  def jaccardPairsNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      num: Int,
+      den: Int,
+      maxShingleFreq: Int): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(docs.sparkSession)
+    val exploded = docs.select(
+      col(idCol).as("id"),
+      explode(call_function("graft_shingle_set", col(textCol), lit(k))).as("shingle"))
+    val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleFreq).select("shingle")
+    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+    val a = kept.select(col("id").as("id_a"), col("shingle"))
+    val b = kept.select(col("id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("setsize").as("size_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("setsize").as("size_b"))), "id_b")
+      .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
+      .filter(col("inter") * den > col("union_size") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_size"))
+  }
+
   /** Near-dup pairs by exact n-gram Jaccard: inverted-index self-join,
     * |∩| per pair, |∪| from per-doc set sizes. The threshold is a
     * rational `num/den` compared in integer space (no FP) — e.g.

@@ -89,14 +89,23 @@ case class AsOfJoinExec(
       var nextRight: InternalRow = null
       var nextKey: Any = null
       var nextTs: Any = null
-      def advance(): Unit =
-        if (rIter.hasNext) {
-          nextRight = rIter.next()
-          nextKey = rKeyProj(nextRight).get(0, rk.dataType)
-          // key projection reuses its buffer; copy scalar out before next use
-          nextKey = InternalRow.copyValue(nextKey)
-          nextTs = InternalRow.copyValue(rTsProj(nextRight).get(0, rt.dataType))
-        } else nextRight = null
+      // SQL join semantics for nulls: a right row with a null key or
+      // null ts can never match any left row — skip it here instead of
+      // feeding null into the interpreted orderings (which would NPE).
+      def advance(): Unit = {
+        nextRight = null
+        while (nextRight == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val k = rKeyProj(cand).get(0, rk.dataType)
+          val t = rTsProj(cand).get(0, rt.dataType)
+          if (k != null && t != null) {
+            nextRight = cand
+            // key projection reuses its buffer; copy scalars out
+            nextKey = InternalRow.copyValue(k)
+            nextTs = InternalRow.copyValue(t)
+          }
+        }
+      }
       advance()
 
       var matchRow: InternalRow = null
@@ -105,6 +114,11 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val key = InternalRow.copyValue(lKeyProj(lRow).get(0, lk.dataType))
         val ts = InternalRow.copyValue(lTsProj(lRow).get(0, lt.dataType))
+        // a left row with a null key or ts matches nothing: null-padded
+        // output, right cursor untouched (null keys sort first, so no
+        // right rows are skipped by not advancing here)
+        if (key == null || ts == null) joined(lRow, nullRight)
+        else {
         // stale candidate from an earlier key group
         if (matchRow != null && keyOrd.asInstanceOf[Ordering[Any]].compare(matchKey, key) != 0)
           matchRow = null
@@ -120,6 +134,7 @@ case class AsOfJoinExec(
           advance()
         }
         if (matchRow != null) joined(lRow, matchRow) else joined(lRow, nullRight)
+        }
       }
     }
   }

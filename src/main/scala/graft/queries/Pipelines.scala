@@ -18,6 +18,12 @@ object Pipelines {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Stop-shingle df cap for the Jaccard family (q31/q37), mirrored in
+    * their oracles. Shingles in more docs than this are dropped before
+    * the inverted-index self-join (O(df²) pairs, no signal).
+    */
+  val ShingleCap = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1h windows over the event stream (batch form of the
     // Structured Streaming windowed agg in graft.streaming).
@@ -70,13 +76,14 @@ object Pipelines {
     }),
 
     // Near-dup pairs by exact word-3-gram Jaccard > 0.5 (integer-space
-    // threshold) through the inverted shingle index. The shingle sets
-    // feed three consumers (set sizes + both join sides) — persisted so
-    // the tokenize+distinct runs once, not per consumer.
+    // threshold) through the inverted shingle index. Native per-doc
+    // shingle dedup (no distinct shuffle) with the df > 100 stop-
+    // shingle cap always on — the cap is mirrored in the oracle, so
+    // results agree at every SF (at bench SF max df is 25: no-op).
     "q31_dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(
-        Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", k = 3).persist(),
-        num = 1, den = 2)
+      Dedup.jaccardPairsNative(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
     }),
 
     // MinHash(64) + LSH(16 bands × 4) candidates, verified by exact
@@ -125,11 +132,12 @@ object Pipelines {
     }),
 
     // Duplicate clusters: GraphX connected components over the Jaccard
-    // near-dup pairs; every doc mapped to its cluster's min id.
+    // near-dup pairs (native capped path, same as q31); every doc
+    // mapped to its cluster's min id.
     "q37_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(
-        Dedup.shingleSets(docs, "doc_id", "text", k = 3).persist(), num = 1, den = 2)
+      val pairs = Dedup.jaccardPairsNative(
+        docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
       Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs)
     }),
 
@@ -181,6 +189,22 @@ object Pipelines {
                FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
                WHERE inter * 2 > ca.c + cb.c - inter)"""
 
+  /** The q31/q37 variant: stop-shingles (df > ShingleCap) dropped
+    * before the self-join, set sizes counted over kept shingles —
+    * exactly Dedup.jaccardPairsNative's semantics.
+    */
+  private val cappedJaccardCte =
+    s"""$shingleCte,
+       hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $ShingleCap),
+       shk AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       shcnt AS (SELECT doc_id, count(*) AS c FROM shk GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
+               FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
+               WHERE inter * 2 > ca.c + cb.c - inter)"""
+
   /** Sequential-fold double dot product of two DOUBLE[] exprs (same IEEE
     * op order as Similarity.dot).
     */
@@ -223,7 +247,7 @@ object Pipelines {
          FROM documents""",
 
     "q31_dedup_jaccard" ->
-      s"WITH $jaccardCte SELECT id_a, id_b, inter, union_size FROM jac",
+      s"WITH $cappedJaccardCte SELECT id_a, id_b, inter, union_size FROM jac",
 
     "q32_dedup_minhash_lsh" ->
       s"""WITH $jaccardCte,
@@ -317,7 +341,7 @@ object Pipelines {
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
 
     "q37_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCte,
+      s"""WITH RECURSIVE $cappedJaccardCte,
          edges AS (SELECT id_a AS a, id_b AS b FROM jac
                    UNION SELECT id_b, id_a FROM jac),
          reach(a, b) AS (SELECT doc_id, doc_id FROM documents

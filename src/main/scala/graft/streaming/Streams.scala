@@ -38,12 +38,17 @@ object Streams {
     * the watermark bounds the dedup state (duplicates farther apart
     * than the watermark may both survive — the standard streaming
     * trade-off, resolved by a periodic batch compaction pass).
+    *
+    * dropDuplicatesWithinWatermark is what makes that sentence true:
+    * plain dropDuplicates only evicts state when the event-time column
+    * is part of the dedup keys — keyed on digest alone it would grow
+    * state forever and OOM a long-running query.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String): DataFrame =
     docs
       .withColumn("digest", md5(col(textCol)))
       .withWatermark(tsCol, "1 hour")
-      .dropDuplicates("digest")
+      .dropDuplicatesWithinWatermark("digest")
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)

@@ -51,10 +51,30 @@ object Prof {
         val cp = graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45)
         time("cosinePairs noop")(cp.write.format("noop").mode("overwrite").save())
         cp.explain("formatted")
+      case "overlap" =>
+        import org.apache.spark.sql.functions._
+        val p = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
+        val c = graft.bulk.GramIndex.counts(docs, "doc_id", "text")
+        val dirty = p.filter(col("id") % 50 === 0)
+        def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          time(name)(df.write.format("noop").mode("overwrite").save())
+          spark.sharedState.cacheManager.clearCache()
+        }
+        run("plain 1")(graft.bulk.GramIndex.overlapPairsFrom(dirty, p, c))
+        run("plain 2")(graft.bulk.GramIndex.overlapPairsFrom(dirty, p, c))
+        run("salted8")(graft.bulk.GramIndex.overlapPairsSalted(dirty, p, c, 8))
+        run("salted32")(graft.bulk.GramIndex.overlapPairsSalted(dirty, p, c, 32))
+        run("bcast 1")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
+        run("bcast 2")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
       case other =>
+        // run twice: the first pays JVM/codegen warmup, the second is
+        // the steady-state number comparable to Bench's post-warmup runs
         val q = graft.SparkEntry.queries(other)(spark, dir)
-        time(other)(q.write.format("noop").mode("overwrite").save())
-        q.explain("formatted")
+        time(s"$other cold")(q.write.format("noop").mode("overwrite").save())
+        spark.sharedState.cacheManager.clearCache()
+        val q2 = graft.SparkEntry.queries(other)(spark, dir)
+        time(s"$other warm")(q2.write.format("noop").mode("overwrite").save())
+        if (sys.env.contains("PROF_EXPLAIN")) q2.explain("formatted")
     }
     spark.stop()
   }

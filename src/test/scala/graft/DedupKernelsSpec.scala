@@ -56,6 +56,42 @@ class DedupKernelsSpec extends AnyFunSuite {
     assert(native(3L) === native(4L)) // identical docs, identical sigs
   }
 
+  test("native Jaccard pipeline equals the composed form when the cap binds nothing") {
+    val composed = Dedup.jaccardPairs(
+      Dedup.shingleSets(docs, "doc_id", "text", k = 3), num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val native = Dedup.jaccardPairsNative(
+      docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(native === composed)
+    assert(native.exists { case (a, b, _, _) => (a, b) == (3L, 4L) })
+  }
+
+  test("the df-cap drops stop-shingles from pairs and set sizes") {
+    val s = spark
+    import s.implicits._
+    // "x y z" appears in all 4 docs (df=4 > cap=3) and must be dropped;
+    // docs 1/2 still pair through their private "p q r" shingles.
+    val d = Seq(
+      (1L, "x y z p q r s"),
+      (2L, "x y z p q r s"),
+      (3L, "x y z only here"),
+      (4L, "x y z other text")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairsNative(
+      d, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1/doc2 share shingles {x y z, y z p, z p q, p q r, q r s};
+    // "x y z" is hot → inter=4, sizes=4 → union=4, jaccard=1 > 0.5.
+    assert(capped.toSeq === Seq((1L, 2L, 4L, 4L)))
+    // the composed uncapped form additionally pairs nothing else here,
+    // but counts the hot shingle: inter=5, union=5.
+    val uncapped = Dedup.jaccardPairs(
+      Dedup.shingleSets(d, "doc_id", "text", k = 3), num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(uncapped.toSeq === Seq((1L, 2L, 5L, 5L)))
+  }
+
   test("native LSH pipeline emits the same near-dup pairs") {
     val composed = Dedup.minhashLshPairs(
       Dedup.shingleSets(docs, "doc_id", "text", k = 3),

@@ -51,6 +51,21 @@ class GramIndexParitySpec extends AnyFunSuite {
     }
   }
 
+  test("blank-term search has the same schema as a real search (union-safe)") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val postings = GramIndex.postings(docs, "doc_id", "text")
+    val blank = GramIndex.search(postings, "")
+    val real = GramIndex.search(postings, "foo")
+    assert(blank.schema.map(f => (f.name, f.dataType)) ===
+      real.schema.map(f => (f.name, f.dataType)))
+    // the regression: a Long-typed blank `id` broke this union when
+    // postings carried a different id type
+    assert(blank.unionByName(real).count() === real.count())
+    assert(blank.count() === 0)
+  }
+
   test("salted overlap join equals the plain overlap join") {
     val s = spark
     import s.implicits._

@@ -66,6 +66,31 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(rows === Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "-")))
   }
 
+  test("null keys and timestamps never match and never crash") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "l1"),
+      (None, Some(10L), "lnullkey"),
+      (Some(1L), None, "lnullts"),
+      (Some(2L), Some(50L), "l2")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Some(1L), Some(5L), "r1"),
+      (None, Some(1L), "rnullkey"), // sorts first; must be skipped
+      (Some(2L), None, "rnullts"), // null ts: never a match
+      (Some(2L), Some(40L), "r2")
+    ).toDF("rk", "rt", "v")
+    val rows = NativeAsOf.leftAsOf(left, right, "k", "rk", "t", "rt")
+      .select(col("lv"), col("v")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-")))
+      .toSet
+    // all 4 left rows survive (left-join), null-key/ts left rows pad,
+    // null-key/ts right rows match nothing
+    assert(rows === Set(
+      ("l1", "r1"), ("lnullkey", "-"), ("lnullts", "-"), ("l2", "r2")))
+  }
+
   test("duplicate right timestamps resolve to the last in sort order; empty right yields nulls") {
     val s = spark
     import s.implicits._

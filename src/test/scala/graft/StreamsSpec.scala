@@ -80,6 +80,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(Set(1L, 2L).contains(rows.filter(_.text == "same text").map(_.doc_id).head))
   }
 
+  test("dedupStream evicts state past the watermark (bounded state)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val input = MemoryStream[Doc]
+    val query = Streams.dedupStream(input.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("dedup_evict").outputMode(OutputMode.Append())
+      .start()
+    input.addData(Doc(1, ts(100), "evict me"))
+    query.processAllAvailable() // watermark → ts(40)
+    input.addData(Doc(2, ts(300), "unrelated"))
+    query.processAllAvailable() // watermark → ts(240): doc 1's state (expires ts(160)) evicted
+    input.addData(Doc(3, ts(310), "evict me"))
+    query.processAllAvailable()
+    val rows = s.table("dedup_evict").as[Doc].collect()
+    query.stop()
+
+    // beyond the watermark the duplicate SURVIVES — the price of
+    // bounded state; plain dropDuplicates would have dropped doc 3
+    // while growing state forever
+    assert(rows.map(_.doc_id).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("runningUserStats accumulates keyed state across batches") {
     val s = spark
     import s.implicits._
