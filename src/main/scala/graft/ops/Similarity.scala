@@ -73,6 +73,9 @@ object Similarity {
 
   /** Near-dup pairs at cosine ≥ threshold (id_a < id_b). All-pairs —
     * exact but quadratic; the LSH path below is the scale variant.
+    * The `aid < bid` condition makes this a BroadcastNestedLoopJoin:
+    * fine at spec scale, impossible at 100 TB (the whole corpus would
+    * broadcast) — [[cosinePairsBlocked]] is the distributed form.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = withNorm(emb, idCol, vecCol, "a")
@@ -81,6 +84,50 @@ object Similarity {
       .withColumn("sim", dotPacked(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
       .filter(col("sim") >= threshold)
       .select(col("aid").as("id_a"), col("bid").as("id_b"))
+  }
+
+  /** Exact all-pairs cosine as a block-symmetric EQUI-join — the
+    * distributed form of [[cosinePairs]], result-identical (spec-
+    * checked): vectors hash into `numBlocks` blocks; the B(B+1)/2
+    * ordered block pairs (broadcast — B² rows of two ints) drive two
+    * hash joins, so every unordered vector pair is evaluated exactly
+    * once in exactly one task and the per-task work is uniform by
+    * construction. No non-equi join, no corpus broadcast, no skew:
+    * this is how exact thresholded similarity survives a cluster.
+    *
+    * Exact near-dup at a loose cosine threshold is intrinsically
+    * Θ(n²) on unstructured embeddings (the near-threshold pairs LSH
+    * would have to examine anyway are spread across all buckets —
+    * measured: the q34 result pairs sit at sim 0.45-0.6, i.e. random
+    * tails, not planted clusters). The sub-quadratic paths with
+    * recall < 1 are [[lshTopK]]/[[ivfTopK]]; this operator is the
+    * exact verifier one runs over THEIR candidates when recall must
+    * be 1 within a candidate set (the q32 pattern).
+    */
+  def cosinePairsBlocked(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val blockPairs = (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+      .toDF("ga", "gb")
+    val a = withNorm(emb, idCol, vecCol, "a")
+      .withColumn("blka", pmod(hash(col("aid")), lit(numBlocks)))
+    val b = withNorm(emb, idCol, vecCol, "b")
+      .withColumn("blkb", pmod(hash(col("bid")), lit(numBlocks)))
+    a.join(broadcast(blockPairs), col("blka") === col("ga"))
+      .join(b, col("blkb") === col("gb"))
+      // same-block pairs once by id order; cross-block pairs appear in
+      // exactly one (ga < gb) task already
+      .filter(col("ga") =!= col("gb") || col("aid") < col("bid"))
+      .withColumn("sim", dotPacked(col("av"), col("bv")) / (col("anrm") * col("bnrm")))
+      .filter(col("sim") >= threshold)
+      .select(
+        least(col("aid"), col("bid")).as("id_a"),
+        greatest(col("aid"), col("bid")).as("id_b"))
   }
 
   /** Exact brute-force cosine top-k for a query subset: queries are

@@ -103,9 +103,12 @@ object Pipelines {
         Dedup.simhashFingerprints(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
     }),
 
-    // Embedding-cosine near-dup pairs at cosine ≥ 0.45 (exact).
+    // Embedding-cosine near-dup pairs at cosine ≥ 0.45 (exact), via
+    // the block-symmetric equi-join — no non-equi self-join, no corpus
+    // broadcast; every unordered pair evaluated once in one of the
+    // evenly-sized block-pair tasks.
     "q34_dedup_embedding" -> ((s, dir) => {
-      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      Similarity.cosinePairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
     }),
 
     // Brute-force cosine top-10 for the query subset (vec_id % 100 = 0).

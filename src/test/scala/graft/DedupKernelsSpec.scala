@@ -92,6 +92,19 @@ class DedupKernelsSpec extends AnyFunSuite {
     assert(uncapped.toSeq === Seq((1L, 2L, 5L, 5L)))
   }
 
+  test("blocked cosine pairs equal the all-pairs non-equi form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = pairs(graft.ops.Similarity.cosinePairs(emb, "vec_id", "embedding", 0.45))
+    val blocked = pairs(graft.ops.Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.45, numBlocks = 4))
+    assert(blocked === allPairs)
+    // and the blocked plan must be free of non-equi joins
+    val plan = graft.ops.Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("native LSH pipeline emits the same near-dup pairs") {
     val composed = Dedup.minhashLshPairs(
       Dedup.shingleSets(docs, "doc_id", "text", k = 3),
