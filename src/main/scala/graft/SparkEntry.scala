@@ -12,20 +12,26 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
-      graft.queries.Pipelines.queries
+      graft.queries.Pipelines.queries ++ graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.Engine.oracleSql ++
-      graft.queries.Pipelines.oracleSql
+      graft.queries.Pipelines.oracleSql ++ graft.queries.GraphQueries.oracleSql
 
   /** Headline queries Bench times. Excludes q22: full all-pairs overlap
     * materialization is inherently quadratic on this self-similar corpus
     * (the reference never runs it either — its write path refreshes
-    * overlaps per dirty id, which q23 represents).
+    * overlaps per dirty id, which q23 represents). Excludes the q6x
+    * graph traversals: point-root BFS walks are request-path operations
+    * (sub-ms on the serving GraftDb); their bulk forms run one Spark
+    * job PER ROUND, so a bench at this SF would time the job-scheduling
+    * floor (~0.3 s × depth), not the operators — they stay correctness-
+    * gated via their recursive-CTE oracles.
     */
   def benchQueries: Seq[String] =
-    (queries.keySet - "q22_overlap_pairs").toSeq.sorted
+    (queries.keySet - "q22_overlap_pairs")
+      .filterNot(_.startsWith("q6")).toSeq.sorted
 }

@@ -59,8 +59,16 @@ object GraphOps {
   def descendants(edges: DataFrame, rootId: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    descendantsFrom(edges, Seq(rootId).toDF("id"))
+  }
+
+  /** [[descendants]] with an arbitrary typed seed frame (one `id`
+    * column matching the edge id type) — the form the oracle-checked
+    * q61 uses over the Long-keyed derived graph.
+    */
+  def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
-    var visited = Seq(rootId).toDF("id").localCheckpoint()
+    var visited = seed.select(col("id")).localCheckpoint()
     var frontier = visited
     var growing = true
     while (growing) {
@@ -88,6 +96,20 @@ object GraphOps {
   def descendantsUntilLinks(nodes: DataFrame, edges: DataFrame, rootId: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    descendantsUntilLinksFrom(nodes, edges, Seq(rootId).toDF("id"))
+  }
+
+  /** Link-aware descendants with order-independent semantics: a node
+    * is EXPANDED iff some root-path to it crosses no link edge, and
+    * REACHED (included) iff it is a child of any expanded node. The
+    * reference's serving walk (lib.rs:771-797) is a DFS whose result
+    * can depend on pop order when a node is reachable both through a
+    * link and a non-link path; the monotone formulation here is
+    * deterministic, equals the DFS on link-unambiguous graphs
+    * (BulkGraphSpec parity), and is the only form a distributed
+    * fixpoint or a recursive SQL oracle can state.
+    */
+  def descendantsUntilLinksFrom(nodes: DataFrame, edges: DataFrame, seed: DataFrame): DataFrame = {
     val spans = spanClass(nodes, edges)
     // an edge may be traversed unless the child renders as a link
     val traversable = edges
@@ -100,26 +122,60 @@ object GraphOps {
     // localCheckpoint truncates lineage each round — without it the
     // round-N plan nests all earlier rounds and codegen/planning blows
     // up exponentially (the standard iterative-DataFrame-loop trap).
-    var visited = Seq(rootId).toDF("id").localCheckpoint()
-    var frontier = visited
+    var visitedAll = seed.select(col("id")).localCheckpoint()
+    var visitedExp = visitedAll
+    var frontier = visitedAll
     var growing = true
     while (growing) {
       val reached = traversable.join(frontier, traversable("parent_id") === frontier("id"))
         .select(col("child_id").as("id"), col("is_link"))
-        .join(visited, Seq("id"), "left_anti")
         .localCheckpoint()
-      // link targets are collected but never expanded
-      val next = reached.filter(!col("is_link")).select("id").distinct().localCheckpoint()
-      val linked = reached.filter(col("is_link")).select("id").distinct()
-      val newIds = next.unionByName(linked).distinct()
-      if (newIds.isEmpty) growing = false
+      // newly expandable: non-link children not yet expanded (a node
+      // reached through a link earlier can become expandable now)
+      val newExp = reached.filter(!col("is_link")).select("id").distinct()
+        .join(visitedExp, Seq("id"), "left_anti")
+        .localCheckpoint()
+      val newAll = reached.select("id").distinct()
+        .join(visitedAll, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (!newAll.isEmpty)
+        visitedAll = visitedAll.unionByName(newAll).localCheckpoint()
+      if (newExp.isEmpty) growing = false
       else {
-        visited = visited.unionByName(newIds).localCheckpoint()
-        frontier = next
+        visitedExp = visitedExp.unionByName(newExp).localCheckpoint()
+        frontier = newExp
       }
     }
     traversable.unpersist()
-    visited
+    visitedAll
+  }
+
+  /** Ancestors of the seed nodes with BFS depth (min hops), walking
+    * the edges upward (ancestor_path, lib.rs:552-639, as a bulk
+    * traversal: the serving path returns one parent chain, the bulk
+    * form the full min-depth ancestor closure — multi-parent DAGs
+    * return every ancestor once).
+    */
+  def ancestorPathFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
+    val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
+    var result = seed.select(col("id")).withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = result.select("id")
+    var depth = 0L
+    var growing = true
+    while (growing) {
+      depth += 1
+      val next = e.join(frontier, e("child_id") === frontier("id"))
+        .select(col("parent_id").as("id")).distinct()
+        .join(result.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
+      else {
+        result = result.unionByName(next.withColumn("depth", lit(depth))).localCheckpoint()
+        frontier = next
+      }
+    }
+    e.unpersist()
+    result
   }
 
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk

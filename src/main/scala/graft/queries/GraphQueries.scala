@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables
+import graft.bulk.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph-core traversals (SURVEY §2.3 — descendants,
+  * descendants_until_links, span classification, ancestor paths,
+  * sibling walk) as oracle-checked driver queries.
+  *
+  * The document graph is DERIVED deterministically from the standard
+  * `documents` table with SQL-expressible rules, so DuckDB can rebuild
+  * the identical graph and check the traversals with recursive CTEs
+  * (reference semantics: assemblage_db/src/lib.rs:695-797 descendants,
+  * lib.rs:347-386 span class, lib.rs:552-639 ancestor paths,
+  * core.rs:152-299 siblings):
+  *
+  *   - node kind from doc_id % 10:
+  *     0-3 TEXT · 4 LIST/CHAIN · 5,6,9 LIST/PAGE · 7 STYLED/SPAN ·
+  *     8 STYLED/BLOCK
+  *   - list edges: parent = child div 10 (base-10 containment forest),
+  *     child_index = child % 10
+  *   - styled single-child edges: child = parent + (10 | 3 | 1) chosen
+  *     by length(text) % 3 — pseudo-random, so styled SPAN chains of
+  *     varying depth exist (the span fixpoint iterates) and some edges
+  *     cross the containment forest (multi-parent DAG paths exist)
+  *
+  * The graphs the reference stores are exactly this shape: a forest of
+  * list containers over text leaves with styled wrappers and cross-
+  * links. BulkGraphSpec separately proves the same GraphOps equal the
+  * serving-path GraftDb on real exported graphs.
+  */
+object GraphQueries {
+
+  /** Root for the descendant traversals: a CHAIN list whose subtree
+    * contains every node kind, link-pruned regions and styled chains
+    * at every SF.
+    */
+  private val DescRoot = 4L
+
+  /** Probe node for the ancestor walk: a deep leaf with a styled
+    * cross-parent at some SFs (multi-parent DAG path).
+    */
+  private val AncestorNode = 447L
+
+  /** (nodes, edges) derived from documents — node schema matches
+    * GraphOps/tablesFrom (`id, kind, layout, style_kind`), Long ids.
+    */
+  def graphTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("nid"),
+        (col("doc_id") % 10).as("m"),
+        (length(col("text")) % 3).as("lm"))
+    val kinds = base.select(
+      col("nid"), col("lm"),
+      when(col("m") <= 3, "TEXT")
+        .when(col("m") === 4, "CHAIN")
+        .when(col("m").isin(5, 6, 9), "PAGE")
+        .when(col("m") === 7, "SSPAN")
+        .otherwise("SBLOCK").as("gkind"))
+    val nodes = kinds.select(
+      col("nid").as("id"),
+      when(col("gkind") === "TEXT", "TEXT")
+        .when(col("gkind").isin("CHAIN", "PAGE"), "LIST")
+        .otherwise("STYLED").as("kind"),
+      when(col("gkind").isin("CHAIN", "PAGE"), col("gkind"))
+        .otherwise(lit(null).cast("string")).as("layout"),
+      when(col("gkind") === "SSPAN", "SPAN")
+        .when(col("gkind") === "SBLOCK", "BLOCK")
+        .otherwise(lit(null).cast("string")).as("style_kind"))
+    val c = kinds.select(col("nid").as("cid"))
+    val listEdges = kinds.filter(col("gkind").isin("CHAIN", "PAGE"))
+      .select(col("nid").as("pid"))
+      .join(c, col("pid") === expr("cid div 10") && col("pid") =!= col("cid"))
+      .select(col("pid").as("parent_id"), col("cid").as("child_id"),
+        (col("cid") % 10).cast("int").as("child_index"))
+    val styledEdges = kinds.filter(col("gkind").isin("SSPAN", "SBLOCK"))
+      .select(col("nid").as("pid"),
+        (col("nid") + when(col("lm") === 0, 10).when(col("lm") === 1, 3).otherwise(1)).as("target"))
+      .join(c, col("target") === col("cid"))
+      .select(col("pid").as("parent_id"), col("cid").as("child_id"),
+        lit(0).as("child_index"))
+    (nodes, listEdges.unionByName(styledEdges))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Span/block rendering classification (is_span fixpoint) for every
+    // resolvable node; styled chains iterate bottom-up.
+    "q60_span_class" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      GraphOps.spanClass(nodes, edges)
+        .select(col("id"), col("is_span").cast("long").as("is_span"))
+    }),
+
+    // Full descendant closure of the probe root (frontier BFS).
+    "q61_descendants" -> ((s, dir) => {
+      val (_, edges) = graphTables(s, dir)
+      val seed = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") === DescRoot).select(col("doc_id").as("id"))
+      GraphOps.descendantsFrom(edges, seed).select(col("id"))
+    }),
+
+    // Link-aware descendants: link edges (block child of span parent)
+    // are collected but not expanded.
+    "q62_descendants_links" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val seed = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") === DescRoot).select(col("doc_id").as("id"))
+      GraphOps.descendantsUntilLinksFrom(nodes, edges, seed).select(col("id"))
+    }),
+
+    // Min-depth ancestor closure of the probe node (upward BFS over a
+    // multi-parent DAG).
+    "q63_ancestor_path" -> ((s, dir) => {
+      val (_, edges) = graphTables(s, dir)
+      val seed = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") === AncestorNode).select(col("doc_id").as("id"))
+      GraphOps.ancestorPathFrom(edges, seed).select(col("id"), col("depth"))
+    }),
+
+    // Sibling walk (before/after, core.rs:152-299): previous and next
+    // sibling of every child slot by child_index — one window, no
+    // iteration.
+    "q64_siblings" -> ((s, dir) => {
+      val (_, edges) = graphTables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("parent_id").orderBy(col("child_index"), col("child_id"))
+      edges.select(
+        col("parent_id"), col("child_id").as("id"),
+        coalesce(lag(col("child_id"), 1).over(w), lit(-1L)).as("prev_id"),
+        coalesce(lead(col("child_id"), 1).over(w), lit(-1L)).as("next_id"))
+    }))
+
+  /** Shared DuckDB re-derivation of the graph (same rules as
+    * [[graphTables]]) plus the recursive span-class fixpoint.
+    */
+  private val graphCte =
+    """k AS (SELECT doc_id AS id, doc_id % 10 AS m, length(text) % 3 AS lm FROM documents),
+       kind AS (SELECT id, lm,
+                CASE WHEN m <= 3 THEN 'TEXT' WHEN m = 4 THEN 'CHAIN'
+                     WHEN m IN (5,6,9) THEN 'PAGE' WHEN m = 7 THEN 'SSPAN'
+                     ELSE 'SBLOCK' END AS kind
+                FROM k),
+       edges AS (
+         SELECT p.id AS parent_id, c.id AS child_id, CAST(c.id % 10 AS INT) AS child_index
+         FROM kind p JOIN kind c ON p.id = c.id // 10 AND p.id <> c.id
+         WHERE p.kind IN ('CHAIN','PAGE')
+         UNION ALL
+         SELECT p.id, c.id, 0
+         FROM kind p JOIN kind c
+           ON c.id = p.id + (CASE WHEN p.lm = 0 THEN 10 WHEN p.lm = 1 THEN 3 ELSE 1 END)
+         WHERE p.kind IN ('SSPAN','SBLOCK')),
+       span(id, is_span) AS (
+         SELECT id, kind IN ('TEXT','CHAIN') FROM kind WHERE kind <> 'SSPAN'
+         UNION
+         SELECT e.parent_id, s.is_span
+         FROM span s JOIN edges e ON e.child_id = s.id
+         JOIN kind p ON p.id = e.parent_id WHERE p.kind = 'SSPAN')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_span_class" ->
+      s"""WITH RECURSIVE $graphCte
+          SELECT id, CAST(is_span AS BIGINT) AS is_span FROM span""",
+
+    "q61_descendants" ->
+      s"""WITH RECURSIVE $graphCte,
+          reach(id) AS (
+            SELECT CAST($DescRoot AS BIGINT)
+            UNION
+            SELECT e.child_id FROM reach r JOIN edges e ON e.parent_id = r.id)
+          SELECT id FROM reach""",
+
+    "q62_descendants_links" ->
+      s"""WITH RECURSIVE $graphCte,
+          trav AS (SELECT e.parent_id, e.child_id,
+                          (sp.is_span AND NOT sc.is_span) AS is_link
+                   FROM edges e
+                   JOIN span sp ON sp.id = e.parent_id
+                   JOIN span sc ON sc.id = e.child_id),
+          reach(id, expandable) AS (
+            SELECT CAST($DescRoot AS BIGINT), true
+            UNION
+            SELECT t.child_id, NOT t.is_link
+            FROM reach r JOIN trav t ON t.parent_id = r.id
+            WHERE r.expandable)
+          SELECT DISTINCT id FROM reach""",
+
+    "q63_ancestor_path" ->
+      s"""WITH RECURSIVE $graphCte,
+          up(id, depth) AS (
+            SELECT CAST($AncestorNode AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.parent_id, u.depth + 1
+            FROM up u JOIN edges e ON e.child_id = u.id)
+          SELECT id, CAST(min(depth) AS BIGINT) AS depth FROM up GROUP BY id""",
+
+    "q64_siblings" ->
+      s"""WITH RECURSIVE $graphCte
+          SELECT parent_id, child_id AS id,
+                 coalesce(lag(child_id) OVER w, -1) AS prev_id,
+                 coalesce(lead(child_id) OVER w, -1) AS next_id
+          FROM edges
+          WINDOW w AS (PARTITION BY parent_id ORDER BY child_index, child_id)""")
+}
