@@ -178,6 +178,63 @@ object GraphOps {
     result
   }
 
+  /** The swap obsolete-subtree fixpoint (core.rs:364-550, serving twin
+    * core/Db.scala:329-409) as a distributed iterative job: after node
+    * `swappedId` drops the `removed` children, a candidate node is
+    * OBSOLETE iff it is not among the replacement's children and every
+    * one of its parents is the swapped node or already obsolete;
+    * children of newly obsolete nodes become candidates (diamond
+    * re-checking: a node kept alive by a second parent is re-examined
+    * when that parent becomes obsolete). The serving walk computes this
+    * least fixpoint with a stack; here each round is one join over the
+    * candidate frontier, so a swap that orphans a million-node subtree
+    * runs in O(depth) rounds of frontier-sized shuffles.
+    *
+    * Inputs are pre-swap tables: `parents` (id, parent_id) flattened
+    * parent edges, `childEdges` (parent_id, child_id) forward edges,
+    * `removed` = old children minus replacement children, `newChildIds`
+    * = the replacement's children. Returns the obsolete ids (the set
+    * the serving path tombstones). BulkSwapSpec proves equality with
+    * GraftDb.swap on randomized diamond graphs.
+    */
+  def swapObsoleteFixpoint(
+      parents: DataFrame,
+      childEdges: DataFrame,
+      swappedId: String,
+      removed: DataFrame,
+      newChildIds: DataFrame): DataFrame = {
+    val par = parents.select(col("id"), col("parent_id")).distinct().cache()
+    val fwd = childEdges.select(col("parent_id"), col("child_id")).distinct().cache()
+    val newIds = newChildIds.select(col("id")).distinct().localCheckpoint()
+    var obsolete = removed.select(col("id")).limit(0).localCheckpoint()
+    var candidates = removed.select(col("id")).distinct().localCheckpoint()
+    var growing = true
+    while (growing) {
+      val eligible = candidates
+        .join(newIds, Seq("id"), "left_anti")
+        .join(obsolete, Seq("id"), "left_anti")
+      // a candidate is blocked while any parent is neither the swapped
+      // node nor obsolete; parentless candidates are never blocked
+      val blocked = par.join(eligible, Seq("id"))
+        .filter(col("parent_id") =!= swappedId)
+        .join(obsolete.withColumnRenamed("id", "parent_id"), Seq("parent_id"), "left_anti")
+        .select("id").distinct()
+      val newObs = eligible.join(blocked, Seq("id"), "left_anti").localCheckpoint()
+      if (newObs.isEmpty) growing = false
+      else {
+        obsolete = obsolete.unionByName(newObs).localCheckpoint()
+        val newCand = fwd
+          .join(newObs.withColumnRenamed("id", "parent_id"), Seq("parent_id"))
+          .select(col("child_id").as("id")).distinct()
+          .join(candidates, Seq("id"), "left_anti")
+        candidates = candidates.unionByName(newCand).localCheckpoint()
+      }
+    }
+    par.unpersist()
+    fwd.unpersist()
+    obsolete
+  }
+
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk
     * fixpoint: Text/Chain → span, Page/Styled(Block) → block,
     * Styled(Span) inherits from its child transitively.
