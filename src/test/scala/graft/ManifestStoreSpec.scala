@@ -1,0 +1,104 @@
+package graft
+
+import graft.bulk.ManifestStore
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parquet commit protocol: manifest-CAS visibility, optimistic
+  * conflict on concurrent commits, crash-safety of killed writers and
+  * compactors, and orphan GC.
+  */
+class ManifestStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-manifest-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString
+
+  private def versionedRows(rows: (Long, Long, Boolean, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("key", "version_ts", "is_removed", "payload")
+  }
+
+  test("commit makes staged slots visible; unstaged slots carry over") {
+    val store = new ManifestStore(spark, tmpRoot())
+    assert(store.currentVersion() === 0L)
+    assert(store.read("nodes").isEmpty)
+
+    assert(store.begin()
+      .stage("nodes", versionedRows((1L, 10L, false, "a")))
+      .stage("counts", versionedRows((1L, 10L, false, "c")))
+      .commit() === Right(1L))
+    assert(store.begin()
+      .stage("nodes", versionedRows((1L, 10L, false, "a"), (2L, 20L, false, "b")))
+      .commit() === Right(2L))
+
+    assert(store.currentVersion() === 2L)
+    assert(store.read("nodes").get.count() === 2) // updated
+    assert(store.read("counts").get.count() === 1) // carried over from v1
+  }
+
+  test("concurrent commits from the same base: exactly one wins, the loser conflicts") {
+    val store = new ManifestStore(spark, tmpRoot())
+    store.begin().stage("nodes", versionedRows((1L, 10L, false, "base"))).commit()
+
+    val t1 = store.begin().stage("nodes", versionedRows((1L, 11L, false, "t1")))
+    val t2 = store.begin().stage("nodes", versionedRows((1L, 12L, false, "t2")))
+    assert(t1.baseVersion === 1L && t2.baseVersion === 1L)
+
+    assert(t1.commit() === Right(2L))
+    t2.commit() match {
+      case Left(c) => assert(c.baseVersion === 1L)
+      case Right(v) => fail(s"second writer must conflict, committed v$v")
+    }
+    // the loser's rows are invisible
+    val payloads = store.read("nodes").get.collect().map(_.getString(3)).toSet
+    assert(payloads === Set("t1"))
+  }
+
+  test("a compactor killed before its CAS changes nothing; gc removes its orphans") {
+    val root = tmpRoot()
+    val store = new ManifestStore(spark, root)
+    store.begin().stage("nodes", versionedRows(
+      (1L, 10L, false, "old"), (1L, 20L, false, "new"), (2L, 5L, true, "gone"))).commit()
+
+    // "kill during compaction": the rewrite dir is staged but the
+    // process dies before commit — no visible change
+    store.begin().stage("nodes",
+      graft.bulk.VersionedTable.compact(store.read("nodes").get, "key"))
+    assert(store.currentVersion() === 1L)
+    assert(store.read("nodes").get.count() === 3) // full history still
+
+    // orphaned rewrite dir exists on disk until gc
+    def dataDirs = {
+      val p = java.nio.file.Paths.get(root, "data", "nodes")
+      java.nio.file.Files.list(p).count()
+    }
+    assert(dataDirs === 2)
+    store.gc(keepVersions = 1)
+    assert(dataDirs === 1)
+
+    // the re-run compaction commits and is correct: latest live only
+    assert(store.compact("nodes", "key") === Right(2L))
+    val rows = store.read("nodes").get.collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(rows === Set((1L, "new"))) // key 2's tombstone purged
+  }
+
+  test("gc keeps every dir the retained manifests reference") {
+    val store = new ManifestStore(spark, tmpRoot())
+    store.begin().stage("a", versionedRows((1L, 1L, false, "x"))).commit()
+    store.begin().stage("b", versionedRows((2L, 1L, false, "y"))).commit()
+    store.gc(keepVersions = 1)
+    // v2 references BOTH a's v1 dir (carried over) and b's dir
+    assert(store.read("a").get.count() === 1)
+    assert(store.read("b").get.count() === 1)
+    assert(store.currentVersion() === 2L)
+  }
+}
