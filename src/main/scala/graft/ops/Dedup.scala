@@ -79,7 +79,10 @@ object Dedup {
       explode(call_function("graft_shingle_set", col(textCol), lit(k))).as("shingle"))
     val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq).select("shingle")
-    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // kept feeds three consumers (sizes + both self-join sides), each
+    // of which would re-run the explode AND the hot-shingle subquery —
+    // persist the narrow (id, shingle) frame so that happens once
+    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
     val a = kept.select(col("id").as("id_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("shingle"))
