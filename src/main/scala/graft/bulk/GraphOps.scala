@@ -178,6 +178,54 @@ object GraphOps {
     result
   }
 
+  /** The unique-ancestor chain walk (ancestor_path / ancestor_path_
+    * until_link, lib.rs:552-639): from each seed, walk upward while
+    * the current node has EXACTLY one parent, stopping at
+    * multi-parent/parentless nodes, cycles, and (optionally) at a
+    * parent that renders its child as a link. Returns (id, depth) of
+    * the chain ancestors, depth 1 = immediate parent — the serving
+    * path's path order, as a column.
+    */
+  def uniqueAncestorPathFrom(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seed: DataFrame,
+      stopAtLinks: Boolean): DataFrame = {
+    val par = edges.select(col("parent_id"), col("child_id")).distinct()
+    val uniq = par.groupBy("child_id")
+      .agg(count(lit(1)).as("np"), min(col("parent_id")).as("parent_id"))
+      .filter(col("np") === 1)
+      .select(col("child_id"), col("parent_id"))
+    val walk = (if (!stopAtLinks) uniq else {
+      val spans = spanClass(nodes, edges)
+      uniq
+        .join(spans.select(col("id").as("parent_id"), col("is_span").as("parent_span")), "parent_id")
+        .join(spans.select(col("id").as("child_id"), col("is_span").as("child_span")), "child_id")
+        .filter(!(col("parent_span") && !col("child_span")))
+        .select(col("child_id"), col("parent_id"))
+    }).cache()
+    // per-seed tracking: chains from different seeds never interfere
+    var result = seed.select(col("id").as("start_id"), col("id"))
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = result.select("start_id", "id")
+    var depth = 0L
+    var growing = true
+    while (growing) {
+      depth += 1
+      val next = walk.join(frontier, walk("child_id") === frontier("id"))
+        .select(col("start_id"), col("parent_id").as("id")).distinct()
+        .join(result.select("start_id", "id"), Seq("start_id", "id"), "left_anti") // cycle-safe
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
+      else {
+        result = result.unionByName(next.withColumn("depth", lit(depth))).localCheckpoint()
+        frontier = next
+      }
+    }
+    walk.unpersist()
+    result.filter(col("depth") > 0)
+  }
+
   /** The swap obsolete-subtree fixpoint (core.rs:364-550, serving twin
     * core/Db.scala:329-409) as a distributed iterative job: after node
     * `swappedId` drops the `removed` children, a candidate node is

@@ -44,6 +44,13 @@ object GraphQueries {
     */
   private val AncestorNode = 447L
 
+  /** Seed filter for the unique-chain walk (q65): every node with
+    * id ≡ 20 (mod 100) — a deterministic sample with chain-bearing
+    * members at every SF (a single fixed probe's chain is
+    * data-dependent through the styled edges).
+    */
+  private val ChainSeedMod = 20L
+
   /** (nodes, edges) derived from documents — node schema matches
     * GraphOps/tablesFrom (`id, kind, layout, style_kind`), Long ids.
     */
@@ -118,6 +125,17 @@ object GraphQueries {
       val seed = Tables.load(s, dir, "documents")
         .filter(col("doc_id") === AncestorNode).select(col("doc_id").as("id"))
       GraphOps.ancestorPathFrom(edges, seed).select(col("id"), col("depth"))
+    }),
+
+    // Link-aware unique-ancestor chain (ancestor_path_until_link,
+    // lib.rs:552-639): walk up while exactly one parent exists and the
+    // parent embeds (not links) the child.
+    "q65_ancestor_links" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val seed = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 === ChainSeedMod).select(col("doc_id").as("id"))
+      GraphOps.uniqueAncestorPathFrom(nodes, edges, seed, stopAtLinks = true)
+        .select(col("start_id"), col("id"), col("depth"))
     }),
 
     // Sibling walk (before/after, core.rs:152-299): previous and next
@@ -195,6 +213,23 @@ object GraphQueries {
             SELECT e.parent_id, u.depth + 1
             FROM up u JOIN edges e ON e.child_id = u.id)
           SELECT id, CAST(min(depth) AS BIGINT) AS depth FROM up GROUP BY id""",
+
+    "q65_ancestor_links" ->
+      s"""WITH RECURSIVE $graphCte,
+          uniq AS (SELECT child_id, min(parent_id) AS parent_id
+                   FROM (SELECT DISTINCT parent_id, child_id FROM edges)
+                   GROUP BY child_id HAVING count(*) = 1),
+          walk AS (SELECT u.child_id, u.parent_id
+                   FROM uniq u
+                   JOIN span sp ON sp.id = u.parent_id
+                   JOIN span sc ON sc.id = u.child_id
+                   WHERE NOT (sp.is_span AND NOT sc.is_span)),
+          up(start_id, id, depth) AS (
+            SELECT id, id, CAST(0 AS BIGINT) FROM kind WHERE id % 100 = $ChainSeedMod
+            UNION
+            SELECT u.start_id, w.parent_id, u.depth + 1
+            FROM up u JOIN walk w ON w.child_id = u.id)
+          SELECT start_id, id, depth FROM up WHERE depth > 0""",
 
     "q64_siblings" ->
       s"""WITH RECURSIVE $graphCte
