@@ -31,14 +31,29 @@ final case class OwnedBroadcast(
 /** Subscriber-side broadcast state (slot 6). */
 final case class BroadcastSubscription(lastUpdated: Long, namespace: Gid)
 
-/** Local stand-in for the broadcast REST service
+/** The broadcast worker's operation surface (assemblage_broadcast):
+  * implemented in-process by [[BroadcastHub]] and over real HTTP by
+  * [[HttpBroadcastEndpoint]] against a [[BroadcastService]] — the
+  * publish/fetch client is generic over the two.
+  */
+trait BroadcastEndpoint {
+  def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long)
+  def put(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): Long
+  def episodeTimestamps(bid: Gid): Vector[Long]
+  def episode(bid: Gid, ts: Long): ExportBlob
+  def delete(bid: Gid, token: String): Unit
+}
+
+/** In-process form of the broadcast REST service
   * (assemblage_broadcast): per-broadcast manifest {token, expiration,
   * episodes}, episode blobs keyed by timestamp, bearer-token auth for
   * appends. At scale this is an object-store prefix per broadcast with
   * episode files — which is exactly how the Spark streaming source
-  * (graft.streaming.EpisodeStream) consumes it.
+  * (graft.streaming.EpisodeStream) consumes it; [[BroadcastService]]
+  * serves these same operations over HTTP.
   */
-final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis()) {
+final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
+    extends BroadcastEndpoint {
   val BroadcastTtlMs: Long = 24L * 60 * 60 * 1000
 
   private final class State(val token: String, var expiration: Long) {
@@ -85,7 +100,7 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis()) {
   * the last-pushed watermark); fetch imports episodes newer than the
   * subscription watermark under a random XOR namespace.
   */
-final class BroadcastClient(db: GraftDb, hub: BroadcastHub) {
+final class BroadcastClient(db: GraftDb, hub: BroadcastEndpoint) {
   val published = new SlotStore[Gid, OwnedBroadcast]
   val subscribed = new SlotStore[Gid, BroadcastSubscription]
 
