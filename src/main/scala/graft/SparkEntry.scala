@@ -33,5 +33,5 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] =
     (queries.keySet - "q22_overlap_pairs")
-      .filterNot(_.startsWith("q6")).toSeq.sorted
+      .filterNot(q => q.startsWith("q6") || q.startsWith("q7")).toSeq.sorted
 }

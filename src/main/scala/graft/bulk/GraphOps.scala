@@ -248,7 +248,7 @@ object GraphOps {
   def swapObsoleteFixpoint(
       parents: DataFrame,
       childEdges: DataFrame,
-      swappedId: String,
+      swappedId: Any,
       removed: DataFrame,
       newChildIds: DataFrame): DataFrame = {
     val par = parents.select(col("id"), col("parent_id")).distinct().cache()

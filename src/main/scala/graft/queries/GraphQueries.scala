@@ -138,6 +138,45 @@ object GraphQueries {
         .select(col("start_id"), col("id"), col("depth"))
     }),
 
+    // The swap obsolete-subtree fixpoint (core.rs:364-550) as an
+    // oracle-checked query: swap node 4's children down to the even
+    // ones; the odd children's subtrees become obsolete unless kept
+    // alive by a parent outside the removed closure. The oracle states
+    // the same least fixpoint as kept-reachability (a closure node
+    // survives iff it is a replacement child or reachable from a
+    // non-swapped parent outside/kept) — BulkSwapSpec separately
+    // proves this fixpoint equals GraftDb.swap's tombstones.
+    "q71_swap_obsolete" -> ((s, dir) => {
+      val (_, edges) = graphTables(s, dir)
+      val parents = edges.select(col("child_id").as("id"), col("parent_id"))
+      val children = edges.filter(col("parent_id") === DescRoot)
+        .select(col("child_id").as("id"))
+      GraphOps.swapObsoleteFixpoint(
+        parents,
+        edges.select(col("parent_id"), col("child_id")),
+        DescRoot,
+        removed = children.filter(col("id") % 2 === 1),
+        newChildIds = children.filter(col("id") % 2 === 0))
+        .select(col("id"))
+    }),
+
+    // Markup normalization stability (markup_to_block /
+    // block_to_markup, §2.5) over every document, distributed: the
+    // view-layer parser runs inside executors; serialize(parse(m)) is
+    // a normal form, so `stable` is identically 1 — which is exactly
+    // what the oracle asserts, making the invariant hash-checked.
+    "q70_markup_roundtrip" -> ((s, dir) => {
+      val stable = udf { (text: String) =>
+        val block = graft.view.Markup.toBlock(text)
+        val normalized = graft.view.Markup.fromBlock(block)
+        val reparsed = graft.view.Markup.toBlock(normalized)
+        if (reparsed == block || graft.view.Markup.fromBlock(reparsed) == normalized) 1L
+        else 0L
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), stable(col("text")).as("stable"))
+    }),
+
     // Sibling walk (before/after, core.rs:152-299): previous and next
     // sibling of every child slot by child_index — one window, no
     // iteration.
@@ -230,6 +269,33 @@ object GraphQueries {
             SELECT u.start_id, w.parent_id, u.depth + 1
             FROM up u JOIN walk w ON w.child_id = u.id)
           SELECT start_id, id, depth FROM up WHERE depth > 0""",
+
+    "q71_swap_obsolete" ->
+      s"""WITH RECURSIVE $graphCte,
+          removedq AS (SELECT child_id AS id FROM edges
+                       WHERE parent_id = $DescRoot AND child_id % 2 = 1),
+          keptq AS (SELECT child_id AS id FROM edges
+                    WHERE parent_id = $DescRoot AND child_id % 2 = 0),
+          closure(id) AS (
+            SELECT id FROM removedq
+            UNION
+            SELECT e.child_id FROM closure c JOIN edges e ON e.parent_id = c.id),
+          kept_fix(id) AS (
+            (SELECT c.id FROM closure c JOIN keptq k ON k.id = c.id
+             UNION
+             SELECT c.id FROM closure c JOIN edges e ON e.child_id = c.id
+             WHERE e.parent_id <> $DescRoot
+               AND e.parent_id NOT IN (SELECT id FROM closure))
+            UNION
+            SELECT c.id FROM closure c
+            JOIN edges e ON e.child_id = c.id
+            JOIN kept_fix kf ON kf.id = e.parent_id
+            WHERE e.parent_id <> $DescRoot)
+          SELECT id FROM closure
+          WHERE id NOT IN (SELECT id FROM kept_fix)""",
+
+    "q70_markup_roundtrip" ->
+      "SELECT doc_id, CAST(1 AS BIGINT) AS stable FROM documents",
 
     "q64_siblings" ->
       s"""WITH RECURSIVE $graphCte
