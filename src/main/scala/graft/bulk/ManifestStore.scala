@@ -68,6 +68,19 @@ final class ManifestStore(spark: SparkSession, rootDir: String) {
   def read(slot: String): Option[DataFrame] =
     manifest().get(slot).map(d => spark.read.parquet(dataDir.resolve(d).toString))
 
+  /** Store name (KvStore::name — the directory stem). */
+  def name: String = root.getFileName.toString
+
+  /** On-disk bytes of a slot's CURRENT committed dir (KvStore::size);
+    * 0 if never written. Orphans and history don't count — they are
+    * gc-reclaimable, not live data.
+    */
+  def size(slot: String): Long =
+    manifest().get(slot).map { d =>
+      Files.walk(dataDir.resolve(d)).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+    }.getOrElse(0L)
+
   /** An open transaction: stages immutable dirs, commits by CAS. */
   final class Txn private[ManifestStore] (val baseVersion: Long) {
     private var staged = Map.empty[String, String]

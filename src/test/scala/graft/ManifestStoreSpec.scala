@@ -91,6 +91,18 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(rows === Set((1L, "new"))) // key 2's tombstone purged
   }
 
+  test("name and size reflect the committed state") {
+    val store = new ManifestStore(spark, tmpRoot())
+    assert(store.name.startsWith("graft-manifest"))
+    assert(store.size("nodes") === 0L)
+    store.begin().stage("nodes", versionedRows((1L, 10L, false, "a"))).commit()
+    val s1 = store.size("nodes")
+    assert(s1 > 0L)
+    // an uncommitted staging dir adds nothing to the live size
+    store.begin().stage("nodes", versionedRows((1L, 10L, false, "a"), (2L, 10L, false, "b")))
+    assert(store.size("nodes") === s1)
+  }
+
   test("gc keeps every dir the retained manifests reference") {
     val store = new ManifestStore(spark, tmpRoot())
     store.begin().stage("a", versionedRows((1L, 1L, false, "x"))).commit()
