@@ -223,6 +223,45 @@ object ShingleSet {
   }
 }
 
+/** The distinct k-shingle set as 60-bit md5-prefix HASHES — the
+  * inverted-index form that joins on 8-byte longs instead of shingle
+  * strings (the reference's gram index joins on integer grams for the
+  * same reason: narrower shuffles, cheap equality). Per-doc dedup at
+  * the string level, then hashed — the oracle's
+  * `SELECT DISTINCT doc_id, h60(shingle)` ordering exactly.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val strings = ShingleSet.compute(s, k)
+    if (strings == null) return null
+    val out = new Array[Long](strings.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = DedupHash.hash60(strings.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_shingle_hashes")
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "graft_shingle_hashes")
+  val builder: Seq[Expression] => Expression = { c =>
+    ShingleHashes(Cast(c.head, StringType), c(1).eval().asInstanceOf[Number].intValue())
+  }
+}
+
 /** LSH band keys (md5 hex of the comma-joined signature slice per
   * band) straight from the text in one pass. Returning the BAND KEYS
   * rather than the signature matters for the plan: a downstream
@@ -293,5 +332,7 @@ object DedupKernels {
       registry.registerFunction(MinHashBands.functionName, MinHashBands.info, MinHashBands.builder)
     if (!registry.functionExists(ShingleSet.functionName))
       registry.registerFunction(ShingleSet.functionName, ShingleSet.info, ShingleSet.builder)
+    if (!registry.functionExists(ShingleHashes.functionName))
+      registry.registerFunction(ShingleHashes.functionName, ShingleHashes.info, ShingleHashes.builder)
   }
 }

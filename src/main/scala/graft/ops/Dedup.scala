@@ -74,9 +74,13 @@ object Dedup {
       den: Int,
       maxShingleFreq: Int): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(docs.sparkSession)
+    // the index joins on 60-bit shingle HASHES, not strings — 8-byte
+    // shuffle keys with cheap equality (the reference's gram index
+    // makes the same move to integer grams); the oracle hashes
+    // identically, so any collision merges the same pair on both sides
     val exploded = docs.select(
       col(idCol).as("id"),
-      explode(call_function("graft_shingle_set", col(textCol), lit(k))).as("shingle"))
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("shingle"))
     val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq).select("shingle")
     // kept feeds three consumers (sizes + both self-join sides), each

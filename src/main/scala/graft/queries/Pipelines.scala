@@ -192,17 +192,19 @@ object Pipelines {
                FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
                WHERE inter * 2 > ca.c + cb.c - inter)"""
 
-  /** The q31/q37 variant: stop-shingles (df > ShingleCap) dropped
-    * before the self-join, set sizes counted over kept shingles —
-    * exactly Dedup.jaccardPairsNative's semantics.
+  /** The q31/q37 variant: the index joins on 60-bit shingle hashes
+    * (Dedup.jaccardPairsNative — same move as the reference's integer
+    * gram index), stop-shingles (df > ShingleCap) dropped before the
+    * self-join, set sizes counted over kept shingles.
     */
   private val cappedJaccardCte =
     s"""$shingleCte,
-       hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $ShingleCap),
-       shk AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+       hot AS (SELECT h FROM shh GROUP BY h HAVING count(*) > $ShingleCap),
+       shk AS (SELECT doc_id, h FROM shh WHERE h NOT IN (SELECT h FROM hot)),
        shcnt AS (SELECT doc_id, count(*) AS c FROM shk GROUP BY doc_id),
        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                 FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
        jac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
                FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
