@@ -178,6 +178,41 @@ object GraphOps {
     result
   }
 
+  /** Conservative cycle check (is_cyclic, lib.rs:424-442): true iff
+    * the child walk from `rootId` revisits any node — true cycles AND
+    * diamonds, matching the reference. A revisit happens iff some
+    * reachable node has ≥ 2 incoming child-slot edges from reachable
+    * nodes, or the root is re-entered; duplicate child slots of one
+    * parent count separately (edges are per child_index).
+    */
+  def isCyclic(edges: DataFrame, rootId: String): Boolean = {
+    val desc = descendants(edges, rootId)
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).distinct()
+    val inDesc = e
+      .join(desc.withColumnRenamed("id", "parent_id"), "parent_id")
+      .join(desc.withColumnRenamed("id", "child_id"), "child_id")
+    !inDesc
+      .groupBy("child_id").agg(count(lit(1)).as("indeg"))
+      .filter(col("indeg") >= 2 || col("child_id") === rootId)
+      .isEmpty
+  }
+
+  /** ∃ reachable child with more than one parent slot globally
+    * (has_shared_descendants_until_links — which, matching the
+    * reference, stops at nothing despite its name).
+    */
+  def hasSharedDescendantsUntilLinks(edges: DataFrame, rootId: String): Boolean = {
+    val desc = descendants(edges, rootId)
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).distinct()
+    val reachableChildren = e
+      .join(desc.withColumnRenamed("id", "parent_id"), "parent_id")
+      .select(col("child_id")).distinct()
+    !e.groupBy("child_id").agg(count(lit(1)).as("np"))
+      .join(reachableChildren, "child_id")
+      .filter(col("np") >= 2)
+      .isEmpty
+  }
+
   /** The unique-ancestor chain walk (ancestor_path / ancestor_path_
     * until_link, lib.rs:552-639): from each seed, walk upward while
     * the current node has EXACTLY one parent, stopping at

@@ -46,6 +46,19 @@ class BulkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk isCyclic and hasSharedDescendants equal the serving path on every root") {
+    val (db, root) = builtDb()
+    val (_, edges) = GraphOps.tablesFrom(db, spark)
+    for (start <- Seq(root) ++ db.nodes.liveKeys.toSeq) {
+      assert(GraphOps.isCyclic(edges, start.toString) === db.isCyclic(start),
+        s"isCyclic mismatch for $start")
+      assert(
+        GraphOps.hasSharedDescendantsUntilLinks(edges, start.toString) ===
+          db.hasSharedDescendantsUntilLinks(start),
+        s"hasShared mismatch for $start")
+    }
+  }
+
   test("bulk link-aware descendants equals serving-path descendantsUntilLinks") {
     val (db, root) = builtDb()
     val (nodes, edges) = GraphOps.tablesFrom(db, spark)
