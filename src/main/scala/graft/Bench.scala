@@ -42,16 +42,23 @@ object Bench {
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      if (steadyState) {
+      def timedRun(): Double = {
+        val t0 = System.nanoTime()
+        run()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Drop per-query persisted frames so queries don't pay each
+        // other's memory pressure.
+        spark.sharedState.cacheManager.clearCache()
+        elapsed
+      }
+      val elapsed = if (steadyState) {
         run() // plan + codegen warmup
         spark.sharedState.cacheManager.clearCache()
-      }
-      val t0 = System.nanoTime()
-      run()
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Drop per-query persisted frames so queries don't pay each
-      // other's memory pressure.
-      spark.sharedState.cacheManager.clearCache()
+        // best-of-2: the box shows ±30% noisy-neighbor variance between
+        // runs minutes apart; the min is the standard steady-state
+        // estimator under one-sided noise
+        math.min(timedRun(), timedRun())
+      } else timedRun()
       name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
