@@ -158,6 +158,30 @@ class ExportImportSpec extends AnyFunSuite {
     assert(subClient.fetchBroadcast(meta.broadcastId) === 0)
   }
 
+  test("broadcast TTL: put extends expiration; expired broadcasts vanish and are dropped") {
+    // hub-side TTL arithmetic under a controlled clock
+    var t = 1000L
+    val hub = new BroadcastHub(() => t)
+    val db = new GraftDb
+    val text = db.add(Node.text("ttl"))
+    val page = db.add(Node.List(Layout.Page, Vector(Child.Lazy(text))))
+    val (blob, _) = db.exportBlob(page)
+    val (bid, token, exp1) = hub.post(blob, 1L)
+    assert(exp1 === 1000L + hub.BroadcastTtlMs)
+    t = 500000L
+    assert(hub.put(bid, token, 2L, blob) === 500000L + hub.BroadcastTtlMs)
+
+    // client-side expiry: a hub whose clock is epoch-0 grants 1970
+    // expirations — liveness checks against the wall clock drop them
+    val pastHub = new BroadcastHub(() => 0L)
+    val client = new BroadcastClient(db, pastHub)
+    val meta = client.publishBroadcast(page)
+    assert(meta.expiration.exists(_ < System.currentTimeMillis()))
+    assert(client.listBroadcasts(text).isEmpty)
+    client.updateBroadcasts(page)
+    assert(client.published.liveKeys.isEmpty) // expired → removed
+  }
+
   test("updateBroadcasts re-pushes only intersecting live broadcasts") {
     val hub = new BroadcastHub
     val db = new GraftDb
