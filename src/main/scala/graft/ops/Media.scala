@@ -51,28 +51,35 @@ object Media {
       .as[MediaRow]
   }
 
-  private def md5Hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+  private def md5Hex(md: MessageDigest, b: Array[Byte]): String =
+    md.digest(b).map("%02x".format(_)).mkString
 
   /** STUB decode: a real implementation would hand `content` to a codec
     * (??? in this container); the fake derives deterministic dimensions
     * from the content digest and hashes fixed-size frames — preserving
     * the exact compute/IO shape of a real decode+featurize pass.
     */
-  def decodeStub(row: MediaRow): MediaFeatures = {
-    val digest = md5Hex(row.content)
+  def decodeStub(row: MediaRow): MediaFeatures =
+    decodeWith(MessageDigest.getInstance("MD5"), row)
+
+  /** Digest-reusing form: `md.digest()` resets after each call, so one
+    * instance serves a whole partition (getInstance per frame was the
+    * only measurable allocation in this pipeline).
+    */
+  private def decodeWith(md: MessageDigest, row: MediaRow): MediaFeatures = {
+    val digest = md5Hex(md, row.content)
     val h60 = java.lang.Long.parseLong(digest.substring(0, 15), 16)
     val nFrames = (row.content.length + FrameBytes - 1) / FrameBytes
     val frameHashes = (0 until nFrames).map { f =>
       val from = f * FrameBytes
       val until = math.min(from + FrameBytes, row.content.length)
-      md5Hex(java.util.Arrays.copyOfRange(row.content, from, until))
+      md5Hex(md, java.util.Arrays.copyOfRange(row.content, from, until))
     }
     MediaFeatures(
       doc_id = row.doc_id,
       n_bytes = row.content.length.toLong,
       n_frames = nFrames.toLong,
-      frame_digest = md5Hex(frameHashes.mkString.getBytes("UTF-8")),
+      frame_digest = md5Hex(md, frameHashes.mkString.getBytes("UTF-8")),
       width = 64 + h60 % 1024,
       height = 64 + (h60 / 1024) % 1024)
   }
@@ -82,6 +89,9 @@ object Media {
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map(decodeWith(md, _))
+    }
   }
 }

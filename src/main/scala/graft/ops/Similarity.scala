@@ -45,7 +45,10 @@ object Similarity {
     bb.array()
   }
 
-  private val dotPacked = udf { (a: Array[Byte], b: Array[Byte]) =>
+  /** Raw form shared by the UDF and the driver-side centroid closures
+    * (same code path ⇒ same IEEE sequence everywhere cosine is computed).
+    */
+  private def dotBytes(a: Array[Byte], b: Array[Byte]): Double = {
     val ba = java.nio.ByteBuffer.wrap(a)
     val bb = java.nio.ByteBuffer.wrap(b)
     var s = 0.0
@@ -54,6 +57,8 @@ object Similarity {
     while (i < n) { s += ba.getDouble(i * 8) * bb.getDouble(i * 8); i += 1 }
     s
   }
+
+  private val dotPacked = udf(dotBytes _)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -196,20 +201,44 @@ object Similarity {
       numCentroids: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val cents = withNorm(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
-    def assign(side: DataFrame, prefix: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(s"${prefix}id")
-        .orderBy(col("csim").desc, col("cid"))
-      side.join(broadcast(cents))
-        .withColumn("csim",
-          dotPacked(col(s"${prefix}v"), col("cv")) / (col(s"${prefix}nrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}nrm"),
-          col("cid").as("cell"))
+    // Centroids are tiny by construction (numCentroids rows): collect
+    // once on the driver and close over them, so cell assignment is a
+    // per-row argmax — ZERO shuffle of the corpus. (The previous shape
+    // — broadcast-join × numCentroids blowup + full-corpus row_number
+    // window — shuffled the whole corpus just to pick each row's cell.)
+    // Tie-break matches the oracle's (sim DESC, cid ASC) row_number:
+    // centroids are scanned in cid order with a strict `>`.
+    val centRows = withNorm(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cids = centRows.map(_._1)
+    val cvs = centRows.map(_._2)
+    val cnrms = centRows.map(_._3)
+    val nc = centRows.length
+
+    val cellUdf = udf { (v: Array[Byte], nrm: Double) =>
+      var best = 0L
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nc) {
+        val s = dotBytes(v, cvs(c)) / (nrm * cnrms(c))
+        if (s > bestSim) { bestSim = s; best = cids(c) }
+        c += 1
+      }
+      best
     }
-    val cells = assign(withNorm(emb, idCol, vecCol, "n"), "n", keep = 1)
-    val probes = assign(withNorm(queries, idCol, vecCol, "q"), "q", keep = nprobe)
+    val probeUdf = udf { (v: Array[Byte], nrm: Double) =>
+      Array.tabulate(nc)(c => (dotBytes(v, cvs(c)) / (nrm * cnrms(c)), cids(c)))
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nprobe)
+        .map(_._2)
+    }
+
+    val cells = withNorm(emb, idCol, vecCol, "n")
+      .withColumn("cell", cellUdf(col("nv"), col("nnrm")))
+    val probes = withNorm(queries, idCol, vecCol, "q")
+      .withColumn("cell", explode(probeUdf(col("qv"), col("qnrm"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
