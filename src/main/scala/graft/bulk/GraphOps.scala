@@ -318,6 +318,168 @@ object GraphOps {
     obsolete
   }
 
+  /** The sibling walk (before/after, core.rs:152-299, serving twin
+    * core/Db.scala:251-299) for EVERY node at once, with the full
+    * reference semantics: blank and aside candidates are skipped, the
+    * search descends into nested containers (nearest-first) until it
+    * hits a rendered atom or link, and when a container has no sibling
+    * on the requested side the walk recurses into its parents — unless
+    * the node renders as a link there (link boundaries are never
+    * crossed).
+    *
+    * `nodes` must carry (id, kind, layout, style_kind, aside, text):
+    * `aside` marks aside-styled blocks, `text` the atom payload (for
+    * subtree blankness — a node is blank iff its subtree contains only
+    * blank text, lib.rs:389-416). [[tablesFrom]] graphs get them via
+    * [[siblingNodes]].
+    *
+    * Decomposition (each piece a bounded fixpoint or one window — the
+    * shape that survives a 100 TB graph):
+    *
+    *   1. `nonblank`: upward closure of non-blank text leaves
+    *      (frontier BFS, rounds = depth).
+    *   2. Per-edge candidate class — skip (blank/aside), hit (atom or
+    *      link), or descend — is one static join against span class +
+    *      blankness.
+    *   3. `nodeRepr`: the first rendered leaf inside each container in
+    *      scan direction, as a bottom-up fixpoint (rounds = depth). A
+    *      candidate subtree the serving DFS skips via its visited set
+    *      is exactly a subtree that resolved to None here, so the
+    *      context-free fixpoint equals the serving walk on DAGs
+    *      (BulkSiblingSpec); pure-container CYCLES stall and resolve
+    *      to None — the monotone reading of the visited-set cutoff.
+    *   4. Occurrence resolution: one window per parent — the nearest
+    *      candidate on the requested side with a non-null repr.
+    *   5. Parent delegation: unresolved non-link occurrences inherit
+    *      the parent's siblings (transitive closure, rounds = depth).
+    *
+    * Returns (id, sibling_id) pairs — the set union over all of each
+    * node's occurrences, exactly `before(id)` / `after(id)`.
+    */
+  def siblingAdjacency(nodes: DataFrame, edges: DataFrame, before: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idType = nodes.schema("id").dataType
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).cache()
+    val spans = spanClass(nodes, edges).cache()
+
+    // 1. subtree blankness: nonblank = ancestor closure of non-blank
+    // text leaves (everything else: a subtree with only blank text can
+    // never yield a sibling, so blank candidates classify N below).
+    val up = e.select(col("parent_id"), col("child_id")).distinct()
+    var nonblank = nodes
+      .filter(col("kind") === "TEXT" && trim(coalesce(col("text"), lit(""))) =!= "")
+      .select("id").localCheckpoint()
+    var frontier = nonblank
+    var growing = true
+    while (growing) {
+      val next = up.join(frontier, up("child_id") === frontier("id"))
+        .select(col("parent_id").as("id")).distinct()
+        .join(nonblank, Seq("id"), "left_anti").localCheckpoint()
+      if (next.isEmpty) growing = false
+      else { nonblank = nonblank.unionByName(next).localCheckpoint(); frontier = next }
+    }
+
+    // 2. static candidate class per edge: N = skipped, S = sibling hit
+    // (rendered atom, or block child of span parent = link), D = descend.
+    val cls = e
+      .join(spans.select(col("id").as("parent_id"), col("is_span").as("psp")), "parent_id")
+      .join(spans.select(col("id").as("child_id"), col("is_span").as("csp")), "child_id")
+      .join(nodes.select(col("id").as("child_id"),
+        coalesce(col("aside"), lit(false)).as("aside"),
+        (col("kind") === "TEXT").as("atom")), "child_id")
+      .join(nonblank.select(col("id").as("child_id")).withColumn("nb", lit(true)),
+        Seq("child_id"), "left")
+      .select(col("parent_id"), col("child_id"), col("child_index"),
+        when(col("aside") || col("nb").isNull, "N")
+          .when(col("atom") || (col("psp") && !col("csp")), "S")
+          .otherwise("D").as("cls"))
+      .cache()
+
+    // 3. nodeRepr fixpoint: first rendered leaf of each container in
+    // scan direction. before = scan children from the END (the serving
+    // stack pops nearest-first), after = from the start.
+    val scanOrder =
+      if (before) Seq(col("child_index").desc, col("child_id").desc)
+      else Seq(col("child_index").asc, col("child_id").asc)
+    val ids = nodes.select("id").localCheckpoint()
+    var st = ids.select(col("id"), lit("U").as("state"), lit(null).cast(idType).as("repr"))
+      .localCheckpoint()
+    var uCount = Long.MaxValue
+    var stalled = false
+    while (!stalled) {
+      val ce = cls
+        .join(st.select(col("id").as("child_id"), col("state").as("cst"), col("repr").as("crepr")),
+          "child_id")
+        .select(col("parent_id"), col("child_index"), col("child_id"),
+          when(col("cls") === "S", "S").when(col("cls") === "N", "N").otherwise(col("cst")).as("vst"),
+          when(col("cls") === "S", col("child_id"))
+            .when(col("cls") === "D" && col("cst") === "S", col("crepr")).as("vrepr"))
+      // the node resolves from its first non-skipped candidate: a hit
+      // resolves Some, an unresolved child keeps it pending
+      val w = Window.partitionBy("parent_id").orderBy(scanOrder: _*)
+      val firstRel = ce.filter(col("vst") =!= "N")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("parent_id").as("id"), col("vst"), col("vrepr"))
+      val newSt = ids.join(firstRel, Seq("id"), "left")
+        .select(col("id"), coalesce(col("vst"), lit("N")).as("state"), col("vrepr").as("repr"))
+        .localCheckpoint()
+      val newU = newSt.filter(col("state") === "U").count()
+      st = newSt
+      if (newU == 0L || newU >= uCount) {
+        stalled = true
+        if (newU > 0L) // cyclic container chains yield no sibling
+          st = st.select(col("id"),
+            when(col("state") === "U", "N").otherwise(col("state")).as("state"), col("repr"))
+            .localCheckpoint()
+      } else uCount = newU
+    }
+
+    // 4. per-occurrence nearest resolved candidate on the requested side
+    val ceF = cls
+      .join(st.select(col("id").as("child_id"), col("state"), col("repr")), "child_id")
+      .select(col("parent_id"), col("child_id"), col("child_index"),
+        when(col("cls") === "S", col("child_id"))
+          .when(col("cls") === "D" && col("state") === "S", col("repr")).as("candval"))
+    val w2 = Window.partitionBy("parent_id").orderBy(col("child_index").asc, col("child_id").asc)
+    val sibCol =
+      if (before) last(col("candval"), ignoreNulls = true)
+        .over(w2.rowsBetween(Window.unboundedPreceding, -1))
+      else first(col("candval"), ignoreNulls = true)
+        .over(w2.rowsBetween(1, Window.unboundedFollowing))
+    val occ = ceF.withColumn("s", sibCol)
+      .join(spans.select(col("id").as("parent_id"), col("is_span").as("psp")), "parent_id")
+      .join(spans.select(col("id").as("child_id"), col("is_span").as("nsp")), "child_id")
+      .join(nonblank.select(col("id").as("child_id")), Seq("child_id")) // blank start → ∅
+      .select(col("child_id").as("nid"), col("parent_id").as("pid"),
+        col("s"), col("psp"), col("nsp"))
+      .localCheckpoint()
+
+    // 5. delegation closure: unresolved occurrences inherit the
+    // parent's siblings unless the node renders as a link there
+    val direct = occ.filter(col("s").isNotNull)
+      .select(col("nid").as("id"), col("s").as("sibling_id")).distinct()
+    val deleg = occ.filter(col("s").isNull && !(col("psp") && !col("nsp")))
+      .select(col("nid"), col("pid")).distinct().localCheckpoint()
+    var result = direct.localCheckpoint()
+    growing = true
+    while (growing) {
+      val inherited = deleg.join(result.withColumnRenamed("id", "pid"), "pid")
+        .select(col("nid").as("id"), col("sibling_id")).distinct()
+        .join(result, Seq("id", "sibling_id"), "left_anti").localCheckpoint()
+      if (inherited.isEmpty) growing = false
+      else result = result.unionByName(inherited).localCheckpoint()
+    }
+    e.unpersist(); spans.unpersist(); cls.unpersist()
+    result
+  }
+
+  /** [[tablesFrom]] nodes extended with the `aside` flag the sibling
+    * walk needs (text is already carried).
+    */
+  def siblingNodes(nodes: DataFrame): DataFrame =
+    nodes.withColumn("aside", array_contains(coalesce(col("styles"),
+      array().cast("array<string>")), "ASIDE"))
+
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk
     * fixpoint: Text/Chain → span, Page/Styled(Block) → block,
     * Styled(Span) inherits from its child transitively.

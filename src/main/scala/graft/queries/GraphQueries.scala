@@ -59,9 +59,10 @@ object GraphQueries {
       .select(
         col("doc_id").as("nid"),
         (col("doc_id") % 10).as("m"),
-        (length(col("text")) % 3).as("lm"))
+        (length(col("text")) % 3).as("lm"),
+        col("text"))
     val kinds = base.select(
-      col("nid"), col("lm"),
+      col("nid"), col("lm"), col("text"),
       when(col("m") <= 3, "TEXT")
         .when(col("m") === 4, "CHAIN")
         .when(col("m").isin(5, 6, 9), "PAGE")
@@ -76,7 +77,11 @@ object GraphQueries {
         .otherwise(lit(null).cast("string")).as("layout"),
       when(col("gkind") === "SSPAN", "SPAN")
         .when(col("gkind") === "SBLOCK", "BLOCK")
-        .otherwise(lit(null).cast("string")).as("style_kind"))
+        .otherwise(lit(null).cast("string")).as("style_kind"),
+      // aside-styled blocks (sibling walk skips them): SBLOCK with lm=2
+      (col("gkind") === "SBLOCK" && col("lm") === 2).as("aside"),
+      when(col("gkind") === "TEXT", col("text"))
+        .otherwise(lit(null).cast("string")).as("text"))
     val c = kinds.select(col("nid").as("cid"))
     val listEdges = kinds.filter(col("gkind").isin("CHAIN", "PAGE"))
       .select(col("nid").as("pid"))
@@ -177,9 +182,8 @@ object GraphQueries {
         .select(col("doc_id"), stable(col("text")).as("stable"))
     }),
 
-    // Sibling walk (before/after, core.rs:152-299): previous and next
-    // sibling of every child slot by child_index — one window, no
-    // iteration.
+    // Sibling slots (flat form): previous and next sibling of every
+    // child slot by child_index — one window, no iteration.
     "q64_siblings" -> ((s, dir) => {
       val (_, edges) = graphTables(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -188,6 +192,23 @@ object GraphQueries {
         col("parent_id"), col("child_id").as("id"),
         coalesce(lag(col("child_id"), 1).over(w), lit(-1L)).as("prev_id"),
         coalesce(lead(col("child_id"), 1).over(w), lit(-1L)).as("next_id"))
+    }),
+
+    // The REAL sibling walk (before/after, core.rs:152-299): blank and
+    // aside candidates skipped, descent into nested containers until a
+    // rendered atom/link, recursion into parents when a container has
+    // no sibling on that side, link boundaries never crossed. Full
+    // distributed semantics — GraphOps.siblingAdjacency.
+    "q66_siblings_before" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      GraphOps.siblingAdjacency(nodes, edges, before = true)
+        .select(col("id"), col("sibling_id"))
+    }),
+
+    "q67_siblings_after" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      GraphOps.siblingAdjacency(nodes, edges, before = false)
+        .select(col("id"), col("sibling_id"))
     }))
 
   /** Shared DuckDB re-derivation of the graph (same rules as
@@ -303,5 +324,80 @@ object GraphQueries {
                  coalesce(lag(child_id) OVER w, -1) AS prev_id,
                  coalesce(lead(child_id) OVER w, -1) AS next_id
           FROM edges
-          WINDOW w AS (PARTITION BY parent_id ORDER BY child_index, child_id)""")
+          WINDOW w AS (PARTITION BY parent_id ORDER BY child_index, child_id)""",
+
+    "q66_siblings_before" -> siblingSql(before = true),
+    "q67_siblings_after" -> siblingSql(before = false))
+
+  /** The full sibling-walk semantics in recursive SQL, mirroring
+    * GraphOps.siblingAdjacency piece by piece: `nonblank` = upward
+    * closure of non-blank text; `cls` classifies each candidate edge
+    * skip/hit/descend; `noderepr` = first rendered leaf per container
+    * via lexicographic max/min over fixed-width descent paths (the
+    * DAG-equivalent of the serving DFS's nearest-first order);
+    * `occ` resolves each occurrence with the nearest non-null
+    * candidate on the requested side; `res` is the parent-delegation
+    * closure with the link-boundary guard.
+    */
+  private def siblingSql(before: Boolean): String = {
+    val argFn = if (before) "arg_max" else "arg_min"
+    val frame =
+      if (before)
+        """last_value(candval IGNORE NULLS) OVER (
+             PARTITION BY parent_id ORDER BY child_index, child_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+      else
+        """first_value(candval IGNORE NULLS) OVER (
+             PARTITION BY parent_id ORDER BY child_index, child_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"""
+    s"""WITH RECURSIVE $graphCte,
+       nonblank(id) AS (
+         SELECT k2.id FROM kind k2 JOIN documents d ON d.doc_id = k2.id
+         WHERE k2.kind = 'TEXT' AND trim(d.text) <> ''
+         UNION
+         SELECT e.parent_id FROM nonblank nb JOIN edges e ON e.child_id = nb.id),
+       cls AS (
+         SELECT e.parent_id, e.child_id, e.child_index,
+           CASE WHEN (kc.kind = 'SBLOCK' AND kc.lm = 2) OR nb.id IS NULL THEN 'N'
+                WHEN kc.kind = 'TEXT' OR (sp.is_span AND NOT sc.is_span) THEN 'S'
+                ELSE 'D' END AS cls
+         FROM edges e
+         JOIN kind kc ON kc.id = e.child_id
+         JOIN span sp ON sp.id = e.parent_id
+         JOIN span sc ON sc.id = e.child_id
+         LEFT JOIN nonblank nb ON nb.id = e.child_id),
+       dpath(root, node, path) AS (
+         SELECT id, id, '' FROM kind
+         UNION
+         SELECT dp.root, c.child_id,
+                dp.path || lpad(CAST(c.child_index AS VARCHAR), 4, '0')
+                        || lpad(CAST(c.child_id AS VARCHAR), 10, '0')
+         FROM dpath dp JOIN cls c ON c.parent_id = dp.node AND c.cls = 'D'),
+       leafc AS (
+         SELECT dp.root, c.child_id AS leaf,
+                dp.path || lpad(CAST(c.child_index AS VARCHAR), 4, '0')
+                        || lpad(CAST(c.child_id AS VARCHAR), 10, '0') AS path
+         FROM dpath dp JOIN cls c ON c.parent_id = dp.node AND c.cls = 'S'),
+       noderepr AS (SELECT root, $argFn(leaf, path) AS repr FROM leafc GROUP BY root),
+       cand AS (
+         SELECT c.parent_id, c.child_id, c.child_index,
+           CASE WHEN c.cls = 'S' THEN c.child_id
+                WHEN c.cls = 'D' THEN nr.repr END AS candval
+         FROM cls c LEFT JOIN noderepr nr ON nr.root = c.child_id),
+       occ AS (
+         SELECT parent_id, child_id, child_index, $frame AS s
+         FROM cand),
+       res(id, sibling_id) AS (
+         SELECT o.child_id, o.s FROM occ o
+         JOIN nonblank nb ON nb.id = o.child_id WHERE o.s IS NOT NULL
+         UNION
+         SELECT o.child_id, r.sibling_id
+         FROM occ o
+         JOIN nonblank nb ON nb.id = o.child_id
+         JOIN span spn ON spn.id = o.child_id
+         JOIN span spp ON spp.id = o.parent_id
+         JOIN res r ON r.id = o.parent_id
+         WHERE o.s IS NULL AND NOT (spp.is_span AND NOT spn.is_span))
+       SELECT DISTINCT id, sibling_id FROM res"""
+  }
 }
