@@ -362,22 +362,9 @@ object GraphOps {
     val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).cache()
     val spans = spanClass(nodes, edges).cache()
 
-    // 1. subtree blankness: nonblank = ancestor closure of non-blank
-    // text leaves (everything else: a subtree with only blank text can
-    // never yield a sibling, so blank candidates classify N below).
-    val up = e.select(col("parent_id"), col("child_id")).distinct()
-    var nonblank = nodes
-      .filter(col("kind") === "TEXT" && trim(coalesce(col("text"), lit(""))) =!= "")
-      .select("id").localCheckpoint()
-    var frontier = nonblank
-    var growing = true
-    while (growing) {
-      val next = up.join(frontier, up("child_id") === frontier("id"))
-        .select(col("parent_id").as("id")).distinct()
-        .join(nonblank, Seq("id"), "left_anti").localCheckpoint()
-      if (next.isEmpty) growing = false
-      else { nonblank = nonblank.unionByName(next).localCheckpoint(); frontier = next }
-    }
+    // 1. subtree blankness (a subtree with only blank text can never
+    // yield a sibling, so blank candidates classify N below).
+    val nonblank = nonblankClosure(nodes, e)
 
     // 2. static candidate class per edge: N = skipped, S = sibling hit
     // (rendered atom, or block child of span parent = link), D = descend.
@@ -461,7 +448,7 @@ object GraphOps {
     val deleg = occ.filter(col("s").isNull && !(col("psp") && !col("nsp")))
       .select(col("nid"), col("pid")).distinct().localCheckpoint()
     var result = direct.localCheckpoint()
-    growing = true
+    var growing = true
     while (growing) {
       val inherited = deleg.join(result.withColumnRenamed("id", "pid"), "pid")
         .select(col("nid").as("id"), col("sibling_id")).distinct()
@@ -479,6 +466,155 @@ object GraphOps {
   def siblingNodes(nodes: DataFrame): DataFrame =
     nodes.withColumn("aside", array_contains(coalesce(col("styles"),
       array().cast("array<string>")), "ASIDE"))
+
+  /** Upward closure of non-blank text leaves: exactly the ids for
+    * which is_blank (lib.rs:389-416) is FALSE — a node is blank iff
+    * its subtree contains only blank text. Frontier BFS, rounds =
+    * graph depth.
+    */
+  def nonblankClosure(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val up = edges.select(col("parent_id"), col("child_id")).distinct()
+    var nonblank = nodes
+      .filter(col("kind") === "TEXT" && trim(coalesce(col("text"), lit(""))) =!= "")
+      .select("id").localCheckpoint()
+    var frontier = nonblank
+    var growing = true
+    while (growing) {
+      val next = up.join(frontier, up("child_id") === frontier("id"))
+        .select(col("parent_id").as("id")).distinct()
+        .join(nonblank, Seq("id"), "left_anti").localCheckpoint()
+      if (next.isEmpty) growing = false
+      else { nonblank = nonblank.unionByName(next).localCheckpoint(); frontier = next }
+    }
+    nonblank
+  }
+
+  /** is_cyclic (lib.rs:424-442) for MANY roots in one tagged BFS:
+    * a root is cyclic iff its per-slot child walk revisits any node —
+    * true cycles AND diamonds AND duplicate child slots, matching the
+    * serving walk's visited-set check. Each round steps the (root, id)
+    * frontier through the edges once; a root is flagged when a child
+    * arrives twice in one round (≥2 slots) or lands on an
+    * already-visited node, and flagged roots stop expanding.
+    */
+  def cyclicRootsFrom(edges: DataFrame, roots: DataFrame): DataFrame = {
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
+    var seen = roots.select(col("id").as("root"), col("id")).localCheckpoint()
+    var frontier = seen
+    var cyclic = roots.select(col("id").as("root")).limit(0).localCheckpoint()
+    var growing = true
+    while (growing) {
+      val arrivals = e.join(frontier, e("parent_id") === frontier("id"))
+        .groupBy(col("root"), col("child_id").as("id"))
+        .agg(count(lit(1)).as("slots"))
+        .localCheckpoint()
+      val newCyc = arrivals.filter(col("slots") >= 2).select("root")
+        .unionByName(arrivals.join(seen, Seq("root", "id")).select("root"))
+        .distinct()
+        .join(cyclic, Seq("root"), "left_anti")
+        .localCheckpoint()
+      if (!newCyc.isEmpty) cyclic = cyclic.unionByName(newCyc).localCheckpoint()
+      val next = arrivals.select("root", "id")
+        .join(seen, Seq("root", "id"), "left_anti")
+        .join(cyclic, Seq("root"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
+      else {
+        seen = seen.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    cyclic.select(col("root").as("id"))
+  }
+
+  /** The preview descent (lib.rs:462-509, serving twin
+    * core/Db.scala:134-167) for EVERY node at once. The descent is a
+    * FUNCTIONAL walk — each node has exactly one next hop (a page or
+    * styled node steps to its first child; text, chains and childless
+    * containers terminate) — so the bulk form is pointer doubling: a
+    * jump table J(v) = (landing node, styles seen) that squares its
+    * reach every round, resolving all N descents in O(log depth)
+    * rounds of one self-join each (vs O(depth) rounds for naive
+    * stepping); walks still unresolved once 2^rounds exceeds the node
+    * count are on-path cycles. Style sets accumulate through
+    * `array_union` along the composed hops — the sorted-set semantics
+    * of the serving accumulator.
+    *
+    * Returns (id, outcome ∈ BLOCK/EMPTY/CYCLIC, block_id,
+    * block_styles, span_styles); block_id/styles are null unless
+    * outcome = BLOCK (styles comma-joined sorted, matching
+    * `Styles.Block/Span`'s SortedSet order). Chain terminals resolve
+    * EMPTY when blank, CYCLIC when their subtree walk revisits
+    * ([[cyclicRootsFrom]]), else BLOCK — exactly the serving branch
+    * order (childless chains are EMPTY via the childless check first).
+    */
+  def previewAll(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
+    val emptyArr = array().cast("array<string>")
+    val firstChild = e.groupBy("parent_id")
+      .agg(min_by(col("child_id"), col("child_index")).as("nxt"))
+      .withColumnRenamed("parent_id", "id")
+    val cl = nodes
+      .join(firstChild, Seq("id"), "left")
+      .select(col("id"), col("kind"), col("layout"), col("style_kind"),
+        coalesce(col("styles"), emptyArr).as("sts"), col("text"), col("nxt"))
+      .withColumn("step",
+        when(col("kind") === "TEXT", "TEXT")
+          .when(col("nxt").isNull, "EMPTY") // childless list/styled → Empty
+          .when(col("kind") === "LIST" && col("layout") === "CHAIN", "CHAIN")
+          .otherwise("STEP"))
+      .localCheckpoint()
+    val nodeCount = cl.count()
+    val term = cl.filter(col("step") =!= "STEP")
+      .select(col("id").as("tgt"), lit(true).as("tdone"))
+      .localCheckpoint()
+    def settle(df: DataFrame): DataFrame = df
+      .join(term, Seq("tgt"), "left")
+      .withColumn("settled", coalesce(col("tdone"), lit(false))).drop("tdone")
+    var j = settle(cl.select(col("id"),
+      when(col("step") === "STEP", col("nxt")).otherwise(col("id")).as("tgt"),
+      when(col("step") === "STEP" && col("style_kind") === "BLOCK", col("sts"))
+        .otherwise(emptyArr).as("bst"),
+      when(col("step") === "STEP" && col("style_kind") === "SPAN", col("sts"))
+        .otherwise(emptyArr).as("sst"))).localCheckpoint()
+    var rounds = 0
+    val maxRounds = 2 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nodeCount)))
+    var pending = j.filter(!col("settled")).count()
+    while (pending > 0 && rounds < maxRounds) {
+      val jT = j.select(col("id").as("tid"), col("tgt").as("t2"),
+        col("bst").as("b2"), col("sst").as("s2"))
+      val stepped = j.filter(!col("settled"))
+        .join(jT, col("tgt") === col("tid"))
+        .select(col("id"), col("t2").as("tgt"),
+          array_union(col("bst"), col("b2")).as("bst"),
+          array_union(col("sst"), col("s2")).as("sst"))
+      j = settle(stepped).unionByName(j.filter(col("settled"))).localCheckpoint()
+      pending = j.filter(!col("settled")).count()
+      rounds += 1
+    }
+    // terminal resolution: chain blankness + chain subtree cyclicity
+    val nonblank = nonblankClosure(nodes, e)
+      .select(col("id").as("tgt"), lit(true).as("tnb"))
+    val chains = cl.filter(col("step") === "CHAIN").select("id")
+    val cyc = cyclicRootsFrom(e, chains)
+      .select(col("id").as("tgt"), lit(true).as("tcyc"))
+    val out = j
+      .join(cl.select(col("id").as("tgt"), col("step").as("tstep"), col("text").as("ttext")), "tgt")
+      .join(nonblank, Seq("tgt"), "left")
+      .join(cyc, Seq("tgt"), "left")
+      .withColumn("outcome",
+        when(!col("settled"), "CYCLIC")
+          .when(col("tstep") === "EMPTY", "EMPTY")
+          .when(col("tstep") === "TEXT",
+            when(trim(coalesce(col("ttext"), lit(""))) === "", "EMPTY").otherwise("BLOCK"))
+          .when(col("tnb").isNull, "EMPTY")       // blank chain
+          .when(col("tcyc").isNotNull, "CYCLIC")  // cyclic chain subtree
+          .otherwise("BLOCK"))
+    out.select(col("id"), col("outcome"),
+      when(col("outcome") === "BLOCK", col("tgt")).as("block_id"),
+      when(col("outcome") === "BLOCK", concat_ws(",", array_sort(col("bst")))).as("block_styles"),
+      when(col("outcome") === "BLOCK", concat_ws(",", array_sort(col("sst")))).as("span_styles"))
+  }
 
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk
     * fixpoint: Text/Chain → span, Page/Styled(Block) → block,

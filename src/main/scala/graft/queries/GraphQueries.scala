@@ -81,7 +81,12 @@ object GraphQueries {
       // aside-styled blocks (sibling walk skips them): SBLOCK with lm=2
       (col("gkind") === "SBLOCK" && col("lm") === 2).as("aside"),
       when(col("gkind") === "TEXT", col("text"))
-        .otherwise(lit(null).cast("string")).as("text"))
+        .otherwise(lit(null).cast("string")).as("text"),
+      // deterministic style names so the preview's style accumulation
+      // is oracle-checkable: SPAN0/1/2, BLOCK0/1/2 by lm
+      when(col("gkind") === "SSPAN", array(concat(lit("SPAN"), col("lm").cast("string"))))
+        .when(col("gkind") === "SBLOCK", array(concat(lit("BLOCK"), col("lm").cast("string"))))
+        .otherwise(array().cast("array<string>")).as("styles"))
     val c = kinds.select(col("nid").as("cid"))
     val listEdges = kinds.filter(col("gkind").isin("CHAIN", "PAGE"))
       .select(col("nid").as("pid"))
@@ -209,6 +214,18 @@ object GraphQueries {
       val (nodes, edges) = graphTables(s, dir)
       GraphOps.siblingAdjacency(nodes, edges, before = false)
         .select(col("id"), col("sibling_id"))
+    }),
+
+    // Bulk preview (lib.rs:462-509): first non-blank block of every
+    // node's first-child descent with style accumulation, via pointer
+    // doubling — GraphOps.previewAll.
+    "q68_preview" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      GraphOps.previewAll(nodes, edges)
+        .select(col("id"), col("outcome"),
+          coalesce(col("block_id"), lit(-1L)).as("block_id"),
+          coalesce(col("block_styles"), lit("")).as("block_styles"),
+          coalesce(col("span_styles"), lit("")).as("span_styles"))
     }))
 
   /** Shared DuckDB re-derivation of the graph (same rules as
@@ -327,7 +344,66 @@ object GraphQueries {
           WINDOW w AS (PARTITION BY parent_id ORDER BY child_index, child_id)""",
 
     "q66_siblings_before" -> siblingSql(before = true),
-    "q67_siblings_after" -> siblingSql(before = false))
+    "q67_siblings_after" -> siblingSql(before = false),
+
+    // Preview: the functional first-child walk per start (recursive
+    // CTE), terminal classification (blank text / childless container /
+    // chain blank-cyclic-block), styles aggregated over the path's
+    // styled nodes, chain cyclicity = a revisit in the per-slot child
+    // walk (≥2 slots from reachable parents or root re-entry).
+    "q68_preview" ->
+      s"""WITH RECURSIVE $graphCte,
+         fedge AS (SELECT e.parent_id AS id, arg_min(e.child_id, e.child_index) AS nxt
+                   FROM edges e JOIN kind p ON p.id = e.parent_id
+                   WHERE p.kind IN ('PAGE','SSPAN','SBLOCK') GROUP BY e.parent_id),
+         walk(start, cur) AS (
+           SELECT id, id FROM kind
+           UNION
+           SELECT w.start, f.nxt FROM walk w JOIN fedge f ON f.id = w.cur),
+         term AS (SELECT w.start, w.cur FROM walk w LEFT JOIN fedge f ON f.id = w.cur
+                  WHERE f.id IS NULL),
+         pstyles AS (SELECT w.start,
+             string_agg(DISTINCT CASE WHEN k.kind = 'SBLOCK'
+                 THEN 'BLOCK' || CAST(k.lm AS VARCHAR) END, ',' ORDER BY
+                 CASE WHEN k.kind = 'SBLOCK' THEN 'BLOCK' || CAST(k.lm AS VARCHAR) END) AS bs,
+             string_agg(DISTINCT CASE WHEN k.kind = 'SSPAN'
+                 THEN 'SPAN' || CAST(k.lm AS VARCHAR) END, ',' ORDER BY
+                 CASE WHEN k.kind = 'SSPAN' THEN 'SPAN' || CAST(k.lm AS VARCHAR) END) AS ss
+             FROM walk w JOIN kind k ON k.id = w.cur
+             JOIN fedge f ON f.id = w.cur
+             GROUP BY w.start),
+         nonblank(id) AS (
+           SELECT k2.id FROM kind k2 JOIN documents d ON d.doc_id = k2.id
+           WHERE k2.kind = 'TEXT' AND trim(d.text) <> ''
+           UNION
+           SELECT e.parent_id FROM nonblank nb JOIN edges e ON e.child_id = nb.id),
+         chterm AS (SELECT DISTINCT t.cur AS root FROM term t
+                    JOIN kind k ON k.id = t.cur WHERE k.kind = 'CHAIN'),
+         chreach(root, id) AS (SELECT root, root FROM chterm
+           UNION SELECT r.root, e.child_id FROM chreach r JOIN edges e ON e.parent_id = r.id),
+         slotcnt AS (SELECT r.root, e.child_id, count(*) AS c
+                     FROM chreach r JOIN edges e ON e.parent_id = r.id GROUP BY 1, 2),
+         cyc AS (SELECT DISTINCT root FROM slotcnt WHERE c >= 2 OR child_id = root),
+         resolved AS (
+           SELECT t.start AS id, t.cur,
+             CASE WHEN tk.kind = 'TEXT' AND trim(td.text) = '' THEN 'EMPTY'
+                  WHEN tk.kind = 'TEXT' THEN 'BLOCK'
+                  WHEN tk.kind = 'CHAIN' AND nb.id IS NULL THEN 'EMPTY'
+                  WHEN tk.kind = 'CHAIN' AND cy.root IS NOT NULL THEN 'CYCLIC'
+                  WHEN tk.kind = 'CHAIN' THEN 'BLOCK'
+                  ELSE 'EMPTY' END AS outcome,
+             coalesce(ps.bs, '') AS bs, coalesce(ps.ss, '') AS ss
+           FROM term t
+           JOIN kind tk ON tk.id = t.cur
+           LEFT JOIN documents td ON td.doc_id = t.cur
+           LEFT JOIN nonblank nb ON nb.id = t.cur
+           LEFT JOIN cyc cy ON cy.root = t.cur
+           LEFT JOIN pstyles ps ON ps.start = t.start)
+         SELECT id, outcome,
+                CASE WHEN outcome = 'BLOCK' THEN cur ELSE -1 END AS block_id,
+                CASE WHEN outcome = 'BLOCK' THEN bs ELSE '' END AS block_styles,
+                CASE WHEN outcome = 'BLOCK' THEN ss ELSE '' END AS span_styles
+         FROM resolved""")
 
   /** The full sibling-walk semantics in recursive SQL, mirroring
     * GraphOps.siblingAdjacency piece by piece: `nonblank` = upward

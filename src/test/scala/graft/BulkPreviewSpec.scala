@@ -1,0 +1,102 @@
+package graft
+
+import graft.bulk.GraphOps
+import graft.core.{GraftDb, PreviewedNode}
+import graft.model.{Child, Layout, Node, Styles}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.immutable.SortedSet
+
+/** The bulk preview (GraphOps.previewAll) against the serving-path
+  * GraftDb.preview as the executable specification, on the ported
+  * preview scenarios (assemblage_db/tests/preview.rs via DbPreviewSpec)
+  * plus styled/diamond/cyclic graphs.
+  */
+class BulkPreviewSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-preview-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Serving preview as the bulk operator's tuple. */
+  private def servingTuple(p: PreviewedNode): (String, String, String, String) = p match {
+    case PreviewedNode.Empty  => ("EMPTY", "", "", "")
+    case PreviewedNode.Cyclic => ("CYCLIC", "", "", "")
+    case PreviewedNode.Block(bid, node) =>
+      val (bst, rest) = node match {
+        case Node.Styled(Styles.Block(st), Child.Eager(n)) => (st, n)
+        case n                                             => (SortedSet.empty[String], n)
+      }
+      val sst = rest match {
+        case Node.Styled(Styles.Span(st), _) => st
+        case _                               => SortedSet.empty[String]
+      }
+      ("BLOCK", bid.toString, bst.mkString(","), sst.mkString(","))
+  }
+
+  private def checkParity(db: GraftDb, clue: String): Unit = {
+    val (nodes, edges) = GraphOps.tablesFrom(db, spark)
+    val bulk = GraphOps.previewAll(nodes, edges)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        Option(r.getString(2)).getOrElse(""),
+        Option(r.getString(3)).getOrElse(""),
+        Option(r.getString(4)).getOrElse("")))
+      .toMap
+    for (id <- db.nodes.liveKeys) {
+      assert(bulk(id.toString) === servingTuple(db.preview(id)), s"$clue: preview($id)")
+    }
+  }
+
+  test("page preview descends to the first styled child block (preview.rs)") {
+    val db = new GraftDb
+    db.add(Node.page(
+      Node.styledSpan("ITALIC", Node.text("foo")),
+      Node.text("bar")))
+    checkParity(db, "styled-first-child")
+  }
+
+  test("chain preview is the whole chain; empty/blank are Empty") {
+    val db = new GraftDb
+    db.add(Node.chain(
+      Node.styledSpan("BOLD", Node.text("foo")),
+      Node.text("bar")))
+    db.add(Node.page(
+      Node.chain(Node.List(Layout.Page, Vector.empty)),
+      Node.List(Layout.Chain, Vector.empty)))
+    db.add(Node.text("     "))
+    checkParity(db, "chain-empty-blank")
+  }
+
+  test("cyclic first-child path and cyclic chain subtree preview as Cyclic") {
+    val db = new GraftDb
+    val pageId = db.add(Node.List(Layout.Page, Vector.empty))
+    val cyclic = Node.List(Layout.Chain, Vector(
+      Child.Lazy(pageId), Child.Eager(Node.text("foo"))))
+    db.push(pageId, Child.Eager(cyclic))
+    checkParity(db, "cyclic")
+  }
+
+  test("nested styles accumulate along the descent (block around span)") {
+    val db = new GraftDb
+    db.add(Node.styledBlock("HEADING",
+      Node.styledSpan("BOLD",
+        Node.styledSpan("ITALIC",
+          Node.page(Node.text("deep"), Node.text("rest"))))))
+    checkParity(db, "style-accumulation")
+  }
+
+  test("diamond (shared subtree) chains preview as Cyclic, not Block") {
+    val db = new GraftDb
+    val shared = db.add(Node.text("shared"))
+    val c1 = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(shared))))
+    val c2 = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(shared))))
+    db.add(Node.List(Layout.Chain, Vector(Child.Lazy(c1), Child.Lazy(c2))))
+    db.add(Node.page(Node.text("plain")))
+    checkParity(db, "diamond")
+  }
+}
