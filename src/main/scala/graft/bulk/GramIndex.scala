@@ -104,6 +104,37 @@ object GramIndex {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** Diff::new (index.rs:768-813) as ONE full-outer join — the bulk
+    * write path's incremental reindex: `before`/`after` are the
+    * postings of the ids touched by a write batch (both restricted to
+    * the dirty set); the diff row for every (id, gram) present in
+    * either state carries the AFTER occurrence count, 0 for vanished
+    * grams — exactly the reference's per-id map merge, flattened.
+    * At 100 TB the write path IS this delta: one dirty-sized shuffle
+    * instead of a corpus rebuild.
+    */
+  def gramDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("id"), col("gram"), col("occurrences").as("bocc"))
+    val a = after.select(col("id"), col("gram"), col("occurrences").as("aocc"))
+    b.join(a, Seq("id", "gram"), "full_outer")
+      .select(col("id"), col("gram"), coalesce(col("aocc"), lit(0L)).as("occurrences"))
+  }
+
+  /** store_grams (index.rs:286-300): merge a [[gramDiff]] into the
+    * postings table — diffed (id, gram) slots are replaced by their new
+    * count, everything else is untouched. Divergence from the
+    * reference (which leaves Occurrences(0) tombstones in the stored
+    * maps): zero-count rows are DROPPED — query-equivalent (a zero
+    * occurrence contributes nothing to search/overlap intersections)
+    * and the right call for a columnar store. The invariant
+    * `applyGramDiff(postings(old), gramDiff(...)) == postings(new)` is
+    * oracle-checked end-to-end by q69 and spec-checked in
+    * BulkReindexSpec.
+    */
+  def applyGramDiff(postings: DataFrame, diff: DataFrame): DataFrame =
+    postings.join(diff.select("id", "gram"), Seq("id", "gram"), "left_anti")
+      .unionByName(diff.filter(col("occurrences") > 0))
+
   /** Salted variant of the overlap join for skewed gram distributions:
     * the zero-padding grams ([0,0,0,x] etc.) appear in EVERY document,
     * so a plain hash join on `gram` sends all their postings to single

@@ -616,6 +616,38 @@ object GraphOps {
       when(col("outcome") === "BLOCK", concat_ws(",", array_sort(col("sst")))).as("span_styles"))
   }
 
+  /** The write-path parent propagation (update_parent_index,
+    * index.rs:242-284) as a bulk closure: the ids to reindex after a
+    * write batch = the dirty ids plus every ancestor reached by
+    * ascending from them — a block-rendered parent is reindexed (its
+    * stored block index absorbs the change) but the ascent STOPS
+    * there; span-rendered parents keep ascending, exactly the
+    * reference's stack walk. Parents whose rendering class is
+    * unresolvable (cyclic styled chains) do not ascend. Frontier BFS
+    * upward: rounds = ancestor depth, shuffles frontier-sized.
+    */
+  def dirtyPropagation(nodes: DataFrame, edges: DataFrame, dirty: DataFrame): DataFrame = {
+    val spanIds = spanClass(nodes, edges).filter(col("is_span")).select("id").cache()
+    val up = edges.select(col("parent_id"), col("child_id")).distinct()
+    var reached = dirty.select(col("id")).distinct().localCheckpoint()
+    var frontier = reached
+    var growing = true
+    while (growing) {
+      val parents = up.join(frontier, up("child_id") === frontier("id"))
+        .select(col("parent_id").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (parents.isEmpty) growing = false
+      else {
+        reached = reached.unionByName(parents).localCheckpoint()
+        frontier = parents.join(spanIds, Seq("id")).localCheckpoint()
+        if (frontier.isEmpty) growing = false
+      }
+    }
+    spanIds.unpersist()
+    reached
+  }
+
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk
     * fixpoint: Text/Chain → span, Page/Styled(Block) → block,
     * Styled(Span) inherits from its child transitively.

@@ -64,6 +64,33 @@ object Engine {
         .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
     }),
 
+    // Incremental reindex for a write batch (Diff::new index.rs:768-813
+    // + store_grams index.rs:286-300): a batch of updates, deletes and
+    // inserts is applied to the index as a full-outer gram diff over
+    // the DIRTY ids only, merged into the standing postings. The query
+    // returns the delta-maintained postings table; the oracle builds
+    // the post-write index FROM SCRATCH — hash equality proves
+    // delta ≡ rebuild. Cost is one dirty-sized shuffle (the write
+    // path's 100 TB story); the full `before` postings here exist only
+    // because the oracle needs the whole table to compare.
+    "q69_reindex_delta" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val updated = d.filter(col("doc_id") % 7 === 3 && col("doc_id") % 31 =!= 5)
+        .select(col("doc_id"), concat(col("text"), lit(" EDITED")).as("text"))
+      val inserted = d.filter(col("doc_id") % 41 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("NEW "), col("text")).as("text"))
+      val deletedIds = d.filter(col("doc_id") % 31 === 5)
+        .select(col("doc_id").as("id"))
+      val before = GramIndex.postings(d, "doc_id", "text")
+      val dirtyOldIds = updated.select(col("doc_id").as("id"))
+        .unionByName(deletedIds).distinct()
+      val beforeDirty = before.join(broadcast(dirtyOldIds), Seq("id"))
+      val afterDirty = GramIndex.postings(updated.unionByName(inserted), "doc_id", "text")
+      GramIndex.applyGramDiff(before, GramIndex.gramDiff(beforeDirty, afterDirty))
+        .select(col("id").as("doc_id"), col("gram"), col("occurrences"))
+    }),
+
     // Incremental overlap refresh for a dirty-id set — the reference's
     // actual write-path operation (store_overlaps over Diff.ids,
     // index.rs:302-347): linear in the dirty set, not quadratic in the
@@ -85,20 +112,24 @@ object Engine {
 
   /** DuckDB re-derivation of indexText (index.rs:826-835): byte k of the
     * zero-padded text, 4-byte big-endian windows as u32. Documents are
-    * printable ASCII so ord(codepoint) == byte value.
+    * printable ASCII so ord(codepoint) == byte value. Parameterized by
+    * the source relation so the reindex oracle can build postings over
+    * a transformed corpus.
     */
-  private val postingsCte =
-    """grams AS (
+  private def postingsCteFor(table: String) =
+    s"""grams AS (
          SELECT doc_id,
            (CASE WHEN k-3 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-3 AS INT),1)) ELSE 0 END)*16777216 +
            (CASE WHEN k-2 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-2 AS INT),1)) ELSE 0 END)*65536 +
            (CASE WHEN k-1 BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k-1 AS INT),1)) ELSE 0 END)*256 +
            (CASE WHEN k   BETWEEN 1 AND len(text) THEN ord(substr(text,CAST(k   AS INT),1)) ELSE 0 END) AS gram
-         FROM documents, UNNEST(range(1, len(text)+4)) AS t(k)
+         FROM $table, UNNEST(range(1, len(text)+4)) AS t(k)
        ),
        postings AS (
          SELECT doc_id, gram, count(*) AS occurrences FROM grams GROUP BY doc_id, gram
        )"""
+
+  private val postingsCte = postingsCteFor("documents")
 
   private def searchOracle(term: String): String = {
     val grams = Grams.trimForSearch(Grams.indexText(term))
@@ -122,6 +153,18 @@ object Engine {
     "q20_gram_postings" ->
       s"WITH $postingsCte SELECT doc_id, CAST(gram AS BIGINT) AS gram, occurrences FROM postings",
     "q21_search_term" -> searchOracle(searchTerm),
+    // rebuild-from-scratch over the post-write corpus: hash equality
+    // with the Spark side's delta-maintained postings proves the
+    // incremental path exact
+    "q69_reindex_delta" ->
+      s"""WITH afterdocs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN text || ' EDITED' ELSE text END AS text
+            FROM documents WHERE doc_id % 31 <> 5
+            UNION ALL
+            SELECT doc_id + 1000000, 'NEW ' || text FROM documents WHERE doc_id % 41 = 1),
+          ${postingsCteFor("afterdocs")}
+          SELECT doc_id, CAST(gram AS BIGINT) AS gram, occurrences FROM postings""",
     "q22_overlap_pairs" ->
       s"""WITH $postingsCte,
           counts AS (SELECT doc_id, len(text)+3 AS cnt FROM documents),

@@ -216,6 +216,16 @@ object GraphQueries {
         .select(col("id"), col("sibling_id"))
     }),
 
+    // Write-path parent propagation (update_parent_index,
+    // index.rs:242-284): ids to reindex after a write batch = dirty ∪
+    // ancestors ascended through span-rendered parents, stopping at
+    // block-rendered parents — GraphOps.dirtyPropagation.
+    "q72_dirty_propagation" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val dirty = nodes.filter(col("kind") === "TEXT" && col("id") % 20 === 1).select("id")
+      GraphOps.dirtyPropagation(nodes, edges, dirty).select(col("id"))
+    }),
+
     // Bulk preview (lib.rs:462-509): first non-blank block of every
     // node's first-child descent with style accumulation, via pointer
     // doubling — GraphOps.previewAll.
@@ -345,6 +355,18 @@ object GraphQueries {
 
     "q66_siblings_before" -> siblingSql(before = true),
     "q67_siblings_after" -> siblingSql(before = false),
+
+    "q72_dirty_propagation" ->
+      s"""WITH RECURSIVE $graphCte,
+          dirtybase AS (SELECT id FROM kind WHERE kind = 'TEXT' AND id % 20 = 1),
+          closure(id, ascend) AS (
+            SELECT id, true FROM dirtybase
+            UNION
+            SELECT e.parent_id, coalesce(s.is_span, false)
+            FROM closure c JOIN edges e ON e.child_id = c.id
+            LEFT JOIN span s ON s.id = e.parent_id
+            WHERE c.ascend)
+          SELECT DISTINCT id FROM closure""",
 
     // Preview: the functional first-child walk per start (recursive
     // CTE), terminal classification (blank text / childless container /
