@@ -6,6 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Transactional commit protocol + crash-safe compaction for the
   * parquet-backed slot tables — the storage-level twin of the
@@ -47,12 +48,14 @@ final class ManifestStore(spark: SparkSession, rootDir: String) {
 
   /** Highest committed version, 0 when empty. */
   def currentVersion(): Long =
-    Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toLong
-      }
-      .foldLeft(0L)(math.max)
+    Using.resource(Files.list(manifestDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong
+        }
+        .foldLeft(0L)(math.max)
+    }
 
   /** slot → data dir of the given manifest version. */
   def manifest(version: Long = currentVersion()): Map[String, String] =
@@ -77,8 +80,9 @@ final class ManifestStore(spark: SparkSession, rootDir: String) {
     */
   def size(slot: String): Long =
     manifest().get(slot).map { d =>
-      Files.walk(dataDir.resolve(d)).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      Using.resource(Files.walk(dataDir.resolve(d))) { s =>
+        s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      }
     }.getOrElse(0L)
 
   /** An open transaction: stages immutable dirs, commits by CAS. */
@@ -99,9 +103,19 @@ final class ManifestStore(spark: SparkSession, rootDir: String) {
       * it first; otherwise the staged dirs stay orphaned (invisible)
       * and the caller sees the same conflict the reference's
       * optimistic commit reports. Unstaged slots carry over.
+      *
+      * Staged dirs are re-verified right before the CAS: a concurrent
+      * [[gc]] past its grace period may have reclaimed them (they are
+      * unreferenced until this commit publishes them) — publishing a
+      * manifest that points at deleted parquet would be silent data
+      * loss, so a missing staged dir surfaces as a Conflict instead
+      * (retry like any lost CAS). The remaining verify→CAS window is
+      * covered by gc's mtime grace.
       */
     def commit(): Either[Conflict, Long] = {
       val next = baseVersion + 1
+      if (staged.values.exists(d => !Files.exists(dataDir.resolve(d))))
+        return Left(Conflict(baseVersion, currentVersion()))
       val merged = manifest(baseVersion) ++ staged
       val tmp = Files.createTempFile(manifestDir, ".staging", ".tmp")
       try {
@@ -134,24 +148,42 @@ final class ManifestStore(spark: SparkSession, rootDir: String) {
 
   /** Delete data dirs not referenced by the newest `keepVersions`
     * manifests (orphans from lost/killed writers included), then drop
-    * the older manifests. Safe to run any time: referenced dirs of
-    * retained versions are never touched.
+    * the older manifests. Referenced dirs of retained versions are
+    * never touched; UNREFERENCED dirs are only reclaimed once older
+    * than `graceMillis`, because an in-flight [[Txn]]'s staged dirs
+    * are indistinguishable from orphans until its CAS publishes them —
+    * the grace keeps gc safe to run alongside live writers (any txn
+    * older than the grace that still commits is caught by commit()'s
+    * staged-dir re-verify and reports a Conflict instead of
+    * publishing dangling references).
     */
-  def gc(keepVersions: Int = 1): Unit = {
+  def gc(keepVersions: Int = 1, graceMillis: Long = ManifestStore.DefaultGcGraceMillis): Unit = {
     val newest = currentVersion()
     val keep = (0L to newest).filter(v => v > newest - keepVersions && v > 0)
     val referenced = keep.flatMap(v => manifest(v).values).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
     if (Files.exists(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toVector.foreach { slotDir =>
-        Files.list(slotDir).iterator().asScala.toVector.foreach { d =>
+      Using.resource(Files.list(dataDir))(_.iterator().asScala.toVector).foreach { slotDir =>
+        Using.resource(Files.list(slotDir))(_.iterator().asScala.toVector).foreach { d =>
           val rel = s"${slotDir.getFileName}/${d.getFileName}"
-          if (!referenced.contains(rel)) {
-            Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-              .iterator().asScala.foreach(Files.deleteIfExists(_))
+          val oldEnough = Files.getLastModifiedTime(d).toMillis <= cutoff
+          if (!referenced.contains(rel) && oldEnough) {
+            Using.resource(Files.walk(d)) { s =>
+              s.sorted(Comparator.reverseOrder[Path]())
+                .iterator().asScala.foreach(Files.deleteIfExists(_))
+            }
           }
         }
       }
     }
     (1L to newest).filterNot(keep.contains).foreach(v => Files.deleteIfExists(manifestPath(v)))
   }
+}
+
+object ManifestStore {
+  /** Unreferenced dirs younger than this survive [[ManifestStore.gc]]
+    * — must exceed the longest plausible stage→commit window of a
+    * live writer.
+    */
+  val DefaultGcGraceMillis: Long = 15L * 60 * 1000
 }

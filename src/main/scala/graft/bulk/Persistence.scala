@@ -69,9 +69,32 @@ object Persistence {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/overlaps")
   }
 
-  /** Load a snapshot back into a serving-path DB. */
-  def load(spark: SparkSession, dir: String): GraftDb = {
+  /** Hard cap on the node count [[load]] will pull to the driver. The
+    * serving GraftDb is an in-memory single-process store — its whole
+    * role is the executable spec and interactive serving of SMALL
+    * graphs; rehydrating a bulk-scale slot dir through collect() would
+    * OOM the driver long after this bound. Raise deliberately via
+    * [[load]]'s `maxNodes` if a bigger serving store is truly wanted.
+    */
+  val DefaultMaxLoadNodes: Long = 2_000_000L
+
+  /** Load a snapshot back into a serving-path DB.
+    *
+    * Guarded: fails fast when the snapshot exceeds `maxNodes` instead
+    * of silently collect()ing a bulk-scale table into the driver —
+    * big slot dirs belong to the DataFrame pipelines
+    * ([[postingsFrom]], GraphOps), not the serving store.
+    */
+  def load(spark: SparkSession, dir: String,
+      maxNodes: Long = DefaultMaxLoadNodes): GraftDb = {
     val db = new GraftDb
+
+    val nodeCount = spark.read.parquet(s"$dir/nodes").count()
+    require(nodeCount <= maxNodes,
+      s"snapshot at $dir has $nodeCount nodes > maxNodes=$maxNodes: " +
+        "rehydrating it into the in-memory serving store would collect() " +
+        "a bulk-scale table to the driver; use the bulk DataFrame " +
+        "pipelines instead, or raise maxNodes deliberately")
 
     val parents = spark.read.parquet(s"$dir/parents").collect()
       .groupBy(_.getString(0))

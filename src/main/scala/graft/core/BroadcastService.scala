@@ -189,6 +189,28 @@ final class HttpBroadcastEndpoint(baseUrl: String) extends BroadcastEndpoint {
 
   private def uri(path: String) = java.net.URI.create(s"$baseUrl$path")
 
+  /** Minimal JSON field extraction for the worker's three response
+    * shapes: anchored regex per field, tolerant of whitespace, field
+    * order, extra fields, and escaped quotes in string values — any
+    * CONFORMING worker parses, and a missing/malformed field raises a
+    * clear error instead of a split-index ArrayIndexOutOfBounds.
+    */
+  private object MiniJson {
+    def string(body: String, key: String): String = {
+      val re = ("\"" + java.util.regex.Pattern.quote(key) +
+        "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?[0-9]+))").r
+      re.findFirstMatchIn(body) match {
+        case Some(m) =>
+          val s = m.group(1)
+          if (s != null) s.replace("\\\"", "\"").replace("\\\\", "\\") else m.group(2)
+        case None =>
+          throw new IllegalArgumentException(
+            s"missing or malformed JSON field '$key' in worker response: $body")
+      }
+    }
+    def long(body: String, key: String): Long = string(body, key).toLong
+  }
+
   def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long) = {
     val resp = http.send(
       HttpRequest.newBuilder(uri(s"/broadcast?episode=$episodeTs"))
@@ -196,9 +218,9 @@ final class HttpBroadcastEndpoint(baseUrl: String) extends BroadcastEndpoint {
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 201, s"POST failed: ${resp.statusCode()}")
     val body = resp.body()
-    def field(k: String): String =
-      body.split(s""""$k":"?""").apply(1).takeWhile(c => c != '"' && c != ',' && c != '}')
-    (Gid.parse(field("broadcast_id")), field("token"), field("expiration").toLong)
+    (Gid.parse(MiniJson.string(body, "broadcast_id")),
+      MiniJson.string(body, "token"),
+      MiniJson.long(body, "expiration"))
   }
 
   def put(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): Long = {
@@ -209,7 +231,7 @@ final class HttpBroadcastEndpoint(baseUrl: String) extends BroadcastEndpoint {
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 401) throw new IllegalArgumentException("invalid broadcast token")
     if (resp.statusCode() == 404) throw new NoSuchElementException(s"broadcast $bid")
-    resp.body().split(""""expiration":""").apply(1).takeWhile(_.isDigit).toLong
+    MiniJson.long(resp.body(), "expiration")
   }
 
   def episodeTimestamps(bid: Gid): Vector[Long] = {
@@ -218,7 +240,7 @@ final class HttpBroadcastEndpoint(baseUrl: String) extends BroadcastEndpoint {
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) Vector.empty
     else resp.body().stripPrefix("[").stripSuffix("]").split(",")
-      .filter(_.nonEmpty).map(_.toLong).toVector
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toVector
   }
 
   def episode(bid: Gid, ts: Long): ExportBlob = {

@@ -61,6 +61,14 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
   }
   private val broadcasts = mutable.HashMap.empty[Gid, State]
 
+  /** Server-side TTL: an expired broadcast is ABSENT — the reference
+    * worker's KV TTL makes expired entries 404, so put can't revive
+    * one and reads don't serve stale data to subscribers that skip the
+    * client-side liveness check.
+    */
+  private def liveState(bid: Gid): Option[State] =
+    broadcasts.get(bid).filter(_.expiration > clock())
+
   def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long) = synchronized {
     val bid = Gid.random()
     val token = Gid.random().toString
@@ -71,7 +79,7 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
   }
 
   def put(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): Long = synchronized {
-    val st = broadcasts.getOrElse(bid, throw new NoSuchElementException(s"broadcast $bid"))
+    val st = liveState(bid).getOrElse(throw new NoSuchElementException(s"broadcast $bid"))
     require(st.token == token, "invalid broadcast token")
     st.episodes(episodeTs) = blob
     st.expiration = math.max(st.expiration, clock() + BroadcastTtlMs)
@@ -79,11 +87,11 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
   }
 
   def episodeTimestamps(bid: Gid): Vector[Long] = synchronized {
-    broadcasts.get(bid).map(_.episodes.keys.toVector).getOrElse(Vector.empty)
+    liveState(bid).map(_.episodes.keys.toVector).getOrElse(Vector.empty)
   }
 
   def episode(bid: Gid, ts: Long): ExportBlob = synchronized {
-    broadcasts(bid).episodes(ts)
+    liveState(bid).getOrElse(throw new NoSuchElementException(s"broadcast $bid")).episodes(ts)
   }
 
   def delete(bid: Gid, token: String): Unit = synchronized {

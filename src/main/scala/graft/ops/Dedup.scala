@@ -85,8 +85,14 @@ object Dedup {
       .filter(col("df") > maxShingleFreq).select("shingle")
     // kept feeds three consumers (sizes + both self-join sides), each
     // of which would re-run the explode AND the hot-shingle subquery —
-    // persist the narrow (id, shingle) frame so that happens once
-    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
+    // localCheckpoint materializes the narrow (id, shingle) frame once
+    // and, unlike persist(), its blocks are reclaimed when the frame
+    // goes out of scope (a persist here leaked cache across queries in
+    // any long-lived session). Per-doc `sizes` is corpus-proportional,
+    // so it carries NO broadcast hint — AQE picks the join strategy
+    // from its actual size (broadcast at bench scale, shuffle at 100 TB
+    // where forcing it through the driver would OOM).
+    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").localCheckpoint()
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
     val a = kept.select(col("id").as("id_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("shingle"))
@@ -94,8 +100,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("setsize").as("size_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("setsize").as("size_b"))), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("setsize").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("setsize").as("size_b")), "id_b")
       .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
       .filter(col("inter") * den > col("union_size") * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_size"))
@@ -210,15 +216,18 @@ object Dedup {
       num: Int,
       den: Int): DataFrame = {
     // The band-key self-join and the two downstream uses would each
-    // recompute the signature pipeline — persist both layers.
-    val signatures = minhashSignatures(shingleSets, numPerm).persist()
-    val candidates = lshCandidates(signatures, bands, numPerm / bands).persist()
+    // recompute the signature pipeline — localCheckpoint materializes
+    // both layers once (auto-reclaimed, unlike a leaked persist); the
+    // candidate frames are corpus-proportional, so no broadcast hints —
+    // AQE sizes the joins.
+    val signatures = minhashSignatures(shingleSets, numPerm).localCheckpoint()
+    val candidates = lshCandidates(signatures, bands, numPerm / bands).localCheckpoint()
     val candidateIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
-    val subset = shingleSets.join(broadcast(candidateIds), Seq("id"), "left_semi")
+    val subset = shingleSets.join(candidateIds, Seq("id"), "left_semi")
     jaccardPairs(subset, num, den)
-      .join(broadcast(candidates), Seq("id_a", "id_b"), "left_semi")
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
   }
 
   /** Scale-path MinHash+LSH near-dup pairs, starting from raw docs:
@@ -247,22 +256,25 @@ object Dedup {
       col(idCol).as("id"),
       posexplode(call_function(
         "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
-    // candidates feed two consumers (id restriction + final semi-join);
-    // the frame is tiny — persist so the band self-join runs once.
+    // candidates feed two consumers (id restriction + final semi-join):
+    // localCheckpoint materializes the band self-join once and is
+    // reclaimed with the frame (persist leaked cache between queries).
+    // Candidate frames scale with the dup rate, not a constant — no
+    // broadcast hints, AQE sizes the joins at runtime.
     val candidates = keys.as("x")
       .join(keys.as("y"), Seq("band", "key"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val candidateIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
     val candidateDocs = docs.join(
-      broadcast(candidateIds), col(idCol) === candidateIds("id"), "left_semi")
+      candidateIds, col(idCol) === candidateIds("id"), "left_semi")
     val subset = shingleSets(candidateDocs, idCol, textCol, k)
     jaccardPairs(subset, num, den)
-      .join(broadcast(candidates), Seq("id_a", "id_b"), "left_semi")
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
   }
 
   /** 60-bit SimHash fingerprints over tf-weighted tokens: per bit, the

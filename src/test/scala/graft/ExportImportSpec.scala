@@ -171,6 +171,13 @@ class ExportImportSpec extends AnyFunSuite {
     t = 500000L
     assert(hub.put(bid, token, 2L, blob) === 500000L + hub.BroadcastTtlMs)
 
+    // server-side TTL: past the expiration the broadcast is ABSENT —
+    // put cannot revive it, episodes 404, timestamps are empty
+    t = 500000L + hub.BroadcastTtlMs + 1
+    assert(hub.episodeTimestamps(bid).isEmpty)
+    intercept[NoSuchElementException](hub.episode(bid, 1L))
+    intercept[NoSuchElementException](hub.put(bid, token, 3L, blob))
+
     // client-side expiry: a hub whose clock is epoch-0 grants 1970
     // expirations — liveness checks against the wall clock drop them
     val pastHub = new BroadcastHub(() => 0L)

@@ -81,7 +81,11 @@ class ManifestStoreSpec extends AnyFunSuite {
       java.nio.file.Files.list(p).count()
     }
     assert(dataDirs === 2)
+    // default grace keeps the fresh orphan (it could be a live txn's
+    // staged dir); grace 0 reclaims it
     store.gc(keepVersions = 1)
+    assert(dataDirs === 2)
+    store.gc(keepVersions = 1, graceMillis = 0L)
     assert(dataDirs === 1)
 
     // the re-run compaction commits and is correct: latest live only
@@ -112,5 +116,17 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(store.read("a").get.count() === 1)
     assert(store.read("b").get.count() === 1)
     assert(store.currentVersion() === 2L)
+  }
+
+  test("a txn whose staged dirs were gc-reclaimed conflicts instead of publishing dangling refs") {
+    val store = new ManifestStore(spark, tmpRoot())
+    store.begin().stage("nodes", versionedRows((1L, 1L, false, "a"))).commit()
+    val txn = store.begin().stage("nodes", versionedRows((1L, 2L, false, "b")))
+    // an aggressive gc (no grace — simulating a txn that outlived the
+    // grace period) reclaims the staged dir before the commit
+    store.gc(keepVersions = 1, graceMillis = 0L)
+    assert(txn.commit().isLeft, "commit must re-verify staged dirs and conflict")
+    // the committed state is still readable and intact
+    assert(store.read("nodes").get.count() === 1)
   }
 }

@@ -70,4 +70,17 @@ class PersistenceSpec extends AnyFunSuite {
     loaded.swap(textId, Node.Text("replaced after load"))
     assert(loaded.search("replaced after load").exists(_.id == textId))
   }
+
+  test("load refuses snapshots beyond the driver-side node cap") {
+    val db = new GraftDb
+    val t = db.add(Node.Text("guarded"))
+    db.add(Node.List(Layout.Page, Vector(Child.Lazy(t))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist3").toString
+    Persistence.save(db, spark, dir)
+    val e = intercept[IllegalArgumentException](
+      Persistence.load(spark, dir, maxNodes = 1L))
+    assert(e.getMessage.contains("maxNodes"))
+    // the default cap loads it fine
+    assert(Persistence.load(spark, dir).get(t).contains(Node.Text("guarded")))
+  }
 }
