@@ -1,0 +1,139 @@
+package graft
+
+import graft.bulk.{GraphOps, TileOps}
+import graft.core.GraftDb
+import graft.model.{Child, Layout, Node}
+import graft.view.View
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch tile rendering (TileOps.tileSkeletons) against the serving
+  * View.tile as the executable specification: for every root, the
+  * section decomposition, ordered subsection leaves, before/after
+  * branch id sets (with inline-ancestor promotion and in-view
+  * exclusion), and the linking parent branches must match — on the
+  * ported tile scenarios (assemblage_view/tests/tile.rs:160-427 via
+  * TileBranchSpec) plus styled/diamond graphs.
+  */
+class BulkTileSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-tile-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private type Row = (Long, Long, Option[String], Boolean, String, Set[String], Set[String])
+
+  private def servingRows(db: GraftDb, root: graft.model.Gid): Set[Row] = {
+    val view = new View(db)
+    view.tile(root).sections.zipWithIndex.flatMap { case (sec, si) =>
+      sec.subsections.zipWithIndex.map { case (sub, bi) =>
+        ((si + 1).toLong, (bi + 1).toLong, sec.id.map(_.toString),
+          sec.hasMultipleParents, sub.id.toString,
+          sub.before.map(_.link.descendant.id.toString).toSet,
+          sub.after.map(_.link.descendant.id.toString).toSet)
+      }
+    }.toSet
+  }
+
+  private def checkParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = {
+    import spark.implicits._
+    val (nodes0, edges) = GraphOps.tablesFrom(db, spark)
+    val nodes = GraphOps.siblingNodes(nodes0)
+    val rootsDf = roots.map(_.toString).toDF("id")
+    val bulk = TileOps.tileSkeletons(nodes, edges, rootsDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getBoolean(4), r.getString(5),
+        r.getSeq[String](6).toSet, r.getSeq[String](7).toSet): Row))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bulkParents = TileOps.tileParentBranches(nodes, edges, rootsDf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (root <- roots) {
+      assert(bulk.getOrElse(root.toString, Set.empty[Row]) === servingRows(db, root),
+        s"$clue: tile($root) skeleton")
+      val mainNode = db.get(root).get
+      val servingLinkParents = db.parents(root)
+        .filter(p => db.isLink(mainNode, db.get(p.id).get)).map(_.id.toString)
+      assert(bulkParents.getOrElse(root.toString, Set.empty) === servingLinkParents,
+        s"$clue: tile($root) parent branches")
+    }
+  }
+
+  test("blank siblings are skipped in batch before-branches (tile.rs)") {
+    val db = new GraftDb
+    val a = db.add(Node.Text("A")); val b = db.add(Node.Text("B")); val c = db.add(Node.Text("C"))
+    val page1 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(a), Child.Lazy(b), Child.Lazy(c))))
+    val blank1 = db.add(Node.List(Layout.Chain, Vector.empty))
+    val blank2 = db.add(Node.Text("   "))
+    val x = db.add(Node.Text("X"))
+    val page2 = db.add(Node.List(Layout.Page, Vector(
+      Child.Lazy(x), Child.Lazy(blank1), Child.Lazy(blank2), Child.Lazy(a), Child.Lazy(b))))
+    checkParity(db, Seq(page1, page2), "blank-skip")
+  }
+
+  test("links appear as branches only from inline wrappers") {
+    for (layout <- Seq(Layout.Chain, Layout.Page)) {
+      val db = new GraftDb
+      val a = db.add(Node.Text("A")); val b = db.add(Node.Text("B")); val c = db.add(Node.Text("C"))
+      val x = db.add(Node.Text("X"))
+      val xAsBlock = db.add(Node.List(Layout.Page, Vector(Child.Lazy(x))))
+      val xWrapped = db.add(Node.List(layout, Vector(Child.Lazy(xAsBlock))))
+      val page1 = db.add(Node.List(Layout.Page, Vector(
+        Child.Lazy(a), Child.Lazy(b), Child.Lazy(c), Child.Lazy(xWrapped))))
+      val page3 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(x), Child.Lazy(b), Child.Lazy(c))))
+      checkParity(db, Seq(page1, page3), s"link-branch-$layout")
+    }
+  }
+
+  test("chain siblings are promoted to the whole chain, stopping at blocks") {
+    val db = new GraftDb
+    val foo = db.add(Node.styledSpan("BOLD", Node.Text("foo")))
+    val bar = db.add(Node.Text("bar"))
+    val chain = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(foo), Child.Lazy(bar))))
+    val sharedText = db.add(Node.Text("shared"))
+    val page1 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(sharedText))))
+    val page2 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(chain), Child.Lazy(sharedText))))
+    val unrelated = db.add(Node.Text("unrelated"))
+    val outer = db.add(Node.List(Layout.Page, Vector(Child.Lazy(unrelated), Child.Lazy(page2))))
+    checkParity(db, Seq(page1, page2, outer), "chain-promotion")
+  }
+
+  test("linking parents become parent branches; multi-parent blocks split sections") {
+    val db = new GraftDb
+    val page = db.add(Node.page(Node.Text("some text")))
+    val parent1 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(page))))
+    val parent2 = db.add(Node.List(Layout.Page, Vector(
+      Child.Eager(Node.Text("Parent page")),
+      Child.Eager(Node.List(Layout.Page, Vector(Child.Lazy(page)))))))
+    val outer = db.add(Node.List(Layout.Page, Vector(
+      Child.Eager(Node.Text("Parent of parent page")),
+      Child.Eager(Node.List(Layout.Chain, Vector(Child.Lazy(parent2)))))))
+    checkParity(db, Seq(page, parent1, parent2, outer), "parents-and-shared")
+  }
+
+  test("parent link via chain wrapper yields a parent branch") {
+    val db = new GraftDb
+    val page = db.add(Node.page(Node.Text("some text")))
+    val parentOfPage = db.add(Node.List(Layout.Page, Vector(
+      Child.Eager(Node.Text("Parent page")),
+      Child.Eager(Node.List(Layout.Chain, Vector(Child.Lazy(page)))))))
+    checkParity(db, Seq(page, parentOfPage), "parent-link")
+  }
+
+  test("styled wrappers and diamonds keep skeleton parity") {
+    val db = new GraftDb
+    val shared = db.add(Node.Text("shared leaf"))
+    val c1 = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(shared))))
+    val c2 = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(shared))))
+    val diamond = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(c1), Child.Lazy(c2))))
+    val page = db.add(Node.page(
+      Node.Text("one"),
+      Node.styledSpan("BOLD", Node.Text("two")),
+      Node.styledBlock("HEADING", Node.Text("three"))))
+    val root = db.add(Node.List(Layout.Page, Vector(Child.Lazy(diamond), Child.Lazy(page))))
+    checkParity(db, Seq(root, page), "styled-diamond")
+  }
+}
