@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve data generator: replicate the sf0.1 documents and
+  * embeddings `reps`× with per-replica decorrelation, so the dedup/ANN
+  * family can be timed at ~sf1 without driver-provided data.
+  *
+  * Decorrelation preserves the distributions that drive the operators'
+  * cost model while keeping replicas dissimilar (so dup rates and
+  * posting-list shapes scale like organically larger corpora, not like
+  * 10 exact copies):
+  *   - documents: per-replica alphanumeric rotation (Caesar on a-z,
+  *     A-Z, 0-9). Within-replica near-dup structure is preserved
+  *     exactly (rotation is a bijection on shingles); cross-replica
+  *     shingles are disjoint, so document frequencies and the df-cap
+  *     behave as in a corpus with 10× the vocabulary mass.
+  *   - embeddings: per-replica circular component shift — norms and
+  *     pairwise within-replica cosines are preserved, cross-replica
+  *     similarity decorrelates.
+  *
+  * Ids offset by replica (multiples of 100 so `id % 100` query-subset
+  * predicates keep their selectivity); replica 0 is the original data,
+  * so IVF's deterministic `vec_id < 16` centroids stay meaningful.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [outDir] [reps]
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/sfscale"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rot = udf { (text: String, k: Int) =>
+      if (text == null) null
+      else {
+        val sb = new StringBuilder(text.length)
+        text.foreach { c =>
+          sb.append(
+            if (c >= 'a' && c <= 'z') ('a' + ((c - 'a' + k) % 26)).toChar
+            else if (c >= 'A' && c <= 'Z') ('A' + ((c - 'A' + k) % 26)).toChar
+            else if (c >= '0' && c <= '9') ('0' + ((c - '0' + k) % 10)).toChar
+            else c)
+        }
+        sb.toString
+      }
+    }
+    val shift = udf { (v: Seq[Float], k: Int) =>
+      if (v == null) null
+      else { val n = v.length; Seq.tabulate(n)(i => v((i + k) % n)) }
+    }
+
+    val replicas = spark.range(reps).select(col("id").cast("int").as("k"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(replicas))
+      .select(
+        (col("doc_id") + col("k").cast("long") * 1000000L).as("doc_id"),
+        rot(col("text"), col("k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(broadcast(replicas))
+      .select(
+        (col("vec_id") + col("k").cast("long") * 100000L).as("vec_id"),
+        shift(col("embedding"), col("k")).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    println(s"[scalegen] wrote ${reps}x documents+embeddings to $out")
+    spark.stop()
+  }
+}
