@@ -663,17 +663,22 @@ object GraphOps {
       .select(col("id"), col("is_span")).cache()
     var pending = base.filter(col("is_span").isNull).select(col("id")).cache()
     val styledEdge = edges.select(col("parent_id"), col("child_id"))
-    var progress = true
-    while (progress && pending.count() > 0) {
+    // one action per round: the step count both drives progress and
+    // updates the pending tally (a separate pending.count() per round
+    // would double the job count of the fixpoint)
+    var pendingCount = pending.count()
+    while (pendingCount > 0) {
       val step = pending
         .join(styledEdge, pending("id") === styledEdge("parent_id"))
         .join(resolved.withColumnRenamed("id", "rid"), col("child_id") === col("rid"))
         .select(pending("id"), col("is_span"))
+        .localCheckpoint()
       val n = step.count()
-      if (n == 0) progress = false // unresolvable = cyclic styled chains
+      if (n == 0) pendingCount = 0 // unresolvable = cyclic styled chains
       else {
         resolved = resolved.unionByName(step).localCheckpoint()
         pending = pending.join(step.select("id"), Seq("id"), "left_anti").localCheckpoint()
+        pendingCount -= n
       }
     }
     resolved
