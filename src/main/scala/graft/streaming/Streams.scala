@@ -121,6 +121,30 @@ object Streams {
       }
   }
 
+  /** One micro-batch step of STREAMING incremental index maintenance —
+    * the foreachBatch body of a streaming reindex query, running the
+    * exact batch delta path (GramIndex.gramDiff/applyGramDiff, q69):
+    * the write batch holds upserts (doc with text) and deletes (text
+    * null); its ids are the dirty set, their standing postings the
+    * "before" side, the upserts' fresh postings the "after" side, and
+    * the gram diff merges in. State per batch = one dirty-sized
+    * shuffle against the standing table — the write path's 100 TB
+    * shape, incrementally. StreamingReindexSpec drives it from a
+    * MemoryStream and proves the maintained table equals a rebuild.
+    */
+  def applyWriteBatch(
+      standing: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val dirtyIds = batch.select(col(idCol).as("id")).distinct()
+    val beforeDirty = standing.join(dirtyIds, Seq("id"), "left_semi")
+    val afterDirty = graft.bulk.GramIndex.postings(
+      batch.filter(col(textCol).isNotNull), idCol, textCol)
+    graft.bulk.GramIndex.applyGramDiff(
+      standing, graft.bulk.GramIndex.gramDiff(beforeDirty, afterDirty))
+  }
+
   /** Broadcast-episode ingestion: the hub's object-store layout
     * (`<dir>/<broadcastId>/ep_<ts>.parquet`) consumed as a file-arrival
     * stream — the Spark-native form of fetch_broadcast's episode

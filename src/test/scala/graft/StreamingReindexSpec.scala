@@ -1,0 +1,63 @@
+package graft
+
+import graft.bulk.GramIndex
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming incremental index maintenance: a stream of write events
+  * (upserts + deletes) maintains the postings table through
+  * foreachBatch + the batch gram-diff delta (Streams.applyWriteBatch);
+  * the maintained table must equal a rebuild from the final corpus —
+  * the streaming twin of q69's delta ≡ rebuild invariant.
+  */
+class StreamingReindexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-streaming-reindex")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  final case class Write(doc_id: Long, text: String) // text null = delete
+
+  test("streamed write batches maintain postings equal to a rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val initial = Seq(
+      (1L, "hello world"), (2L, "foo bar baz"), (3L, "to be deleted"), (4L, "unchanged"))
+      .toDF("doc_id", "text")
+    var standing = GramIndex.postings(initial, "doc_id", "text").localCheckpoint()
+
+    val input = MemoryStream[Write]
+    val query = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint: each batch folds into materialized state,
+        // not an ever-growing logical plan
+        standing = Streams.applyWriteBatch(standing, batch, "doc_id", "text")
+          .localCheckpoint()
+      }
+      .start()
+
+    input.addData(Write(1L, "hello brave world"), Write(3L, null)) // update + delete
+    query.processAllAvailable()
+    input.addData(Write(5L, "brand new document"), Write(1L, "hello final world"))
+    query.processAllAvailable()
+    query.stop()
+
+    val finalCorpus = Seq(
+      (1L, "hello final world"), (2L, "foo bar baz"), (4L, "unchanged"),
+      (5L, "brand new document"))
+      .toDF("doc_id", "text")
+    val rebuilt = GramIndex.postings(finalCorpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(standing) === rows(rebuilt))
+    assert(standing.filter(col("occurrences") <= 0).isEmpty)
+  }
+}
