@@ -37,7 +37,13 @@ object Bench {
     // code cache stays warm. Set SPARK_GRAFT_COLD=true for
     // single-run (compile-inclusive) timings.
     val steadyState = !sys.env.get("SPARK_GRAFT_COLD").contains("true")
-    val results = SparkEntry.benchQueries.map { name =>
+    // Optional subset (comma-separated names) — used by the scale-curve
+    // runs, where the intentionally-quadratic verifiers would dominate
+    // wall-clock at large replication factors.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.benchQueries)(f => SparkEntry.benchQueries.filter(f))
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

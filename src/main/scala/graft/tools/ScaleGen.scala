@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * cost model while keeping replicas dissimilar (so dup rates and
   * posting-list shapes scale like organically larger corpora, not like
   * 10 exact copies):
-  *   - documents: per-replica alphanumeric rotation (Caesar on a-z,
-  *     A-Z, 0-9). Within-replica near-dup structure is preserved
+  *   - documents: per-replica rotation over the 62-char [a-zA-Z0-9]
+  *     alphabet (whitespace/punctuation fixed, so tokenization shape
+  *     is preserved). Within-replica near-dup structure is preserved
   *     exactly (rotation is a bijection on shingles); cross-replica
-  *     shingles are disjoint, so document frequencies and the df-cap
-  *     behave as in a corpus with 10× the vocabulary mass.
+  *     shingles are disjoint for reps ≤ 62, so document frequencies
+  *     and the df-cap behave as in a corpus with reps× the vocabulary
+  *     mass.
   *   - embeddings: per-replica circular component shift — norms and
   *     pairwise within-replica cosines are preserved, cross-replica
   *     similarity decorrelates.
@@ -40,16 +42,17 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val alphabet = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toArray
+    val alphaIdx: Map[Char, Int] = alphabet.zipWithIndex.toMap
     val rot = udf { (text: String, k: Int) =>
       if (text == null) null
       else {
         val sb = new StringBuilder(text.length)
         text.foreach { c =>
-          sb.append(
-            if (c >= 'a' && c <= 'z') ('a' + ((c - 'a' + k) % 26)).toChar
-            else if (c >= 'A' && c <= 'Z') ('A' + ((c - 'A' + k) % 26)).toChar
-            else if (c >= '0' && c <= '9') ('0' + ((c - '0' + k) % 10)).toChar
-            else c)
+          sb.append(alphaIdx.get(c) match {
+            case Some(i) => alphabet((i + k) % alphabet.length)
+            case None    => c
+          })
         }
         sb.toString
       }
