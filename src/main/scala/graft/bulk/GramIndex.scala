@@ -25,13 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object GramIndex {
 
-  /** (id, gram, occurrences) — the slot-2 postings table. The
-    * tokenizer is the native codegen expression graft.functions
-    * .GramTokens (grams as unsigned-u32-in-Long so values match
-    * external oracles for any byte content — Int would sign-flip for
-    * bytes >= 0x80).
+  /** (id, gram, occurrences) — the slot-2 postings table. The native
+    * GramPostings kernel tokenizes AND aggregates per document inside
+    * one projection (every (id, gram) group's rows all come from that
+    * id's single input row), so the postings build is a pure map-side
+    * pipeline with zero shuffles — the composed explode + groupBy twin
+    * below shuffles the full (id, gram) stream. Grams are
+    * unsigned-u32-in-Long so values match external oracles for any
+    * byte content (Int would sign-flip for bytes >= 0x80).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GramPostings.ensureRegistered(docs.sparkSession)
+    // The kernel fans each doc out ~len+3×, so scan partitions (sized
+    // for scan BYTES) undersize the post-explode work: a single small
+    // parquet row group would run the whole corpus tokenize + every
+    // downstream join serially. Fan out the compact pre-explode rows
+    // only when the scan is under-parallel — at cluster scale the scan
+    // already has >> defaultParallelism splits and this is a no-op.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    src
+      .select(col(idCol).as("id"),
+        explode(call_function("graft_gram_postings", col(textCol))).as("p"))
+      .select(col("id"), col("p.gram").as("gram"), col("p.occurrences").as("occurrences"))
+  }
+
+  /** Composed explode + groupBy postings — the cross-check twin of the
+    * one-pass kernel form (GramTokensSpec parity).
+    */
+  def postingsComposed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GramTokens.ensureRegistered(docs.sparkSession)
     docs
       .select(col(idCol).as("id"),

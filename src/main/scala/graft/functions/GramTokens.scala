@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the byte-4-gram tokenizer
@@ -73,11 +74,96 @@ object GramTokens {
   }
 }
 
+/** Per-doc aggregated postings: the byte-4-gram multiset of one text as
+  * an array of (gram, occurrences) structs, sorted by gram. Every
+  * occurrence of a gram within a document comes from that document's
+  * single input row, so the slot-2 postings aggregation
+  * (`groupBy(id, gram).count`) can run entirely inside this kernel —
+  * the postings table becomes a pure map-side projection with ZERO
+  * shuffles, where the composed explode+groupBy form shuffles the full
+  * (id, gram) stream. Result-identical to exploding [[GramTokens]] and
+  * counting (GramTokensSpec parity).
+  */
+case class GramPostings(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gram", LongType, nullable = false),
+      StructField("occurrences", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gram_postings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramPostings.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramPostings.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramPostings =
+    copy(child = newChild)
+}
+
+object GramPostings {
+
+  /** Tokenize + sort + run-length encode in one pass over the row. */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val grams = new Array[Long](n + 3)
+    var i = 0
+    while (i < n + 3) {
+      var g = 0L
+      var j = 0
+      while (j < 4) {
+        val idx = i + j - 3
+        val b = if (idx >= 0 && idx < n) bytes(idx) & 0xffL else 0L
+        g = (g << 8) | b
+        j += 1
+      }
+      grams(i) = g
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    var runs = 1
+    i = 1
+    while (i < grams.length) {
+      if (grams(i) != grams(i - 1)) runs += 1
+      i += 1
+    }
+    val rows = new Array[Any](runs)
+    var r = 0
+    i = 0
+    while (i < grams.length) {
+      var j = i + 1
+      while (j < grams.length && grams(j) == grams(i)) j += 1
+      rows(r) = InternalRow(grams(i), (j - i).toLong)
+      r += 1
+      i = j
+    }
+    new GenericArrayData(rows)
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_gram_postings")
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[GramPostings].getCanonicalName, "graft_gram_postings")
+  val builder: Seq[Expression] => Expression =
+    children => GramPostings(Cast(children.head, StringType))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(functionName))
+      registry.registerFunction(functionName, info, builder)
+  }
+}
+
 /** SparkSessionExtensions entry point: launch with
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` to get
   * the engine's native functions in every session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GramTokens.functionName, GramTokens.info, GramTokens.builder))
+    ext.injectFunction((GramPostings.functionName, GramPostings.info, GramPostings.builder))
+  }
 }
