@@ -31,4 +31,18 @@ object Tables {
 
   /** DECIMAL(18,2) view of a 2-decimal double column (exact). */
   def money(c: String) = col(c).cast(DecimalType(18, 2))
+
+  /** Fan an under-parallel frame out to defaultParallelism before
+    * feeding a per-row kernel that fans work out (tokenize, shingle,
+    * signature, decode). Scan partitions are sized for scan BYTES; a
+    * small single-row-group parquet file is ONE partition, which would
+    * run the whole map-side kernel stage serially. At cluster scale a
+    * big scan already has >> defaultParallelism splits and this is a
+    * no-op — the repartition only fires where it is cheap by
+    * construction (the input is small enough to be under-parallel).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

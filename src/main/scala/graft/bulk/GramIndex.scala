@@ -36,15 +36,9 @@ object GramIndex {
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GramPostings.ensureRegistered(docs.sparkSession)
-    // The kernel fans each doc out ~len+3×, so scan partitions (sized
-    // for scan BYTES) undersize the post-explode work: a single small
-    // parquet row group would run the whole corpus tokenize + every
-    // downstream join serially. Fan out the compact pre-explode rows
-    // only when the scan is under-parallel — at cluster scale the scan
-    // already has >> defaultParallelism splits and this is a no-op.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    src
+    // The kernel fans each doc out ~len+3×: fan out the compact
+    // pre-explode rows when the scan is under-parallel (Tables.fanOut).
+    graft.Tables.fanOut(docs)
       .select(col(idCol).as("id"),
         explode(call_function("graft_gram_postings", col(textCol))).as("p"))
       .select(col("id"), col("p.gram").as("gram"), col("p.occurrences").as("occurrences"))

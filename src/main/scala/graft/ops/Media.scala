@@ -44,7 +44,9 @@ object Media {
   def asMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    // decode/featurize runs per partition; fan under-parallel scans out
+    // so a single small row group doesn't serialize the whole pipeline
+    graft.Tables.fanOut(docs).select(
       col(idCol).cast("long").as("doc_id"),
       lit("image/fake").as("media_type"),
       encode(col(textCol), "UTF-8").as("content"))

@@ -71,7 +71,12 @@ object Similarity {
     dotUdf(ad, bd) / (sqrt(dotUdf(ad, ad)) * sqrt(dotUdf(bd, bd)))
   }
 
-  /** (id, packed vector, norm) — packing and norms once per vector. */
+  /** (id, packed vector, norm) — packing and norms once per vector.
+    * No fanOut here: the top-k paths score against a BROADCAST query
+    * side map-side, and measured at bench scale the extra exchange
+    * costs more than the serial packing saves (q35 0.40 vs 0.61 s);
+    * the heavy all-pairs path fans its inputs out itself.
+    */
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
     emb.select(col(idCol).as(s"${prefix}id"), packUdf(asDouble(col(vecCol))).as(s"${prefix}v"))
       .withColumn(s"${prefix}nrm", sqrt(dotPacked(col(s"${prefix}v"), col(s"${prefix}v"))))
@@ -119,9 +124,12 @@ object Similarity {
     import spark.implicits._
     val blockPairs = (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
       .toDF("ga", "gb")
-    val a = withNorm(emb, idCol, vecCol, "a")
+    // per-task pair work is quadratic in block size — fan the inputs
+    // out so packing + the block join spread (measured q34 0.64→0.42 s)
+    val src = graft.Tables.fanOut(emb)
+    val a = withNorm(src, idCol, vecCol, "a")
       .withColumn("blka", pmod(hash(col("aid")), lit(numBlocks)))
-    val b = withNorm(emb, idCol, vecCol, "b")
+    val b = withNorm(src, idCol, vecCol, "b")
       .withColumn("blkb", pmod(hash(col("bid")), lit(numBlocks)))
     a.join(broadcast(blockPairs), col("blka") === col("ga"))
       .join(b, col("blkb") === col("gb"))

@@ -90,7 +90,7 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
-    docs.select(
+    graft.Tables.fanOut(docs).select(
       col(idCol).as("doc_id"),
       call_function("graft_poly_hash", col(textCol)).as("poly_hash"),
       call_function("graft_min_window_hash", col(textCol)).as("min_window_hash"))
