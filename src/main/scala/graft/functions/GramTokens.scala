@@ -159,11 +159,21 @@ object GramPostings {
 
 /** SparkSessionExtensions entry point: launch with
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` to get
-  * the engine's native functions in every session.
+  * the engine's ENTIRE native-function surface in every session —
+  * `spark.sql("SELECT graft_simhash60(text) ...")` works with no Scala
+  * imports. The same kernels self-register lazily through each
+  * object's `ensureRegistered` when used via the DataFrame operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GramTokens.functionName, GramTokens.info, GramTokens.builder))
     ext.injectFunction((GramPostings.functionName, GramPostings.info, GramPostings.builder))
+    ext.injectFunction((SimHash60.functionName, SimHash60.info, SimHash60.builder))
+    ext.injectFunction((MinHashSig.functionName, MinHashSig.info, MinHashSig.builder))
+    ext.injectFunction((MinHashBands.functionName, MinHashBands.info, MinHashBands.builder))
+    ext.injectFunction((ShingleSet.functionName, ShingleSet.info, ShingleSet.builder))
+    ext.injectFunction((ShingleHashes.functionName, ShingleHashes.info, ShingleHashes.builder))
+    ext.injectFunction((PolyHash.functionName, PolyHash.info, PolyHash.builder))
+    ext.injectFunction((MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder))
   }
 }

@@ -97,6 +97,11 @@ object Dedup {
     // where forcing it through the driver would OOM).
     val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").localCheckpoint()
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+    // Pair generation stays the codegen'd self-join: a collect_list +
+    // combinations-explode variant (one exchange instead of two) was
+    // A/B-benched and LOST (2.20 vs 1.50 s at sf0.1) — interpreted
+    // higher-order lambdas and the non-codegen object aggregate cost
+    // more than the second exchange read saves.
     val a = kept.select(col("id").as("id_a"), col("shingle"))
     val b = kept.select(col("id").as("id_b"), col("shingle"))
     a.join(b, Seq("shingle"))
