@@ -66,6 +66,36 @@ object Prof {
         run("salted32")(graft.bulk.GramIndex.overlapPairsSalted(dirty, p, c, 32))
         run("bcast 1")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
         run("bcast 2")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
+      case "q01cents" =>
+        // Is the DECIMAL aggregation q01's cost, or the scan/schedule
+        // floor? Compare: bare filtered count, the DECIMAL agg (shipped
+        // shape), and an exact long-cents agg. MEASURED (sf0.1, warm):
+        // decimal 0.88 s, cents 0.40 s, bare count 0.50 s. The cents
+        // form is NOT shipped: the 4-decimal product sums exceed 2^63
+        // 1e-4-units at 100 TB group totals, i.e. the cheap path
+        // silently wraps exactly where the engine is supposed to run —
+        // DECIMAL (128-bit checked) is the scale-correct choice and the
+        // ~0.45 s/query delta is the price of it at bench SF.
+        import org.apache.spark.sql.functions._
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val filtered = li.filter(col("l_shipdate") <= lit("2000-09-02").cast("date"))
+        time("bare count")(filtered.count())
+        for (i <- 1 to 2) {
+          time(s"decimal agg $i")(noop(
+            graft.SparkEntry.queries("q01_pricing_summary")(spark, dir)))
+          time(s"cents agg $i")(noop(
+            filtered
+              .groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(
+                (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
+                (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+                (sum(round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+                  .as("sum_disc_price"),
+                count(lit(1)).as("count_order"))))
+        }
       case other =>
         // run twice: the first pays JVM/codegen warmup, the second is
         // the steady-state number comparable to Bench's post-warmup runs
