@@ -220,6 +220,22 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
       .sortBy(_._1)
+    ivfTopKWith(emb, idCol, vecCol, queries, centRows, nprobe, k)
+  }
+
+  /** Shared IVF probe/rerank machinery over a driver-side centroid
+    * table (seeded or k-means-trained): map-side argmax assignment,
+    * nprobe cell probes per query, exact-cosine rerank inside the
+    * probed cells only.
+    */
+  private def ivfTopKWith(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      centRows: Array[(Long, Array[Byte], Double)],
+      nprobe: Int,
+      k: Int): DataFrame = {
     val cids = centRows.map(_._1)
     val cvs = centRows.map(_._2)
     val cnrms = centRows.map(_._3)
@@ -255,6 +271,106 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  private def packDoubles(v: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(v.length * 8)
+    v.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** Distributed Lloyd's k-means (cosine/spherical form) over the
+    * embedding column, for TRAINED IVF centroids — the training-free
+    * `vec_id < numCentroids` seed cells in [[ivfTopK]] are
+    * oracle-reproducible but track data geometry poorly. Shape per
+    * iteration: centroids broadcast via closure → per-row
+    * nearest-centroid argmax (map-side, ZERO corpus shuffle) →
+    * per-dimension mean via posexplode + groupBy(cell, dim) with
+    * map-side partial aggregation — shuffle volume is
+    * partitions × k × dim, independent of corpus size; only the k × dim
+    * means ever reach the driver. Seeds are the k lowest-id vectors,
+    * argmax tie-breaks toward the lower cell id, empty cells keep
+    * their previous centroid. (Mean summation order follows
+    * partitioning, so trained centroids are FP-deterministic only for
+    * a fixed partitioning — the recall contract, not bit equality, is
+    * what the spec pins.)
+    *
+    * @return (cellId 0..k-1, packed centroid bytes, norm)
+    */
+  def kmeansCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[(Long, Array[Byte], Double)] = {
+    val rows = emb.select(
+      col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"),
+      packUdf(asDouble(col(vecCol))).as("pv"))
+      .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
+      .localCheckpoint() // consumed once per iteration; truncate lineage
+    val dim = rows.select(size(col("v"))).first().getInt(0)
+    var cents: Array[(Long, Array[Byte], Double)] =
+      rows.orderBy("id").limit(k).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getAs[Array[Byte]]("pv"), r.getDouble(3)) }
+    var it = 0
+    while (it < iters) {
+      val cids = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cnrms = cents.map(_._3)
+      val nc = cents.length
+      val assign = udf { (v: Array[Byte], nrm: Double) =>
+        var best = 0L
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nc) {
+          val s = dotBytes(v, cvs(c)) / (nrm * cnrms(c))
+          if (s > bestSim) { bestSim = s; best = cids(c) }
+          c += 1
+        }
+        best
+      }
+      val means = rows
+        .select(assign(col("pv"), col("nrm")).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, oldPv, oldNrm) =>
+        means.get(cid) match {
+          case Some(ds) if ds.head.getLong(3) > 0 =>
+            val vec = new Array[Double](dim)
+            ds.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+            val pv = packDoubles(vec)
+            (cid, pv, math.sqrt(dotBytes(pv, pv)))
+          case _ => (cid, oldPv, oldNrm) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    rows.unpersist()
+    cents
+  }
+
+  /** [[ivfTopK]] with k-means-trained centroids instead of the
+    * deterministic seed cells: same probe/rerank machinery, better
+    * cell balance/recall on clustered data. Centroid training cost is
+    * `iters` linear passes; at 100 TB one trains on a sample and
+    * assigns the full corpus once.
+    */
+  def ivfTopKTrained(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      trainIters: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, numCentroids, trainIters)
+    ivfTopKWith(emb, idCol, vecCol, queries, cents, nprobe, k)
   }
 
   /** LSH-bucketed ANN: candidates share the query's full signature
