@@ -25,15 +25,28 @@ object Components {
   def dedupClusters(allIds: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = allIds.sparkSession
     import spark.implicits._
-    val vertices = allIds.select(col("id").cast("long")).as[Long]
-      .rdd.map(id => (id: VertexId, ()))
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    // Pregel only over vertices that appear in a pair: a singleton is
+    // its own component BY DEFINITION, so shipping the whole corpus
+    // through every CC superstep is pure waste — the iterated graph is
+    // O(dup pairs), corpus-size independent; singletons join back in
+    // one broadcast-sized left join (dup clusters are small relative
+    // to any corpus worth deduping).
+    val edgeDf = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint() // consumed twice (vertices + edges); pairs
+                         // pipelines are expensive — compute once
+    val vertices = edgeDf.select(col("id_a").as("id"))
+      .unionByName(edgeDf.select(col("id_b").as("id")))
+      .distinct()
+      .as[Long].rdd.map(id => (id: VertexId, ()))
+    val edges = edgeDf.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
     val graph = Graph(vertices, edges, (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
     // GraphX labels each component with its lowest vertex id.
-    graph.connectedComponents().vertices
+    val cc = graph.connectedComponents().vertices
       .toDF("doc_id", "component_id")
+    allIds.select(col("id").cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component_id"), col("doc_id")).as("component_id"))
   }
 }
