@@ -42,6 +42,16 @@ object Tables {
     * construction (the input is small enough to be under-parallel).
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // Only scan-stage frames qualify: if the plan already contains an
+    // exchange, the frame gets (and sizes) its parallelism from that
+    // shuffle — and, under AQE, touching .rdd on such a plan would
+    // EXECUTE the upstream stages just to count partitions, without
+    // shuffle reuse. The sparkPlan inspection is pure planning (cheap,
+    // cached on the QueryExecution); .rdd on an exchange-free plan
+    // schedules no jobs.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

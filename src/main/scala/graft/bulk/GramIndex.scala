@@ -33,6 +33,12 @@ object GramIndex {
     * below shuffles the full (id, gram) stream. Grams are
     * unsigned-u32-in-Long so values match external oracles for any
     * byte content (Int would sign-flip for bytes >= 0x80).
+    *
+    * CONTRACT: `idCol` must be unique across input rows. The kernel
+    * aggregates within one row only, so duplicate ids yield duplicate
+    * (id, gram) rows — unlike the old groupBy form, which silently
+    * MERGED the gram multisets of both rows (a corrupt document state);
+    * write-batch callers dedupe per id first (Streams.applyWriteBatch).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GramPostings.ensureRegistered(docs.sparkSession)

@@ -36,9 +36,12 @@ case class GramTokens(child: Expression) extends UnaryExpression {
 
 object GramTokens {
 
-  /** The tokenizer kernel, shared by interpreted eval and codegen. */
-  def compute(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
+  /** THE byte-4-gram window rule (zero padding, big-endian u32-in-Long)
+    * — the single tokenizer both kernels build on, so the
+    * GramTokens/GramPostings parity contract is structural, not two
+    * hand-synchronized loops.
+    */
+  def gramsOf(bytes: Array[Byte]): Array[Long] = {
     val n = bytes.length
     val out = new Array[Long](n + 3)
     var i = 0
@@ -54,8 +57,12 @@ object GramTokens {
       out(i) = g
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  /** The tokenizer kernel, shared by interpreted eval and codegen. */
+  def compute(s: UTF8String): ArrayData =
+    new GenericArrayData(gramsOf(s.getBytes))
 
   val functionName: FunctionIdentifier = FunctionIdentifier("graft_grams")
   val info: ExpressionInfo = new ExpressionInfo(
@@ -106,27 +113,14 @@ case class GramPostings(child: Expression) extends UnaryExpression {
 
 object GramPostings {
 
-  /** Tokenize + sort + run-length encode in one pass over the row. */
+  /** Tokenize ([[GramTokens.gramsOf]]) + sort + run-length encode in
+    * one pass over the row.
+    */
   def compute(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
-    val grams = new Array[Long](n + 3)
-    var i = 0
-    while (i < n + 3) {
-      var g = 0L
-      var j = 0
-      while (j < 4) {
-        val idx = i + j - 3
-        val b = if (idx >= 0 && idx < n) bytes(idx) & 0xffL else 0L
-        g = (g << 8) | b
-        j += 1
-      }
-      grams(i) = g
-      i += 1
-    }
+    val grams = GramTokens.gramsOf(s.getBytes)
     java.util.Arrays.sort(grams)
     var runs = 1
-    i = 1
+    var i = 1
     while (i < grams.length) {
       if (grams(i) != grams(i - 1)) runs += 1
       i += 1

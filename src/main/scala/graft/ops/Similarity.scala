@@ -34,16 +34,22 @@ object Similarity {
     s
   }
 
-  /** The hot-path form: vectors pre-packed into little-endian byte
-    * buffers so the per-pair fold reads primitive doubles with zero
-    * boxing (boxed Seq[Double] was the dominant cost at millions of
-    * pairs). Identical IEEE sequence → identical results.
+  /** One packing routine for EVERY producer of packed vectors (the UDF
+    * and the driver-side centroid code): a single byte layout means
+    * dotBytes can never compare two different encodings.
     */
-  private val packUdf = udf { (v: Seq[Double]) =>
+  private def packDoubles(v: Seq[Double]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(v.length * 8)
     v.foreach(bb.putDouble)
     bb.array()
   }
+
+  /** The hot-path form: vectors pre-packed into byte buffers so the
+    * per-pair fold reads primitive doubles with zero boxing (boxed
+    * Seq[Double] was the dominant cost at millions of pairs).
+    * Identical IEEE sequence → identical results.
+    */
+  private val packUdf = udf(packDoubles _)
 
   /** Raw form shared by the UDF and the driver-side centroid closures
     * (same code path ⇒ same IEEE sequence everywhere cosine is computed).
@@ -223,6 +229,26 @@ object Similarity {
     ivfTopKWith(emb, idCol, vecCol, queries, centRows, nprobe, k)
   }
 
+  /** The ONE nearest-centroid rule, shared by training (kmeansCentroids)
+    * and serving (ivfTopKWith): argmax over cid-ordered centroids with a
+    * strict `>` — ties break toward the lower cell id, matching the
+    * oracle's (sim DESC, cid ASC) row_number. Training and probing
+    * assigning cells by different rules would silently degrade recall.
+    */
+  private def nearestCentroid(
+      cids: Array[Long], cvs: Array[Array[Byte]], cnrms: Array[Double])(
+      v: Array[Byte], nrm: Double): Long = {
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cids.length) {
+      val s = dotBytes(v, cvs(c)) / (nrm * cnrms(c))
+      if (s > bestSim) { bestSim = s; best = cids(c) }
+      c += 1
+    }
+    best
+  }
+
   /** Shared IVF probe/rerank machinery over a driver-side centroid
     * table (seeded or k-means-trained): map-side argmax assignment,
     * nprobe cell probes per query, exact-cosine rerank inside the
@@ -241,17 +267,7 @@ object Similarity {
     val cnrms = centRows.map(_._3)
     val nc = centRows.length
 
-    val cellUdf = udf { (v: Array[Byte], nrm: Double) =>
-      var best = 0L
-      var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < nc) {
-        val s = dotBytes(v, cvs(c)) / (nrm * cnrms(c))
-        if (s > bestSim) { bestSim = s; best = cids(c) }
-        c += 1
-      }
-      best
-    }
+    val cellUdf = udf(nearestCentroid(cids, cvs, cnrms) _)
     val probeUdf = udf { (v: Array[Byte], nrm: Double) =>
       Array.tabulate(nc)(c => (dotBytes(v, cvs(c)) / (nrm * cnrms(c)), cids(c)))
         .sortBy { case (s, cid) => (-s, cid) }
@@ -271,12 +287,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
-  }
-
-  private def packDoubles(v: Array[Double]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(v.length * 8)
-    v.foreach(bb.putDouble)
-    bb.array()
   }
 
   /** Distributed Lloyd's k-means (cosine/spherical form) over the
@@ -316,41 +326,32 @@ object Similarity {
         .map { case (r, i) => (i.toLong, r.getAs[Array[Byte]]("pv"), r.getDouble(3)) }
     var it = 0
     while (it < iters) {
-      val cids = cents.map(_._1)
-      val cvs = cents.map(_._2)
-      val cnrms = cents.map(_._3)
-      val nc = cents.length
-      val assign = udf { (v: Array[Byte], nrm: Double) =>
-        var best = 0L
-        var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < nc) {
-          val s = dotBytes(v, cvs(c)) / (nrm * cnrms(c))
-          if (s > bestSim) { bestSim = s; best = cids(c) }
-          c += 1
-        }
-        best
-      }
+      val assign = udf(nearestCentroid(
+        cents.map(_._1), cents.map(_._2), cents.map(_._3)) _)
       val means = rows
         .select(assign(col("pv"), col("nrm")).as("cell"),
           posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+        .agg(avg(col("x")).as("m"))
         .collect()
         .groupBy(_.getLong(0))
       cents = cents.map { case (cid, oldPv, oldNrm) =>
         means.get(cid) match {
-          case Some(ds) if ds.head.getLong(3) > 0 =>
+          // absence from `means` IS the empty-cell signal (a present
+          // group always has rows); empty cells keep their centroid
+          case Some(ds) =>
             val vec = new Array[Double](dim)
             ds.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
             val pv = packDoubles(vec)
             (cid, pv, math.sqrt(dotBytes(pv, pv)))
-          case _ => (cid, oldPv, oldNrm) // empty cell keeps its centroid
+          case None => (cid, oldPv, oldNrm)
         }
       }
       it += 1
     }
-    rows.unpersist()
+    // NB no unpersist: localCheckpoint blocks are not cache-manager
+    // tracked; they are reclaimed when `rows` goes out of scope (the
+    // same scope-based contract Dedup's checkpoints document).
     cents
   }
 

@@ -137,10 +137,17 @@ object Streams {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val dirtyIds = batch.select(col(idCol).as("id")).distinct()
+    // One FINAL state per dirty id: micro-batches carry no intra-batch
+    // order, so duplicate writes to one id resolve arbitrarily-but-
+    // deterministically here (upstreams that need last-write-wins must
+    // carry a sequence column). This also upholds postings()' unique-id
+    // contract — without it, duplicate upserts would yield duplicate
+    // (id, gram) rows and corrupt the keyed diff/merge joins.
+    val finalStates = batch.dropDuplicates(idCol)
+    val dirtyIds = finalStates.select(col(idCol).as("id")).distinct()
     val beforeDirty = standing.join(dirtyIds, Seq("id"), "left_semi")
     val afterDirty = graft.bulk.GramIndex.postings(
-      batch.filter(col(textCol).isNotNull), idCol, textCol)
+      finalStates.filter(col(textCol).isNotNull), idCol, textCol)
     graft.bulk.GramIndex.applyGramDiff(
       standing, graft.bulk.GramIndex.gramDiff(beforeDirty, afterDirty))
   }

@@ -60,4 +60,30 @@ class StreamingReindexSpec extends AnyFunSuite {
     assert(rows(standing) === rows(rebuilt))
     assert(standing.filter(col("occurrences") <= 0).isEmpty)
   }
+
+  test("duplicate writes to one id within a batch keep the postings table keyed") {
+    // postings()' one-pass kernel aggregates per input ROW, so a batch
+    // with two upserts of the same id would emit duplicate (id, gram)
+    // rows and corrupt the keyed diff/merge — applyWriteBatch must
+    // resolve to ONE final state per id before indexing.
+    val s = spark
+    import s.implicits._
+    val standing0 = GramIndex.postings(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((1L, "first rewrite"), (1L, "second rewrite"), (2L, "fresh doc"))
+      .toDF("doc_id", "text")
+    val after = Streams.applyWriteBatch(standing0, batch, "doc_id", "text")
+    // keyed: exactly one row per (id, gram)
+    assert(after.groupBy("id", "gram").count().filter(col("count") > 1).isEmpty)
+    // id 1's postings match exactly ONE of the two candidate states —
+    // never a merge of both
+    val g1 = after.filter(col("id") === 1L).select("gram", "occurrences")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Seq("first rewrite", "second rewrite").map { t =>
+      GramIndex.postings(Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text")
+        .select("gram", "occurrences")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(cand.contains(g1))
+  }
 }
