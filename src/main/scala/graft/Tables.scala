@@ -42,16 +42,26 @@ object Tables {
     * construction (the input is small enough to be under-parallel).
     */
   def fanOut(df: DataFrame): DataFrame = {
-    // Only scan-stage frames qualify: if the plan already contains an
-    // exchange, the frame gets (and sizes) its parallelism from that
-    // shuffle — and, under AQE, touching .rdd on such a plan would
-    // EXECUTE the upstream stages just to count partitions, without
-    // shuffle reuse. The sparkPlan inspection is pure planning (cheap,
-    // cached on the QueryExecution); .rdd on an exchange-free plan
-    // schedules no jobs.
-    val hasExchange = df.queryExecution.sparkPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) return df
+    // Only scan-stage (fully narrow) frames qualify: anything with a
+    // shuffle-introducing operator gets (and sizes) its parallelism
+    // from its own exchange — and, under AQE, touching .rdd on such a
+    // plan would EXECUTE the upstream stages just to count partitions,
+    // without shuffle reuse. Checked on the ANALYZED logical plan
+    // (physical exchanges are only inserted at executedPlan time,
+    // inside the AQE wrapper) with a default-DENY whitelist: an
+    // unrecognized operator skips the optimization, never risks it.
+    // .rdd on a narrow plan schedules no jobs.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrowOnly(p: LogicalPlan): Boolean = {
+      val nodeOk = p match {
+        case _: Project | _: Filter | _: Union | _: Generate | _: SubqueryAlias => true
+        case r: Repartition => !r.shuffle // coalesce
+        case _: LeafNode => true
+        case _ => false
+      }
+      nodeOk && p.children.forall(narrowOnly)
+    }
+    if (!narrowOnly(df.queryExecution.analyzed)) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

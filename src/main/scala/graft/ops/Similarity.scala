@@ -319,7 +319,9 @@ object Similarity {
       packUdf(asDouble(col(vecCol))).as("pv"))
       .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
       .localCheckpoint() // consumed once per iteration; truncate lineage
-    val dim = rows.select(size(col("v"))).first().getInt(0)
+    val dimRow = rows.select(size(col("v"))).take(1)
+    if (dimRow.isEmpty) return Array.empty // empty corpus: no centroids
+    val dim = dimRow.head.getInt(0)
     var cents: Array[(Long, Array[Byte], Double)] =
       rows.orderBy("id").limit(k).collect()
         .zipWithIndex

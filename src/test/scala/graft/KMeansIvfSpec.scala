@@ -42,6 +42,10 @@ class KMeansIvfSpec extends AnyFunSuite {
     val tiny = emb.limit(5)
     val cents2 = Similarity.kmeansCentroids(tiny, "vec_id", "embedding", k = 5, iters = 3)
     assert(cents2.forall(_._3 > 0.0))
+    // empty corpus: no centroids, no crash
+    val none = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 4, iters = 2)
+    assert(none.isEmpty)
   }
 
   test("trained IVF recall >= training-free seed IVF recall (both vs brute force)") {
