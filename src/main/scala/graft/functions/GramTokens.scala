@@ -169,5 +169,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((ShingleHashes.functionName, ShingleHashes.info, ShingleHashes.builder))
     ext.injectFunction((PolyHash.functionName, PolyHash.info, PolyHash.builder))
     ext.injectFunction((MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder))
+    ext.injectFunction((TextStats.functionName, TextStats.info, TextStats.builder))
+    ext.injectFunction((LangHits.functionName, LangHits.info, LangHits.builder))
   }
 }

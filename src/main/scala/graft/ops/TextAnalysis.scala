@@ -5,64 +5,50 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID
   * (stopword heuristic), quality scoring, token counting, and document
-  * fingerprinting (rolling hash). All integer/exact arithmetic — no FP —
-  * and built-in expressions only (codegen'd, oracle-reproducible).
+  * fingerprinting (rolling hash). All integer/exact arithmetic — no FP.
+  * The counting/argmax paths run as one-pass native kernels
+  * (functions/TextStats.scala) inside a single narrow projection — the
+  * semantically-equivalent regex/join forms are kept in the oracle SQL.
   */
 object TextAnalysis {
 
-  /** Minimal per-language stopword lists for the n-gram-free heuristic.
-    * Deliberately small: the operator shape (token explode → broadcast
-    * stopword join → per-doc argmax) is what scales, not the lists.
-    */
-  val stopwords: Seq[(String, String)] = Seq(
-    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
-    "en" -> "in", "en" -> "is", "en" -> "it", "en" -> "for", "en" -> "on",
-    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
-    "de" -> "nicht", "de" -> "mit", "de" -> "ein", "de" -> "zu", "de" -> "den",
-    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "et", "fr" -> "est",
-    "fr" -> "un", "fr" -> "une", "fr" -> "des", "fr" -> "du", "fr" -> "pas",
-    "es" -> "el", "es" -> "la", "es" -> "los", "es" -> "las", "es" -> "es",
-    "es" -> "un", "es" -> "una", "es" -> "y", "es" -> "de", "es" -> "que")
+  /** Per-language stopword lists (baked into the LangHits kernel). */
+  val stopwords: Seq[(String, String)] = graft.functions.LangHits.stopwords
 
   /** Language ID: per-doc stopword hit counts per language; prediction =
     * argmax with (hits desc, lang asc) tie-break; docs with zero hits
-    * predict "und". One explode + broadcast join + one shuffle.
+    * predict "und". One narrow projection (LangHits kernel) — the
+    * explode → broadcast-join → groupBy → window form costs two
+    * shuffles and a corpus-tokens-sized intermediate for the same answer.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sw = stopwords.toDF("lang", "word")
-    val ids = docs.select(col(idCol).as("doc_id"))
-    val hits = docs
-      .select(col(idCol).as("doc_id"), explode(Hashing.tokens(lower(col(textCol)))).as("token"))
-      .join(broadcast(sw), col("token") === col("word"))
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("hits"))
-    val best = hits
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("predicted_lang"), col("hits"))
-    ids.join(best, Seq("doc_id"), "left")
+    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        call_function("graft_lang_hits", lower(col(textCol))).as("lh"))
       .select(
         col("doc_id"),
-        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+        col("lh").getField("predicted_lang").as("predicted_lang"),
+        col("lh").getField("hits").as("hits"))
   }
 
   /** Quality features + a deterministic integer score in [0, 1000]:
     * rewards lexical diversity (unique/total tokens) and length up to a
     * 400-token cap. All ratios are scaled-integer division — exact.
+    * Counts come from the one-pass TextStats kernel (the regex form
+    * materialized three match arrays per row just to size them).
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Hashing.tokens(col(textCol))
-    docs.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_punct"))
+    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+    val st = call_function("graft_text_stats", col(textCol))
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_uniq_tokens").as("n_uniq_tokens"),
+        st.getField("n_punct").as("n_punct"))
       .withColumn("uniq_permille",
         expr("(cast(n_uniq_tokens as bigint) * 1000) div greatest(n_tokens, 1)"))
       .withColumn("quality_score",
@@ -72,16 +58,18 @@ object TextAnalysis {
         "uniq_permille", "quality_score")
   }
 
-  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
-    * (letter runs | digit runs | single other non-space).
+  /** Token counting: whitespace tokens and a BPE-ish segmentation
+    * (letter runs | digit runs | single other non-space), one kernel pass.
     */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+    val st = call_function("graft_text_stats", col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
-      size(Hashing.tokens(col(textCol))).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("long").as("bpe_tokens"),
+      st.getField("n_tokens").as("ws_tokens"),
+      st.getField("bpe_tokens").as("bpe_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
+  }
 
   /** Document fingerprinting: a polynomial rolling hash of the whole
     * text (mod 1e9+7, exact in Long) plus the min hash over all 8-char
