@@ -236,6 +236,23 @@ object GraphQueries {
           coalesce(col("block_id"), lit(-1L)).as("block_id"),
           coalesce(col("block_styles"), lit("")).as("block_styles"),
           coalesce(col("span_styles"), lit("")).as("span_styles"))
+    }),
+
+    // Batch tile rendering (assemblage_view/src/lib.rs:460-588): the
+    // tile skeleton — section decomposition with shared/anchor flags
+    // and ordered subsection leaves — for EVERY page root in one job,
+    // graft.bulk.TileOps.tileSkeletons. The before/after branch legs
+    // of the skeleton are oracle-covered via q66/q67 (sibling walk)
+    // and spec-covered by BulkTileSpec; this entry oracle-checks the
+    // section/subsection structure and ordering.
+    "q73_tile_sections" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val roots = nodes.filter(col("layout") === "PAGE").select("id")
+      graft.bulk.TileOps.tileSkeletons(nodes, edges, roots)
+        .select(col("root_id"), col("sec_idx"), col("sub_idx"),
+          coalesce(col("section_anchor"), lit(-1L)).as("section_anchor"),
+          col("section_shared").cast("long").as("section_shared"),
+          col("subsection_id"))
     }))
 
   /** Shared DuckDB re-derivation of the graph (same rules as
@@ -425,7 +442,85 @@ object GraphQueries {
                 CASE WHEN outcome = 'BLOCK' THEN cur ELSE -1 END AS block_id,
                 CASE WHEN outcome = 'BLOCK' THEN bs ELSE '' END AS block_styles,
                 CASE WHEN outcome = 'BLOCK' THEN ss ELSE '' END AS span_styles
-         FROM resolved""")
+         FROM resolved""",
+
+    // Tile skeleton: `walk` = the section descent (TileOps.sectionItems
+    // — pages and splitting chains/styleds descend with fixed-width
+    // order paths, text and non-split chains emit LEAF, multi-parent
+    // children emit MULTI and stop); `sharedroots` = leaf section roots
+    // whose child walk reaches a ≥2-slot node; `subw` = the ordered
+    // subsection-leaf descent per section root; final = dense_rank
+    // sections × row_number leaves, as TileOps.tileSkeletons.
+    "q73_tile_sections" ->
+      s"""WITH RECURSIVE $graphCte,
+         np AS (SELECT child_id, count(*) AS np FROM edges GROUP BY child_id),
+         tileroots AS (SELECT id FROM kind WHERE kind = 'PAGE'),
+         walk(root, path, cur, split, item) AS (
+           SELECT id, '', id, true, CAST(NULL AS VARCHAR) FROM tileroots
+           UNION ALL
+           (
+             SELECT w.root, w.path, w.cur, w.split, 'LEAF'
+             FROM walk w JOIN kind kk ON kk.id = w.cur
+             WHERE w.item IS NULL
+               AND (kk.kind = 'TEXT' OR (kk.kind = 'CHAIN' AND NOT w.split))
+             UNION ALL
+             SELECT w.root,
+                    w.path || lpad(CAST(e.child_index AS VARCHAR), 6, '0'),
+                    e.child_id,
+                    CASE WHEN kk.kind IN ('SSPAN','SBLOCK') THEN w.split ELSE false END,
+                    CASE WHEN n.np >= 2 THEN 'MULTI' ELSE NULL END
+             FROM walk w
+             JOIN kind kk ON kk.id = w.cur
+             JOIN edges e ON e.parent_id = w.cur
+             LEFT JOIN np n ON n.child_id = e.child_id
+             WHERE w.item IS NULL
+               AND (kk.kind = 'PAGE' OR (kk.kind = 'CHAIN' AND w.split)
+                    OR kk.kind IN ('SSPAN','SBLOCK'))
+           )
+         ),
+         items AS (SELECT root, path, cur AS sub_root, item FROM walk WHERE item IS NOT NULL),
+         lr AS (SELECT DISTINCT sub_root AS id FROM items WHERE item = 'LEAF'),
+         lreach(lroot, id) AS (
+           SELECT id, id FROM lr
+           UNION
+           SELECT r.lroot, e.child_id FROM lreach r JOIN edges e ON e.parent_id = r.id),
+         sharedroots AS (
+           SELECT DISTINCT r.lroot AS id
+           FROM lreach r JOIN edges e ON e.parent_id = r.id
+           JOIN np n ON n.child_id = e.child_id
+           WHERE n.np >= 2),
+         sections AS (
+           SELECT i.root, i.path, i.sub_root,
+                  CASE WHEN i.item = 'MULTI' THEN i.sub_root
+                       WHEN kk.kind = 'CHAIN' AND s.id IS NOT NULL THEN i.sub_root
+                  END AS section_anchor,
+                  (i.item = 'MULTI' OR s.id IS NOT NULL) AS section_shared
+           FROM items i
+           JOIN kind kk ON kk.id = i.sub_root
+           LEFT JOIN sharedroots s ON s.id = i.sub_root),
+         subw(sr, p2, cur, done) AS (
+           SELECT id, '', id, false FROM (SELECT DISTINCT sub_root AS id FROM sections)
+           UNION ALL
+           (
+             SELECT w.sr, w.p2, w.cur, true
+             FROM subw w JOIN kind kk ON kk.id = w.cur
+             WHERE NOT w.done AND kk.kind IN ('TEXT','CHAIN')
+             UNION ALL
+             SELECT w.sr, w.p2 || lpad(CAST(e.child_index AS VARCHAR), 6, '0'), e.child_id, false
+             FROM subw w
+             JOIN kind kk ON kk.id = w.cur
+             JOIN edges e ON e.parent_id = w.cur
+             WHERE NOT w.done AND kk.kind IN ('PAGE','SSPAN','SBLOCK')
+           )
+         ),
+         leaves AS (SELECT sr, p2, cur AS leaf FROM subw WHERE done)
+         SELECT s.root AS root_id,
+                CAST(dense_rank() OVER (PARTITION BY s.root ORDER BY s.path) AS BIGINT) AS sec_idx,
+                CAST(row_number() OVER (PARTITION BY s.root, s.path ORDER BY l.p2) AS BIGINT) AS sub_idx,
+                coalesce(s.section_anchor, -1) AS section_anchor,
+                CAST(s.section_shared AS BIGINT) AS section_shared,
+                l.leaf AS subsection_id
+         FROM sections s JOIN leaves l ON l.sr = s.sub_root""")
 
   /** The full sibling-walk semantics in recursive SQL, mirroring
     * GraphOps.siblingAdjacency piece by piece: `nonblank` = upward
