@@ -298,12 +298,21 @@ object Similarity {
     * per-dimension mean via posexplode + groupBy(cell, dim) with
     * map-side partial aggregation — shuffle volume is
     * partitions × k × dim, independent of corpus size; only the k × dim
-    * means ever reach the driver. Seeds are the k lowest-id vectors,
-    * argmax tie-breaks toward the lower cell id, empty cells keep
-    * their previous centroid. (Mean summation order follows
-    * partitioning, so trained centroids are FP-deterministic only for
-    * a fixed partitioning — the recall contract, not bit equality, is
-    * what the spec pins.)
+    * means ever reach the driver. Seeds are the k lowest-id vectors
+    * of the training set, argmax tie-breaks toward the lower cell id,
+    * empty cells keep their previous centroid. (Mean summation order
+    * follows partitioning, so trained centroids are FP-deterministic
+    * only for a fixed partitioning — the recall contract, not bit
+    * equality, is what the spec pins.)
+    *
+    * Training runs on a bounded deterministic sample — the `sampleCap`
+    * lowest-`xxhash64(id)` vectors (per-partition top-K + small merge,
+    * ONE narrow corpus pass, no corpus shuffle) — so per-iteration cost
+    * is independent of corpus size: at 100 TB the three Lloyd's passes
+    * sweep ≤ sampleCap rows, not the corpus (Lloyd's means converge on
+    * a uniform sample; the full corpus is only swept once, at
+    * assignment time, by the caller). A corpus at or under the cap
+    * trains on every row, unchanged.
     *
     * @return (cellId 0..k-1, packed centroid bytes, norm)
     */
@@ -312,12 +321,20 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): Array[(Long, Array[Byte], Double)] = {
+      iters: Int,
+      sampleCap: Int = 4096): Array[(Long, Array[Byte], Double)] = {
+    val spark = emb.sparkSession
     val rows = emb.select(
       col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"),
       packUdf(asDouble(col(vecCol))).as("pv"))
       .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
+      .orderBy(xxhash64(col("id"))).limit(sampleCap)
+      // the sample lands in ONE partition after the top-K merge; spread
+      // it over a few tasks so each iteration's posexplode+mean isn't a
+      // single-task serial stage (8 ≈ enough for ≤ cap × dim rows, and
+      // far below the per-task scheduling floor of a wide repartition)
+      .repartition(8)
       .localCheckpoint() // consumed once per iteration; truncate lineage
     val dimRow = rows.select(size(col("v"))).take(1)
     if (dimRow.isEmpty) return Array.empty // empty corpus: no centroids
@@ -359,9 +376,10 @@ object Similarity {
 
   /** [[ivfTopK]] with k-means-trained centroids instead of the
     * deterministic seed cells: same probe/rerank machinery, better
-    * cell balance/recall on clustered data. Centroid training cost is
-    * `iters` linear passes; at 100 TB one trains on a sample and
-    * assigns the full corpus once.
+    * cell balance/recall on clustered data. Training sweeps a bounded
+    * sample (one narrow corpus pass to draw it — see
+    * [[kmeansCentroids]]), so only the single assignment pass scales
+    * with the corpus.
     */
   def ivfTopKTrained(
       emb: DataFrame,
@@ -371,8 +389,9 @@ object Similarity {
       numCentroids: Int,
       trainIters: Int,
       nprobe: Int,
-      k: Int): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, numCentroids, trainIters)
+      k: Int,
+      sampleCap: Int = 4096): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, numCentroids, trainIters, sampleCap)
     ivfTopKWith(emb, idCol, vecCol, queries, cents, nprobe, k)
   }
 
