@@ -423,4 +423,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
+
+  /** Embedding near-dup pairs at cosine ≥ threshold, restricted to LSH
+    * bucket-mates — the sub-quadratic SCALE PATH for embedding dedup
+    * that [[cosinePairsBlocked]]'s docs promise: candidates come from a
+    * bucket equi-join (~2^B-fold pruning with B planes, never all
+    * pairs), the exact cosine verifies each candidate. Output is a
+    * deterministic SUBSET of the exact pairs (recall trades against the
+    * pruning factor; raise recall by unioning over plane-family
+    * rotations). Signatures use the same baked integer-quantized
+    * hyperplanes as [[lshTopK]], so external engines reproduce the
+    * buckets bit-for-bit.
+    */
+  def cosinePairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double): DataFrame = {
+    val sig = signatureUdf(dim, numPlanes)
+    val side = emb.select(col(idCol).as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"), sig(col(vecCol)).as("bucket"))
+      .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
+    val a = side.select(col("id").as("id_a"), col("pv").as("pa"), col("nrm").as("na"), col("bucket"))
+    val b = side.select(col("id").as("id_b"), col("pv").as("pb"), col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotPacked(col("pa"), col("pb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 }

@@ -126,6 +126,14 @@ object Pipelines {
         queries = emb.filter(col("vec_id") % 100 === 0), dim = 64, numPlanes = 4, k = 10)
     }),
 
+    // Embedding near-dup pairs via LSH buckets + exact-cosine verify:
+    // the sub-quadratic scale path whose exhaustive verifier is q34
+    // (same 0.45 threshold; candidates = bucket-mates only).
+    "q74_dedup_embedding_lsh" -> ((s, dir) => {
+      Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, numPlanes = 4, threshold = 0.45)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -333,6 +341,24 @@ object Pipelines {
                     FROM q JOIN sig cs ON cs.bucket = q.bucket
                     JOIN e ON e.vec_id = cs.vec_id AND e.vec_id <> query_id)
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q74_dedup_embedding_lsh" ->
+      s"""WITH $embCte,
+         eq AS (SELECT vec_id, v,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings JOIN e USING (vec_id)),
+         pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
+                FROM range(4) t(p), range(64) u(j)),
+         dots AS (SELECT eq.vec_id, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
+                  FROM eq, pl GROUP BY 1, 2),
+         sig AS (SELECT vec_id,
+                 sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+                 FROM dots GROUP BY 1)
+         SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+         FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+         JOIN e a ON a.vec_id = sa.vec_id
+         JOIN e b ON b.vec_id = sb.vec_id
+         WHERE ${sqlCosine("a.v", "b.v", 64)} >= 0.45""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,
