@@ -186,4 +186,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows("b1") === ((3L, 110L)))
     assert(rows("b2") === ((1L, 105L)))
   }
+
+  test("text-analysis kernels run unchanged in a streaming projection") {
+    // TextStats/LangHits are stateless scalar expressions, so the same
+    // TextAnalysis operators run per micro-batch with no state store —
+    // the streaming ingest path gets language ID / quality / token
+    // counts for free. Streamed results must equal the batch run.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val docs = Seq(
+      Doc(1, ts(10), "der die das the quick brown fox"),
+      Doc(2, ts(11), "le la les et est un pas !!"),
+      Doc(3, ts(12), "   "),
+      Doc(4, ts(13), "abc123 mixed 42 tokens, two la la"))
+    val ops = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "lang" -> (df => graft.ops.TextAnalysis.langId(df, "doc_id", "text")),
+      "qual" -> (df => graft.ops.TextAnalysis.qualityScore(df, "doc_id", "text")),
+      "toks" -> (df => graft.ops.TextAnalysis.tokenCounts(df, "doc_id", "text")))
+    ops.foreach { case (name, op) =>
+      val batch = op(docs.toDF()).collect().map(_.toSeq).toSet
+      val input = MemoryStream[Doc]
+      val query = op(input.toDF())
+        .writeStream.format("memory").queryName(s"textstats_$name")
+        .outputMode(OutputMode.Append())
+        .start()
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = s.table(s"textstats_$name").collect().map(_.toSeq).toSet
+      query.stop()
+      assert(streamed === batch, s"operator $name diverged between batch and stream")
+      assert(batch.size === 4)
+    }
+  }
 }
