@@ -21,6 +21,8 @@ final case class MediaFeatures(
     width: Long,
     height: Long)
 
+final case class FrameSample(doc_id: Long, frame_idx: Long, frame_md5: String)
+
 /** Multimodal-column plumbing: binary content → decode → per-frame
   * feature extraction, as a typed `Dataset` pipeline over
   * `mapPartitions` (the Scala analog of arrow-batched python UDFs: one
@@ -95,5 +97,44 @@ object Media {
       val md = MessageDigest.getInstance("MD5")
       it.map(decodeWith(md, _))
     }
+  }
+
+  /** Frame sampling: every `every`-th fixed-size frame of each media
+    * row, digested (a real pipeline would emit the frame bytes or a
+    * thumbnail — same shape, bigger payload). Iterator-to-iterator
+    * flatMap: zero shuffles, output size = input frames / `every`,
+    * the content column never leaves the executor.
+    */
+  def sampleFrames(media: Dataset[MediaRow], every: Int): Dataset[FrameSample] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val n = (row.content.length + FrameBytes - 1) / FrameBytes
+        (0 until n by every).iterator.map { f =>
+          val from = f * FrameBytes
+          val until = math.min(from + FrameBytes, row.content.length)
+          FrameSample(row.doc_id, f.toLong,
+            md5Hex(md, java.util.Arrays.copyOfRange(row.content, from, until)))
+        }
+      }
+    }
+  }
+
+  /** Resize metadata: scale (width, height) to fit `maxDim` preserving
+    * aspect ratio, integer-exact (the stub twin of a thumbnailing
+    * pass; a real implementation would also transform the bytes).
+    * Pure column expressions — codegen'd, no UDF.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], maxDim: Long): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    def scaled(c: String) =
+      when(longest <= maxDim, col(c))
+        .otherwise(expr(s"($c * $maxDim) div greatest(width, height)"))
+    features.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      scaled("width").as("rs_width"),
+      scaled("height").as("rs_height"))
   }
 }

@@ -186,6 +186,21 @@ object Pipelines {
       Media.extractFeatures(Media.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
         .select("doc_id", "n_bytes", "n_frames", "frame_digest", "width", "height")
+    }),
+
+    // Frame sampling: every 4th fixed-size frame, digested — the
+    // mapPartitions flatMap shape of a video frame-sample pass.
+    "q51_media_frames" -> ((s, dir) => {
+      Media.sampleFrames(Media.asMedia(t(s, dir, "documents"), "doc_id", "text"), every = 4)
+        .toDF().select("doc_id", "frame_idx", "frame_md5")
+    }),
+
+    // Resize metadata: fit (width, height) into 256px preserving aspect
+    // ratio, integer-exact.
+    "q52_media_resize" -> ((s, dir) => {
+      Media.resizeStub(
+        Media.extractFeatures(Media.asMedia(t(s, dir, "documents"), "doc_id", "text")),
+        maxDim = 256)
     }))
 
   // ---------------------------------------------------------------------
@@ -441,5 +456,21 @@ object Pipelines {
          h AS (SELECT doc_id, ${h60("text")} AS h60, nb, nf FROM f)
          SELECT h.doc_id, nb AS n_bytes, nf AS n_frames, fr.fd AS frame_digest,
                 64 + h60 % 1024 AS width, 64 + (h60 // 1024) % 1024 AS height
-         FROM h JOIN fr USING (doc_id)""")
+         FROM h JOIN fr USING (doc_id)""",
+
+    "q51_media_frames" ->
+      """WITH f AS (SELECT doc_id, text, (len(text)+255) // 256 AS nf FROM documents)
+         SELECT doc_id, k AS frame_idx,
+                md5(substr(text, CAST(k*256+1 AS INT), 256)) AS frame_md5
+         FROM f, UNNEST(range(nf)) AS t(k) WHERE k % 4 = 0""",
+
+    "q52_media_resize" ->
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h60 FROM documents),
+         d AS (SELECT doc_id, 64 + h60 % 1024 AS width, 64 + (h60 // 1024) % 1024 AS height FROM h)
+         SELECT doc_id, width, height,
+                CASE WHEN greatest(width, height) <= 256 THEN width
+                     ELSE (width * 256) // greatest(width, height) END AS rs_width,
+                CASE WHEN greatest(width, height) <= 256 THEN height
+                     ELSE (height * 256) // greatest(width, height) END AS rs_height
+         FROM d""")
 }
