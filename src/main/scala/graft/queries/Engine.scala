@@ -108,7 +108,45 @@ object Engine {
       val dirty = p.filter(col("id") % 50 === 0)
       GramIndex.overlapPairsFrom(broadcast(dirty), p, c)
         .select(col("id").as("doc_id"), col("match_id"), col("a"), col("b"), col("intersection"))
-    }))
+    }),
+
+    // Storage-substrate version resolution (bulk/VersionedTable — the
+    // DataFrame form of the reference KV store's version directory),
+    // oracle-checked over a changelog derived from events: key =
+    // user_id, version = event_id (unique, so resolution is
+    // deterministic), 'error' events are tombstones.
+    //   q75 latest    == kv get          (tombstoned keys absent)
+    //   q76 asOf      == kv get_version  (snapshot at version 5000)
+    //   q77 unremoved == kv get_unremoved (read through the trash)
+    "q75_versioned_latest" -> ((s, dir) =>
+      graft.bulk.VersionedTable.latest(changelog(s, dir), "key")
+        .select(col("key").as("user_id"), col("version_ts").as("version"),
+          col("event_type"), col("value"))),
+
+    "q76_versioned_asof" -> ((s, dir) =>
+      graft.bulk.VersionedTable.asOf(changelog(s, dir), ts = 5000L, "key")
+        .select(col("key").as("user_id"), col("version_ts").as("version"),
+          col("event_type"), col("value"))),
+
+    "q77_versioned_unremoved" -> ((s, dir) =>
+      graft.bulk.VersionedTable.unremoved(changelog(s, dir), "key")
+        .select(col("key").as("user_id"), col("version_ts").as("version"),
+          col("event_type"), col("value"))))
+
+  /** Events as a versioned-table changelog (every event a version of
+    * its user's row; errors are tombstones).
+    */
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      col("user_id").as("key"),
+      col("event_id").as("version_ts"),
+      (col("event_type") === "error").as("is_removed"),
+      col("event_type"), col("value"))
+
+  private val changelogCte =
+    """c AS (SELECT user_id AS key, event_id AS version_ts,
+              (event_type = 'error') AS is_removed, event_type, value
+         FROM events)"""
 
   /** DuckDB re-derivation of indexText (index.rs:826-835): byte k of the
     * zero-padded text, 4-byte big-endian windows as u32. Documents are
@@ -153,6 +191,26 @@ object Engine {
     "q20_gram_postings" ->
       s"WITH $postingsCte SELECT doc_id, CAST(gram AS BIGINT) AS gram, occurrences FROM postings",
     "q21_search_term" -> searchOracle(searchTerm),
+
+    "q75_versioned_latest" ->
+      s"""WITH $changelogCte,
+         n AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY version_ts DESC) AS rn FROM c)
+         SELECT key AS user_id, version_ts AS version, event_type, value
+         FROM n WHERE rn = 1 AND NOT is_removed""",
+
+    "q76_versioned_asof" ->
+      s"""WITH $changelogCte,
+         n AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY version_ts DESC) AS rn
+               FROM c WHERE version_ts <= 5000)
+         SELECT key AS user_id, version_ts AS version, event_type, value
+         FROM n WHERE rn = 1 AND NOT is_removed""",
+
+    "q77_versioned_unremoved" ->
+      s"""WITH $changelogCte,
+         n AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY version_ts DESC) AS rn
+               FROM c WHERE NOT is_removed)
+         SELECT key AS user_id, version_ts AS version, event_type, value
+         FROM n WHERE rn = 1""",
     // rebuild-from-scratch over the post-write corpus: hash equality
     // with the Spark side's delta-maintained postings proves the
     // incremental path exact
