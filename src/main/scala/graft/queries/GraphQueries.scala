@@ -253,6 +253,22 @@ object GraphQueries {
           coalesce(col("section_anchor"), lit(-1L)).as("section_anchor"),
           col("section_shared").cast("long").as("section_shared"),
           col("subsection_id"))
+    }),
+
+    // The branch legs of the same skeletons, exploded to one row per
+    // (root, leaf, side, promoted branch id) — with q73 this
+    // oracle-gates the ENTIRE batch tile skeleton.
+    "q78_tile_branches" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val roots = nodes.filter(col("layout") === "PAGE").select("id")
+      val sk = graft.bulk.TileOps.tileSkeletons(nodes, edges, roots)
+      val b = sk.select(col("root_id"), col("subsection_id"),
+        lit("B").as("side"), explode(col("before_ids")).as("branch_id"))
+      val a = sk.select(col("root_id"), col("subsection_id"),
+        lit("A").as("side"), explode(col("after_ids")).as("branch_id"))
+      b.unionByName(a).distinct()
+        .select(col("root_id"), col("subsection_id"), col("side"),
+          col("branch_id").cast("long").as("branch_id"))
     }))
 
   /** Shared DuckDB re-derivation of the graph (same rules as
@@ -453,7 +469,82 @@ object GraphQueries {
     // sections × row_number leaves, as TileOps.tileSkeletons.
     "q73_tile_sections" ->
       s"""WITH RECURSIVE $graphCte,
-         np AS (SELECT child_id, count(*) AS np FROM edges GROUP BY child_id),
+         $tileCtes
+         SELECT s.root AS root_id,
+                CAST(dense_rank() OVER (PARTITION BY s.root ORDER BY s.path) AS BIGINT) AS sec_idx,
+                CAST(row_number() OVER (PARTITION BY s.root, s.path ORDER BY l.p2) AS BIGINT) AS sub_idx,
+                coalesce(s.section_anchor, -1) AS section_anchor,
+                CAST(s.section_shared AS BIGINT) AS section_shared,
+                l.leaf AS subsection_id
+         FROM sections s JOIN leaves l ON l.sr = s.sub_root""",
+
+    // Tile BRANCH legs (lib.rs:493-545): per (root, subsection leaf,
+    // side), the sibling-walk results promoted to their largest
+    // still-inline unique-parent ancestor, minus anything already in
+    // the root's link-stopped view — one row per branch member (the
+    // exploded form of TileOps.tileSkeletons' before_ids/after_ids).
+    // Composes the q73 section/leaf CTEs, BOTH q66/q67 sibling sides
+    // (suffixed), a promotion climb, and a per-root q62-style reach.
+    "q78_tile_branches" ->
+      s"""WITH RECURSIVE $graphCte,
+         $tileCtes,
+         $siblingCoreCtes,
+         ${siblingSideCtes("b", before = true)},
+         ${siblingSideCtes("a", before = false)},
+         leafids AS (SELECT DISTINCT leaf FROM leaves),
+         sibsb AS (SELECT DISTINCT r.id AS leaf, r.sibling_id FROM resb r
+                   JOIN leafids li ON li.leaf = r.id),
+         sibsa AS (SELECT DISTINCT r.id AS leaf, r.sibling_id FROM resa r
+                   JOIN leafids li ON li.leaf = r.id),
+         uniqp AS (SELECT child_id, count(*) AS np, min(parent_id) AS pid
+                   FROM edges GROUP BY child_id),
+         sibids AS (SELECT DISTINCT sibling_id AS s0 FROM sibsb
+                    UNION SELECT DISTINCT sibling_id FROM sibsa),
+         climb(s0, cur) AS (
+           SELECT s0, s0 FROM sibids
+           UNION
+           SELECT c.s0, u.pid FROM climb c
+           JOIN span sp ON sp.id = c.cur AND sp.is_span
+           JOIN uniqp u ON u.child_id = c.cur AND u.np = 1),
+         prom AS (
+           SELECT c.s0, c.cur AS promoted FROM climb c
+           LEFT JOIN span sp ON sp.id = c.cur
+           LEFT JOIN uniqp u ON u.child_id = c.cur AND u.np = 1
+           WHERE coalesce(sp.is_span, false) = false OR u.child_id IS NULL),
+         trav AS (SELECT DISTINCT e.parent_id, e.child_id,
+                         (sp.is_span AND NOT sc.is_span) AS is_link
+                  FROM edges e
+                  JOIN span sp ON sp.id = e.parent_id
+                  JOIN span sc ON sc.id = e.child_id),
+         vreach(root, id, expandable) AS (
+           SELECT id, id, true FROM tileroots
+           UNION
+           SELECT v.root, t.child_id, NOT t.is_link
+           FROM vreach v JOIN trav t ON t.parent_id = v.id
+           WHERE v.expandable),
+         vr AS (SELECT DISTINCT root, id FROM vreach),
+         prl AS (SELECT DISTINCT s.root, l.leaf
+                 FROM sections s JOIN leaves l ON l.sr = s.sub_root)
+         SELECT DISTINCT prl.root AS root_id, prl.leaf AS subsection_id,
+                'B' AS side, p.promoted AS branch_id
+         FROM prl
+         JOIN sibsb sb ON sb.leaf = prl.leaf
+         JOIN prom p ON p.s0 = sb.sibling_id
+         LEFT JOIN vr ON vr.root = prl.root AND vr.id = p.promoted
+         WHERE vr.id IS NULL
+         UNION
+         SELECT DISTINCT prl.root, prl.leaf, 'A', p.promoted
+         FROM prl
+         JOIN sibsa sa ON sa.leaf = prl.leaf
+         JOIN prom p ON p.s0 = sa.sibling_id
+         LEFT JOIN vr ON vr.root = prl.root AND vr.id = p.promoted
+         WHERE vr.id IS NULL""")
+
+  /** The q73 tile CTE chain (section walk → shared flags → subsection
+    * leaves), shared by q73 and q78.
+    */
+  private lazy val tileCtes =
+    """np AS (SELECT child_id, count(*) AS np FROM edges GROUP BY child_id),
          tileroots AS (SELECT id FROM kind WHERE kind = 'PAGE'),
          walk(root, path, cur, split, item) AS (
            SELECT id, '', id, true, CAST(NULL AS VARCHAR) FROM tileroots
@@ -513,14 +604,7 @@ object GraphQueries {
              WHERE NOT w.done AND kk.kind IN ('PAGE','SSPAN','SBLOCK')
            )
          ),
-         leaves AS (SELECT sr, p2, cur AS leaf FROM subw WHERE done)
-         SELECT s.root AS root_id,
-                CAST(dense_rank() OVER (PARTITION BY s.root ORDER BY s.path) AS BIGINT) AS sec_idx,
-                CAST(row_number() OVER (PARTITION BY s.root, s.path ORDER BY l.p2) AS BIGINT) AS sub_idx,
-                coalesce(s.section_anchor, -1) AS section_anchor,
-                CAST(s.section_shared AS BIGINT) AS section_shared,
-                l.leaf AS subsection_id
-         FROM sections s JOIN leaves l ON l.sr = s.sub_root""")
+         leaves AS (SELECT sr, p2, cur AS leaf FROM subw WHERE done)"""
 
   /** The full sibling-walk semantics in recursive SQL, mirroring
     * GraphOps.siblingAdjacency piece by piece: `nonblank` = upward
@@ -532,19 +616,17 @@ object GraphQueries {
     * candidate on the requested side; `res` is the parent-delegation
     * closure with the link-boundary guard.
     */
-  private def siblingSql(before: Boolean): String = {
-    val argFn = if (before) "arg_max" else "arg_min"
-    val frame =
-      if (before)
-        """last_value(candval IGNORE NULLS) OVER (
-             PARTITION BY parent_id ORDER BY child_index, child_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
-      else
-        """first_value(candval IGNORE NULLS) OVER (
-             PARTITION BY parent_id ORDER BY child_index, child_id
-             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"""
+  private def siblingSql(before: Boolean): String =
     s"""WITH RECURSIVE $graphCte,
-       nonblank(id) AS (
+       $siblingCoreCtes,
+       ${siblingSideCtes("", before)}
+       SELECT DISTINCT id, sibling_id FROM res"""
+
+  /** Side-independent sibling-walk core: `nonblank`/`cls`/`dpath`/
+    * `leafc` (see [[siblingSql]]'s doc).
+    */
+  private lazy val siblingCoreCtes =
+    """nonblank(id) AS (
          SELECT k2.id FROM kind k2 JOIN documents d ON d.doc_id = k2.id
          WHERE k2.kind = 'TEXT' AND trim(d.text) <> ''
          UNION
@@ -570,27 +652,42 @@ object GraphQueries {
          SELECT dp.root, c.child_id AS leaf,
                 dp.path || lpad(CAST(c.child_index AS VARCHAR), 4, '0')
                         || lpad(CAST(c.child_id AS VARCHAR), 10, '0') AS path
-         FROM dpath dp JOIN cls c ON c.parent_id = dp.node AND c.cls = 'S'),
-       noderepr AS (SELECT root, $argFn(leaf, path) AS repr FROM leafc GROUP BY root),
-       cand AS (
+         FROM dpath dp JOIN cls c ON c.parent_id = dp.node AND c.cls = 'S')"""
+
+  /** Side-specific sibling CTEs with suffixed names so both sides can
+    * coexist in one query; the empty suffix reproduces [[siblingSql]]'s
+    * original text for q66/q67.
+    */
+  private def siblingSideCtes(sfx: String, before: Boolean): String = {
+    val argFn = if (before) "arg_max" else "arg_min"
+    val frame =
+      if (before)
+        """last_value(candval IGNORE NULLS) OVER (
+             PARTITION BY parent_id ORDER BY child_index, child_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+      else
+        """first_value(candval IGNORE NULLS) OVER (
+             PARTITION BY parent_id ORDER BY child_index, child_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"""
+    s"""noderepr$sfx AS (SELECT root, $argFn(leaf, path) AS repr FROM leafc GROUP BY root),
+       cand$sfx AS (
          SELECT c.parent_id, c.child_id, c.child_index,
            CASE WHEN c.cls = 'S' THEN c.child_id
                 WHEN c.cls = 'D' THEN nr.repr END AS candval
-         FROM cls c LEFT JOIN noderepr nr ON nr.root = c.child_id),
-       occ AS (
+         FROM cls c LEFT JOIN noderepr$sfx nr ON nr.root = c.child_id),
+       occ$sfx AS (
          SELECT parent_id, child_id, child_index, $frame AS s
-         FROM cand),
-       res(id, sibling_id) AS (
-         SELECT o.child_id, o.s FROM occ o
+         FROM cand$sfx),
+       res$sfx(id, sibling_id) AS (
+         SELECT o.child_id, o.s FROM occ$sfx o
          JOIN nonblank nb ON nb.id = o.child_id WHERE o.s IS NOT NULL
          UNION
          SELECT o.child_id, r.sibling_id
-         FROM occ o
+         FROM occ$sfx o
          JOIN nonblank nb ON nb.id = o.child_id
          JOIN span spn ON spn.id = o.child_id
          JOIN span spp ON spp.id = o.parent_id
-         JOIN res r ON r.id = o.parent_id
-         WHERE o.s IS NULL AND NOT (spp.is_span AND NOT spn.is_span))
-       SELECT DISTINCT id, sibling_id FROM res"""
+         JOIN res$sfx r ON r.id = o.parent_id
+         WHERE o.s IS NULL AND NOT (spp.is_span AND NOT spn.is_span))"""
   }
 }
