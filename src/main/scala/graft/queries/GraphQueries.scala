@@ -269,6 +269,16 @@ object GraphQueries {
       b.unionByName(a).distinct()
         .select(col("root_id"), col("subsection_id"), col("side"),
           col("branch_id").cast("long").as("branch_id"))
+    }),
+
+    // Linking parent branches (lib.rs:547-576): parents whose
+    // containment renders the page root as a link (span parent over a
+    // block child) — the tile's "linked from" list.
+    "q79_tile_parent_branches" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val roots = nodes.filter(col("layout") === "PAGE").select("id")
+      graft.bulk.TileOps.tileParentBranches(nodes, edges, roots)
+        .select(col("root_id"), col("parent_id"))
     }))
 
   /** Shared DuckDB re-derivation of the graph (same rules as
@@ -538,7 +548,16 @@ object GraphQueries {
          JOIN sibsa sa ON sa.leaf = prl.leaf
          JOIN prom p ON p.s0 = sa.sibling_id
          LEFT JOIN vr ON vr.root = prl.root AND vr.id = p.promoted
-         WHERE vr.id IS NULL""")
+         WHERE vr.id IS NULL""",
+
+    "q79_tile_parent_branches" ->
+      s"""WITH RECURSIVE $graphCte
+         SELECT DISTINCT e.child_id AS root_id, e.parent_id
+         FROM edges e
+         JOIN kind k ON k.id = e.child_id AND k.kind = 'PAGE'
+         JOIN span sc ON sc.id = e.child_id
+         JOIN span sp ON sp.id = e.parent_id
+         WHERE NOT sc.is_span AND sp.is_span""")
 
   /** The q73 tile CTE chain (section walk → shared flags → subsection
     * leaves), shared by q73 and q78.
