@@ -323,7 +323,6 @@ object Similarity {
       k: Int,
       iters: Int,
       sampleCap: Int = 4096): Array[(Long, Array[Byte], Double)] = {
-    val spark = emb.sparkSession
     val rows = emb.select(
       col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"),
