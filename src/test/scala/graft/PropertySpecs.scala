@@ -105,3 +105,59 @@ object OverlapProps extends Properties("Overlaps") {
     hits.exists(o => o.id == id && o.score == 1.0f)
   }
 }
+
+/** The one-pass text kernels vs their java.util.regex reference forms,
+  * over strings rich in Java-\s whitespace, ASCII classes, accented
+  * BMP chars, and supplementary code points (emoji) — the exact inputs
+  * where a char-wise loop would diverge from regex semantics.
+  */
+object TextKernelProps extends Properties("TextKernels") {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val textChar: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+    3 -> Gen.oneOf(".", "!", "-", "_", "#", "é", "ß", "漢"),
+    1 -> Gen.const("😀"), // surrogate pair (emoji)
+    2 -> Gen.oneOf("the", "la", "und", "des", "que"))
+  private val text: Gen[String] = Gen.listOf(textChar).map(_.mkString)
+
+  private def count(p: String, s: String): Long = {
+    val m = java.util.regex.Pattern.compile(p).matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  property("TextStats equals the regex forms") = Prop.forAll(text) { s =>
+    val row = graft.functions.TextStats.compute(UTF8String.fromString(s))
+    val toks = {
+      val m = java.util.regex.Pattern.compile("\\S+").matcher(s)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) b += m.group()
+      b.toSeq
+    }
+    row.getLong(0) == toks.length.toLong &&
+      row.getLong(1) == toks.distinct.length.toLong &&
+      row.getLong(2) == count("[^A-Za-z0-9\\s]", s) &&
+      row.getLong(3) == count("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]", s)
+  }
+
+  property("LangHits equals the join+argmax form") = Prop.forAll(text) { raw =>
+    val s = raw.toLowerCase
+    val row = graft.functions.LangHits.compute(UTF8String.fromString(s))
+    val hits = scala.collection.mutable.HashMap.empty[String, Long]
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(s)
+    while (m.find()) {
+      val tok = m.group()
+      graft.functions.LangHits.stopwords.foreach { case (lang, w) =>
+        if (w == tok) hits(lang) = hits.getOrElse(lang, 0L) + 1
+      }
+    }
+    val expected =
+      if (hits.isEmpty) ("und", 0L)
+      else hits.toSeq.sortBy { case (lang, h) => (-h, lang) }.head
+    row.getUTF8String(0).toString == expected._1 && row.getLong(1) == expected._2
+  }
+}
