@@ -356,15 +356,40 @@ object GraphOps {
     * Returns (id, sibling_id) pairs — the set union over all of each
     * node's occurrences, exactly `before(id)` / `after(id)`.
     */
-  def siblingAdjacency(nodes: DataFrame, edges: DataFrame, before: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idType = nodes.schema("id").dataType
-    val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).cache()
-    val spans = spanClass(nodes, edges).cache()
+  def siblingAdjacency(nodes: DataFrame, edges: DataFrame, before: Boolean): DataFrame =
+    siblingAdjacency(nodes, edges, before, None)
+
+  /** [[siblingAdjacency]] with an optionally precomputed span
+    * classification — the spanClass fixpoint is the costliest shared
+    * sub-computation, and a composite caller (batch tiles runs this
+    * TWICE, plus viewReach and two promotion climbs) should pay for it
+    * once.
+    */
+  def siblingAdjacency(
+      nodes: DataFrame,
+      edges: DataFrame,
+      before: Boolean,
+      precomputedSpans: Option[DataFrame]): DataFrame =
+    siblingAdjacencyFrom(nodes, siblingCore(nodes, edges, precomputedSpans), before)
+
+  /** The side-independent prefix of the sibling walk — span classes,
+    * the non-blank closure (a fixpoint), and the per-edge candidate
+    * classification. Everything a before- AND after-walk caller (batch
+    * tiles) would otherwise compute twice; all pieces checkpointed so
+    * both directions read materialized blocks.
+    */
+  final case class SiblingCore(e: DataFrame, spans: DataFrame, nonblank: DataFrame, cls: DataFrame)
+
+  def siblingCore(
+      nodes: DataFrame,
+      edges: DataFrame,
+      precomputedSpans: Option[DataFrame] = None): SiblingCore = {
+    val e = edges.select(col("parent_id"), col("child_id"), col("child_index")).localCheckpoint()
+    val spans = precomputedSpans.getOrElse(spanClass(nodes, edges).localCheckpoint())
 
     // 1. subtree blankness (a subtree with only blank text can never
     // yield a sibling, so blank candidates classify N below).
-    val nonblank = nonblankClosure(nodes, e)
+    val nonblank = nonblankClosure(nodes, e).localCheckpoint()
 
     // 2. static candidate class per edge: N = skipped, S = sibling hit
     // (rendered atom, or block child of span parent = link), D = descend.
@@ -380,7 +405,17 @@ object GraphOps {
         when(col("aside") || col("nb").isNull, "N")
           .when(col("atom") || (col("psp") && !col("csp")), "S")
           .otherwise("D").as("cls"))
-      .cache()
+      .localCheckpoint()
+    SiblingCore(e, spans, nonblank, cls)
+  }
+
+  /** One direction of the sibling walk over a prebuilt [[SiblingCore]]. */
+  def siblingAdjacencyFrom(nodes: DataFrame, core: SiblingCore, before: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idType = nodes.schema("id").dataType
+    val spans = core.spans
+    val nonblank = core.nonblank
+    val cls = core.cls
 
     // 3. nodeRepr fixpoint: first rendered leaf of each container in
     // scan direction. before = scan children from the END (the serving
@@ -447,17 +482,20 @@ object GraphOps {
       .select(col("nid").as("id"), col("s").as("sibling_id")).distinct()
     val deleg = occ.filter(col("s").isNull && !(col("psp") && !col("nsp")))
       .select(col("nid"), col("pid")).distinct().localCheckpoint()
-    var result = direct.localCheckpoint()
+    // inherited pieces checkpointed; the result accumulates as a lazy
+    // union of them (accumulator-vs-frontier: a per-round checkpoint of
+    // the accumulator costs a job per round for no correctness gain)
+    var resultParts = Vector(direct.localCheckpoint())
     var growing = true
     while (growing) {
+      val result = resultParts.reduce(_ unionByName _)
       val inherited = deleg.join(result.withColumnRenamed("id", "pid"), "pid")
         .select(col("nid").as("id"), col("sibling_id")).distinct()
         .join(result, Seq("id", "sibling_id"), "left_anti").localCheckpoint()
       if (inherited.isEmpty) growing = false
-      else result = result.unionByName(inherited).localCheckpoint()
+      else resultParts :+= inherited
     }
-    e.unpersist(); spans.unpersist(); cls.unpersist()
-    result
+    resultParts.reduce(_ unionByName _)
   }
 
   /** [[tablesFrom]] nodes extended with the `aside` flag the sibling

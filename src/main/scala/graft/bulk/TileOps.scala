@@ -37,34 +37,48 @@ object TileOps {
   /** (root, id) pairs: id is in root's view = descendants stopping at
     * links (the tagged form of GraphOps.descendantsUntilLinksFrom).
     */
-  def viewReach(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
-    val spans = GraphOps.spanClass(nodes, edges)
+  def viewReach(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame =
+    viewReach(nodes, edges, roots, None)
+
+  def viewReach(nodes: DataFrame, edges: DataFrame, roots: DataFrame,
+      precomputedSpans: Option[DataFrame]): DataFrame = {
+    val spans = precomputedSpans.getOrElse(GraphOps.spanClass(nodes, edges))
     val traversable = edges
       .join(spans.select(col("id").as("parent_id"), col("is_span").as("psp")), "parent_id")
       .join(spans.select(col("id").as("child_id"), col("is_span").as("csp")), "child_id")
       .select(col("parent_id"), col("child_id"), (col("psp") && !col("csp")).as("is_link"))
       .distinct().cache()
-    var all = roots.select(col("id").as("root"), col("id")).localCheckpoint()
-    var expanded = all
-    var frontier = all
+    // Loop-carried FRONTIER pieces are checkpointed (each is an input
+    // to the next round's joins); the ACCUMULATORS stay lazy unions of
+    // those already-materialized pieces — a per-round checkpoint of the
+    // accumulator re-writes all prior rounds' blocks just to add one
+    // round's worth, and at local scale its job alone dominates the
+    // fixpoint (one job per round per accumulator, ~0.3 s floor each).
+    // Plan depth grows only linearly in rounds (a union of checkpointed
+    // leaves), so there is no lineage blowup.
+    val seed = roots.select(col("id").as("root"), col("id")).localCheckpoint()
+    var allParts = Vector(seed)
+    var expandedParts = Vector(seed)
+    var frontier = seed
+    def union(parts: Vector[DataFrame]) = parts.reduce(_ unionByName _)
     var growing = true
     while (growing) {
       val reached = traversable.join(frontier, traversable("parent_id") === frontier("id"))
         .select(col("root"), col("child_id").as("id"), col("is_link"))
         .localCheckpoint()
       val newExp = reached.filter(!col("is_link")).select("root", "id").distinct()
-        .join(expanded, Seq("root", "id"), "left_anti").localCheckpoint()
+        .join(union(expandedParts), Seq("root", "id"), "left_anti").localCheckpoint()
       val newAll = reached.select("root", "id").distinct()
-        .join(all, Seq("root", "id"), "left_anti").localCheckpoint()
-      if (!newAll.isEmpty) all = all.unionByName(newAll).localCheckpoint()
+        .join(union(allParts), Seq("root", "id"), "left_anti").localCheckpoint()
+      if (!newAll.isEmpty) allParts :+= newAll
       if (newExp.isEmpty) growing = false
       else {
-        expanded = expanded.unionByName(newExp).localCheckpoint()
+        expandedParts :+= newExp
         frontier = newExp
       }
     }
     traversable.unpersist()
-    all
+    union(allParts)
   }
 
   /** Roots whose child walk reaches a node with ≥ 2 parent slots
@@ -74,16 +88,21 @@ object TileOps {
   def sharedDescendantRoots(edges: DataFrame, roots: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct()
     val slotCounts = edges.groupBy("child_id").agg(count(lit(1)).as("np"))
-    var reach = roots.select(col("id").as("root"), col("id")).localCheckpoint()
-    var frontier = reach
+    // frontier pieces checkpointed; `reach` stays a lazy union of them
+    // (see viewReach for the accumulator-vs-frontier rationale)
+    val seed = roots.select(col("id").as("root"), col("id")).localCheckpoint()
+    var reachParts = Vector(seed)
+    var frontier = seed
     var growing = true
     while (growing) {
       val next = e.join(frontier, e("parent_id") === frontier("id"))
         .select(col("root"), col("child_id").as("id")).distinct()
-        .join(reach, Seq("root", "id"), "left_anti").localCheckpoint()
+        .join(reachParts.reduce(_ unionByName _), Seq("root", "id"), "left_anti")
+        .localCheckpoint()
       if (next.isEmpty) growing = false
-      else { reach = reach.unionByName(next).localCheckpoint(); frontier = next }
+      else { reachParts :+= next; frontier = next }
     }
+    val reach = reachParts.reduce(_ unionByName _)
     // reachable CHILDREN of reached nodes, with global slot count ≥ 2
     val reachedChildren = e.join(
       reach.select(col("root"), col("id").as("parent_id")), Seq("parent_id"))
@@ -107,9 +126,11 @@ object TileOps {
       .cache()
     var frontier = roots.select(col("id").as("root"), col("id").as("cur"),
       lit("").as("path"), lit(true).as("split")).localCheckpoint()
-    var emitted = frontier.limit(0)
-      .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"))
-      .localCheckpoint()
+    // emitted pieces stay lazy plans over the checkpointed frontiers;
+    // only the loop-carried frontier pays a per-round checkpoint job
+    // (accumulator-vs-frontier rationale at viewReach)
+    var emittedParts = Vector(frontier.limit(0)
+      .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item")))
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
       depth += 1
@@ -128,12 +149,15 @@ object TileOps {
       val multiLeaf = stepped.filter(col("multi"))
         .select(col("root"), col("npath").as("path"), col("child_id").as("sub_root"),
           lit("MULTI").as("item"))
-      emitted = emitted.unionByName(leaf).unionByName(multiLeaf).localCheckpoint()
+      emittedParts ++= Vector(leaf, multiLeaf)
       frontier = stepped.filter(!col("multi"))
         .select(col("root"), col("child_id").as("cur"), col("npath").as("path"),
           col("nsplit").as("split"))
         .localCheckpoint()
     }
+    // materialize before dropping the childEdges cache the lazy pieces
+    // reference
+    val emitted = emittedParts.reduce(_ unionByName _).localCheckpoint()
     childEdges.unpersist()
     emitted
   }
@@ -147,16 +171,16 @@ object TileOps {
     val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"))
     var frontier = subRoots.select(col("id").as("sr"), col("id").as("cur"), lit("").as("p2"))
       .localCheckpoint()
-    var leaves = frontier.limit(0)
-      .select(col("sr"), col("p2"), col("cur").as("leaf")).localCheckpoint()
+    // leaf pieces stay lazy plans over the checkpointed frontiers
+    var leafParts = Vector(frontier.limit(0)
+      .select(col("sr"), col("p2"), col("cur").as("leaf")))
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
       depth += 1
       val info = frontier.join(kinds, Seq("cur"))
-      val leaf = info.filter(col("kind") === "TEXT" ||
+      leafParts :+= info.filter(col("kind") === "TEXT" ||
           (col("kind") === "LIST" && col("layout") === "CHAIN"))
         .select(col("sr"), col("p2"), col("cur").as("leaf"))
-      leaves = leaves.unionByName(leaf).localCheckpoint()
       frontier = info
         .filter((col("kind") === "LIST" && col("layout") === "PAGE") || col("kind") === "STYLED")
         .join(edges, col("cur") === edges("parent_id"))
@@ -164,7 +188,7 @@ object TileOps {
           concat(col("p2"), key(col("child_index"))).as("p2"))
         .localCheckpoint()
     }
-    leaves
+    leafParts.reduce(_ unionByName _)
   }
 
   /** Promotion of a sibling to its largest still-inline ancestor
@@ -172,14 +196,17 @@ object TileOps {
     * AND has exactly one parent slot, cycle-safe. Returns (sid,
     * promoted).
     */
-  private def promote(nodes: DataFrame, edges: DataFrame, sibIds: DataFrame): DataFrame = {
-    val spanIds = GraphOps.spanClass(nodes, edges).filter(col("is_span")).select(col("id"))
+  private def promote(edges: DataFrame, sibIds: DataFrame, spans: DataFrame): DataFrame = {
+    val spanIds = spans.filter(col("is_span")).select(col("id"))
     val uniq = edges.groupBy("child_id").agg(count(lit(1)).as("np"), min("parent_id").as("pid"))
       .filter(col("np") === 1).select(col("child_id").as("id"), col("pid"))
     var state = sibIds.select(col("id").as("s0"), col("id").as("cur")).localCheckpoint()
-    var visited = state
-    var finals = state.limit(0).select(col("s0"), col("cur").as("promoted")).localCheckpoint()
+    // visited ≡ the union of every state frame so far; both it and the
+    // finals accumulate as lazy unions of the checkpointed states
+    var stateParts = Vector(state)
+    var finalParts = Vector(state.limit(0).select(col("s0"), col("cur").as("promoted")))
     while (!state.isEmpty) {
+      val visited = stateParts.reduce(_ unionByName _)
       val j = state
         .join(spanIds.select(col("id").as("cur"), lit(true).as("isSpan")), Seq("cur"), "left")
         .join(uniq.select(col("id").as("cur"), col("pid")), Seq("cur"), "left")
@@ -187,16 +214,15 @@ object TileOps {
         .join(visited.select(col("s0"), col("cur").as("pid")) // cycle: next already visited?
           .withColumn("seen", lit(true)),
           Seq("s0", "pid"), "left")
-      val stop = j.filter(col("isSpan").isNull || col("pid").isNull)
+      finalParts :+= j.filter(col("isSpan").isNull || col("pid").isNull)
         .select(col("s0"), col("cur").as("promoted"))
         .unionByName(climbable.filter(col("seen").isNotNull)
           .select(col("s0"), col("pid").as("promoted")))
-      finals = finals.unionByName(stop).localCheckpoint()
       state = climbable.filter(col("seen").isNull)
         .select(col("s0"), col("pid").as("cur")).localCheckpoint()
-      visited = visited.unionByName(state).localCheckpoint()
+      stateParts :+= state
     }
-    finals
+    finalParts.reduce(_ unionByName _)
   }
 
   /** The tile skeleton for every root: one row per (root, section,
@@ -207,7 +233,10 @@ object TileOps {
     * view).
     */
   def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
-    val items = sectionItems(nodes, edges, roots).localCheckpoint()
+    // the span-classification fixpoint feeds the sibling walks (x2),
+    // the promotion climbs (x2) and the in-view reach - pay for it once
+    val spans = GraphOps.spanClass(nodes, edges).localCheckpoint()
+    val items = sectionItems(nodes, edges, roots) // checkpointed by sectionItems
     // shared flags for text/chain leaves (multi sections are always shared)
     val leafRoots = items.filter(col("item") === "LEAF")
       .select(col("sub_root").as("id")).distinct()
@@ -228,17 +257,20 @@ object TileOps {
     val leaves = subsectionLeaves(nodes, edges,
       sections.select(col("sub_root").as("id")).distinct()).localCheckpoint()
 
-    // branches per (root, leaf, side)
+    // branches per (root, leaf, side) — the two directions share the
+    // sibling walk's side-independent prefix (non-blank closure +
+    // candidate classification), built once
     val leafIds = leaves.select(col("leaf").as("id")).distinct().localCheckpoint()
+    val sibCore = GraphOps.siblingCore(nodes, edges, Some(spans))
     def branches(before: Boolean): DataFrame = {
-      val sibs = GraphOps.siblingAdjacency(nodes, edges, before)
+      val sibs = GraphOps.siblingAdjacencyFrom(nodes, sibCore, before)
         .join(leafIds, Seq("id"), "left_semi").localCheckpoint()
-      val promoted = promote(nodes, edges,
-        sibs.select(col("sibling_id").as("id")).distinct())
+      val promoted = promote(edges,
+        sibs.select(col("sibling_id").as("id")).distinct(), spans)
       sibs.join(promoted.withColumnRenamed("s0", "sibling_id"), Seq("sibling_id"))
         .select(col("id").as("leaf"), col("promoted"))
     }
-    val inView = viewReach(nodes, edges, roots).localCheckpoint()
+    val inView = viewReach(nodes, edges, roots, Some(spans)).localCheckpoint()
     def branchArrays(before: Boolean, cname: String): DataFrame = {
       // a leaf's branches are per TILE: drop promoted ids already in
       // the root's view, then aggregate the survivors
@@ -278,7 +310,7 @@ object TileOps {
     * (block root inside span parent). Distinct per (root, parent).
     */
   def tileParentBranches(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
-    val spans = GraphOps.spanClass(nodes, edges)
+    val spans = GraphOps.spanClass(nodes, edges)  // single use: no sharing to exploit
     edges
       .join(roots.select(col("id").as("child_id")), Seq("child_id"), "left_semi")
       .join(spans.select(col("id").as("child_id"), col("is_span").as("csp")), "child_id")
