@@ -68,23 +68,27 @@ object GraphOps {
     */
   def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
-    var visited = seed.select(col("id")).localCheckpoint()
-    var frontier = visited
+    // frontier pieces checkpointed; the visited set stays a lazy union
+    // of them — checkpointing the accumulator re-writes all prior
+    // rounds' blocks each round for one extra job of no benefit
+    val seedCp = seed.select(col("id")).localCheckpoint()
+    var visitedParts = Vector(seedCp)
+    var frontier = seedCp
     var growing = true
     while (growing) {
       val next = e.join(frontier, e("parent_id") === frontier("id"))
         .select(col("child_id").as("id"))
         .distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(visitedParts.reduce(_ unionByName _), Seq("id"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) growing = false
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visitedParts :+= next
         frontier = next
       }
     }
     e.unpersist()
-    visited
+    visitedParts.reduce(_ unionByName _)
   }
 
   /** Link-aware descendants (descendants_until_links, lib.rs:771-797):
@@ -122,9 +126,12 @@ object GraphOps {
     // localCheckpoint truncates lineage each round — without it the
     // round-N plan nests all earlier rounds and codegen/planning blows
     // up exponentially (the standard iterative-DataFrame-loop trap).
-    var visitedAll = seed.select(col("id")).localCheckpoint()
-    var visitedExp = visitedAll
-    var frontier = visitedAll
+    // accumulators as lazy unions of checkpointed pieces (see
+    // descendantsFrom)
+    val seedCp = seed.select(col("id")).localCheckpoint()
+    var allParts = Vector(seedCp)
+    var expParts = Vector(seedCp)
+    var frontier = seedCp
     var growing = true
     while (growing) {
       val reached = traversable.join(frontier, traversable("parent_id") === frontier("id"))
@@ -133,21 +140,20 @@ object GraphOps {
       // newly expandable: non-link children not yet expanded (a node
       // reached through a link earlier can become expandable now)
       val newExp = reached.filter(!col("is_link")).select("id").distinct()
-        .join(visitedExp, Seq("id"), "left_anti")
+        .join(expParts.reduce(_ unionByName _), Seq("id"), "left_anti")
         .localCheckpoint()
       val newAll = reached.select("id").distinct()
-        .join(visitedAll, Seq("id"), "left_anti")
+        .join(allParts.reduce(_ unionByName _), Seq("id"), "left_anti")
         .localCheckpoint()
-      if (!newAll.isEmpty)
-        visitedAll = visitedAll.unionByName(newAll).localCheckpoint()
+      if (!newAll.isEmpty) allParts :+= newAll
       if (newExp.isEmpty) growing = false
       else {
-        visitedExp = visitedExp.unionByName(newExp).localCheckpoint()
+        expParts :+= newExp
         frontier = newExp
       }
     }
     traversable.unpersist()
-    visitedAll
+    allParts.reduce(_ unionByName _)
   }
 
   /** Ancestors of the seed nodes with BFS depth (min hops), walking
@@ -158,24 +164,26 @@ object GraphOps {
     */
   def ancestorPathFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
-    var result = seed.select(col("id")).withColumn("depth", lit(0L)).localCheckpoint()
-    var frontier = result.select("id")
+    // frontier pieces checkpointed, accumulator lazy (see descendantsFrom)
+    val seedCp = seed.select(col("id")).withColumn("depth", lit(0L)).localCheckpoint()
+    var resultParts = Vector(seedCp)
+    var frontier = seedCp.select("id")
     var depth = 0L
     var growing = true
     while (growing) {
       depth += 1
       val next = e.join(frontier, e("child_id") === frontier("id"))
         .select(col("parent_id").as("id")).distinct()
-        .join(result.select("id"), Seq("id"), "left_anti")
+        .join(resultParts.map(_.select("id")).reduce(_ unionByName _), Seq("id"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) growing = false
       else {
-        result = result.unionByName(next.withColumn("depth", lit(depth))).localCheckpoint()
+        resultParts :+= next.withColumn("depth", lit(depth))
         frontier = next
       }
     }
     e.unpersist()
-    result
+    resultParts.reduce(_ unionByName _)
   }
 
   /** Conservative cycle check (is_cyclic, lib.rs:424-442): true iff
@@ -239,26 +247,29 @@ object GraphOps {
         .filter(!(col("parent_span") && !col("child_span")))
         .select(col("child_id"), col("parent_id"))
     }).cache()
-    // per-seed tracking: chains from different seeds never interfere
-    var result = seed.select(col("id").as("start_id"), col("id"))
+    // per-seed tracking: chains from different seeds never interfere;
+    // frontier pieces checkpointed, accumulator lazy (descendantsFrom)
+    val seedCp = seed.select(col("id").as("start_id"), col("id"))
       .withColumn("depth", lit(0L)).localCheckpoint()
-    var frontier = result.select("start_id", "id")
+    var resultParts = Vector(seedCp)
+    var frontier = seedCp.select("start_id", "id")
     var depth = 0L
     var growing = true
     while (growing) {
       depth += 1
       val next = walk.join(frontier, walk("child_id") === frontier("id"))
         .select(col("start_id"), col("parent_id").as("id")).distinct()
-        .join(result.select("start_id", "id"), Seq("start_id", "id"), "left_anti") // cycle-safe
+        .join(resultParts.map(_.select("start_id", "id")).reduce(_ unionByName _),
+          Seq("start_id", "id"), "left_anti") // cycle-safe
         .localCheckpoint()
       if (next.isEmpty) growing = false
       else {
-        result = result.unionByName(next.withColumn("depth", lit(depth))).localCheckpoint()
+        resultParts :+= next.withColumn("depth", lit(depth))
         frontier = next
       }
     }
     walk.unpersist()
-    result.filter(col("depth") > 0)
+    resultParts.reduce(_ unionByName _).filter(col("depth") > 0)
   }
 
   /** The swap obsolete-subtree fixpoint (core.rs:364-550, serving twin
@@ -512,19 +523,20 @@ object GraphOps {
     */
   def nonblankClosure(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val up = edges.select(col("parent_id"), col("child_id")).distinct()
-    var nonblank = nodes
+    val seedCp = nodes
       .filter(col("kind") === "TEXT" && trim(coalesce(col("text"), lit(""))) =!= "")
       .select("id").localCheckpoint()
-    var frontier = nonblank
+    var parts = Vector(seedCp)
+    var frontier = seedCp
     var growing = true
     while (growing) {
       val next = up.join(frontier, up("child_id") === frontier("id"))
         .select(col("parent_id").as("id")).distinct()
-        .join(nonblank, Seq("id"), "left_anti").localCheckpoint()
+        .join(parts.reduce(_ unionByName _), Seq("id"), "left_anti").localCheckpoint()
       if (next.isEmpty) growing = false
-      else { nonblank = nonblank.unionByName(next).localCheckpoint(); frontier = next }
+      else { parts :+= next; frontier = next }
     }
-    nonblank
+    parts.reduce(_ unionByName _)
   }
 
   /** is_cyclic (lib.rs:424-442) for MANY roots in one tagged BFS:
@@ -537,11 +549,14 @@ object GraphOps {
     */
   def cyclicRootsFrom(edges: DataFrame, roots: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
-    var seen = roots.select(col("id").as("root"), col("id")).localCheckpoint()
-    var frontier = seen
-    var cyclic = roots.select(col("id").as("root")).limit(0).localCheckpoint()
+    val seedCp = roots.select(col("id").as("root"), col("id")).localCheckpoint()
+    var seenParts = Vector(seedCp)
+    var frontier = seedCp
+    var cycParts = Vector(roots.select(col("id").as("root")).limit(0).localCheckpoint())
     var growing = true
     while (growing) {
+      val seen = seenParts.reduce(_ unionByName _)
+      val cyclic = cycParts.reduce(_ unionByName _)
       val arrivals = e.join(frontier, e("parent_id") === frontier("id"))
         .groupBy(col("root"), col("child_id").as("id"))
         .agg(count(lit(1)).as("slots"))
@@ -551,18 +566,18 @@ object GraphOps {
         .distinct()
         .join(cyclic, Seq("root"), "left_anti")
         .localCheckpoint()
-      if (!newCyc.isEmpty) cyclic = cyclic.unionByName(newCyc).localCheckpoint()
+      if (!newCyc.isEmpty) cycParts :+= newCyc
       val next = arrivals.select("root", "id")
         .join(seen, Seq("root", "id"), "left_anti")
-        .join(cyclic, Seq("root"), "left_anti")
+        .join(cycParts.reduce(_ unionByName _), Seq("root"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) growing = false
       else {
-        seen = seen.unionByName(next).localCheckpoint()
+        seenParts :+= next
         frontier = next
       }
     }
-    cyclic.select(col("root").as("id"))
+    cycParts.reduce(_ unionByName _).select(col("root").as("id"))
   }
 
   /** The preview descent (lib.rs:462-509, serving twin
