@@ -300,11 +300,15 @@ object GraphOps {
     val par = parents.select(col("id"), col("parent_id")).distinct().cache()
     val fwd = childEdges.select(col("parent_id"), col("child_id")).distinct().cache()
     val newIds = newChildIds.select(col("id")).distinct().localCheckpoint()
-    var obsolete = removed.select(col("id")).limit(0).localCheckpoint()
-    var candidates = removed.select(col("id")).distinct().localCheckpoint()
+    // accumulators as lazy unions of checkpointed pieces (see
+    // descendantsFrom); newCand pieces are checkpointed because the
+    // next round's eligible/blocked joins consume them
+    var obsParts = Vector(removed.select(col("id")).limit(0).localCheckpoint())
+    var candParts = Vector(removed.select(col("id")).distinct().localCheckpoint())
     var growing = true
     while (growing) {
-      val eligible = candidates
+      val obsolete = obsParts.reduce(_ unionByName _)
+      val eligible = candParts.reduce(_ unionByName _)
         .join(newIds, Seq("id"), "left_anti")
         .join(obsolete, Seq("id"), "left_anti")
       // a candidate is blocked while any parent is neither the swapped
@@ -316,17 +320,18 @@ object GraphOps {
       val newObs = eligible.join(blocked, Seq("id"), "left_anti").localCheckpoint()
       if (newObs.isEmpty) growing = false
       else {
-        obsolete = obsolete.unionByName(newObs).localCheckpoint()
+        obsParts :+= newObs
         val newCand = fwd
           .join(newObs.withColumnRenamed("id", "parent_id"), Seq("parent_id"))
           .select(col("child_id").as("id")).distinct()
-          .join(candidates, Seq("id"), "left_anti")
-        candidates = candidates.unionByName(newCand).localCheckpoint()
+          .join(candParts.reduce(_ unionByName _), Seq("id"), "left_anti")
+          .localCheckpoint()
+        candParts :+= newCand
       }
     }
     par.unpersist()
     fwd.unpersist()
-    obsolete
+    obsParts.reduce(_ unionByName _)
   }
 
   /** The sibling walk (before/after, core.rs:152-299, serving twin
@@ -682,23 +687,24 @@ object GraphOps {
   def dirtyPropagation(nodes: DataFrame, edges: DataFrame, dirty: DataFrame): DataFrame = {
     val spanIds = spanClass(nodes, edges).filter(col("is_span")).select("id").cache()
     val up = edges.select(col("parent_id"), col("child_id")).distinct()
-    var reached = dirty.select(col("id")).distinct().localCheckpoint()
-    var frontier = reached
+    val seedCp = dirty.select(col("id")).distinct().localCheckpoint()
+    var reachedParts = Vector(seedCp)
+    var frontier = seedCp
     var growing = true
     while (growing) {
       val parents = up.join(frontier, up("child_id") === frontier("id"))
         .select(col("parent_id").as("id")).distinct()
-        .join(reached, Seq("id"), "left_anti")
+        .join(reachedParts.reduce(_ unionByName _), Seq("id"), "left_anti")
         .localCheckpoint()
       if (parents.isEmpty) growing = false
       else {
-        reached = reached.unionByName(parents).localCheckpoint()
+        reachedParts :+= parents
         frontier = parents.join(spanIds, Seq("id")).localCheckpoint()
         if (frontier.isEmpty) growing = false
       }
     }
     spanIds.unpersist()
-    reached
+    reachedParts.reduce(_ unionByName _)
   }
 
   /** Rendering class per node (is_span, lib.rs:347-380) as a bulk
