@@ -112,8 +112,13 @@ object Markup {
     blockOrder.reverseIterator.filter(styles.contains).foreach(s => out += blockChar(s))
     if (out.nonEmpty) out += ' '
 
-    spans.lastOption.foreach {
-      case VSpan.Text(_, text) =>
+    // Escape a leading block-style prefix ONLY when the first span is
+    // unstyled: a styled first span opens with its style character, so
+    // the text never sits at line start — and an escape emitted before
+    // that style character would escape the delimiter itself ("`- "
+    // serialized as "\`- `", which reparses as plain text).
+    spans.headOption.foreach {
+      case VSpan.Text(spanStyles, text) if spanStyles.isEmpty =>
         if (parseBlockStylesFromPrefix(text)._2.nonEmpty) out += '\\'
       case _ =>
     }
