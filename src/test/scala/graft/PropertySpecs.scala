@@ -11,6 +11,12 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object MarkupProps extends Properties("Markup") {
 
+  // pure-JVM and fast — hammer harder than the default 100 (the round-4
+  // serializer-escape bug needed ~60 random cases to surface, so 100
+  // per run caught it only one run in several)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(500)
+
   private val markupChar: Gen[Char] = Gen.frequency(
     8 -> Gen.alphaNumChar,
     1 -> Gen.oneOf(' ', '.', '!', '?'),
@@ -112,6 +118,10 @@ object OverlapProps extends Properties("Overlaps") {
   * where a char-wise loop would diverge from regex semantics.
   */
 object TextKernelProps extends Properties("TextKernels") {
+
+  // pure-JVM and fast — same rationale as MarkupProps
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(500)
 
   import org.apache.spark.unsafe.types.UTF8String
 
