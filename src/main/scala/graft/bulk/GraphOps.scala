@@ -718,15 +718,26 @@ object GraphOps {
         .when(col("kind") === "LIST", false)
         .when(col("kind") === "STYLED" && col("style_kind") === "BLOCK", false)
         .otherwise(lit(null).cast("boolean")))
-    var resolved = base.filter(col("is_span").isNotNull)
-      .select(col("id"), col("is_span")).cache()
-    var pending = base.filter(col("is_span").isNull).select(col("id")).cache()
+    // localCheckpoint, not cache: these frames are reassigned in the
+    // loop, and a cache entry on the seed would outlive the method (one
+    // leaked entry per spanClass call in a long-lived session);
+    // checkpoint blocks are reclaimed with the frame.
+    // localCheckpoint, not cache: these frames are reassigned in the
+    // loop, and a cache entry on the seed would outlive the method (one
+    // leaked entry per spanClass call in a long-lived session);
+    // checkpoint blocks are reclaimed with the frame. The resolved set
+    // accumulates as a lazy union of checkpointed steps
+    // (accumulator-vs-frontier, see descendantsFrom).
+    var resolvedParts = Vector(base.filter(col("is_span").isNotNull)
+      .select(col("id"), col("is_span")).localCheckpoint())
+    var pending = base.filter(col("is_span").isNull).select(col("id")).localCheckpoint()
     val styledEdge = edges.select(col("parent_id"), col("child_id"))
     // one action per round: the step count both drives progress and
     // updates the pending tally (a separate pending.count() per round
     // would double the job count of the fixpoint)
     var pendingCount = pending.count()
     while (pendingCount > 0) {
+      val resolved = resolvedParts.reduce(_ unionByName _)
       val step = pending
         .join(styledEdge, pending("id") === styledEdge("parent_id"))
         .join(resolved.withColumnRenamed("id", "rid"), col("child_id") === col("rid"))
@@ -735,11 +746,11 @@ object GraphOps {
       val n = step.count()
       if (n == 0) pendingCount = 0 // unresolvable = cyclic styled chains
       else {
-        resolved = resolved.unionByName(step).localCheckpoint()
+        resolvedParts :+= step
         pending = pending.join(step.select("id"), Seq("id"), "left_anti").localCheckpoint()
         pendingCount -= n
       }
     }
-    resolved
+    resolvedParts.reduce(_ unionByName _)
   }
 }
