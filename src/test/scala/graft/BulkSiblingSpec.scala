@@ -141,4 +141,32 @@ class BulkSiblingSpec extends AnyFunSuite {
     db.add(Node.List(Layout.Page, Vector(Child.Lazy(diamond), Child.Lazy(page))))
     checkParity(db, "styled-diamond")
   }
+
+  test("random multi-parent DAGs (seeded): full bulk-vs-serving parity") {
+    // beyond the ported scenarios: random mixes of blank/non-blank
+    // texts, chains, pages, styled span/block/aside wrappers, with
+    // repeated child slots and shared (multi-parent) subtrees — the
+    // sibling semantics' combinatorial surface.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 4) {
+      val db = new GraftDb
+      var pool = Vector.tabulate(6) { i =>
+        db.add(Node.text(if (rnd.nextInt(4) == 0) "   " else s"t$trial-$i"))
+      }
+      for (_ <- 1 to 12) {
+        val kids = Vector.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.length)))
+          .map(Child.Lazy(_): Child)
+        val node = rnd.nextInt(6) match {
+          case 0       => Node.List(Layout.Chain, kids)
+          case 1 | 2   => Node.List(Layout.Page, kids)
+          case 3       => Node.styledSpan(if (rnd.nextBoolean()) "BOLD" else "CODE",
+            Node.List(Layout.Chain, kids))
+          case 4       => Node.styledBlock("HEADING", Node.List(Layout.Page, kids))
+          case _       => Node.styledBlock("ASIDE", Node.List(Layout.Page, kids))
+        }
+        pool :+= db.add(node)
+      }
+      checkParity(db, s"random-$trial")
+    }
+  }
 }
