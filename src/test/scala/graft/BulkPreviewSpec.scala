@@ -99,4 +99,32 @@ class BulkPreviewSpec extends AnyFunSuite {
     db.add(Node.page(Node.text("plain")))
     checkParity(db, "diamond")
   }
+
+  test("random multi-parent DAGs (seeded): full bulk-vs-serving parity") {
+    // same fishing harness as BulkSiblingSpec: random mixes of blank
+    // texts, chains, pages, styled wrappers, repeated slots and shared
+    // subtrees — first-child descent + style accumulation + blank/
+    // cyclic terminal classification over arbitrary shapes.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 4) {
+      val db = new GraftDb
+      var pool = Vector.tabulate(6) { i =>
+        db.add(Node.text(if (rnd.nextInt(4) == 0) "   " else s"p$trial-$i"))
+      }
+      for (_ <- 1 to 12) {
+        val kids = Vector.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.length)))
+          .map(Child.Lazy(_): Child)
+        val node = rnd.nextInt(6) match {
+          case 0     => Node.List(Layout.Chain, kids)
+          case 1 | 2 => Node.List(Layout.Page, kids)
+          case 3     => Node.styledSpan(if (rnd.nextBoolean()) "BOLD" else "ITALIC",
+            Node.List(Layout.Chain, kids))
+          case 4     => Node.styledBlock("QUOTE", Node.List(Layout.Page, kids))
+          case _     => Node.styledBlock("ASIDE", Node.List(Layout.Page, kids))
+        }
+        pool :+= db.add(node)
+      }
+      checkParity(db, s"random-$trial")
+    }
+  }
 }
