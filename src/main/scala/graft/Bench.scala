@@ -43,6 +43,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.benchQueries)(f => SparkEntry.benchQueries.filter(f))
+    // Record system load so each bench JSON is self-adjudicating: the box
+    // shows ±30% noisy-neighbor variance when the driver's own jobs run
+    // (load avg ~5); a regression measured at load >2 is noise until
+    // reproduced idle.
+    def loadAvg(): Double = {
+      val la = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(la * 100) / 100.0
+    }
+    val loadStart = loadAvg()
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
@@ -71,7 +81,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val mode = if (steadyState) "steady-state" else "cold"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","queries":$qs,"sf":"$sfDir"}""")
+    val load = s"""{"start":$loadStart,"end":${loadAvg()}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","load_avg":$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
