@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.bulk.GraphOps
+import graft.bulk.{GraphOps, ImportExport}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -279,7 +279,39 @@ object GraphQueries {
       val roots = nodes.filter(col("layout") === "PAGE").select("id")
       graft.bulk.TileOps.tileParentBranches(nodes, edges, roots)
         .select(col("root_id"), col("parent_id"))
+    }),
+
+    // Distributed export → XOR-namespace import (index.rs:456-655;
+    // tests/import_export.rs:16-93): export the DescRoot subtree (the
+    // synthetic root injects — 0 is never among 4's descendants since
+    // every derived edge increases the id), import it twice under two
+    // disjoint high-bit namespaces, and emit the union graph: each
+    // imported node's kind plus its parent edges. Hash equality with
+    // the DuckDB twin proves the remap — node ids, child/parent
+    // references, synthetic root — id-for-id; the union being twice
+    // the export (distinct ids) is the collision-freedom the namespace
+    // scheme exists for.
+    "q80_import_namespaced" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val seed = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") === DescRoot).select(col("doc_id").as("id"))
+      val exported = ImportExport.exportSubgraph(nodes, edges, seed, lit(0L))
+      Seq(ImportNs1, ImportNs2).map { ns =>
+        val imp = ImportExport.importNamespaced(exported, ImportExport.xorLong(ns))
+        imp.nodes.select(col("id"), col("kind"))
+          .join(imp.parents.withColumnRenamed("id", "cid"),
+            col("id") === col("cid"), "left")
+          .select(col("id"), col("kind"),
+            coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
+            coalesce(col("child_index").cast("long"), lit(-1L)).as("child_index"))
+      }.reduce(_ unionByName _)
     }))
+
+  /** Import namespaces for q80: disjoint high bits, so the two imports
+    * can never collide with each other or the original id range.
+    */
+  private val ImportNs1 = 1L << 42
+  private val ImportNs2 = 1L << 43
 
   /** Shared DuckDB re-derivation of the graph (same rules as
     * [[graphTables]]) plus the recursive span-class fixpoint.
@@ -557,7 +589,42 @@ object GraphQueries {
          JOIN kind k ON k.id = e.child_id AND k.kind = 'PAGE'
          JOIN span sc ON sc.id = e.child_id
          JOIN span sp ON sp.id = e.parent_id
-         WHERE NOT sc.is_span AND sp.is_span""")
+         WHERE NOT sc.is_span AND sp.is_span""",
+
+    // Export closure (q61's reach) + synthetic root, parents filtered
+    // to the closure with the seed's parent set overridden to the
+    // synthetic edge, then the id remap as xor() per namespace.
+    "q80_import_namespaced" ->
+      s"""WITH RECURSIVE $graphCte,
+         reach(id) AS (
+           SELECT CAST($DescRoot AS BIGINT)
+           UNION
+           SELECT e.child_id FROM reach r JOIN edges e ON e.parent_id = r.id),
+         expn AS (
+           SELECT k.id,
+                  CASE WHEN k.kind = 'TEXT' THEN 'TEXT'
+                       WHEN k.kind IN ('CHAIN','PAGE') THEN 'LIST'
+                       ELSE 'STYLED' END AS kind
+           FROM kind k JOIN reach r ON r.id = k.id
+           UNION ALL SELECT CAST(0 AS BIGINT), 'LIST'),
+         expp AS (
+           SELECT e.child_id AS id, e.parent_id, e.child_index
+           FROM edges e
+           JOIN reach rc ON rc.id = e.child_id
+           JOIN reach rp ON rp.id = e.parent_id
+           WHERE e.child_id <> $DescRoot
+           UNION ALL SELECT CAST($DescRoot AS BIGINT), CAST(0 AS BIGINT), 0),
+         ns(v) AS (SELECT CAST($ImportNs1 AS BIGINT)
+                   UNION ALL SELECT CAST($ImportNs2 AS BIGINT)),
+         impn AS (SELECT xor(n.id, ns.v) AS id, n.kind, ns.v AS v
+                  FROM expn n CROSS JOIN ns),
+         impp AS (SELECT xor(p.id, ns.v) AS id, xor(p.parent_id, ns.v) AS parent_id,
+                         p.child_index, ns.v AS v
+                  FROM expp p CROSS JOIN ns)
+         SELECT n.id, n.kind,
+                coalesce(p.parent_id, -1) AS parent_id,
+                CAST(coalesce(p.child_index, -1) AS BIGINT) AS child_index
+         FROM impn n LEFT JOIN impp p ON p.id = n.id AND p.v = n.v""")
 
   /** The q73 tile CTE chain (section walk → shared flags → subsection
     * leaves), shared by q73 and q78.
