@@ -63,6 +63,11 @@ final class SlotStore[K, V] {
   def liveKeys: Iterator[K] =
     data.iterator.collect { case (k, vs) if !vs.last.isRemoved => k }
 
+  /** Every key ever written, trash included (the version directory's
+    * full key set — what a bulk snapshot of the slot contains).
+    */
+  def allKeys: Iterator[K] = data.keysIterator
+
   def lastUpdated: Option[Long] =
     if (data.isEmpty) None else Some(data.valuesIterator.map(_.last.ts).max)
 
