@@ -721,10 +721,6 @@ object GraphOps {
     // localCheckpoint, not cache: these frames are reassigned in the
     // loop, and a cache entry on the seed would outlive the method (one
     // leaked entry per spanClass call in a long-lived session);
-    // checkpoint blocks are reclaimed with the frame.
-    // localCheckpoint, not cache: these frames are reassigned in the
-    // loop, and a cache entry on the seed would outlive the method (one
-    // leaked entry per spanClass call in a long-lived session);
     // checkpoint blocks are reclaimed with the frame. The resolved set
     // accumulates as a lazy union of checkpointed steps
     // (accumulator-vs-frontier, see descendantsFrom).

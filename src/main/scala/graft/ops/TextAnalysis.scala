@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * The counting/argmax paths run as one-pass native kernels
   * (functions/TextStats.scala) inside a single narrow projection — the
   * semantically-equivalent regex/join forms are kept in the oracle SQL.
+  *
+  * NULL-text contract: [[langId]] is null-total (NULL text predicts
+  * ("und", 0), same as a zero-hit doc). The counting operators
+  * ([[qualityScore]], [[tokenCounts]], [[fingerprints]]) propagate
+  * NULL through every derived field — callers curating corpora with
+  * nullable text should filter or coalesce upstream. (The legacy
+  * regex forms returned -1 counts for NULL under sizeOfNull; the
+  * kernels deliberately do not reproduce that sentinel.)
   */
 object TextAnalysis {
 
@@ -17,9 +25,11 @@ object TextAnalysis {
 
   /** Language ID: per-doc stopword hit counts per language; prediction =
     * argmax with (hits desc, lang asc) tie-break; docs with zero hits
-    * predict "und". One narrow projection (LangHits kernel) — the
-    * explode → broadcast-join → groupBy → window form costs two
-    * shuffles and a corpus-tokens-sized intermediate for the same answer.
+    * predict "und" — and so does NULL text (the kernel yields a NULL
+    * struct there; the coalesce keeps this operator null-total). One
+    * narrow projection (LangHits kernel) — the explode →
+    * broadcast-join → groupBy → window form costs two shuffles and a
+    * corpus-tokens-sized intermediate for the same answer.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
@@ -29,8 +39,8 @@ object TextAnalysis {
         call_function("graft_lang_hits", lower(col(textCol))).as("lh"))
       .select(
         col("doc_id"),
-        col("lh").getField("predicted_lang").as("predicted_lang"),
-        col("lh").getField("hits").as("hits"))
+        coalesce(col("lh").getField("predicted_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("lh").getField("hits"), lit(0L)).as("hits"))
   }
 
   /** Quality features + a deterministic integer score in [0, 1000]:

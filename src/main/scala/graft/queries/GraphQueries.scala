@@ -548,11 +548,28 @@ object GraphQueries {
            SELECT c.s0, u.pid FROM climb c
            JOIN span sp ON sp.id = c.cur AND sp.is_span
            JOIN uniqp u ON u.child_id = c.cur AND u.np = 1),
-         prom AS (
+         prom0 AS (
            SELECT c.s0, c.cur AS promoted FROM climb c
            LEFT JOIN span sp ON sp.id = c.cur
            LEFT JOIN uniqp u ON u.child_id = c.cur AND u.np = 1
            WHERE coalesce(sp.is_span, false) = false OR u.child_id IS NULL),
+         climbstep AS (
+           SELECT c.s0, c.cur, u.pid FROM climb c
+           JOIN span sp ON sp.id = c.cur AND sp.is_span
+           JOIN uniqp u ON u.child_id = c.cur AND u.np = 1),
+         promcyc AS (
+           -- a climb with no prom0 row walked into an all-span
+           -- unique-parent cycle; the engine (TileOps.promote) emits the
+           -- first REVISITED node there: the one climb-step target with
+           -- in-degree 2 (rho tail joins the cycle) or, for a climb that
+           -- starts on the cycle itself, the seed
+           SELECT s.s0, coalesce(max(t.pid), s.s0) AS promoted
+           FROM (SELECT s0 FROM sibids EXCEPT SELECT s0 FROM prom0) s
+           LEFT JOIN (SELECT s0, pid FROM climbstep
+                      GROUP BY s0, pid HAVING count(*) >= 2) t ON t.s0 = s.s0
+           GROUP BY s.s0),
+         prom AS (SELECT s0, promoted FROM prom0
+                  UNION ALL SELECT s0, promoted FROM promcyc),
          trav AS (SELECT DISTINCT e.parent_id, e.child_id,
                          (sp.is_span AND NOT sc.is_span) AS is_link
                   FROM edges e

@@ -123,6 +123,26 @@ class BulkTileSpec extends AnyFunSuite {
     checkParity(db, Seq(page, parentOfPage), "parent-link")
   }
 
+  test("promotion climb entering a parent-cycle keeps parity (first revisited node)") {
+    // The leaf sits in the root page AND in chainZ (a second, root-
+    // unreachable parent). Its after-sibling there resolves to b (repr
+    // of the span subtree S), and b's promotion climb ascends
+    // b → S → chainZ → cycW whose unique parent is chainZ again — a
+    // rho: the cycle lives strictly above the root-reachable region
+    // (any root path into a parent-cycle would give a member a second
+    // parent and stop the climb early, so this is the ONLY reachable
+    // cyclic shape). Engine rule: emit the first revisited node
+    // (chainZ); serving and bulk must agree.
+    val db = new GraftDb
+    val leaf = db.add(Node.Text("leaf"))
+    val page = db.add(Node.List(Layout.Page, Vector(Child.Lazy(leaf))))
+    val b = db.add(Node.Text("B"))
+    val s = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(b))))
+    val chainZ = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(leaf), Child.Lazy(s))))
+    db.push(chainZ, Child.Eager(Node.List(Layout.Chain, Vector(Child.Lazy(chainZ)))))
+    checkParity(db, Seq(page), "cyclic-promotion")
+  }
+
   test("styled wrappers and diamonds keep skeleton parity") {
     val db = new GraftDb
     val shared = db.add(Node.Text("shared leaf"))
