@@ -289,31 +289,38 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
-  /** Distributed Lloyd's k-means (cosine/spherical form) over the
-    * embedding column, for TRAINED IVF centroids — the training-free
+  /** Lloyd's k-means (cosine/spherical form) over the embedding
+    * column, for TRAINED IVF centroids — the training-free
     * `vec_id < numCentroids` seed cells in [[ivfTopK]] are
-    * oracle-reproducible but track data geometry poorly. Shape per
-    * iteration: centroids broadcast via closure → per-row
-    * nearest-centroid argmax (map-side, ZERO corpus shuffle) →
-    * per-dimension mean via posexplode + groupBy(cell, dim) with
-    * map-side partial aggregation — shuffle volume is
-    * partitions × k × dim, independent of corpus size; only the k × dim
-    * means ever reach the driver. Seeds are the k lowest-id vectors
-    * of the training set, argmax tie-breaks toward the lower cell id,
-    * empty cells keep their previous centroid. (Mean summation order
-    * follows partitioning, so trained centroids are FP-deterministic
-    * only for a fixed partitioning — the recall contract, not bit
-    * equality, is what the spec pins.)
+    * oracle-reproducible but track data geometry poorly.
     *
-    * Training runs on a bounded deterministic sample — the `sampleCap`
-    * lowest-`xxhash64(id)` vectors (per-partition top-K + small merge,
-    * ONE narrow corpus pass, no corpus shuffle) — so per-iteration cost
-    * is independent of corpus size: at 100 TB the three Lloyd's passes
-    * sweep ≤ sampleCap rows, not the corpus (Lloyd's means converge on
-    * a uniform sample; the full corpus is only swept once, at
-    * assignment time, by the caller). A corpus at or under the cap
-    * trains on every row, unchanged.
+    * Execution shape: ONE Spark job draws the bounded deterministic
+    * training sample — the `sampleCap` lowest-`xxhash64(id)` vectors
+    * (per-partition top-K + small merge, one narrow corpus pass, NO
+    * corpus shuffle) — and collects it; Lloyd's then iterates entirely
+    * driver-side over ≤ sampleCap × dim doubles. At 100 TB the corpus
+    * is touched exactly once here (the sample draw) and once more at
+    * assignment time by the caller; iteration count prices at
+    * nanoseconds of driver arithmetic instead of cluster job rounds.
+    * (The previous distributed form shuffled k × dim means per
+    * iteration — its cost was the job-scheduling floor × 3 iterations,
+    * ~3 s of wall clock to average 4096 vectors.) A corpus at or under
+    * the cap trains on every row, unchanged.
     *
+    * Seeds are the k lowest-id vectors of the sample, assignment uses
+    * the shared [[nearestCentroid]] rule (argmax, ties toward the lower
+    * cell id), empty cells keep their previous centroid, and means
+    * accumulate in ascending-id sample order — so for a given corpus
+    * the trained centroids are BIT-deterministic, independent of
+    * partitioning (the distributed form could not promise that; the
+    * recall contract in KMeansIvfSpec is unchanged).
+    *
+    * @param sampleCap training-sample bound (default 4096): Lloyd's
+    *        sees only the sampleCap lowest-xxhash64(id) vectors; on a
+    *        corpus above the cap, seeds and means come from that sample,
+    *        not the full corpus. Raise it (with driver memory to match)
+    *        if centroid fidelity on >>cap corpora matters more than
+    *        training cost.
     * @return (cellId 0..k-1, packed centroid bytes, norm)
     */
   def kmeansCentroids(
@@ -323,53 +330,56 @@ object Similarity {
       k: Int,
       iters: Int,
       sampleCap: Int = 4096): Array[(Long, Array[Byte], Double)] = {
-    val rows = emb.select(
-      col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"),
-      packUdf(asDouble(col(vecCol))).as("pv"))
-      .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
+    val sample = emb.select(
+        col(idCol).cast("long").as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"))
       .orderBy(xxhash64(col("id"))).limit(sampleCap)
-      // the sample lands in ONE partition after the top-K merge; spread
-      // it over a few tasks so each iteration's posexplode+mean isn't a
-      // single-task serial stage (8 ≈ enough for ≤ cap × dim rows, and
-      // far below the per-task scheduling floor of a wide repartition)
-      .repartition(8)
-      .localCheckpoint() // consumed once per iteration; truncate lineage
-    val dimRow = rows.select(size(col("v"))).take(1)
-    if (dimRow.isEmpty) return Array.empty // empty corpus: no centroids
-    val dim = dimRow.head.getInt(0)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("pv")))
+    val n = sample.length
+    if (n == 0) return Array.empty // empty corpus: no centroids, no crash
+    val dim = sample.head._2.length / 8
+    val vecs = sample.map { case (_, pv) =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      Array.tabulate(dim)(j => bb.getDouble(j * 8))
+    }
+    val norms = sample.map { case (_, pv) => math.sqrt(dotBytes(pv, pv)) }
     var cents: Array[(Long, Array[Byte], Double)] =
-      rows.orderBy("id").limit(k).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getAs[Array[Byte]]("pv"), r.getDouble(3)) }
+      sample.take(k).zipWithIndex.map { case ((_, pv), i) =>
+        (i.toLong, pv, math.sqrt(dotBytes(pv, pv)))
+      }
     var it = 0
     while (it < iters) {
-      val assign = udf(nearestCentroid(
-        cents.map(_._1), cents.map(_._2), cents.map(_._3)) _)
-      val means = rows
-        .select(assign(col("pv"), col("nrm")).as("cell"),
-          posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
+      val cids = cents.map(_._1)
+      val cvs = cents.map(_._2)
+      val cnrms = cents.map(_._3)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val cell = nearestCentroid(cids, cvs, cnrms)(sample(i)._2, norms(i)).toInt
+        val s = sums(cell)
+        val v = vecs(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(cell) += 1
+        i += 1
+      }
       cents = cents.map { case (cid, oldPv, oldNrm) =>
-        means.get(cid) match {
-          // absence from `means` IS the empty-cell signal (a present
-          // group always has rows); empty cells keep their centroid
-          case Some(ds) =>
-            val vec = new Array[Double](dim)
-            ds.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
-            val pv = packDoubles(vec)
-            (cid, pv, math.sqrt(dotBytes(pv, pv)))
-          case None => (cid, oldPv, oldNrm)
+        val c = counts(cid.toInt)
+        if (c == 0) (cid, oldPv, oldNrm) // empty cell keeps its centroid
+        else {
+          val s = sums(cid.toInt)
+          val mean = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { mean(j) = s(j) / c; j += 1 }
+          val pv = packDoubles(mean)
+          (cid, pv, math.sqrt(dotBytes(pv, pv)))
         }
       }
       it += 1
     }
-    // NB no unpersist: localCheckpoint blocks are not cache-manager
-    // tracked; they are reclaimed when `rows` goes out of scope (the
-    // same scope-based contract Dedup's checkpoints document).
     cents
   }
 
@@ -379,6 +389,10 @@ object Similarity {
     * sample (one narrow corpus pass to draw it — see
     * [[kmeansCentroids]]), so only the single assignment pass scales
     * with the corpus.
+    *
+    * @param sampleCap training-sample bound (default 4096) — above it,
+    *        centroids train on the sampleCap lowest-xxhash64(id)
+    *        vectors, not the full corpus; see [[kmeansCentroids]].
     */
   def ivfTopKTrained(
       emb: DataFrame,
