@@ -157,12 +157,79 @@ object Streams {
     * stream — the Spark-native form of fetch_broadcast's episode
     * watermark (new files == episodes newer than last_updated; the
     * source tracks processed files, so the watermark is free).
+    * recursiveFileLookup makes the nested per-broadcast directories
+    * visible to the file source (the layout is NOT partition-encoded).
     */
   def readEpisodes(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema("broadcast_id STRING, episode_ts LONG, node_id BINARY, kind STRING, payload STRING")
       .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
       .parquet(dir)
+
+  /** One micro-batch of EPISODE rows folded into the standing postings
+    * — the episode-sourced twin of [[applyWriteBatch]] (reference: the
+    * delta reindex the serving write path runs per mutation,
+    * index.rs:768-813, driven by the watermarked episode pulls of
+    * index.rs:61-84). Episodes are totally ordered per broadcast by
+    * `episode_ts`, so duplicate writes to one node within a batch
+    * resolve LAST-WRITE-WINS by (episode_ts, broadcast_id, kind) —
+    * unlike raw write batches, which carry no order. TEXT rows upsert
+    * their payload (NULL payload = delete), REMOVE rows delete;
+    * structural kinds (LIST/STYLED) carry no indexed text and pass
+    * through untouched.
+    */
+  def applyEpisodeBatch(standing: DataFrame, episodes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node_id")
+      .orderBy(col("episode_ts").desc, col("broadcast_id").desc, col("kind").desc)
+    val latest = episodes
+      .filter(col("kind").isin("TEXT", "REMOVE"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node_id").as("id"),
+        when(col("kind") === "TEXT", col("payload")).as("text"))
+    applyWriteBatch(standing, latest, "id", "text")
+  }
+
+  /** The live handle of [[maintainIndexFromEpisodes]]: `current` is the
+    * postings table as of the last completed micro-batch (each batch is
+    * localCheckpoint-materialized, so the plan never grows with stream
+    * length — the loop-carried-frame rule).
+    */
+  final class MaintainedIndex private[streaming] (initial: DataFrame) {
+    @volatile private var standing: DataFrame = initial.localCheckpoint()
+    def current: DataFrame = standing
+    private[streaming] def fold(batch: DataFrame): Unit =
+      standing = applyEpisodeBatch(standing, batch).localCheckpoint()
+  }
+
+  /** STREAMING incremental index maintenance over the episode source:
+    * `readEpisodes(dir)` → foreachBatch → [[applyEpisodeBatch]]. The
+    * maintained postings equal a batch rebuild from the final node
+    * states after every processed episode (StreamingReindexSpec proves
+    * the invariant end-to-end over real episode files). `sinceTs`
+    * reproduces fetch_broadcast's consumer watermark: episodes at or
+    * below it are skipped even if their files are new to the source
+    * (a late-subscribing consumer whose store already contains them).
+    * State per batch = one dirty-sized shuffle against the standing
+    * table — the serving write path's shape, at stream cadence; no
+    * stateful operator, so no event-time watermark is needed (file
+    * tracking dedups arrivals).
+    */
+  def maintainIndexFromEpisodes(
+      spark: SparkSession,
+      dir: String,
+      initial: DataFrame,
+      sinceTs: Long = Long.MinValue): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val handle = new MaintainedIndex(initial)
+    val query = readEpisodes(spark, dir)
+      .filter(col("episode_ts") > sinceTs)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => handle.fold(batch) }
+      .start()
+    (handle, query)
+  }
 
   /** Per-broadcast episode/node counts over the episode stream. */
   def episodeStats(episodes: DataFrame): DataFrame =

@@ -61,6 +61,57 @@ class StreamingReindexSpec extends AnyFunSuite {
     assert(standing.filter(col("occurrences") <= 0).isEmpty)
   }
 
+  test("episode-file stream maintains postings equal to a rebuild (consumer watermark)") {
+    // The full episode path: hub layout (<dir>/<bid>/ep_<ts>.parquet)
+    // → readEpisodes file stream → foreachBatch gram-diff fold. Covers
+    // the fetch-style consumer watermark (sinceTs skips an episode
+    // already in the store), intra-batch last-write-wins by
+    // episode_ts, REMOVE tombstones, and structural rows (LIST) that
+    // carry no indexed text.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-episodes").toString
+
+    def writeEpisode(bid: String, ts: Long, rows: Seq[(Array[Byte], String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ep-stage").toString
+      rows.map { case (nid, kind, payload) => (bid, ts, nid, kind, payload) }
+        .toDF("broadcast_id", "episode_ts", "node_id", "kind", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, bid)
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.move(part.toPath, dst.resolve(s"ep_$ts.parquet"))
+    }
+
+    def id(b: Byte) = Array[Byte](b)
+    val initialCorpus = Seq((id(1), "hello world"), (id(2), "stable doc"), (id(3), "doomed"))
+      .toDF("node_id", "text")
+    val initial = GramIndex.postings(initialCorpus, "node_id", "text")
+
+    // pre-watermark episode: its content is already in the store
+    writeEpisode("b1", 50L, Seq((id(3), "TEXT", "doomed")))
+
+    val (handle, query) = Streams.maintainIndexFromEpisodes(s, dir, initial, sinceTs = 50L)
+    try {
+      writeEpisode("b1", 100L,
+        Seq((id(1), "TEXT", "hello brave world"), (id(3), "REMOVE", null)))
+      writeEpisode("b1", 110L,
+        Seq((id(1), "TEXT", "hello final world"), (id(4), "TEXT", "brand new"),
+          (id(5), "LIST", null)))
+      query.processAllAvailable()
+
+      val finalCorpus = Seq(
+        (id(1), "hello final world"), (id(2), "stable doc"), (id(4), "brand new"))
+        .toDF("node_id", "text")
+      val rebuilt = GramIndex.postings(finalCorpus, "node_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Array[Byte]]("id").toSeq, r.getLong(1), r.getLong(2))).toSet
+      assert(rows(handle.current) === rows(rebuilt))
+      assert(handle.current.filter(col("occurrences") <= 0).isEmpty)
+    } finally query.stop()
+  }
+
   test("duplicate writes to one id within a batch keep the postings table keyed") {
     // postings()' one-pass kernel aggregates per input ROW, so a batch
     // with two upserts of the same id would emit duplicate (id, gram)
