@@ -34,7 +34,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = {
     val graphPoint = Set("q70_markup_roundtrip", "q71_swap_obsolete",
       "q72_dirty_propagation", "q73_tile_sections", "q78_tile_branches",
-      "q79_tile_parent_branches", "q80_import_namespaced")
+      "q79_tile_parent_branches", "q80_import_namespaced", "q81_tile_markup")
     (queries.keySet - "q22_overlap_pairs")
       .filterNot(q => q.startsWith("q6") || graphPoint(q)).toSeq.sorted
   }

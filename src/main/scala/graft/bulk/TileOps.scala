@@ -118,19 +118,29 @@ object TileOps {
     * chains — splitSpans), stops at text/chain leaves and multi-parent
     * children.
     */
+  private val emptyStyles = array().cast("array<string>")
+
+  /** bs/ss accumulate the styled-wrapper styles crossed on the descent
+    * — the distributed form of the serving side's styledWith unwinding
+    * (every styled ancestor on the path contributes to the rendered
+    * block/span styles of the blocks below it, lib.rs:381-458).
+    */
   private def sectionItems(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
-    val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"))
+    val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"),
+      col("style_kind"), coalesce(col("styles"), emptyStyles).as("styles"))
     val childEdges = edges
       .join(edges.groupBy("child_id").agg(count(lit(1)).as("np")), Seq("child_id"))
       .select(col("parent_id"), col("child_id"), col("child_index"), (col("np") >= 2).as("multi"))
       .cache()
     var frontier = roots.select(col("id").as("root"), col("id").as("cur"),
-      lit("").as("path"), lit(true).as("split")).localCheckpoint()
+      lit("").as("path"), lit(true).as("split"),
+      emptyStyles.as("bs"), emptyStyles.as("ss")).localCheckpoint()
     // emitted pieces stay lazy plans over the checkpointed frontiers;
     // only the loop-carried frontier pays a per-round checkpoint job
     // (accumulator-vs-frontier rationale at viewReach)
     var emittedParts = Vector(frontier.limit(0)
-      .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item")))
+      .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"),
+        col("bs"), col("ss")))
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
       depth += 1
@@ -138,21 +148,26 @@ object TileOps {
       // text always terminates; a chain terminates unless splitting
       val leaf = info.filter(col("kind") === "TEXT" ||
           (col("kind") === "LIST" && col("layout") === "CHAIN" && !col("split")))
-        .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"))
+        .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"),
+          col("bs"), col("ss"))
       val stepped = info
         .filter((col("kind") === "LIST" && (col("layout") === "PAGE" || col("split"))) ||
           col("kind") === "STYLED")
         .join(childEdges, col("cur") === childEdges("parent_id"))
         .select(col("root"), col("child_id"), col("multi"),
           concat(col("path"), key(col("child_index"))).as("npath"),
-          when(col("kind") === "STYLED", col("split")).otherwise(lit(false)).as("nsplit"))
+          when(col("kind") === "STYLED", col("split")).otherwise(lit(false)).as("nsplit"),
+          when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
+            array_union(col("bs"), col("styles"))).otherwise(col("bs")).as("nbs"),
+          when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
+            array_union(col("ss"), col("styles"))).otherwise(col("ss")).as("nss"))
       val multiLeaf = stepped.filter(col("multi"))
         .select(col("root"), col("npath").as("path"), col("child_id").as("sub_root"),
-          lit("MULTI").as("item"))
+          lit("MULTI").as("item"), col("nbs").as("bs"), col("nss").as("ss"))
       emittedParts ++= Vector(leaf, multiLeaf)
       frontier = stepped.filter(!col("multi"))
         .select(col("root"), col("child_id").as("cur"), col("npath").as("path"),
-          col("nsplit").as("split"))
+          col("nsplit").as("split"), col("nbs").as("bs"), col("nss").as("ss"))
         .localCheckpoint()
     }
     // materialize before dropping the childEdges cache the lazy pieces
@@ -168,27 +183,134 @@ object TileOps {
     * Context-free per sub_root, so shared section roots flatten once.
     */
   private def subsectionLeaves(nodes: DataFrame, edges: DataFrame, subRoots: DataFrame): DataFrame = {
-    val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"))
-    var frontier = subRoots.select(col("id").as("sr"), col("id").as("cur"), lit("").as("p2"))
+    val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"),
+      col("style_kind"), coalesce(col("styles"), emptyStyles).as("styles"))
+    var frontier = subRoots.select(col("id").as("sr"), col("id").as("cur"), lit("").as("p2"),
+      emptyStyles.as("bs2"), emptyStyles.as("ss2"))
       .localCheckpoint()
     // leaf pieces stay lazy plans over the checkpointed frontiers
     var leafParts = Vector(frontier.limit(0)
-      .select(col("sr"), col("p2"), col("cur").as("leaf")))
+      .select(col("sr"), col("p2"), col("cur").as("leaf"), col("bs2"), col("ss2")))
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
       depth += 1
       val info = frontier.join(kinds, Seq("cur"))
       leafParts :+= info.filter(col("kind") === "TEXT" ||
           (col("kind") === "LIST" && col("layout") === "CHAIN"))
-        .select(col("sr"), col("p2"), col("cur").as("leaf"))
+        .select(col("sr"), col("p2"), col("cur").as("leaf"), col("bs2"), col("ss2"))
       frontier = info
         .filter((col("kind") === "LIST" && col("layout") === "PAGE") || col("kind") === "STYLED")
         .join(edges, col("cur") === edges("parent_id"))
         .select(col("sr"), col("child_id").as("cur"),
-          concat(col("p2"), key(col("child_index"))).as("p2"))
+          concat(col("p2"), key(col("child_index"))).as("p2"),
+          when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
+            array_union(col("bs2"), col("styles"))).otherwise(col("bs2")).as("bs2"),
+          when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
+            array_union(col("ss2"), col("styles"))).otherwise(col("ss2")).as("ss2"))
         .localCheckpoint()
     }
     leafParts.reduce(_ unionByName _)
+  }
+
+  /** Flat inline span list per leaf (lib.rs:310-334 `spans`,
+    * serving twin View.spans): chains recurse in slot order, span-
+    * styled wrappers recurse adding their styles, text terminates as a
+    * span row, pages / block-styled nodes terminate as LINK markers.
+    * Context-free per leaf — a leaf shared by many tiles flattens
+    * once. Emits (leaf, spath, ss, text, is_link).
+    */
+  private def leafSpans(nodes: DataFrame, edges: DataFrame, leafIds: DataFrame): DataFrame = {
+    val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"),
+      col("style_kind"), coalesce(col("styles"), emptyStyles).as("styles"), col("text"))
+    var frontier = leafIds.select(col("id").as("leaf"), col("id").as("cur"),
+      lit("").as("spath"), emptyStyles.as("ss")).localCheckpoint()
+    var spanParts = Vector(frontier.limit(0)
+      .select(col("leaf"), col("spath"), col("ss"),
+        lit(null).cast("string").as("text"), lit(false).as("is_link")))
+    var depth = 0
+    while (!frontier.isEmpty && depth < MaxDepth) {
+      depth += 1
+      val info = frontier.join(kinds, Seq("cur"))
+      spanParts :+= info.filter(col("kind") === "TEXT")
+        .select(col("leaf"), col("spath"), col("ss"), col("text"), lit(false).as("is_link"))
+      spanParts :+= info.filter((col("kind") === "LIST" && col("layout") === "PAGE") ||
+          (col("kind") === "STYLED" && col("style_kind") === "BLOCK"))
+        .select(col("leaf"), col("spath"), col("ss"),
+          lit(null).cast("string").as("text"), lit(true).as("is_link"))
+      frontier = info
+        .filter((col("kind") === "LIST" && col("layout") === "CHAIN") ||
+          (col("kind") === "STYLED" && col("style_kind") === "SPAN"))
+        .join(edges, col("cur") === edges("parent_id"))
+        .select(col("leaf"), col("child_id").as("cur"),
+          concat(col("spath"), key(col("child_index"))).as("spath"),
+          when(col("style_kind") === "SPAN", array_union(col("ss"), col("styles")))
+            .otherwise(col("ss")).as("ss"))
+        .localCheckpoint()
+    }
+    spanParts.reduce(_ unionByName _)
+  }
+
+  /** block_to_markup distributed (markup.rs:234-239 via the serving
+    * serializer view/Markup.fromBlock, run inside executors): the
+    * rendered markup of every tile subsection — block styles and
+    * context span styles accumulated along the section + subsection
+    * descents, the leaf's inline span list flattened in slot order,
+    * and the EXACT serving serializer (open/close toggle tracking,
+    * escapes, block-prefix escape rule) applied per subsection.
+    *
+    * Blocks containing LINK spans are excluded: fromBlock defines
+    * serialization only for text spans (q78 proves link branches
+    * structurally). Emits DISTINCT (root_id, subsection_id, markup) —
+    * a leaf reached under two style contexts renders once per context.
+    *
+    * Styles must be markup style names (BOLD/ITALIC/STRUCK/CODE,
+    * HEADING/LIST/QUOTE/ASIDE); callers with synthetic style
+    * vocabularies remap before calling.
+    */
+  def subsectionMarkup(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+    val items = sectionItems(nodes, edges, roots)
+    val leaves = subsectionLeaves(nodes, edges,
+      items.select(col("sub_root").as("id")).distinct())
+    val spans = leafSpans(nodes, edges, leaves.select(col("leaf").as("id")).distinct())
+    // encode each span as one sortable string: fixed-width slot path,
+    // then styles, then text LAST (text may contain the separator)
+    val enc = spans.groupBy("leaf").agg(
+      sort_array(collect_list(when(!col("is_link"),
+        concat_ws("\u0001", col("spath"),
+          concat_ws(",", array_sort(col("ss"))), coalesce(col("text"), lit("")))))).as("enc"),
+      max(col("is_link").cast("int")).as("has_link"))
+    val ctx = items
+      .join(leaves.withColumnRenamed("sr", "sub_root"), Seq("sub_root"))
+      .select(col("root"), col("leaf"),
+        array_union(col("bs"), col("bs2")).as("bsAll"),
+        array_union(col("ss"), col("ss2")).as("ssAll"))
+      .distinct()
+    ctx.join(enc, Seq("leaf"), "left")
+      .filter(coalesce(col("has_link"), lit(0)) === 0)
+      .select(col("root").as("root_id"), col("leaf").as("subsection_id"),
+        markupUdf(col("bsAll"), col("ssAll"),
+          coalesce(col("enc"), array().cast("array<string>"))).as("markup"))
+      .distinct()
+  }
+
+  /** The serving serializer over the encoded span list: decode, add
+    * the descent span styles to every span, serialize with
+    * Markup.fromBlock — the SAME code path the serving View renders
+    * with, so bulk and serving markup can only diverge if the
+    * flattening itself diverges.
+    */
+  private val markupUdf = udf { (bs: Seq[String], ctxSs: Seq[String], enc: Seq[String]) =>
+    val spans = enc.map { e =>
+      val i1 = e.indexOf('\u0001')
+      val i2 = e.indexOf('\u0001', i1 + 1)
+      val styleStr = e.substring(i1 + 1, i2)
+      val text = e.substring(i2 + 1)
+      val st = (if (styleStr.isEmpty) Seq.empty[String] else styleStr.split(',').toSeq) ++ ctxSs
+      graft.view.VSpan.Text(
+        scala.collection.immutable.SortedSet.empty[String] ++ st, text): graft.view.VSpan
+    }
+    graft.view.Markup.fromBlock(graft.view.VBlock.Text(
+      scala.collection.immutable.SortedSet.empty[String] ++ bs, spans.toVector))
   }
 
   /** Promotion of a sibling to its largest still-inline ancestor

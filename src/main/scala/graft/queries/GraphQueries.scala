@@ -175,6 +175,25 @@ object GraphQueries {
     // view-layer parser runs inside executors; serialize(parse(m)) is
     // a normal form, so `stable` is identically 1 — which is exactly
     // what the oracle asserts, making the invariant hash-checked.
+    // Tile content: the rendered markup of every tile subsection,
+    // block_to_markup distributed (TileOps.subsectionMarkup — section +
+    // subsection descents accumulate styled-wrapper styles, the leaf's
+    // span list flattens in slot order, the serving serializer runs in
+    // executors). The derived graph's synthetic style names map onto
+    // the markup vocabulary (SPAN lm 0/1/2 → BOLD/ITALIC/STRUCK,
+    // BLOCK lm 0/1/2 → HEADING/LIST/ASIDE) so serialization is total.
+    "q81_tile_markup" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val mapped = nodes.withColumn("styles", transform(col("styles"), st =>
+        when(st === "SPAN0", "BOLD").when(st === "SPAN1", "ITALIC")
+          .when(st === "SPAN2", "STRUCK")
+          .when(st === "BLOCK0", "HEADING").when(st === "BLOCK1", "LIST")
+          .otherwise("ASIDE")))
+      val roots = nodes.filter(col("kind") === "LIST" && col("layout") === "PAGE")
+        .select("id")
+      graft.bulk.TileOps.subsectionMarkup(mapped, edges, roots)
+    }),
+
     "q70_markup_roundtrip" -> ((s, dir) => {
       val stable = udf { (text: String) =>
         val block = graft.view.Markup.toBlock(text)
@@ -607,6 +626,145 @@ object GraphQueries {
          JOIN span sc ON sc.id = e.child_id
          JOIN span sp ON sp.id = e.parent_id
          WHERE NOT sc.is_span AND sp.is_span""",
+
+    // Tile CONTENT: the rendered markup per subsection. Mirrors
+    // TileOps.subsectionMarkup piece by piece — the section +
+    // subsection walks accumulate style CHARS (SPAN lm 0/1/2 → * _ ~,
+    // BLOCK lm 0/1/2 → # - , matching q81's name remap), the span
+    // flatten collects ordered (path, styles, text) per leaf, and the
+    // serializer state machine (view/Markup.asMarkup: open/close
+    // toggle tracking, ` ~ _ * open order, reverse-active close order,
+    // block prefix in , > - # order, leading block-prefix escape,
+    // char escaping) runs as a sequential recursive CTE per
+    // serialization context. Link-bearing subsections are excluded on
+    // both sides (fromBlock defines no link serialization).
+    // NB raw interpolator: the serializer SQL contains literal
+    // backslashes (escape emission) that the s-interpolator would
+    // reject as invalid escape sequences.
+    "q81_tile_markup" ->
+      raw"""WITH RECURSIVE $graphCte,
+         sch AS (SELECT id,
+           CASE WHEN kind = 'SSPAN' THEN (CASE lm WHEN 0 THEN '*' WHEN 1 THEN '_' ELSE '~' END)
+                WHEN kind = 'SBLOCK' THEN (CASE lm WHEN 0 THEN '#' WHEN 1 THEN '-' ELSE ',' END)
+           END AS c
+         FROM kind),
+         np AS (SELECT child_id, count(*) AS np FROM edges GROUP BY child_id),
+         tileroots AS (SELECT id FROM kind WHERE kind = 'PAGE'),
+         walk(root, path, cur, split, item, bs, ss) AS (
+           SELECT id, '', id, true, CAST(NULL AS VARCHAR), '', '' FROM tileroots
+           UNION ALL
+           (
+             SELECT w.root, w.path, w.cur, w.split, 'LEAF', w.bs, w.ss
+             FROM walk w JOIN kind kk ON kk.id = w.cur
+             WHERE w.item IS NULL
+               AND (kk.kind = 'TEXT' OR (kk.kind = 'CHAIN' AND NOT w.split))
+             UNION ALL
+             SELECT w.root,
+                    w.path || lpad(CAST(e.child_index AS VARCHAR), 6, '0'),
+                    e.child_id,
+                    CASE WHEN kk.kind IN ('SSPAN','SBLOCK') THEN w.split ELSE false END,
+                    CASE WHEN n.np >= 2 THEN 'MULTI' ELSE NULL END,
+                    CASE WHEN kk.kind = 'SBLOCK' AND strpos(w.bs, sc.c) = 0 THEN w.bs || sc.c ELSE w.bs END,
+                    CASE WHEN kk.kind = 'SSPAN' AND strpos(w.ss, sc.c) = 0 THEN w.ss || sc.c ELSE w.ss END
+             FROM walk w
+             JOIN kind kk ON kk.id = w.cur
+             LEFT JOIN sch sc ON sc.id = w.cur
+             JOIN edges e ON e.parent_id = w.cur
+             LEFT JOIN np n ON n.child_id = e.child_id
+             WHERE w.item IS NULL
+               AND (kk.kind = 'PAGE' OR (kk.kind = 'CHAIN' AND w.split)
+                    OR kk.kind IN ('SSPAN','SBLOCK'))
+           )
+         ),
+         items AS (SELECT root, cur AS sub_root, bs, ss FROM walk WHERE item IS NOT NULL),
+         subw(sr, p2, cur, done, bs2, ss2) AS (
+           SELECT id, '', id, false, '', '' FROM (SELECT DISTINCT sub_root AS id FROM items)
+           UNION ALL
+           (
+             SELECT w.sr, w.p2, w.cur, true, w.bs2, w.ss2
+             FROM subw w JOIN kind kk ON kk.id = w.cur
+             WHERE NOT w.done AND kk.kind IN ('TEXT','CHAIN')
+             UNION ALL
+             SELECT w.sr, w.p2 || lpad(CAST(e.child_index AS VARCHAR), 6, '0'), e.child_id, false,
+                    CASE WHEN kk.kind = 'SBLOCK' AND strpos(w.bs2, sc.c) = 0 THEN w.bs2 || sc.c ELSE w.bs2 END,
+                    CASE WHEN kk.kind = 'SSPAN' AND strpos(w.ss2, sc.c) = 0 THEN w.ss2 || sc.c ELSE w.ss2 END
+             FROM subw w
+             JOIN kind kk ON kk.id = w.cur
+             LEFT JOIN sch sc ON sc.id = w.cur
+             JOIN edges e ON e.parent_id = w.cur
+             WHERE NOT w.done AND kk.kind IN ('PAGE','SSPAN','SBLOCK')
+           )
+         ),
+         leaves AS (SELECT sr, cur AS leaf, bs2, ss2 FROM subw WHERE done),
+         sflat(leaf, spath, cur, s3, emit, islink) AS (
+           SELECT id, '', id, '', false, false FROM (SELECT DISTINCT leaf AS id FROM leaves)
+           UNION ALL
+           (
+             SELECT f.leaf, f.spath, f.cur, f.s3, true,
+                    kk.kind IN ('PAGE','SBLOCK')
+             FROM sflat f JOIN kind kk ON kk.id = f.cur
+             WHERE NOT f.emit AND kk.kind IN ('TEXT','PAGE','SBLOCK')
+             UNION ALL
+             SELECT f.leaf, f.spath || lpad(CAST(e.child_index AS VARCHAR), 6, '0'), e.child_id,
+                    CASE WHEN kk.kind = 'SSPAN' AND strpos(f.s3, sc.c) = 0 THEN f.s3 || sc.c ELSE f.s3 END,
+                    false, false
+             FROM sflat f
+             JOIN kind kk ON kk.id = f.cur
+             LEFT JOIN sch sc ON sc.id = f.cur
+             JOIN edges e ON e.parent_id = f.cur
+             WHERE NOT f.emit AND kk.kind IN ('CHAIN','SSPAN')
+           )
+         ),
+         spansf AS (SELECT f.leaf, f.spath, f.s3, d.text, f.islink
+                    FROM sflat f LEFT JOIN documents d ON d.doc_id = f.cur
+                    WHERE f.emit),
+         linkleaf AS (SELECT DISTINCT leaf FROM spansf WHERE islink),
+         ctx AS (SELECT DISTINCT i.root, l.leaf, i.bs || l.bs2 AS bsa, i.ss || l.ss2 AS ssa
+                 FROM items i JOIN leaves l ON l.sr = i.sub_root
+                 WHERE l.leaf NOT IN (SELECT leaf FROM linkleaf)),
+         cid AS (SELECT row_number() OVER (ORDER BY root, leaf, bsa, ssa) AS cid, root, leaf, bsa, ssa
+                 FROM ctx),
+         spr AS (SELECT c.cid, c.ssa,
+                        row_number() OVER (PARTITION BY c.cid ORDER BY s.spath) AS rnk,
+                        s.s3 || c.ssa AS sset,
+                        replace(replace(replace(replace(replace(replace(coalesce(s.text, ''),
+                          '\', '\\'), '*', '\*'), '_', '\_'), '~', '\~'), '`', '\`'),
+                          '|', '\|') AS etext,
+                        coalesce(s.text, '') AS rawtext
+                 FROM cid c JOIN spansf s ON s.leaf = c.leaf),
+         nsp AS (SELECT cid, max(rnk) AS n FROM spr GROUP BY cid),
+         seed AS (SELECT c.cid,
+                    (CASE WHEN strpos(c.bsa, ',') > 0 THEN ',' ELSE '' END ||
+                     CASE WHEN strpos(c.bsa, '-') > 0 THEN '-' ELSE '' END ||
+                     CASE WHEN strpos(c.bsa, '#') > 0 THEN '#' ELSE '' END) ||
+                    CASE WHEN c.bsa <> '' THEN ' ' ELSE '' END ||
+                    CASE WHEN s1.sset = '' AND regexp_matches(s1.rawtext, '^[-,>#]+ ')
+                         THEN '\' ELSE '' END AS pre
+                  FROM cid c LEFT JOIN spr s1 ON s1.cid = c.cid AND s1.rnk = 1),
+         ser(cid, i, active, out) AS (
+           SELECT s.cid, 0, CAST([] AS VARCHAR[]), s.pre FROM seed s
+           UNION ALL
+           SELECT s.cid, s.i + 1,
+                  list_concat(
+                    list_filter(s.active, x -> strpos(p.sset, x) > 0),
+                    list_filter(['`','~','_','*'],
+                      x -> strpos(p.sset, x) > 0
+                           AND NOT list_contains(list_filter(s.active, y -> strpos(p.sset, y) > 0), x))),
+                  s.out ||
+                  coalesce(array_to_string(list_filter(list_reverse(s.active), x -> strpos(p.sset, x) = 0), ''), '') ||
+                  coalesce(array_to_string(list_filter(['`','~','_','*'],
+                    x -> strpos(p.sset, x) > 0
+                         AND NOT list_contains(list_filter(s.active, y -> strpos(p.sset, y) > 0), x)), ''), '') ||
+                  p.etext
+           FROM ser s JOIN spr p ON p.cid = s.cid AND p.rnk = s.i + 1
+         ),
+         fin AS (SELECT s.cid, s.out || coalesce(array_to_string(list_reverse(s.active), ''), '') AS markup
+                 FROM ser s JOIN nsp n ON n.cid = s.cid AND s.i = n.n
+                 UNION ALL
+                 SELECT s.cid, s.out FROM ser s
+                 WHERE s.i = 0 AND s.cid NOT IN (SELECT cid FROM nsp))
+         SELECT DISTINCT c.root AS root_id, c.leaf AS subsection_id, f.markup
+         FROM fin f JOIN cid c ON c.cid = f.cid""",
 
     // Export closure (q61's reach) + synthetic root, parents filtered
     // to the closure with the seed's parent set overridden to the

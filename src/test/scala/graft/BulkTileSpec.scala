@@ -123,6 +123,53 @@ class BulkTileSpec extends AnyFunSuite {
     checkParity(db, Seq(page, parentOfPage), "parent-link")
   }
 
+  private def checkMarkupParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = {
+    import spark.implicits._
+    val (nodes, edges) = GraphOps.tablesFrom(db, spark)
+    val rootsDf = roots.map(_.toString).toDF("id")
+    val bulk = TileOps.subsectionMarkup(nodes, edges, rootsDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val view = new View(db)
+    val serving = roots.flatMap { root =>
+      view.tile(root).sections.flatMap(_.subsections).flatMap { sub =>
+        sub.block match {
+          case b @ graft.view.VBlock.Text(_, spans)
+              if spans.forall(_.isInstanceOf[graft.view.VSpan.Text]) =>
+            Some((root.toString, sub.id.toString, graft.view.Markup.fromBlock(b)))
+          case _ => None // link-bearing / cyclic blocks: no serialization
+        }
+      }
+    }.toSet
+    assert(bulk === serving, s"$clue: distributed markup vs serving serializer")
+  }
+
+  test("distributed subsection markup equals the serving serializer") {
+    // Exercises every serializer path the q81 oracle mirrors: char
+    // escaping, the leading block-prefix escape, span toggle
+    // open/close transitions (incl. nested BOLD+ITALIC), block-style
+    // accumulation through a styled wrapper, an empty chain, and a
+    // link-bearing subsection (excluded on both sides).
+    val db = new GraftDb
+    val plain = db.add(Node.Text("plain leaf"))
+    val esc = db.add(Node.Text("-# looks like a prefix"))
+    val specials = db.add(Node.Text("a*b_c`d~e|f\\g"))
+    val bold = db.add(Node.styledSpan("BOLD", Node.Text("bold bit")))
+    val mid = db.add(Node.Text(" mid "))
+    val both = db.add(Node.styledSpan("ITALIC", Node.styledSpan("BOLD", Node.Text("both"))))
+    val chain = db.add(Node.List(Layout.Chain, Vector(
+      Child.Lazy(bold), Child.Lazy(mid), Child.Lazy(both), Child.Lazy(specials))))
+    val heading = db.add(Node.styledBlock("HEADING", Node.Text("title")))
+    val empty = db.add(Node.List(Layout.Chain, Vector.empty))
+    val linkTarget = db.add(Node.page(Node.Text("target")))
+    val linking = db.add(Node.List(Layout.Chain, Vector(Child.Lazy(linkTarget))))
+    val page = db.add(Node.List(Layout.Page, Vector(
+      Child.Lazy(plain), Child.Lazy(esc), Child.Lazy(chain), Child.Lazy(heading),
+      Child.Lazy(empty), Child.Lazy(linking))))
+    val aside = db.add(Node.styledBlock("ASIDE", Node.page(Node.Text("aside body"))))
+    val page2 = db.add(Node.List(Layout.Page, Vector(Child.Lazy(aside))))
+    checkMarkupParity(db, Seq(page, page2), "markup-parity")
+  }
+
   test("promotion climb entering a parent-cycle keeps parity (first revisited node)") {
     // The leaf sits in the root page AND in chainZ (a second, root-
     // unreachable parent). Its after-sibling there resolves to b (repr
