@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cluster-shaped sanity run: execute the job-count-bound paths (batch
+  * tile fixpoints, frontier BFS) and the shuffle-heavy scale-leg
+  * queries under `local-cluster[workers,cores,mem]` — separate worker
+  * JVMs, real closure/task serialization, shuffle blocks fetched over
+  * the network stack instead of sharing one block manager. Everything
+  * else in this repo is benchmarked on `local[32]`, which shortcuts
+  * exactly the costs a 1000-executor cluster pays; this main checks
+  * that no plan here depends on that shortcut (BASELINE.md records the
+  * numbers).
+  *
+  * Usage:
+  *   sbt package   # executors need the graft classes
+  *   sbt "runMain graft.tools.ClusterSanity <jar> [sfDir] [scaleDir]"
+  * `scaleDir` (optional) points at a ScaleGen output for the big-leg
+  * queries; when absent the scale legs are skipped.
+  */
+object ClusterSanity {
+  def main(args: Array[String]): Unit = {
+    val jar = args.headOption.getOrElse(sys.error(
+      "first arg: path to the packaged graft jar (sbt package)"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val scaleDir = if (args.length > 2) Some(args(2)) else None
+    // JDK17 module opens for the executor JVMs (the launcher injects
+    // them for spark-submit; local-cluster workers launched from a
+    // plain JVM need them spelled out).
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,16,16384]")
+      .appName("graft-cluster-sanity")
+      .config("spark.jars", jar)
+      .config("spark.executor.memory", "14g")
+      .config("spark.executor.extraJavaOptions", opens)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; println(f"[cluster-sanity] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s") }
+      catch { case e: Throwable =>
+        println(s"[cluster-sanity] $name FAILED: ${e.getMessage}") }
+      finally spark.sharedState.cacheManager.clearCache()
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup: FS listing + executor registration + first codegen
+    graft.Tables.names.foreach(n => graft.Tables.load(spark, sfDir, n).count())
+
+    // 1. The job-count-bound path: batch tiles over every page root of
+    // the derived graph (~10 serial fixpoints × depth rounds). On
+    // local[32] this times the scheduler (~50 s); here every round also
+    // pays real task serialization + remote shuffle reads.
+    val (nodes, edges) = graft.queries.GraphQueries.graphTables(spark, sfDir)
+    val nodesC = nodes.persist(); val edgesC = edges.persist()
+    nodesC.count(); edgesC.count()
+    val roots = nodesC.filter(col("kind") === "LIST" && col("layout") === "PAGE").select("id")
+    time("tile_skeletons(all page roots)")(noop(
+      graft.bulk.TileOps.tileSkeletons(nodesC, edgesC, roots)))
+
+    // 2. Representative fixpoints (frontier BFS down, bottom-up class)
+    for (q <- Seq("q61_descendants", "q60_span_class", "q68_preview")) {
+      val fn = graft.SparkEntry.queries(q)
+      time(q)(noop(fn(spark, sfDir)))
+      time(s"$q (steady)")(noop(fn(spark, sfDir)))
+    }
+    nodesC.unpersist(); edgesC.unpersist()
+
+    // 3. Shuffle-heavy scale legs: real shuffle transport between
+    // worker JVMs at the 62x document scale.
+    scaleDir.foreach { sd =>
+      for (q <- Seq("q20_gram_postings", "q31_dedup_jaccard",
+          "q32_dedup_minhash_lsh", "q36_ann_lsh")) {
+        val fn = graft.SparkEntry.queries(q)
+        time(s"$q @62x")(noop(fn(spark, sd)))
+        time(s"$q @62x (steady)")(noop(fn(spark, sd)))
+      }
+    }
+    spark.stop()
+  }
+}
