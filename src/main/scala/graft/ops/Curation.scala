@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, deterministic stratified quota sampling, and
+  * canonical-representative selection per near-dup cluster.
+  *
+  * All three are declarative single-to-few-shuffle plans sized for the
+  * 100 TB corpus: the decontamination vocabulary is a broadcast-sized
+  * side input (benchmark sets are MBs against a corpus of TBs), the
+  * quota sample's rank filter is pushed map-side by Spark's
+  * WindowGroupLimit rewrite, and canonical selection rides the capped
+  * dup-pair stream (corpus-size independent, see Components).
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word `k`-gram with the evaluation set — the test-set
+    * overlap pass every serious training pipeline runs before
+    * pretraining (n-gram collision form).
+    *
+    * Plan shape: the eval vocabulary reduces to DISTINCT 60-bit
+    * shingle hashes (benchmark sets are tiny next to the corpus, so
+    * this side is explicitly `broadcast`); the corpus explodes through
+    * the one-pass ShingleHashes kernel (per-doc set semantics, no
+    * distinct() shuffle) and takes a broadcast-hash semi-join plus one
+    * doc-keyed count — the only shuffle. At 100 TB the corpus never
+    * repartitions; scaling the benchmark set only grows the broadcast.
+    *
+    * Returns every NON-eval document: (doc_id,
+    * n_contaminated_shingles, contaminated).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(corpus.sparkSession)
+    def shingleHashes(df: DataFrame) = graft.Tables.fanOut(df).select(
+      col(idCol).as("doc_id"),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
+    val evalVocab = shingleHashes(evalSet).select("h").distinct()
+    val hits = shingleHashes(corpus)
+      .join(broadcast(evalVocab), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contaminated_shingles"), lit(0L)).as("n_contaminated_shingles"),
+        (coalesce(col("n_contaminated_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic stratified quota sample: the first `k` documents of
+    * every stratum in md5(text) order (doc_id tie-break) — the mixture
+    * / data-budget step of corpus curation, reproducible across runs
+    * and engines because the order key is a content hash, not a seed.
+    *
+    * Plan shape: one shuffle on the strata columns. The `rank <= k`
+    * filter is rewritten by Spark into a WindowGroupLimit, so every
+    * map task pre-truncates its partition to k rows per stratum before
+    * the exchange — a skewed stratum ships O(k × maps), not its full
+    * size (PlanAuditSpec asserts the rewrite fires).
+    */
+  def quotaSample(
+      docs: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(textCol)), col(idCol))
+    val out = col(idCol).as("doc_id") +: strataCols.map(col) :+
+      col("sample_rank").cast("long").as("sample_rank")
+    docs
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(out: _*)
+  }
+
+  /** Canonical-representative selection: for every near-dup cluster,
+    * keep the member with the highest quality score (min doc_id
+    * tie-break) — the retention decision a dedup pipeline makes after
+    * clustering, instead of blindly keeping the lowest id.
+    *
+    * `clusters` is (doc_id, component_id) from [[Components]], `quality`
+    * is (doc_id, quality_score) from [[TextAnalysis.qualityScore]].
+    * Returns (doc_id, component_id, canonical_id, keep). Plan shape:
+    * the quality join shuffles on doc_id; the per-cluster argmax is a
+    * WindowGroupLimit-rewritten rank over component_id. Non-singleton
+    * clusters are a vanishing fraction of any corpus worth deduping,
+    * but the plan is safe even when they are not.
+    */
+  def clusterCanonical(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val joined = clusters.join(
+      quality.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val canon = joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component_id"), col("doc_id").as("canonical_id"))
+    clusters.join(canon, Seq("component_id"))
+      .select(col("doc_id"), col("component_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+}

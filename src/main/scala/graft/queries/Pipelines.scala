@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Components, Dedup, Media, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Components, Curation, Dedup, Media, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -179,6 +179,36 @@ object Pipelines {
     // Rolling-hash document fingerprints.
     "q43_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Benchmark decontamination: corpus docs sharing any word-3-gram
+    // with the eval set (doc_id % 97 = 0) are flagged; the eval
+    // shingle vocabulary is broadcast, the corpus never repartitions.
+    "q82_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3)
+    }),
+
+    // Deterministic stratified quota sample: first 50 docs per
+    // (lang, source) stratum in md5(text) order — reproducible
+    // mixture curation; rank filter pushed map-side (WindowGroupLimit).
+    "q83_quota_sample" -> ((s, dir) =>
+      Curation.quotaSample(t(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", "text", k = 50)),
+
+    // Canonical representative per near-dup cluster: q37's components
+    // + q41's quality score → keep the best-quality member, not the
+    // lowest id.
+    "q84_cluster_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsNative(
+        docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
+      Curation.clusterCanonical(
+        Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs),
+        TextAnalysis.qualityScore(docs, "doc_id", "text"))
+    }),
 
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
@@ -448,6 +478,48 @@ object Pipelines {
            list_min([${h60("substr(text, CAST(i AS INT), 8)")} for i in range(1, len(text)-6)])
          ELSE NULL END AS min_window_hash
          FROM documents""",
+
+    "q82_decontaminate" ->
+      s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         hits AS (SELECT doc_id, count(*) AS n FROM shh
+                  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM ev)
+                  GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+                coalesce(h.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0""",
+
+    "q83_quota_sample" ->
+      """SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+           SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang, source
+                    ORDER BY md5(text), doc_id) AS sample_rank
+           FROM documents) WHERE sample_rank <= 50""",
+
+    "q84_cluster_canonical" ->
+      s"""WITH RECURSIVE $cappedJaccardCte,
+         cedges AS (SELECT id_a AS a, id_b AS b FROM jac
+                    UNION SELECT id_b, id_a FROM jac),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+                         UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         qs AS (SELECT doc_id,
+                  (CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT) * 500)
+                    // greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                  + (CAST(least(len(regexp_extract_all(text, '\\S+')), 400) AS BIGINT) * 500) // 400
+                  AS quality_score
+                FROM documents),
+         canon AS (SELECT component_id, doc_id AS canonical_id FROM (
+                     SELECT c.component_id, c.doc_id,
+                            row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+                     FROM comp c JOIN qs q USING (doc_id)) WHERE rn = 1)
+         SELECT c.doc_id, c.component_id, n.canonical_id,
+                c.doc_id = n.canonical_id AS keep
+         FROM comp c JOIN canon n USING (component_id)""",
 
     "q50_media_features" ->
       s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the curation operators (the driver oracle gates
+  * the bulk behavior at sf0.01; these pin the corner cases that corpus
+  * never exercises).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decontaminate: sub-k docs can't collide; overlap counts distinct shared shingles") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares 'the quick brown', 'quick brown fox'
+      (2L, "too short"),                 // < 3 tokens: no shingles, never contaminated
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === (2L, true))
+    assert(out(2L) === (0L, false))
+    assert(out(3L) === (0L, false))
+  }
+
+  test("quotaSample: per-stratum quota, content-hash order, doc_id tie-break on dup text") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha", "en", "web"), (2L, "beta", "en", "web"), (3L, "gamma", "en", "web"),
+      (4L, "alpha", "en", "web"), // duplicate text of 1: md5 ties, doc_id breaks
+      (5L, "delta", "fr", "web")).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.quotaSample(docs, Seq("lang", "source"), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.size === 3) // 2 from (en,web), 1 from (fr,web)
+    assert(out(5L) === 1L)
+    // dup-text tie: if both alphas rank in top-2, 1 must precede 4
+    if (out.contains(1L) && out.contains(4L)) assert(out(1L) < out(4L))
+  }
+
+  test("clusterCanonical: best quality wins, min doc_id breaks quality ties; singletons keep") {
+    val s = spark; import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "component_id")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 99L), (9L, 1L))
+      .toDF("doc_id", "quality_score")
+    val out = Curation.clusterCanonical(clusters, quality)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === (2L, false)) // 2 and 3 tie at 99; min doc_id 2 wins
+    assert(out(2L) === (2L, true))
+    assert(out(3L) === (2L, false))
+    assert(out(9L) === (9L, true)) // singleton is its own canonical
+  }
+}

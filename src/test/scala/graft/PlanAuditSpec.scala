@@ -67,4 +67,24 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("quota sample's rank filter is rewritten to a map-side WindowGroupLimit") {
+    // The 100 TB claim for q83: a skewed stratum ships O(k × maps)
+    // rows into the window exchange, not its full size — that is
+    // Spark's WindowGroupLimit rewrite, asserted here so a refactor
+    // that breaks rewrite eligibility (e.g. rank used beyond the
+    // filter) fails loudly.
+    val plan = SparkEntry.queries("q83_quota_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("decontamination joins the corpus against a BROADCAST eval vocabulary") {
+    // The corpus side must never repartition: the eval shingle
+    // vocabulary is the build side of a broadcast semi-join.
+    val plan = SparkEntry.queries("q82_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
