@@ -83,6 +83,55 @@ object Curation {
       .select(out: _*)
   }
 
+  /** Token-budget shard packing: assign every document a training
+    * shard and an offset inside it, by cumulative token count over a
+    * deterministic content-hash order — the sequence-packing prep step
+    * that turns a curated corpus into fixed-budget training shards.
+    * shard_id = floor(tokens_before / tokensPerShard); a doc belongs
+    * to the shard its first token lands in.
+    *
+    * The naive form is a GLOBAL cumulative sum — a single-partition
+    * window sort, the classic 100 TB cliff. This runs the distributed
+    * two-level prefix sum instead: range-repartition on the order key
+    * (partitions tile the global order), a per-partition running sum,
+    * and a broadcast of the per-partition totals' prefix sums (one
+    * tiny frame, rows = partition count). Every row is shuffled once;
+    * no stage sees more than a partition. The result is independent of
+    * where the range boundaries fall, so partition count never changes
+    * the assignment.
+    */
+  def shardPack(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      call_function("graft_text_stats", col(textCol)).getField("n_tokens").as("n_tokens"),
+      md5(col(textCol)).as("okey"))
+    val parted = toks.repartitionByRange(col("okey"), col("doc_id"))
+      .withColumn("part", spark_partition_id())
+      .localCheckpoint() // two consumers (totals + rows); the range
+                         // exchange must also not re-plan between them
+    val wLocal = Window.partitionBy("part").orderBy("okey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wParts = Window.orderBy("part")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partition-count rows: the single-partition window is on the TINY
+    // totals frame, never the corpus
+    val offsets = parted.groupBy("part").agg(sum("n_tokens").as("ptot"))
+      .withColumn("poff", coalesce(sum("ptot").over(wParts), lit(0L)))
+      .select("part", "poff")
+    parted
+      .withColumn("lcum", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("part"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"(poff + lcum) div ${tokensPerShard}L").as("shard_id"),
+        expr(s"(poff + lcum) % ${tokensPerShard}L").as("offset_tokens"))
+  }
+
   /** Canonical-representative selection: for every near-dup cluster,
     * keep the member with the highest quality score (min doc_id
     * tie-break) — the retention decision a dedup pipeline makes after

@@ -287,6 +287,55 @@ object Dedup {
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
   }
 
+  /** Incremental dedup: near-dup pairs of a DELTA batch against a
+    * STANDING corpus — the shape a growing corpus actually runs (every
+    * ingest checks the new batch against everything already kept;
+    * re-running the full self-join per batch would be quadratic in
+    * corpus count). Candidates = delta band keys equi-joined against
+    * standing band keys — never standing×standing, so candidate volume
+    * scales with the DELTA; verification is exact Jaccard restricted
+    * to candidate docs, as in [[minhashLshPairsNative]].
+    *
+    * Here the standing band keys are recomputed (one zero-shuffle
+    * map-side kernel pass over the corpus feeding the join); in
+    * production they are the persisted signature index — a versioned
+    * table bucketed by (band, key), maintained by the same write-batch
+    * delta fold as the gram postings (GramIndex.applyGramDiff) — which
+    * turns the candidate join co-located. Returns (delta_id, corpus_id,
+    * inter, union_size).
+    */
+  def minhashLshDeltaPairsNative(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int,
+      num: Int,
+      den: Int): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(standing.sparkSession)
+    def bandKeys(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      posexplode(call_function(
+        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
+    val candidates = bandKeys(delta).as("d")
+      .join(bandKeys(standing).as("s"), Seq("band", "key"))
+      .select(col("d.id").as("delta_id"), col("s.id").as("corpus_id"))
+      .distinct()
+      .localCheckpoint() // three consumers; band-key pipelines are expensive
+    val candIds = candidates.select(col("delta_id").as("id"))
+      .unionByName(candidates.select(col("corpus_id").as("id")))
+      .distinct()
+    val candDocs = standing.unionByName(delta)
+      .join(candIds, col(idCol) === candIds("id"), "left_semi")
+    val verified = jaccardPairs(shingleSets(candDocs, idCol, textCol, k), num, den)
+    candidates.join(verified,
+        col("id_a") === least(col("delta_id"), col("corpus_id")) &&
+        col("id_b") === greatest(col("delta_id"), col("corpus_id")))
+      .select("delta_id", "corpus_id", "inter", "union_size")
+  }
+
   /** 60-bit SimHash fingerprints over tf-weighted tokens: per bit, the
     * signed sum of token counts (+cnt if the token hash has the bit,
     * −cnt otherwise); fingerprint has bit b set iff the sum is positive.

@@ -210,6 +210,23 @@ object Pipelines {
         TextAnalysis.qualityScore(docs, "doc_id", "text"))
     }),
 
+    // Incremental dedup: the new-batch (doc_id % 89 = 0) near-dups
+    // against the standing corpus — candidates are delta×standing band
+    // joins only, never standing×standing.
+    "q85_dedup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshDeltaPairsNative(
+        docs.filter(col("doc_id") % 89 =!= 0),
+        docs.filter(col("doc_id") % 89 === 0),
+        "doc_id", "text", k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
+    }),
+
+    // Token-budget shard packing: 16384-token training shards over the
+    // md5(text) order, via the distributed two-level prefix sum.
+    "q86_shard_pack" -> ((s, dir) =>
+      Curation.shardPack(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerShard = 16384L)),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -520,6 +537,35 @@ object Pipelines {
          SELECT c.doc_id, c.component_id, n.canonical_id,
                 c.doc_id = n.canonical_id AS keep
          FROM comp c JOIN canon n USING (component_id)""",
+
+    "q85_dedup_delta" ->
+      s"""WITH $jaccardCte,
+         perm(i, a, b) AS (VALUES ${graft.ops.Dedup.minhashCoeffs(64).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+         hh AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM sh),
+         mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+                FROM hh, perm GROUP BY doc_id, i),
+         bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+                FROM mh GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT d.doc_id AS delta_id, s.doc_id AS corpus_id
+                  FROM bk d JOIN bk s ON d.band = s.band AND d.key = s.key
+                  WHERE d.doc_id % 89 = 0 AND s.doc_id % 89 <> 0)
+         SELECT c.delta_id, c.corpus_id, j.inter, j.union_size
+         FROM cand c JOIN jac j
+           ON j.id_a = least(c.delta_id, c.corpus_id)
+          AND j.id_b = greatest(c.delta_id, c.corpus_id)""",
+
+    "q86_shard_pack" ->
+      """WITH tk AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             md5(text) AS okey
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+               FROM tk)
+         SELECT doc_id, n_tokens, cb // 16384 AS shard_id, cb % 16384 AS offset_tokens
+         FROM c""",
 
     "q50_media_features" ->
       s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),

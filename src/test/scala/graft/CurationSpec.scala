@@ -46,6 +46,32 @@ class CurationSpec extends AnyFunSuite {
     if (out.contains(1L) && out.contains(4L)) assert(out(1L) < out(4L))
   }
 
+  test("shardPack: two-level prefix sum equals the global cumsum, at any partition count") {
+    val s = spark; import s.implicits._
+    // 40 docs, token counts 1..8; shard budget 10 forces many boundary
+    // crossings. The global order is md5(text) — opaque — so expected
+    // values come from an independent driver-side fold over that order.
+    val docs = (1L to 40L).map(i => (i, Seq.fill((i % 8 + 1).toInt)("w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val expected = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val ordered = (1L to 40L).map { i =>
+        val text = Seq.fill((i % 8 + 1).toInt)("w" + i).mkString(" ")
+        val key = md5.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (key, i, (i % 8 + 1))
+      }.sortBy(t => (t._1, t._2))
+      var cum = 0L
+      ordered.map { case (_, id, n) =>
+        val r = (id, cum / 10L, cum % 10L); cum += n; r
+      }.toSet
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val out = Curation.shardPack(docs.repartition(parts), "doc_id", "text", 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(out === expected, s"at input partitions=$parts")
+    }
+  }
+
   test("clusterCanonical: best quality wins, min doc_id breaks quality ties; singletons keep") {
     val s = spark; import s.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))

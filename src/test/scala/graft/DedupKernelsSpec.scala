@@ -116,4 +116,25 @@ class DedupKernelsSpec extends AnyFunSuite {
     assert(native === composed)
     assert(native.contains((3L, 4L))) // exact dup pair must survive
   }
+
+  test("delta dedup equals the full self-join restricted to cross pairs") {
+    // The incremental contract: checking a new batch against the
+    // standing corpus finds exactly the full pipeline's pairs that
+    // span the two sides — nothing extra, nothing dropped (same band
+    // scheme, same verify threshold). Delta = even ids.
+    val delta = docs.filter(col("doc_id") % 2 === 0)
+    val standing = docs.filter(col("doc_id") % 2 === 1)
+    val incremental = Dedup.minhashLshDeltaPairsNative(
+      standing, delta, "doc_id", "text", k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Dedup.minhashLshPairsNative(
+      docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cross = full.collect {
+      case (a, b, i, u) if a % 2 != b % 2 =>
+        if (a % 2 == 0) (a, b, i, u) else (b, a, i, u)
+    }.toSet
+    assert(incremental === cross)
+    assert(incremental.exists { case (d, c, _, _) => (d, c) == (4L, 3L) }) // exact dup spans the sides
+  }
 }
