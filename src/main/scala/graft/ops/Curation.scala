@@ -83,6 +83,48 @@ object Curation {
       .select(out: _*)
   }
 
+  /** Temperature-scaled mixture sampling: a `budget`-sized sample
+    * whose per-stratum quotas follow the T=2 smoothed distribution
+    * quota_s = budget × √n_s / Σ√n — the standard move that keeps
+    * low-resource strata (languages, sources) from vanishing under
+    * proportional sampling while still favoring the head. Fully
+    * integer/deterministic: weights are floor(√n) and quotas integer
+    * divisions, so the sample is reproducible across engines; within
+    * a stratum, docs are taken in md5(text) order (doc_id tie-break),
+    * as in [[quotaSample]].
+    *
+    * Scale shape: the quota table is strata-sized (broadcast); the
+    * per-stratum rank filters FIRST against the literal `budget` —
+    * which Spark rewrites to a map-side WindowGroupLimit, bounding
+    * what any skewed stratum ships — and only then against its
+    * stratum's (column-valued, non-rewritable) quota.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+    // Σw via an unpartitioned window: the frame is strata-sized, so the
+    // single-partition exchange is trivial — and unlike a 1-row
+    // crossJoin it introduces no nested-loop join for the plan audit
+    // to reason about.
+    val quotas = counts
+      .withColumn("tw", sum("w").over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(strataCol), expr(s"(${budget}L * w) div tw").as("quota"))
+    val w = Window.partitionBy(strataCol).orderBy(md5(col(textCol)), col(idCol))
+    docs
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= lit(budget))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("mix_rank") <= col("quota"))
+      .select(col(idCol).as("doc_id"), col(strataCol),
+        col("mix_rank").cast("long").as("mix_rank"))
+  }
+
   /** Token-budget shard packing: assign every document a training
     * shard and an offset inside it, by cumulative token count over a
     * deterministic content-hash order — the sequence-packing prep step

@@ -227,6 +227,12 @@ object Pipelines {
       Curation.shardPack(t(s, dir, "documents"), "doc_id", "text",
         tokensPerShard = 16384L)),
 
+    // Temperature-scaled mixture sample: 200-doc budget, per-lang
+    // quotas ∝ √count (T=2 smoothing), md5-order within stratum.
+    "q87_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"), "lang", "doc_id", "text",
+        budget = 200L)),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -566,6 +572,18 @@ object Pipelines {
                FROM tk)
          SELECT doc_id, n_tokens, cb // 16384 AS shard_id, cb % 16384 AS offset_tokens
          FROM c""",
+
+    "q87_mixture_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+         q AS (SELECT lang,
+                 (200 * w) // CAST((SELECT sum(w) FROM w) AS BIGINT) AS quota
+               FROM w),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS mix_rank
+               FROM documents)
+         SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
+         FROM r JOIN q USING (lang) WHERE r.mix_rank <= q.quota""",
 
     "q50_media_features" ->
       s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),

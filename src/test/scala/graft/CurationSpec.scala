@@ -46,6 +46,25 @@ class CurationSpec extends AnyFunSuite {
     if (out.contains(1L) && out.contains(4L)) assert(out(1L) < out(4L))
   }
 
+  test("mixtureSample: sqrt-smoothed quotas, exhausted strata, and the T=2 flattening property") {
+    val s = spark; import s.implicits._
+    // head stratum 100 docs, tail stratum 4 docs: proportional sampling
+    // at budget 26 gives the tail exactly 1; sqrt smoothing gives it 4/14.
+    val docs = ((1L to 100L).map(i => (i, s"head doc number $i", "en")) ++
+      (101L to 104L).map(i => (i, s"tail doc number $i", "sw")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.mixtureSample(docs, "lang", "doc_id", "text", budget = 26L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    val byLang = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // w = (10, 2), tw = 12 → quotas = 26*10//12 = 21, 26*2//12 = 4
+    assert(byLang("en") === 21)
+    assert(byLang("sw") === 4) // the whole tail survives; proportional would keep 1
+    // budget below every stratum count: quota caps bind exactly
+    val tiny = Curation.mixtureSample(docs, "lang", "doc_id", "text", budget = 12L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(tiny("en") === 10 && tiny("sw") === 2)
+  }
+
   test("shardPack: two-level prefix sum equals the global cumsum, at any partition count") {
     val s = spark; import s.implicits._
     // 40 docs, token counts 1..8; shard budget 10 forces many boundary

@@ -38,6 +38,9 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        import os, glob
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            continue  # not in this (subset) dump
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
