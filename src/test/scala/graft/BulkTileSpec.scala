@@ -170,6 +170,46 @@ class BulkTileSpec extends AnyFunSuite {
     checkMarkupParity(db, Seq(page, page2), "markup-parity")
   }
 
+  test("random multi-parent DAGs (seeded): distributed markup equals the serving serializer") {
+    // The fishing harness that caught the round-4 serializer bug, now
+    // pointed at the distributed renderer: random mixes of escape-
+    // heavy texts, prefix-lookalike texts, chains, pages, nested
+    // styled spans/blocks over the FULL markup style vocabulary,
+    // repeated slots and shared subtrees. Roots are parentless pages
+    // (rooted pages inject branch subsections, which carry no
+    // serialization — q78 proves those structurally).
+    val texts = Vector(
+      "plain words here", "-# prefix lookalike", "> quoted start",
+      "a*b_c`d~e|f\\g", "`tick` and ~wave~", "   ", "x",
+      ", comma start", "mid *star* text")
+    val spanStyles = Vector("BOLD", "ITALIC", "STRUCK", "CODE")
+    val blockStyles = Vector("HEADING", "LIST", "QUOTE", "ASIDE")
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 4) {
+      val db = new GraftDb
+      var pool = Vector.fill(6)(db.add(Node.text(texts(rnd.nextInt(texts.length)))))
+      var pages = Vector.empty[graft.model.Gid]
+      for (_ <- 1 to 14) {
+        val kids = Vector.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.length)))
+          .map(Child.Lazy(_): Child)
+        val node = rnd.nextInt(6) match {
+          case 0 | 1 => Node.List(Layout.Chain, kids)
+          case 2     => Node.List(Layout.Page, kids)
+          case 3 | 4 => Node.styledSpan(spanStyles(rnd.nextInt(4)),
+            Node.List(Layout.Chain, kids))
+          case _     => Node.styledBlock(blockStyles(rnd.nextInt(4)),
+            Node.List(Layout.Page, kids))
+        }
+        val id = db.add(node)
+        if (node.isInstanceOf[Node.List] && node.asInstanceOf[Node.List].layout == Layout.Page)
+          pages :+= id
+        pool :+= id
+      }
+      val roots = pages.filter(db.parents(_).isEmpty)
+      if (roots.nonEmpty) checkMarkupParity(db, roots, s"random-$trial")
+    }
+  }
+
   test("promotion climb entering a parent-cycle keeps parity (first revisited node)") {
     // The leaf sits in the root page AND in chainZ (a second, root-
     // unreachable parent). Its after-sibling there resolves to b (repr
