@@ -68,14 +68,21 @@ object GramIndex {
     * discriminative signal; pruning bounds the join superlinearity at
     * corpus scale. Approximate — the exact operators keep full
     * postings.
+    *
+    * Window form, not agg→broadcast-anti: the df count is one shuffle
+    * on `gram` EITHER way (the agg moves the same rows), but the
+    * window leaves the output hash-partitioned on gram, which is
+    * exactly the downstream overlap self-join's key — so the join
+    * reuses this exchange instead of re-shuffling the postings
+    * (A/B/C in tools/Prof "pruned": 1.12 vs 1.82 s warm under AQE at
+    * sf0.1, and one corpus-sized shuffle saved at any scale).
     */
-  def prunedPostings(postings: DataFrame, maxDocFreq: Long): DataFrame = {
-    val hot = postings.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("gram")
-    postings.join(broadcast(hot), Seq("gram"), "left_anti")
-  }
+  def prunedPostings(postings: DataFrame, maxDocFreq: Long): DataFrame =
+    postings
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
 
   /** (id, cnt) — the slot-3 per-doc total gram count (len(bytes)+3). */
   def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -54,8 +54,11 @@ object Engine {
     // unlike q22 this is bench-runnable at any SF.
     "q24_overlap_pruned" -> ((s, dir) => {
       val d = docs(s, dir)
+      // localCheckpoint, not persist: blocks are reclaimed with the
+      // frame, and the checkpointed RDD keeps the window's gram
+      // partitioning for the self-join to reuse
       val p = GramIndex.prunedPostings(
-        GramIndex.postings(d, "doc_id", "text"), maxDocFreq = 50).persist()
+        GramIndex.postings(d, "doc_id", "text"), maxDocFreq = 50).localCheckpoint()
       // sizes relative to the SURVIVING (distinctive) grams — overlap
       // on rare content is the near-dup signal; common-gram mass is
       // noise at corpus scale anyway

@@ -66,6 +66,38 @@ object Prof {
         run("salted32")(graft.bulk.GramIndex.overlapPairsSalted(dirty, p, c, 32))
         run("bcast 1")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
         run("bcast 2")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
+      case "pruned" =>
+        // q24 prune-strategy A/B: (A) the shipped agg->broadcast-anti
+        // prune + persist, (B) a window-df prune (count over gram)
+        // whose shuffle the self-join can reuse, with localCheckpoint,
+        // (C) B without the checkpoint (pure ReusedExchange).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def pairsOf(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val c = p.groupBy("id").agg(sum(col("occurrences")).as("cnt"))
+          graft.bulk.GramIndex.overlapPairs(p, c)
+        }
+        for (i <- 1 to 2) {
+          time(s"A agg+anti persist $i") {
+            val p = graft.bulk.GramIndex.prunedPostings(
+              graft.bulk.GramIndex.postings(docs, "doc_id", "text"), 50).persist()
+            noop(pairsOf(p)); spark.sharedState.cacheManager.clearCache()
+          }
+          time(s"B window prune ckpt $i") {
+            val base = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
+            val p = base.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+              .filter(col("df") <= 50).drop("df").localCheckpoint()
+            noop(pairsOf(p))
+          }
+          time(s"C window prune reuse $i") {
+            val base = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
+            val p = base.withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+              .filter(col("df") <= 50).drop("df")
+            noop(pairsOf(p))
+          }
+        }
       case "q01cents" =>
         // Is the DECIMAL aggregation q01's cost, or the scan/schedule
         // floor? Compare: bare filtered count, the DECIMAL agg (shipped
