@@ -69,20 +69,21 @@ object GramIndex {
     * corpus scale. Approximate — the exact operators keep full
     * postings.
     *
-    * Window form, not agg→broadcast-anti: the df count is one shuffle
-    * on `gram` EITHER way (the agg moves the same rows), but the
-    * window leaves the output hash-partitioned on gram, which is
-    * exactly the downstream overlap self-join's key — so the join
-    * reuses this exchange instead of re-shuffling the postings
-    * (A/B/C in tools/Prof "pruned": 1.12 vs 1.82 s warm under AQE at
-    * sf0.1, and one corpus-sized shuffle saved at any scale).
+    * Agg→broadcast-anti, NOT a window df count: a window would leave
+    * the output partitioned on the self-join key (one postings-size
+    * shuffle saved) and wins at sf0.1 (1.12 vs 1.66 s), but windows
+    * SORT their partitions, and at the 62× leg sorting the postings
+    * costs more than the hash shuffle it saves (6.3 vs 3.7 s warm —
+    * tools/Prof "pruned" keeps both variants). Hash-agg plus a tiny
+    * broadcast anti-join is sort-free: the scale-correct shape.
     */
-  def prunedPostings(postings: DataFrame, maxDocFreq: Long): DataFrame =
-    postings
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+  def prunedPostings(postings: DataFrame, maxDocFreq: Long): DataFrame = {
+    val hot = postings.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("gram")
+    postings.join(broadcast(hot), Seq("gram"), "left_anti")
+  }
 
   /** (id, cnt) — the slot-3 per-doc total gram count (len(bytes)+3). */
   def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

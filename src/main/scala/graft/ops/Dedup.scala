@@ -84,6 +84,15 @@ object Dedup {
     val exploded = graft.Tables.fanOut(docs).select(
       col(idCol).as("id"),
       explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("shingle"))
+    // Stop-shingle prune stays agg→broadcast-anti, NOT a window df
+    // count. A window would leave `kept` partitioned on the self-join
+    // key (one exploded-size shuffle saved) and A/B-measures FASTER at
+    // sf0.1 (1.35 vs 2.48 s) — but windows sort their partitions, and
+    // at the 62× leg sorting the exploded table costs more than the
+    // hash shuffle it saves (14.5 vs 19.4 s warm, tools/Prof
+    // "jacprune"). Hash-agg + tiny broadcast anti is sort-free and is
+    // the shape that survives 100 TB; the window win is a small-scale
+    // fixed-cost artifact.
     val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq).select("shingle")
     // kept feeds three consumers (sizes + both self-join sides), each

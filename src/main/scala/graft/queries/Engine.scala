@@ -55,8 +55,9 @@ object Engine {
     "q24_overlap_pruned" -> ((s, dir) => {
       val d = docs(s, dir)
       // localCheckpoint, not persist: blocks are reclaimed with the
-      // frame, and the checkpointed RDD keeps the window's gram
-      // partitioning for the self-join to reuse
+      // frame, and the pruned frame materializes once for its three
+      // consumers (sizes + both self-join sides) — measured faster
+      // than persist at every leg (tools/Prof "pruned")
       val p = GramIndex.prunedPostings(
         GramIndex.postings(d, "doc_id", "text"), maxDocFreq = 50).localCheckpoint()
       // sizes relative to the SURVIVING (distinctive) grams — overlap

@@ -66,6 +66,60 @@ object Prof {
         run("salted32")(graft.bulk.GramIndex.overlapPairsSalted(dirty, p, c, 32))
         run("bcast 1")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
         run("bcast 2")(graft.bulk.GramIndex.overlapPairsFrom(broadcast(dirty), p, c))
+      case "jacprune" =>
+        // q31-family stop-shingle prune A/B: shipped agg->broadcast-anti
+        // vs window-df (exchange reused by the pair self-join).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        def noop2(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        graft.functions.DedupKernels.ensureRegistered(spark)
+        def pairsFromKept(kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+          val a = kept.select(col("id").as("id_a"), col("shingle"))
+          val b = kept.select(col("id").as("id_b"), col("shingle"))
+          val pairs = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          val s1 = sizes.select(col("id").as("id_a"), col("setsize").as("ca"))
+          val s2 = sizes.select(col("id").as("id_b"), col("setsize").as("cb"))
+          pairs.join(s1, "id_a").join(s2, "id_b")
+            .filter(col("inter") * 2 > col("ca") + col("cb") - col("inter"))
+            .select(col("id_a"), col("id_b"), col("inter"),
+              (col("ca") + col("cb") - col("inter")).as("union_size"))
+        }
+        def explodedSh = graft.Tables.fanOut(docs).select(
+          col("doc_id").as("id"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("shingle"))
+        for (i <- 1 to 2) {
+          time(s"A shipped $i") {
+            noop2(graft.ops.Dedup.jaccardPairsNative(docs, "doc_id", "text", 3, 1, 2, 100))
+          }
+          time(s"OLD agg+anti $i") {
+            val exploded = explodedSh
+            val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+              .filter(col("df") > 100).select("shingle")
+            val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").localCheckpoint()
+            noop2(pairsFromKept(kept))
+          }
+          time(s"B window $i") {
+            val exploded = graft.Tables.fanOut(docs).select(
+              col("doc_id").as("id"),
+              explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("shingle"))
+            val kept = exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+              .filter(col("df") <= 100).drop("df").localCheckpoint()
+            val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+            val a = kept.select(col("id").as("id_a"), col("shingle"))
+            val b = kept.select(col("id").as("id_b"), col("shingle"))
+            val pairs = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+              .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+            val s1 = sizes.select(col("id").as("id_a"), col("setsize").as("ca"))
+            val s2 = sizes.select(col("id").as("id_b"), col("setsize").as("cb"))
+            noop2(pairs.join(s1, "id_a").join(s2, "id_b")
+              .filter(col("inter") * 2 > col("ca") + col("cb") - col("inter"))
+              .select(col("id_a"), col("id_b"), col("inter"),
+                (col("ca") + col("cb") - col("inter")).as("union_size")))
+          }
+        }
       case "pruned" =>
         // q24 prune-strategy A/B: (A) the shipped agg->broadcast-anti
         // prune + persist, (B) a window-df prune (count over gram)
@@ -81,9 +135,18 @@ object Prof {
         }
         for (i <- 1 to 2) {
           time(s"A agg+anti persist $i") {
-            val p = graft.bulk.GramIndex.prunedPostings(
-              graft.bulk.GramIndex.postings(docs, "doc_id", "text"), 50).persist()
+            val base = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
+            val hot = base.groupBy("gram").agg(count(lit(1)).as("df"))
+              .filter(col("df") > 50).select("gram")
+            val p = base.join(broadcast(hot), Seq("gram"), "left_anti").persist()
             noop(pairsOf(p)); spark.sharedState.cacheManager.clearCache()
+          }
+          time(s"A2 agg+anti ckpt $i") {
+            val base = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
+            val hot = base.groupBy("gram").agg(count(lit(1)).as("df"))
+              .filter(col("df") > 50).select("gram")
+            val p = base.join(broadcast(hot), Seq("gram"), "left_anti").localCheckpoint()
+            noop(pairsOf(p))
           }
           time(s"B window prune ckpt $i") {
             val base = graft.bulk.GramIndex.postings(docs, "doc_id", "text")
