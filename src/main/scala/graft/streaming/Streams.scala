@@ -231,6 +231,78 @@ object Streams {
     (handle, query)
   }
 
+  /** Online ingest dedup gate: the streaming composition of the
+    * incremental near-dup check (ops/Dedup.minhashLshDeltaPairsNative,
+    * q85). Each micro-batch of incoming documents is checked (a)
+    * against the standing corpus — delta×standing band joins only —
+    * and (b) within itself (the full pipeline on the batch, which is
+    * batch-sized); docs flagged either way are rejected, the rest fold
+    * into the standing corpus for the next batch. Within a batch the
+    * LOWER id of a near-dup pair survives, matching the exact-dedup
+    * canonical rule.
+    *
+    * The standing corpus is localCheckpoint-materialized per batch so
+    * the plan never grows with stream length. In production the
+    * standing side's band keys are the persisted signature index; here
+    * the corpus frame is the source of truth, which keeps the gate
+    * self-contained (the recompute cost is one zero-shuffle kernel
+    * pass per batch).
+    */
+  final class DedupGate private[streaming] (
+      initial: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int, numPerm: Int, bands: Int, num: Int, den: Int) {
+    @volatile private var corpus: DataFrame = initial.localCheckpoint()
+    @volatile private var rejectedAcc: Vector[DataFrame] = Vector.empty
+    def corpusNow: DataFrame = corpus
+    /** (id, reason) rows for every rejected doc so far. */
+    def rejected: DataFrame =
+      if (rejectedAcc.isEmpty)
+        corpus.sparkSession.emptyDataFrame
+          .select(lit(0L).as("id"), lit("").as("reason")).limit(0)
+      else rejectedAcc.reduce(_ unionByName _)
+    private[streaming] def fold(batch: DataFrame): Unit = {
+      import graft.ops.Dedup
+      // the micro-batch frame lives on a CLONED session whose function
+      // registry was snapshot before any kernel registration on the
+      // main session — register there explicitly
+      graft.functions.DedupKernels.ensureRegistered(batch.sparkSession)
+      val vsStanding = Dedup.minhashLshDeltaPairsNative(
+          corpus, batch, idCol, textCol, k, numPerm, bands, num, den)
+        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
+      val within = Dedup.minhashLshPairsNative(
+          batch, idCol, textCol, k, numPerm, bands, num, den)
+        .select(greatest(col("id_a"), col("id_b")).as("id"),
+          lit("near-dup within batch").as("reason"))
+      val flagged = vsStanding.unionByName(within)
+        .groupBy("id").agg(min(col("reason")).as("reason"))
+        .localCheckpoint()
+      rejectedAcc :+= flagged
+      val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
+      corpus = corpus.unionByName(clean.select(corpus.columns.map(col): _*))
+        .localCheckpoint()
+    }
+  }
+
+  /** Run [[DedupGate]] over a streaming frame of documents via
+    * foreachBatch. Returns the live gate handle + the query.
+    */
+  def dedupGateStream(
+      docs: DataFrame,
+      initialCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      num: Int = 1, den: Int = 2): (DedupGate, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val gate = new DedupGate(initialCorpus, idCol, textCol, k, numPerm, bands, num, den)
+    val query = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => gate.fold(batch) }
+      .start()
+    (gate, query)
+  }
+
   /** Per-broadcast episode/node counts over the episode stream. */
   def episodeStats(episodes: DataFrame): DataFrame =
     episodes

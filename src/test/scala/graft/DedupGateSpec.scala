@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Online ingest dedup gate (Streams.dedupGateStream): near-dups are
+  * rejected against the standing corpus AND within a batch, clean docs
+  * fold into the corpus, and later batches are checked against
+  * everything earlier batches admitted.
+  */
+class DedupGateSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-dedupgate-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString)
+    .getOrCreate()
+
+  final case class Doc(doc_id: Long, text: String)
+
+  test("batches reject vs corpus and within-batch; admitted docs gate later batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+
+    val input = MemoryStream[Doc]
+    val (gate, query) = Streams.dedupGateStream(
+      input.toDF(), corpus, "doc_id", "text")
+    try {
+      // batch 1: 10 dups corpus doc 1 (reject vs corpus); 11/12 are
+      // near-dups of each other (higher id 12 rejected within batch);
+      // 13 is novel
+      input.addData(
+        Doc(10L, "the quick brown fox jumps over the lazy dog"),
+        Doc(11L, "brand new content first variant here today"),
+        Doc(12L, "brand new content first variant here today"),
+        Doc(13L, "completely different and unrelated text"))
+      query.processAllAvailable()
+      val r1 = gate.rejected.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(r1.keySet === Set(10L, 12L))
+      assert(r1(10L) === "near-dup of corpus")
+      assert(r1(12L) === "near-dup within batch")
+
+      // batch 2: 20 dups doc 11 — admitted only in batch 1, so the
+      // rejection proves the corpus actually grew
+      input.addData(
+        Doc(20L, "brand new content first variant here today"),
+        Doc(21L, "yet another novel document entirely fresh"))
+      query.processAllAvailable()
+      val r2 = gate.rejected.collect().map(_.getLong(0)).toSet
+      assert(r2 === Set(10L, 12L, 20L))
+
+      val ids = gate.corpusNow.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 11L, 13L, 21L))
+    } finally query.stop()
+  }
+}
