@@ -210,14 +210,15 @@ object Pipelines {
         TextAnalysis.qualityScore(docs, "doc_id", "text"))
     }),
 
-    // Incremental dedup: the new-batch (doc_id % 89 = 0) near-dups
+    // Incremental dedup: the new-batch (doc_id % 7 = 0, ~14% of the
+    // corpus) near-dups
     // against the standing corpus — candidates are delta×standing band
     // joins only, never standing×standing.
     "q85_dedup_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.minhashLshDeltaPairsNative(
-        docs.filter(col("doc_id") % 89 =!= 0),
-        docs.filter(col("doc_id") % 89 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
     }),
 
@@ -555,7 +556,7 @@ object Pipelines {
                 FROM mh GROUP BY doc_id, i // 4),
          cand AS (SELECT DISTINCT d.doc_id AS delta_id, s.doc_id AS corpus_id
                   FROM bk d JOIN bk s ON d.band = s.band AND d.key = s.key
-                  WHERE d.doc_id % 89 = 0 AND s.doc_id % 89 <> 0)
+                  WHERE d.doc_id % 7 = 0 AND s.doc_id % 7 <> 0)
          SELECT c.delta_id, c.corpus_id, j.inter, j.union_size
          FROM cand c JOIN jac j
            ON j.id_a = least(c.delta_id, c.corpus_id)
