@@ -32,6 +32,15 @@ object MarkupProps extends Properties("Markup") {
     reparsed == block || Markup.fromBlock(reparsed) == normalized
   }
 
+  // JSON exchange roundtrip: markup → block JSON → markup reproduces
+  // the normal form (exercises the parser against every serializer
+  // output shape: escapes, style arrays, empty spans).
+  property("json_to_markup inverts markup_to_json on the normal form") =
+    Prop.forAll(markupLine) { m =>
+      val normalized = Markup.fromBlock(Markup.toBlock(m))
+      graft.view.ViewJson.jsonToMarkup(graft.view.ViewJson.markupToJson(m)) == normalized
+    }
+
   property("toNode never throws and text survives for plain lines") =
     Prop.forAll(Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.const(' '))).map(_.mkString)) { line =>
       Markup.toNode(line) match {

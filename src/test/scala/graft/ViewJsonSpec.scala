@@ -20,6 +20,26 @@ class ViewJsonSpec extends AnyFunSuite {
       """{"type":"Text","styles":["Heading","Quote"],"spans":[{"type":"Text","text":"quoted heading"}]}""")
   }
 
+  test("json_to_markup parses field-order-free JSON and rejects non-markup blocks") {
+    // reference markup.rs:225-231: JSON block -> block_to_markup
+    assert(ViewJson.jsonToMarkup(
+      """{"type":"Text","spans":[{"type":"Text","styles":["Bold"],"text":"some markup"}]}""")
+      === "*some markup*")
+    // field order is free in JSON; unicode + escape forms decode
+    assert(ViewJson.jsonToMarkup(
+      """{ "spans": [ {"text": "aA\\b", "type": "Text"} ], "styles": ["Quote"], "type": "Text" }""")
+      === "> aA\\\\b")
+    // no markup form: cyclic blocks and link spans throw, as in the
+    // reference's Err results
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup("""{"type":"Cyclic"}"""))
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup(
+        """{"type":"Text","spans":[{"type":"Link","link":{}}]}"""))
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup("""{"type":"Text","spans":[]} trailing"""))
+  }
+
   test("tile serializes to stable tagged JSON") {
     val db = new GraftDb
     val bindings = new Bindings(db)
