@@ -143,4 +143,18 @@ object Persistence {
   def postingsFrom(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/grams")
       .select(col("id"), col("gram").cast("long").as("gram"), col("occurrences").cast("long"))
+
+  /** `storage::purge(name)` (assemblage_kv/src/storage.rs:32-40):
+    * delete the storage backing entirely — every slot table, manifest
+    * and staging file under `dir`. A subsequent [[save]]/[[load]]
+    * starts from a fresh store. Idempotent on a missing dir.
+    */
+  def purge(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

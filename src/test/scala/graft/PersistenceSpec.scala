@@ -71,6 +71,21 @@ class PersistenceSpec extends AnyFunSuite {
     assert(loaded.search("replaced after load").exists(_.id == textId))
   }
 
+  test("purge deletes the storage backing; a reopened store is fresh; missing dir is a no-op") {
+    val db = new GraftDb
+    db.add(Node.Text("doomed content"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    Persistence.save(db, spark, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    Persistence.purge(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    Persistence.purge(dir) // idempotent on missing storage
+    val fresh = new GraftDb
+    val id = fresh.add(Node.Text("new life"))
+    Persistence.save(fresh, spark, dir)
+    assert(Persistence.load(spark, dir).get(id) === fresh.get(id))
+  }
+
   test("load refuses snapshots beyond the driver-side node cap") {
     val db = new GraftDb
     val t = db.add(Node.Text("guarded"))
