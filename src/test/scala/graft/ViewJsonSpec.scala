@@ -38,6 +38,8 @@ class ViewJsonSpec extends AnyFunSuite {
         """{"type":"Text","spans":[{"type":"Link","link":{}}]}"""))
     assertThrows[IllegalArgumentException](
       ViewJson.jsonToMarkup("""{"type":"Text","spans":[]} trailing"""))
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup("""{"type":"Text","spans":[{"type":"Text","text":"unterminat"""))
   }
 
   test("tile serializes to stable tagged JSON") {
