@@ -254,14 +254,19 @@ object Streams {
       textCol: String,
       k: Int, numPerm: Int, bands: Int, num: Int, den: Int) {
     @volatile private var corpus: DataFrame = initial.localCheckpoint()
-    @volatile private var rejectedAcc: Vector[DataFrame] = Vector.empty
+    // single loop-carried frame, checkpointed per batch — a lazy union
+    // accumulator would grow the plan with stream length (the same
+    // rule the corpus follows); the rejection log is reject-sized, so
+    // re-materializing it per batch is trivial. Initialized from the
+    // first batch so the id column keeps the caller's id type.
+    @volatile private var rejectedLog: Option[DataFrame] = None
     def corpusNow: DataFrame = corpus
-    /** (id, reason) rows for every rejected doc so far. */
-    def rejected: DataFrame =
-      if (rejectedAcc.isEmpty)
-        corpus.sparkSession.emptyDataFrame
-          .select(lit(0L).as("id"), lit("").as("reason")).limit(0)
-      else rejectedAcc.reduce(_ unionByName _)
+    /** (id, reason) rows for every rejected doc so far (before the
+      * first batch: an empty bigint-id frame).
+      */
+    def rejected: DataFrame = rejectedLog.getOrElse(
+      corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit("").as("reason")).limit(0))
     private[streaming] def fold(batch: DataFrame): Unit = {
       import graft.ops.Dedup
       // the micro-batch frame lives on a CLONED session whose function
@@ -278,7 +283,8 @@ object Streams {
       val flagged = vsStanding.unionByName(within)
         .groupBy("id").agg(min(col("reason")).as("reason"))
         .localCheckpoint()
-      rejectedAcc :+= flagged
+      rejectedLog = Some(rejectedLog
+        .fold(flagged)(_ unionByName flagged).localCheckpoint())
       val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
       corpus = corpus.unionByName(clean.select(corpus.columns.map(col): _*))
         .localCheckpoint()
