@@ -174,6 +174,41 @@ object Curation {
         expr(s"(poff + lcum) % ${tokensPerShard}L").as("offset_tokens"))
   }
 
+  /** Corpus profiling: per-stratum document counts, token mass, and
+    * EXACT p50/p95 token-count percentiles (discrete: the ceil(q·n)-th
+    * smallest value, doc_id tie-break) — the stats pass that sizes
+    * mixtures and flags degenerate strata before training. All-integer
+    * rank arithmetic, so the result is reproducible across engines.
+    *
+    * One shuffle on the strata column (the rank window); the agg rides
+    * the same partitioning. Exact per-stratum percentiles sort each
+    * stratum — the oracle-able form; at 100 TB swap in
+    * `percentile_approx` (one pass, mergeable sketch) where exactness
+    * isn't required.
+    */
+  def corpusStats(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+    val tk = docs.select(
+      col(strataCol),
+      col(idCol).as("doc_id"),
+      call_function("graft_text_stats", col(textCol)).getField("n_tokens").as("nt"))
+    val w = Window.partitionBy(strataCol).orderBy(col("nt"), col("doc_id"))
+    val wn = Window.partitionBy(strataCol)
+    tk
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col(strataCol))
+      .agg(
+        max(col("n")).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("nt"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("nt"))).as("p95_tokens"))
+  }
+
   /** Canonical-representative selection: for every near-dup cluster,
     * keep the member with the highest quality score (min doc_id
     * tie-break) — the retention decision a dedup pipeline makes after

@@ -234,6 +234,11 @@ object Pipelines {
       Curation.mixtureSample(t(s, dir, "documents"), "lang", "doc_id", "text",
         budget = 200L)),
 
+    // Corpus profiling: per-lang doc/token mass + exact integer
+    // p50/p95 token percentiles (discrete, ceil(q·n)-th smallest).
+    "q88_corpus_stats" -> ((s, dir) =>
+      Curation.corpusStats(t(s, dir, "documents"), "lang", "doc_id", "text")),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -585,6 +590,20 @@ object Pipelines {
                FROM documents)
          SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
          FROM r JOIN q USING (lang) WHERE r.mix_rank <= q.quota""",
+
+    "q88_corpus_stats" ->
+      """WITH tk AS (SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+           FROM documents),
+         r AS (SELECT lang, nt,
+                 row_number() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM tk)
+         SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS p50_tokens,
+                max(CASE WHEN rn = (19 * n + 19) // 20 THEN nt END) AS p95_tokens
+         FROM r GROUP BY lang""",
 
     "q50_media_features" ->
       s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),

@@ -91,6 +91,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusStats: exact discrete percentiles, incl. singleton and two-doc strata") {
+    val s = spark; import s.implicits._
+    // en: token counts 1..20 → p50 = 10th smallest = 10, p95 = ceil(19) = 19
+    val docs = ((1L to 20L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "en")) ++
+      Seq((100L, "one two three", "sw")) ++                      // singleton: p50 = p95 = 3
+      Seq((200L, "a", "de"), (201L, "a b c d", "de")))           // n=2: p50 = 1st = 1, p95 = 2nd = 4
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.corpusStats(docs, "lang", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("en") === ((20L, 210L, 10L, 19L)))
+    assert(out("sw") === ((1L, 3L, 3L, 3L)))
+    assert(out("de") === ((2L, 5L, 1L, 4L)))
+  }
+
   test("clusterCanonical: best quality wins, min doc_id breaks quality ties; singletons keep") {
     val s = spark; import s.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
