@@ -77,6 +77,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q83_quota_sample")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // q87 ranks against the literal budget BEFORE the per-stratum
+    // quota column precisely so the same rewrite keeps firing
+    val p87 = SparkEntry.queries("q87_mixture_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p87.contains("WindowGroupLimit"), p87.take(2000))
   }
 
   test("decontamination joins the corpus against a BROADCAST eval vocabulary") {
