@@ -93,4 +93,28 @@ object TextAnalysis {
       call_function("graft_poly_hash", col(textCol)).as("poly_hash"),
       call_function("graft_min_window_hash", col(textCol)).as("min_window_hash"))
   }
+
+  /** PII scrub: redact email addresses and phone-shaped digit runs
+    * with fixed placeholders, counting each — the cleaning pass every
+    * public-web corpus runs before training. Patterns are deliberately
+    * RE2-safe (no backtracking constructs) so the same regexes run
+    * under Java regex here and RE2 in the oracle, and redaction is
+    * sequential (emails first, then phones over the already-redacted
+    * text) so both engines see identical intermediate strings.
+    * Pure map-side: codegen'd regexp passes, zero shuffles.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,14}[0-9]"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"))
 }

@@ -234,6 +234,21 @@ object Pipelines {
       Curation.mixtureSample(t(s, dir, "documents"), "lang", "doc_id", "text",
         budget = 200L)),
 
+    // PII scrub: sequential email → phone redaction with counts. The
+    // synthetic corpus carries no PII, so every 5th doc gets a
+    // deterministic contact line injected (mirrored in the oracle) —
+    // otherwise the oracle would only prove the no-op path.
+    "q89_redact_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(aug, "doc_id", "text")
+    }),
+
     // Corpus profiling: per-lang doc/token mass + exact integer
     // p50/p95 token percentiles (discrete, ceil(q·n)-th smallest).
     "q88_corpus_stats" -> ((s, dir) =>
@@ -315,6 +330,9 @@ object Pipelines {
 
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private val emailRe: String = graft.ops.TextAnalysis.EmailRe
+  private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
   private val stopwordValues: String =
     TextAnalysis.stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
@@ -590,6 +608,22 @@ object Pipelines {
                FROM documents)
          SELECT r.doc_id, r.lang, CAST(r.mix_rank AS BIGINT) AS mix_rank
          FROM r JOIN q USING (lang) WHERE r.mix_rank <= q.quota""",
+
+    "q89_redact_pii" ->
+      s"""WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or +1 (555) 010-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+         FROM documents)
+         SELECT doc_id,
+         regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+                        '$phoneRe', '<PHONE>', 'g') AS clean_text,
+         CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(
+           regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe')) AS BIGINT) AS n_phones
+         FROM aug""",
 
     "q88_corpus_stats" ->
       """WITH tk AS (SELECT doc_id, lang,
