@@ -94,6 +94,45 @@ object TextAnalysis {
       call_function("graft_min_window_hash", col(textCol)).as("min_window_hash"))
   }
 
+  /** Repetition metrics (the Gopher-style repetition filter family):
+    * per document, the total and duplicated word-bigram mass and the
+    * most frequent token's share — high duplicate-bigram or
+    * single-token mass marks boilerplate, keyword stuffing and
+    * degenerate generations that plain length/uniqueness scores
+    * (qualityScore) miss. All-integer permille ratios, so the result
+    * is engine-reproducible.
+    *
+    * Plan shape: two explode → per-doc-key aggregations (bigrams and
+    * tokens), joined on doc_id. Each aggregation combines map-side;
+    * nothing is corpus-quadratic.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Hashing.shingles(col(textCol), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_bigram_tokens"))
+    val tk = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Hashing.tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(col("n")).as("n_tokens"),
+        max(col("n")).as("max_token_freq"))
+    ids.join(bg, Seq("doc_id"), "left").join(tk, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dup_bigram_tokens"), lit(0L)).as("dup_bigram_tokens"),
+        expr("coalesce(dup_bigram_tokens, 0) * 1000 div greatest(coalesce(n_bigrams, 0), 1)")
+          .as("rep_permille"),
+        expr("coalesce(max_token_freq, 0) * 1000 div greatest(coalesce(n_tokens, 0), 1)")
+          .as("top_token_permille"))
+  }
+
   /** PII scrub: redact email addresses and phone-shaped digit runs
     * with fixed placeholders, counting each — the cleaning pass every
     * public-web corpus runs before training. Patterns are deliberately

@@ -249,6 +249,11 @@ object Pipelines {
       TextAnalysis.redactPii(aug, "doc_id", "text")
     }),
 
+    // Repetition metrics: duplicated-bigram mass + top-token share
+    // (the Gopher-style repetition filter), integer permille.
+    "q90_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
+
     // Corpus profiling: per-lang doc/token mass + exact integer
     // p50/p95 token percentiles (discrete, ceil(q·n)-th smallest).
     "q88_corpus_stats" -> ((s, dir) =>
@@ -624,6 +629,27 @@ object Pipelines {
          CAST(len(regexp_extract_all(
            regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe')) AS BIGINT) AS n_phones
          FROM aug""",
+
+    "q90_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+         bg AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] AS b
+                FROM toks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+         bs AS (SELECT doc_id, sum(n) AS n_bigrams,
+                       sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_bigram_tokens
+                FROM bc GROUP BY 1),
+         tc AS (SELECT doc_id, tok, count(*) AS n FROM
+                  (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+                GROUP BY 1, 2),
+         ts AS (SELECT doc_id, sum(n) AS n_tokens, max(n) AS max_token_freq FROM tc GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(bs.dup_bigram_tokens, 0) AS BIGINT) AS dup_bigram_tokens,
+                CAST(coalesce(bs.dup_bigram_tokens, 0) * 1000 //
+                     greatest(coalesce(bs.n_bigrams, 0), 1) AS BIGINT) AS rep_permille,
+                CAST(coalesce(ts.max_token_freq, 0) * 1000 //
+                     greatest(coalesce(ts.n_tokens, 0), 1) AS BIGINT) AS top_token_permille
+         FROM documents d LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)""",
 
     "q88_corpus_stats" ->
       """WITH tk AS (SELECT doc_id, lang,

@@ -102,4 +102,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(native(108L) === ("es", 2L)) // fr/es tie → lang asc
     assert(native(102L) === ("und", 0L))
   }
+  test("repetition metrics: dup-bigram mass, top-token share, degenerate docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),       // bigrams: "a b"x3, "b a"x2 -> all 5 dup
+      (2L, "w x y z"),           // 3 bigrams, all unique
+      (3L, "solo"),              // 1 token: no bigrams, top share 1000
+      (4L, ""),                  // no tokens at all
+      (5L, "t t t t")            // one token type: everything repeats
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((5L, 5L, 1000L, 500L)))  // 3 of 6 tokens are "a"
+    assert(out(2L) === ((3L, 0L, 0L, 250L)))
+    assert(out(3L) === ((0L, 0L, 0L, 1000L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+    assert(out(5L) === ((3L, 3L, 1000L, 1000L)))
+  }
+
 }
