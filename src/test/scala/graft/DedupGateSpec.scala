@@ -61,4 +61,22 @@ class DedupGateSpec extends AnyFunSuite {
       assert(ids === Set(1L, 2L, 11L, 13L, 21L))
     } finally query.stop()
   }
+
+  final case class SDoc(doc_id: String, text: String)
+
+  test("the rejection log keeps a non-long id type (lazy first-batch init)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val corpus = Seq(("keep-a", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[SDoc]
+    val (gate, query) = Streams.dedupGateStream(input.toDF(), corpus, "doc_id", "text")
+    try {
+      input.addData(SDoc("dup-b", "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      val rej = gate.rejected.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rej.toSeq === Seq(("dup-b", "near-dup of corpus")))
+    } finally query.stop()
+  }
 }
