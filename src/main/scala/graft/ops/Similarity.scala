@@ -383,6 +383,39 @@ object Similarity {
     cents
   }
 
+  /** [[ivfTopKTrained]] with the trained centroid table also EXPORTED
+    * as parquet `(cid BIGINT, cv ARRAY<DOUBLE>)` — the external-oracle
+    * hook. The centroids are bit-deterministic for a given corpus
+    * (ascending-id accumulation over the deterministic sample, see
+    * [[kmeansCentroids]]), and the export unpacks the exact doubles the
+    * serving path dots against, so an external engine reading the file
+    * and replaying probe+rerank with a sequential-fold cosine
+    * reproduces the result hash-for-hash. Export cost is `numCentroids`
+    * rows — negligible at any scale.
+    */
+  def ivfTopKTrainedExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      trainIters: Int,
+      nprobe: Int,
+      k: Int,
+      exportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, numCentroids, trainIters, sampleCap)
+    val spark = emb.sparkSession
+    val rows = cents.toSeq.map { case (cid, pv, _) =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      (cid, (0 until pv.length / 8).map(j => bb.getDouble(j * 8)))
+    }
+    import spark.implicits._
+    rows.toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(exportPath)
+    ivfTopKWith(emb, idCol, vecCol, queries, cents, nprobe, k)
+  }
+
   /** [[ivfTopK]] with k-means-trained centroids instead of the
     * deterministic seed cells: same probe/rerank machinery, better
     * cell balance/recall on clustered data. Training sweeps a bounded
@@ -436,6 +469,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
+
+  /** Default expected LSH bucket size for [[cosinePairsLshAuto]]: the
+    * plane count is chosen so a bucket holds ~this many vectors, which
+    * bounds the per-bucket self-join at ~targetBucket²/2 pairs
+    * regardless of corpus size.
+    */
+  val LshTargetBucket = 125L
+
+  /** Plane count for a corpus of `n` vectors: the smallest B ≥ 4 with
+    * expected bucket size ceil(n/2^B) ≤ targetBucket — i.e.
+    * B = max(4, ceil(log2(ceil(n/targetBucket)))), in pure integer math
+    * (no FP log2 boundary risk) so an external engine derives the SAME
+    * B from the same count: ceil(log2(m)) = bit-length of (m-1).
+    * A fixed B makes the bucket self-join grow Θ(n²/2^B); recomputing B
+    * from n keeps bucket population constant, so candidate volume grows
+    * ~linearly with the corpus — the 100 TB shape.
+    */
+  def autoPlanes(n: Long, targetBucket: Long = LshTargetBucket): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val ceilLog2 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(4, ceilLog2)
+  }
+
+  /** [[cosinePairsLsh]] with the plane count derived from the corpus
+    * count via [[autoPlanes]] — one O(1) metadata-ish count() pass, then
+    * the banded join. At 2000 vectors this is B=4 (identical to the
+    * fixed form); at the 62× scale leg it is B=10, flattening the
+    * (growth)² candidate curve the fixed B showed (BASELINE.md scale
+    * table).
+    */
+  def cosinePairsLshAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetBucket: Long = LshTargetBucket): DataFrame =
+    cosinePairsLsh(emb, idCol, vecCol, dim, autoPlanes(emb.count(), targetBucket), threshold)
 
   /** Embedding near-dup pairs at cosine ≥ threshold, restricted to LSH
     * bucket-mates — the sub-quadratic SCALE PATH for embedding dedup

@@ -128,10 +128,13 @@ object Pipelines {
 
     // Embedding near-dup pairs via LSH buckets + exact-cosine verify:
     // the sub-quadratic scale path whose exhaustive verifier is q34
-    // (same 0.45 threshold; candidates = bucket-mates only).
+    // (same 0.45 threshold; candidates = bucket-mates only). The plane
+    // count auto-scales with the corpus (B = max(4, ceil(log2(n/125)))
+    // in integer math, mirrored in the oracle) so bucket population —
+    // and with it the per-bucket join cost — stays constant at any SF.
     "q74_dedup_embedding_lsh" -> ((s, dir) => {
-      Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, numPlanes = 4, threshold = 0.45)
+      Similarity.cosinePairsLshAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.45)
     }),
 
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
@@ -142,16 +145,20 @@ object Pipelines {
         numCentroids = 16, nprobe = 2, k = 10)
     }),
 
-    // Trained IVF: 3 Lloyd's iterations over the corpus, then the same
-    // probe/rerank machinery — recall@10 0.32 → 0.52 vs q38's seed
-    // cells at the same probe budget (KMeansIvfSpec). No SQL oracle:
-    // k-means means are partition-order FP, so the driver records the
-    // rows-only check; the recall contract is spec-gated instead.
+    // Trained IVF: 3 Lloyd's iterations over the deterministic sample,
+    // then the same probe/rerank machinery — recall@10 0.32 → 0.52 vs
+    // q38's seed cells at the same probe budget (KMeansIvfSpec). The
+    // trained centroids are bit-deterministic (ascending-id driver-side
+    // accumulation), so they're EXPORTED as parquet and the DuckDB twin
+    // replays probe+rerank over the exported table with the same
+    // sequential-fold cosine and (sim DESC, cid) tie-break — a full
+    // hash oracle, not rows-only.
     "q39_ann_ivf_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopKTrained(emb, "vec_id", "embedding",
+      Similarity.ivfTopKTrainedExport(emb, "vec_id", "embedding",
         queries = emb.filter(col("vec_id") % 100 === 0),
-        numCentroids = 16, trainIters = 3, nprobe = 2, k = 10)
+        numCentroids = 16, trainIters = 3, nprobe = 2, k = 10,
+        exportPath = CentroidExportPath)
     }),
 
     // Duplicate clusters: GraphX connected components over the Jaccard
@@ -336,6 +343,13 @@ object Pipelines {
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
+  /** Where q39 exports its trained centroid table for the DuckDB twin.
+    * Absolute so the oracle SQL works regardless of DuckDB's cwd; under
+    * target/ so it's git-ignored. The query run writes it before the
+    * driver's compare reads it (Verify dumps, then oracles run).
+    */
+  val CentroidExportPath = "/root/repo/target/oracle-aux/q39_centroids"
+
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
@@ -439,13 +453,20 @@ object Pipelines {
                     JOIN e ON e.vec_id = cs.vec_id AND e.vec_id <> query_id)
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
 
+    // nb re-derives Similarity.autoPlanes in the same integer math:
+    // m = ceil(n/125); B = max(4, bit-length(m-1)) — length(bin(m-1))
+    // is exactly ceil(log2(m)) for m >= 2, with no FP log2 boundary.
     "q74_dedup_embedding_lsh" ->
       s"""WITH $embCte,
+         nb AS (SELECT greatest(4, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS b
+                FROM (SELECT (count(*) + ${Similarity.LshTargetBucket} - 1) // ${Similarity.LshTargetBucket} AS m
+                      FROM embeddings)),
          eq AS (SELECT vec_id, v,
                 [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
                 FROM embeddings JOIN e USING (vec_id)),
          pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
-                FROM range(4) t(p), range(64) u(j)),
+                FROM range(60) t(p), range(64) u(j)
+                WHERE p < (SELECT b FROM nb)),
          dots AS (SELECT eq.vec_id, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
                   FROM eq, pl GROUP BY 1, 2),
          sig AS (SELECT vec_id,
@@ -460,6 +481,34 @@ object Pipelines {
     "q38_ann_ivf" ->
       s"""WITH $embCte,
          cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlCosine("e.v", "c.cv", 64)} DESC, c.cid) AS rn
+             FROM e, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${sqlCosine("e.v", "c.cv", 64)} DESC, c.cid) AS rn
+             FROM e, cents c WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         scored AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY ${sqlCosine("q.v", "n.v", 64)} DESC, n.vec_id) AS rank
+                    FROM probes p
+                    JOIN cells cl ON cl.cell = p.cell
+                    JOIN e n ON n.vec_id = cl.vec_id
+                    JOIN e q ON q.vec_id = p.query_id
+                    WHERE n.vec_id <> p.query_id)
+         SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    // Same probe/rerank as q38, but over the TRAINED centroid table the
+    // Spark run exports (bit-deterministic driver-side Lloyd's — see
+    // Similarity.kmeansCentroids). Tie-breaks ((sim DESC, cid) for
+    // assignment/probes, (sim DESC, vec_id) for rerank) mirror the
+    // serving argmax exactly.
+    "q39_ann_ivf_trained" ->
+      s"""WITH $embCte,
+         cents AS (SELECT cid, cv FROM read_parquet('$CentroidExportPath/*.parquet')),
          cells AS (SELECT vec_id, cell FROM (
              SELECT e.vec_id, c.cid AS cell,
                     row_number() OVER (PARTITION BY e.vec_id

@@ -32,4 +32,34 @@ class LshPairsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "bucket join pruned everything at this SF")
     lsh.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("autoPlanes: integer ceil-log2 of ceil(n/target), floored at 4") {
+    // Below/at one target bucket: the floor.
+    assert(Similarity.autoPlanes(0) === 4)
+    assert(Similarity.autoPlanes(1) === 4)
+    assert(Similarity.autoPlanes(125) === 4)
+    // Both test SFs stay at the historical B=4 (bench continuity).
+    assert(Similarity.autoPlanes(500) === 4)
+    assert(Similarity.autoPlanes(2000) === 4)
+    // Exact power-of-two boundary: n/target = 16 → exactly 4, not 5
+    // (the FP-log2 hazard this integer form exists to avoid).
+    assert(Similarity.autoPlanes(16 * 125) === 4)
+    assert(Similarity.autoPlanes(16 * 125 + 1) === 5)
+    // 62× scale leg: 124k vectors → m = 992 → B = 10.
+    assert(Similarity.autoPlanes(124000) === 10)
+    // Growth is logarithmic: 100 TB-ish corpus counts stay joinable.
+    assert(Similarity.autoPlanes(1L << 40) === 34)
+  }
+
+  test("auto-B pairs remain a subset of exact and match fixed B=4 at this SF") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val fixed = Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 4, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.cosinePairsLshAuto(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500 vectors → autoPlanes = 4, so the outputs are identical.
+    assert(auto === fixed)
+  }
 }

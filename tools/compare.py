@@ -8,8 +8,10 @@ by all values, and compares cell-by-cell.
 
 Usage: python3 tools/compare.py <sfDir> <outDir>
 """
+import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -36,11 +38,20 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # A missing dump dir only means "not in this run" when Verify was
+    # invoked on an explicit subset (SPARK_GRAFT_VERIFY_ONLY, mirrored
+    # here via GRAFT_COMPARE_SUBSET=1). In a FULL run a missing dump is
+    # a crashed query — silently skipping it would mask a correctness
+    # regression behind an all-ok gate.
+    subset = os.environ.get("GRAFT_COMPARE_SUBSET") == "1"
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
-        import os, glob
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):
-            continue  # not in this (subset) dump
+            if subset:
+                continue  # not in this (subset) dump
+            print(f"FAIL {name}: no Spark dump (query crashed during Verify?)")
+            n_bad += 1
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
