@@ -153,8 +153,9 @@ object Persistence {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val paths = scala.util.Using.resource(java.nio.file.Files.walk(root))(
+        _.iterator().asScala.toVector)
+      paths.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 }

@@ -324,19 +324,26 @@ object Dedup {
       num: Int,
       den: Int): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(standing.sparkSession)
+    // A re-ingested id present on both sides (Streams.DedupGate replays)
+    // would pair against its own stale copy and double its (id, shingle)
+    // rows in the verify stage, corrupting inter/union_size. The delta
+    // copy is authoritative: drop the standing twin before banding.
+    val standingOnly = standing.join(
+      delta.select(col(idCol).as("delta_dup_id")),
+      col(idCol) === col("delta_dup_id"), "left_anti")
     def bandKeys(df: DataFrame) = df.select(
       col(idCol).as("id"),
       posexplode(call_function(
         "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
     val candidates = bandKeys(delta).as("d")
-      .join(bandKeys(standing).as("s"), Seq("band", "key"))
+      .join(bandKeys(standingOnly).as("s"), Seq("band", "key"))
       .select(col("d.id").as("delta_id"), col("s.id").as("corpus_id"))
       .distinct()
       .localCheckpoint() // three consumers; band-key pipelines are expensive
     val candIds = candidates.select(col("delta_id").as("id"))
       .unionByName(candidates.select(col("corpus_id").as("id")))
       .distinct()
-    val candDocs = standing.unionByName(delta)
+    val candDocs = standingOnly.unionByName(delta)
       .join(candIds, col(idCol) === candIds("id"), "left_semi")
     val verified = jaccardPairs(shingleSets(candDocs, idCol, textCol, k), num, den)
     candidates.join(verified,

@@ -137,4 +137,30 @@ class DedupKernelsSpec extends AnyFunSuite {
     assert(incremental === cross)
     assert(incremental.exists { case (d, c, _, _) => (d, c) == (4L, 3L) }) // exact dup spans the sides
   }
+
+  test("delta dedup is safe when an id appears on both sides (re-ingest)") {
+    val s = spark
+    import s.implicits._
+    // Doc 4 is re-ingested: the standing side holds a stale copy, the
+    // delta the current one. The delta copy must be authoritative and
+    // its (id, shingle) rows must not double-count in inter/union —
+    // verdicts must match running the delta against a standing corpus
+    // that never contained id 4.
+    val staleFour = Seq((4L, "totally different stale content for doc four"))
+      .toDF("doc_id", "text")
+    val standingWithStale = docs.filter(col("doc_id") =!= 2 && col("doc_id") =!= 4)
+      .unionByName(staleFour)
+    val delta = docs.filter(col("doc_id") === 2 || col("doc_id") === 4)
+    def run(standing: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLshDeltaPairsNative(
+        standing, delta, "doc_id", "text", k = 3, numPerm = 64, bands = 16, num = 1, den = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val withOverlap = run(standingWithStale)
+    val clean = run(docs.filter(col("doc_id") % 2 === 1))
+    assert(withOverlap === clean)
+    assert(withOverlap.exists { case (d, c, _, _) => (d, c) == (4L, 3L) })
+    withOverlap.find { case (d, c, _, _) => (d, c) == (4L, 3L) }.foreach {
+      case (_, _, inter, union) => assert(inter === union) // exact dup, undoubled
+    }
+  }
 }

@@ -40,6 +40,17 @@ class ViewJsonSpec extends AnyFunSuite {
       ViewJson.jsonToMarkup("""{"type":"Text","spans":[]} trailing"""))
     assertThrows[IllegalArgumentException](
       ViewJson.jsonToMarkup("""{"type":"Text","spans":[{"type":"Text","text":"unterminat"""))
+    // malformed \u escapes fail with the documented error, not
+    // NumberFormatException / StringIndexOutOfBounds
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup(
+        "{\"type\":\"Text\",\"spans\":[{\"type\":\"Text\",\"text\":\"a\\" + "uZZ99b\"}]}"))
+    assertThrows[IllegalArgumentException](
+      ViewJson.jsonToMarkup(
+        "{\"type\":\"Text\",\"spans\":[{\"type\":\"Text\",\"text\":\"a\\" + "u00"))
+    // a valid \u escape still decodes
+    assert(ViewJson.jsonToMarkup(
+      "{\"type\":\"Text\",\"spans\":[{\"type\":\"Text\",\"text\":\"a\\" + "u0041b\"}]}") === "aAb")
   }
 
   test("tile serializes to stable tagged JSON") {
