@@ -24,8 +24,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay one-time JVM/codegen/FS-listing costs outside the
-    // per-query timings.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // per-query timings. Fault-isolated per table: one broken loader must
+    // not zero the whole bench artifact (the affected queries then fail
+    // individually inside their own guarded runs below).
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
+    }
     // Steady-state timing: each query runs twice — the first run pays
     // the one-time Catalyst optimization + whole-stage codegen COMPILE
     // (~1-2 s/query at this SF; measured q01 2.0 s cold vs 0.8 s warm,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -19,12 +19,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType; read the raw int64 nanos and narrow to micros
-      // (exact floor division, matching DuckDB's epoch_us()).
+      // events.ts has shipped in two parquet encodings: TIMESTAMP(NANOS)
+      // (which Spark 4 only maps to raw int64 under nanosAsLong) and
+      // TIMESTAMP_MICROS without UTC adjustment (→ TIMESTAMP_NTZ).
+      // Branch on the LOADED dtype so both normalize to TimestampType
+      // epoch-micros, matching DuckDB's view of the same file. Session
+      // timezone is pinned to UTC, so the NTZ→TZ cast is an identity on
+      // the stored micros value.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case LongType         => timestamp_micros(expr("ts div 1000")) // nanos-as-long: exact floor to micros
+        case TimestampNTZType => col("ts").cast("timestamp")
+        case _                => col("ts") // already TimestampType
+      }
+      raw.withColumn("ts", ts)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

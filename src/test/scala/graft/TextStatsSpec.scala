@@ -23,7 +23,7 @@ class TextStatsSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(42)
-    val alphabet = "ab1 .!\t\n\f\r de23 -_#éZ9"
+    val alphabet = "ab1 .!\t\n\u000b\f\r de23 -_#éZ9"
     val random = (1L to 60L).map { i =>
       i -> Array.fill(rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
     }
@@ -36,7 +36,7 @@ class TextStatsSpec extends AnyFunSuite {
       (106L, "le la les et est"), // pure French stopwords
       (107L, "der die das the the"), // de vs en tie-break (hits 3 vs 2)
       (108L, "la la"), // fr/es tie at 2 hits each → 'es' (lang asc)
-      (109L, "xy" + "z\f" * 3), // exotic Java \s members
+      (109L, "x\u000by" + "z\f" * 3), // exotic Java \s members
       (110L, "a" + " b" * 500) // long doc
     )
     (random ++ edges).toDF("doc_id", "text")
