@@ -12,14 +12,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Engine.queries ++
-      graft.queries.Pipelines.queries ++ graft.queries.GraphQueries.queries
+      graft.queries.Pipelines.queries ++ graft.queries.GraphQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.Engine.oracleSql ++
-      graft.queries.Pipelines.oracleSql ++ graft.queries.GraphQueries.oracleSql
+      graft.queries.Pipelines.oracleSql ++ graft.queries.GraphQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 
   /** Headline queries Bench times. Excludes q22: full all-pairs overlap
     * materialization is inherently quadratic on this self-similar corpus
@@ -35,7 +37,13 @@ object SparkEntry {
     val graphPoint = Set("q70_markup_roundtrip", "q71_swap_obsolete",
       "q72_dirty_propagation", "q73_tile_sections", "q78_tile_branches",
       "q79_tile_parent_branches", "q80_import_namespaced", "q81_tile_markup")
+    // q91/q92 replay events through MemoryStream micro-batches — a
+    // correctness harness for the streaming operators; timing it would
+    // measure driver-side replay feeding, not the engine (their batch
+    // twins q13/q16 carry the bench signal).
+    val streamReplay = Set("q91_stream_sessions", "q92_stream_hourly")
     (queries.keySet - "q22_overlap_pairs")
-      .filterNot(q => q.startsWith("q6") || graphPoint(q)).toSeq.sorted
+      .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q))
+      .toSeq.sorted
   }
 }

@@ -77,17 +77,27 @@ object Streams {
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
   final case class SessionState(start_us: Long, end_us: Long, n: Long)
 
+  /** Full microsecond value of a Timestamp — `getTime` alone is
+    * millisecond-truncated, and the driver's events carry sub-ms
+    * micros, so session boundaries computed at ms precision would
+    * diverge from the epoch_us() oracle.
+    */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Event-time sessionization with explicit state
     * (flatMapGroupsWithState + EventTimeTimeout): a session closes when
     * a gap larger than `gapMinutes` arrives for the key, or when the
     * watermark passes the session end + gap (timeout). This is the
     * streaming twin of the batch lag()-window sessionization (q13):
     * same session boundaries, emitted incrementally with bounded state
-    * (one open session per active user).
+    * (one open session per active user). All session math runs in
+    * MICROSECONDS (the events tables' native precision) so emitted
+    * boundaries equal the batch/oracle epoch_us() values bit-for-bit.
     */
   def sessionize(events: Dataset[UserEvent], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -97,24 +107,27 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, s.start_us * 1000, s.end_us * 1000, s.n))
+            Iterator(Session(user, s.start_us, s.end_us, s.n))
           } else {
             var closed = List.empty[Session]
             var cur = state.getOption.orNull
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-              val t = e.ts.getTime
+            rows.toSeq.sortBy(e => (tsMicros(e.ts), e.value)).foreach { e =>
+              val t = tsMicros(e.ts)
               cur match {
                 case null => cur = SessionState(t, t, 1)
-                case s if t - s.end_us <= gapMs =>
+                case s if t - s.end_us <= gapUs =>
                   cur = SessionState(s.start_us, math.max(s.end_us, t), s.n + 1)
                 case s =>
-                  closed ::= Session(user, s.start_us * 1000, s.end_us * 1000, s.n)
+                  closed ::= Session(user, s.start_us, s.end_us, s.n)
                   cur = SessionState(t, t, 1)
               }
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.end_us + gapMs)
+              // timeout runs on the ms watermark clock; round UP so a
+              // timeout never fires before end + gap in micros
+              // (ceilDiv is Java 18+; Java 17 spelling)
+              state.setTimeoutTimestamp(-Math.floorDiv(-(cur.end_us + gapUs), 1000L))
             }
             closed.reverseIterator
           }
@@ -191,16 +204,40 @@ object Streams {
     applyWriteBatch(standing, latest, "id", "text")
   }
 
+  /** Drop a superseded localCheckpoint's cached blocks. localCheckpoint
+    * materializes eagerly into the block manager and NOTHING evicts the
+    * blocks when the loop-carried variable moves on — without this,
+    * every micro-batch retains a full copy of the frame and a
+    * long-running stream accumulates O(batches × frame) storage (the
+    * quiet OOM at 100 TB stream length). The new checkpoint holds its
+    * own blocks, so freeing the predecessor after the successor is
+    * materialized is safe. Blocking=false: eviction is cleanup, not a
+    * barrier on the batch path.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** The live handle of [[maintainIndexFromEpisodes]]: `current` is the
     * postings table as of the last completed micro-batch (each batch is
     * localCheckpoint-materialized, so the plan never grows with stream
-    * length — the loop-carried-frame rule).
+    * length — the loop-carried-frame rule; superseded checkpoints are
+    * unpersisted so the block store doesn't grow with it either).
     */
   final class MaintainedIndex private[streaming] (initial: DataFrame) {
     @volatile private var standing: DataFrame = initial.localCheckpoint()
     def current: DataFrame = standing
-    private[streaming] def fold(batch: DataFrame): Unit =
-      standing = applyEpisodeBatch(standing, batch).localCheckpoint()
+    private[streaming] def fold(batch: DataFrame): Unit = {
+      val prev = standing
+      standing = applyEpisodeBatch(prev, batch).localCheckpoint()
+      // release AFTER publishing the successor: a concurrent `current`
+      // reader sees either frame fully materialized (a reader that holds
+      // prev across a batch boundary must re-read `current` instead —
+      // the usual snapshot contract)
+      releaseCheckpoint(prev)
+    }
   }
 
   /** STREAMING incremental index maintenance over the episode source:
@@ -283,11 +320,20 @@ object Streams {
       val flagged = vsStanding.unionByName(within)
         .groupBy("id").agg(min(col("reason")).as("reason"))
         .localCheckpoint()
-      rejectedLog = Some(rejectedLog
+      val prevLog = rejectedLog
+      rejectedLog = Some(prevLog
         .fold(flagged)(_ unionByName flagged).localCheckpoint())
       val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
-      corpus = corpus.unionByName(clean.select(corpus.columns.map(col): _*))
+      val prevCorpus = corpus
+      corpus = prevCorpus.unionByName(clean.select(prevCorpus.columns.map(col): _*))
         .localCheckpoint()
+      // free superseded checkpoints: without this every batch pins a
+      // full corpus + log copy in the block manager — O(batches×corpus)
+      // storage growth on a long-running gate (measured: see BASELINE.md
+      // dedup-gate table). The successors above are already materialized.
+      releaseCheckpoint(prevCorpus)
+      prevLog.foreach(releaseCheckpoint)
+      releaseCheckpoint(flagged)
     }
   }
 
