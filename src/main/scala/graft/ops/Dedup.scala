@@ -322,21 +322,65 @@ object Dedup {
       numPerm: Int,
       bands: Int,
       num: Int,
+      den: Int): DataFrame =
+    minhashLshDeltaPairsIndexed(
+      minhashBandKeys(standing, idCol, textCol, k, numPerm, bands),
+      standing, delta, idCol, textCol, k, numPerm, bands, num, den)
+
+  /** Band-key index rows (id, band, key) for a doc frame — the
+    * PERSISTED-SIGNATURE-INDEX form of an LSH corpus: maintain these
+    * rows incrementally (append per ingested batch, like the gram
+    * postings) and the per-batch delta join never re-runs the minhash
+    * kernel over the standing corpus. Sub-k-token docs vanish in the
+    * explode (no index rows), matching the pair semantics.
+    */
+  def minhashBandKeys(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(docs.sparkSession)
+    docs.select(
+      col(idCol).as("id"),
+      posexplode(call_function(
+        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
+  }
+
+  /** Delta near-dup pairs against a PRE-COMPUTED standing band-key
+    * index ([[minhashBandKeys]] rows of `standing`). Result-identical
+    * to [[minhashLshDeltaPairsNative]]; the difference is the cost
+    * model — the standing side contributes one columnar index scan to
+    * the candidate equi-join instead of a full minhash-kernel pass, so
+    * a long-running ingest gate pays O(delta) kernel work per batch,
+    * not O(corpus). `standing` itself is only consulted for candidate
+    * verification (semi-join restricted to candidate ids).
+    */
+  def minhashLshDeltaPairsIndexed(
+      standingIndex: DataFrame,
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int,
+      num: Int,
       den: Int): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(standing.sparkSession)
     // A re-ingested id present on both sides (Streams.DedupGate replays)
     // would pair against its own stale copy and double its (id, shingle)
     // rows in the verify stage, corrupting inter/union_size. The delta
-    // copy is authoritative: drop the standing twin before banding.
+    // copy is authoritative: drop the standing twin (index rows AND
+    // verify-side doc rows) before the candidate join.
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
     val standingOnly = standing.join(
-      delta.select(col(idCol).as("delta_dup_id")),
-      col(idCol) === col("delta_dup_id"), "left_anti")
-    def bandKeys(df: DataFrame) = df.select(
-      col(idCol).as("id"),
-      posexplode(call_function(
-        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
-    val candidates = bandKeys(delta).as("d")
-      .join(bandKeys(standingOnly).as("s"), Seq("band", "key"))
+      deltaIds, col(idCol) === col("delta_dup_id"), "left_anti")
+    val indexOnly = standingIndex.join(
+      deltaIds, col("id") === col("delta_dup_id"), "left_anti")
+    val candidates = minhashBandKeys(delta, idCol, textCol, k, numPerm, bands).as("d")
+      .join(indexOnly.as("s"), Seq("band", "key"))
       .select(col("d.id").as("delta_id"), col("s.id").as("corpus_id"))
       .distinct()
       .localCheckpoint() // three consumers; band-key pipelines are expensive

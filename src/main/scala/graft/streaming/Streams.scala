@@ -269,7 +269,7 @@ object Streams {
   }
 
   /** Online ingest dedup gate: the streaming composition of the
-    * incremental near-dup check (ops/Dedup.minhashLshDeltaPairsNative,
+    * incremental near-dup check (ops/Dedup.minhashLshDeltaPairsIndexed,
     * q85). Each micro-batch of incoming documents is checked (a)
     * against the standing corpus — delta×standing band joins only —
     * and (b) within itself (the full pipeline on the batch, which is
@@ -278,40 +278,70 @@ object Streams {
     * LOWER id of a near-dup pair survives, matching the exact-dedup
     * canonical rule.
     *
-    * The standing corpus is localCheckpoint-materialized per batch so
-    * the plan never grows with stream length. In production the
-    * standing side's band keys are the persisted signature index; here
-    * the corpus frame is the source of truth, which keeps the gate
-    * self-contained (the recompute cost is one zero-shuffle kernel
-    * pass per batch).
+    * Scale shape of the loop-carried state (the 100 TB stream
+    * contract, measured in BASELINE.md's dedup-gate table):
+    *  - The gate carries the corpus's BAND-KEY INDEX
+    *    (Dedup.minhashBandKeys rows) alongside the doc rows, so each
+    *    batch pays the minhash kernel on the DELTA only — the standing
+    *    side enters the candidate join as a columnar index scan, never
+    *    a kernel recompute (the persisted-signature-index production
+    *    shape; reference analog: the gram postings maintained by delta
+    *    fold, assemblage_db/src/index.rs:768-813).
+    *  - Corpus and index grow by APPEND-ONLY per-batch segments
+    *    (O(delta) checkpoint writes per batch, not an O(corpus)
+    *    re-materialization), compacted into one segment every
+    *    `compactEvery` folds — LSM shape, so plan width stays
+    *    ≤ compactEvery + 1 leaves and amortized write cost per batch
+    *    is O(corpus / compactEvery).
+    *  - Superseded checkpoints are unpersisted (block-manager usage is
+    *    O(corpus), not O(batches × corpus)).
+    *  - The rejection log is reject-sized; it stays a single
+    *    re-checkpointed frame.
     */
-  final class DedupGate private[streaming] (
+  final class DedupGate private[graft] (
       initial: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int, numPerm: Int, bands: Int, num: Int, den: Int) {
-    @volatile private var corpus: DataFrame = initial.localCheckpoint()
-    // single loop-carried frame, checkpointed per batch — a lazy union
-    // accumulator would grow the plan with stream length (the same
-    // rule the corpus follows); the rejection log is reject-sized, so
-    // re-materializing it per batch is trivial. Initialized from the
-    // first batch so the id column keeps the caller's id type.
+      k: Int, numPerm: Int, bands: Int, num: Int, den: Int,
+      compactEvery: Int = 8) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    // newest-last segment lists; every element is localCheckpoint-
+    // materialized so no segment's plan depends on another
+    @volatile private var corpusSegs: Vector[DataFrame] =
+      Vector(initial.localCheckpoint())
+    @volatile private var indexSegs: Vector[DataFrame] =
+      Vector(graft.ops.Dedup.minhashBandKeys(
+        initial, idCol, textCol, k, numPerm, bands).localCheckpoint())
     @volatile private var rejectedLog: Option[DataFrame] = None
-    def corpusNow: DataFrame = corpus
+    private var foldsSinceCompact = 0
+
+    private def unionAll(segs: Vector[DataFrame]): DataFrame =
+      segs.reduce(_ unionByName _)
+    def corpusNow: DataFrame = unionAll(corpusSegs)
+    /** The standing band-key index (id, band, key) as of the last
+      * completed batch — the gate's persisted-signature-index twin.
+      */
+    def indexNow: DataFrame = unionAll(indexSegs)
     /** (id, reason) rows for every rejected doc so far (before the
       * first batch: an empty bigint-id frame).
       */
     def rejected: DataFrame = rejectedLog.getOrElse(
-      corpus.sparkSession.emptyDataFrame
+      corpusSegs.head.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit("").as("reason")).limit(0))
-    private[streaming] def fold(batch: DataFrame): Unit = {
+
+    /** Synchronously fold one micro-batch (the foreachBatch body) —
+      * the batch-replay / non-streaming entry point.
+      */
+    def ingest(batch: DataFrame): Unit = fold(batch)
+
+    private[graft] def fold(batch: DataFrame): Unit = {
       import graft.ops.Dedup
       // the micro-batch frame lives on a CLONED session whose function
       // registry was snapshot before any kernel registration on the
       // main session — register there explicitly
       graft.functions.DedupKernels.ensureRegistered(batch.sparkSession)
-      val vsStanding = Dedup.minhashLshDeltaPairsNative(
-          corpus, batch, idCol, textCol, k, numPerm, bands, num, den)
+      val vsStanding = Dedup.minhashLshDeltaPairsIndexed(
+          indexNow, corpusNow, batch, idCol, textCol, k, numPerm, bands, num, den)
         .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
       val within = Dedup.minhashLshPairsNative(
           batch, idCol, textCol, k, numPerm, bands, num, den)
@@ -324,18 +354,43 @@ object Streams {
       rejectedLog = Some(prevLog
         .fold(flagged)(_ unionByName flagged).localCheckpoint())
       val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
-      val prevCorpus = corpus
-      corpus = prevCorpus.unionByName(clean.select(prevCorpus.columns.map(col): _*))
+        .select(corpusSegs.head.columns.map(col): _*)
         .localCheckpoint()
+      // the clean segment's index rows: the batch's band keys restricted
+      // to admitted ids — delta-sized, no extra kernel pass
+      val cleanIndex = Dedup.minhashBandKeys(
+          clean, idCol, textCol, k, numPerm, bands)
+        .localCheckpoint()
+      corpusSegs = corpusSegs :+ clean
+      indexSegs = indexSegs :+ cleanIndex
+      foldsSinceCompact += 1
+      if (foldsSinceCompact >= compactEvery) {
+        val (oldCorpus, oldIndex) = (corpusSegs, indexSegs)
+        corpusSegs = Vector(unionAll(oldCorpus).localCheckpoint())
+        indexSegs = Vector(unionAll(oldIndex).localCheckpoint())
+        foldsSinceCompact = 0
+        oldCorpus.foreach(releaseCheckpoint)
+        oldIndex.foreach(releaseCheckpoint)
+      }
       // free superseded checkpoints: without this every batch pins a
-      // full corpus + log copy in the block manager — O(batches×corpus)
-      // storage growth on a long-running gate (measured: see BASELINE.md
-      // dedup-gate table). The successors above are already materialized.
-      releaseCheckpoint(prevCorpus)
+      // full log copy (and pre-compaction, corpus copies) in the block
+      // manager — O(batches×corpus) storage growth on a long-running
+      // gate. The successors above are already materialized.
       prevLog.foreach(releaseCheckpoint)
       releaseCheckpoint(flagged)
     }
   }
+
+  /** Construct a standalone [[DedupGate]] (batch replay / measurement
+    * use — `ingest` folds one micro-batch synchronously).
+    */
+  def newDedupGate(
+      initialCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      num: Int = 1, den: Int = 2, compactEvery: Int = 8): DedupGate =
+    new DedupGate(initialCorpus, idCol, textCol, k, numPerm, bands, num, den, compactEvery)
 
   /** Run [[DedupGate]] over a streaming frame of documents via
     * foreachBatch. Returns the live gate handle + the query.

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Dedup-gate state-growth measurement: drive Streams.DedupGate for N
+  * micro-batches over a large corpus and print, per batch, the numbers
+  * that decide whether a long-running ingest gate survives at stream
+  * scale — wall time, corpus rows, block-manager bytes for the
+  * loop-carried checkpoints, cached-RDD count, and the width of the
+  * carried plans. Flat wall time + bounded storage/plan width = pass
+  * (BASELINE.md records the adjudicated table).
+  *
+  * Also prints a two-point cost comparison at the final corpus size:
+  * the indexed delta join (what the gate runs) vs the kernel-recompute
+  * form (what it ran before the band-key index landed).
+  *
+  * Usage: runMain graft.tools.DedupGateBench [docsDir] [batches] [batchSize] [initRows]
+  * docsDir defaults to the ScaleGen 10× corpus at /tmp/sfscale.
+  */
+object DedupGateBench {
+
+  def main(args: Array[String]): Unit = {
+    val docsDir = args.headOption.getOrElse("/tmp/sfscale")
+    val batches = if (args.length > 1) args(1).toInt else 50
+    val batchSize = if (args.length > 2) args(2).toInt else 1000
+    val initRows = if (args.length > 3) args(3).toInt else 5000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic id-ordered split: first initRows docs seed the
+    // corpus, the next batches×batchSize stream through the gate
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .limit(initRows + batches * batchSize)
+      .collect()
+    require(docs.length > initRows, s"need > $initRows docs in $docsDir")
+    import spark.implicits._
+    def frame(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+
+    val gate = Streams.newDedupGate(frame(docs.take(initRows)), "doc_id", "text")
+    def storage(): (Long, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(i => i.memSize + i.diskSize).sum, infos.length)
+    }
+    def planLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collectLeaves().size
+
+    val stream = docs.drop(initRows).grouped(batchSize).take(batches).toVector
+    val walls = stream.zipWithIndex.map { case (rows, i) =>
+      val t0 = System.nanoTime()
+      gate.ingest(frame(rows))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rowsNow = gate.corpusNow.count()
+      val (bytes, nRdds) = storage()
+      println(f"""{"batch":${i + 1},"wall_sec":$wall%.3f,"corpus_rows":$rowsNow,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"corpus_plan_leaves":${planLeaves(gate.corpusNow)},"index_plan_leaves":${planLeaves(gate.indexNow)}}""")
+      wall
+    }
+    val head5 = walls.take(5).sum / math.min(5, walls.size)
+    val tail5 = walls.takeRight(5).sum / math.min(5, walls.size)
+    println(f"""{"summary":"dedup-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":$head5%.3f,"last5_avg_sec":$tail5%.3f,"growth":${if (head5 > 0) f"${tail5 / head5}%.2f" else "null"},"rejected_total":${gate.rejected.count()}}""")
+
+    // two-point comparison at final corpus size: indexed vs recompute.
+    // Each form runs once for codegen warmup, then best-of-2 timed runs
+    // (same protocol as Bench) so plan-compile cost and run order don't
+    // bias the comparison.
+    val lastBatch = frame(stream.last)
+    val corpusF = gate.corpusNow.localCheckpoint()
+    val indexF = gate.indexNow.localCheckpoint()
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def bestOf2(f: => Long): (Double, Long) = {
+      f; val (t1, n) = time(f); val (t2, _) = time(f); (math.min(t1, t2), n)
+    }
+    val (tIdx, nIdx) = bestOf2(graft.ops.Dedup.minhashLshDeltaPairsIndexed(
+      indexF, corpusF, lastBatch, "doc_id", "text", 3, 64, 16, 1, 2).count())
+    val (tRec, nRec) = bestOf2(graft.ops.Dedup.minhashLshDeltaPairsNative(
+      corpusF, lastBatch, "doc_id", "text", 3, 64, 16, 1, 2).count())
+    println(f"""{"summary":"indexed_vs_recompute","corpus_rows":${corpusF.count()},"indexed_sec":$tIdx%.3f,"recompute_sec":$tRec%.3f,"pairs_indexed":$nIdx,"pairs_recompute":$nRec}""")
+    spark.stop()
+  }
+}

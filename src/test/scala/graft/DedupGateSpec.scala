@@ -79,4 +79,38 @@ class DedupGateSpec extends AnyFunSuite {
       assert(rej.toSeq === Seq(("dup-b", "near-dup of corpus")))
     } finally query.stop()
   }
+
+  test("loop-carried state is bounded: plan width, cached blocks, and rejects survive compaction") {
+    val s = spark
+    import s.implicits._
+    // fresh baseline for cached-RDD accounting
+    s.sharedState.cacheManager.clearCache()
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val gate = Streams.newDedupGate(corpus, "doc_id", "text", compactEvery = 3)
+    val nBatches = 10
+    (1 to nBatches).foreach { b =>
+      // one duplicate of the seed (always rejected) + one novel doc per batch
+      gate.ingest(Seq(
+        (100L + b, "the quick brown fox jumps over the lazy dog"),
+        (200L + b, s"novel content number $b entirely different words ${('a' + b).toChar}"))
+        .toDF("doc_id", "text"))
+    }
+    // every batch's duplicate rejected, novels admitted — correctness
+    // across multiple compaction boundaries (10 folds, compactEvery=3)
+    val rejects = gate.rejected.collect().map(_.getLong(0)).toSet
+    assert(rejects === (1 to nBatches).map(100L + _).toSet)
+    assert(gate.corpusNow.count() === 1L + nBatches)
+    // plan width bounded by the compaction window, NOT the batch count:
+    // after 10 folds at compactEvery=3 the union has at most
+    // compactEvery+1 segments
+    def leaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collectLeaves().size
+    assert(leaves(gate.corpusNow) <= 4, s"corpus plan grew: ${leaves(gate.corpusNow)} leaves")
+    assert(leaves(gate.indexNow) <= 4, s"index plan grew: ${leaves(gate.indexNow)} leaves")
+    // block-manager residue bounded: live checkpoints are the carried
+    // segments + rejection log, not one copy per processed batch
+    val cached = s.sparkContext.getRDDStorageInfo.length
+    assert(cached <= 12, s"cached RDDs grew with batch count: $cached")
+  }
 }
