@@ -96,10 +96,16 @@ object BlobCodec {
   * codes:
   *
   *   POST   /broadcast?episode=<ts>   blob → 201 {broadcast_id, token, expiration}
-  *   GET    /broadcast/<bid>          → 200 [episode timestamps] | 404
-  *   GET    /broadcast/<bid>/<ts>     → 200 blob bytes | 404
-  *   PUT    /broadcast/<bid>/<ts>     Bearer token, blob → 200 {expiration} | 401 | 404
-  *   DELETE /broadcast/<bid>          Bearer token → 200 | 401
+  *   GET    /broadcast/<bid>          → 200 [episode timestamps] | 404 (unknown/expired;
+  *                                      a DELETEd broadcast is 200 [])
+  *   GET    /broadcast/<bid>/<ts>     → 200 blob bytes | 404 (blobs are immutable,
+  *                                      TTL-reaped, and survive DELETE — keep-alive
+  *                                      12 h past the manifest, lib.rs:191-199)
+  *   PUT    /broadcast/<bid>/<ts>     Bearer token, blob → 201 new | 200 overwrite,
+  *                                      {expiration} | 401 | 404 (expiration fixed
+  *                                      at creation — never extended)
+  *   DELETE /broadcast/<bid>          Bearer token → 200 (clears the episode
+  *                                      list only) | 401 | 404
   *
   * Bound to loopback with an ephemeral port: the sandboxed twin of the
   * reference's edge worker (which fronts a KV namespace the same way
@@ -142,9 +148,10 @@ final class BroadcastService(hub: BroadcastHub) {
                   .getBytes(UTF_8))
           }
         case ("GET", "broadcast" :: bid :: Nil) =>
-          val eps = hub.episodeTimestamps(Gid.parse(bid))
-          if (eps.isEmpty) respond(ex, 404)
-          else respond(ex, 200, eps.mkString("[", ",", "]").getBytes(UTF_8))
+          hub.episodeList(Gid.parse(bid)) match {
+            case Some(eps) => respond(ex, 200, eps.mkString("[", ",", "]").getBytes(UTF_8))
+            case None      => respond(ex, 404)
+          }
         case ("GET", "broadcast" :: bid :: ts :: Nil) =>
           ts.toLongOption.flatMap(t =>
             scala.util.Try(hub.episode(Gid.parse(bid), t)).toOption) match {
@@ -156,8 +163,9 @@ final class BroadcastService(hub: BroadcastHub) {
             case (Some(token), Some(t)) =>
               val blob = BlobCodec.decode(ex.getRequestBody.readAllBytes())
               try {
-                val expiration = hub.put(Gid.parse(bid), token, t, blob)
-                respond(ex, 200, s"""{"expiration":$expiration}""".getBytes(UTF_8))
+                val (expiration, isNew) = hub.putEpisode(Gid.parse(bid), token, t, blob)
+                respond(ex, if (isNew) 201 else 200,
+                  s"""{"expiration":$expiration}""".getBytes(UTF_8))
               } catch {
                 case _: IllegalArgumentException => respond(ex, 401)
                 case _: NoSuchElementException   => respond(ex, 404)
@@ -168,7 +176,10 @@ final class BroadcastService(hub: BroadcastHub) {
           bearer(ex) match {
             case Some(token) =>
               try { hub.delete(Gid.parse(bid), token); respond(ex, 200) }
-              catch { case _: IllegalArgumentException => respond(ex, 401) }
+              catch {
+                case _: IllegalArgumentException => respond(ex, 401)
+                case _: NoSuchElementException   => respond(ex, 404)
+              }
             case None => respond(ex, 401)
           }
         case _ => respond(ex, 400)
@@ -258,5 +269,6 @@ final class HttpBroadcastEndpoint(baseUrl: String) extends BroadcastEndpoint {
         .DELETE().build(),
       HttpResponse.BodyHandlers.discarding())
     if (resp.statusCode() == 401) throw new IllegalArgumentException("invalid broadcast token")
+    if (resp.statusCode() == 404) throw new NoSuchElementException(s"broadcast $bid")
   }
 }

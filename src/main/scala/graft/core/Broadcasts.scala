@@ -55,11 +55,20 @@ trait BroadcastEndpoint {
 final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
     extends BroadcastEndpoint {
   val BroadcastTtlMs: Long = 24L * 60 * 60 * 1000
+  /** Episode blobs outlive the manifest by this much — the reference's
+    * store_episode keep-alive (lib.rs:197: blob KV entries get
+    * expiration + 12 h). */
+  val EpisodeKeepAliveMs: Long = 12L * 60 * 60 * 1000
 
-  private final class State(val token: String, var expiration: Long) {
-    val episodes: mutable.TreeMap[Long, ExportBlob] = mutable.TreeMap.empty
+  private final class State(val token: String, val expiration: Long) {
+    val episodes: mutable.SortedSet[Long] = mutable.SortedSet.empty
   }
   private val broadcasts = mutable.HashMap.empty[Gid, State]
+  // Episode blobs keyed (bid, ts) with their OWN, longer TTL — the
+  // reference's KV layout: blobs are immutable once stored; DELETE
+  // clears only the manifest's episode list, and reaping is TTL-driven.
+  // This is also why a fetch racing a delete never sees torn state.
+  private val blobs = mutable.HashMap.empty[(Gid, Long), (ExportBlob, Long)]
 
   /** Server-side TTL: an expired broadcast is ABSENT — the reference
     * worker's KV TTL makes expired entries 404, so put can't revive
@@ -69,36 +78,67 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
   private def liveState(bid: Gid): Option[State] =
     broadcasts.get(bid).filter(_.expiration > clock())
 
+  /** Amortized in-process stand-in for the KV's TTL reaper. */
+  private def purgeExpired(): Unit = {
+    val now = clock()
+    broadcasts.filterInPlace((_, st) => st.expiration > now)
+    blobs.filterInPlace((_, v) => v._2 > now)
+  }
+
   def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long) = synchronized {
+    purgeExpired()
     val bid = Gid.random()
     val token = Gid.random().toString
-    val st = new State(token, clock() + BroadcastTtlMs)
-    st.episodes(episodeTs) = blob
+    val expiration = clock() + BroadcastTtlMs
+    val st = new State(token, expiration)
+    st.episodes += episodeTs
     broadcasts(bid) = st
-    (bid, token, st.expiration)
+    blobs((bid, episodeTs)) = (blob, expiration + EpisodeKeepAliveMs)
+    (bid, token, expiration)
   }
 
-  def put(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): Long = synchronized {
+  /** Append/overwrite an episode. Returns (expiration, isNew). The
+    * expiration is FIXED at creation — the reference re-puts the
+    * manifest with its original expiration (lib.rs:152-168), so
+    * activity does not extend a broadcast's life; `isNew` drives the
+    * service's 201-created vs 200-ok status split.
+    */
+  def putEpisode(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): (Long, Boolean) = synchronized {
     val st = liveState(bid).getOrElse(throw new NoSuchElementException(s"broadcast $bid"))
     require(st.token == token, "invalid broadcast token")
-    st.episodes(episodeTs) = blob
-    st.expiration = math.max(st.expiration, clock() + BroadcastTtlMs)
-    st.expiration
+    val isNew = !st.episodes.contains(episodeTs)
+    st.episodes += episodeTs
+    blobs((bid, episodeTs)) = (blob, st.expiration + EpisodeKeepAliveMs)
+    (st.expiration, isNew)
   }
 
+  def put(bid: Gid, token: String, episodeTs: Long, blob: ExportBlob): Long =
+    putEpisode(bid, token, episodeTs, blob)._1
+
   def episodeTimestamps(bid: Gid): Vector[Long] = synchronized {
-    liveState(bid).map(_.episodes.keys.toVector).getOrElse(Vector.empty)
+    liveState(bid).map(_.episodes.toVector).getOrElse(Vector.empty)
+  }
+
+  /** Live-manifest episode list: None for unknown/expired (wire 404),
+    * Some — possibly empty — for a live broadcast (wire 200): a
+    * DELETEd broadcast is a live manifest with an empty list.
+    */
+  def episodeList(bid: Gid): Option[Vector[Long]] = synchronized {
+    liveState(bid).map(_.episodes.toVector)
   }
 
   def episode(bid: Gid, ts: Long): ExportBlob = synchronized {
-    liveState(bid).getOrElse(throw new NoSuchElementException(s"broadcast $bid")).episodes(ts)
+    // direct blob fetch, no manifest liveness check: blobs serve for
+    // EpisodeKeepAliveMs past the manifest and survive DELETE, exactly
+    // like the reference's per-blob KV entries (lib.rs:191-199)
+    blobs.get((bid, ts)).filter(_._2 > clock()).map(_._1)
+      .getOrElse(throw new NoSuchElementException(s"episode $bid/$ts"))
   }
 
   def delete(bid: Gid, token: String): Unit = synchronized {
-    broadcasts.get(bid).foreach { st =>
-      require(st.token == token, "invalid broadcast token")
-      broadcasts -= bid
-    }
+    val st = liveState(bid).getOrElse(throw new NoSuchElementException(s"broadcast $bid"))
+    require(st.token == token, "invalid broadcast token")
+    st.episodes.clear()
   }
 }
 

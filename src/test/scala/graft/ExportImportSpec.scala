@@ -158,7 +158,7 @@ class ExportImportSpec extends AnyFunSuite {
     assert(subClient.fetchBroadcast(meta.broadcastId) === 0)
   }
 
-  test("broadcast TTL: put extends expiration; expired broadcasts vanish and are dropped") {
+  test("broadcast TTL: expiration fixed at creation; expired manifests vanish, blobs outlive by keep-alive") {
     // hub-side TTL arithmetic under a controlled clock
     var t = 1000L
     val hub = new BroadcastHub(() => t)
@@ -169,14 +169,19 @@ class ExportImportSpec extends AnyFunSuite {
     val (bid, token, exp1) = hub.post(blob, 1L)
     assert(exp1 === 1000L + hub.BroadcastTtlMs)
     t = 500000L
-    assert(hub.put(bid, token, 2L, blob) === 500000L + hub.BroadcastTtlMs)
+    // activity does NOT extend a broadcast's life: the reference
+    // re-puts the manifest with its ORIGINAL expiration (lib.rs:152-168)
+    assert(hub.put(bid, token, 2L, blob) === exp1)
 
-    // server-side TTL: past the expiration the broadcast is ABSENT —
-    // put cannot revive it, episodes 404, timestamps are empty
-    t = 500000L + hub.BroadcastTtlMs + 1
+    // server-side TTL: past the expiration the MANIFEST is absent —
+    // put cannot revive it, timestamps are empty — but stored blobs
+    // keep serving for the keep-alive window (lib.rs:191-199)
+    t = exp1 + 1
     assert(hub.episodeTimestamps(bid).isEmpty)
-    intercept[NoSuchElementException](hub.episode(bid, 1L))
     intercept[NoSuchElementException](hub.put(bid, token, 3L, blob))
+    assert(hub.episode(bid, 1L) === blob)
+    t = exp1 + hub.EpisodeKeepAliveMs + 1
+    intercept[NoSuchElementException](hub.episode(bid, 1L))
 
     // client-side expiry: a hub whose clock is epoch-0 grants 1970
     // expirations — liveness checks against the wall clock drop them
