@@ -138,14 +138,23 @@ final class BroadcastService(hub: BroadcastHub) {
       val parts = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
       (ex.getRequestMethod, parts) match {
         case ("POST", "broadcast" :: Nil) =>
-          queryParam(ex, "episode").flatMap(_.toLongOption) match {
-            case None => respond(ex, 400)
-            case Some(ts) =>
-              val blob = BlobCodec.decode(ex.getRequestBody.readAllBytes())
-              val (bid, token, expiration) = hub.post(blob, ts)
+          queryParam(ex, "episode") match {
+            case None =>
+              // episode-less creation: body ignored, empty episode list
+              // (reference lib.rs:110-121)
+              val (bid, token, expiration) = hub.postEmpty()
               respond(ex, 201,
                 s"""{"broadcast_id":"$bid","token":"$token","expiration":$expiration}"""
                   .getBytes(UTF_8))
+            case Some(raw) => raw.toLongOption match {
+              case None => respond(ex, 400) // present but malformed
+              case Some(ts) =>
+                val blob = BlobCodec.decode(ex.getRequestBody.readAllBytes())
+                val (bid, token, expiration) = hub.post(blob, ts)
+                respond(ex, 201,
+                  s"""{"broadcast_id":"$bid","token":"$token","expiration":$expiration}"""
+                    .getBytes(UTF_8))
+            }
           }
         case ("GET", "broadcast" :: bid :: Nil) =>
           hub.episodeList(Gid.parse(bid)) match {

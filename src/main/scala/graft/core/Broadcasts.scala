@@ -85,14 +85,22 @@ final class BroadcastHub(clock: () => Long = () => System.currentTimeMillis())
     blobs.filterInPlace((_, v) => v._2 > now)
   }
 
-  def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long) = synchronized {
+  /** Create a broadcast with no initial episode — the reference's POST
+    * without `?episode=` (lib.rs:110-121: the body is ignored and the
+    * manifest starts with an empty episode list).
+    */
+  def postEmpty(): (Gid, String, Long) = synchronized {
     purgeExpired()
     val bid = Gid.random()
     val token = Gid.random().toString
     val expiration = clock() + BroadcastTtlMs
-    val st = new State(token, expiration)
-    st.episodes += episodeTs
-    broadcasts(bid) = st
+    broadcasts(bid) = new State(token, expiration)
+    (bid, token, expiration)
+  }
+
+  def post(blob: ExportBlob, episodeTs: Long): (Gid, String, Long) = synchronized {
+    val (bid, token, expiration) = postEmpty()
+    broadcasts(bid).episodes += episodeTs
     blobs((bid, episodeTs)) = (blob, expiration + EpisodeKeepAliveMs)
     (bid, token, expiration)
   }

@@ -356,7 +356,44 @@ object Dedup {
     * a long-running ingest gate pays O(delta) kernel work per batch,
     * not O(corpus). `standing` itself is only consulted for candidate
     * verification (semi-join restricted to candidate ids).
+    *
+    * `broadcastDelta = true` pins the delta side of every join as the
+    * broadcast build: the standing index and corpus are then pure
+    * probe-side SCANS — zero shuffle of standing state per batch. This
+    * is THE 100 TB ingest shape (a micro-batch's band keys are KBs
+    * against a TB-scale index; a sort-merge plan would re-shuffle the
+    * whole index every batch). Leave it false for deltas of unbounded
+    * size (backfills) — AQE then sizes the joins from runtime stats.
     */
+  /** The candidate stage of [[minhashLshDeltaPairsIndexed]]: the
+    * delta's band keys equi-joined against the standing index (minus
+    * the delta's own re-ingested ids), one (delta_id, corpus_id) row
+    * per colliding pair. Exposed so plan audits pin the production
+    * subtree (the full operator localCheckpoints this frame, which
+    * detaches it from the inspected plan) and so custom pipelines can
+    * consume raw candidates.
+    */
+  def lshDeltaCandidates(
+      standingIndex: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int,
+      broadcastDelta: Boolean = false): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(delta.sparkSession)
+    def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val indexOnly = standingIndex.join(
+      small(deltaIds), col("id") === col("delta_dup_id"), "left_anti")
+    indexOnly.as("s")
+      .join(small(minhashBandKeys(delta, idCol, textCol, k, numPerm, bands).as("d")),
+        Seq("band", "key"))
+      .select(col("d.id").as("delta_id"), col("s.id").as("corpus_id"))
+      .distinct()
+  }
+
   def minhashLshDeltaPairsIndexed(
       standingIndex: DataFrame,
       standing: DataFrame,
@@ -367,8 +404,10 @@ object Dedup {
       numPerm: Int,
       bands: Int,
       num: Int,
-      den: Int): DataFrame = {
+      den: Int,
+      broadcastDelta: Boolean = false): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(standing.sparkSession)
+    def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
     // A re-ingested id present on both sides (Streams.DedupGate replays)
     // would pair against its own stale copy and double its (id, shingle)
     // rows in the verify stage, corrupting inter/union_size. The delta
@@ -376,19 +415,17 @@ object Dedup {
     // verify-side doc rows) before the candidate join.
     val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
     val standingOnly = standing.join(
-      deltaIds, col(idCol) === col("delta_dup_id"), "left_anti")
-    val indexOnly = standingIndex.join(
-      deltaIds, col("id") === col("delta_dup_id"), "left_anti")
-    val candidates = minhashBandKeys(delta, idCol, textCol, k, numPerm, bands).as("d")
-      .join(indexOnly.as("s"), Seq("band", "key"))
-      .select(col("d.id").as("delta_id"), col("s.id").as("corpus_id"))
-      .distinct()
+      small(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    val candidates = lshDeltaCandidates(
+        standingIndex, delta, idCol, textCol, k, numPerm, bands, broadcastDelta)
       .localCheckpoint() // three consumers; band-key pipelines are expensive
     val candIds = candidates.select(col("delta_id").as("id"))
       .unionByName(candidates.select(col("corpus_id").as("id")))
       .distinct()
+    // candIds is candidate-pair-sized — delta-bounded, so it rides the
+    // same broadcast rule against the corpus-sized doc frame
     val candDocs = standingOnly.unionByName(delta)
-      .join(candIds, col(idCol) === candIds("id"), "left_semi")
+      .join(small(candIds), col(idCol) === candIds("id"), "left_semi")
     val verified = jaccardPairs(shingleSets(candDocs, idCol, textCol, k), num, den)
     candidates.join(verified,
         col("id_a") === least(col("delta_id"), col("corpus_id")) &&

@@ -340,8 +340,12 @@ object Streams {
       // registry was snapshot before any kernel registration on the
       // main session — register there explicitly
       graft.functions.DedupKernels.ensureRegistered(batch.sparkSession)
+      // broadcastDelta: a micro-batch's band keys broadcast against the
+      // standing index/corpus, which stay pure probe-side scans — the
+      // standing state is never shuffled, per batch, at any corpus size
       val vsStanding = Dedup.minhashLshDeltaPairsIndexed(
-          indexNow, corpusNow, batch, idCol, textCol, k, numPerm, bands, num, den)
+          indexNow, corpusNow, batch, idCol, textCol, k, numPerm, bands, num, den,
+          broadcastDelta = true)
         .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
       val within = Dedup.minhashLshPairsNative(
           batch, idCol, textCol, k, numPerm, bands, num, den)

@@ -166,6 +166,37 @@ class BroadcastServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("POST without an episode creates an empty live broadcast (reference lib.rs:110-121)") {
+    withService { (svc, ep) =>
+      val http = rawClient
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${svc.baseUrl}/broadcast"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 201)
+      val bid = graft.model.Gid.parse(
+        "\"broadcast_id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(resp.body()).get.group(1))
+      val token = "\"token\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(resp.body()).get.group(1)
+      // live with an empty list: 200 [], and the token appends normally
+      val listResp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${svc.baseUrl}/broadcast/$bid")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(listResp.statusCode() === 200)
+      assert(listResp.body() === "[]")
+      ep.put(bid, token, 7L, sampleBlob)
+      assert(ep.episodeTimestamps(bid) === Vector(7L))
+      // malformed episode param is still 400, not an empty create
+      val bad = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${svc.baseUrl}/broadcast?episode=xyz"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 400)
+    }
+  }
+
   test("expired broadcast over the wire: PUT 404s (no revival), blobs serve through keep-alive then 404") {
     @volatile var now = 1000L
     val service = new BroadcastService(new BroadcastHub(() => now)).start()

