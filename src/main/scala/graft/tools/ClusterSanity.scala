@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   sbt package   # executors need the graft classes
-  *   sbt "runMain graft.tools.ClusterSanity <jar> [sfDir] [scaleDir]"
+  *   SPARK_SCALA_VERSION=2.13 \
+  *     sbt "runMain graft.tools.ClusterSanity <jar> [sfDir] [scaleDir]"
   * `scaleDir` (optional) points at a ScaleGen output for the big-leg
   * queries; when absent the scale legs are skipped.
+  *
+  * SPARK_SCALA_VERSION matters: local-cluster's in-JVM Worker launches
+  * executors through the launcher's command builder WITHOUT sourcing
+  * load-spark-env.sh, and without that env var the builder falls back
+  * to source-build directory probing and dies with "Cannot find any
+  * build directories." before the executor JVM even starts (empty
+  * work/<app>/<n>/ dirs are the telltale).
   */
 object ClusterSanity {
   def main(args: Array[String]): Unit = {
@@ -90,6 +98,23 @@ object ClusterSanity {
         time(s"$q @62x")(noop(fn(spark, sd)))
         time(s"$q @62x (steady)")(noop(fn(spark, sd)))
       }
+    }
+
+    // 4. Streaming-shaped operators under separate worker JVMs: the
+    // flatMapGroupsWithState sessionizer (stateful-operator + state
+    // store serialization — local[32] shares one JVM and shortcuts
+    // it) via the q91 replay, and the dedup gate's foreachBatch fold
+    // (kernel UDFs, broadcast builds and loop-carried checkpoints
+    // crossing executor boundaries).
+    time("q91_stream_sessions (streaming replay)")(noop(
+      graft.SparkEntry.queries("q91_stream_sessions")(spark, sfDir)))
+    time("dedup_gate(5 batches)") {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val gate = graft.streaming.Streams.newDedupGate(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      (1 to 5).foreach(i => gate.ingest(docs.filter(col("doc_id") % 10 === i)))
+      println(s"[cluster-sanity]   gate rejected=${gate.rejected.count()} corpus=${gate.corpusNow.count()}")
     }
     spark.stop()
   }
