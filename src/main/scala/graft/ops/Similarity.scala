@@ -519,6 +519,60 @@ object Similarity {
     * hyperplanes as [[lshTopK]], so external engines reproduce the
     * buckets bit-for-bit.
     */
+  /** Incremental embedding near-dup: DELTA×STANDING LSH bucket-mates
+    * at cosine ≥ threshold — the embedding twin of the minhash delta
+    * pairs (q85). An ingest batch is checked only against
+    * bucket-colliding standing vectors (never standing×standing, so
+    * candidate volume scales with the delta), and with
+    * `broadcastDelta` the batch's signatures/vectors are the broadcast
+    * build of every join: the standing corpus is a pure probe-side
+    * scan per batch, zero standing shuffle at any corpus size. A
+    * re-ingested id follows q85's delta-authoritative rule (the
+    * standing twin is dropped before bucketing). Returns
+    * (delta_id, corpus_id).
+    */
+  def cosinePairsLshDelta(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val sig = signatureUdf(dim, numPlanes)
+    def small(df: DataFrame) = if (broadcastDelta) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val standingOnly = standing.join(
+      small(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    def side(df: DataFrame, idName: String, pv: String, nrm: String) =
+      df.select(col(idCol).as(idName),
+          packUdf(asDouble(col(vecCol))).as(pv), sig(col(vecCol)).as("bucket"))
+        .withColumn(nrm, sqrt(dotPacked(col(pv), col(pv))))
+    side(standingOnly, "corpus_id", "sv", "sn")
+      .join(small(side(delta, "delta_id", "dv", "dn")), Seq("bucket"))
+      .filter(dotPacked(col("dv"), col("sv")) / (col("dn") * col("sn")) >= threshold)
+      .select(col("delta_id"), col("corpus_id"))
+  }
+
+  /** [[cosinePairsLshDelta]] with the plane count derived from the
+    * COMBINED corpus count (standing + delta) via [[autoPlanes]] — the
+    * same B an external engine derives from the full table, and the
+    * same bucket geometry the standing corpus would use once the delta
+    * folds in.
+    */
+  def cosinePairsLshDeltaAuto(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetBucket: Long = LshTargetBucket,
+      broadcastDelta: Boolean = true): DataFrame =
+    cosinePairsLshDelta(standing, delta, idCol, vecCol, dim,
+      autoPlanes(standing.count() + delta.count(), targetBucket), threshold, broadcastDelta)
+
   def cosinePairsLsh(
       emb: DataFrame,
       idCol: String,

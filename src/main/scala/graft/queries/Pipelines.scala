@@ -137,6 +137,16 @@ object Pipelines {
         dim = 64, threshold = 0.45)
     }),
 
+    // Incremental embedding near-dup: the vec_id%5==0 slice replayed as
+    // an ingest batch against the rest — delta×standing bucket joins
+    // only, delta broadcast (the embedding twin of q85).
+    "q93_dedup_embedding_delta" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosinePairsLshDeltaAuto(
+        emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", dim = 64, threshold = 0.30)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -477,6 +487,32 @@ object Pipelines {
          JOIN e a ON a.vec_id = sa.vec_id
          JOIN e b ON b.vec_id = sb.vec_id
          WHERE ${sqlCosine("a.v", "b.v", 64)} >= 0.45""",
+
+    // q93: the same signature pipeline, restricted to delta (vec_id%5=0)
+    // × standing (vec_id%5<>0) pairs — B still derives from the FULL
+    // count (standing + delta), as the Spark side does.
+    "q93_dedup_embedding_delta" ->
+      s"""WITH $embCte,
+         nb AS (SELECT greatest(4, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS b
+                FROM (SELECT (count(*) + ${Similarity.LshTargetBucket} - 1) // ${Similarity.LshTargetBucket} AS m
+                      FROM embeddings)),
+         eq AS (SELECT vec_id, v,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings JOIN e USING (vec_id)),
+         pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
+                FROM range(60) t(p), range(64) u(j)
+                WHERE p < (SELECT b FROM nb)),
+         dots AS (SELECT eq.vec_id, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
+                  FROM eq, pl GROUP BY 1, 2),
+         sig AS (SELECT vec_id,
+                 sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+                 FROM dots GROUP BY 1)
+         SELECT sd.vec_id AS delta_id, ss.vec_id AS corpus_id
+         FROM sig sd JOIN sig ss ON sd.bucket = ss.bucket
+         JOIN e a ON a.vec_id = sd.vec_id
+         JOIN e b ON b.vec_id = ss.vec_id
+         WHERE sd.vec_id % 5 = 0 AND ss.vec_id % 5 <> 0
+           AND ${sqlCosine("a.v", "b.v", 64)} >= 0.30""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,

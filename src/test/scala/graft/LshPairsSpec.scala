@@ -62,4 +62,32 @@ class LshPairsSpec extends AnyFunSuite {
     // 500 vectors → autoPlanes = 4, so the outputs are identical.
     assert(auto === fixed)
   }
+
+  test("delta pairs equal the full self-join restricted to delta×standing") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val standing = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+    // the full self-join's pairs (id_a < id_b), re-keyed to
+    // (delta_id, corpus_id) and restricted to cross pairs
+    val full = Similarity.cosinePairsLshAuto(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some((a, b))
+          case (false, true) => Some((b, a))
+          case _             => None
+        }
+      }.toSet
+    val deltaPairs = Similarity.cosinePairsLshDeltaAuto(
+        standing, delta, "vec_id", "embedding", dim = 64, threshold = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deltaPairs === full)
+    assert(deltaPairs.nonEmpty, "delta join pruned everything at this SF")
+    // a re-ingested id never pairs with its own standing twin
+    val reingest = Similarity.cosinePairsLshDeltaAuto(
+        standing, standing.limit(5), "vec_id", "embedding", dim = 64, threshold = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    reingest.foreach { case (d, c) => assert(d != c) }
+  }
 }
