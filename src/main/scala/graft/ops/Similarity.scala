@@ -170,6 +170,32 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** Embedding-space quality eval: for each query, how many of its k
+    * exact-cosine nearest neighbors share the query's label — the kNN
+    * label-consistency metric a training pipeline runs on an embedding
+    * column before trusting it (clustered labels ⇒ usable space).
+    * Returns (query_id, label, n_same, purity). The top-k frame is
+    * query-subset-sized, so it broadcasts into the corpus-sized label
+    * lookup — the corpus is scanned once, never shuffled.
+    */
+  def knnLabelPurity(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val topk = bruteForceTopK(emb, idCol, vecCol, queries, k)
+    val labels = emb.select(col(idCol).as("nid"), col(labelCol).as("n_label"))
+    val qLabels = queries.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+    labels
+      .join(broadcast(topk), col("nid") === col("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(when(col("n_label") === col("label"), 1)).as("n_same"))
+      .withColumn("purity", col("n_same").cast("double") / lit(k))
+  }
+
   /** Deterministic hyperplane component p,j in [-1000, 1000]:
     * hash60("p_j") % 2001 - 1000. Reproducible anywhere md5 exists.
     */

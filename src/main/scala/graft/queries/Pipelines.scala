@@ -147,6 +147,15 @@ object Pipelines {
         "vec_id", "embedding", dim = 64, threshold = 0.30)
     }),
 
+    // kNN label consistency: embedding-quality eval over the unused
+    // label column — per query (vec_id%100=0), how many of its 10
+    // exact-cosine neighbors share its label.
+    "q94_knn_label_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelPurity(emb, "vec_id", "embedding", "label",
+        queries = emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -441,6 +450,22 @@ object Pipelines {
                       ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
                     FROM q JOIN e ON e.vec_id <> query_id)
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q94_knn_label_purity" ->
+      s"""WITH $embCte,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
+                    FROM q JOIN e ON e.vec_id <> query_id)
+         SELECT s.query_id, eq.label,
+                CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+                CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS purity
+         FROM scored s
+         JOIN embeddings eq ON eq.vec_id = s.query_id
+         JOIN embeddings en ON en.vec_id = s.neighbor_id
+         WHERE s.rank <= 10
+         GROUP BY 1, 2""",
 
     "q36_ann_lsh" ->
       s"""WITH $embCte,
