@@ -557,6 +557,82 @@ object Similarity {
     * standing twin is dropped before bucketing). Returns
     * (delta_id, corpus_id).
     */
+  /** The LSH "side" frame for a vector table — (id, pv packed vector,
+    * nrm, bucket). This is ALSO the persisted signature index of an
+    * embedding corpus: carry these rows (append per ingested batch)
+    * and a delta join needs no per-batch signature recompute of the
+    * standing side. Self-contained: the cosine verify reads pv/nrm
+    * straight from the index, no doc lookback.
+    */
+  def cosineLshIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int): DataFrame = {
+    val sig = signatureUdf(dim, numPlanes)
+    emb.select(col(idCol).as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"), sig(col(vecCol)).as("bucket"))
+      .withColumn("nrm", sqrt(dotPacked(col("pv"), col("pv"))))
+  }
+
+  /** Re-derive the bucket column of a [[cosineLshIndex]] frame at a
+    * NEW plane count from the packed vectors alone — bit-identical to
+    * re-running cosineLshIndex over the raw floats, because pv stores
+    * exactly the doubles the quantizer reads (float→double is exact).
+    * This is what makes the embedding gate's amortized auto-B rebuild
+    * possible without any raw-vector lookback.
+    */
+  def resignIndex(index: DataFrame, dim: Int, numPlanes: Int): DataFrame = {
+    val planes = planeMatrix(dim, numPlanes)
+    val sigFromPacked = udf { (pv: Array[Byte]) =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      val n = pv.length / 8
+      val q = new Array[Long](n)
+      var j = 0
+      while (j < n) { q(j) = math.floor(bb.getDouble(j * 8) * 1000).toLong; j += 1 }
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var d = 0L
+        var i = 0
+        val plane = planes(p)
+        while (i < q.length) { d += q(i) * plane(i); i += 1 }
+        if (d > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    index.withColumn("bucket", sigFromPacked(col("pv")))
+  }
+
+  /** Delta near-dup pairs against a PRE-COMPUTED standing
+    * [[cosineLshIndex]] (same plane count on both sides). The delta
+    * side broadcasts by default; re-ingested ids are dropped from the
+    * standing index first (delta-authoritative).
+    */
+  def cosinePairsLshIndexed(
+      standingIndex: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double,
+      broadcastDelta: Boolean = true): DataFrame = {
+    def small(df: DataFrame) = if (broadcastDelta) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val indexOnly = standingIndex.join(
+      small(deltaIds), col("id") === col("delta_dup_id"), "left_anti")
+    val d = cosineLshIndex(delta, idCol, vecCol, dim, numPlanes)
+      .select(col("id").as("delta_id"), col("pv").as("dv"), col("nrm").as("dn"), col("bucket"))
+    indexOnly
+      .select(col("id").as("corpus_id"), col("pv").as("sv"), col("nrm").as("sn"), col("bucket"))
+      .join(small(d), Seq("bucket"))
+      .filter(dotPacked(col("dv"), col("sv")) / (col("dn") * col("sn")) >= threshold)
+      .select(col("delta_id"), col("corpus_id"))
+  }
+
   def cosinePairsLshDelta(
       standing: DataFrame,
       delta: DataFrame,
@@ -566,19 +642,13 @@ object Similarity {
       numPlanes: Int,
       threshold: Double,
       broadcastDelta: Boolean = true): DataFrame = {
-    val sig = signatureUdf(dim, numPlanes)
     def small(df: DataFrame) = if (broadcastDelta) broadcast(df) else df
     val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
     val standingOnly = standing.join(
       small(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
-    def side(df: DataFrame, idName: String, pv: String, nrm: String) =
-      df.select(col(idCol).as(idName),
-          packUdf(asDouble(col(vecCol))).as(pv), sig(col(vecCol)).as("bucket"))
-        .withColumn(nrm, sqrt(dotPacked(col(pv), col(pv))))
-    side(standingOnly, "corpus_id", "sv", "sn")
-      .join(small(side(delta, "delta_id", "dv", "dn")), Seq("bucket"))
-      .filter(dotPacked(col("dv"), col("sv")) / (col("dn") * col("sn")) >= threshold)
-      .select(col("delta_id"), col("corpus_id"))
+    cosinePairsLshIndexed(
+      cosineLshIndex(standingOnly, idCol, vecCol, dim, numPlanes),
+      delta, idCol, vecCol, dim, numPlanes, threshold, broadcastDelta)
   }
 
   /** [[cosinePairsLshDelta]] with the plane count derived from the

@@ -396,6 +396,122 @@ object Streams {
       num: Int = 1, den: Int = 2, compactEvery: Int = 8): DedupGate =
     new DedupGate(initialCorpus, idCol, textCol, k, numPerm, bands, num, den, compactEvery)
 
+  /** Online EMBEDDING ingest dedup gate — the vector-modality twin of
+    * [[DedupGate]]: each micro-batch of (id, vector) rows is checked
+    * against the standing corpus via the LSH bucket join
+    * (Similarity.cosinePairsLshIndexed — delta broadcast, standing
+    * index a pure probe scan) and within itself; flagged rows are
+    * rejected (lower id survives within a batch), clean rows fold
+    * forward. Loop state is the SIGNATURE INDEX itself
+    * (Similarity.cosineLshIndex rows: id, packed vector, norm,
+    * bucket) in append-only compacted segments — self-contained, so
+    * no raw-vector lookback is ever needed.
+    *
+    * Auto-B over a GROWING corpus: a fixed plane count B degrades as
+    * buckets fill (Θ(n²/2^B) candidates), but changing B invalidates
+    * every carried signature. The gate resolves the tension the LSM
+    * way: when `autoPlanes(count)` exceeds the index's B it REBUILDS
+    * the index at the new B from the carried packed vectors — an
+    * O(corpus) pass that happens O(log n) times over a stream's life,
+    * so the amortized per-batch cost stays O(delta) while bucket
+    * population stays bounded forever.
+    */
+  final class EmbeddingDedupGate private[graft] (
+      initial: DataFrame,
+      idCol: String, vecCol: String,
+      dim: Int, threshold: Double, targetBucket: Long,
+      compactEvery: Int = 8) {
+    import graft.ops.Similarity
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    @volatile private var planes: Int =
+      Similarity.autoPlanes(initial.count(), targetBucket)
+    @volatile private var indexSegs: Vector[DataFrame] =
+      Vector(Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes).localCheckpoint())
+    @volatile private var count: Long = indexSegs.head.count()
+    @volatile private var rejectedLog: Option[DataFrame] = None
+    private var foldsSinceCompact = 0
+
+    private def unionAll(segs: Vector[DataFrame]): DataFrame =
+      segs.reduce(_ unionByName _)
+    /** The standing signature index (id, pv, nrm, bucket) at the
+      * current plane count. */
+    def indexNow: DataFrame = unionAll(indexSegs)
+    def numPlanes: Int = planes
+    def corpusCount: Long = count
+    def rejected: DataFrame = rejectedLog.getOrElse(
+      indexSegs.head.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit("").as("reason")).limit(0))
+
+    /** Synchronously fold one micro-batch of (id, vector) rows. */
+    def ingest(batch: DataFrame): Unit = fold(batch)
+
+    private[graft] def fold(batch: DataFrame): Unit = {
+      val vsStanding = Similarity.cosinePairsLshIndexed(
+          indexNow, batch, idCol, vecCol, dim, planes, threshold)
+        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
+      val within = Similarity.cosinePairsLsh(
+          batch, idCol, vecCol, dim, planes, threshold)
+        .select(greatest(col("id_a"), col("id_b")).as("id"),
+          lit("near-dup within batch").as("reason"))
+      val flagged = vsStanding.unionByName(within)
+        .groupBy("id").agg(min(col("reason")).as("reason"))
+        .localCheckpoint()
+      val prevLog = rejectedLog
+      rejectedLog = Some(prevLog
+        .fold(flagged)(_ unionByName flagged).localCheckpoint())
+      val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
+      val cleanIdx = Similarity.cosineLshIndex(clean, idCol, vecCol, dim, planes)
+        .localCheckpoint()
+      indexSegs = indexSegs :+ cleanIdx
+      count += cleanIdx.count()
+      foldsSinceCompact += 1
+      val wantPlanes = Similarity.autoPlanes(count, targetBucket)
+      if (wantPlanes > planes) {
+        // amortized re-signature at the new B: unpack the carried
+        // vectors (pv is the exact quantization input), re-bucket
+        val resigned = Similarity.resignIndex(unionAll(indexSegs), dim, wantPlanes)
+          .localCheckpoint()
+        val old = indexSegs
+        indexSegs = Vector(resigned)
+        planes = wantPlanes
+        foldsSinceCompact = 0
+        old.foreach(releaseCheckpoint)
+      } else if (foldsSinceCompact >= compactEvery) {
+        val old = indexSegs
+        indexSegs = Vector(unionAll(old).localCheckpoint())
+        foldsSinceCompact = 0
+        old.foreach(releaseCheckpoint)
+      }
+      prevLog.foreach(releaseCheckpoint)
+      releaseCheckpoint(flagged)
+    }
+  }
+
+  /** Construct a standalone [[EmbeddingDedupGate]]. */
+  def newEmbeddingDedupGate(
+      initialCorpus: DataFrame,
+      idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      targetBucket: Long = graft.ops.Similarity.LshTargetBucket,
+      compactEvery: Int = 8): EmbeddingDedupGate =
+    new EmbeddingDedupGate(initialCorpus, idCol, vecCol, dim, threshold, targetBucket, compactEvery)
+
+  /** Run [[EmbeddingDedupGate]] over a streaming frame via
+    * foreachBatch. Returns the live gate handle + the query.
+    */
+  def embeddingDedupGateStream(
+      vectors: DataFrame,
+      initialCorpus: DataFrame,
+      idCol: String, vecCol: String,
+      dim: Int, threshold: Double): (EmbeddingDedupGate, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val gate = newEmbeddingDedupGate(initialCorpus, idCol, vecCol, dim, threshold)
+    val query = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => gate.fold(batch) }
+      .start()
+    (gate, query)
+  }
+
   /** Run [[DedupGate]] over a streaming frame of documents via
     * foreachBatch. Returns the live gate handle + the query.
     */
