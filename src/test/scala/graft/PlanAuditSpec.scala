@@ -86,6 +86,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p87.contains("WindowGroupLimit"), p87.take(2000))
   }
 
+  test("embedding delta dedup broadcasts the delta side (standing stays probe-only)") {
+    // q93's 100 TB shape: the ingest slice is the broadcast build of
+    // both the bucket join and the re-ingest anti-join; the standing
+    // embeddings contribute scans, never a shuffle for the join.
+    val plan = SparkEntry.queries("q93_dedup_embedding_delta")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval vocabulary") {
     // The corpus side must never repartition: the eval shingle
     // vocabulary is the build side of a broadcast semi-join.
