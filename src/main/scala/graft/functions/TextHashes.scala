@@ -99,6 +99,58 @@ object MinWindowHash {
   val builder: Seq[Expression] => Expression = c => MinWindowHash(Cast(c.head, StringType))
 }
 
+/** All character-window hashes of a text at stride 1: the candidate
+  * stream for exact-substring repetition analysis
+  * (Dedup.exactSubstrRepeats). Same per-window value as
+  * [[MinWindowHash]] — the first 15 hex chars of the window's md5 as a
+  * 60-bit long — but EVERY position, as an array, and with a
+  * configurable window width. One MessageDigest reused across the
+  * O(len) windows; the interpreted twin (transform over sequence +
+  * per-window md5 hex strings) allocates two strings per window.
+  */
+case class WindowHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+  // CodegenFallback: the per-window md5 loop dominates; one virtual
+  // call per row is noise (same rationale as MinWindowHash).
+  override def nullSafeEval(text: Any, width: Any): Any =
+    WindowHashes.compute(text.asInstanceOf[UTF8String], width.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object WindowHashes {
+  /** Hashes of every `width`-char window; empty for shorter texts. */
+  def compute(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < width)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n - width + 1)
+    var i = 0
+    while (i <= n - width) {
+      md.reset()
+      val d = md.digest(str.substring(i, i + width).getBytes("UTF-8"))
+      out(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_window_hashes")
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[WindowHashes].getCanonicalName, "graft_window_hashes")
+  val builder: Seq[Expression] => Expression =
+    c => WindowHashes(Cast(c.head, StringType), Cast(c(1), org.apache.spark.sql.types.IntegerType))
+}
+
 object TextHashes {
   /** Idempotent per-session registration of the fingerprint kernels. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -107,5 +159,7 @@ object TextHashes {
       registry.registerFunction(PolyHash.functionName, PolyHash.info, PolyHash.builder)
     if (!registry.functionExists(MinWindowHash.functionName))
       registry.registerFunction(MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder)
+    if (!registry.functionExists(WindowHashes.functionName))
+      registry.registerFunction(WindowHashes.functionName, WindowHashes.info, WindowHashes.builder)
   }
 }

@@ -209,6 +209,39 @@ object Curation {
         max(when(col("rn") === expr("(19 * n + 19) div 20"), col("nt"))).as("p95_tokens"))
   }
 
+  /** Leakage-free train/val/test split: assign every document to a
+    * split by hashing its near-dup CLUSTER id, not its own id — so a
+    * pair of near-duplicate documents can never straddle the
+    * train/test boundary (the contamination mode that silently
+    * inflates held-out metrics when splits are drawn per-document).
+    * `clusters` is (doc_id, component_id) from [[Components]].
+    *
+    * Deterministic and engine-portable: the bucket is the first two
+    * hex chars of md5(component_id as decimal string) — 256 buckets
+    * compared LEXICALLY (fixed-width lowercase hex, so lexical order
+    * IS numeric order), no hex-to-int conversion any SQL engine could
+    * disagree on. Percents quantize to 1/256ths (90/5/5 → 230/13/13
+    * buckets). Plan shape: a pure per-row projection over the cluster
+    * frame — zero shuffles beyond what clustering already paid; at
+    * 100 TB the split column is free.
+    */
+  def leakageFreeSplit(
+      clusters: DataFrame,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percents: train=$trainPct val=$valPct")
+    val trainCut = f"${(256 * trainPct) / 100}%02x"
+    val valCut = f"${(256 * (trainPct + valPct)) / 100}%02x"
+    val bucket = substring(md5(col("component_id").cast("string")), 1, 2)
+    clusters.select(
+      col("doc_id"),
+      col("component_id"),
+      when(bucket < trainCut, "train")
+        .when(bucket < valCut, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Canonical-representative selection: for every near-dup cluster,
     * keep the member with the highest quality score (min doc_id
     * tie-break) — the retention decision a dedup pipeline makes after

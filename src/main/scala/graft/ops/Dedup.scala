@@ -497,4 +497,56 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact-substring repetition analysis (the repeated-span pass of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): for every document, how many of its `width`-char
+    * windows occur more than once ANYWHERE in the corpus (including
+    * elsewhere in the same document). Long verbatim repeats — licence
+    * boilerplate, templated pages, copy-paste — light up as high
+    * `repeated_permille`; the downstream curation decision (drop the
+    * doc, or cut the spans) is the caller's.
+    *
+    * Plan shape: the native WindowHashes kernel emits all stride-1
+    * window hashes in one pass (one reused MessageDigest, no
+    * per-window string columns); the exploded (doc, h) stream is
+    * O(corpus chars) rows of 16 bytes. The multiplicity table is a
+    * map-combined groupBy on `h` (partial counts collapse repeats
+    * before the exchange), then an equi-join back on `h` — the window
+    * stream is scanned twice, a deliberate trade: checkpointing
+    * O(corpus chars) rows to scan once would cost more I/O at 100 TB
+    * than re-running the linear kernel, and a window-function
+    * single-shuffle form would buffer entire hot-hash groups in one
+    * task (the boilerplate-window OOM), where the join form gets AQE
+    * skew splitting for free. Linear end to end — the published
+    * suffix-array build needs a global sort; this is the
+    * shuffle-native equivalent for fixed window width. At 100 TB,
+    * raise the stride to S ≤ width/2 (detects every repeat of length
+    * ≥ width + S) to cut the row stream S×; stride 1 is the exact,
+    * oracle-able form.
+    */
+  def exactSubstrRepeats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int): DataFrame = {
+    graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
+    val w = graft.Tables.fanOut(docs).select(
+      col(idCol).as("doc_id"),
+      explode(call_function("graft_window_hashes", col(textCol), lit(width))).as("h"))
+    val mult = w.groupBy("h").agg(count(lit(1)).as("c"))
+    val per = w.join(mult, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(coalesce(n_windows, 0L), 1)")
+          .as("repeated_permille"))
+  }
 }

@@ -285,6 +285,23 @@ object Pipelines {
     "q88_corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"), "lang", "doc_id", "text")),
 
+    // Leakage-free split: q37's near-dup clusters are hashed to
+    // train/val/test AS UNITS (90/5/5 in 1/256ths), so no near-dup
+    // pair can straddle the held-out boundary.
+    "q95_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsNative(
+        docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
+      Curation.leakageFreeSplit(
+        Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs))
+    }),
+
+    // Exact-substring repetition: per-doc mass of 40-char windows that
+    // occur more than once corpus-wide (the Lee et al. repeated-span
+    // contamination pass), via the native window-hash kernel.
+    "q96_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrRepeats(t(s, dir, "documents"), "doc_id", "text", width = 40)),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -774,6 +791,35 @@ object Pipelines {
                 max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS p50_tokens,
                 max(CASE WHEN rn = (19 * n + 19) // 20 THEN nt END) AS p95_tokens
          FROM r GROUP BY lang""",
+
+    "q95_cluster_split" ->
+      s"""WITH RECURSIVE $cappedJaccardCte,
+         edges AS (SELECT id_a AS a, id_b AS b FROM jac
+                   UNION SELECT id_b, id_a FROM jac),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a)
+         SELECT doc_id, component_id,
+                CASE WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                     WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM comp""",
+
+    "q96_exact_substr" ->
+      s"""WITH w AS (SELECT doc_id,
+             unnest([${h60("substr(text, CAST(i AS INT), 40)")}
+                     for i in range(1, greatest(len(text) - 38, 1))]) AS h
+           FROM documents),
+         mult AS (SELECT h, count(*) AS c FROM w GROUP BY h),
+         per AS (SELECT doc_id, count(*) AS n_windows,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+                 FROM w JOIN mult USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
 
     "q50_media_features" ->
       s"""WITH f AS (SELECT doc_id, text, len(text) AS nb, (len(text)+255) // 256 AS nf FROM documents),
