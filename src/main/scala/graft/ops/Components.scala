@@ -48,6 +48,17 @@ object Components {
         coalesce(col("component_id"), col("doc_id")).as("component_id"))
   }
 
+  /** Edge-count threshold below which the contraction collapses to a
+    * single-task union-find (executor-side mapPartitions, NOT a driver
+    * collect): 4M edges ≈ 64 MB of longs — far under a task's memory,
+    * and one narrow job where the star loop pays several shuffle
+    * rounds. Every dedup pipeline here feeds CC a CAPPED pair stream
+    * (df-capped Jaccard, banded LSH), so this is the common regime;
+    * the log-round star contraction is the unbounded-scale path and
+    * stays spec-covered via the cap=0 hook.
+    */
+  final val SingleTaskEdgeCap: Long = 1L << 22
+
   /** Alternating star contraction to a fixpoint. Returns one row per
     * vertex that appears in `edges`: (doc_id, component_id = min id of
     * its component).
@@ -60,24 +71,82 @@ object Components {
     * localCheckpoints to cut lineage (the same loop-carried-frame
     * discipline as the dedup gate).
     */
-  private[graft] def starContract(edges: DataFrame): DataFrame = {
-    var e = edges.select(
-        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    var sig = signature(e)
-    var converged = sig._1 == 0L
-    while (!converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      e = next
-    }
+  private[graft] def starContract(
+      edges: DataFrame,
+      singleTaskCap: Long = SingleTaskEdgeCap): DataFrame = {
+    // The contraction loop's frames are O(dup pairs) — tiny next to the
+    // corpus — but each round is several shuffles, and under a fixed
+    // shuffle-partition count those degenerate into fleets of empty
+    // tasks (the bench runs AQE-off globally). Scope AQE ON for the
+    // loop's materializations only: every loop frame is
+    // localCheckpointed, so all its execution happens inside this
+    // window, and AQE coalesces each round to as many partitions as
+    // the edge volume actually needs — the same mechanism that sizes
+    // these rounds correctly at 100 TB. The session conf is restored
+    // before the (lazy) result plan is built.
+    val conf = edges.sparkSession.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    var e = edges
+    try {
+      e = edges.select(
+          least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      var sig = signature(e)
+      if (sig._1 <= singleTaskCap) return unionFindSingleTask(e)
+      var converged = false
+      while (!converged) {
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        e = next
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
     // Fixpoint edges are (member, root); roots label themselves.
     e.select(col("u").as("doc_id"), col("v").as("component_id"))
       .unionByName(e.select(col("v").as("doc_id"), col("v").as("component_id")))
       .distinct()
+  }
+
+  /** Small-graph fast path: min-root union-find over the whole
+    * (checkpointed, ≤ cap) edge set in ONE executor task — a narrow
+    * coalesce(1) over already-materialized partitions, so the whole
+    * labeling is a single shuffle-free job instead of per-round
+    * shuffle fleets. Unboxed LongMap state; path-halving find.
+    */
+  private def unionFindSingleTask(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val g = parent.getOrElse(p, p)
+            parent(x) = g // path halving
+            x = g
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u) // every touched node gets an
+          parent.getOrElseUpdate(v, v) // entry, so roots are emitted too
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            // union by min: the smaller id becomes the root, so labels
+            // are the component minimum with no extra relabeling pass
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "component_id")
   }
 
   /** (row count, bit_xor of per-edge xxhash64) — equality across a
@@ -88,7 +157,7 @@ object Components {
     * early stop on a non-star set; ComponentsSpec pins parity with
     * GraphX on randomized graphs.
     */
-  private def signature(e: DataFrame): (Long, Long) = {
+  private[graft] def signature(e: DataFrame): (Long, Long) = {
     val row = e.agg(count(lit(1)),
       coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
     (row.getLong(0), row.getLong(1))
@@ -101,7 +170,7 @@ object Components {
     * No collect_list: hub vertices never materialize their neighbor
     * set on one task.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u")
       .agg(min("v").as("mv"))
@@ -116,7 +185,7 @@ object Components {
     * lower neighbor, and u itself, to m = min(N(u)). All emitted edges
     * keep the (hi → lo) orientation (v > m always, since m is the min).
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
     val mins = dir.groupBy("u").agg(min("v").as("m"))

@@ -26,6 +26,47 @@ object Prof {
     val docs = graft.Tables.load(spark, dir, "documents")
     docs.count()
     what match {
+      case "cc" =>
+        import org.apache.spark.sql.functions._
+        val pairs = graft.ops.Dedup.jaccardPairsNative(
+          docs, "doc_id", "text", k = 3, num = 1, den = 2,
+          maxShingleFreq = graft.queries.Pipelines.ShingleCap)
+        var pc = 0L
+        time("pairs materialize")({ pc = pairs.localCheckpoint().count() })
+        println(s"[prof] pairs: $pc")
+        val pinned = pairs.localCheckpoint()
+        val ids = docs.select(col("doc_id").as("id")).localCheckpoint()
+        time("native CC (cold)")(
+          graft.ops.Components.dedupClusters(ids, pinned)
+            .write.format("noop").mode("overwrite").save())
+        time("native CC (warm)")(
+          graft.ops.Components.dedupClusters(ids, pinned)
+            .write.format("noop").mode("overwrite").save())
+        // round-by-round timing of the contraction loop
+        val edges = pinned.select(col("id_a").cast("long").as("u"),
+          col("id_b").cast("long").as("v")).where(col("u") =!= col("v"))
+        var e = edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v")).distinct().localCheckpoint()
+        var sig = graft.ops.Components.signature(e)
+        var done = sig._1 == 0L
+        var round = 0
+        while (!done && round < 40) {
+          round += 1
+          var next = e
+          time(s"round $round star ops")({
+            next = graft.ops.Components.smallStar(graft.ops.Components.largeStar(e))
+              .localCheckpoint() })
+          var ns = (0L, 0L)
+          time(s"round $round signature")({ ns = graft.ops.Components.signature(next) })
+          println(s"[prof] round $round edges=${ns._1}")
+          done = ns == sig; sig = ns; e = next
+        }
+        time("graphx CC (cold)")(
+          graft.ops.Components.dedupClustersGraphX(ids, pinned)
+            .write.format("noop").mode("overwrite").save())
+        time("graphx CC (warm)")(
+          graft.ops.Components.dedupClustersGraphX(ids, pinned)
+            .write.format("noop").mode("overwrite").save())
       case "jaccard" =>
         val ss = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
         time("shingleSets count")(ss.count())

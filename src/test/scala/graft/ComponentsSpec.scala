@@ -36,6 +36,8 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("random graphs: native star contraction matches GraphX exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     for (seed <- Seq(7, 21, 99)) {
       val rnd = new Random(seed)
       val n = 120
@@ -49,15 +51,32 @@ class ComponentsSpec extends AnyFunSuite {
       val graphx = runGraphX(ids, pairs)
       assert(native === graphx, s"divergence at seed=$seed")
       assert(native.size === n)
+      // Both contraction regimes agree: the single-task union-find
+      // (production fast path at this size) and the log-round star
+      // loop (forced via cap=0).
+      val loopLabels = Components.starContract(
+          pairs.toDF("u", "v").select(col("u"), col("v")), singleTaskCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      loopLabels.foreach { case (d, c) =>
+        assert(native(d) === c, s"loop-path divergence at seed=$seed doc=$d")
+      }
     }
   }
 
   test("long chain contracts to one component rooted at the minimum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val n = 257L // odd, > 2^8: forces multiple contraction rounds
     val ids = 0L until n
     val pairs = (0L until n - 1).map(i => (i + 1, i)) // reversed order on purpose
     val native = run(ids, pairs)
     assert(native.values.toSet === Set(0L))
+    // The star loop (cap=0) must also collapse the chain — the
+    // logarithmic-round case the fast path never exercises.
+    val loop = Components.starContract(
+        pairs.toDF("u", "v").select(col("u"), col("v")), singleTaskCap = 0L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(loop === Set(0L))
   }
 
   test("empty pair set: every doc is its own singleton component") {
