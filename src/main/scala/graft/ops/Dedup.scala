@@ -508,45 +508,54 @@ object Dedup {
     * doc, or cut the spans) is the caller's.
     *
     * Plan shape: the native WindowHashes kernel emits all stride-1
-    * window hashes in one pass (one reused MessageDigest, no
-    * per-window string columns); the exploded (doc, h) stream is
-    * O(corpus chars) rows of 16 bytes. The multiplicity table is a
-    * map-combined groupBy on `h` (partial counts collapse repeats
-    * before the exchange), then an equi-join back on `h` — the window
-    * stream is scanned twice, a deliberate trade: checkpointing
-    * O(corpus chars) rows to scan once would cost more I/O at 100 TB
-    * than re-running the linear kernel, and a window-function
-    * single-shuffle form would buffer entire hot-hash groups in one
-    * task (the boilerplate-window OOM), where the join form gets AQE
-    * skew splitting for free. Linear end to end — the published
-    * suffix-array build needs a global sort; this is the
-    * shuffle-native equivalent for fixed window width. At 100 TB,
-    * raise the stride to S ≤ width/2 (detects every repeat of length
-    * ≥ width + S) to cut the row stream S×; stride 1 is the exact,
-    * oracle-able form.
+    * window hashes in one rolling pass; the exploded (doc, h) stream
+    * is O(corpus chars) rows of 16 bytes. Three structural savings
+    * keep the rest cheap:
+    *   - `n_windows` is just length − width + 1 — computed from the
+    *     doc row, never aggregated from the window stream;
+    *   - only hashes with global multiplicity > 1 matter, so the
+    *     multiplicity table is filtered to the REPEATED set before any
+    *     join (one map-combined groupBy on `h` — the only wide shuffle
+    *     of the window stream);
+    *   - the repeated set is materialized and, when it fits (it is
+    *     the near-dup/boilerplate mass, a sliver of the corpus on
+    *     anything worth training on), BROADCAST into a semi-join — the
+    *     window stream is then never sorted or reshuffled; above the
+    *     cap it degrades to the shuffle semi-join with AQE skew
+    *     handling.
+    * Linear end to end — the published suffix-array build needs a
+    * global sort; this is the shuffle-native equivalent for fixed
+    * window width. At 100 TB, raise the stride to S ≤ width/2
+    * (detects every repeat of length ≥ width + S) to cut the row
+    * stream S×; stride 1 is the exact, oracle-able form.
     */
   def exactSubstrRepeats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      width: Int): DataFrame = {
+      width: Int,
+      broadcastRepCap: Long = 4000000L): DataFrame = {
     graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
     val w = graft.Tables.fanOut(docs).select(
       col(idCol).as("doc_id"),
       explode(call_function("graft_window_hashes", col(textCol), lit(width))).as("h"))
-    val mult = w.groupBy("h").agg(count(lit(1)).as("c"))
-    val per = w.join(mult, Seq("h"))
+    val rep = w.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("h")
+      .localCheckpoint()
+    val repSide = if (rep.count() <= broadcastRepCap) broadcast(rep) else rep
+    val hits = w.join(repSide, Seq("h"), "left_semi")
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_repeated"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_repeated"))
+    docs.select(
+        col(idCol).as("doc_id"),
+        greatest(length(col(textCol)) - (width - 1), lit(0)).cast("long").as("n_windows"))
+      .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("n_windows"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
-        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(coalesce(n_windows, 0L), 1)")
+        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(n_windows, 1)")
           .as("repeated_permille"))
   }
 }

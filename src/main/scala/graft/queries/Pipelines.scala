@@ -806,10 +806,17 @@ object Pipelines {
          FROM comp""",
 
     "q96_exact_substr" ->
-      s"""WITH w AS (SELECT doc_id,
-             unnest([${h60("substr(text, CAST(i AS INT), 40)")}
-                     for i in range(1, greatest(len(text) - 38, 1))]) AS h
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
            FROM documents),
+         w AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
          mult AS (SELECT h, count(*) AS c FROM w GROUP BY h),
          per AS (SELECT doc_id, count(*) AS n_windows,
                    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated

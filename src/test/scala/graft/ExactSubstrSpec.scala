@@ -20,13 +20,20 @@ class ExactSubstrSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("native window hashes equal the interpreted md5-prefix twin") {
+  test("native rolling window hashes equal the interpreted per-window fold twin") {
     graft.functions.TextHashes.ensureRegistered(spark)
     val docs = Tables.load(spark, dir, "documents").limit(50)
+    // The non-rolling form: each window folded from scratch — the
+    // definition the rolling kernel must match, and the same fold the
+    // DuckDB oracle runs.
     val interpreted = expr(
       """CASE WHEN length(text) < 40 THEN cast(array() as array<bigint>)
          ELSE transform(sequence(1, length(text) - 39),
-           i -> cast(conv(substr(md5(substr(text, i, 40)), 1, 15), 16, 10) as bigint))
+           i -> aggregate(sequence(i, i + 39), cast(0 as bigint),
+                  (acc, j) -> (acc * 31 + ascii(substring(text, j, 1))) % 1000000007)
+                * 4294967296 +
+                aggregate(sequence(i, i + 39), cast(0 as bigint),
+                  (acc, j) -> (acc * 131 + ascii(substring(text, j, 1))) % 998244353))
          END""")
     val diff = docs.select(
         col("doc_id"),
