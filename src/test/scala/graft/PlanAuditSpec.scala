@@ -96,6 +96,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("exact-substr repeats semi-join the window stream against a BROADCAST repeated set") {
+    // q96's 100 TB shape: the window stream is never sorted or
+    // reshuffled for the membership check — the repeated-hash set
+    // (materialized, counted, under the cap) is the broadcast build of
+    // a left-semi join.
+    val plan = SparkEntry.queries("q96_exact_substr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("decontamination joins the corpus against a BROADCAST eval vocabulary") {
     // The corpus side must never repartition: the eval shingle
     // vocabulary is the build side of a broadcast semi-join.
