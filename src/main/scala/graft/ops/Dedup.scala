@@ -558,4 +558,58 @@ object Dedup {
         expr("(coalesce(n_repeated, 0L) * 1000) div greatest(n_windows, 1)")
           .as("repeated_permille"))
   }
+
+  /** Repeated-span resolution — the CUT decision of the exact-substring
+    * pass: merge [[exactSubstrRepeats]]'s repeated windows into maximal
+    * character spans per document (gaps-and-islands over window start
+    * positions: a window starting inside the running span extends it;
+    * one past its end opens a new span) and report what a span-trim
+    * rewrite would remove. Overlapping stride-1 windows collapse, so a
+    * k-char verbatim repeat (k ≥ width) yields ONE span of exactly k
+    * chars, not k−width+1 window counts.
+    *
+    * Returns (doc_id, n_chars, n_spans, removed_chars, kept_chars).
+    *
+    * Plan shape: q96's pipeline (rolling kernel, repeated-set broadcast
+    * semi-join) keeping window POSITIONS, then one doc-keyed window
+    * (lag + running flag-sum — positions are monotone, so the running
+    * span end is just lag(pos)+width−1) and two doc-keyed aggs riding
+    * the same partitioning. The per-doc window group is bounded by doc
+    * length, never by corpus size.
+    */
+  def repeatedSpanTrim(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      broadcastRepCap: Long = 4000000L): DataFrame = {
+    graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
+    val w = graft.Tables.fanOut(docs).select(
+      col(idCol).as("doc_id"),
+      posexplode(call_function("graft_window_hashes", col(textCol), lit(width))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val rep = w.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("h")
+      .localCheckpoint()
+    val repSide = if (rep.count() <= broadcastRepCap) broadcast(rep) else rep
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = w.join(repSide, Seq("h"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("f",
+        when(col("prev").isNull || col("pos") > col("prev") + (width - 1), 1L).otherwise(0L))
+      .withColumn("g", sum("f").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "g")
+      .agg(min("pos").as("s"), (max("pos") + (width - 1)).as("e"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("removed"))
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).as("removed_chars"),
+        (col("n_chars") - coalesce(col("removed"), lit(0L))).as("kept_chars"))
+  }
 }

@@ -302,6 +302,12 @@ object Pipelines {
     "q96_exact_substr" -> ((s, dir) =>
       Dedup.exactSubstrRepeats(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // Repeated-span trim: q96's repeated windows merged into maximal
+    // character spans (gaps-and-islands per doc) — the metrics of the
+    // span-cut rewrite the exact-substring pass exists to drive.
+    "q97_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -826,6 +832,36 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q97_repeated_spans" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mult AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         rp AS (SELECT doc_id, i FROM w WHERE h IN (SELECT h FROM mult)),
+         fl AS (SELECT doc_id, i,
+                  CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                        OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 39
+                       THEN 1 ELSE 0 END AS f
+                FROM rp),
+         isl AS (SELECT doc_id, i,
+                   sum(f) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+                 FROM fl),
+         sp AS (SELECT doc_id, g, min(i) AS s, max(i) + 39 AS e FROM isl GROUP BY 1, 2),
+         per AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS removed FROM sp GROUP BY 1)
+         SELECT d.doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(p.removed, 0) AS BIGINT) AS removed_chars,
+                CAST(len(text) - coalesce(p.removed, 0) AS BIGINT) AS kept_chars
          FROM documents d LEFT JOIN per p USING (doc_id)""",
 
     "q50_media_features" ->

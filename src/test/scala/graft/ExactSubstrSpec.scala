@@ -64,6 +64,27 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(4L) === ((41L, 41L, 1000L)))
   }
 
+  test("repeated-span trim merges stride-1 windows into maximal spans") {
+    import spark.implicits._
+    // Docs 1/2 share two separate 45-char blocks with 30 unique chars
+    // between them: each block is ONE span of exactly 45 chars, so
+    // removed_chars = 90, n_spans = 2.
+    val blockA = "A" * 20 + "first shared block xyzzy_" // 45 chars
+    val blockB = "B" * 21 + "second shared block qrst" // 45 chars
+    def mid(tag: String) = tag * 6 // 30 unique chars
+    val docs = Seq(
+      (1L, blockA + mid("caeij") + blockB),
+      (2L, blockA + mid("dbfkm") + blockB),
+      (3L, "short unrelated") // no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanTrim(docs, "doc_id", "text", width = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((120L, 2L, 90L, 30L)))
+    assert(out(2L) === ((120L, 2L, 90L, 30L)))
+    assert(out(3L) === ((15L, 0L, 0L, 15L)))
+  }
+
   test("leakage-free split: no near-dup pair straddles a split boundary") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = Dedup.jaccardPairsNative(
