@@ -209,6 +209,54 @@ object Curation {
         max(when(col("rn") === expr("(19 * n + 19) div 20"), col("nt"))).as("p95_tokens"))
   }
 
+  /** Fuzzy (near-dup) benchmark decontamination: flag corpus documents
+    * whose n-gram Jaccard overlap with ANY eval document exceeds
+    * `num/den` — the paraphrase-robust complement of [[decontaminate]]
+    * (exact n-gram collision misses a reworded eval item; a 0.3
+    * Jaccard band catches it). Runs the banded MinHash delta machinery
+    * with the EVAL SET as the broadcast delta: candidates are
+    * eval×corpus band collisions only (never corpus×corpus), the
+    * standing corpus contributes one map-side band-key kernel pass and
+    * is never shuffled for the candidate join, and verification is
+    * exact Jaccard restricted to candidate docs — identical plan
+    * economics to the ingest gate, pointed at contamination.
+    *
+    * Returns every corpus document: (doc_id, n_eval_matches,
+    * max_overlap_permille, contaminated).
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      num: Int = 3,
+      den: Int = 10): DataFrame = {
+    // Project both sides to (id, text): the delta machinery unions the
+    // frames, and the eval set need not carry the corpus's metadata
+    // columns.
+    val corpusDocs = corpus.select(col(idCol), col(textCol))
+    val evalDocs = evalSet.select(col(idCol), col(textCol))
+    val pairs = Dedup.minhashLshDeltaPairsIndexed(
+      Dedup.minhashBandKeys(corpusDocs, idCol, textCol, k, numPerm, bands),
+      corpusDocs, evalDocs, idCol, textCol, k, numPerm, bands, num, den,
+      broadcastDelta = true)
+    val flagged = pairs
+      .groupBy(col("corpus_id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_eval_matches"),
+        max(expr("(inter * 1000) div union_size")).as("max_overlap_permille"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("max_overlap_permille"), lit(0L)).as("max_overlap_permille"),
+        (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Leakage-free train/val/test split: assign every document to a
     * split by hashing its near-dup CLUSTER id, not its own id — so a
     * pair of near-duplicate documents can never straddle the

@@ -308,6 +308,22 @@ object Pipelines {
     "q97_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // Fuzzy decontamination: corpus docs within 0.3 Jaccard of any
+    // eval doc, via eval-as-broadcast-delta banded MinHash — the
+    // paraphrase-robust complement of q82's exact collision. The
+    // synthetic corpus has no organic eval overlap at this SF, so the
+    // eval set is constructed as PERTURBED COPIES of every 83rd corpus
+    // doc (suffix-appended, ids offset) — mirrored in the oracle, as
+    // with q89's PII injection — making the flag path non-vacuous:
+    // each source doc (and any of its near-dups) must be caught.
+    "q98_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 83 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" heldout eval variant marker")).as("text"))
+      Curation.decontaminateFuzzy(docs, evalSet, "doc_id", "text")
+    }),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -833,6 +849,44 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q98_decontaminate_fuzzy" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text || ' heldout eval variant marker'
+                  FROM documents WHERE doc_id % 83 = 0),
+         toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM base),
+         sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         shcnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         finter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         fjac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
+                  FROM finter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
+                  WHERE inter * 10 > 3 * (ca.c + cb.c - inter)),
+         perm(i, a, b) AS (VALUES ${graft.ops.Dedup.minhashCoeffs(64).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")}),
+         hh AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM sh),
+         mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+                FROM hh, perm GROUP BY doc_id, i),
+         bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+                FROM mh GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT d.doc_id AS eval_id, s.doc_id AS corpus_id
+                  FROM bk d JOIN bk s ON d.band = s.band AND d.key = s.key
+                  WHERE d.doc_id >= 1000000 AND s.doc_id < 1000000),
+         fpairs AS (SELECT c.eval_id, c.corpus_id, j.inter, j.union_size
+                    FROM cand c JOIN fjac j
+                      ON j.id_a = least(c.eval_id, c.corpus_id)
+                     AND j.id_b = greatest(c.eval_id, c.corpus_id)),
+         fl AS (SELECT corpus_id AS doc_id, count(*) AS n,
+                       max((inter * 1000) // union_size) AS mx
+                FROM fpairs GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(f.n, 0) AS BIGINT) AS n_eval_matches,
+                CAST(coalesce(f.mx, 0) AS BIGINT) AS max_overlap_permille,
+                coalesce(f.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id""",
 
     "q97_repeated_spans" ->
       s"""WITH pos AS (SELECT doc_id, text,

@@ -119,4 +119,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) === (2L, false))
     assert(out(9L) === (9L, true)) // singleton is its own canonical
   }
+
+  test("decontaminateFuzzy: catches the perturbed source and its near-dup, skips unrelated") {
+    val s = spark; import s.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = Seq(
+      (1L, body + "lambda mu nu xi omicron pi rho sigma"),
+      (2L, body + "lambda mu nu xi omicron pi rho tau"), // near-dup of 1
+      (3L, "an entirely different document about something else whose words never overlap " * 4)
+    ).toDF("doc_id", "text")
+    // Eval doc = doc 1 with a short suffix: Jaccard >> 0.3 against
+    // both 1 and its near-dup 2, but not against 3.
+    val eval = Seq((1000001L, body + "lambda mu nu xi omicron pi rho sigma with eval tail"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._3, s"source not flagged: ${out(1L)}")
+    assert(out(2L)._3, s"near-dup of source not flagged: ${out(2L)}")
+    assert(!out(3L)._3, s"unrelated doc flagged: ${out(3L)}")
+    assert(out(1L)._2 > out(2L)._2, "source should out-overlap its near-dup")
+    assert(out(3L) === ((0L, 0L, false)))
+  }
 }
