@@ -100,6 +100,17 @@ object ClusterSanity {
       }
     }
 
+    // 3b. Round-7 additions: the union-find CC fast path runs its
+    // single task ON AN EXECUTOR (LongMap closure + result iterator
+    // cross the serialization boundary — local[32] shortcuts both),
+    // and the exact-substring family ships the rolling window-hash
+    // kernel + a broadcast repeated-set to the workers.
+    for (q <- Seq("q37_dedup_clusters", "q96_exact_substr",
+        "q98_decontaminate_fuzzy")) {
+      val fn = graft.SparkEntry.queries(q)
+      time(q)(noop(fn(spark, sfDir)))
+    }
+
     // 4. Streaming-shaped operators under separate worker JVMs: the
     // flatMapGroupsWithState sessionizer (stateful-operator + state
     // store serialization — local[32] shares one JVM and shortcuts
