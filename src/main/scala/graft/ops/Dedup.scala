@@ -559,6 +559,62 @@ object Dedup {
           .as("repeated_permille"))
   }
 
+  /** Incremental exact-substring check — the substring member of the
+    * delta family (q85 MinHash, q93 embeddings): a new batch's windows
+    * tested against the STANDING corpus's window-multiplicity index
+    * plus within-batch repeats, without re-scanning standing documents'
+    * text. Result-identical to [[exactSubstrRepeats]] over
+    * standing ∪ delta restricted to the delta docs (the spec parity).
+    *
+    * Plan shape: the standing side contributes ONE probe — its
+    * multiplicity index semi-joined against the broadcast delta-hash
+    * set (emitting only delta-relevant rows, a delta-bounded frame);
+    * in production that index is a persisted table bucketed by hash,
+    * maintained by the same append fold as the band-key index, making
+    * the probe a bucket-pruned lookup instead of a scan. Everything
+    * downstream (combined multiplicity, repeated set, per-doc counts)
+    * is delta-bounded and broadcast-joined. Re-ingested ids are
+    * anti-joined out of the standing side first (the delta copy is
+    * authoritative), as in the MinHash delta.
+    */
+  def exactSubstrDeltaRepeats(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int): DataFrame = {
+    graft.functions.TextHashes.ensureRegistered(standing.sparkSession)
+    def windows(df: DataFrame) = graft.Tables.fanOut(df).select(
+      col(idCol).as("doc_id"),
+      explode(call_function("graft_window_hashes", col(textCol), lit(width))).as("h"))
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val standingOnly = standing.join(
+      broadcast(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    // In production this is the maintained index, not a kernel pass.
+    val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
+    val wd = windows(delta)
+    val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val standingHits = standingIdx
+      .join(broadcast(deltaCounts.select("h")), Seq("h"), "left_semi")
+      .localCheckpoint()
+    val rep = deltaCounts.join(standingHits, Seq("h"), "left")
+      .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
+      .select("h")
+    val hits = wd.join(broadcast(rep), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_repeated"))
+    delta.select(
+        col(idCol).as("doc_id"),
+        greatest(length(col(textCol)) - (width - 1), lit(0)).cast("long").as("n_windows"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(n_windows, 1)")
+          .as("repeated_permille"))
+  }
+
   /** Repeated-span resolution — the CUT decision of the exact-substring
     * pass: merge [[exactSubstrRepeats]]'s repeated windows into maximal
     * character spans per document (gaps-and-islands over window start

@@ -308,6 +308,18 @@ object Pipelines {
     "q97_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // Incremental exact-substring: the doc_id%7=0 batch's windows vs
+    // the standing corpus's window-multiplicity index + within-batch
+    // repeats — the substring member of the delta family (q85/q93).
+    // Result-identical to q96 over the union restricted to the delta.
+    "q99_exact_substr_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactSubstrDeltaRepeats(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", width = 40)
+    }),
+
     // Fuzzy decontamination: corpus docs within 0.3 Jaccard of any
     // eval doc, via eval-as-broadcast-delta banded MinHash — the
     // paraphrase-robust complement of q82's exact collision. The
@@ -849,6 +861,29 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q99_exact_substr_delta" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mult AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         per AS (SELECT doc_id, count(*) AS n_repeated
+                 FROM w WHERE h IN (SELECT h FROM mult) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(greatest(len(text) - 39, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(greatest(len(text) - 39, 0), 1) AS BIGINT) AS repeated_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         WHERE d.doc_id % 7 = 0""",
 
     "q98_decontaminate_fuzzy" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents

@@ -85,6 +85,40 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(3L) === ((15L, 0L, 0L, 15L)))
   }
 
+  test("delta exact-substr equals the full pass restricted to delta docs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val standing = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val full = Dedup.exactSubstrRepeats(docs, "doc_id", "text", width = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val inc = Dedup.exactSubstrDeltaRepeats(standing, delta, "doc_id", "text", width = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(inc.nonEmpty)
+    inc.foreach { case (id, v) => assert(v === full(id), s"divergence at doc $id") }
+    assert(inc.exists(_._2._2 > 0L), "delta batch found no repeats — vacuous at this SF")
+  }
+
+  test("delta exact-substr: a re-ingested id pairs against the batch copy, not its stale twin") {
+    import spark.implicits._
+    // Standing doc 5 has OLD text; the delta re-ingests id 5 with new
+    // text that matches nothing. If the stale standing twin were kept,
+    // its windows would collide with delta doc 6 (same old text) AND
+    // with the re-ingested 5 — the anti-join must drop it.
+    val oldText = "C" * 30 + "stale shared body of this document" // 64 chars
+    val standing = Seq((5L, oldText), (9L, "Z" * 45 + "unrelated standing text here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (5L, "D" * 64), // re-ingest: new content, self-repeating windows only
+      (6L, oldText)   // would match standing-5's stale copy if it survived
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDeltaRepeats(standing, delta, "doc_id", "text", width = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 5: "D"*64 → 25 identical windows → all repeated (within-doc)
+    assert(out(5L) === 25L)
+    // doc 6: stale standing-5 dropped; no other copy of oldText exists
+    assert(out(6L) === 0L)
+  }
+
   test("leakage-free split: no near-dup pair straddles a split boundary") {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = Dedup.jaccardPairsNative(
