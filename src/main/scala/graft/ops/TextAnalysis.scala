@@ -133,6 +133,53 @@ object TextAnalysis {
           .as("top_token_permille"))
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, table A1 subset):
+    * the standard heuristic document filter, as per-rule flags plus
+    * the composite keep decision —
+    *   1. word count in [50, 100000]
+    *   2. mean word length in [3, 10] chars
+    *   3. symbol-to-word ratio ("#" or "...") below 0.1
+    *   4. at least 2 hits from the 8-word English stop list
+    *      (the/be/to/of/and/that/have/with)
+    *   5. at least 80% of words contain an alphabetic character
+    * All ratios in exact integer permille / ×100 fixed point, so the
+    * flags are engine-reproducible. The word array is projected ONCE
+    * and the higher-order folds reference that attribute (no
+    * per-element re-tokenization — the interpreted-lambda gotcha);
+    * per-doc work is O(len), a single narrow projection, zero
+    * shuffles. Returns metrics + rule flags + keep.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("w", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("word_chars"),
+        size(expr("filter(w, x -> x rlike '[A-Za-z]')")).cast("long").as("alpha_words"),
+        (expr("size(regexp_extract_all(text, '#', 0))") +
+          expr("size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))")).cast("long").as("symbols"),
+        size(expr(
+          "filter(w, x -> array_contains(array('the','be','to','of','and','that','have','with'), lower(x)))"))
+          .cast("long").as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr("word_chars * 100 div greatest(n_words, 1)").as("mean_word_len_x100"),
+        expr("symbols * 1000 div greatest(n_words, 1)").as("symbol_permille"),
+        col("stop_hits"),
+        expr("alpha_words * 1000 div greatest(n_words, 1)").as("alpha_word_permille"))
+      .withColumn("rule_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_word_len",
+        col("mean_word_len_x100") >= 300 && col("mean_word_len_x100") <= 1000)
+      .withColumn("rule_symbols", col("symbol_permille") < 100)
+      .withColumn("rule_stopwords", col("stop_hits") >= 2)
+      .withColumn("rule_alpha", col("alpha_word_permille") >= 800)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_word_len") && col("rule_symbols") &&
+          col("rule_stopwords") && col("rule_alpha"))
+  }
+
   /** PII scrub: redact email addresses and phone-shaped digit runs
     * with fixed placeholders, counting each — the cleaning pass every
     * public-web corpus runs before training. Patterns are deliberately

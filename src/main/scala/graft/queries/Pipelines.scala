@@ -308,6 +308,13 @@ object Pipelines {
     "q97_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // Gopher rule battery: the published heuristic quality filter
+    // (word count / mean word length / symbol ratio / stopword
+    // presence / alpha-word ratio) as per-rule flags + keep, exact
+    // integer fixed-point.
+    "q100_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // Incremental exact-substring: the doc_id%7=0 batch's windows vs
     // the standing corpus's window-multiplicity index + within-batch
     // repeats — the substring member of the delta family (q85/q93).
@@ -861,6 +868,36 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q100_gopher_rules" ->
+      """WITH f AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS word_chars,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                 CAST(len(regexp_extract_all(text, '#')) +
+                      len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+                 CAST(len(list_filter(w, x -> lower(x) IN
+                      ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits
+               FROM f),
+         r AS (SELECT doc_id, n_words,
+                 word_chars * 100 // greatest(n_words, 1) AS mean_word_len_x100,
+                 symbols * 1000 // greatest(n_words, 1) AS symbol_permille,
+                 stop_hits,
+                 alpha_words * 1000 // greatest(n_words, 1) AS alpha_word_permille
+               FROM m)
+         SELECT doc_id, n_words, mean_word_len_x100, symbol_permille, stop_hits,
+                alpha_word_permille,
+                n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+                mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 AS rule_word_len,
+                symbol_permille < 100 AS rule_symbols,
+                stop_hits >= 2 AS rule_stopwords,
+                alpha_word_permille >= 800 AS rule_alpha,
+                (n_words >= 50 AND n_words <= 100000)
+                  AND (mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000)
+                  AND symbol_permille < 100 AND stop_hits >= 2
+                  AND alpha_word_permille >= 800 AS keep
+         FROM r""",
 
     "q99_exact_substr_delta" ->
       s"""WITH pos AS (SELECT doc_id, text,
