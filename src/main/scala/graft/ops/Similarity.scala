@@ -170,6 +170,77 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
+  /** int8 scalar quantization: per-vector symmetric scale 127/max|x|,
+    * components truncated toward zero — the 8×-smaller storage encoding
+    * a 100 TB vector store actually ships (4 bytes/dim → 1). Truncation
+    * (not rounding) because both engines define it identically; the
+    * scale and the quantized ints are bit-reproducible from the floats.
+    */
+  private def quantizeBytes(v: Seq[Double]): Array[Byte] = {
+    var m = 0.0
+    v.foreach { x => val a = math.abs(x); if (a > m) m = a }
+    val out = new Array[Byte](v.length)
+    if (m == 0.0) return out
+    val scale = 127.0 / m
+    var i = 0
+    v.foreach { x => out(i) = (x * scale).toLong.toByte; i += 1 }
+    out
+  }
+  private val quantizeUdf = udf(quantizeBytes _)
+
+  /** Exact integer dot over int8-packed vectors — the SIMD-shaped inner
+    * loop of quantized search; no FP until the final normalization.
+    */
+  private def dotQ(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+    s
+  }
+  private val dotQPacked = udf(dotQ _)
+
+  /** Quantization QA: brute-force top-k over the int8-quantized
+    * vectors (integer dots, float only in the final norm division),
+    * judged by recall against the EXACT float top-k for the same
+    * queries. Returns (query_id, n_overlap, recall_x100) — the
+    * accept/reject measurement for switching a 100 TB store to int8.
+    * Same broadcast-queries plan shape as [[bruteForceTopK]]: the
+    * corpus is scanned once per side, never shuffled; the two top-k
+    * frames are query-subset-sized and hash-join map-side.
+    */
+  def quantizedTopKRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    def withQ(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}id"), quantizeUdf(asDouble(col(vecCol))).as(s"${prefix}qv"))
+        .withColumn(s"${prefix}qn",
+          sqrt(dotQPacked(col(s"${prefix}qv"), col(s"${prefix}qv")).cast("double")))
+    val corpus = withQ(emb, "n")
+    val q = withQ(queries, "q")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val qTop = corpus.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim",
+        dotQPacked(col("qqv"), col("nqv")).cast("double") / (col("qqn") * col("nqn")))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val exact = bruteForceTopK(emb, idCol, vecCol, queries, k)
+      .select("query_id", "neighbor_id")
+    val overlap = qTop.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(idCol).as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
+  }
+
   /** Embedding-space quality eval: for each query, how many of its k
     * exact-cosine nearest neighbors share the query's label — the kNN
     * label-consistency metric a training pipeline runs on an embedding

@@ -156,6 +156,15 @@ object Pipelines {
         queries = emb.filter(col("vec_id") % 100 === 0), k = 10)
     }),
 
+    // int8 quantization QA: brute-force top-10 over scalar-quantized
+    // vectors (integer dots), judged by recall against the exact float
+    // top-10 — the accept gate for switching the store to int8.
+    "q101_quantized_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopKRecall(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -417,6 +426,12 @@ object Pipelines {
   private def sqlCosine(a: String, b: String, dim: Int): String =
     s"(${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)})))"
 
+  /** Exact integer dot of two BIGINT[] exprs (the quantized-search
+    * inner product — no FP until the caller normalizes).
+    */
+  private def sqlDotInt(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$a[CAST(i AS INT)] * $b[CAST(i AS INT)] for i in range(1, ${dim + 1})]), (x, y) -> x + y)"
+
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
 
@@ -508,6 +523,39 @@ object Pipelines {
                       ORDER BY ${sqlCosine("qv", "e.v", 64)} DESC, e.vec_id) AS rank
                     FROM q JOIN e ON e.vec_id <> query_id)
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
+
+    "q101_quantized_recall" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         qq AS (SELECT vec_id AS query_id, qv AS aq, nrm AS an FROM qn WHERE vec_id % 100 = 0),
+         qscored AS (SELECT query_id, qn.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY CAST(${sqlDotInt("aq", "qn.qv", 64)} AS DOUBLE)
+                                  / (an * qn.nrm) DESC, qn.vec_id) AS rank
+                     FROM qq JOIN qn ON qn.vec_id <> query_id),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
 
     "q94_knn_label_purity" ->
       s"""WITH $embCte,
