@@ -290,6 +290,53 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** End-to-end curation: the full pre-training pipeline as ONE
+    * declarative DAG — exact dedup (keep canonicals), the Gopher rule
+    * battery, benchmark decontamination against the held-out eval
+    * slice, a content-hash train/val/test split (exact dups share a
+    * digest, so dup groups can never straddle the boundary — and only
+    * canonicals survive anyway), and token-budget shard packing of the
+    * train split. Returns every surviving doc:
+    * (doc_id, split, shard_id, offset_tokens) — shard −1 for val/test.
+    *
+    * The point is composition: five operators, one optimizer plan per
+    * stage family, all semi-joins on doc_id (never a row-multiplying
+    * join), with the expensive corpus scans shared where Catalyst can
+    * prove them common. Every stage is individually oracle-gated
+    * (q30/q100/q82/q95/q86); this query gates their COMPOSITION.
+    */
+  def curationPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    val corpus = docs.filter(col(idCol) % 97 =!= 0)
+    val evalSet = docs.filter(col(idCol) % 97 === 0)
+    val canon = Dedup.exact(corpus, idCol, textCol)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    val quality = TextAnalysis.gopherRules(corpus, idCol, textCol)
+      .filter(col("keep")).select("doc_id")
+    val clean = decontaminate(corpus, evalSet, idCol, textCol, k = 3)
+      .filter(!col("contaminated")).select("doc_id")
+    val keptDocs = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+    val bucket = substring(md5(col("text")), 1, 2)
+    val withSplit = keptDocs.withColumn("split",
+      when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"))
+    val packed = shardPack(
+        withSplit.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
+      .select(col("doc_id"), col("shard_id"), col("offset_tokens"))
+    withSplit.select(col("doc_id"), col("split"))
+      .join(packed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("split"),
+        coalesce(col("shard_id"), lit(-1L)).as("shard_id"),
+        coalesce(col("offset_tokens"), lit(-1L)).as("offset_tokens"))
+  }
+
   /** Canonical-representative selection: for every near-dup cluster,
     * keep the member with the highest quality score (min doc_id
     * tie-break) — the retention decision a dedup pipeline makes after

@@ -317,6 +317,14 @@ object Pipelines {
     "q97_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // End-to-end curation capstone: exact dedup → Gopher filter →
+    // decontamination → content-hash split → train shard packing, as
+    // one composed DAG. Each stage is individually oracle-gated
+    // (q30/q100/q82/q95/q86); this gates their composition.
+    "q102_curation_pipeline" -> ((s, dir) =>
+      Curation.curationPipeline(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerShard = 16384L)),
+
     // Gopher rule battery: the published heuristic quality filter
     // (word count / mean word length / symbol ratio / stopword
     // presence / alpha-word ratio) as per-rule flags + keep, exact
@@ -916,6 +924,54 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    "q102_curation_pipeline" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         dg AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM corpus),
+         canon AS (SELECT doc_id FROM dg WHERE doc_id = cid),
+         gw AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM corpus),
+         gm AS (SELECT doc_id,
+                  CAST(len(w) AS BIGINT) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS word_chars,
+                  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                  CAST(len(regexp_extract_all(text, '#')) +
+                       len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbols,
+                  CAST(len(list_filter(w, x -> lower(x) IN
+                       ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits
+                FROM gw),
+         gk AS (SELECT doc_id FROM gm
+                WHERE n_words >= 50 AND n_words <= 100000
+                  AND word_chars * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000
+                  AND symbols * 1000 // greatest(n_words, 1) < 100
+                  AND stop_hits >= 2
+                  AND alpha_words * 1000 // greatest(n_words, 1) >= 800),
+         toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         cont AS (SELECT DISTINCT doc_id FROM shh
+                  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM ev)),
+         kept AS (SELECT c.doc_id, c.text FROM corpus c
+                  JOIN canon USING (doc_id) JOIN gk USING (doc_id)
+                  WHERE c.doc_id NOT IN (SELECT doc_id FROM cont)),
+         ks AS (SELECT doc_id, text,
+                  CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                       WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                       ELSE 'test' END AS split
+                FROM kept),
+         tk AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                  md5(text) AS okey
+                FROM ks WHERE split = 'train'),
+         cum AS (SELECT doc_id,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                 FROM tk)
+         SELECT ks.doc_id, ks.split,
+                CAST(coalesce(cum.cb // 16384, -1) AS BIGINT) AS shard_id,
+                CAST(coalesce(cum.cb % 16384, -1) AS BIGINT) AS offset_tokens
+         FROM ks LEFT JOIN cum USING (doc_id)""",
 
     "q100_gopher_rules" ->
       """WITH f AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents),
