@@ -85,6 +85,17 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(3L) === ((15L, 0L, 0L, 15L)))
   }
 
+  test("above-cap regime: the shuffle semi-join path returns identical results") {
+    // broadcastRepCap=0 forces the non-broadcast membership join — the
+    // boilerplate-heavy-corpus regime the default never exercises.
+    val docs = Tables.load(spark, dir, "documents")
+    val a = Dedup.exactSubstrRepeats(docs, "doc_id", "text", width = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Dedup.exactSubstrRepeats(docs, "doc_id", "text", width = 40, broadcastRepCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
   test("delta exact-substr equals the full pass restricted to delta docs") {
     val docs = Tables.load(spark, dir, "documents")
     val standing = docs.filter(col("doc_id") % 7 =!= 0)
