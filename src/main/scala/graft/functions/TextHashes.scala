@@ -106,10 +106,19 @@ object MinWindowHash {
   * 1e9+7 / 998244353) packed as h1·2³² + h2 — O(1) per position where
   * a per-window digest (the md5 form this replaced) is O(width), a
   * ~7× kernel win at the 10× scale leg. Both folds are plain integer
-  * mod arithmetic over code units, so the DuckDB oracle reproduces
-  * them bit-for-bit with list_reduce; the ~2⁵⁹ combined hash space
-  * keeps birthday collisions negligible at 100 TB window counts
-  * (~10¹⁴ windows → ~10⁻² expected collisions per corpus).
+  * mod arithmetic over UNICODE CODE POINTS (surrogate pairs decoded
+  * first), so the DuckDB oracle — ord()/substr/len are all
+  * code-point-based — reproduces them bit-for-bit on ANY input, not
+  * just the BMP, and window counts agree with Spark's length().
+  *
+  * Collision budget, honestly: expected colliding pairs ≈ n²/2M over
+  * the ~2⁵⁹ packed space — ~10⁻⁶ of windows at 10⁹ windows, and at a
+  * full 100 TB corpus (~10¹⁴ windows) ≈ 10¹⁰ pairs, i.e. a ~10⁻⁴
+  * RELATIVE error on repeated-window mass. Fine for contamination
+  * metrics (q96/q97/q99 are per-mille statistics); a pipeline needing
+  * exact spans at that scale should run two independent instances of
+  * this kernel (different base pairs) and intersect — the same
+  * list_reduce oracle extends to the second pair.
   */
 case class WindowHashes(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -140,8 +149,13 @@ object WindowHashes {
     * base^(width-1) term, multiply, add the incoming char).
     */
   def compute(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString
-    val n = str.length
+    // Code-point decode: windows are `width` CODE POINTS, and the fold
+    // consumes code-point values — identical to the oracle's
+    // ord(substr(...)) and to Spark's length() (numChars) semantics,
+    // so supplementary-plane text neither breaks the
+    // n_windows-from-length shortcut nor diverges from the oracle.
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < width)
       return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
     // base^(width-1) mod M for the outgoing-char term
@@ -152,7 +166,7 @@ object WindowHashes {
     var h1 = 0L; var h2 = 0L
     var i = 0
     while (i < width) {
-      val c = str.charAt(i).toLong
+      val c = cps(i).toLong
       h1 = (h1 * Base1 + c) % Mod1
       h2 = (h2 * Base2 + c) % Mod2
       i += 1
@@ -160,8 +174,8 @@ object WindowHashes {
     out(0) = (h1 << 32) + h2
     var p = 1
     while (p <= n - width) {
-      val cOut = str.charAt(p - 1).toLong
-      val cIn = str.charAt(p + width - 1).toLong
+      val cOut = cps(p - 1).toLong
+      val cIn = cps(p + width - 1).toLong
       h1 = ((h1 - cOut * pw1 % Mod1 + Mod1) % Mod1 * Base1 + cIn) % Mod1
       h2 = ((h2 - cOut * pw2 % Mod2 + Mod2) % Mod2 * Base2 + cIn) % Mod2
       out(p) = (h1 << 32) + h2

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,22 +234,31 @@ object Curation {
       bands: Int = 16,
       num: Int = 3,
       den: Int = 10): DataFrame = {
-    // Project both sides to (id, text): the delta machinery unions the
-    // frames, and the eval set need not carry the corpus's metadata
-    // columns.
-    val corpusDocs = corpus.select(col(idCol), col(textCol))
-    val evalDocs = evalSet.select(col(idCol), col(textCol))
+    // Namespace the two sides into disjoint string keys ("c:"/"e:"
+    // prefixes): the delta machinery anti-joins ids present on both
+    // sides as "re-ingested stale twins" — correct for an ingest gate,
+    // but here corpus and eval are keyed INDEPENDENTLY, and a corpus
+    // doc sharing a raw id with an eval doc would silently escape the
+    // contamination check. The prefix makes collisions impossible for
+    // any id domains; the machinery is key-type-agnostic (the gate
+    // already runs it string-keyed).
+    val corpusDocs = corpus.select(
+      concat(lit("c:"), col(idCol).cast("string")).as("gid"), col(textCol))
+    val evalDocs = evalSet.select(
+      concat(lit("e:"), col(idCol).cast("string")).as("gid"), col(textCol))
     val pairs = Dedup.minhashLshDeltaPairsIndexed(
-      Dedup.minhashBandKeys(corpusDocs, idCol, textCol, k, numPerm, bands),
-      corpusDocs, evalDocs, idCol, textCol, k, numPerm, bands, num, den,
+      Dedup.minhashBandKeys(corpusDocs, "gid", textCol, k, numPerm, bands),
+      corpusDocs, evalDocs, "gid", textCol, k, numPerm, bands, num, den,
       broadcastDelta = true)
     val flagged = pairs
-      .groupBy(col("corpus_id").as("doc_id"))
+      .groupBy(col("corpus_id").as("gid"))
       .agg(
         count(lit(1)).as("n_eval_matches"),
         max(expr("(inter * 1000) div union_size")).as("max_overlap_permille"))
-    corpus.select(col(idCol).as("doc_id"))
-      .join(flagged, Seq("doc_id"), "left")
+    corpus.select(
+        col(idCol).as("doc_id"),
+        concat(lit("c:"), col(idCol).cast("string")).as("gid"))
+      .join(flagged, Seq("gid"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
@@ -273,21 +282,29 @@ object Curation {
     * frame — zero shuffles beyond what clustering already paid; at
     * 100 TB the split column is free.
     */
-  def leakageFreeSplit(
-      clusters: DataFrame,
-      trainPct: Int = 90,
-      valPct: Int = 5): DataFrame = {
+  /** train/val/test from a 2-hex-char md5 bucket column: percents
+    * quantize to 1/256ths; fixed-width lowercase hex compares LEXICALLY
+    * in numeric order, so no engine-dependent hex-to-int conversion.
+    * Single source of the cut encoding for [[leakageFreeSplit]] and
+    * [[curationPipeline]].
+    */
+  private def splitFromBucket(bucket: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percents: train=$trainPct val=$valPct")
     val trainCut = f"${(256 * trainPct) / 100}%02x"
     val valCut = f"${(256 * (trainPct + valPct)) / 100}%02x"
+    when(bucket < trainCut, "train").when(bucket < valCut, "val").otherwise("test")
+  }
+
+  def leakageFreeSplit(
+      clusters: DataFrame,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
     val bucket = substring(md5(col("component_id").cast("string")), 1, 2)
     clusters.select(
       col("doc_id"),
       col("component_id"),
-      when(bucket < trainCut, "train")
-        .when(bucket < valCut, "val")
-        .otherwise("test").as("split"))
+      splitFromBucket(bucket, trainPct, valPct).as("split"))
   }
 
   /** End-to-end curation: the full pre-training pipeline as ONE
@@ -323,9 +340,8 @@ object Curation {
       .join(canon, Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
-    val bucket = substring(md5(col("text")), 1, 2)
     val withSplit = keptDocs.withColumn("split",
-      when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"))
+      splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
     val packed = shardPack(
         withSplit.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
       .select(col("doc_id"), col("shard_id"), col("offset_tokens"))

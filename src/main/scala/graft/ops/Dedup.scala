@@ -582,7 +582,8 @@ object Dedup {
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      width: Int): DataFrame = {
+      width: Int,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
     graft.functions.TextHashes.ensureRegistered(standing.sparkSession)
     def windows(df: DataFrame) = graft.Tables.fanOut(df).select(
       col(idCol).as("doc_id"),
@@ -594,13 +595,20 @@ object Dedup {
     val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
     val wd = windows(delta)
     val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
+    // Micro-batch deltas broadcast (the gate shape); a backfill-sized
+    // delta above the cap falls back to shuffle joins instead of
+    // blowing the broadcast limit — the same two-regime rule as
+    // exactSubstrRepeats' broadcastRepCap. One count decides both
+    // joins (rep is a subset of deltaCounts).
+    val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     val standingHits = standingIdx
-      .join(broadcast(deltaCounts.select("h")), Seq("h"), "left_semi")
+      .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
       .localCheckpoint()
     val rep = deltaCounts.join(standingHits, Seq("h"), "left")
       .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
       .select("h")
-    val hits = wd.join(broadcast(rep), Seq("h"), "left_semi")
+    val hits = wd.join(sized(rep), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_repeated"))
     delta.select(

@@ -349,13 +349,14 @@ object Pipelines {
     // paraphrase-robust complement of q82's exact collision. The
     // synthetic corpus has no organic eval overlap at this SF, so the
     // eval set is constructed as PERTURBED COPIES of every 83rd corpus
-    // doc (suffix-appended, ids offset) — mirrored in the oracle, as
+    // doc (suffix-appended, ids negated — disjoint from any
+    // non-negative corpus id at any SF) — mirrored in the oracle, as
     // with q89's PII injection — making the flag path non-vacuous:
     // each source doc (and any of its near-dups) must be caught.
     "q98_decontaminate_fuzzy" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val evalSet = docs.filter(col("doc_id") % 83 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(col("text"), lit(" heldout eval variant marker")).as("text"))
       Curation.decontaminateFuzzy(docs, evalSet, "doc_id", "text")
     }),
@@ -1029,7 +1030,7 @@ object Pipelines {
     "q98_decontaminate_fuzzy" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
                   UNION ALL
-                  SELECT doc_id + 1000000, text || ' heldout eval variant marker'
+                  SELECT -doc_id - 1, text || ' heldout eval variant marker'
                   FROM documents WHERE doc_id % 83 = 0),
          toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM base),
          sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
@@ -1050,7 +1051,7 @@ object Pipelines {
                 FROM mh GROUP BY doc_id, i // 4),
          cand AS (SELECT DISTINCT d.doc_id AS eval_id, s.doc_id AS corpus_id
                   FROM bk d JOIN bk s ON d.band = s.band AND d.key = s.key
-                  WHERE d.doc_id >= 1000000 AND s.doc_id < 1000000),
+                  WHERE d.doc_id < 0 AND s.doc_id >= 0),
          fpairs AS (SELECT c.eval_id, c.corpus_id, j.inter, j.union_size
                     FROM cand c JOIN fjac j
                       ON j.id_a = least(c.eval_id, c.corpus_id)

@@ -140,4 +140,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2, "source should out-overlap its near-dup")
     assert(out(3L) === ((0L, 0L, false)))
   }
+
+  test("decontaminateFuzzy: a corpus doc sharing its raw id with an eval doc is still caught") {
+    val s = spark; import s.implicits._
+    // Independently-keyed corpus and eval sets both use id 1 — the
+    // namespaced keys must prevent the delta machinery's re-ingest
+    // anti-join from silently exempting corpus doc 1.
+    val body = "one two three four five six seven eight nine ten " * 4
+    val corpus = Seq((1L, body + "corpus tail")).toDF("doc_id", "text")
+    val eval = Seq((1L, body + "eval tail")).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) === true, "id-colliding contaminated doc escaped the gate")
+  }
 }
