@@ -126,8 +126,10 @@ case class WindowHashes(left: Expression, right: Expression)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_window_hashes"
-  // CodegenFallback: the per-window md5 loop dominates; one virtual
-  // call per row is noise (same rationale as MinWindowHash).
+  // CodegenFallback: the O(1)-per-position rolling fold dominates row
+  // overhead — the eval cost is the codepoint decode plus the result
+  // array build, so one virtual call per row is noise (same rationale
+  // as MinWindowHash).
   override def nullSafeEval(text: Any, width: Any): Any =
     WindowHashes.compute(text.asInstanceOf[UTF8String], width.asInstanceOf[Int])
   override protected def withNewChildrenInternal(

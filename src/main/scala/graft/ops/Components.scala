@@ -79,31 +79,38 @@ object Components {
     // shuffle-partition count those degenerate into fleets of empty
     // tasks (the bench runs AQE-off globally). Scope AQE ON for the
     // loop's materializations only: every loop frame is
-    // localCheckpointed, so all its execution happens inside this
-    // window, and AQE coalesces each round to as many partitions as
-    // the edge volume actually needs — the same mechanism that sizes
-    // these rounds correctly at 100 TB. The session conf is restored
-    // before the (lazy) result plan is built.
-    val conf = edges.sparkSession.conf
-    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "true")
+    // localCheckpointed (eager, on THIS thread), so all its planning
+    // and execution happens inside the `withExistingConf` window, and
+    // AQE coalesces each round to as many partitions as the edge
+    // volume actually needs — the same mechanism that sizes these
+    // rounds correctly at 100 TB. The override lives in a thread-local
+    // CLONE of the session conf (`SQLConf.withExistingConf`), so
+    // concurrent queries on the same SparkSession never observe it and
+    // nested/concurrent starContract calls cannot restore a stale
+    // value — the shared conf is never written.
+    val scopedConf = edges.sparkSession.sessionState.conf.clone()
+    scopedConf.setConfString("spark.sql.adaptive.enabled", "true")
     var e = edges
-    try {
+    val singleTask = org.apache.spark.sql.internal.SQLConf.withExistingConf(scopedConf) {
       e = edges.select(
           least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
         .localCheckpoint()
       var sig = signature(e)
-      if (sig._1 <= singleTaskCap) return unionFindSingleTask(e)
-      var converged = false
-      while (!converged) {
-        val next = smallStar(largeStar(e)).localCheckpoint()
-        val nextSig = signature(next)
-        converged = nextSig == sig
-        sig = nextSig
-        e = next
+      val small = sig._1 <= singleTaskCap
+      if (!small) {
+        var converged = false
+        while (!converged) {
+          val next = smallStar(largeStar(e)).localCheckpoint()
+          val nextSig = signature(next)
+          converged = nextSig == sig
+          sig = nextSig
+          e = next
+        }
       }
-    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+      small
+    }
+    if (singleTask) return unionFindSingleTask(e)
     // Fixpoint edges are (member, root); roots label themselves.
     e.select(col("u").as("doc_id"), col("v").as("component_id"))
       .unionByName(e.select(col("v").as("doc_id"), col("v").as("component_id")))

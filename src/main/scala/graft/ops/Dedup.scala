@@ -588,20 +588,22 @@ object Dedup {
     def windows(df: DataFrame) = graft.Tables.fanOut(df).select(
       col(idCol).as("doc_id"),
       explode(call_function("graft_window_hashes", col(textCol), lit(width))).as("h"))
-    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
-    val standingOnly = standing.join(
-      broadcast(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
-    // In production this is the maintained index, not a kernel pass.
-    val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
     val wd = windows(delta)
     val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
     // Micro-batch deltas broadcast (the gate shape); a backfill-sized
     // delta above the cap falls back to shuffle joins instead of
     // blowing the broadcast limit — the same two-regime rule as
-    // exactSubstrRepeats' broadcastRepCap. One count decides both
-    // joins (rep is a subset of deltaCounts).
+    // exactSubstrRepeats' broadcastRepCap. One count decides every
+    // delta-derived build side, including the re-ingest anti-join
+    // below (deltaIds is one row per delta doc, ≤ the distinct-hash
+    // count whenever any doc spans a window — the conservative gate).
     val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val standingOnly = standing.join(
+      sized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    // In production this is the maintained index, not a kernel pass.
+    val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
     val standingHits = standingIdx
       .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
       .localCheckpoint()
