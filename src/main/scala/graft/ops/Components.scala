@@ -203,6 +203,136 @@ object Components {
       .distinct()
   }
 
+  /** Result of one incremental CC fold ([[deltaRelabel]]):
+    *
+    * @param rootMap      (old_root, new_root) — ONLY components whose
+    *                     canonical label changed this fold. Bounded by
+    *                     the delta's endpoint count, so always
+    *                     broadcastable alongside the delta.
+    * @param newDocLabels (doc_id, component_id) for exactly the delta
+    *                     ids — their final labels after the fold.
+    */
+  final case class DeltaLabels(rootMap: DataFrame, newDocLabels: DataFrame)
+
+  /** Incremental connected components — the CC member of the delta
+    * family (q85 text, q93 embeddings, q99 substrings): fold one
+    * batch's near-dup pairs into STANDING cluster labels, touching
+    * only the components the batch's edges reach. The reference's
+    * whole index philosophy is this delta-maintenance shape — fold a
+    * diff forward instead of rebuilding (`assemblage_db/src/index.rs:768-813`
+    * gram-postings diff fold; `index.rs:242-284` update_parent_index).
+    *
+    * Standing labels are a compressed star forest (doc → component
+    * min): new edges can only MERGE standing components or attach new
+    * docs, so CC over the union ≡ CC over the CONTRACTED graph whose
+    * vertices are the standing roots + new ids the delta touches —
+    * O(|delta edges|) work regardless of corpus size. Because each
+    * standing root IS its component's min id, the contracted
+    * component's min vertex is the merged component's global min doc
+    * id, so labels stay canonical with no relabeling pass.
+    *
+    * Plan shape per fold (the 100 TB contract):
+    *  - ONE probe of the standing label table, semi-restricted by the
+    *    broadcast delta endpoint set (in production a bucket-pruned
+    *    lookup on the doc_id-bucketed label table, like the gate's
+    *    band-key index probe) — the standing side never shuffles;
+    *  - star contraction / union-find over the delta-bounded
+    *    contracted edge set only;
+    *  - outputs are delta-bounded: the changed-root map and the new
+    *    docs' labels. Untouched components are never read past the
+    *    label probe.
+    *
+    * @param standingLabels (doc_id, component_id) full standing
+    *                       labeling, component_id = component min id
+    *                       (i.e. [[dedupClusters]] output)
+    * @param deltaIds       (id) — the batch's doc ids
+    * @param deltaPairs     (id_a, id_b) — near-dup pairs incident to
+    *                       the batch (delta×standing ∪ delta×delta)
+    */
+  def deltaRelabel(
+      standingLabels: DataFrame,
+      deltaIds: DataFrame,
+      deltaPairs: DataFrame,
+      broadcastDeltaCap: Long = 4000000L,
+      singleTaskCap: Long = SingleTaskEdgeCap): DeltaLabels = {
+    val edges = deltaPairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val endpoints = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .unionByName(deltaIds.select(col("id").cast("long")))
+      .distinct()
+      .localCheckpoint()
+    val deltaSmall = endpoints.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    // Standing-root lookup: inner-join the big label table against the
+    // broadcast endpoint set (delta-bounded output), then self-root
+    // the endpoints the corpus has never seen (new docs, or connector
+    // ids outside the labeled set — mirroring dedupClusters, where
+    // edge endpoints outside allIds still connect and still compete
+    // for the min).
+    val present = standingLabels
+      .join(sized(endpoints.select(col("id").as("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id").as("id"), col("component_id").as("root"))
+      .localCheckpoint()
+    val selfRooted = endpoints.join(present.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("root"))
+    val epRoots = present.unionByName(selfRooted).localCheckpoint()
+    val rootEdges = edges
+      .join(sized(epRoots.select(col("id").as("u"), col("root").as("ru"))), Seq("u"))
+      .join(sized(epRoots.select(col("id").as("v"), col("root").as("rv"))), Seq("v"))
+      .select(col("ru").as("u"), col("rv").as("v"))
+      .where(col("u") =!= col("v"))
+    val contracted =
+      if (rootEdges.isEmpty) epRoots.limit(0)
+        .select(col("id").as("doc_id"), col("root").as("component_id"))
+      else starContract(rootEdges, singleTaskCap)
+    val rootMap = contracted
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("old_root"), col("component_id").as("new_root"))
+      .localCheckpoint()
+    val newDocLabels = deltaIds.select(col("id").cast("long"))
+      .join(epRoots, Seq("id"))
+      .join(sized(rootMap), col("root") === col("old_root"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_root"), col("root")).as("component_id"))
+    DeltaLabels(rootMap, newDocLabels)
+  }
+
+  /** Full-labeling wrapper over [[deltaRelabel]]: the updated
+    * (doc_id, component_id) table for standing ∪ delta ids —
+    * result-identical to [[dedupClusters]] over the union of the
+    * standing edge set and `deltaPairs` (ComponentsSpec parity; q103's
+    * driver oracle proves it against the recursive-CTE full CC).
+    * The standing table is scanned once and broadcast-joined against
+    * the changed-root map — never shuffled; at 100 TB this is the
+    * label table's delta-update write, not a recompute.
+    */
+  def dedupClustersDelta(
+      standingLabels: DataFrame,
+      deltaIds: DataFrame,
+      deltaPairs: DataFrame,
+      broadcastDeltaCap: Long = 4000000L,
+      singleTaskCap: Long = SingleTaskEdgeCap): DataFrame = {
+    val d = deltaRelabel(
+      standingLabels, deltaIds, deltaPairs, broadcastDeltaCap, singleTaskCap)
+    // Re-ingested ids keep their standing row (labels agree by
+    // construction: both sides resolve through the same root map).
+    // The membership check probes standing with the BROADCAST delta id
+    // set (delta-bounded output) — never the reverse, which would
+    // build a corpus-sized hash table.
+    val reingested = standingLabels.select("doc_id")
+      .join(broadcast(d.newDocLabels.select("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val newOnly = d.newDocLabels
+      .join(broadcast(reingested), Seq("doc_id"), "left_anti")
+    standingLabels
+      .join(broadcast(d.rootMap), col("component_id") === col("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("component_id")).as("component_id"))
+      .unionByName(newOnly)
+  }
+
   /** GraphX Pregel CC — the pre-round-7 production path, kept as the
     * independent parity verifier for `dedupClusters` (ComponentsSpec
     * random-graph cases). Not on any query/bench path.

@@ -325,6 +325,32 @@ object Pipelines {
       Curation.curationPipeline(t(s, dir, "documents"), "doc_id", "text",
         tokensPerShard = 16384L)),
 
+    // Incremental connected components: the CC member of the delta
+    // family (q85 text / q93 embeddings / q99 substrings). Pairs are
+    // computed once over the full corpus (q37's exact call) and split
+    // by the q85 batch convention (doc_id % 7 = 0 is the new batch):
+    // the standing labels come from the full contraction over
+    // standing-only pairs, then the batch's ids and incident pairs
+    // are FOLDED in via Components.dedupClustersDelta — touching only
+    // the components the batch's edges reach. The oracle is q37's
+    // full recursive-CTE CC over the UNION edge set, so a green row
+    // proves delta fold ≡ full recompute.
+    "q103_dedup_clusters_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsNative(
+          docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
+        .localCheckpoint() // consumed twice: standing/delta split
+      val standingPairs = pairs.filter(col("id_a") % 7 =!= 0 && col("id_b") % 7 =!= 0)
+      val deltaPairs = pairs.filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+      val standingLabels = Components.dedupClusters(
+        docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id").as("id")),
+        standingPairs)
+      Components.dedupClustersDelta(
+        standingLabels,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")),
+        deltaPairs)
+    }),
+
     // Gopher rule battery: the published heuristic quality filter
     // (word count / mean word length / symbol ratio / stopword
     // presence / alpha-word ratio) as per-rule flags + keep, exact
@@ -706,6 +732,17 @@ object Pipelines {
          SELECT query_id, rank, neighbor_id FROM scored WHERE rank <= 10""",
 
     "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $cappedJaccardCte,
+         edges AS (SELECT id_a AS a, id_b AS b FROM jac
+                   UNION SELECT id_b, id_a FROM jac),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    // Delta fold ≡ full recompute: the oracle is the FULL CC over the
+    // union edge set — q37's SQL verbatim — while the Spark side folds
+    // the doc_id%7=0 batch into standing labels incrementally.
+    "q103_dedup_clusters_delta" ->
       s"""WITH RECURSIVE $cappedJaccardCte,
          edges AS (SELECT id_a AS a, id_b AS b FROM jac
                    UNION SELECT id_b, id_a FROM jac),
