@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   * queries would time a pipeline, not the operators.
   */
 object Bench {
+  /** Locale-pinned fixed-point formatting — the JSON must not pick up
+    * a comma decimal separator from the host locale.
+    */
+  private def fmt(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,14 +98,33 @@ object Bench {
         // estimator under one-sided noise
         math.min(timedRun(), timedRun())
       } else timedRun()
+      // Streamed per-query row (full name, no "metric" keyword): a log
+      // capture that keeps full stdout recovers every timing from
+      // these even if the summary line is lost.
+      println(s"""{"q":"$name","sec":${fmt(elapsed, 4)}}""")
       name -> elapsed
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    }
+    // The driver keeps only the LAST 2000 chars of stdout, so the
+    // summary line must fit whole or its JSON never parses (round 7
+    // lost 4 of 62 timings this way). Two levers: 3-decimal seconds
+    // (±1 ms, far under run-to-run variance) and the unique qNN prefix
+    // as the key (BASELINE.md's own shorthand; the full names are in
+    // the streamed rows above). Falls back to full names if a prefix
+    // ever collides.
+    def prefix(n: String): String = n.takeWhile(_ != '_')
+    val shortKeys = results.map(r => prefix(r._1)).distinct.size == results.size
+    val qs = results.map { case (k, v) =>
+      val key = if (shortKeys) prefix(k) else k
+      "\"" + key + "\":" + fmt(v, 3)
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     val mode = if (steadyState) "steady-state" else "cold"
     val load = s"""{"start":$loadStart,"end":${loadAvg()}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","load_avg":$load,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","mode":"$mode","load_avg":$load,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING: summary line ${line.length} chars — may exceed the driver's 2000-char tail")
+    println(line)
     spark.stop()
   }
 }

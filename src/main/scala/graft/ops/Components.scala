@@ -209,10 +209,23 @@ object Components {
     *                     canonical label changed this fold. Bounded by
     *                     the delta's endpoint count, so always
     *                     broadcastable alongside the delta.
+    *                     localCheckpoint-materialized.
     * @param newDocLabels (doc_id, component_id) for exactly the delta
     *                     ids — their final labels after the fold.
+    * @param knownIds     (id) — the delta-bounded subset of endpoints
+    *                     already present in the standing labeling
+    *                     (re-ingest detection without another corpus
+    *                     probe).
+    * @param scratch      per-fold localCheckpoints `newDocLabels`
+    *                     still depends on; a long-running caller (the
+    *                     ingest gate) releases them once it has
+    *                     materialized the outputs it keeps.
     */
-  final case class DeltaLabels(rootMap: DataFrame, newDocLabels: DataFrame)
+  final case class DeltaLabels(
+      rootMap: DataFrame,
+      newDocLabels: DataFrame,
+      knownIds: DataFrame,
+      private[graft] val scratch: Seq[DataFrame])
 
   /** Incremental connected components — the CC member of the delta
     * family (q85 text, q93 embeddings, q99 substrings): fold one
@@ -296,7 +309,9 @@ object Components {
       .join(sized(rootMap), col("root") === col("old_root"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("new_root"), col("root")).as("component_id"))
-    DeltaLabels(rootMap, newDocLabels)
+    DeltaLabels(rootMap, newDocLabels,
+      knownIds = present.select("id"),
+      scratch = Seq(endpoints, present, epRoots))
   }
 
   /** Full-labeling wrapper over [[deltaRelabel]]: the updated
@@ -318,14 +333,11 @@ object Components {
       standingLabels, deltaIds, deltaPairs, broadcastDeltaCap, singleTaskCap)
     // Re-ingested ids keep their standing row (labels agree by
     // construction: both sides resolve through the same root map).
-    // The membership check probes standing with the BROADCAST delta id
-    // set (delta-bounded output) — never the reverse, which would
-    // build a corpus-sized hash table.
-    val reingested = standingLabels.select("doc_id")
-      .join(broadcast(d.newDocLabels.select("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val newOnly = d.newDocLabels
-      .join(broadcast(reingested), Seq("doc_id"), "left_anti")
+    // knownIds already holds the delta-bounded standing membership —
+    // no further corpus probe.
+    val newOnly = d.newDocLabels.join(
+      broadcast(d.knownIds.select(col("id").as("doc_id"))),
+      Seq("doc_id"), "left_anti")
     standingLabels
       .join(broadcast(d.rootMap), col("component_id") === col("old_root"), "left")
       .select(col("doc_id"),

@@ -297,6 +297,19 @@ object Streams {
     *    O(corpus), not O(batches × corpus)).
     *  - The rejection log is reject-sized; it stays a single
     *    re-checkpointed frame.
+    *  - CLUSTER state (round 8): the gate maintains the full duplicate
+    *    clustering — (doc_id, component_id) over every doc ever seen,
+    *    accepted or rejected — by the delta-CC fold
+    *    (Components.deltaRelabel over the batch's pair stream), the
+    *    incremental-maintenance shape the reference's diff-fold index
+    *    implies (assemblage_db/src/index.rs:768-813). Base labels are
+    *    append-only delta-sized segments; merges accumulate in a
+    *    CHANGED-ROOT REMAP (old_root → current_root, merge-history-
+    *    sized) composed per batch from two broadcast-sized joins and
+    *    applied lazily at read time — so a batch's cluster cost is
+    *    O(delta + |remap|), never an O(corpus) label rewrite. The
+    *    remap folds into the base segments at the same `compactEvery`
+    *    LSM cadence as the corpus/index.
     */
   final class DedupGate private[graft] (
       initial: DataFrame,
@@ -313,11 +326,50 @@ object Streams {
       Vector(graft.ops.Dedup.minhashBandKeys(
         initial, idCol, textCol, k, numPerm, bands).localCheckpoint())
     @volatile private var rejectedLog: Option[DataFrame] = None
+    // Cluster state: append-only base labels (every doc self-labeled
+    // at first sight or labeled by its fold) + the changed-root remap.
+    // The initial corpus seeds as singletons — the gate clusters what
+    // it SEES; pre-existing standing labels can be folded in upfront
+    // via Components.dedupClustersDelta if the caller has them.
+    // Maintained only for integral id columns (the min-id canonical
+    // labeling is an id-order property); a non-integral-id gate still
+    // dedups, it just has no cluster surface.
+    private val integralIds: Boolean =
+      initial.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    @volatile private var labelSegs: Vector[DataFrame] =
+      if (!integralIds) Vector.empty
+      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
+        .withColumn("component_id", col("doc_id")).localCheckpoint())
+    @volatile private var rootRemap: Option[DataFrame] = None
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
       segs.reduce(_ unionByName _)
     def corpusNow: DataFrame = unionAll(corpusSegs)
+    /** (doc_id, component_id) over EVERY doc the gate has ever seen —
+      * accepted and rejected — maintained by the per-batch delta-CC
+      * fold; component_id is the component's min doc id, exactly as
+      * [[graft.ops.Components.dedupClusters]] labels a batch rebuild
+      * (DedupGateSpec pins the equivalence per batch). Read cost: one
+      * scan of the base segments + a broadcast remap join.
+      */
+    def clustersNow: DataFrame = {
+      require(integralIds,
+        s"cluster maintenance needs an integral id column; '$idCol' is " +
+          initial.schema(idCol).dataType.simpleString)
+      val base = unionAll(labelSegs)
+      rootRemap.fold(base) { rm =>
+        base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
+          .select(base("doc_id"),
+            coalesce(col("new_root"), base("component_id")).as("component_id"))
+      }
+    }
     /** The standing band-key index (id, band, key) as of the last
       * completed batch — the gate's persisted-signature-index twin.
       */
@@ -343,12 +395,18 @@ object Streams {
       // broadcastDelta: a micro-batch's band keys broadcast against the
       // standing index/corpus, which stay pure probe-side scans — the
       // standing state is never shuffled, per batch, at any corpus size
-      val vsStanding = Dedup.minhashLshDeltaPairsIndexed(
+      // (checkpointed: each pair frame feeds both the rejection flags
+      // and the cluster fold's edge stream)
+      val vsPairs = Dedup.minhashLshDeltaPairsIndexed(
           indexNow, corpusNow, batch, idCol, textCol, k, numPerm, bands, num, den,
           broadcastDelta = true)
-        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
-      val within = Dedup.minhashLshPairsNative(
+        .localCheckpoint()
+      val withinPairs = Dedup.minhashLshPairsNative(
           batch, idCol, textCol, k, numPerm, bands, num, den)
+        .localCheckpoint()
+      val vsStanding = vsPairs
+        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
+      val within = withinPairs
         .select(greatest(col("id_a"), col("id_b")).as("id"),
           lit("near-dup within batch").as("reason"))
       val flagged = vsStanding.unionByName(within)
@@ -367,14 +425,69 @@ object Streams {
         .localCheckpoint()
       corpusSegs = corpusSegs :+ clean
       indexSegs = indexSegs :+ cleanIndex
+      // Cluster maintenance: fold the batch's full pair stream (both
+      // rejected and surviving docs are cluster members) into the
+      // standing labels via delta-CC. Per-batch cost: one base-label
+      // scan (the probe), delta-bounded contraction, two broadcast
+      // joins to compose the remap.
+      val foldScratch = if (!integralIds) Seq.empty[DataFrame] else {
+        val edges = vsPairs
+          .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(withinPairs.select(col("id_a"), col("id_b")))
+        val d = graft.ops.Components.deltaRelabel(
+          clustersNow, batch.select(col(idCol).cast("long").as("id")), edges)
+        // First-sight docs only: a re-ingested id already has a base
+        // row (knownIds is the delta-bounded membership deltaRelabel
+        // probed).
+        val newSeg = d.newDocLabels
+          .join(broadcast(d.knownIds.select(col("id").as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        labelSegs = labelSegs :+ newSeg
+        val prevRemap = rootRemap
+        val rmEmpty = d.rootMap.isEmpty
+        val retainedRootMap = !rmEmpty && prevRemap.isEmpty
+        rootRemap =
+          if (rmEmpty) prevRemap
+          else prevRemap match {
+            case None => Some(d.rootMap)
+            case Some(old) =>
+              // Compose: stale roots follow their chain through this
+              // fold's map; this fold's (current-root) keys are
+              // disjoint from the stale keys, so the union is
+              // key-unique.
+              val step = d.rootMap
+                .select(col("old_root").as("o2"), col("new_root").as("n2"))
+              val composed = old
+                .join(broadcast(step), old("new_root") === col("o2"), "left")
+                .select(old("old_root"),
+                  coalesce(col("n2"), old("new_root")).as("new_root"))
+                .unionByName(d.rootMap)
+                .localCheckpoint()
+              releaseCheckpoint(old)
+              Some(composed)
+          }
+        d.scratch ++ (if (retainedRootMap) Seq.empty else Seq(d.rootMap))
+      }
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
-        val (oldCorpus, oldIndex) = (corpusSegs, indexSegs)
+        val (oldCorpus, oldIndex, oldLabels) = (corpusSegs, indexSegs, labelSegs)
+        val oldRemap = rootRemap
         corpusSegs = Vector(unionAll(oldCorpus).localCheckpoint())
         indexSegs = Vector(unionAll(oldIndex).localCheckpoint())
+        if (integralIds) {
+          // Fold the remap into the base labels — the label table's
+          // LSM compaction; the remap resets to empty.
+          labelSegs = Vector(clustersNow.localCheckpoint())
+          rootRemap = None
+        }
         foldsSinceCompact = 0
         oldCorpus.foreach(releaseCheckpoint)
         oldIndex.foreach(releaseCheckpoint)
+        if (integralIds) {
+          oldLabels.foreach(releaseCheckpoint)
+          oldRemap.foreach(releaseCheckpoint)
+        }
       }
       // free superseded checkpoints: without this every batch pins a
       // full log copy (and pre-compaction, corpus copies) in the block
@@ -382,6 +495,9 @@ object Streams {
       // gate. The successors above are already materialized.
       prevLog.foreach(releaseCheckpoint)
       releaseCheckpoint(flagged)
+      releaseCheckpoint(vsPairs)
+      releaseCheckpoint(withinPairs)
+      foldScratch.foreach(releaseCheckpoint)
     }
   }
 

@@ -62,12 +62,16 @@ object DedupGateBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val rowsNow = gate.corpusNow.count()
       val (bytes, nRdds) = storage()
-      println(f"""{"batch":${i + 1},"wall_sec":$wall%.3f,"corpus_rows":$rowsNow,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"corpus_plan_leaves":${planLeaves(gate.corpusNow)},"index_plan_leaves":${planLeaves(gate.indexNow)}}""")
+      println(f"""{"batch":${i + 1},"wall_sec":$wall%.3f,"corpus_rows":$rowsNow,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"corpus_plan_leaves":${planLeaves(gate.corpusNow)},"index_plan_leaves":${planLeaves(gate.indexNow)},"label_plan_leaves":${planLeaves(gate.clustersNow)}}""")
       wall
     }
     val head5 = walls.take(5).sum / math.min(5, walls.size)
     val tail5 = walls.takeRight(5).sum / math.min(5, walls.size)
-    println(f"""{"summary":"dedup-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":$head5%.3f,"last5_avg_sec":$tail5%.3f,"growth":${if (head5 > 0) f"${tail5 / head5}%.2f" else "null"},"rejected_total":${gate.rejected.count()}}""")
+    val clusterStats = gate.clustersNow
+      .agg(count(lit(1)), countDistinct(col("component_id")),
+        sum(when(col("doc_id") =!= col("component_id"), 1L).otherwise(0L)))
+      .head()
+    println(f"""{"summary":"dedup-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":$head5%.3f,"last5_avg_sec":$tail5%.3f,"growth":${if (head5 > 0) f"${tail5 / head5}%.2f" else "null"},"rejected_total":${gate.rejected.count()},"labeled_docs":${clusterStats.getLong(0)},"clusters":${clusterStats.getLong(1)},"non_singleton_members":${clusterStats.getLong(2)}}""")
 
     // two-point comparison at final corpus size: indexed vs recompute.
     // Each form runs once for codegen warmup, then best-of-2 timed runs

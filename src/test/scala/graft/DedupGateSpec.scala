@@ -47,6 +47,11 @@ class DedupGateSpec extends AnyFunSuite {
       assert(r1.keySet === Set(10L, 12L))
       assert(r1(10L) === "near-dup of corpus")
       assert(r1(12L) === "near-dup within batch")
+      // Cluster state after batch 1: rejected docs are members too —
+      // 10 joins corpus doc 1's component, the within-batch pair
+      // {11,12} roots at 11, the rest are singletons.
+      assert(clusters(gate) === Map(
+        1L -> 1L, 2L -> 2L, 10L -> 1L, 11L -> 11L, 12L -> 11L, 13L -> 13L))
 
       // batch 2: 20 dups doc 11 — admitted only in batch 1, so the
       // rejection proves the corpus actually grew
@@ -59,7 +64,71 @@ class DedupGateSpec extends AnyFunSuite {
 
       val ids = gate.corpusNow.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 2L, 11L, 13L, 21L))
+      // 20 folded into the {11,12} cluster across batches.
+      assert(clusters(gate) === Map(
+        1L -> 1L, 2L -> 2L, 10L -> 1L, 11L -> 11L, 12L -> 11L, 13L -> 13L,
+        20L -> 11L, 21L -> 21L))
     } finally query.stop()
+  }
+
+  private def clusters(gate: Streams.DedupGate): Map[Long, Long] =
+    gate.clustersNow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cluster maintenance merges standing components and survives compaction") {
+    val s = spark
+    import s.implicits._
+    // Docs 5 and 6 carry identical text but seed as SINGLETONS (the
+    // initial corpus is never self-checked) — the merge must come from
+    // a later batch's pair stream.
+    val shared = "xx yy zz ww vv uu tt ss"
+    val corpus = Seq((5L, shared), (6L, shared)).toDF("doc_id", "text")
+    val gate = Streams.newDedupGate(corpus, "doc_id", "text", compactEvery = 2)
+
+    // b1: 40 dups BOTH standing docs -> components {5} and {6} merge
+    // under min root 5; 40 itself is rejected but stays a member.
+    gate.ingest(Seq((40L, shared)).toDF("doc_id", "text"))
+    assert(clusters(gate) === Map(5L -> 5L, 6L -> 5L, 40L -> 5L))
+
+    // b2: a fresh within-batch near-dup pair; this fold triggers the
+    // compactEvery=2 compaction (remap folds into base, resets).
+    val novel = "aa bb cc dd ee ff gg hh"
+    gate.ingest(Seq((41L, novel), (42L, novel)).toDF("doc_id", "text"))
+    assert(clusters(gate) === Map(
+      5L -> 5L, 6L -> 5L, 40L -> 5L, 41L -> 41L, 42L -> 41L))
+
+    // b3 (post-compaction): joins the folded {41,42} cluster.
+    gate.ingest(Seq((43L, novel)).toDF("doc_id", "text"))
+    assert(clusters(gate) === Map(
+      5L -> 5L, 6L -> 5L, 40L -> 5L, 41L -> 41L, 42L -> 41L, 43L -> 41L))
+
+    // b4: joins the MERGED {5,6,40} cluster via the standing side —
+    // the folded labels must still carry the pre-compaction merge.
+    gate.ingest(Seq((44L, shared)).toDF("doc_id", "text"))
+    val finalClusters = clusters(gate)
+    assert(finalClusters === Map(
+      5L -> 5L, 6L -> 5L, 40L -> 5L, 41L -> 41L, 42L -> 41L, 43L -> 41L,
+      44L -> 5L))
+    // Independent cross-check: a batch rebuild over every doc seen and
+    // every pair the gate could have discovered labels identically.
+    val allIds = Seq(5L, 6L, 40L, 41L, 42L, 43L, 44L).toDF("id")
+    val allPairs = Seq(
+      (40L, 5L), (40L, 6L), (41L, 42L), (43L, 41L), (43L, 42L),
+      (44L, 5L), (44L, 6L)).toDF("id_a", "id_b")
+    val rebuilt = graft.ops.Components.dedupClusters(allIds, allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalClusters === rebuilt)
+  }
+
+  test("a non-integral-id gate dedups but exposes no cluster surface") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(("a", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val gate = Streams.newDedupGate(corpus, "doc_id", "text")
+    gate.ingest(Seq(("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "unrelated fresh text entirely new")).toDF("doc_id", "text"))
+    assert(gate.rejected.collect().map(_.getString(0)).toSet === Set("b"))
+    intercept[IllegalArgumentException](gate.clustersNow)
   }
 
   final case class SDoc(doc_id: String, text: String)
