@@ -40,8 +40,14 @@ object SparkEntry {
     // q91/q92 replay events through MemoryStream micro-batches — a
     // correctness harness for the streaming operators; timing it would
     // measure driver-side replay feeding, not the engine (their batch
-    // twins q13/q16 carry the bench signal).
-    val streamReplay = Set("q91_stream_sessions", "q92_stream_hourly")
+    // twins q13/q16 carry the bench signal). q104/q105 replay the
+    // ingest gates batch-by-batch — their per-fold cost is measured by
+    // the dedicated DedupGateBench/EmbeddingGateBench state-growth
+    // runs (BASELINE.md), and their kernels are benched via
+    // q85/q93/q31; a 3-fold replay at bench SF would time the
+    // job-scheduling floor.
+    val streamReplay = Set("q91_stream_sessions", "q92_stream_hourly",
+      "q104_gate_replay", "q105_embedding_gate_replay")
     (queries.keySet - "q22_overlap_pairs")
       .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q))
       .toSeq.sorted

@@ -351,6 +351,53 @@ object Pipelines {
         deltaPairs)
     }),
 
+    // Text ingest-gate replay, oracle-gated END TO END: the corpus is
+    // split into an initial corpus (doc_id%4=0) and three ordered
+    // micro-batches (%4=1,2,3) replayed synchronously through
+    // Streams.DedupGate — the operator a production ingest pipeline
+    // actually runs. Output: each streamed doc's DECISION (accepted /
+    // rejected with the gate's reason) plus its maintained CLUSTER
+    // label. compactEvery=2 forces an LSM compaction (corpus, index,
+    // labels, remap reset) mid-replay, so the oracle also proves the
+    // fold-forward state survives compaction. The DuckDB twin replays
+    // the same three folds as an unrolled CTE chain over the q85/q32
+    // band-key reconstruction and labels clusters with the q37
+    // recursive CTE over exactly the pairs the gate discovers.
+    "q104_gate_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gate = graft.streaming.Streams.newDedupGate(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", compactEvery = 2)
+      (1 to 3).foreach(i => gate.ingest(docs.filter(col("doc_id") % 4 === i)))
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), (col("doc_id") % 4).as("batch"))
+        .join(gate.rejected.select(col("id").as("doc_id"), col("reason")),
+          Seq("doc_id"), "left")
+        .join(gate.clustersNow, Seq("doc_id"))
+        .select(col("doc_id"), col("batch"),
+          coalesce(col("reason"), lit("accepted")).as("status"),
+          col("component_id"))
+    }),
+
+    // Embedding ingest-gate replay: the vector-modality twin of q104 —
+    // vec_id%4=0 seeds the standing signature index, %4=1,2,3 stream
+    // through Streams.EmbeddingDedupGate. targetBucket is pinned huge
+    // so auto-B stays at its floor (B=4) for the whole replay and the
+    // oracle can reconstruct one fixed signature per vector (B growth
+    // itself is spec+bench-covered: EmbeddingGateSpec live rebuild).
+    "q105_embedding_gate_replay" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val gate = graft.streaming.Streams.newEmbeddingDedupGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        dim = 64, threshold = 0.30, targetBucket = 1L << 40, compactEvery = 2)
+      (1 to 3).foreach(i => gate.ingest(emb.filter(col("vec_id") % 4 === i)))
+      emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
+        .join(gate.rejected.select(col("id").as("vec_id"), col("reason")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("batch"),
+          coalesce(col("reason"), lit("accepted")).as("status"))
+    }),
+
     // Gopher rule battery: the published heuristic quality filter
     // (word count / mean word length / symbol ratio / stopword
     // presence / alpha-word ratio) as per-rule flags + keep, exact
@@ -433,6 +480,35 @@ object Pipelines {
        jac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
                FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
                WHERE inter * 2 > ca.c + cb.c - inter)"""
+
+  /** Unrolled fold-forward CTE chain for the gate replays (q104/q105):
+    * given a symmetric near-dup relation `nd(u, v)` and the initial
+    * accepted set `acc0(id)`, emits rej1/acc1 … rejN/accN — per batch
+    * i (ids with id%4 = i, replayed in order), a doc is rejected if it
+    * near-dups any ACCEPTED-SO-FAR doc ('near-dup of corpus') or a
+    * LOWER-id doc of its own batch ('near-dup within batch'), exactly
+    * the gate's one-shot flagging; survivors fold into acc_i.
+    */
+  private def gateFoldCtes(idExpr: String, table: String, nBatches: Int): String =
+    (1 to nBatches).map { i =>
+      s"""rej$i AS (SELECT id, min(reason) AS reason FROM (
+           SELECT n.u AS id, 'near-dup of corpus' AS reason
+           FROM nd n JOIN acc${i - 1} a ON n.v = a.id WHERE n.u % 4 = $i
+           UNION ALL
+           SELECT n.u AS id, 'near-dup within batch' AS reason
+           FROM nd n WHERE n.u % 4 = $i AND n.v % 4 = $i AND n.u > n.v) GROUP BY id),
+         acc$i AS (SELECT id FROM acc${i - 1} UNION ALL
+           SELECT $idExpr FROM $table WHERE $idExpr % 4 = $i
+             AND $idExpr NOT IN (SELECT id FROM rej$i))"""
+    }.mkString(",\n")
+
+  /** The rejection chain's union for the final per-doc status join. */
+  private def gateRejUnion(nBatches: Int): String =
+    (1 to nBatches).map(i => s"SELECT id, reason FROM rej$i").mkString(" UNION ALL ")
+
+  private val minhashPermValues: String =
+    graft.ops.Dedup.minhashCoeffs(64).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   /** The q31/q37 variant: the index joins on 60-bit shingle hashes
     * (Dedup.jaccardPairsNative — same move as the reference's integer
@@ -738,6 +814,69 @@ object Pipelines {
          reach(a, b) AS (SELECT doc_id, doc_id FROM documents
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    // Text gate replay: the same minhash/band/jaccard reconstruction
+    // as q85/q32 feeding the unrolled 3-batch fold chain; decisions
+    // from the chain, cluster labels from the q37 recursive CTE over
+    // exactly the pairs the gate discovers (batch-incident near-dups
+    // vs accepted-so-far, plus within-batch pairs).
+    "q104_gate_replay" ->
+      s"""WITH RECURSIVE $jaccardCte,
+         perm(i, a, b) AS (VALUES $minhashPermValues),
+         hh AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM sh),
+         mh AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+                FROM hh, perm GROUP BY doc_id, i),
+         bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+                FROM mh GROUP BY doc_id, i // 4),
+         ndp AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                 FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+                   AND x.doc_id <> y.doc_id),
+         nd AS (SELECT p.u, p.v FROM ndp p JOIN jac j
+                ON j.id_a = least(p.u, p.v) AND j.id_b = greatest(p.u, p.v)),
+         acc0 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 4 = 0),
+         ${gateFoldCtes("doc_id", "documents", 3)},
+         gedges AS (${(1 to 3).map(i =>
+          s"""SELECT n.u, n.v FROM nd n JOIN acc${i - 1} a ON n.v = a.id WHERE n.u % 4 = $i
+             UNION SELECT n.u, n.v FROM nd n WHERE n.u % 4 = $i AND n.v % 4 = $i""")
+          .mkString("\n UNION\n ")}),
+         sym AS (SELECT u AS a, v AS b FROM gedges UNION SELECT v, u FROM gedges),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+                         UNION SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a)
+         SELECT d.doc_id, d.doc_id % 4 AS batch,
+                coalesce(r.reason, 'accepted') AS status, c.component_id
+         FROM documents d
+         LEFT JOIN (${gateRejUnion(3)}) r ON r.id = d.doc_id
+         JOIN comp c ON c.doc_id = d.doc_id
+         WHERE d.doc_id % 4 <> 0""",
+
+    // Embedding gate replay: fixed B=4 signatures (the replay pins
+    // targetBucket huge, so auto-B sits at its floor throughout) over
+    // the q93 quantized-hyperplane reconstruction, then the same fold
+    // chain.
+    "q105_embedding_gate_replay" ->
+      s"""WITH $embCte,
+         eq AS (SELECT vec_id, v,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings JOIN e USING (vec_id)),
+         pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
+                FROM range(4) t(p), range(64) u(j)),
+         dots AS (SELECT eq.vec_id, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
+                  FROM eq, pl GROUP BY 1, 2),
+         sig AS (SELECT vec_id,
+                 sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+                 FROM dots GROUP BY 1),
+         nd AS (SELECT sa.vec_id AS u, sb.vec_id AS v
+                FROM sig sa JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id <> sb.vec_id
+                JOIN e a ON a.vec_id = sa.vec_id JOIN e b ON b.vec_id = sb.vec_id
+                WHERE ${sqlCosine("a.v", "b.v", 64)} >= 0.30),
+         acc0 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 4 = 0),
+         ${gateFoldCtes("vec_id", "embeddings", 3)}
+         SELECT m.vec_id, m.vec_id % 4 AS batch,
+                coalesce(r.reason, 'accepted') AS status
+         FROM embeddings m
+         LEFT JOIN (${gateRejUnion(3)}) r ON r.id = m.vec_id
+         WHERE m.vec_id % 4 <> 0""",
 
     // Delta fold ≡ full recompute: the oracle is the FULL CC over the
     // union edge set — q37's SQL verbatim — while the Spark side folds
