@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Loop-carried checkpointing that does not compound Catalyst size
+  * statistics.
+  *
+  * `Dataset.localCheckpoint` deliberately carries the ORIGIN plan's
+  * statistics into the resulting LogicalRDD — a good default when a
+  * checkpoint feeds one further query. For LOOP-CARRIED frames it is
+  * pathological: Catalyst's size-only estimator multiplies child sizes
+  * at joins, so a frame that is checkpointed, joined against carried
+  * state, and re-checkpointed every iteration roughly SQUARES its
+  * (arbitrary-precision) size estimate per round. After k folds the
+  * estimate has ~2^k digits and every subsequent planning pass burns
+  * its time in BigInteger multiplication — measured on the round-8
+  * dedup gate as 5 s → 63 s per batch by fold 9, with the driver
+  * thread pinned inside SizeInBytesOnlyStatsPlanVisitor, and
+  * reproduced in a 5-line join⇄checkpoint loop whose digit count
+  * doubles per iteration.
+  *
+  * [[fresh]] checkpoints eagerly, then rebuilds the frame around the
+  * SAME materialized RDD minus the carried statistics: consumers plan
+  * against `spark.sql.defaultSizeInBytes`, as for any opaque RDD scan.
+  * That is the right model for loop state whose size the planner
+  * cannot know — every join against these frames here carries an
+  * explicit broadcast()/probe-side decision anyway, so nothing is
+  * lost. `Streams.releaseCheckpoint` keeps working: the wrapper's plan
+  * is a LogicalRDD over the same checkpointed RDD.
+  */
+object Ckpt {
+  def fresh(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint()
+    ckpt.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val spark =
+          ckpt.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        new org.apache.spark.sql.classic.Dataset[Row](
+          spark,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming)(spark),
+          Encoders.row(ckpt.schema)).toDF()
+      case _ => ckpt
+    }
+  }
+}

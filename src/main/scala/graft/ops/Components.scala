@@ -95,13 +95,13 @@ object Components {
       e = edges.select(
           least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(Ckpt.fresh)
       var sig = signature(e)
       val small = sig._1 <= singleTaskCap
       if (!small) {
         var converged = false
         while (!converged) {
-          val next = smallStar(largeStar(e)).localCheckpoint()
+          val next = smallStar(largeStar(e)).transform(Ckpt.fresh)
           val nextSig = signature(next)
           converged = nextSig == sig
           sig = nextSig
@@ -271,26 +271,137 @@ object Components {
     val edges = deltaPairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
+    val ids = deltaIds.select(col("id").cast("long").as("id"))
+    // One count over the (delta-bounded) pair stream bounds the
+    // working set (vertices <= 2*edges + batch ids) and decides both
+    // broadcast gating and fused single-task eligibility.
+    val eCount = edges.count()
+    val bound = 2 * eCount + ids.count()
+    if (bound <= math.min(broadcastDeltaCap, singleTaskCap))
+      fusedDeltaRelabel(standingLabels, ids, edges)
+    else
+      distributedDeltaRelabel(
+        standingLabels, ids, edges, bound <= broadcastDeltaCap, singleTaskCap)
+  }
+
+  /** The micro-batch regime of [[deltaRelabel]]: the whole fold runs
+    * as ONE Spark job. The standing-label probe (broadcast endpoint
+    * semi-restriction — the only corpus-sized input, scanned in
+    * parallel) and the delta's edges and ids flow, tagged, through a
+    * single repartition(1) exchange into one reducer task that
+    * contracts edges onto standing roots and min-root union-finds them
+    * — the same kernel as [[unionFindSingleTask]], plus the root
+    * mapping. Versus materializing each intermediate separately this
+    * saves ~8 driver job round-trips per fold, which DOMINATE a
+    * micro-batch fold's wall time (the per-job floor is ~0.5 s at 32
+    * shuffle partitions; measured on the round-8 gate bench). Output
+    * rows are tagged: 0 = changed-root map, 1 = delta labels,
+    * 2 = standing-known endpoint ids.
+    */
+  private def fusedDeltaRelabel(
+      standingLabels: DataFrame,
+      ids: DataFrame,
+      edges: DataFrame): DeltaLabels = {
+    val spark = standingLabels.sparkSession
+    import spark.implicits._
     val endpoints = edges.select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id")))
-      .unionByName(deltaIds.select(col("id").cast("long")))
+      .unionByName(ids)
       .distinct()
-      .localCheckpoint()
-    val deltaSmall = endpoints.count() <= broadcastDeltaCap
+    val present = standingLabels
+      .join(broadcast(endpoints.select(col("id").as("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id").as("id"), col("component_id").as("root"))
+    val tagged = present
+      .select(lit(0).as("t"), col("id").as("a"), col("root").as("b"))
+      .unionByName(edges.select(lit(1).as("t"), col("u").as("a"), col("v").as("b")))
+      .unionByName(ids.select(lit(2).as("t"), col("id").as("a"), col("id").as("b")))
+    val out = tagged.as[(Int, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val rootOf = new scala.collection.mutable.LongMap[Long]()
+        val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach {
+          case (0, id, r) => rootOf(id) = r
+          case (1, u, v)  => es += ((u, v))
+          case (_, id, _) => batch += id
+        }
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val g = parent.getOrElse(p, p)
+            parent(x) = g // path halving
+            x = g
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        def rootKey(id: Long): Long = rootOf.getOrElse(id, id)
+        es.foreach { case (u, v) =>
+          val ru = rootKey(u); val rv = rootKey(v)
+          if (ru != rv) {
+            parent.getOrElseUpdate(ru, ru)
+            parent.getOrElseUpdate(rv, rv)
+            val a = find(ru); val b = find(rv)
+            if (a != b) {
+              // union by min: labels stay the component minimum, the
+              // same invariant starContract converges to
+              if (a < b) parent(b) = a else parent(a) = b
+            }
+          }
+        }
+        val outRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        parent.keysIterator.toArray.foreach { r =>
+          val f = find(r)
+          if (f != r) outRows += ((0, r, f)) // changed roots only
+        }
+        batch.foreach { id => outRows += ((1, id, find(rootKey(id)))) }
+        rootOf.keysIterator.foreach { id => outRows += ((2, id, id)) }
+        outRows.iterator
+      }
+    val outCk = Ckpt.fresh(out.toDF("t", "a", "b"))
+    DeltaLabels(
+      rootMap = outCk.where(col("t") === 0)
+        .select(col("a").as("old_root"), col("b").as("new_root")),
+      newDocLabels = outCk.where(col("t") === 1)
+        .select(col("a").as("doc_id"), col("b").as("component_id")),
+      knownIds = outCk.where(col("t") === 2).select(col("a").as("id")),
+      scratch = Seq(outCk))
+  }
+
+  /** The unbounded-scale regime of [[deltaRelabel]] (delta above the
+    * single-task cap): every intermediate is a distributed frame and
+    * the contraction is [[starContract]]'s log-round loop. Result-
+    * identical to the fused path (ComponentsSpec runs both via the
+    * cap hook).
+    */
+  private def distributedDeltaRelabel(
+      standingLabels: DataFrame,
+      ids: DataFrame,
+      edges: DataFrame,
+      deltaSmall: Boolean,
+      singleTaskCap: Long): DeltaLabels = {
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     // Standing-root lookup: inner-join the big label table against the
-    // broadcast endpoint set (delta-bounded output), then self-root
-    // the endpoints the corpus has never seen (new docs, or connector
-    // ids outside the labeled set — mirroring dedupClusters, where
-    // edge endpoints outside allIds still connect and still compete
-    // for the min).
+    // (broadcast when small) endpoint set — delta-bounded output —
+    // then self-root the endpoints the corpus has never seen (new
+    // docs, or connector ids outside the labeled set: mirroring
+    // dedupClusters, where edge endpoints outside allIds still connect
+    // and still compete for the min).
+    val endpoints = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .unionByName(ids)
+      .distinct()
+      .transform(Ckpt.fresh)
     val present = standingLabels
       .join(sized(endpoints.select(col("id").as("doc_id"))), Seq("doc_id"))
       .select(col("doc_id").as("id"), col("component_id").as("root"))
-      .localCheckpoint()
+      .transform(Ckpt.fresh)
     val selfRooted = endpoints.join(present.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("root"))
-    val epRoots = present.unionByName(selfRooted).localCheckpoint()
+    val epRoots = present.unionByName(selfRooted).transform(Ckpt.fresh)
     val rootEdges = edges
       .join(sized(epRoots.select(col("id").as("u"), col("root").as("ru"))), Seq("u"))
       .join(sized(epRoots.select(col("id").as("v"), col("root").as("rv"))), Seq("v"))
@@ -303,15 +414,15 @@ object Components {
     val rootMap = contracted
       .where(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("old_root"), col("component_id").as("new_root"))
-      .localCheckpoint()
-    val newDocLabels = deltaIds.select(col("id").cast("long"))
+      .transform(Ckpt.fresh)
+    val newDocLabels = ids
       .join(epRoots, Seq("id"))
       .join(sized(rootMap), col("root") === col("old_root"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("new_root"), col("root")).as("component_id"))
     DeltaLabels(rootMap, newDocLabels,
       knownIds = present.select("id"),
-      scratch = Seq(endpoints, present, epRoots))
+      scratch = Seq(endpoints, present, epRoots, rootMap))
   }
 
   /** Full-labeling wrapper over [[deltaRelabel]]: the updated
@@ -353,7 +464,7 @@ object Components {
     val spark = allIds.sparkSession
     import spark.implicits._
     val edgeDf = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint()
+      .transform(Ckpt.fresh)
     val vertices = edgeDf.select(col("id_a").as("id"))
       .unionByName(edgeDf.select(col("id_b").as("id")))
       .distinct()

@@ -227,11 +227,11 @@ object Streams {
     * unpersisted so the block store doesn't grow with it either).
     */
   final class MaintainedIndex private[streaming] (initial: DataFrame) {
-    @volatile private var standing: DataFrame = initial.localCheckpoint()
+    @volatile private var standing: DataFrame = initial.transform(graft.ops.Ckpt.fresh)
     def current: DataFrame = standing
     private[streaming] def fold(batch: DataFrame): Unit = {
       val prev = standing
-      standing = applyEpisodeBatch(prev, batch).localCheckpoint()
+      standing = applyEpisodeBatch(prev, batch).transform(graft.ops.Ckpt.fresh)
       // release AFTER publishing the successor: a concurrent `current`
       // reader sees either frame fully materialized (a reader that holds
       // prev across a batch boundary must re-read `current` instead —
@@ -321,10 +321,10 @@ object Streams {
     // newest-last segment lists; every element is localCheckpoint-
     // materialized so no segment's plan depends on another
     @volatile private var corpusSegs: Vector[DataFrame] =
-      Vector(initial.localCheckpoint())
+      Vector(initial.transform(graft.ops.Ckpt.fresh))
     @volatile private var indexSegs: Vector[DataFrame] =
       Vector(graft.ops.Dedup.minhashBandKeys(
-        initial, idCol, textCol, k, numPerm, bands).localCheckpoint())
+        initial, idCol, textCol, k, numPerm, bands).transform(graft.ops.Ckpt.fresh))
     @volatile private var rejectedLog: Option[DataFrame] = None
     // Cluster state: append-only base labels (every doc self-labeled
     // at first sight or labeled by its fold) + the changed-root remap.
@@ -345,7 +345,7 @@ object Streams {
     @volatile private var labelSegs: Vector[DataFrame] =
       if (!integralIds) Vector.empty
       else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
-        .withColumn("component_id", col("doc_id")).localCheckpoint())
+        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
     @volatile private var rootRemap: Option[DataFrame] = None
     private var foldsSinceCompact = 0
 
@@ -400,10 +400,10 @@ object Streams {
       val vsPairs = Dedup.minhashLshDeltaPairsIndexed(
           indexNow, corpusNow, batch, idCol, textCol, k, numPerm, bands, num, den,
           broadcastDelta = true)
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       val withinPairs = Dedup.minhashLshPairsNative(
           batch, idCol, textCol, k, numPerm, bands, num, den)
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       val vsStanding = vsPairs
         .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
       val within = withinPairs
@@ -411,18 +411,18 @@ object Streams {
           lit("near-dup within batch").as("reason"))
       val flagged = vsStanding.unionByName(within)
         .groupBy("id").agg(min(col("reason")).as("reason"))
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       val prevLog = rejectedLog
       rejectedLog = Some(prevLog
-        .fold(flagged)(_ unionByName flagged).localCheckpoint())
+        .fold(flagged)(_ unionByName flagged).transform(graft.ops.Ckpt.fresh))
       val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
         .select(corpusSegs.head.columns.map(col): _*)
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       // the clean segment's index rows: the batch's band keys restricted
       // to admitted ids — delta-sized, no extra kernel pass
       val cleanIndex = Dedup.minhashBandKeys(
           clean, idCol, textCol, k, numPerm, bands)
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       corpusSegs = corpusSegs :+ clean
       indexSegs = indexSegs :+ cleanIndex
       // Cluster maintenance: fold the batch's full pair stream (both
@@ -436,21 +436,23 @@ object Streams {
           .unionByName(withinPairs.select(col("id_a"), col("id_b")))
         val d = graft.ops.Components.deltaRelabel(
           clustersNow, batch.select(col(idCol).cast("long").as("id")), edges)
-        // First-sight docs only: a re-ingested id already has a base
+          // First-sight docs only: a re-ingested id already has a base
         // row (knownIds is the delta-bounded membership deltaRelabel
         // probed).
         val newSeg = d.newDocLabels
           .join(broadcast(d.knownIds.select(col("id").as("doc_id"))),
             Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .transform(graft.ops.Ckpt.fresh)
         labelSegs = labelSegs :+ newSeg
         val prevRemap = rootRemap
         val rmEmpty = d.rootMap.isEmpty
-        val retainedRootMap = !rmEmpty && prevRemap.isEmpty
+        // d.rootMap is a view over deltaRelabel's scratch (released at
+        // the end of this fold), so the carried remap is always the
+        // gate's OWN checkpoint.
         rootRemap =
           if (rmEmpty) prevRemap
           else prevRemap match {
-            case None => Some(d.rootMap)
+            case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
             case Some(old) =>
               // Compose: stale roots follow their chain through this
               // fold's map; this fold's (current-root) keys are
@@ -463,22 +465,22 @@ object Streams {
                 .select(old("old_root"),
                   coalesce(col("n2"), old("new_root")).as("new_root"))
                 .unionByName(d.rootMap)
-                .localCheckpoint()
+                .transform(graft.ops.Ckpt.fresh)
               releaseCheckpoint(old)
               Some(composed)
           }
-        d.scratch ++ (if (retainedRootMap) Seq.empty else Seq(d.rootMap))
+          d.scratch
       }
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
         val (oldCorpus, oldIndex, oldLabels) = (corpusSegs, indexSegs, labelSegs)
         val oldRemap = rootRemap
-        corpusSegs = Vector(unionAll(oldCorpus).localCheckpoint())
-        indexSegs = Vector(unionAll(oldIndex).localCheckpoint())
+        corpusSegs = Vector(unionAll(oldCorpus).transform(graft.ops.Ckpt.fresh))
+        indexSegs = Vector(unionAll(oldIndex).transform(graft.ops.Ckpt.fresh))
         if (integralIds) {
           // Fold the remap into the base labels — the label table's
           // LSM compaction; the remap resets to empty.
-          labelSegs = Vector(clustersNow.localCheckpoint())
+          labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
           rootRemap = None
         }
         foldsSinceCompact = 0
@@ -542,7 +544,7 @@ object Streams {
     @volatile private var planes: Int =
       Similarity.autoPlanes(initial.count(), targetBucket)
     @volatile private var indexSegs: Vector[DataFrame] =
-      Vector(Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes).localCheckpoint())
+      Vector(Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes).transform(graft.ops.Ckpt.fresh))
     @volatile private var count: Long = indexSegs.head.count()
     @volatile private var rejectedLog: Option[DataFrame] = None
     private var foldsSinceCompact = 0
@@ -571,13 +573,13 @@ object Streams {
           lit("near-dup within batch").as("reason"))
       val flagged = vsStanding.unionByName(within)
         .groupBy("id").agg(min(col("reason")).as("reason"))
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       val prevLog = rejectedLog
       rejectedLog = Some(prevLog
-        .fold(flagged)(_ unionByName flagged).localCheckpoint())
+        .fold(flagged)(_ unionByName flagged).transform(graft.ops.Ckpt.fresh))
       val clean = batch.join(flagged, batch(idCol) === flagged("id"), "left_anti")
       val cleanIdx = Similarity.cosineLshIndex(clean, idCol, vecCol, dim, planes)
-        .localCheckpoint()
+        .transform(graft.ops.Ckpt.fresh)
       indexSegs = indexSegs :+ cleanIdx
       count += cleanIdx.count()
       foldsSinceCompact += 1
@@ -586,7 +588,7 @@ object Streams {
         // amortized re-signature at the new B: unpack the carried
         // vectors (pv is the exact quantization input), re-bucket
         val resigned = Similarity.resignIndex(unionAll(indexSegs), dim, wantPlanes)
-          .localCheckpoint()
+          .transform(graft.ops.Ckpt.fresh)
         val old = indexSegs
         indexSegs = Vector(resigned)
         planes = wantPlanes
@@ -594,7 +596,7 @@ object Streams {
         old.foreach(releaseCheckpoint)
       } else if (foldsSinceCompact >= compactEvery) {
         val old = indexSegs
-        indexSegs = Vector(unionAll(old).localCheckpoint())
+        indexSegs = Vector(unionAll(old).transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
         old.foreach(releaseCheckpoint)
       }
