@@ -193,6 +193,89 @@ object WindowHashes {
     c => WindowHashes(Cast(c.head, StringType), Cast(c(1), org.apache.spark.sql.types.IntegerType))
 }
 
+/** Winnowed window fingerprints — the exact-substring pass's 100 TB
+  * scale path (Dedup.exactSubstrRepeatsStrided, q106): instead of
+  * emitting every width-char window hash, emit the hash at each
+  * DISTINCT leftmost-argmin position over the sliding stride-window of
+  * [[WindowHashes]]' rolling hashes (Schleimer/Wilkerson/Aiken
+  * winnowing, SIGMOD'03). Selection depends only on the hash sequence
+  * — i.e. on CONTENT — so two copies of a repeated substring select
+  * the same fingerprints regardless of their byte offsets, which is
+  * why a naive "every S-th window" stride cannot work (misaligned
+  * copies sample different windows) and this can: every repeat of
+  * length ≥ width + stride − 1 spans a full stride-window of hashes in
+  * both copies, and that window's minimum is selected in both. Row
+  * stream shrinks to ~2/(stride+1) of the window count.
+  * CodegenFallback: same rationale as [[WindowHashes]] — the O(1)
+  * amortized deque fold dominates row overhead.
+  */
+case class WinnowedHashes(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnowed_hashes"
+  override def nullSafeEval(text: Any, width: Any, stride: Any): Any =
+    WinnowedHashes.compute(text.asInstanceOf[UTF8String],
+      width.asInstanceOf[Int], stride.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowedHashes =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowedHashes {
+  /** One hash per distinct selected position: for every full
+    * stride-window of consecutive window hashes (starts j = 0 ..
+    * max(m − stride, 0); the lone window of an m < stride text is its
+    * clipped prefix), the LEFTMOST minimal hash position is selected;
+    * consecutive windows sharing an argmin emit once. Equal hash
+    * values at different positions are genuinely repeated content and
+    * are all kept — multiplicity semantics survive sampling. Monotonic
+    * deque (pop strictly-greater from the back, so ties keep the
+    * earlier index at the front), O(m) total.
+    */
+  def compute(s: UTF8String, width: Int, stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hashes = WindowHashes.compute(s, width)
+    val m = hashes.numElements()
+    if (m == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val h = hashes.toLongArray()
+    val lastStart = math.max(m - stride, 0)
+    val idx = new Array[Int](m) // deque of candidate argmin indices
+    var head = 0; var tail = 0  // [head, tail)
+    val out = new Array[Long](math.min(m, lastStart + 1))
+    var nOut = 0
+    var lastSel = -1
+    var p = 0
+    var j = 0
+    while (j <= lastStart) {
+      val windowEnd = math.min(j + stride - 1, m - 1)
+      while (p <= windowEnd) {
+        while (tail > head && h(idx(tail - 1)) > h(p)) tail -= 1
+        idx(tail) = p; tail += 1
+        p += 1
+      }
+      while (idx(head) < j) head += 1
+      val sel = idx(head)
+      if (sel != lastSel) {
+        out(nOut) = h(sel); nOut += 1
+        lastSel = sel
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
+
+  val functionName: FunctionIdentifier = FunctionIdentifier("graft_winnowed_hashes")
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[WinnowedHashes].getCanonicalName, "graft_winnowed_hashes")
+  val builder: Seq[Expression] => Expression = c =>
+    WinnowedHashes(Cast(c.head, StringType),
+      Cast(c(1), org.apache.spark.sql.types.IntegerType),
+      Cast(c(2), org.apache.spark.sql.types.IntegerType))
+}
+
 object TextHashes {
   /** Idempotent per-session registration of the fingerprint kernels. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -203,5 +286,8 @@ object TextHashes {
       registry.registerFunction(MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder)
     if (!registry.functionExists(WindowHashes.functionName))
       registry.registerFunction(WindowHashes.functionName, WindowHashes.info, WindowHashes.builder)
+    if (!registry.functionExists(WinnowedHashes.functionName))
+      registry.registerFunction(
+        WinnowedHashes.functionName, WinnowedHashes.info, WinnowedHashes.builder)
   }
 }

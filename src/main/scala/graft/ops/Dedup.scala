@@ -559,6 +559,60 @@ object Dedup {
           .as("repeated_permille"))
   }
 
+  /** The 100 TB scale path of [[exactSubstrRepeats]] — previously only
+    * documented, now a real operator: winnowed fingerprints
+    * (graft.functions.WinnowedHashes — the leftmost-argmin of every
+    * stride-window of rolling hashes) replace the full window stream,
+    * cutting the exploded row volume to ~2/(stride+1) of stride 1
+    * while KEEPING the detection guarantee: every repeated substring
+    * of length ≥ width + stride − 1 spans a full stride-window of
+    * content-determined hashes in each copy, so both copies select its
+    * minimum and collide in the multiplicity index (the winnowing
+    * theorem; ExactSubstrSpec plants misaligned copies at exactly the
+    * guarantee length and asserts detection, plus measures the row
+    * reduction). Naive every-S-th-window striding has NO such
+    * guarantee — misaligned copies sample different windows.
+    *
+    * Same plan shape as stride 1: one kernel pass, map-combined
+    * multiplicity agg, broadcast-semi join under the cap. Counts are
+    * over SELECTED fingerprints (a content-deterministic sample), so
+    * `selected_rep_permille` is the detection-pass statistic, not
+    * q96's exact per-window mass — the flagged set is what a 100 TB
+    * pipeline feeds to the exact pass or the span trimmer.
+    */
+  def exactSubstrRepeatsStrided(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int,
+      broadcastRepCap: Long = 4000000L): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    graft.functions.TextHashes.ensureRegistered(docs.sparkSession)
+    val w = graft.Tables.fanOut(docs).select(
+      col(idCol).as("doc_id"),
+      explode(call_function("graft_winnowed_hashes",
+        col(textCol), lit(width), lit(stride))).as("h"))
+    val rep = w.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("h")
+      .transform(Ckpt.fresh)
+    val repSide = if (rep.count() <= broadcastRepCap) broadcast(rep) else rep
+    val hits = w.join(repSide, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_repeated"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(w.groupBy("doc_id").agg(count(lit(1)).as("n_selected")),
+        Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(coalesce(n_selected, 0L), 1)")
+          .as("selected_rep_permille"))
+  }
+
   /** Incremental exact-substring check — the substring member of the
     * delta family (q85 MinHash, q93 embeddings): a new batch's windows
     * tested against the STANDING corpus's window-multiplicity index

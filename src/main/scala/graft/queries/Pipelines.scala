@@ -317,6 +317,16 @@ object Pipelines {
     "q97_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanTrim(t(s, dir, "documents"), "doc_id", "text", width = 40)),
 
+    // Winnowed exact-substring — q96's 100 TB scale path as a real
+    // operator: content-defined fingerprint sampling (leftmost-argmin
+    // per stride-window of rolling hashes) cuts the exploded row
+    // stream ~stride×, with the winnowing guarantee that every repeat
+    // of length ≥ width+stride−1 is still detected. stride=20 =
+    // width/2, the documented scale setting.
+    "q106_exact_substr_strided" -> ((s, dir) =>
+      Dedup.exactSubstrRepeatsStrided(t(s, dir, "documents"), "doc_id", "text",
+        width = 40, stride = 20)),
+
     // End-to-end curation capstone: exact dedup → Gopher filter →
     // decontamination → content-hash split → train shard packing, as
     // one composed DAG. Each stage is individually oracle-gated
@@ -1101,6 +1111,47 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    // Winnowing replay: the same per-position rolling-hash
+    // reconstruction as q96 (1-based char positions; ord(substr) =
+    // code point), then leftmost-argmin selection per full
+    // stride-window via a HUGEINT (h, pos) lexicographic pack — the
+    // kernel's deque tie rule, exactly.
+    "q106_exact_substr_strided" -> {
+      val S = 20
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mcnt AS (SELECT doc_id, count(*) AS m FROM w GROUP BY doc_id),
+         key AS (SELECT doc_id, i, h, CAST(h AS HUGEINT) * 1048576 + i AS k FROM w),
+         wm AS (SELECT doc_id, i AS j,
+                  min(k) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${S - 1} FOLLOWING) AS mk
+                FROM key),
+         selpos AS (SELECT DISTINCT wm.doc_id, CAST(wm.mk % 1048576 AS BIGINT) AS i
+                    FROM wm JOIN mcnt USING (doc_id)
+                    WHERE wm.j <= greatest(mcnt.m - $S + 1, 1)),
+         sel AS (SELECT s.doc_id, k.h
+                 FROM selpos s JOIN key k ON k.doc_id = s.doc_id AND k.i = s.i),
+         mult AS (SELECT h, count(*) AS c FROM sel GROUP BY h),
+         per AS (SELECT doc_id, count(*) AS n_selected,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+                 FROM sel JOIN mult USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)"""
+    },
 
     "q102_curation_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),

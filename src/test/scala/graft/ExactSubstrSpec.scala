@@ -151,6 +151,74 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(byName("train") > byName("val") + byName("test"))
   }
 
+  test("winnowing guarantee: misaligned repeats of length width+stride-1 are detected") {
+    import spark.implicits._
+    val width = 40; val stride = 20
+    val rnd = new scala.util.Random(11)
+    def noise(n: Int): String =
+      Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // Repeats at EXACTLY the guarantee length, planted at offsets that
+    // differ mod stride in every pairing — the case a naive
+    // every-S-th-window stride provably misses.
+    val repeat = noise(width + stride - 1) // 59 chars
+    val docs = Seq(
+      (1L, noise(7) + repeat + noise(160)),   // offset 7
+      (2L, noise(113) + repeat + noise(40)),  // offset 113 (≠ 7 mod 20)
+      (3L, noise(230)),                       // innocent
+      // within-doc copy at two misaligned offsets
+      (4L, noise(3) + repeat + noise(31) + repeat + noise(50)),
+      (5L, noise(250))).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRepeatsStrided(docs, "doc_id", "text", width, stride)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 >= 1, "doc 1 repeat not detected")
+    assert(out(2L)._2 >= 1, "doc 2 repeat not detected")
+    assert(out(4L)._2 >= 2, "within-doc misaligned copies not detected")
+    assert(out(3L)._2 === 0 && out(5L)._2 === 0, "false positives")
+  }
+
+  test("winnowing samples ~2/stride of the window stream and handles edge lengths") {
+    import spark.implicits._
+    val width = 40; val stride = 20
+    val rnd = new scala.util.Random(29)
+    val docs = (0L until 40L).map { i =>
+      (i, Array.fill(800)(('a' + rnd.nextInt(26)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val strided = Dedup.exactSubstrRepeatsStrided(docs, "doc_id", "text", width, stride)
+      .agg(sum("n_selected")).head().getLong(0)
+    val exact = Dedup.exactSubstrRepeats(docs, "doc_id", "text", width)
+      .agg(sum("n_windows")).head().getLong(0)
+    // Winnowing density on random text is ~2/(stride+1); allow 3/stride
+    // as the bound (the 62x scale leg measures the real reduction).
+    assert(strided * stride <= exact * 3,
+      s"row reduction too weak: $strided selected vs $exact windows")
+    assert(strided >= exact / (2 * stride),
+      s"suspiciously few selections: $strided vs $exact")
+    // Edge lengths: shorter than width -> 0 selected; window count
+    // below stride -> exactly one full (clipped) window, one selection.
+    val edges = Seq((100L, "tiny"), (101L, "z" * 39), (102L, "y" * 40),
+      (103L, new scala.util.Random(5).alphanumeric.take(45).mkString))
+      .toDF("doc_id", "text")
+    val e = Dedup.exactSubstrRepeatsStrided(edges, "doc_id", "text", width, stride)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e(100L) === 0 && e(101L) === 0)
+    assert(e(102L) === 1) // m=1 window
+    assert(e(103L) === 1) // m=6 < stride: one clipped window, one argmin
+  }
+
+  test("winnowed kernel: leftmost tie, content-determined selection") {
+    graft.functions.TextHashes.ensureRegistered(spark)
+    import spark.implicits._
+    // Identical content shifted by arbitrary offsets selects identical
+    // fingerprint VALUES for the shared suffix region.
+    val core = "the winnowing selection must be content determined not offset determined ok"
+    val docs = Seq((1L, "xx" + core), (2L, "qqqqqqq" + core)).toDF("doc_id", "text")
+    val sel = docs.select(col("doc_id"),
+        call_function("graft_winnowed_hashes", col("text"), lit(40), lit(20)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "shifted copies selected no common fingerprint")
+  }
+
   test("split buckets quantize 90/5/5 to the e6/f3 hex cuts") {
     import spark.implicits._
     // md5("3") = eccbc8...  → train; pick ids landing in each band by
