@@ -28,13 +28,20 @@ final case class FrameSample(doc_id: Long, frame_idx: Long, frame_md5: String)
   * `mapPartitions` (the Scala analog of arrow-batched python UDFs: one
   * JVM-side pass per partition, no per-row driver involvement).
   *
-  * The decode step is a STUB — image/audio codecs are not available in
-  * this environment — replaced by a deterministic fake (md5-derived
-  * dimensions, fixed 256-byte "frames") so results are verifiable
-  * end-to-end. The partitioning, schema, and batch shape are the real
-  * design: at 100 TB this runs embarrassingly parallel with zero
-  * shuffles, bounded memory per partition (streaming over rows), and
-  * the binary column never leaves the executor.
+  * Two decode paths:
+  *  - [[decodePpm]] (round 8) parses a REAL container — binary PPM
+  *    (P6): magic, ASCII header fields, raw pixel payload — built by
+  *    the deterministic [[asPpm]] encoder, so the q107 oracle proves
+  *    decode ∘ encode recovers dimensions and exact pixel bytes, and
+  *    [[mediaNearDupPairs]] runs byte-frame near-dup over the decoded
+  *    payload (q108).
+  *  - [[decodeStub]] remains for formats whose codecs aren't in this
+  *    container (JPEG/audio/video): a deterministic fake preserving
+  *    the exact compute/IO shape.
+  * The partitioning, schema, and batch shape are the real design: at
+  * 100 TB this runs embarrassingly parallel with zero shuffles,
+  * bounded memory per partition (streaming over rows), and the binary
+  * column never leaves the executor.
   */
 object Media {
 
@@ -120,6 +127,159 @@ object Media {
         }
       }
     }
+  }
+
+  final case class PpmFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_pixel_bytes: Long,
+      pixel_md5: String)
+
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Deterministic P6 (binary PPM) encoding of a text corpus: real
+    * container bytes — ASCII `P6\n<w> <h>\n255\n` header followed by
+    * exactly w·h·3 raw pixel bytes (the UTF-8 text cycled to length).
+    * Dimensions derive from the BYTE length (w = 8 + L mod 40,
+    * h = 6 + L mod 23), so the DuckDB twin reproduces them from
+    * octet_length. This replaces the round-7 `decodeStub`: the decode
+    * below is a REAL header parse of a real container, and the oracle
+    * proves decode ∘ encode recovers the dimensions and the exact
+    * pixel bytes.
+    */
+  def asPpm(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "image/x-portable-pixmap", encodePpm(bytes))
+      })
+  }
+
+  private[graft] def encodePpm(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val w = 8 + l % 40
+    val h = 6 + l % 23
+    val npix = w * h * 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + npix)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < npix) {
+      out(header.length + i) = src(i % l)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL P6 parser: magic check, whitespace-delimited ASCII width /
+    * height / maxval (any blank run, as the netpbm spec allows), a
+    * single whitespace byte, then exactly w·h·3 pixel bytes. Throws on
+    * malformed input — a decode pass must fail loudly, not fabricate.
+    */
+  private[graft] def decodePpmBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM")
+    var p = 2
+    def skipWs(): Unit = {
+      while (p < b.length &&
+        (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' || b(p) == '\t')) p += 1
+    }
+    def readInt(): Int = {
+      skipWs()
+      require(p < b.length && b(p) >= '0' && b(p) <= '9', s"expected int at byte $p")
+      var v = 0
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"unsupported maxval $maxval")
+    require(p < b.length, "truncated header")
+    p += 1 // exactly one whitespace byte after maxval, per spec
+    val npix = w * h * 3
+    require(b.length - p == npix, s"pixel payload ${b.length - p} != $npix")
+    (w, h, maxval, java.util.Arrays.copyOfRange(b, p, b.length))
+  }
+
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  /** Uppercase hex of raw bytes — DuckDB `hex(BLOB)`'s exact output,
+    * the shared byte representation both engines digest (DuckDB has no
+    * md5 over BLOB).
+    */
+  private[graft] def hexUpper(b: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      sb.append(HexUpper((b(i) >> 4) & 0xf)).append(HexUpper(b(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Parse each media row's PPM container and digest its pixel
+    * payload. Per-partition, zero shuffles; the binary column never
+    * leaves the executor.
+    */
+  def decodePpm(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, _, pix) = decodePpmBytes(row.content)
+        PpmFeatures(row.doc_id, w.toLong, h.toLong, pix.length.toLong,
+          md5Hex(md, hexUpper(pix, 0, pix.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** Fixed-size frame digests over the DECODED pixel payload (the last
+    * frame may be partial) — the byte-sequence fingerprints media
+    * near-dup joins on. Reference analog: the byte-gram index pitched
+    * as "general enough to find overlaps between arbitrary sequences
+    * of bytes" (assemblage_db/src/lib.rs:49-53).
+    */
+  def ppmFrameDigests(media: Dataset[MediaRow], frameBytes: Int = FrameBytes): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val (_, _, _, pix) = decodePpmBytes(row.content)
+        val n = (pix.length + frameBytes - 1) / frameBytes
+        (0 until n).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, pix.length)
+          MediaFrame(row.doc_id, f.toLong,
+            md5Hex(md, hexUpper(pix, from, until).getBytes("US-ASCII")))
+        }
+      }
+    }
+  }
+
+  /** Media near-dup pairs: blobs sharing ≥ 1 exact pixel frame, with
+    * (inter, union_size) over their DISTINCT frame-digest sets — the
+    * media twin of the text overlap index: an inverted frame-digest
+    * join, never an all-pairs blob comparison. Shared 256-byte frames
+    * are content collisions, so the join output is overlap-mass-
+    * bounded at any corpus size.
+    */
+  def mediaNearDupPairs(media: Dataset[MediaRow]): DataFrame = {
+    val fr = ppmFrameDigests(media).toDF()
+      .select(col("doc_id"), col("frame_md5").as("fh")).distinct()
+    val cnt = fr.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = fr.select(col("doc_id").as("id_a"), col("fh"))
+      .join(fr.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).as("union_size"))
   }
 
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving

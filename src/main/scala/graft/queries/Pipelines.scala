@@ -459,6 +459,38 @@ object Pipelines {
         .toDF().select("doc_id", "frame_idx", "frame_md5")
     }),
 
+    // REAL media decode: documents → deterministic P6 (binary PPM)
+    // blobs → the real header parser → dimensions + pixel digest. The
+    // oracle derives the expected dimensions from octet_length and the
+    // expected digest from the cycled byte stream (md5 over DuckDB's
+    // hex(BLOB) form), proving the parser recovers exactly what the
+    // encoder wrote.
+    "q107_media_decode" -> ((s, dir) =>
+      Media.decodePpm(Media.asPpm(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
+    // Media near-dup via byte frames: pairs of decoded blobs sharing
+    // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
+    // byte-sequence overlap the reference pitches its gram index for,
+    // assemblage_db/src/lib.rs:49-53). Non-vacuous: ASCII docs with
+    // doc_id%61=0 and ≥300 chars get a twin (id+1e6) with the last
+    // char swapped — same byte length, so the twin's pixel stream
+    // differs only where the swapped byte cycles through; the swap
+    // position (≥299) lies outside pixel frame 0, so every twin pair
+    // shares at least that frame and must be detected.
+    "q108_media_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twins = docs
+        .filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("concat(substring(text, 1, length(text) - 1), '!')").as("text"))
+      Media.mediaNearDupPairs(
+        Media.asPpm(docs.select("doc_id", "text").unionByName(twins), "doc_id", "text"))
+    }),
+
     // Resize metadata: fit (width, height) into 256px preserving aspect
     // ratio, integer-exact.
     "q52_media_resize" -> ((s, dir) => {
@@ -1152,6 +1184,54 @@ object Pipelines {
                      greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
          FROM documents d LEFT JOIN per p USING (doc_id)"""
     },
+
+    // PPM decode twin: dimensions from octet_length, pixel digest from
+    // the cycled byte stream — all in hex space (DuckDB lacks
+    // md5(BLOB); hex(BLOB) is the shared byte form, uppercase).
+    "q107_media_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, t,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h
+           FROM src)
+         SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+           md5(substr(repeat(hex(encode(t)), CAST((w*h*3 + l - 1) // l AS INT)),
+               1, 2 * w * h * 3)) AS pixel_md5
+         FROM dims""",
+
+    "q108_media_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 1) || '!'
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, t, octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h FROM src),
+         pix AS (SELECT doc_id,
+             substr(repeat(hex(encode(t)), CAST((w*h*3 + l - 1) // l AS INT)),
+               1, 2 * w * h * 3) AS ph,
+             w * h * 3 AS npix
+           FROM dims),
+         fr AS (SELECT DISTINCT doc_id,
+             md5(substr(ph, CAST(512 * f + 1 AS INT), 512)) AS fh
+           FROM pix, UNNEST(range(0, (npix + 255) // 256)) u(f)),
+         cnt AS (SELECT doc_id, count(*) AS c FROM fr GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, inter,
+                ca.c + cb.c - inter AS union_size
+         FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id""",
 
     "q102_curation_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),

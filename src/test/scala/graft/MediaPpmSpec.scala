@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Media
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Real PPM (P6) container path: the encoder writes genuine netpbm
+  * bytes, the parser reads any spec-conformant header (not just the
+  * encoder's formatting), malformed input fails loudly, and the
+  * frame-digest near-dup join finds byte-level overlaps (q107/q108).
+  */
+class MediaPpmSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-media-ppm-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("encode/decode round-trip recovers dimensions and exact pixel bytes") {
+    val rnd = new Random(3)
+    for (len <- Seq(1, 47, 256, 999, 2048)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val blob = Media.encodePpm(src)
+      val (w, h, maxval, pix) = Media.decodePpmBytes(blob)
+      assert(w === 8 + len % 40)
+      assert(h === 6 + len % 23)
+      assert(maxval === 255)
+      assert(pix.length === w * h * 3)
+      pix.zipWithIndex.foreach { case (b, i) =>
+        assert(b === src(i % len), s"pixel $i diverged at len=$len")
+      }
+    }
+  }
+
+  test("parser accepts spec-conformant headers it did not write") {
+    // netpbm allows any whitespace runs between header fields
+    val pix = Array.tabulate(2 * 3 * 3)(i => (i * 7).toByte)
+    val header = "P6\r\n\t 2   3\n\n255 ".getBytes("US-ASCII")
+    val (w, h, _, out) = Media.decodePpmBytes(header ++ pix)
+    assert((w, h) === (2, 3))
+    assert(out.toSeq === pix.toSeq)
+  }
+
+  test("malformed containers are rejected, not fabricated") {
+    val good = Media.encodePpm("some pixels here".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Media.decodePpmBytes("P5\n1 1\n255\nxyz".getBytes))
+    intercept[IllegalArgumentException](Media.decodePpmBytes(good.dropRight(1))) // short payload
+    intercept[IllegalArgumentException](Media.decodePpmBytes(good :+ 0.toByte)) // long payload
+    intercept[IllegalArgumentException](Media.decodePpmBytes("P6\n2 2\n254\n".getBytes ++ Array.fill(12)(0.toByte)))
+  }
+
+  test("frame near-dup: last-char swap shares frame 0; disjoint blobs pair with nothing") {
+    val s = spark
+    import s.implicits._
+    val base = Random.alphanumeric.take(400).mkString // ASCII, len 400
+    val twin = base.dropRight(1) + "!"
+    val docs = Seq((1L, base), (2L, twin), (3L, "completely different content " * 20))
+      .toDF("doc_id", "text")
+    val pairs = Media.mediaNearDupPairs(Media.asPpm(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.exists { case (a, b, inter) => a == 1L && b == 2L && inter >= 1 },
+      s"twin pair not detected: $pairs")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+}
