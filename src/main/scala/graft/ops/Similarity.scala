@@ -241,6 +241,105 @@ object Similarity {
         expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
   }
 
+  /** Quantized IVF, the composition q101's accept gate exists for: the
+    * 1-byte/dim ANN store at corpus scale. The corpus is held int8-
+    * QUANTIZED; cell assignment, probe selection and the candidate
+    * SHORTLIST all run on integer dots (the SIMD-shaped inner loop, no
+    * float vector touched); only the shortlist — queries × shortlist
+    * rows, corpus-size independent — is reranked with exact float
+    * cosine. Returns the recall@k of the composed pipeline against the
+    * exact float ranking at the same probe budget (q109's gate):
+    * (query_id, n_overlap, recall_x100).
+    *
+    * Plan shape: driver-side centroid closure (≤ numCentroids rows,
+    * the audited ivfTopK pattern) ⇒ map-side argmax assignment, zero
+    * corpus shuffle; probes broadcast; the float rerank joins the
+    * query-bounded shortlist back to the corpus as a broadcast
+    * semi-restriction. At 100 TB the float vectors live in cold
+    * storage and only shortlist rows are ever fetched — an 8× byte
+    * reduction on the hot path at (measured) matching recall.
+    * All tie-breaks (cell: sim DESC, cid; shortlist: simq DESC, id;
+    * rerank: sim DESC, id) mirror the DuckDB twin's row_number rules.
+    */
+  def ivfTopKQuantizedRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    def withQ(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}id"),
+          quantizeUdf(asDouble(col(vecCol))).as(s"${prefix}qv"))
+        .withColumn(s"${prefix}qn",
+          sqrt(dotQPacked(col(s"${prefix}qv"), col(s"${prefix}qv")).cast("double")))
+    // Quantized centroid closure: cid-ascending, strict > — ties to the
+    // lower cell id, the shared training/probing rule.
+    val centRows = withQ(emb.filter(col(idCol) < numCentroids), "c")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cids = centRows.map(_._1)
+    val cqvs = centRows.map(_._2)
+    val cqns = centRows.map(_._3)
+    val nc = centRows.length
+    val cellUdf = udf { (v: Array[Byte], nrm: Double) =>
+      var best = 0L; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nc) {
+        val s = dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c))
+        if (s > bestSim) { bestSim = s; best = cids(c) }
+        c += 1
+      }
+      best
+    }
+    val probeUdf = udf { (v: Array[Byte], nrm: Double) =>
+      Array.tabulate(nc)(c => (dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c)), cids(c)))
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nprobe)
+        .map(_._2)
+    }
+    val cells = withQ(emb, "n").withColumn("cell", cellUdf(col("nqv"), col("nqn")))
+    val probes = withQ(queries, "q").withColumn("cell", explode(probeUdf(col("qqv"), col("qqn"))))
+    val ws = Window.partitionBy("query_id").orderBy(col("simq").desc, col("neighbor_id"))
+    val short = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("simq",
+        dotQPacked(col("qqv"), col("nqv")).cast("double") / (col("qqn") * col("nqn")))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("simq"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // Exact float rerank of the shortlist only: the sole stage that
+    // touches float vectors, corpus restricted by the broadcast
+    // query-bounded shortlist.
+    val nFloat = withNorm(emb, idCol, vecCol, "n")
+    val qFloat = withNorm(queries, idCol, vecCol, "q")
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val reranked = nFloat
+      .join(broadcast(short), col("nid") === col("neighbor_id"))
+      .join(broadcast(qFloat), col("qid") === col("query_id"))
+      .withColumn("sim", dotPacked(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val exact = bruteForceTopK(emb, idCol, vecCol, queries, k)
+      .select("query_id", "neighbor_id")
+    val overlap = reranked.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(idCol).as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
+  }
+
   /** Embedding-space quality eval: for each query, how many of its k
     * exact-cosine nearest neighbors share the query's label — the kNN
     * label-consistency metric a training pipeline runs on an embedding

@@ -165,6 +165,17 @@ object Pipelines {
         queries = emb.filter(col("vec_id") % 100 === 0), k = 10)
     }),
 
+    // Quantized IVF composition: the int8 store (q101's accept gate)
+    // composed into the IVF probe (q38's budget) — quantized cells,
+    // integer-dot shortlist, exact float rerank of the shortlist only;
+    // gated on recall@10 vs the exact float ranking.
+    "q109_ann_ivf_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKQuantizedRecall(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0),
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -797,6 +808,65 @@ object Pipelines {
          JOIN e b ON b.vec_id = ss.vec_id
          WHERE sd.vec_id % 5 = 0 AND ss.vec_id % 5 <> 0
            AND ${sqlCosine("a.v", "b.v", 64)} >= 0.30""",
+
+    // Quantized-IVF replay: q101's trunc-quantization + integer dots
+    // for cells/probes/shortlist, q38's probe budget, float rerank of
+    // the shortlist, judged against the exact float top-10.
+    "q109_ann_ivf_quantized" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn WHERE vec_id < 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 100 = 0) WHERE rn <= 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY CAST(${sqlDotInt("q.qv", "n.qv", 64)} AS DOUBLE)
+                                 / (q.nrm * n.nrm) DESC, n.vec_id) AS srank
+             FROM probes p
+             JOIN cells cl ON cl.cell = p.cell
+             JOIN qn n ON n.vec_id = cl.vec_id
+             JOIN qn q ON q.vec_id = p.query_id
+             WHERE n.vec_id <> p.query_id) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT r.query_id, count(*) AS n
+                FROM rer r JOIN ftop f
+                  ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT fq.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM fq LEFT JOIN ov USING (query_id)""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,

@@ -51,4 +51,35 @@ class QuantizedRecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((0L, 3L, 100L)))
   }
+
+  test("quantized IVF at full probe budget reduces to the exact ranking (recall 100)") {
+    // With every cell probed and the shortlist covering the corpus,
+    // the integer-dot stages only SELECT candidates; the float rerank
+    // then IS the exact top-k — the composition's correctness anchor.
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, "/root/testdata/sf0.01", "embeddings").limit(120)
+    val out = Similarity.ivfTopKQuantizedRecall(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 40 === 0),
+        numCentroids = 8, nprobe = 8, shortlist = 200, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (q, recall) => assert(recall === 100L, s"query $q recall $recall") }
+  }
+
+  test("quantized IVF recall degrades gracefully as the shortlist shrinks") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, "/root/testdata/sf0.01", "embeddings").limit(200)
+    def recallAt(shortlist: Int): Double = {
+      val rows = Similarity.ivfTopKQuantizedRecall(emb, "vec_id", "embedding",
+          queries = emb.filter(col("vec_id") % 50 === 0),
+          numCentroids = 8, nprobe = 4, shortlist = shortlist, k = 10)
+        .collect().map(_.getLong(2))
+      rows.sum.toDouble / rows.length
+    }
+    val wide = recallAt(120)
+    val narrow = recallAt(10)
+    assert(wide >= narrow, s"widening the shortlist must not lose recall: $wide < $narrow")
+  }
 }
