@@ -129,4 +129,55 @@ class ManifestStoreSpec extends AnyFunSuite {
     // the committed state is still readable and intact
     assert(store.read("nodes").get.count() === 1)
   }
+
+  test("two concurrent writers race the CAS: one wins, the loser conflicts, never a corrupt manifest") {
+    // The kv conflict analog (assemblage_kv/src/lib.rs:528-546): both
+    // writers contend for the SAME slot from the SAME base version and
+    // release together on a latch, across enough rounds to hit
+    // genuinely interleaved link(2) calls. Invariants per round:
+    // exactly one Right, version advances by exactly 1, the manifest
+    // parses, the visible slot content is the winner's payload, and
+    // the loser's payload is nowhere visible.
+    val store = new ManifestStore(spark, tmpRoot())
+    assert(store.begin()
+      .stage("nodes", versionedRows((1L, 10L, false, "seed")))
+      .commit() === Right(1L))
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 12) {
+        val base = store.currentVersion()
+        // stage OUTSIDE the latched window: the race under test is the
+        // manifest CAS, not parquet writing
+        val txns = Seq("a", "b").map { tag =>
+          tag -> store.begin().stage("contended",
+            versionedRows((round.toLong, round.toLong, false, tag)))
+        }
+        val start = new CountDownLatch(1)
+        val futures = txns.map { case (tag, txn) =>
+          tag -> pool.submit(new java.util.concurrent.Callable[Either[store.Conflict, Long]] {
+            def call(): Either[store.Conflict, Long] = { start.await(); txn.commit() }
+          })
+        }
+        start.countDown()
+        val byTag = futures.map { case (tag, f) => tag -> f.get() }.toMap
+        assert(byTag.values.count(_.isRight) === 1,
+          s"round $round: expected exactly one winner, got $byTag")
+        assert(byTag.values.count(_.isLeft) === 1)
+        assert(store.currentVersion() === base + 1, s"round $round: version skew")
+        val winner = byTag.collectFirst { case (tag, Right(_)) => tag }.get
+        val m = store.manifest() // must parse; carries prior slots
+        assert(m.contains("nodes") && m.contains("contended"))
+        val visible = store.read("contended").get
+          .filter(s"version_ts = $round").select("payload")
+          .collect().map(_.getString(0)).toSeq
+        assert(visible === Seq(winner),
+          s"round $round: visible payload $visible, winner $winner")
+      }
+      // the loser is not wedged: a fresh txn from the new base commits
+      assert(store.begin()
+        .stage("contended", versionedRows((999L, 999L, false, "retry")))
+        .commit().isRight)
+    } finally pool.shutdown()
+  }
 }
