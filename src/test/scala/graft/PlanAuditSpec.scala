@@ -30,10 +30,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q35 brute-force top-k: pure non-equi condition (qid =!= nid)
     // against the BROADCAST QUERY side — the corpus is the streamed
     // side and never broadcasts; safe at any corpus size. q94 wraps
-    // the same top-k (label-purity aggregation on top) and q101 runs
-    // it twice (quantized + float sides), all inheriting the identical
+    // the same top-k (label-purity aggregation on top), q101 runs it
+    // twice (quantized + float sides), and q109's recall gate contains
+    // it as the EXACT side of the comparison (the composed quantized
+    // IVF under test is all equi-joins) — all inheriting the identical
     // join with the identical smallness argument.
-    val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity", "q101_quantized_recall")
+    val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
+      "q101_quantized_recall", "q109_ann_ivf_quantized")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++
