@@ -415,8 +415,10 @@ object Pipelines {
         .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
         .join(gate.rejected.select(col("id").as("vec_id"), col("reason")),
           Seq("vec_id"), "left")
+        .join(gate.clustersNow.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
         .select(col("vec_id"), col("batch"),
-          coalesce(col("reason"), lit("accepted")).as("status"))
+          coalesce(col("reason"), lit("accepted")).as("status"),
+          col("component_id"))
     }),
 
     // Gopher rule battery: the published heuristic quality filter
@@ -967,7 +969,7 @@ object Pipelines {
     // the q93 quantized-hyperplane reconstruction, then the same fold
     // chain.
     "q105_embedding_gate_replay" ->
-      s"""WITH $embCte,
+      s"""WITH RECURSIVE $embCte,
          eq AS (SELECT vec_id, v,
                 [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
                 FROM embeddings JOIN e USING (vec_id)),
@@ -983,11 +985,20 @@ object Pipelines {
                 JOIN e a ON a.vec_id = sa.vec_id JOIN e b ON b.vec_id = sb.vec_id
                 WHERE ${sqlCosine("a.v", "b.v", 64)} >= 0.30),
          acc0 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 4 = 0),
-         ${gateFoldCtes("vec_id", "embeddings", 3)}
+         ${gateFoldCtes("vec_id", "embeddings", 3)},
+         gedges AS (${(1 to 3).map(i =>
+          s"""SELECT n.u, n.v FROM nd n JOIN acc${i - 1} a ON n.v = a.id WHERE n.u % 4 = $i
+             UNION SELECT n.u, n.v FROM nd n WHERE n.u % 4 = $i AND n.v % 4 = $i""")
+          .mkString("\n UNION\n ")}),
+         sym AS (SELECT u AS a, v AS b FROM gedges UNION SELECT v, u FROM gedges),
+         reach(a, b) AS (SELECT vec_id, vec_id FROM embeddings
+                         UNION SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+         comp AS (SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a)
          SELECT m.vec_id, m.vec_id % 4 AS batch,
-                coalesce(r.reason, 'accepted') AS status
+                coalesce(r.reason, 'accepted') AS status, c.component_id
          FROM embeddings m
          LEFT JOIN (${gateRejUnion(3)}) r ON r.id = m.vec_id
+         JOIN comp c ON c.vec_id = m.vec_id
          WHERE m.vec_id % 4 <> 0""",
 
     // Delta fold ≡ full recompute: the oracle is the FULL CC over the

@@ -533,6 +533,12 @@ object Streams {
     * O(corpus) pass that happens O(log n) times over a stream's life,
     * so the amortized per-batch cost stays O(delta) while bucket
     * population stays bounded forever.
+    *
+    * Cluster state (round 8): like [[DedupGate]], the gate maintains
+    * the full duplicate clustering over every vector seen via the
+    * per-batch delta-CC fold (Components.deltaRelabel) — append-only
+    * label segments + a changed-root remap, compacted whenever the
+    * index compacts OR resigns. Oracle-gated end-to-end by q105.
     */
   final class EmbeddingDedupGate private[graft] (
       initial: DataFrame,
@@ -547,6 +553,22 @@ object Streams {
       Vector(Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes).transform(graft.ops.Ckpt.fresh))
     @volatile private var count: Long = indexSegs.head.count()
     @volatile private var rejectedLog: Option[DataFrame] = None
+    // Cluster state — the same delta-CC fold as the text gate
+    // (append-only base labels + changed-root remap, LSM-compacted);
+    // maintained for integral id columns only.
+    private val integralIds: Boolean =
+      initial.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    @volatile private var labelSegs: Vector[DataFrame] =
+      if (!integralIds) Vector.empty
+      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
+        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
+    @volatile private var rootRemap: Option[DataFrame] = None
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
@@ -560,15 +582,35 @@ object Streams {
       indexSegs.head.sparkSession.emptyDataFrame
         .select(lit(0L).as("id"), lit("").as("reason")).limit(0))
 
+    /** (doc_id, component_id) over every vector the gate has ever
+      * seen — accepted and rejected — maintained by the per-batch
+      * delta-CC fold, exactly as [[DedupGate.clustersNow]].
+      */
+    def clustersNow: DataFrame = {
+      require(integralIds,
+        s"cluster maintenance needs an integral id column; '$idCol' is " +
+          initial.schema(idCol).dataType.simpleString)
+      val base = unionAll(labelSegs)
+      rootRemap.fold(base) { rm =>
+        base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
+          .select(base("doc_id"),
+            coalesce(col("new_root"), base("component_id")).as("component_id"))
+      }
+    }
+
     /** Synchronously fold one micro-batch of (id, vector) rows. */
     def ingest(batch: DataFrame): Unit = fold(batch)
 
     private[graft] def fold(batch: DataFrame): Unit = {
-      val vsStanding = Similarity.cosinePairsLshIndexed(
+      val vsPairs = Similarity.cosinePairsLshIndexed(
           indexNow, batch, idCol, vecCol, dim, planes, threshold)
-        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
-      val within = Similarity.cosinePairsLsh(
+        .transform(graft.ops.Ckpt.fresh)
+      val withinPairs = Similarity.cosinePairsLsh(
           batch, idCol, vecCol, dim, planes, threshold)
+        .transform(graft.ops.Ckpt.fresh)
+      val vsStanding = vsPairs
+        .select(col("delta_id").as("id"), lit("near-dup of corpus").as("reason"))
+      val within = withinPairs
         .select(greatest(col("id_a"), col("id_b")).as("id"),
           lit("near-dup within batch").as("reason"))
       val flagged = vsStanding.unionByName(within)
@@ -582,7 +624,47 @@ object Streams {
         .transform(graft.ops.Ckpt.fresh)
       indexSegs = indexSegs :+ cleanIdx
       count += cleanIdx.count()
+      // Cluster maintenance — identical shape to DedupGate.fold: the
+      // batch's full pair stream folds into standing labels via
+      // delta-CC; rejected vectors are cluster members too.
+      val foldScratch = if (!integralIds) Seq.empty[DataFrame] else {
+        val edges = vsPairs
+          .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(withinPairs.select(col("id_a"), col("id_b")))
+        val d = graft.ops.Components.deltaRelabel(
+          clustersNow, batch.select(col(idCol).cast("long").as("id")), edges)
+        val newSeg = d.newDocLabels
+          .join(broadcast(d.knownIds.select(col("id").as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .transform(graft.ops.Ckpt.fresh)
+        labelSegs = labelSegs :+ newSeg
+        val prevRemap = rootRemap
+        rootRemap =
+          if (d.rootMap.isEmpty) prevRemap
+          else prevRemap match {
+            case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
+            case Some(old) =>
+              val step = d.rootMap
+                .select(col("old_root").as("o2"), col("new_root").as("n2"))
+              val composed = old
+                .join(broadcast(step), old("new_root") === col("o2"), "left")
+                .select(old("old_root"),
+                  coalesce(col("n2"), old("new_root")).as("new_root"))
+                .unionByName(d.rootMap)
+                .transform(graft.ops.Ckpt.fresh)
+              releaseCheckpoint(old)
+              Some(composed)
+          }
+        d.scratch
+      }
       foldsSinceCompact += 1
+      def compactLabels(): Unit = if (integralIds) {
+        val (oldLabels, oldRemap) = (labelSegs, rootRemap)
+        labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
+        rootRemap = None
+        oldLabels.foreach(releaseCheckpoint)
+        oldRemap.foreach(releaseCheckpoint)
+      }
       val wantPlanes = Similarity.autoPlanes(count, targetBucket)
       if (wantPlanes > planes) {
         // amortized re-signature at the new B: unpack the carried
@@ -594,14 +676,19 @@ object Streams {
         planes = wantPlanes
         foldsSinceCompact = 0
         old.foreach(releaseCheckpoint)
+        compactLabels()
       } else if (foldsSinceCompact >= compactEvery) {
         val old = indexSegs
         indexSegs = Vector(unionAll(old).transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
         old.foreach(releaseCheckpoint)
+        compactLabels()
       }
       prevLog.foreach(releaseCheckpoint)
       releaseCheckpoint(flagged)
+      releaseCheckpoint(vsPairs)
+      releaseCheckpoint(withinPairs)
+      foldScratch.foreach(releaseCheckpoint)
     }
   }
 

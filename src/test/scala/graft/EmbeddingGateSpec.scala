@@ -58,6 +58,38 @@ class EmbeddingGateSpec extends AnyFunSuite {
     assert(gate.corpusCount === 5L) // 2 initial + batch1's 11,13 + batch2's 21
     assert(gate.indexNow.select("id").collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L, 11L, 13L, 21L))
+    // Cluster state (round 8): rejected vectors are members of the
+    // clusters they duplicated — {1,10}, {11,12,20}, singletons.
+    val clusters = gate.clustersNow.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(
+      1L -> 1L, 2L -> 2L, 10L -> 1L, 11L -> 11L, 12L -> 11L, 13L -> 13L,
+      20L -> 11L, 21L -> 21L))
+  }
+
+  test("cluster labels survive the auto-B resign rebuild (labels compact with it)") {
+    // targetBucket tiny so the resign fires mid-stream; clusters must
+    // stay exact across both the index rewrite and label compaction.
+    val gate = Streams.newEmbeddingDedupGate(
+      frame(Seq(1L -> vec(1, 0), 2L -> vec(2, 0))), "vec_id", "embedding",
+      dim = dim, threshold = 0.95, targetBucket = 2L, compactEvery = 2)
+    gate.ingest(frame(Seq(30L -> vec(1, 3), 31L -> vec(6, 0))))
+    gate.ingest(frame(Seq(32L -> vec(6, 1), 33L -> vec(7, 0))))
+    gate.ingest(frame(Seq(34L -> vec(6, 2), 35L -> vec(1, 4))))
+    val clusters = gate.clustersNow.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(
+      1L -> 1L, 2L -> 2L, 30L -> 1L, 31L -> 31L, 32L -> 31L, 33L -> 33L,
+      34L -> 31L, 35L -> 1L))
+    // Independent rebuild cross-check over the pairs the gate could
+    // have discovered.
+    val s = spark
+    import s.implicits._
+    val rebuilt = graft.ops.Components.dedupClusters(
+        Seq(1L, 2L, 30L, 31L, 32L, 33L, 34L, 35L).toDF("id"),
+        Seq((30L, 1L), (32L, 31L), (34L, 31L), (35L, 1L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === rebuilt)
   }
 
   test("auto-B rebuild: crossing the bucket threshold re-signs the index bit-identically") {
