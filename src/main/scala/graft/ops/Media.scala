@@ -282,6 +282,111 @@ object Media {
         (col("ca") + col("cb") - col("inter")).as("union_size"))
   }
 
+  final case class WavFeatures(
+      doc_id: Long,
+      channels: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      pcm_md5: String)
+
+  /** Deterministic RIFF/WAVE (16-bit PCM) encoding of a text corpus —
+    * the audio twin of [[asPpm]]: a real container with LITTLE-ENDIAN
+    * binary header fields (unlike PPM's ASCII header, this exercises
+    * genuine binary field parsing). Channels, sample rate and sample
+    * count derive from the byte length so the DuckDB twin reproduces
+    * them from octet_length; the PCM payload is the UTF-8 text cycled.
+    */
+  def asWav(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "audio/wav", encodeWav(bytes))
+      })
+  }
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+  }
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private[graft] def encodeWav(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val channels = 1 + l % 2
+    val sampleRate = 8000 + (l % 8) * 1000
+    val nSamples = 64 + l % 512 // per channel
+    val dataBytes = nSamples * channels * 2
+    val out = new Array[Byte](44 + dataBytes)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, out, 0, 4)
+    putLe32(out, 4, 36 + dataBytes)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, out, 8, 4)
+    System.arraycopy("fmt ".getBytes("US-ASCII"), 0, out, 12, 4)
+    putLe32(out, 16, 16) // PCM fmt chunk size
+    putLe16(out, 20, 1) // PCM
+    putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * channels * 2) // byte rate
+    putLe16(out, 32, channels * 2) // block align
+    putLe16(out, 34, 16) // bits per sample
+    System.arraycopy("data".getBytes("US-ASCII"), 0, out, 36, 4)
+    putLe32(out, 40, dataBytes)
+    var i = 0
+    while (i < dataBytes) { out(44 + i) = src(i % l); i += 1 }
+    out
+  }
+
+  /** REAL RIFF/WAVE parser: magic checks, little-endian field decode,
+    * PCM-only, internal-consistency validation (byte rate, block
+    * align, chunk sizes vs payload). Throws on malformed input.
+    */
+  private[graft] def decodeWavBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    require(b.length >= 44, "truncated WAV header")
+    require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE", "not a RIFF/WAVE file")
+    require(le32(b, 4) == b.length - 8, "RIFF chunk size inconsistent")
+    require(ascii(12, 4) == "fmt " && le32(b, 16) == 16, "unsupported fmt chunk")
+    require(le16(b, 20) == 1, "not PCM")
+    val channels = le16(b, 22)
+    val sampleRate = le32(b, 24)
+    require(le32(b, 28) == sampleRate * channels * 2, "byte rate inconsistent")
+    require(le16(b, 32) == channels * 2, "block align inconsistent")
+    require(le16(b, 34) == 16, "not 16-bit")
+    require(ascii(36, 4) == "data", "missing data chunk")
+    val dataBytes = le32(b, 40)
+    require(dataBytes == b.length - 44, s"data size $dataBytes != payload ${b.length - 44}")
+    require(dataBytes % (channels * 2) == 0, "payload not frame-aligned")
+    (channels, sampleRate, dataBytes / (channels * 2),
+      java.util.Arrays.copyOfRange(b, 44, b.length))
+  }
+
+  /** Parse each media row's WAV container and digest its PCM payload
+    * (hex-space digest, as [[decodePpm]]). Per-partition, zero
+    * shuffles.
+    */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (ch, sr, n, pcm) = decodeWavBytes(row.content)
+        WavFeatures(row.doc_id, ch.toLong, sr.toLong, n.toLong,
+          md5Hex(md, hexUpper(pcm, 0, pcm.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving
     * aspect ratio, integer-exact (the stub twin of a thumbnailing
     * pass; a real implementation would also transform the bytes).

@@ -504,6 +504,16 @@ object Pipelines {
         Media.asPpm(docs.select("doc_id", "text").unionByName(twins), "doc_id", "text"))
     }),
 
+    // Second real container — RIFF/WAVE 16-bit PCM: little-endian
+    // binary header fields (channels / sample rate / sample count all
+    // validated for internal consistency) + PCM payload digest. Proves
+    // the decode path handles genuine binary field layouts, not just
+    // PPM's ASCII header.
+    "q110_wav_decode" -> ((s, dir) =>
+      Media.decodeWav(Media.asWav(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "channels", "sample_rate", "n_samples", "pcm_md5")),
+
     // Resize metadata: fit (width, height) into 256px preserving aspect
     // ratio, integer-exact.
     "q52_media_resize" -> ((s, dir) => {
@@ -1284,6 +1294,25 @@ object Pipelines {
            CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
            md5(substr(repeat(hex(encode(t)), CAST((w*h*3 + l - 1) // l AS INT)),
                1, 2 * w * h * 3)) AS pixel_md5
+         FROM dims""",
+
+    "q110_wav_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, t,
+             octet_length(encode(t)) AS l,
+             1 + octet_length(encode(t)) % 2 AS channels,
+             8000 + (octet_length(encode(t)) % 8) * 1000 AS sample_rate,
+             64 + octet_length(encode(t)) % 512 AS n_samples
+           FROM src)
+         SELECT doc_id,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           md5(substr(repeat(hex(encode(t)),
+                 CAST((n_samples * channels * 2 + l - 1) // l AS INT)),
+               1, 2 * n_samples * channels * 2)) AS pcm_md5
          FROM dims""",
 
     "q108_media_dedup" ->

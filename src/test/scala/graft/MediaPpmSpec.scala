@@ -53,6 +53,60 @@ class MediaPpmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Media.decodePpmBytes("P6\n2 2\n254\n".getBytes ++ Array.fill(12)(0.toByte)))
   }
 
+  test("WAV encode/decode round-trip recovers every header field and the PCM bytes") {
+    val rnd = new Random(17)
+    for (len <- Seq(1, 100, 511, 512, 2048)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val blob = Media.encodeWav(src)
+      val (ch, sr, n, pcm) = Media.decodeWavBytes(blob)
+      assert(ch === 1 + len % 2)
+      assert(sr === 8000 + (len % 8) * 1000)
+      assert(n === 64 + len % 512)
+      assert(pcm.length === n * ch * 2)
+      pcm.zipWithIndex.foreach { case (b, i) =>
+        assert(b === src(i % len), s"pcm byte $i diverged at len=$len")
+      }
+    }
+  }
+
+  test("WAV little-endian fields parse from hand-built bytes (not just our encoder)") {
+    // 2 channels, 48000 Hz, 4 samples: field bytes written by hand so
+    // an endianness bug in EITHER direction cannot self-cancel.
+    val data = Array.tabulate(16)(i => i.toByte) // 4 samples * 2 ch * 2 bytes
+    val b = new Array[Byte](44 + 16)
+    "RIFF".getBytes.copyToArray(b, 0)
+    b(4) = 52; b(5) = 0; b(6) = 0; b(7) = 0 // 36 + 16 = 52 LE
+    "WAVE".getBytes.copyToArray(b, 8)
+    "fmt ".getBytes.copyToArray(b, 12)
+    b(16) = 16
+    b(20) = 1
+    b(22) = 2 // channels LE
+    // 48000 = 0xBB80
+    b(24) = 0x80.toByte; b(25) = 0xbb.toByte; b(26) = 0; b(27) = 0
+    // byte rate 48000*2*2 = 192000 = 0x2EE00
+    b(28) = 0x00; b(29) = 0xee.toByte; b(30) = 0x02; b(31) = 0
+    b(32) = 4 // block align
+    b(34) = 16 // bits
+    "data".getBytes.copyToArray(b, 36)
+    b(40) = 16
+    data.copyToArray(b, 44)
+    val (ch, sr, n, pcm) = Media.decodeWavBytes(b)
+    assert((ch, sr, n) === (2, 48000, 4))
+    assert(pcm.toSeq === data.toSeq)
+  }
+
+  test("malformed WAVs are rejected: bad magic, non-PCM, inconsistent sizes") {
+    val good = Media.encodeWav("sixteen pcm bytes or so".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Media.decodeWavBytes(good.take(40)))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Media.decodeWavBytes(badMagic))
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    intercept[IllegalArgumentException](Media.decodeWavBytes(nonPcm))
+    intercept[IllegalArgumentException](Media.decodeWavBytes(good.dropRight(2)))
+    val badRate = good.clone(); badRate(28) = (badRate(28) + 1).toByte
+    intercept[IllegalArgumentException](Media.decodeWavBytes(badRate))
+  }
+
   test("frame near-dup: last-char swap shares frame 0; disjoint blobs pair with nothing") {
     val s = spark
     import s.implicits._
