@@ -111,6 +111,21 @@ object ClusterSanity {
       time(q)(noop(fn(spark, sfDir)))
     }
 
+    // 3c. Round-8 additions: the fused delta-CC fold's single
+    // union-find task (tagged-union shuffle + LongMap kernel on an
+    // executor), the winnowing kernel + its broadcast repeated set,
+    // the gate replays (three synchronous folds with cluster
+    // maintenance, crossing executor boundaries every fold), the real
+    // container decodes (binary payloads shipped to executors), and
+    // the quantized-IVF recall gate (int8 closure UDFs + the
+    // broadcast-query BNLJ exact side).
+    for (q <- Seq("q103_dedup_clusters_delta", "q106_exact_substr_strided",
+        "q104_gate_replay", "q107_media_decode", "q110_wav_decode",
+        "q108_media_dedup", "q109_ann_ivf_quantized")) {
+      val fn = graft.SparkEntry.queries(q)
+      time(q)(noop(fn(spark, sfDir)))
+    }
+
     // 4. Streaming-shaped operators under separate worker JVMs: the
     // flatMapGroupsWithState sessionizer (stateful-operator + state
     // store serialization — local[32] shares one JVM and shortcuts
@@ -125,7 +140,9 @@ object ClusterSanity {
       val gate = graft.streaming.Streams.newDedupGate(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
       (1 to 5).foreach(i => gate.ingest(docs.filter(col("doc_id") % 10 === i)))
-      println(s"[cluster-sanity]   gate rejected=${gate.rejected.count()} corpus=${gate.corpusNow.count()}")
+      val cl = gate.clustersNow
+        .agg(count(lit(1)), countDistinct(col("component_id"))).head()
+      println(s"[cluster-sanity]   gate rejected=${gate.rejected.count()} corpus=${gate.corpusNow.count()} labeled=${cl.getLong(0)} clusters=${cl.getLong(1)}")
     }
     spark.stop()
   }
