@@ -353,6 +353,98 @@ object Curation {
         coalesce(col("offset_tokens"), lit(-1L)).as("offset_tokens"))
   }
 
+  /** Incremental curation — the delta twin of [[curationPipeline]] and
+    * the capstone of the delta family (q85/q93/q99/q103): a NEW batch
+    * flows through the same five stages against STANDING state, with
+    * append-stream semantics (standing is immutable — shards already
+    * written never re-pack):
+    *
+    *  1. exact dedup: a batch doc is dropped if its digest exists in
+    *     the STANDING corpus (standing wins — the gate rule) or a
+    *     lower-id batch doc shares it;
+    *  2–4. Gopher quality / decontamination / split are per-doc and
+    *     run on the batch alone (eval vocabulary broadcast, as q82);
+    *  5. shard APPEND: kept train docs pack continuing from the
+    *     standing pipeline's cumulative train-token total — md5 order
+    *     within the batch, so a batch doc may share the standing tail
+    *     shard (exactly how an immutable shard stream grows).
+    *
+    * Plan shape per batch: the standing side contributes ONE
+    * digest-index probe (broadcast batch digests; delta-bounded
+    * output) and ONE scalar (the carried train-token total). Both are
+    * recomputed here from the raw standing corpus so the q111 oracle
+    * can replay them; a production pipeline carries the digest index
+    * and the counter as state (the gate/LSM shape) and pays O(delta).
+    * Output: (doc_id, split, shard_id, offset_tokens) for KEPT batch
+    * docs — q102's shape restricted to the batch.
+    */
+  def curationPipelineDelta(
+      standing: DataFrame,
+      delta: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    def gated(corpus: DataFrame): DataFrame = {
+      val quality = TextAnalysis.gopherRules(corpus, idCol, textCol)
+        .filter(col("keep")).select("doc_id")
+      val clean = decontaminate(corpus, evalSet, idCol, textCol, k = 3)
+        .filter(!col("contaminated")).select("doc_id")
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+    }
+    // Standing carried state, recomputed for oracle-ability: the
+    // cumulative train-token total of the standing pipeline's output.
+    graft.functions.TextStatsFns.ensureRegistered(standing.sparkSession)
+    val standingCanon = Dedup.exact(standing, idCol, textCol)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    val standingTrainTokens = gated(standing)
+      .join(standingCanon, Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
+      .filter(col("split") === "train")
+      .select(call_function("graft_text_stats", col("text"))
+        .getField("n_tokens").as("n_tokens"))
+      .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    // Batch exact dedup vs standing (digest-index probe, standing
+    // never shuffled) and within the batch (min id per digest).
+    val bDocs = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("digest", md5(col("text")))
+    val standingHit = standing.select(md5(col(textCol)).as("digest"))
+      .join(broadcast(bDocs.select("digest").distinct()), Seq("digest"), "left_semi")
+      .distinct()
+      .transform(Ckpt.fresh)
+    val wDig = Window.partitionBy("digest").orderBy("doc_id")
+    val bCanon = bDocs
+      .join(broadcast(standingHit), Seq("digest"), "left_anti")
+      .withColumn("rn", row_number().over(wDig))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    val kept = gated(bCanon.withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("text", textCol))
+      .withColumn("split",
+        splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
+    // Append packing: q86's prefix sum over the batch, shifted by the
+    // standing total.
+    val packed = shardPack(kept.filter(col("split") === "train"), "doc_id", "text",
+        tokensPerShard)
+      .select(col("doc_id"),
+        (col("shard_id") * tokensPerShard + col("offset_tokens") +
+          lit(standingTrainTokens)).as("cum"))
+      .select(col("doc_id"),
+        expr(s"cum div $tokensPerShard").as("shard_id"),
+        expr(s"cum % $tokensPerShard").as("offset_tokens"))
+    kept.select(col("doc_id"), col("split"))
+      .join(packed, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("split"),
+        coalesce(col("shard_id"), lit(-1L)).as("shard_id"),
+        coalesce(col("offset_tokens"), lit(-1L)).as("offset_tokens"))
+  }
+
   /** Canonical-representative selection: for every near-dup cluster,
     * keep the member with the highest quality score (min doc_id
     * tie-break) — the retention decision a dedup pipeline makes after

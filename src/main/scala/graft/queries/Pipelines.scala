@@ -421,6 +421,23 @@ object Pipelines {
           col("component_id"))
     }),
 
+    // Incremental curation — the delta-family capstone: the doc_id%7=0
+    // batch flows through the q102 stages against STANDING state with
+    // append-stream semantics (standing digests win exact dedup; kept
+    // train docs pack CONTINUING from the standing cumulative token
+    // total, so a batch doc may share the standing tail shard). The
+    // standing side contributes one digest-index probe and one carried
+    // scalar — O(delta) in production.
+    "q111_curation_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Curation.curationPipelineDelta(
+        standing = corpus.filter(col("doc_id") % 7 =!= 0),
+        delta = corpus.filter(col("doc_id") % 7 === 0),
+        evalSet = docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", tokensPerShard = 16384L)
+    }),
+
     // Gopher rule battery: the published heuristic quality filter
     // (word count / mean word length / symbol ratio / stopword
     // presence / alpha-word ratio) as per-rule flags + keep, exact
@@ -570,6 +587,27 @@ object Pipelines {
   /** The rejection chain's union for the final per-doc status join. */
   private def gateRejUnion(nBatches: Int): String =
     (1 to nBatches).map(i => s"SELECT id, reason FROM rej$i").mkString(" UNION ALL ")
+
+  /** q102's Gopher-keep stage over `corpus$sfx`, suffix-parameterized
+    * so q111 can replay it on the standing and batch subsets.
+    */
+  private def gopherKeepCte(sfx: String): String =
+    s"""gw$sfx AS (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM corpus$sfx),
+       gm$sfx AS (SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS word_chars,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                CAST(len(regexp_extract_all(text, '#')) +
+                     len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbols,
+                CAST(len(list_filter(w, x -> lower(x) IN
+                     ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits
+              FROM gw$sfx),
+       gk$sfx AS (SELECT doc_id FROM gm$sfx
+              WHERE n_words >= 50 AND n_words <= 100000
+                AND word_chars * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000
+                AND symbols * 1000 // greatest(n_words, 1) < 100
+                AND stop_hits >= 2
+                AND alpha_words * 1000 // greatest(n_words, 1) >= 800)"""
 
   private val minhashPermValues: String =
     graft.ops.Dedup.minhashCoeffs(64).zipWithIndex
@@ -1342,6 +1380,66 @@ object Pipelines {
          SELECT id_a, id_b, inter,
                 ca.c + cb.c - inter AS union_size
          FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id""",
+
+    // Delta-curation replay: standing stages re-derived to produce the
+    // carried state (digest set + train-token total), then the batch's
+    // decisions and append packing — shard ids continue from the
+    // standing total.
+    "q111_curation_delta" ->
+      s"""WITH corpuss AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 97 <> 0 AND doc_id % 7 <> 0),
+         corpusb AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0),
+         ${gopherKeepCte("s")},
+         ${gopherKeepCte("b")},
+         toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         conts AS (SELECT DISTINCT s.doc_id FROM shh s JOIN corpuss USING (doc_id)
+                   WHERE s.h IN (SELECT h FROM ev)),
+         contb AS (SELECT DISTINCT s.doc_id FROM shh s JOIN corpusb USING (doc_id)
+                   WHERE s.h IN (SELECT h FROM ev)),
+         dgs AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM corpuss),
+         canons AS (SELECT doc_id FROM dgs WHERE doc_id = cid),
+         kepts AS (SELECT c.doc_id, c.text FROM corpuss c
+                   JOIN canons USING (doc_id) JOIN gks USING (doc_id)
+                   WHERE c.doc_id NOT IN (SELECT doc_id FROM conts)),
+         kss AS (SELECT doc_id, text,
+                  CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                       WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                       ELSE 'test' END AS split
+                 FROM kepts),
+         stot AS (SELECT CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS tot
+                  FROM kss WHERE split = 'train'),
+         sdig AS (SELECT DISTINCT md5(text) AS digest FROM corpuss),
+         bdg AS (SELECT doc_id, text, md5(text) AS digest,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM corpusb),
+         canonb AS (SELECT doc_id, text FROM bdg
+                    WHERE rn = 1 AND digest NOT IN (SELECT digest FROM sdig)),
+         keptb AS (SELECT c.doc_id, c.text FROM canonb c
+                   JOIN gkb ON gkb.doc_id = c.doc_id
+                   WHERE c.doc_id NOT IN (SELECT doc_id FROM contb)),
+         ksb AS (SELECT doc_id, text,
+                  CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                       WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                       ELSE 'test' END AS split
+                 FROM keptb),
+         tkb AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                  md5(text) AS okey
+                 FROM ksb WHERE split = 'train'),
+         cumb AS (SELECT doc_id,
+                   CAST((SELECT tot FROM stot) +
+                     coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                  FROM tkb)
+         SELECT ksb.doc_id, ksb.split,
+                CAST(coalesce(cumb.cb // 16384, -1) AS BIGINT) AS shard_id,
+                CAST(coalesce(cumb.cb % 16384, -1) AS BIGINT) AS offset_tokens
+         FROM ksb LEFT JOIN cumb USING (doc_id)""",
 
     "q102_curation_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),

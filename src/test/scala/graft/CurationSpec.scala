@@ -153,4 +153,46 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out(1L) === true, "id-colliding contaminated doc escaped the gate")
   }
+
+  test("curationPipelineDelta: standing digests win, shards append from the standing total") {
+    val s = spark
+    import s.implicits._
+    // Gopher-passing text: >=50 words, sane lengths, stopwords, alpha.
+    def body(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(i => if (i % 7 == 0) "the" else if (i % 11 == 0) "with"
+        else "word" + rnd.nextInt(1000)).mkString(" ")
+    }
+    val tA = body(1); val tB = body(2); val tC = body(3); val tD = body(4)
+    val standing = Seq((10L, tA), (11L, tB)).toDF("doc_id", "text")
+    // 20 duplicates standing tA -> dropped even though 20 > 10 would
+    // never matter (standing wins regardless of id order); 21/22 dup
+    // each other within the batch (21 survives); 23 novel.
+    val delta = Seq((20L, tA), (21L, tC), (22L, tC), (23L, tD)).toDF("doc_id", "text")
+    val eval = Seq((990L, "held out eval content entirely distinct")).toDF("doc_id", "text")
+    val out = Curation.curationPipelineDelta(standing, delta, eval,
+        "doc_id", "text", tokensPerShard = 16384L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(20L), "standing-dup batch doc leaked through")
+    assert(!out.contains(22L), "within-batch dup leaked through")
+    assert(out.contains(21L) && out.contains(23L))
+    // Standing train total: tA/tB have 60 tokens each; their split
+    // depends on md5 — recompute the expected base as the operator
+    // defines it and check batch train offsets continue from it.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String) =
+      md.digest(t.getBytes("UTF-8")).take(1).map(b => f"${b & 0xff}%02x").mkString
+    val standingTrainTokens = Seq(tA, tB).filter(bucket(_) < "e6").map(_ => 60L).sum
+    val batchTrain = Seq(21L -> tC, 23L -> tD)
+      .filter { case (id, t) => out(id)._1 == "train" }
+      .sortBy { case (_, t) =>
+        (md.digest(t.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString, t) }
+    batchTrain.zipWithIndex.foreach { case ((id, _), i) =>
+      val expectedCum = standingTrainTokens + i * 60L
+      assert(out(id)._2 === expectedCum / 16384L, s"doc $id shard")
+      assert(out(id)._3 === expectedCum % 16384L,
+        s"doc $id offset: got ${out(id)._3}, want ${expectedCum % 16384L}")
+    }
+  }
 }
