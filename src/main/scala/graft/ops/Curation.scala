@@ -384,7 +384,8 @@ object Curation {
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
-      tokensPerShard: Long): DataFrame = {
+      tokensPerShard: Long,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
     def gated(corpus: DataFrame): DataFrame = {
       val quality = TextAnalysis.gopherRules(corpus, idCol, textCol)
         .filter(col("keep")).select("doc_id")
@@ -410,16 +411,22 @@ object Curation {
       .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
       .head().getLong(0)
     // Batch exact dedup vs standing (digest-index probe, standing
-    // never shuffled) and within the batch (min id per digest).
+    // never shuffled) and within the batch (min id per digest). The
+    // delta-derived build sides broadcast under the cap and fall back
+    // to shuffle joins for backfill-sized deltas — the same two-regime
+    // rule as the other delta operators.
     val bDocs = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("digest", md5(col("text")))
+    val bDigests = bDocs.select("digest").distinct().transform(Ckpt.fresh)
+    val deltaSmall = bDigests.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     val standingHit = standing.select(md5(col(textCol)).as("digest"))
-      .join(broadcast(bDocs.select("digest").distinct()), Seq("digest"), "left_semi")
+      .join(sized(bDigests), Seq("digest"), "left_semi")
       .distinct()
       .transform(Ckpt.fresh)
     val wDig = Window.partitionBy("digest").orderBy("doc_id")
     val bCanon = bDocs
-      .join(broadcast(standingHit), Seq("digest"), "left_anti")
+      .join(sized(standingHit), Seq("digest"), "left_anti")
       .withColumn("rn", row_number().over(wDig))
       .filter(col("rn") === 1)
       .select("doc_id", "text")

@@ -263,16 +263,29 @@ object Media {
   /** Media near-dup pairs: blobs sharing ≥ 1 exact pixel frame, with
     * (inter, union_size) over their DISTINCT frame-digest sets — the
     * media twin of the text overlap index: an inverted frame-digest
-    * join, never an all-pairs blob comparison. Shared 256-byte frames
-    * are content collisions, so the join output is overlap-mass-
-    * bounded at any corpus size.
+    * join, never an all-pairs blob comparison.
+    *
+    * `maxFrameFreq` is the stop-frame prune (the ShingleCap analog for
+    * bytes): a frame shared by more docs than the cap — think runs of
+    * zero pixels, constant-color padding, silence frames — contributes
+    * O(df²) pairs and no dedup signal, so it is dropped BEFORE the
+    * self-join via the same sort-free agg→broadcast-anti shape the
+    * Jaccard index uses. Set sizes count KEPT frames (both sides of
+    * the oracle agree). This is what bounds the join at 100 TB, where
+    * some 256-byte frame WILL be shared by millions of blobs.
     */
-  def mediaNearDupPairs(media: Dataset[MediaRow]): DataFrame = {
+  def mediaNearDupPairs(
+      media: Dataset[MediaRow],
+      maxFrameFreq: Long = 100L): DataFrame = {
     val fr = ppmFrameDigests(media).toDF()
       .select(col("doc_id"), col("frame_md5").as("fh")).distinct()
-    val cnt = fr.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = fr.select(col("doc_id").as("id_a"), col("fh"))
-      .join(fr.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
+    val hot = fr.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFrameFreq)
+      .select("fh")
+    val kept = fr.join(broadcast(hot), Seq("fh"), "left_anti")
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = kept.select(col("doc_id").as("id_a"), col("fh"))
+      .join(kept.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter

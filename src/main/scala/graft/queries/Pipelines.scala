@@ -1370,9 +1370,11 @@ object Pipelines {
                1, 2 * w * h * 3) AS ph,
              w * h * 3 AS npix
            FROM dims),
-         fr AS (SELECT DISTINCT doc_id,
+         fr0 AS (SELECT DISTINCT doc_id,
              md5(substr(ph, CAST(512 * f + 1 AS INT), 512)) AS fh
            FROM pix, UNNEST(range(0, (npix + 255) // 256)) u(f)),
+         hot AS (SELECT fh FROM fr0 GROUP BY fh HAVING count(*) > 100),
+         fr AS (SELECT doc_id, fh FROM fr0 WHERE fh NOT IN (SELECT fh FROM hot)),
          cnt AS (SELECT doc_id, count(*) AS c FROM fr GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
                    FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
