@@ -20,9 +20,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Locale-pinned fixed-point formatting — the JSON must not pick up
-    * a comma decimal separator from the host locale.
+    * a comma decimal separator from the host locale. Shared with the
+    * gate benches, whose JSON lines have the same parseability
+    * contract.
     */
-  private def fmt(v: Double, dp: Int): String =
+  private[graft] def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {

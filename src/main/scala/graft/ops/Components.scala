@@ -225,6 +225,7 @@ object Components {
       rootMap: DataFrame,
       newDocLabels: DataFrame,
       knownIds: DataFrame,
+      deltaSmall: Boolean,
       private[graft] val scratch: Seq[DataFrame])
 
   /** Incremental connected components — the CC member of the delta
@@ -368,6 +369,7 @@ object Components {
       newDocLabels = outCk.where(col("t") === 1)
         .select(col("a").as("doc_id"), col("b").as("component_id")),
       knownIds = outCk.where(col("t") === 2).select(col("a").as("id")),
+      deltaSmall = true,
       scratch = Seq(outCk))
   }
 
@@ -422,6 +424,7 @@ object Components {
         coalesce(col("new_root"), col("root")).as("component_id"))
     DeltaLabels(rootMap, newDocLabels,
       knownIds = present.select("id"),
+      deltaSmall = deltaSmall,
       scratch = Seq(endpoints, present, epRoots, rootMap))
   }
 
@@ -445,12 +448,16 @@ object Components {
     // Re-ingested ids keep their standing row (labels agree by
     // construction: both sides resolve through the same root map).
     // knownIds already holds the delta-bounded standing membership —
-    // no further corpus probe.
+    // no further corpus probe. Both build sides inherit deltaRelabel's
+    // broadcast-regime decision: a backfill-sized delta falls back to
+    // shuffle joins instead of collecting a delta-endpoint-sized
+    // frame on the driver.
+    def sized(df: DataFrame): DataFrame = if (d.deltaSmall) broadcast(df) else df
     val newOnly = d.newDocLabels.join(
-      broadcast(d.knownIds.select(col("id").as("doc_id"))),
+      sized(d.knownIds.select(col("id").as("doc_id"))),
       Seq("doc_id"), "left_anti")
     standingLabels
-      .join(broadcast(d.rootMap), col("component_id") === col("old_root"), "left")
+      .join(sized(d.rootMap), col("component_id") === col("old_root"), "left")
       .select(col("doc_id"),
         coalesce(col("new_root"), col("component_id")).as("component_id"))
       .unionByName(newOnly)

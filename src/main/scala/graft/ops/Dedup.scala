@@ -595,16 +595,17 @@ object Dedup {
         col(textCol), lit(width), lit(stride))).as("h"))
     val rep = w.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
-      .select("h")
+      .select(col("h"), lit(1).as("is_rep"))
       .transform(Ckpt.fresh)
     val repSide = if (rep.count() <= broadcastRepCap) broadcast(rep) else rep
-    val hits = w.join(repSide, Seq("h"), "left_semi")
+    // One left join + one agg computes BOTH per-doc counts, so the
+    // winnowing kernel — the operator's dominant cost — runs exactly
+    // twice (rep build + this pass), matching stride 1's pass count.
+    val per = w.join(repSide, Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_repeated"))
+      .agg(count(lit(1)).as("n_selected"), count(col("is_rep")).as("n_repeated"))
     docs.select(col(idCol).as("doc_id"))
-      .join(w.groupBy("doc_id").agg(count(lit(1)).as("n_selected")),
-        Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_selected"), lit(0L)).as("n_selected"),
@@ -647,15 +648,18 @@ object Dedup {
     // Micro-batch deltas broadcast (the gate shape); a backfill-sized
     // delta above the cap falls back to shuffle joins instead of
     // blowing the broadcast limit — the same two-regime rule as
-    // exactSubstrRepeats' broadcastRepCap. One count decides every
-    // delta-derived build side, including the re-ingest anti-join
-    // below (deltaIds is one row per delta doc, ≤ the distinct-hash
-    // count whenever any doc spans a window — the conservative gate).
+    // exactSubstrRepeats' broadcastRepCap. The hash-keyed build sides
+    // gate on the distinct-window-hash count; the re-ingest anti-join
+    // gates on the DOC count separately, because a backfill of
+    // near-identical (or sub-width) docs can carry millions of rows
+    // behind a tiny — or zero — distinct-hash count.
     val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val idsSmall = delta.count() <= broadcastDeltaCap
+    def idsSized(df: DataFrame): DataFrame = if (idsSmall) broadcast(df) else df
     val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
     val standingOnly = standing.join(
-      sized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+      idsSized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
     // In production this is the maintained index, not a kernel pass.
     val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
     val standingHits = standingIdx

@@ -189,19 +189,26 @@ object Media {
       while (p < b.length &&
         (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' || b(p) == '\t')) p += 1
     }
+    def isWs(c: Byte): Boolean = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def readInt(): Int = {
       skipWs()
       require(p < b.length && b(p) >= '0' && b(p) <= '9', s"expected int at byte $p")
       var v = 0
-      while (p < b.length && b(p) >= '0' && b(p) <= '9') { v = v * 10 + (b(p) - '0'); p += 1 }
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0')
+        require(v <= 1000000, "header field out of range") // also blocks Int wrap
+        p += 1
+      }
       v
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     require(maxval == 255, s"unsupported maxval $maxval")
-    require(p < b.length, "truncated header")
-    p += 1 // exactly one whitespace byte after maxval, per spec
-    val npix = w * h * 3
-    require(b.length - p == npix, s"pixel payload ${b.length - p} != $npix")
+    // exactly one whitespace byte after maxval, per spec — and it must
+    // BE whitespace, or the first payload byte would be silently eaten
+    require(p < b.length && isWs(b(p)), "missing header/payload separator")
+    p += 1
+    val npix = w.toLong * h * 3 // Long: 10^6 × 10^6 × 3 would wrap Int
+    require(b.length.toLong - p == npix, s"pixel payload ${b.length - p} != $npix")
     (w, h, maxval, java.util.Arrays.copyOfRange(b, p, b.length))
   }
 
@@ -277,8 +284,12 @@ object Media {
   def mediaNearDupPairs(
       media: Dataset[MediaRow],
       maxFrameFreq: Long = 100L): DataFrame = {
-    val fr = ppmFrameDigests(media).toDF()
-      .select(col("doc_id"), col("frame_md5").as("fh")).distinct()
+    // Checkpointed: the decode + per-frame digest kernel is the
+    // dominant cost and fr feeds the hot-frame agg, the per-doc counts
+    // and both sides of the self-join — without this the corpus is
+    // re-parsed and re-hashed four times.
+    val fr = graft.ops.Ckpt.fresh(ppmFrameDigests(media).toDF()
+      .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
     val hot = fr.groupBy("fh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxFrameFreq)
       .select("fh")

@@ -199,6 +199,41 @@ object Similarity {
   }
   private val dotQPacked = udf(dotQ _)
 
+  /** (prefix)id / int8-quantized vector / its integer-dot norm — the
+    * shared quantized projection of the recall operators.
+    */
+  private def withQuantized(
+      df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}id"),
+        quantizeUdf(asDouble(col(vecCol))).as(s"${prefix}qv"))
+      .withColumn(s"${prefix}qn",
+        sqrt(dotQPacked(col(s"${prefix}qv"), col(s"${prefix}qv")).cast("double")))
+
+  /** Recall@k of an approximate (query_id, neighbor_id) frame against
+    * the exact float top-k for the same queries — the shared judgment
+    * tail of every quantized/ANN accept gate; one definition keeps all
+    * gates synchronized with the DuckDB reconstruction rules.
+    */
+  private def recallVsExact(
+      approx: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, idCol, vecCol, queries, k)
+      .select("query_id", "neighbor_id")
+    val overlap = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(idCol).as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
+  }
+
   /** Quantization QA: brute-force top-k over the int8-quantized
     * vectors (integer dots, float only in the final norm division),
     * judged by recall against the EXACT float top-k for the same
@@ -214,12 +249,8 @@ object Similarity {
       vecCol: String,
       queries: DataFrame,
       k: Int): DataFrame = {
-    def withQ(df: DataFrame, prefix: String): DataFrame =
-      df.select(col(idCol).as(s"${prefix}id"), quantizeUdf(asDouble(col(vecCol))).as(s"${prefix}qv"))
-        .withColumn(s"${prefix}qn",
-          sqrt(dotQPacked(col(s"${prefix}qv"), col(s"${prefix}qv")).cast("double")))
-    val corpus = withQ(emb, "n")
-    val q = withQ(queries, "q")
+    val corpus = withQuantized(emb, idCol, vecCol, "n")
+    val q = withQuantized(queries, idCol, vecCol, "q")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     val qTop = corpus.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("sim",
@@ -228,17 +259,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id")
-    val exact = bruteForceTopK(emb, idCol, vecCol, queries, k)
-      .select("query_id", "neighbor_id")
-    val overlap = qTop.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_overlap"))
-    queries.select(col(idCol).as("query_id"))
-      .join(overlap, Seq("query_id"), "left")
-      .select(
-        col("query_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
+    recallVsExact(qTop, emb, idCol, vecCol, queries, k)
   }
 
   /** Quantized IVF, the composition q101's accept gate exists for: the
@@ -271,14 +292,9 @@ object Similarity {
       shortlist: Int,
       k: Int): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    def withQ(df: DataFrame, prefix: String): DataFrame =
-      df.select(col(idCol).as(s"${prefix}id"),
-          quantizeUdf(asDouble(col(vecCol))).as(s"${prefix}qv"))
-        .withColumn(s"${prefix}qn",
-          sqrt(dotQPacked(col(s"${prefix}qv"), col(s"${prefix}qv")).cast("double")))
     // Quantized centroid closure: cid-ascending, strict > — ties to the
     // lower cell id, the shared training/probing rule.
-    val centRows = withQ(emb.filter(col(idCol) < numCentroids), "c")
+    val centRows = withQuantized(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
       .collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
       .sortBy(_._1)
@@ -302,8 +318,10 @@ object Similarity {
         .take(nprobe)
         .map(_._2)
     }
-    val cells = withQ(emb, "n").withColumn("cell", cellUdf(col("nqv"), col("nqn")))
-    val probes = withQ(queries, "q").withColumn("cell", explode(probeUdf(col("qqv"), col("qqn"))))
+    val cells = withQuantized(emb, idCol, vecCol, "n")
+      .withColumn("cell", cellUdf(col("nqv"), col("nqn")))
+    val probes = withQuantized(queries, idCol, vecCol, "q")
+      .withColumn("cell", explode(probeUdf(col("qqv"), col("qqn"))))
     val ws = Window.partitionBy("query_id").orderBy(col("simq").desc, col("neighbor_id"))
     val short = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -327,17 +345,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id")
-    val exact = bruteForceTopK(emb, idCol, vecCol, queries, k)
-      .select("query_id", "neighbor_id")
-    val overlap = reranked.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_overlap"))
-    queries.select(col(idCol).as("query_id"))
-      .join(overlap, Seq("query_id"), "left")
-      .select(
-        col("query_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        expr(s"coalesce(n_overlap, 0L) * 100 div $k").as("recall_x100"))
+    recallVsExact(reranked, emb, idCol, vecCol, queries, k)
   }
 
   /** Embedding-space quality eval: for each query, how many of its k

@@ -1277,7 +1277,10 @@ object Pipelines {
     // reconstruction as q96 (1-based char positions; ord(substr) =
     // code point), then leftmost-argmin selection per full
     // stride-window via a HUGEINT (h, pos) lexicographic pack — the
-    // kernel's deque tie rule, exactly.
+    // kernel's deque tie rule, exactly. The pack reserves 2^40 for the
+    // position (h < 2^62, so h·2^40 + pos < 2^102 fits HUGEINT): docs
+    // up to a trillion windows order correctly, vs a 2^20 pack that
+    // would corrupt the argmin past ~1M-char docs.
     "q106_exact_substr_strided" -> {
       val S = 20
       s"""WITH pos AS (SELECT doc_id, text,
@@ -1292,12 +1295,14 @@ object Pipelines {
                (acc, x) -> (acc * 131 + x) % 998244353) AS h
            FROM pos),
          mcnt AS (SELECT doc_id, count(*) AS m FROM w GROUP BY doc_id),
-         key AS (SELECT doc_id, i, h, CAST(h AS HUGEINT) * 1048576 + i AS k FROM w),
+         key AS (SELECT doc_id, i, h,
+                 CAST(h AS HUGEINT) * 1099511627776 + i AS k FROM w),
          wm AS (SELECT doc_id, i AS j,
                   min(k) OVER (PARTITION BY doc_id ORDER BY i
                     ROWS BETWEEN CURRENT ROW AND ${S - 1} FOLLOWING) AS mk
                 FROM key),
-         selpos AS (SELECT DISTINCT wm.doc_id, CAST(wm.mk % 1048576 AS BIGINT) AS i
+         selpos AS (SELECT DISTINCT wm.doc_id,
+                      CAST(wm.mk % 1099511627776 AS BIGINT) AS i
                     FROM wm JOIN mcnt USING (doc_id)
                     WHERE wm.j <= greatest(mcnt.m - $S + 1, 1)),
          sel AS (SELECT s.doc_id, k.h

@@ -268,6 +268,104 @@ object Streams {
     (handle, query)
   }
 
+  /** Loop-carried duplicate-cluster state shared by the ingest gates:
+    * append-only base label segments (every doc labeled at first
+    * sight) plus a changed-root remap composed per fold and applied
+    * lazily at read time; [[compact]] folds the remap into the base at
+    * the owning gate's LSM cadence. Maintained only for integral id
+    * columns (the min-id canonical labeling is an id-order property);
+    * a non-integral-id gate still dedups, it just has no cluster
+    * surface. Per-fold cost: one base-label probe (inside
+    * deltaRelabel), a delta-bounded contraction, and two
+    * broadcast-sized joins. All carried frames are Ckpt.fresh
+    * checkpoints — statistics-free, see [[graft.ops.Ckpt]].
+    */
+  private[streaming] final class ClusterState(initial: DataFrame, idCol: String) {
+    val integralIds: Boolean =
+      initial.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    @volatile private var labelSegs: Vector[DataFrame] =
+      if (!integralIds) Vector.empty
+      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
+        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
+    @volatile private var rootRemap: Option[DataFrame] = None
+
+    /** (doc_id, component_id) over every doc folded so far; the
+      * component's min id, exactly as Components.dedupClusters labels
+      * a batch rebuild. Read cost: one scan of the base segments + a
+      * broadcast remap join.
+      */
+    def clustersNow: DataFrame = {
+      require(integralIds,
+        s"cluster maintenance needs an integral id column; '$idCol' is " +
+          initial.schema(idCol).dataType.simpleString)
+      val base = labelSegs.reduce(_ unionByName _)
+      rootRemap.fold(base) { rm =>
+        base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
+          .select(base("doc_id"),
+            coalesce(col("new_root"), base("component_id")).as("component_id"))
+      }
+    }
+
+    /** Fold one batch's ids + near-dup edge stream (no-op for
+      * non-integral ids). Returns the per-fold scratch checkpoints;
+      * the caller releases them once its own state is materialized.
+      */
+    def fold(batchIds: => DataFrame, edges: => DataFrame): Seq[DataFrame] = {
+      if (!integralIds) return Seq.empty
+      val d = graft.ops.Components.deltaRelabel(clustersNow, batchIds, edges)
+      def sized(df: DataFrame): DataFrame =
+        if (d.deltaSmall) broadcast(df) else df
+      // First-sight docs only: a re-ingested id already has a base row
+      // (knownIds is the delta-bounded membership deltaRelabel probed).
+      val newSeg = d.newDocLabels
+        .join(sized(d.knownIds.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .transform(graft.ops.Ckpt.fresh)
+      labelSegs = labelSegs :+ newSeg
+      val prevRemap = rootRemap
+      // d.rootMap is a view over deltaRelabel's scratch (released by
+      // the caller after this returns), so the carried remap is always
+      // this state's OWN checkpoint.
+      rootRemap =
+        if (d.rootMap.isEmpty) prevRemap
+        else prevRemap match {
+          case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
+          case Some(old) =>
+            // Compose: stale roots follow their chain through this
+            // fold's map; this fold's (current-root) keys are disjoint
+            // from the stale keys, so the union is key-unique.
+            val step = d.rootMap
+              .select(col("old_root").as("o2"), col("new_root").as("n2"))
+            val composed = old
+              .join(sized(step), old("new_root") === col("o2"), "left")
+              .select(old("old_root"),
+                coalesce(col("n2"), old("new_root")).as("new_root"))
+              .unionByName(d.rootMap)
+              .transform(graft.ops.Ckpt.fresh)
+            releaseCheckpoint(old)
+            Some(composed)
+        }
+      d.scratch
+    }
+
+    /** Fold the remap into the base labels — the label table's LSM
+      * compaction; the remap resets to empty.
+      */
+    def compact(): Unit = if (integralIds) {
+      val (oldLabels, oldRemap) = (labelSegs, rootRemap)
+      labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
+      rootRemap = None
+      oldLabels.foreach(releaseCheckpoint)
+      oldRemap.foreach(releaseCheckpoint)
+    }
+  }
+
   /** Online ingest dedup gate: the streaming composition of the
     * incremental near-dup check (ops/Dedup.minhashLshDeltaPairsIndexed,
     * q85). Each micro-batch of incoming documents is checked (a)
@@ -326,27 +424,10 @@ object Streams {
       Vector(graft.ops.Dedup.minhashBandKeys(
         initial, idCol, textCol, k, numPerm, bands).transform(graft.ops.Ckpt.fresh))
     @volatile private var rejectedLog: Option[DataFrame] = None
-    // Cluster state: append-only base labels (every doc self-labeled
-    // at first sight or labeled by its fold) + the changed-root remap.
-    // The initial corpus seeds as singletons — the gate clusters what
-    // it SEES; pre-existing standing labels can be folded in upfront
-    // via Components.dedupClustersDelta if the caller has them.
-    // Maintained only for integral id columns (the min-id canonical
-    // labeling is an id-order property); a non-integral-id gate still
-    // dedups, it just has no cluster surface.
-    private val integralIds: Boolean =
-      initial.schema(idCol).dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => true
-        case _ => false
-      }
-    @volatile private var labelSegs: Vector[DataFrame] =
-      if (!integralIds) Vector.empty
-      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
-        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
-    @volatile private var rootRemap: Option[DataFrame] = None
+    // Cluster state: the initial corpus seeds as singletons — the gate
+    // clusters what it SEES; pre-existing standing labels can be
+    // folded in upfront via Components.dedupClustersDelta.
+    private val clusterState = new ClusterState(initial, idCol)
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
@@ -356,20 +437,9 @@ object Streams {
       * accepted and rejected — maintained by the per-batch delta-CC
       * fold; component_id is the component's min doc id, exactly as
       * [[graft.ops.Components.dedupClusters]] labels a batch rebuild
-      * (DedupGateSpec pins the equivalence per batch). Read cost: one
-      * scan of the base segments + a broadcast remap join.
+      * (DedupGateSpec pins the equivalence per batch).
       */
-    def clustersNow: DataFrame = {
-      require(integralIds,
-        s"cluster maintenance needs an integral id column; '$idCol' is " +
-          initial.schema(idCol).dataType.simpleString)
-      val base = unionAll(labelSegs)
-      rootRemap.fold(base) { rm =>
-        base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
-          .select(base("doc_id"),
-            coalesce(col("new_root"), base("component_id")).as("component_id"))
-      }
-    }
+    def clustersNow: DataFrame = clusterState.clustersNow
     /** The standing band-key index (id, band, key) as of the last
       * completed batch — the gate's persisted-signature-index twin.
       */
@@ -427,69 +497,20 @@ object Streams {
       indexSegs = indexSegs :+ cleanIndex
       // Cluster maintenance: fold the batch's full pair stream (both
       // rejected and surviving docs are cluster members) into the
-      // standing labels via delta-CC. Per-batch cost: one base-label
-      // scan (the probe), delta-bounded contraction, two broadcast
-      // joins to compose the remap.
-      val foldScratch = if (!integralIds) Seq.empty[DataFrame] else {
-        val edges = vsPairs
-          .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
-          .unionByName(withinPairs.select(col("id_a"), col("id_b")))
-        val d = graft.ops.Components.deltaRelabel(
-          clustersNow, batch.select(col(idCol).cast("long").as("id")), edges)
-          // First-sight docs only: a re-ingested id already has a base
-        // row (knownIds is the delta-bounded membership deltaRelabel
-        // probed).
-        val newSeg = d.newDocLabels
-          .join(broadcast(d.knownIds.select(col("id").as("doc_id"))),
-            Seq("doc_id"), "left_anti")
-          .transform(graft.ops.Ckpt.fresh)
-        labelSegs = labelSegs :+ newSeg
-        val prevRemap = rootRemap
-        val rmEmpty = d.rootMap.isEmpty
-        // d.rootMap is a view over deltaRelabel's scratch (released at
-        // the end of this fold), so the carried remap is always the
-        // gate's OWN checkpoint.
-        rootRemap =
-          if (rmEmpty) prevRemap
-          else prevRemap match {
-            case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
-            case Some(old) =>
-              // Compose: stale roots follow their chain through this
-              // fold's map; this fold's (current-root) keys are
-              // disjoint from the stale keys, so the union is
-              // key-unique.
-              val step = d.rootMap
-                .select(col("old_root").as("o2"), col("new_root").as("n2"))
-              val composed = old
-                .join(broadcast(step), old("new_root") === col("o2"), "left")
-                .select(old("old_root"),
-                  coalesce(col("n2"), old("new_root")).as("new_root"))
-                .unionByName(d.rootMap)
-                .transform(graft.ops.Ckpt.fresh)
-              releaseCheckpoint(old)
-              Some(composed)
-          }
-          d.scratch
-      }
+      // standing labels via delta-CC (see [[ClusterState]]).
+      val foldScratch = clusterState.fold(
+        batch.select(col(idCol).cast("long").as("id")),
+        vsPairs.select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(withinPairs.select(col("id_a"), col("id_b"))))
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
-        val (oldCorpus, oldIndex, oldLabels) = (corpusSegs, indexSegs, labelSegs)
-        val oldRemap = rootRemap
+        val (oldCorpus, oldIndex) = (corpusSegs, indexSegs)
         corpusSegs = Vector(unionAll(oldCorpus).transform(graft.ops.Ckpt.fresh))
         indexSegs = Vector(unionAll(oldIndex).transform(graft.ops.Ckpt.fresh))
-        if (integralIds) {
-          // Fold the remap into the base labels — the label table's
-          // LSM compaction; the remap resets to empty.
-          labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
-          rootRemap = None
-        }
+        clusterState.compact()
         foldsSinceCompact = 0
         oldCorpus.foreach(releaseCheckpoint)
         oldIndex.foreach(releaseCheckpoint)
-        if (integralIds) {
-          oldLabels.foreach(releaseCheckpoint)
-          oldRemap.foreach(releaseCheckpoint)
-        }
       }
       // free superseded checkpoints: without this every batch pins a
       // full log copy (and pre-compaction, corpus copies) in the block
@@ -554,21 +575,9 @@ object Streams {
     @volatile private var count: Long = indexSegs.head.count()
     @volatile private var rejectedLog: Option[DataFrame] = None
     // Cluster state — the same delta-CC fold as the text gate
-    // (append-only base labels + changed-root remap, LSM-compacted);
-    // maintained for integral id columns only.
-    private val integralIds: Boolean =
-      initial.schema(idCol).dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => true
-        case _ => false
-      }
-    @volatile private var labelSegs: Vector[DataFrame] =
-      if (!integralIds) Vector.empty
-      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
-        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
-    @volatile private var rootRemap: Option[DataFrame] = None
+    // (shared [[ClusterState]] machinery; labels compact with the
+    // index, including across auto-B resigns).
+    private val clusterState = new ClusterState(initial, idCol)
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
@@ -586,17 +595,7 @@ object Streams {
       * seen — accepted and rejected — maintained by the per-batch
       * delta-CC fold, exactly as [[DedupGate.clustersNow]].
       */
-    def clustersNow: DataFrame = {
-      require(integralIds,
-        s"cluster maintenance needs an integral id column; '$idCol' is " +
-          initial.schema(idCol).dataType.simpleString)
-      val base = unionAll(labelSegs)
-      rootRemap.fold(base) { rm =>
-        base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
-          .select(base("doc_id"),
-            coalesce(col("new_root"), base("component_id")).as("component_id"))
-      }
-    }
+    def clustersNow: DataFrame = clusterState.clustersNow
 
     /** Synchronously fold one micro-batch of (id, vector) rows. */
     def ingest(batch: DataFrame): Unit = fold(batch)
@@ -626,45 +625,13 @@ object Streams {
       count += cleanIdx.count()
       // Cluster maintenance — identical shape to DedupGate.fold: the
       // batch's full pair stream folds into standing labels via
-      // delta-CC; rejected vectors are cluster members too.
-      val foldScratch = if (!integralIds) Seq.empty[DataFrame] else {
-        val edges = vsPairs
-          .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
-          .unionByName(withinPairs.select(col("id_a"), col("id_b")))
-        val d = graft.ops.Components.deltaRelabel(
-          clustersNow, batch.select(col(idCol).cast("long").as("id")), edges)
-        val newSeg = d.newDocLabels
-          .join(broadcast(d.knownIds.select(col("id").as("doc_id"))),
-            Seq("doc_id"), "left_anti")
-          .transform(graft.ops.Ckpt.fresh)
-        labelSegs = labelSegs :+ newSeg
-        val prevRemap = rootRemap
-        rootRemap =
-          if (d.rootMap.isEmpty) prevRemap
-          else prevRemap match {
-            case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
-            case Some(old) =>
-              val step = d.rootMap
-                .select(col("old_root").as("o2"), col("new_root").as("n2"))
-              val composed = old
-                .join(broadcast(step), old("new_root") === col("o2"), "left")
-                .select(old("old_root"),
-                  coalesce(col("n2"), old("new_root")).as("new_root"))
-                .unionByName(d.rootMap)
-                .transform(graft.ops.Ckpt.fresh)
-              releaseCheckpoint(old)
-              Some(composed)
-          }
-        d.scratch
-      }
+      // delta-CC (shared [[ClusterState]]); rejected vectors are
+      // cluster members too.
+      val foldScratch = clusterState.fold(
+        batch.select(col(idCol).cast("long").as("id")),
+        vsPairs.select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(withinPairs.select(col("id_a"), col("id_b"))))
       foldsSinceCompact += 1
-      def compactLabels(): Unit = if (integralIds) {
-        val (oldLabels, oldRemap) = (labelSegs, rootRemap)
-        labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
-        rootRemap = None
-        oldLabels.foreach(releaseCheckpoint)
-        oldRemap.foreach(releaseCheckpoint)
-      }
       val wantPlanes = Similarity.autoPlanes(count, targetBucket)
       if (wantPlanes > planes) {
         // amortized re-signature at the new B: unpack the carried
@@ -676,13 +643,13 @@ object Streams {
         planes = wantPlanes
         foldsSinceCompact = 0
         old.foreach(releaseCheckpoint)
-        compactLabels()
+        clusterState.compact()
       } else if (foldsSinceCompact >= compactEvery) {
         val old = indexSegs
         indexSegs = Vector(unionAll(old).transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
         old.foreach(releaseCheckpoint)
-        compactLabels()
+        clusterState.compact()
       }
       prevLog.foreach(releaseCheckpoint)
       releaseCheckpoint(flagged)

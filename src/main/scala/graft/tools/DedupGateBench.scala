@@ -62,7 +62,7 @@ object DedupGateBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val rowsNow = gate.corpusNow.count()
       val (bytes, nRdds) = storage()
-      println(f"""{"batch":${i + 1},"wall_sec":$wall%.3f,"corpus_rows":$rowsNow,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"corpus_plan_leaves":${planLeaves(gate.corpusNow)},"index_plan_leaves":${planLeaves(gate.indexNow)},"label_plan_leaves":${planLeaves(gate.clustersNow)}}""")
+      println(s"""{"batch":${i + 1},"wall_sec":${graft.Bench.fmt(wall, 3)},"corpus_rows":$rowsNow,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"corpus_plan_leaves":${planLeaves(gate.corpusNow)},"index_plan_leaves":${planLeaves(gate.indexNow)},"label_plan_leaves":${planLeaves(gate.clustersNow)}}""")
       wall
     }
     val head5 = walls.take(5).sum / math.min(5, walls.size)
@@ -71,7 +71,7 @@ object DedupGateBench {
       .agg(count(lit(1)), countDistinct(col("component_id")),
         sum(when(col("doc_id") =!= col("component_id"), 1L).otherwise(0L)))
       .head()
-    println(f"""{"summary":"dedup-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":$head5%.3f,"last5_avg_sec":$tail5%.3f,"growth":${if (head5 > 0) f"${tail5 / head5}%.2f" else "null"},"rejected_total":${gate.rejected.count()},"labeled_docs":${clusterStats.getLong(0)},"clusters":${clusterStats.getLong(1)},"non_singleton_members":${clusterStats.getLong(2)}}""")
+    println(s"""{"summary":"dedup-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":${graft.Bench.fmt(head5, 3)},"last5_avg_sec":${graft.Bench.fmt(tail5, 3)},"growth":${if (head5 > 0) graft.Bench.fmt(tail5 / head5, 2) else "null"},"rejected_total":${gate.rejected.count()},"labeled_docs":${clusterStats.getLong(0)},"clusters":${clusterStats.getLong(1)},"non_singleton_members":${clusterStats.getLong(2)}}""")
 
     // two-point comparison at final corpus size: indexed vs recompute.
     // Each form runs once for codegen warmup, then best-of-2 timed runs
@@ -90,7 +90,7 @@ object DedupGateBench {
       indexF, corpusF, lastBatch, "doc_id", "text", 3, 64, 16, 1, 2).count())
     val (tRec, nRec) = bestOf2(graft.ops.Dedup.minhashLshDeltaPairsNative(
       corpusF, lastBatch, "doc_id", "text", 3, 64, 16, 1, 2).count())
-    println(f"""{"summary":"indexed_vs_recompute","corpus_rows":${corpusF.count()},"indexed_sec":$tIdx%.3f,"recompute_sec":$tRec%.3f,"pairs_indexed":$nIdx,"pairs_recompute":$nRec}""")
+    println(s"""{"summary":"indexed_vs_recompute","corpus_rows":${corpusF.count()},"indexed_sec":${graft.Bench.fmt(tIdx, 3)},"recompute_sec":${graft.Bench.fmt(tRec, 3)},"pairs_indexed":$nIdx,"pairs_recompute":$nRec}""")
     spark.stop()
   }
 }

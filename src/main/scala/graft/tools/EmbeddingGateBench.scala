@@ -56,12 +56,12 @@ object EmbeddingGateBench {
       val (bytes, nRdds) = storage()
       val rebuilt = gate.numPlanes != lastB
       lastB = gate.numPlanes
-      println(f"""{"batch":${i + 1},"wall_sec":$wall%.3f,"corpus_rows":${gate.corpusCount},"planes":${gate.numPlanes},"rebuild":$rebuilt,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"index_plan_leaves":${gate.indexNow.queryExecution.analyzed.collectLeaves().size}}""")
+      println(s"""{"batch":${i + 1},"wall_sec":${graft.Bench.fmt(wall, 3)},"corpus_rows":${gate.corpusCount},"planes":${gate.numPlanes},"rebuild":$rebuilt,"ckpt_bytes":$bytes,"cached_rdds":$nRdds,"index_plan_leaves":${gate.indexNow.queryExecution.analyzed.collectLeaves().size}}""")
       wall
     }
     val head5 = walls.take(5).sum / math.min(5, walls.size)
     val tail5 = walls.takeRight(5).sum / math.min(5, walls.size)
-    println(f"""{"summary":"embedding-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":$head5%.3f,"last5_avg_sec":$tail5%.3f,"final_planes":${gate.numPlanes},"rejected_total":${gate.rejected.count()}}""")
+    println(s"""{"summary":"embedding-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":${graft.Bench.fmt(head5, 3)},"last5_avg_sec":${graft.Bench.fmt(tail5, 3)},"final_planes":${gate.numPlanes},"rejected_total":${gate.rejected.count()}}""")
     spark.stop()
   }
 }

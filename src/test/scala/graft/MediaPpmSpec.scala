@@ -51,6 +51,13 @@ class MediaPpmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Media.decodePpmBytes(good.dropRight(1))) // short payload
     intercept[IllegalArgumentException](Media.decodePpmBytes(good :+ 0.toByte)) // long payload
     intercept[IllegalArgumentException](Media.decodePpmBytes("P6\n2 2\n254\n".getBytes ++ Array.fill(12)(0.toByte)))
+    // missing header/payload separator: the byte after maxval is pixel
+    // data — must throw, not silently eat the first pixel byte
+    intercept[IllegalArgumentException](
+      Media.decodePpmBytes("P6\n1 1\n255".getBytes ++ Array[Byte](1, 2, 3, 4)))
+    // absurd dimensions that would wrap Int in w*h*3
+    intercept[IllegalArgumentException](
+      Media.decodePpmBytes("P6\n49152111 43691222 255\n".getBytes ++ Array.fill(4)(0.toByte)))
   }
 
   test("WAV encode/decode round-trip recovers every header field and the PCM bytes") {
