@@ -180,3 +180,59 @@ object TextKernelProps extends Properties("TextKernels") {
     row.getUTF8String(0).toString == expected._1 && row.getLong(1) == expected._2
   }
 }
+
+/** Winnowing kernel invariants over random inputs — the q106 scale
+  * path's guarantee, generalized past the planted-repeat examples in
+  * ExactSubstrSpec.
+  */
+object WinnowingProps extends Properties("WinnowedHashes") {
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.{WindowHashes, WinnowedHashes}
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(300)
+
+  private val width = 12
+  private val stride = 6
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+
+  private def winnowed(s: String): Seq[Long] =
+    WinnowedHashes.compute(UTF8String.fromString(s), width, stride).toLongArray().toSeq
+  private def windows(s: String): Seq[Long] =
+    WindowHashes.compute(UTF8String.fromString(s), width).toLongArray().toSeq
+
+  // Selections are a SUBSET of the window-hash multiset, and every
+  // full stride-window of positions contributes its minimum: any
+  // stride consecutive window hashes contain at least one selected
+  // value (the coverage half of the winnowing theorem).
+  property("selected ⊆ windows and every full stride-window is covered") =
+    Prop.forAll(textGen) { s =>
+      val w = windows(s)
+      val sel = winnowed(s)
+      val subset = sel.forall(w.contains)
+      val covered = (0 to math.max(w.length - stride, 0)).forall { j =>
+        if (w.isEmpty) sel.isEmpty
+        else {
+          val win = w.slice(j, math.min(j + stride, w.length))
+          win.isEmpty || sel.contains(win.min)
+        }
+      }
+      subset && covered
+    }
+
+  // The detection guarantee at EXACTLY the bound: a shared substring of
+  // length width+stride-1 planted at arbitrary offsets in two random
+  // texts always yields a common selected fingerprint.
+  private val plantedGen: Gen[(String, String, String)] = for {
+    core <- Gen.stringOfN(width + stride - 1, Gen.alphaChar)
+    pre1 <- Gen.stringOfN(7, Gen.numChar); suf1 <- Gen.stringOfN(40, Gen.numChar)
+    preLen2 <- Gen.chooseNum(0, 50)
+    pre2 <- Gen.stringOfN(preLen2, Gen.numChar); suf2 <- Gen.stringOfN(25, Gen.numChar)
+  } yield (pre1 + core + suf1, pre2 + core + suf2, core)
+
+  property("repeats of length width+stride-1 share a selected fingerprint at any offsets") =
+    Prop.forAll(plantedGen) { case (a, b, _) =>
+      (winnowed(a).toSet intersect winnowed(b).toSet).nonEmpty
+    }
+}
