@@ -411,6 +411,77 @@ object Media {
     }
   }
 
+  /** Incremental media near-dup — the MEDIA member of the delta family
+    * (q85 text / q93 embeddings / q99 substrings / q103 clusters /
+    * q111 curation): a new batch of blobs tested against the STANDING
+    * corpus's frame-digest index plus within itself, result-identical
+    * to [[mediaNearDupPairs]] over the union restricted to pairs with
+    * a delta endpoint (q113's oracle).
+    *
+    * Plan shape per batch: the standing index contributes ONE scan
+    * (the hot-frame/df agg plus the candidate probe, both
+    * semi-restricted by the broadcast delta frame set where
+    * delta-bounded); everything downstream is delta-bounded. In
+    * production the standing frame index and its df counts are
+    * maintained state (the gate/LSM shape), making the probe a
+    * bucket-pruned lookup. Re-ingested ids: the delta copy is
+    * authoritative (standing twin anti-joined out), as in every delta
+    * operator here.
+    */
+  def mediaNearDupDeltaPairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      maxFrameFreq: Long = 100L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+    val fd = graft.ops.Ckpt.fresh(ppmFrameDigests(delta).toDF()
+      .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
+    val deltaSmall = fd.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val deltaIds = fd.select("doc_id").distinct()
+    val fs = ppmFrameDigests(standing).toDF()
+      .select(col("doc_id"), col("frame_md5").as("fh")).distinct()
+      .join(sized(deltaIds), Seq("doc_id"), "left_anti")
+      .transform(graft.ops.Ckpt.fresh)
+    // Stop-frame prune over the UNION df (the maintained counter in
+    // production), same cap semantics as the full operator.
+    val hot = fs.select("fh").unionByName(fd.select("fh"))
+      .groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFrameFreq)
+      .select("fh")
+      .transform(graft.ops.Ckpt.fresh)
+    val keptD = fd.join(broadcast(hot), Seq("fh"), "left_anti")
+      .transform(graft.ops.Ckpt.fresh)
+    // Candidate probe: standing kept frames that hit a delta frame —
+    // delta-bounded output, standing never shuffles.
+    val candS = fs.join(broadcast(hot), Seq("fh"), "left_anti")
+      .join(sized(keptD.select("fh").distinct()), Seq("fh"), "left_semi")
+      .transform(graft.ops.Ckpt.fresh)
+    val vsStanding = keptD.select(col("fh"), col("doc_id").as("did"))
+      .join(candS.select(col("fh"), col("doc_id").as("sid")), Seq("fh"))
+      .select(least(col("did"), col("sid")).as("id_a"),
+        greatest(col("did"), col("sid")).as("id_b"))
+    val within = keptD.select(col("fh"), col("doc_id").as("id_a"))
+      .join(keptD.select(col("fh"), col("doc_id").as("id_b")), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val inter = vsStanding.unionByName(within)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .transform(graft.ops.Ckpt.fresh)
+    // Partner-doc kept-frame counts: delta docs from keptD; standing
+    // partners via ONE semi-restricted index pass.
+    val partnerIds = inter.select(col("id_a").as("doc_id"))
+      .unionByName(inter.select(col("id_b").as("doc_id"))).distinct()
+    val cnt = keptD.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .unionByName(fs.join(broadcast(hot), Seq("fh"), "left_anti")
+        .join(sized(partnerIds), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("c")))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).as("union_size"))
+  }
+
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving
     * aspect ratio, integer-exact (the stub twin of a thumbnailing
     * pass; a real implementation would also transform the bytes).

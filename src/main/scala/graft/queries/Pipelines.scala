@@ -531,6 +531,35 @@ object Pipelines {
         .toDF()
         .select("doc_id", "channels", "sample_rate", "n_samples", "pcm_md5")),
 
+    // Two-stage exact-substring — the 100 TB production flow the
+    // winnowed pass exists to drive: stage 1 (q106) flags candidate
+    // docs at ~1/stride the row volume; stage 2 runs the EXACT window
+    // pass over the flagged subset only. Semantics (documented trade):
+    // multiplicities are within-subset — repeats ≥ width+stride−1
+    // always have BOTH copies flagged (the winnowing guarantee), so
+    // their exact counts survive; sub-guarantee repeats confined to
+    // unflagged docs are the accepted loss.
+    "q112_exact_substr_twostage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = Dedup.exactSubstrRepeatsStrided(
+          docs, "doc_id", "text", width = 40, stride = 20)
+        .filter(col("n_repeated") > 0)
+        .select("doc_id")
+      Dedup.exactSubstrRepeats(
+        docs.join(flagged, Seq("doc_id"), "left_semi"), "doc_id", "text", width = 40)
+    }),
+
+    // Incremental media near-dup: the doc_id%7=0 blob batch tested
+    // against the standing corpus's frame-digest index + within itself
+    // — the MEDIA member of the delta family. Result-identical to q108
+    // (sans twins) over the union restricted to delta-touching pairs.
+    "q113_media_dedup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Media.mediaNearDupDeltaPairs(
+        Media.asPpm(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+        Media.asPpm(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"))
+    }),
+
     // Resize metadata: fit (width, height) into 256px preserving aspect
     // ratio, integer-exact.
     "q52_media_resize" -> ((s, dir) => {
@@ -1447,6 +1476,81 @@ object Pipelines {
                 CAST(coalesce(cumb.cb // 16384, -1) AS BIGINT) AS shard_id,
                 CAST(coalesce(cumb.cb % 16384, -1) AS BIGINT) AS offset_tokens
          FROM ksb LEFT JOIN cumb USING (doc_id)""",
+
+    // Two-stage replay: the q106 winnow chain derives the flagged set,
+    // then the q96 exact chain runs over the restricted window stream
+    // (w is shared between the stages — positions kept for winnowing,
+    // dropped for the exact multiplicity).
+    "q112_exact_substr_twostage" -> {
+      val S = 20
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mcnt AS (SELECT doc_id, count(*) AS m FROM w GROUP BY doc_id),
+         key AS (SELECT doc_id, i, h,
+                 CAST(h AS HUGEINT) * 1099511627776 + i AS k FROM w),
+         wm AS (SELECT doc_id, i AS j,
+                  min(k) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${S - 1} FOLLOWING) AS mk
+                FROM key),
+         selpos AS (SELECT DISTINCT wm.doc_id,
+                      CAST(wm.mk % 1099511627776 AS BIGINT) AS i
+                    FROM wm JOIN mcnt USING (doc_id)
+                    WHERE wm.j <= greatest(mcnt.m - $S + 1, 1)),
+         sel AS (SELECT s.doc_id, k.h
+                 FROM selpos s JOIN key k ON k.doc_id = s.doc_id AND k.i = s.i),
+         multw AS (SELECT h, count(*) AS c FROM sel GROUP BY h),
+         flag AS (SELECT doc_id FROM sel JOIN multw USING (h)
+                  GROUP BY doc_id HAVING sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) > 0),
+         w2 AS (SELECT w.doc_id, w.h FROM w JOIN flag USING (doc_id)),
+         mult2 AS (SELECT h, count(*) AS c FROM w2 GROUP BY h),
+         per2 AS (SELECT doc_id, count(*) AS n_windows,
+                    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+                  FROM w2 JOIN mult2 USING (h) GROUP BY doc_id)
+         SELECT f.doc_id,
+                CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(coalesce(p.n_windows, 0), 1) AS BIGINT) AS repeated_permille
+         FROM flag f LEFT JOIN per2 p USING (doc_id)"""
+    },
+
+    // Delta fold ≡ full recompute, media edition: the q108
+    // reconstruction (sans twins) over ALL docs, restricted to pairs
+    // with at least one endpoint in the doc_id%7=0 batch.
+    "q113_media_dedup_delta" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, t, octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h FROM src),
+         pix AS (SELECT doc_id,
+             substr(repeat(hex(encode(t)), CAST((w*h*3 + l - 1) // l AS INT)),
+               1, 2 * w * h * 3) AS ph,
+             w * h * 3 AS npix
+           FROM dims),
+         fr0 AS (SELECT DISTINCT doc_id,
+             md5(substr(ph, CAST(512 * f + 1 AS INT), 512)) AS fh
+           FROM pix, UNNEST(range(0, (npix + 255) // 256)) u(f)),
+         hot AS (SELECT fh FROM fr0 GROUP BY fh HAVING count(*) > 100),
+         fr AS (SELECT doc_id, fh FROM fr0 WHERE fh NOT IN (SELECT fh FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS c FROM fr GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, inter,
+                ca.c + cb.c - inter AS union_size
+         FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         WHERE id_a % 7 = 0 OR id_b % 7 = 0""",
 
     "q102_curation_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
