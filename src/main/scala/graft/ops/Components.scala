@@ -433,9 +433,13 @@ object Components {
     * result-identical to [[dedupClusters]] over the union of the
     * standing edge set and `deltaPairs` (ComponentsSpec parity; q103's
     * driver oracle proves it against the recursive-CTE full CC).
-    * The standing table is scanned once and broadcast-joined against
-    * the changed-root map — never shuffled; at 100 TB this is the
-    * label table's delta-update write, not a recompute.
+    * In the micro-batch regime the standing table is scanned once and
+    * broadcast-joined against the changed-root map — never shuffled;
+    * at 100 TB this is the label table's delta-update write, not a
+    * recompute. A backfill-sized delta (above `broadcastDeltaCap`)
+    * falls back to shuffle joins for the delta-derived build sides —
+    * the standing labels then shuffle once on component_id, the
+    * correct trade when the "delta" is itself corpus-scale.
     */
   def dedupClustersDelta(
       standingLabels: DataFrame,

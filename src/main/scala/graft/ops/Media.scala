@@ -418,10 +418,12 @@ object Media {
     * to [[mediaNearDupPairs]] over the union restricted to pairs with
     * a delta endpoint (q113's oracle).
     *
-    * Plan shape per batch: the standing index contributes ONE scan
-    * (the hot-frame/df agg plus the candidate probe, both
-    * semi-restricted by the broadcast delta frame set where
-    * delta-bounded); everything downstream is delta-bounded. In
+    * Plan shape per batch: the standing frame index is decoded and
+    * materialized ONCE (the expensive pass — container parse + frame
+    * digests); the hot-frame df agg, the candidate probe, and the
+    * partner-count pass are three bounded scans of that checkpoint,
+    * never a shuffle of it; everything downstream is delta- or
+    * pair-bounded. In
     * production the standing frame index and its df counts are
     * maintained state (the gate/LSM shape), making the probe a
     * bucket-pruned lookup. Re-ingested ids: the delta copy is
@@ -451,9 +453,14 @@ object Media {
       .transform(graft.ops.Ckpt.fresh)
     val keptD = fd.join(broadcast(hot), Seq("fh"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
+    // One kept-standing frame view serves the candidate probe and the
+    // partner counts below (the decode already materialized into fs;
+    // this pins the pruned form so the two consumers cannot drift).
+    val keptS = fs.join(broadcast(hot), Seq("fh"), "left_anti")
+      .transform(graft.ops.Ckpt.fresh)
     // Candidate probe: standing kept frames that hit a delta frame —
     // delta-bounded output, standing never shuffles.
-    val candS = fs.join(broadcast(hot), Seq("fh"), "left_anti")
+    val candS = keptS
       .join(sized(keptD.select("fh").distinct()), Seq("fh"), "left_semi")
       .transform(graft.ops.Ckpt.fresh)
     val vsStanding = keptD.select(col("fh"), col("doc_id").as("did"))
@@ -468,12 +475,19 @@ object Media {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .transform(graft.ops.Ckpt.fresh)
     // Partner-doc kept-frame counts: delta docs from keptD; standing
-    // partners via ONE semi-restricted index pass.
+    // partners via one more semi-restricted pass over the kept index.
+    // partnerIds is PAIR-bounded — up to maxFrameFreq × the delta —
+    // so it carries its own broadcast gate rather than inheriting the
+    // delta's (the wrong-bound hazard the substring delta fixed too).
     val partnerIds = inter.select(col("id_a").as("doc_id"))
       .unionByName(inter.select(col("id_b").as("doc_id"))).distinct()
+      .transform(graft.ops.Ckpt.fresh)
+    val partnersSmall = partnerIds.count() <= broadcastDeltaCap
+    def partnerSized(df: DataFrame): DataFrame =
+      if (partnersSmall) broadcast(df) else df
     val cnt = keptD.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      .unionByName(fs.join(broadcast(hot), Seq("fh"), "left_anti")
-        .join(sized(partnerIds), Seq("doc_id"), "left_semi")
+      .unionByName(keptS
+        .join(partnerSized(partnerIds), Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("c")))
     inter
       .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), Seq("id_a"))

@@ -541,10 +541,13 @@ object Pipelines {
     // unflagged docs are the accepted loss.
     "q112_exact_substr_twostage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val flagged = Dedup.exactSubstrRepeatsStrided(
+      // Checkpointed: stage 2 forces its input twice (the eager
+      // repeated-set count + the final materialization); without this
+      // the stage-1 winnow kernel would re-run over the full corpus.
+      val flagged = graft.ops.Ckpt.fresh(Dedup.exactSubstrRepeatsStrided(
           docs, "doc_id", "text", width = 40, stride = 20)
         .filter(col("n_repeated") > 0)
-        .select("doc_id")
+        .select("doc_id"))
       Dedup.exactSubstrRepeats(
         docs.join(flagged, Seq("doc_id"), "left_semi"), "doc_id", "text", width = 40)
     }),
