@@ -47,7 +47,8 @@ object SparkEntry {
     // q85/q93/q31; a 3-fold replay at bench SF would time the
     // job-scheduling floor.
     val streamReplay = Set("q91_stream_sessions", "q92_stream_hourly",
-      "q104_gate_replay", "q105_embedding_gate_replay")
+      "q104_gate_replay", "q105_embedding_gate_replay",
+      "q114_curation_gate_replay")
     (queries.keySet - "q22_overlap_pairs")
       .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q))
       .toSeq.sorted

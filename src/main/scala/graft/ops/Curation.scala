@@ -288,6 +288,13 @@ object Curation {
     * Single source of the cut encoding for [[leakageFreeSplit]] and
     * [[curationPipeline]].
     */
+  /** The content-hash split rule as a column (90/5/5 via md5-prefix
+    * hex buckets) — shared by the pipeline, its delta form, and the
+    * curation gate so the split can never drift between them.
+    */
+  def splitColumn(text: Column): Column =
+    splitFromBucket(substring(md5(text), 1, 2), trainPct = 90, valPct = 5)
+
   private def splitFromBucket(bucket: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percents: train=$trainPct val=$valPct")
@@ -378,6 +385,39 @@ object Curation {
     * Output: (doc_id, split, shard_id, offset_tokens) for KEPT batch
     * docs — q102's shape restricted to the batch.
     */
+  /** The carried state a curation gate/delta derives from an
+    * already-curated STANDING corpus: (distinct digests of every
+    * standing doc, kept-train token total of the standing pipeline's
+    * output). Recomputed from raw docs here so oracles can replay it;
+    * production maintains both incrementally.
+    */
+  def standingCurationState(
+      standing: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, Long) = {
+    graft.functions.TextStatsFns.ensureRegistered(standing.sparkSession)
+    val quality = TextAnalysis.gopherRules(standing, idCol, textCol)
+      .filter(col("keep")).select("doc_id")
+    val clean = decontaminate(standing, evalSet, idCol, textCol, k = 3)
+      .filter(!col("contaminated")).select("doc_id")
+    val canon = Dedup.exact(standing, idCol, textCol)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    val trainTokens = standing
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .filter(splitColumn(col("text")) === "train")
+      .select(call_function("graft_text_stats", col("text"))
+        .getField("n_tokens").as("n_tokens"))
+      .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val digests = standing.select(md5(col(textCol)).as("digest")).distinct()
+    (digests, trainTokens)
+  }
+
   def curationPipelineDelta(
       standing: DataFrame,
       delta: DataFrame,
@@ -397,19 +437,8 @@ object Curation {
     }
     // Standing carried state, recomputed for oracle-ability: the
     // cumulative train-token total of the standing pipeline's output.
-    graft.functions.TextStatsFns.ensureRegistered(standing.sparkSession)
-    val standingCanon = Dedup.exact(standing, idCol, textCol)
-      .filter(col("id") === col("canonical_id"))
-      .select(col("id").as("doc_id"))
-    val standingTrainTokens = gated(standing)
-      .join(standingCanon, Seq("doc_id"), "left_semi")
-      .withColumn("split",
-        splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
-      .filter(col("split") === "train")
-      .select(call_function("graft_text_stats", col("text"))
-        .getField("n_tokens").as("n_tokens"))
-      .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
-      .head().getLong(0)
+    val (_, standingTrainTokens) =
+      standingCurationState(standing, evalSet, idCol, textCol)
     // Batch exact dedup vs standing (digest-index probe, standing
     // never shuffled) and within the batch (min id per digest). The
     // delta-derived build sides broadcast under the cap and fall back
@@ -432,8 +461,7 @@ object Curation {
       .select("doc_id", "text")
     val kept = gated(bCanon.withColumnRenamed("doc_id", idCol)
         .withColumnRenamed("text", textCol))
-      .withColumn("split",
-        splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
+      .withColumn("split", splitColumn(col("text")))
     // Append packing: q86's prefix sum over the batch, shifted by the
     // standing total.
     val packed = shardPack(kept.filter(col("split") === "train"), "doc_id", "text",

@@ -531,6 +531,34 @@ object Pipelines {
         .toDF()
         .select("doc_id", "channels", "sample_rate", "n_samples", "pcm_md5")),
 
+    // Curation-gate replay: the stateful streaming form of q111
+    // oracle-gated end-to-end — three ordered micro-batches flow
+    // through Streams.CurationGate (carried digest index + train-token
+    // counter + append-only shard stream, compaction forced
+    // mid-replay); every streamed doc's decision (duplicate / quality
+    // / contaminated / ok), split, and exact shard offset is
+    // hash-matched against a DuckDB fold-forward reconstruction.
+    // The synthetic slices carry no organic exact dups, so identical-
+    // text twins are injected on BOTH sides (the vacuous-oracle rule):
+    // +2e6 twins land in the SAME batch as their original (2e6 % 4 = 0
+    // — the within-batch lower-id rule), +3000001 twins shift one
+    // batch over (the carried-digest rule, both directions).
+    "q114_curation_gate_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusBase = docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      val corpus = corpusBase
+        .unionByName(corpusBase.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(corpusBase.filter(col("doc_id") % 83 === 0)
+          .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
+      val gate = graft.streaming.Streams.newCurationGate(
+        corpus.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", tokensPerShard = 16384L, compactEvery = 2)
+      (1 to 3).foreach(i => gate.ingest(corpus.filter(col("doc_id") % 4 === i)))
+      gate.decisions
+    }),
+
     // Two-stage exact-substring — the 100 TB production flow the
     // winnowed pass exists to drive: stage 1 (q106) flags candidate
     // docs at ~1/stride the row volume; stage 2 runs the EXACT window
@@ -619,6 +647,50 @@ object Pipelines {
   /** The rejection chain's union for the final per-doc status join. */
   private def gateRejUnion(nBatches: Int): String =
     (1 to nBatches).map(i => s"SELECT id, reason FROM rej$i").mkString(" UNION ALL ")
+
+  /** Unrolled fold chain for the curation-gate replay (q114): per
+    * batch i, the four-way decision against the carried digest set
+    * (duplicate beats quality beats contamination), the split of kept
+    * docs, append packing from the running train-token total, and the
+    * state advance (digests grow by ALL batch digests — a decision is
+    * immutable once made, so even a quality-rejected doc's digest
+    * marks later copies as duplicates).
+    */
+  private def curationFoldCtes(nBatches: Int): String =
+    (1 to nBatches).map { i =>
+      s"""bdg$i AS (SELECT doc_id, text, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM corpusq WHERE doc_id % 4 = $i),
+         st$i AS (SELECT doc_id, text, digest,
+             CASE WHEN digest IN (SELECT digest FROM dig${i - 1}) OR rn > 1 THEN 'duplicate'
+                  WHEN doc_id NOT IN (SELECT doc_id FROM gkq) THEN 'quality'
+                  WHEN doc_id IN (SELECT doc_id FROM contq) THEN 'contaminated'
+                  ELSE 'ok' END AS status
+           FROM bdg$i),
+         ks$i AS (SELECT doc_id, text, status,
+             CASE WHEN status <> 'ok' THEN 'none'
+                  WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                  WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM st$i),
+         tk$i AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             md5(text) AS okey
+           FROM ks$i WHERE split = 'train'),
+         cum$i AS (SELECT doc_id,
+             CAST((SELECT tot FROM tot${i - 1}) +
+               coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           FROM tk$i),
+         tot$i AS (SELECT CAST((SELECT tot FROM tot${i - 1}) +
+               coalesce((SELECT sum(n_tokens) FROM tk$i), 0) AS BIGINT) AS tot),
+         dig$i AS (SELECT digest FROM dig${i - 1}
+                   UNION SELECT DISTINCT digest FROM bdg$i),
+         dec$i AS (SELECT k.doc_id, CAST($i AS BIGINT) AS batch, k.status, k.split,
+             CAST(coalesce(c.cb // 16384, -1) AS BIGINT) AS shard_id,
+             CAST(coalesce(c.cb % 16384, -1) AS BIGINT) AS offset_tokens
+           FROM ks$i k LEFT JOIN cum$i c USING (doc_id))"""
+    }.mkString(",\n")
 
   /** q102's Gopher-keep stage over `corpus$sfx`, suffix-parameterized
     * so q111 can replay it on the standing and batch subsets.
@@ -1479,6 +1551,40 @@ object Pipelines {
                 CAST(coalesce(cumb.cb // 16384, -1) AS BIGINT) AS shard_id,
                 CAST(coalesce(cumb.cb % 16384, -1) AS BIGINT) AS offset_tokens
          FROM ksb LEFT JOIN cumb USING (doc_id)""",
+
+    // Curation-gate fold-forward replay: batch-independent stage sets
+    // (Gopher keep, contamination) once, then the unrolled three-batch
+    // decision/packing/state chain; the seed state is the %4=0
+    // standing corpus run through the q111 standing derivation.
+    "q114_curation_gate_replay" ->
+      s"""WITH corpusbase AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         corpusq AS (SELECT doc_id, text FROM corpusbase
+           UNION ALL SELECT doc_id + 2000000, text FROM corpusbase WHERE doc_id % 89 = 0
+           UNION ALL SELECT doc_id + 3000001, text FROM corpusbase WHERE doc_id % 83 = 0),
+         ${gopherKeepCte("q")},
+         toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         contbase AS (SELECT DISTINCT s.doc_id FROM shh s JOIN corpusbase USING (doc_id)
+                      WHERE s.h IN (SELECT h FROM ev)),
+         contq AS (SELECT doc_id FROM contbase
+           UNION SELECT doc_id + 2000000 FROM contbase WHERE doc_id % 89 = 0
+           UNION SELECT doc_id + 3000001 FROM contbase WHERE doc_id % 83 = 0),
+         s0 AS (SELECT doc_id, text FROM corpusq WHERE doc_id % 4 = 0),
+         dig0 AS (SELECT DISTINCT md5(text) AS digest FROM s0),
+         dg0 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM s0),
+         canon0 AS (SELECT doc_id FROM dg0 WHERE doc_id = cid),
+         kept0 AS (SELECT c.doc_id, c.text FROM s0 c
+                   JOIN canon0 USING (doc_id) JOIN gkq ON gkq.doc_id = c.doc_id
+                   WHERE c.doc_id NOT IN (SELECT doc_id FROM contq)),
+         tot0 AS (SELECT CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS tot
+                  FROM kept0 WHERE substr(md5(text), 1, 2) < 'e6'),
+         ${curationFoldCtes(3)}
+         SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec1
+         UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec2
+         UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec3""",
 
     // Two-stage replay: the q106 winnow chain derives the flagged set,
     // then the q96 exact chain runs over the restricted window stream

@@ -684,6 +684,156 @@ object Streams {
     (gate, query)
   }
 
+  /** Online CURATION gate — the stateful streaming form of
+    * Curation.curationPipelineDelta (q111) and the pipeline a training
+    * run actually ingests through: each micro-batch of documents is
+    * exact-deduped against every digest EVER SEEN (carried digest
+    * index; within a batch the lower id wins), quality-filtered
+    * (Gopher rules), decontaminated against the broadcast eval
+    * vocabulary, split, and its kept train docs are APPENDED to the
+    * shard stream continuing from the carried train-token total.
+    * Decisions are immutable once emitted — shards already written
+    * never re-pack, the append-stream contract.
+    *
+    * Carried state (the 100 TB shape):
+    *  - the digest index: append-only DISTINCT-digest segments,
+    *    compacted every `compactEvery` folds (LSM, as the dedup gate);
+    *    the per-batch check is a broadcast-delta semi probe — the
+    *    standing side never shuffles;
+    *  - ONE scalar: the cumulative kept-train token total;
+    *  - the decision log: delta-sized append-only segments of
+    *    (doc_id, batch, status, split, shard_id, offset_tokens).
+    * Per-batch cost is O(delta + digest-index scan); q114 replays
+    * three folds and hash-matches every decision and shard offset
+    * against a DuckDB fold-forward reconstruction.
+    */
+  final class CurationGate private[graft] (
+      initialDigests: DataFrame,
+      initialTrainTokens: Long,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long,
+      compactEvery: Int = 8) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    @volatile private var digestSegs: Vector[DataFrame] =
+      Vector(initialDigests.select(col("digest")).distinct()
+        .transform(graft.ops.Ckpt.fresh))
+    @volatile private var trainTokens: Long = initialTrainTokens
+    @volatile private var decisionSegs: Vector[DataFrame] = Vector.empty
+    private var foldsSinceCompact = 0
+    private var batchIdx = 0L
+
+    def digestsNow: DataFrame = digestSegs.reduce(_ unionByName _)
+    def trainTokensNow: Long = trainTokens
+    /** Every decision emitted so far (empty frame before the first
+      * fold): (doc_id, batch, status, split, shard_id, offset_tokens).
+      */
+    def decisions: DataFrame = decisionSegs match {
+      case segs if segs.nonEmpty => segs.reduce(_ unionByName _)
+      case _ => digestSegs.head.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("batch"),
+          lit("").as("status"), lit("").as("split"),
+          lit(-1L).as("shard_id"), lit(-1L).as("offset_tokens"))
+        .limit(0)
+    }
+
+    /** Synchronously fold one micro-batch (the foreachBatch body). */
+    def ingest(batch: DataFrame): Unit = fold(batch)
+
+    private[graft] def fold(batch: DataFrame): Unit = {
+      import graft.ops.{Curation, TextAnalysis}
+      graft.functions.TextStatsFns.ensureRegistered(batch.sparkSession)
+      batchIdx += 1
+      val b = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"))
+        .withColumn("digest", md5(col("text")))
+        .transform(graft.ops.Ckpt.fresh)
+      // dedup: carried digests win; within the batch the min id per
+      // digest survives (broadcast-delta probe of the standing index)
+      val seen = digestsNow
+        .join(broadcast(b.select("digest").distinct()), Seq("digest"), "left_semi")
+        .transform(graft.ops.Ckpt.fresh)
+      val wDig = org.apache.spark.sql.expressions.Window
+        .partitionBy("digest").orderBy("doc_id")
+      val withDup = b
+        .join(broadcast(seen.withColumn("seen", lit(true))), Seq("digest"), "left")
+        .withColumn("rn", row_number().over(wDig))
+        .withColumn("dup", coalesce(col("seen"), lit(false)) || col("rn") > 1)
+      val quality = TextAnalysis.gopherRules(b, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val evalNorm = evalSet.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      val contaminated = Curation.decontaminate(b, evalNorm, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("contaminated"))
+      val judged = withDup
+        .join(quality, Seq("doc_id"))
+        .join(contaminated, Seq("doc_id"))
+        .withColumn("status",
+          when(col("dup"), "duplicate")
+            .when(!col("keep"), "quality")
+            .when(col("contaminated"), "contaminated")
+            .otherwise("ok"))
+        .withColumn("split",
+          when(col("status") =!= "ok", lit("none"))
+            .otherwise(Curation.splitColumn(col("text"))))
+        .transform(graft.ops.Ckpt.fresh)
+      // shard append for kept train docs, continuing from the counter
+      val packed = Curation.shardPack(
+          judged.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
+        .select(col("doc_id"),
+          (col("shard_id") * tokensPerShard + col("offset_tokens") +
+            lit(trainTokens)).as("cum"))
+        .select(col("doc_id"),
+          expr(s"cum div $tokensPerShard").as("shard_id"),
+          expr(s"cum % $tokensPerShard").as("offset_tokens"))
+      val decisionSeg = judged
+        .join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchIdx).as("batch"), col("status"), col("split"),
+          coalesce(col("shard_id"), lit(-1L)).as("shard_id"),
+          coalesce(col("offset_tokens"), lit(-1L)).as("offset_tokens"))
+        .transform(graft.ops.Ckpt.fresh)
+      decisionSegs = decisionSegs :+ decisionSeg
+      val batchTrainTokens = judged.filter(col("split") === "train")
+        .select(call_function("graft_text_stats", col("text"))
+          .getField("n_tokens").as("n_tokens"))
+        .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
+        .head().getLong(0)
+      trainTokens += batchTrainTokens
+      // every ingested doc's digest folds forward (a later identical
+      // doc is a duplicate even if this one was quality-rejected —
+      // its decision is already made)
+      val newDigests = b.select("digest").distinct()
+        .join(broadcast(seen), Seq("digest"), "left_anti")
+        .transform(graft.ops.Ckpt.fresh)
+      digestSegs = digestSegs :+ newDigests
+      foldsSinceCompact += 1
+      if (foldsSinceCompact >= compactEvery) {
+        val old = digestSegs
+        digestSegs = Vector(digestsNow.transform(graft.ops.Ckpt.fresh))
+        foldsSinceCompact = 0
+        old.foreach(releaseCheckpoint)
+      }
+      Seq(b, seen, judged).foreach(releaseCheckpoint)
+    }
+  }
+
+  /** Construct a [[CurationGate]] whose standing state derives from an
+    * already-curated standing corpus: digests of every standing doc,
+    * train-token total of the standing pipeline's kept-train output.
+    */
+  def newCurationGate(
+      standing: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long,
+      compactEvery: Int = 8): CurationGate = {
+    val (digests, tokens) =
+      graft.ops.Curation.standingCurationState(standing, evalSet, idCol, textCol)
+    new CurationGate(digests, tokens, evalSet, idCol, textCol,
+      tokensPerShard, compactEvery)
+  }
+
   /** Run [[DedupGate]] over a streaming frame of documents via
     * foreachBatch. Returns the live gate handle + the query.
     */
