@@ -38,12 +38,33 @@ object Curation {
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
+      k: Int = 3): DataFrame =
+    decontaminateWithVocab(corpus,
+      evalShingleVocab(evalSet, idCol, textCol, k), idCol, textCol, k)
+
+  /** The eval set's distinct shingle-hash vocabulary — precompute once
+    * (and checkpoint) when the eval set is immutable state, as the
+    * curation gate does, instead of re-shingling it every micro-batch.
+    */
+  def evalShingleVocab(
+      evalSet: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(evalSet.sparkSession)
+    graft.Tables.fanOut(evalSet).select(
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
+      .distinct()
+  }
+
+  /** [[decontaminate]] against a prebuilt eval vocabulary. */
+  def decontaminateWithVocab(
+      corpus: DataFrame,
+      evalVocab: DataFrame,
+      idCol: String,
+      textCol: String,
       k: Int = 3): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(corpus.sparkSession)
     def shingleHashes(df: DataFrame) = graft.Tables.fanOut(df).select(
       col(idCol).as("doc_id"),
       explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
-    val evalVocab = shingleHashes(evalSet).select("h").distinct()
     val hits = shingleHashes(corpus)
       .join(broadcast(evalVocab), Seq("h"), "left_semi")
       .groupBy("doc_id")
@@ -146,7 +167,20 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      tokensPerShard: Long): DataFrame = {
+      tokensPerShard: Long): DataFrame =
+    shardPackWithScratch(docs, idCol, textCol, tokensPerShard)._1
+
+  /** [[shardPack]] exposing its internal checkpoint for callers that
+    * fold per micro-batch (the curation gate): the scratch frame must
+    * be released once the pack output is materialized, or every batch
+    * pins a kept-train-sized block set — the O(batches × delta) growth
+    * `Streams.releaseCheckpoint` exists to prevent.
+    */
+  private[graft] def shardPackWithScratch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long): (DataFrame, Seq[DataFrame]) = {
     graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
     val toks = docs.select(
       col(idCol).as("doc_id"),
@@ -165,13 +199,14 @@ object Curation {
     val offsets = parted.groupBy("part").agg(sum("n_tokens").as("ptot"))
       .withColumn("poff", coalesce(sum("ptot").over(wParts), lit(0L)))
       .select("part", "poff")
-    parted
+    val out = parted
       .withColumn("lcum", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
       .join(broadcast(offsets), Seq("part"))
       .select(
         col("doc_id"), col("n_tokens"),
         expr(s"(poff + lcum) div ${tokensPerShard}L").as("shard_id"),
         expr(s"(poff + lcum) % ${tokensPerShard}L").as("offset_tokens"))
+    (out, Seq(parted))
   }
 
   /** Corpus profiling: per-stratum document counts, token mass, and
@@ -282,12 +317,6 @@ object Curation {
     * frame — zero shuffles beyond what clustering already paid; at
     * 100 TB the split column is free.
     */
-  /** train/val/test from a 2-hex-char md5 bucket column: percents
-    * quantize to 1/256ths; fixed-width lowercase hex compares LEXICALLY
-    * in numeric order, so no engine-dependent hex-to-int conversion.
-    * Single source of the cut encoding for [[leakageFreeSplit]] and
-    * [[curationPipeline]].
-    */
   /** The content-hash split rule as a column (90/5/5 via md5-prefix
     * hex buckets) — shared by the pipeline, its delta form, and the
     * curation gate so the split can never drift between them.
@@ -295,6 +324,12 @@ object Curation {
   def splitColumn(text: Column): Column =
     splitFromBucket(substring(md5(text), 1, 2), trainPct = 90, valPct = 5)
 
+  /** train/val/test from a 2-hex-char md5 bucket column: percents
+    * quantize to 1/256ths; fixed-width lowercase hex compares LEXICALLY
+    * in numeric order, so no engine-dependent hex-to-int conversion.
+    * Single source of the cut encoding for [[leakageFreeSplit]],
+    * [[splitColumn]] and [[curationPipeline]].
+    */
   private def splitFromBucket(bucket: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percents: train=$trainPct val=$valPct")
@@ -329,13 +364,17 @@ object Curation {
     * prove them common. Every stage is individually oracle-gated
     * (q30/q100/q82/q95/q86); this query gates their COMPOSITION.
     */
-  def curationPipeline(
-      docs: DataFrame,
+  /** The kept set of the batch curation stages — exact-dedup
+    * canonical ∩ Gopher keep ∩ not-contaminated, as (doc_id, text) —
+    * the ONE definition [[curationPipeline]] and
+    * [[standingCurationState]] both compose, so the batch pipeline and
+    * the gate/delta seed state cannot drift.
+    */
+  private def curatedKeep(
+      corpus: DataFrame,
+      evalSet: DataFrame,
       idCol: String,
-      textCol: String,
-      tokensPerShard: Long): DataFrame = {
-    val corpus = docs.filter(col(idCol) % 97 =!= 0)
-    val evalSet = docs.filter(col(idCol) % 97 === 0)
+      textCol: String): DataFrame = {
     val canon = Dedup.exact(corpus, idCol, textCol)
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as("doc_id"))
@@ -343,12 +382,21 @@ object Curation {
       .filter(col("keep")).select("doc_id")
     val clean = decontaminate(corpus, evalSet, idCol, textCol, k = 3)
       .filter(!col("contaminated")).select("doc_id")
-    val keptDocs = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(canon, Seq("doc_id"), "left_semi")
       .join(quality, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
-    val withSplit = keptDocs.withColumn("split",
-      splitFromBucket(substring(md5(col("text")), 1, 2), trainPct = 90, valPct = 5))
+  }
+
+  def curationPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    val corpus = docs.filter(col(idCol) % 97 =!= 0)
+    val evalSet = docs.filter(col(idCol) % 97 === 0)
+    val withSplit = curatedKeep(corpus, evalSet, idCol, textCol)
+      .withColumn("split", splitColumn(col("text")))
     val packed = shardPack(
         withSplit.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
       .select(col("doc_id"), col("shard_id"), col("offset_tokens"))
@@ -397,18 +445,7 @@ object Curation {
       idCol: String,
       textCol: String): (DataFrame, Long) = {
     graft.functions.TextStatsFns.ensureRegistered(standing.sparkSession)
-    val quality = TextAnalysis.gopherRules(standing, idCol, textCol)
-      .filter(col("keep")).select("doc_id")
-    val clean = decontaminate(standing, evalSet, idCol, textCol, k = 3)
-      .filter(!col("contaminated")).select("doc_id")
-    val canon = Dedup.exact(standing, idCol, textCol)
-      .filter(col("id") === col("canonical_id"))
-      .select(col("id").as("doc_id"))
-    val trainTokens = standing
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(canon, Seq("doc_id"), "left_semi")
-      .join(quality, Seq("doc_id"), "left_semi")
-      .join(clean, Seq("doc_id"), "left_semi")
+    val trainTokens = curatedKeep(standing, evalSet, idCol, textCol)
       .filter(splitColumn(col("text")) === "train")
       .select(call_function("graft_text_stats", col("text"))
         .getField("n_tokens").as("n_tokens"))

@@ -721,6 +721,14 @@ object Streams {
         .transform(graft.ops.Ckpt.fresh))
     @volatile private var trainTokens: Long = initialTrainTokens
     @volatile private var decisionSegs: Vector[DataFrame] = Vector.empty
+    // The eval set is immutable gate state: shingle its vocabulary
+    // ONCE at construction instead of re-running the eval-side kernel
+    // every micro-batch.
+    private val evalVocab: DataFrame =
+      graft.ops.Curation.evalShingleVocab(
+        evalSet.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        "doc_id", "text", k = 3)
+      .transform(graft.ops.Ckpt.fresh)
     private var foldsSinceCompact = 0
     private var batchIdx = 0L
 
@@ -762,8 +770,8 @@ object Streams {
         .withColumn("dup", coalesce(col("seen"), lit(false)) || col("rn") > 1)
       val quality = TextAnalysis.gopherRules(b, "doc_id", "text")
         .select(col("doc_id"), col("keep"))
-      val evalNorm = evalSet.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      val contaminated = Curation.decontaminate(b, evalNorm, "doc_id", "text", k = 3)
+      val contaminated = Curation.decontaminateWithVocab(
+          b, evalVocab, "doc_id", "text", k = 3)
         .select(col("doc_id"), col("contaminated"))
       val judged = withDup
         .join(quality, Seq("doc_id"))
@@ -777,28 +785,28 @@ object Streams {
           when(col("status") =!= "ok", lit("none"))
             .otherwise(Curation.splitColumn(col("text"))))
         .transform(graft.ops.Ckpt.fresh)
-      // shard append for kept train docs, continuing from the counter
-      val packed = Curation.shardPack(
-          judged.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
-        .select(col("doc_id"),
+      // shard append for kept train docs, continuing from the counter;
+      // shardPack already tokenizes each doc, so its output ALSO feeds
+      // the counter advance — one kernel pass, not two.
+      val (packRaw, packScratch) = Curation.shardPackWithScratch(
+        judged.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
+      val packed = packRaw
+        .select(col("doc_id"), col("n_tokens"),
           (col("shard_id") * tokensPerShard + col("offset_tokens") +
             lit(trainTokens)).as("cum"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("n_tokens"),
           expr(s"cum div $tokensPerShard").as("shard_id"),
           expr(s"cum % $tokensPerShard").as("offset_tokens"))
+        .transform(graft.ops.Ckpt.fresh)
       val decisionSeg = judged
-        .join(packed, Seq("doc_id"), "left")
+        .join(packed.drop("n_tokens"), Seq("doc_id"), "left")
         .select(col("doc_id"), lit(batchIdx).as("batch"), col("status"), col("split"),
           coalesce(col("shard_id"), lit(-1L)).as("shard_id"),
           coalesce(col("offset_tokens"), lit(-1L)).as("offset_tokens"))
         .transform(graft.ops.Ckpt.fresh)
       decisionSegs = decisionSegs :+ decisionSeg
-      val batchTrainTokens = judged.filter(col("split") === "train")
-        .select(call_function("graft_text_stats", col("text"))
-          .getField("n_tokens").as("n_tokens"))
-        .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
-        .head().getLong(0)
-      trainTokens += batchTrainTokens
+      trainTokens += packed
+        .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long")).head().getLong(0)
       // every ingested doc's digest folds forward (a later identical
       // doc is a duplicate even if this one was quality-rejected —
       // its decision is already made)
@@ -808,12 +816,17 @@ object Streams {
       digestSegs = digestSegs :+ newDigests
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
-        val old = digestSegs
+        // Digest index AND decision log compact on the same LSM
+        // cadence: without the latter, decisions' plan grows one leaf
+        // per fold for the stream's whole life.
+        val (oldDig, oldDec) = (digestSegs, decisionSegs)
         digestSegs = Vector(digestsNow.transform(graft.ops.Ckpt.fresh))
+        decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
-        old.foreach(releaseCheckpoint)
+        oldDig.foreach(releaseCheckpoint)
+        oldDec.foreach(releaseCheckpoint)
       }
-      Seq(b, seen, judged).foreach(releaseCheckpoint)
+      (Seq(b, seen, judged, packed) ++ packScratch).foreach(releaseCheckpoint)
     }
   }
 

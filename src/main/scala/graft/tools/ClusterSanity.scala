@@ -121,7 +121,9 @@ object ClusterSanity {
     // broadcast-query BNLJ exact side).
     for (q <- Seq("q103_dedup_clusters_delta", "q106_exact_substr_strided",
         "q104_gate_replay", "q107_media_decode", "q110_wav_decode",
-        "q108_media_dedup", "q109_ann_ivf_quantized")) {
+        "q108_media_dedup", "q109_ann_ivf_quantized",
+        "q111_curation_delta", "q112_exact_substr_twostage",
+        "q113_media_dedup_delta", "q114_curation_gate_replay")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }

@@ -71,6 +71,13 @@ class CurationGateSpec extends AnyFunSuite {
     val trains = gate.decisions.filter(col("split") === "train")
       .orderBy("batch", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    // (batch, doc_id) order equals pack order only while each fold
+    // admits at most one train doc — assert the precondition so a
+    // corpus change fails loudly here, not in the offset arithmetic
+    // (within a fold the pack order is (md5(text), doc_id)).
+    val perBatch = gate.decisions.filter(col("split") === "train")
+      .groupBy("batch").count().collect().map(_.getLong(1))
+    assert(perBatch.forall(_ <= 1), "test corpus must keep <=1 train doc per fold")
     val standingTokens = gate.trainTokensNow - trains.length * 60L
     trains.zipWithIndex.foreach { case ((id, shard, off), i) =>
       val cum = standingTokens + i * 60L
