@@ -111,13 +111,20 @@ object Bench {
     // lost 4 of 62 timings this way). Two levers: 3-decimal seconds
     // (±1 ms, far under run-to-run variance) and the unique qNN prefix
     // as the key (BASELINE.md's own shorthand; the full names are in
-    // the streamed rows above). Falls back to full names if a prefix
-    // ever collides.
+    // the streamed rows above). A prefix collision disambiguates ONLY
+    // the colliding keys (first two underscore segments) instead of
+    // reverting ALL keys to full names — which at 95+ queries would
+    // itself blow the 2000-char tail and lose the summary again
+    // (round-8 advice).
     def prefix(n: String): String = n.takeWhile(_ != '_')
-    val shortKeys = results.map(r => prefix(r._1)).distinct.size == results.size
+    def prefix2(n: String): String = n.split('_').take(2).mkString("_")
+    val byPrefix = results.groupBy(r => prefix(r._1))
+    def shortKey(n: String): String =
+      if (byPrefix(prefix(n)).size == 1) prefix(n)
+      else if (results.count(r => prefix2(r._1) == prefix2(n)) == 1) prefix2(n)
+      else n
     val qs = results.map { case (k, v) =>
-      val key = if (shortKeys) prefix(k) else k
-      "\"" + key + "\":" + fmt(v, 3)
+      "\"" + shortKey(k) + "\":" + fmt(v, 3)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val mode = if (steadyState) "steady-state" else "cold"

@@ -235,6 +235,12 @@ object WinnowedHashes {
     * earlier index at the front), O(m) total.
     */
   def compute(s: UTF8String, width: Int, stride: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // Loud guard at the kernel, not just the operator wrapper:
+    // graft_winnowed_hashes is a registered SQL function, and a direct
+    // call with stride <= 0 would read an uninitialized deque slot and
+    // silently return garbage fingerprints (round-8 advice).
+    require(width >= 1, s"width must be >= 1 (got $width)")
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
     val hashes = WindowHashes.compute(s, width)
     val m = hashes.numElements()
     if (m == 0)

@@ -41,7 +41,17 @@ object Ckpt {
           LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming)(spark),
           Encoders.row(ckpt.schema)).toDF()
-      case _ => ckpt
+      case other =>
+        // A silent fallthrough would quietly reintroduce the per-fold
+        // stats-squaring pathology this object exists to prevent (a
+        // Spark upgrade changing localCheckpoint's plan shape) — warn
+        // loudly so the regression is detectable; CkptSpec asserts the
+        // stripped-stats path actually fires on the current Spark.
+        System.err.println(
+          s"[graft] WARNING: Ckpt.fresh expected LogicalRDD from localCheckpoint, " +
+            s"got ${other.getClass.getSimpleName} — carried statistics NOT stripped; " +
+            "loop-carried folds will re-compound size estimates")
+        ckpt
     }
   }
 }

@@ -18,6 +18,24 @@ object Pipelines {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run `f` against a throwaway ManifestStore in a fresh temp dir,
+    * deleting the dir afterwards — safe because gate resume eagerly
+    * re-checkpoints every slot it reads (Ckpt.fresh), so the returned
+    * gate holds no reference to the store's files. Used by the gate
+    * replays' restart legs (q104/q114).
+    */
+  private def withGateStore[A](s: SparkSession)(f: graft.bulk.ManifestStore => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-replay")
+    try f(new graft.bulk.ManifestStore(s, dir.toString))
+    finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Stop-shingle df cap for the Jaccard family (q31/q37), mirrored in
     * their oracles. Shingles in more docs than this are dropped before
     * the inverted-index self-join (O(df²) pairs, no signal).
@@ -386,9 +404,21 @@ object Pipelines {
     // recursive CTE over exactly the pairs the gate discovers.
     "q104_gate_replay" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val gate = graft.streaming.Streams.newDedupGate(
+      val g1 = graft.streaming.Streams.newDedupGate(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", compactEvery = 2)
-      (1 to 3).foreach(i => gate.ingest(docs.filter(col("doc_id") % 4 === i)))
+      (1 to 2).foreach(i => g1.ingest(docs.filter(col("doc_id") % 4 === i)))
+      // RESTART leg (round-9): fold 2 fires the compactEvery=2 LSM
+      // compaction; the gate is then persisted (ManifestStore CAS) and
+      // a FRESH gate resumed from the committed manifest finishes the
+      // replay — the oracle below is unchanged, so a green row proves
+      // kill-after-compaction + restore is decision-identical to the
+      // uninterrupted fold (the durable-gate contract, spec-pinned in
+      // GatePersistenceSpec at every other kill point).
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        graft.streaming.Streams.resumeDedupGate(store, "doc_id", "text", compactEvery = 2)
+      }
+      gate.ingest(docs.filter(col("doc_id") % 4 === 3))
       docs.filter(col("doc_id") % 4 =!= 0)
         .select(col("doc_id"), (col("doc_id") % 4).as("batch"))
         .join(gate.rejected.select(col("id").as("doc_id"), col("reason")),
@@ -551,11 +581,22 @@ object Pipelines {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
         .unionByName(corpusBase.filter(col("doc_id") % 83 === 0)
           .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
-      val gate = graft.streaming.Streams.newCurationGate(
-        corpus.filter(col("doc_id") % 4 === 0),
-        docs.filter(col("doc_id") % 97 === 0),
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val g1 = graft.streaming.Streams.newCurationGate(
+        corpus.filter(col("doc_id") % 4 === 0), evalSet,
         "doc_id", "text", tokensPerShard = 16384L, compactEvery = 2)
-      (1 to 3).foreach(i => gate.ingest(corpus.filter(col("doc_id") % 4 === i)))
+      (1 to 2).foreach(i => g1.ingest(corpus.filter(col("doc_id") % 4 === i)))
+      // RESTART leg (round-9): after fold 2's LSM compaction the gate
+      // is persisted and a fresh gate resumed from the manifest folds
+      // batch 3 — same unchanged oracle, so a green row proves the
+      // durable state (digest index + decision log + train-token and
+      // batch counters) restores decision- and shard-offset-identical.
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        graft.streaming.Streams.resumeCurationGate(store, evalSet,
+          "doc_id", "text", tokensPerShard = 16384L, compactEvery = 2)
+      }
+      gate.ingest(corpus.filter(col("doc_id") % 4 === 3))
       gate.decisions
     }),
 

@@ -280,32 +280,39 @@ object Streams {
     * broadcast-sized joins. All carried frames are Ckpt.fresh
     * checkpoints — statistics-free, see [[graft.ops.Ckpt]].
     */
-  private[streaming] final class ClusterState(initial: DataFrame, idCol: String) {
-    val integralIds: Boolean =
-      initial.schema(idCol).dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => true
-        case _ => false
-      }
-    @volatile private var labelSegs: Vector[DataFrame] =
-      if (!integralIds) Vector.empty
-      else Vector(initial.select(col(idCol).cast("long").as("doc_id"))
-        .withColumn("component_id", col("doc_id")).transform(graft.ops.Ckpt.fresh))
-    @volatile private var rootRemap: Option[DataFrame] = None
+  private[streaming] final class ClusterState private (
+      initLabels: Option[DataFrame],
+      idColInfo: String) {
+    val integralIds: Boolean = initLabels.isDefined
+    /** Base segments + remap published as ONE immutable snapshot:
+      * fold()/compact() mutate both together, and a reader on another
+      * thread (clustersNow concurrent with a foreachBatch-driven fold)
+      * must never pair a base snapshot with a mismatched or reset
+      * remap — two separate volatile fields allowed exactly that
+      * transiently inconsistent read (round-8 advice).
+      */
+    private final case class Snapshot(labelSegs: Vector[DataFrame], rootRemap: Option[DataFrame])
+    @volatile private var snap: Snapshot = Snapshot(
+      initLabels.fold(Vector.empty[DataFrame])(l =>
+        Vector(l.transform(graft.ops.Ckpt.fresh))),
+      None)
 
     /** (doc_id, component_id) over every doc folded so far; the
       * component's min id, exactly as Components.dedupClusters labels
       * a batch rebuild. Read cost: one scan of the base segments + a
       * broadcast remap join.
+      *
+      * Snapshot contract (as [[MaintainedIndex.current]]): the frame
+      * reflects one consistent fold; a reader that holds it across the
+      * owning gate's NEXT compaction may touch released checkpoint
+      * blocks and must re-read instead.
       */
     def clustersNow: DataFrame = {
       require(integralIds,
-        s"cluster maintenance needs an integral id column; '$idCol' is " +
-          initial.schema(idCol).dataType.simpleString)
-      val base = labelSegs.reduce(_ unionByName _)
-      rootRemap.fold(base) { rm =>
+        s"cluster maintenance needs an integral id column; $idColInfo")
+      val s = snap
+      val base = s.labelSegs.reduce(_ unionByName _)
+      s.rootRemap.fold(base) { rm =>
         base.join(broadcast(rm), base("component_id") === rm("old_root"), "left")
           .select(base("doc_id"),
             coalesce(col("new_root"), base("component_id")).as("component_id"))
@@ -327,12 +334,12 @@ object Streams {
         .join(sized(d.knownIds.select(col("id").as("doc_id"))),
           Seq("doc_id"), "left_anti")
         .transform(graft.ops.Ckpt.fresh)
-      labelSegs = labelSegs :+ newSeg
-      val prevRemap = rootRemap
+      val prev = snap
+      val prevRemap = prev.rootRemap
       // d.rootMap is a view over deltaRelabel's scratch (released by
       // the caller after this returns), so the carried remap is always
       // this state's OWN checkpoint.
-      rootRemap =
+      val nextRemap =
         if (d.rootMap.isEmpty) prevRemap
         else prevRemap match {
           case None => Some(d.rootMap.transform(graft.ops.Ckpt.fresh))
@@ -348,9 +355,13 @@ object Streams {
                 coalesce(col("n2"), old("new_root")).as("new_root"))
               .unionByName(d.rootMap)
               .transform(graft.ops.Ckpt.fresh)
-            releaseCheckpoint(old)
             Some(composed)
         }
+      snap = Snapshot(prev.labelSegs :+ newSeg, nextRemap)
+      // the superseded remap is released only AFTER the new snapshot is
+      // published — a concurrent clustersNow reader sees either state
+      // fully materialized
+      if (nextRemap ne prevRemap) prevRemap.foreach(releaseCheckpoint)
       d.scratch
     }
 
@@ -358,12 +369,37 @@ object Streams {
       * compaction; the remap resets to empty.
       */
     def compact(): Unit = if (integralIds) {
-      val (oldLabels, oldRemap) = (labelSegs, rootRemap)
-      labelSegs = Vector(clustersNow.transform(graft.ops.Ckpt.fresh))
-      rootRemap = None
-      oldLabels.foreach(releaseCheckpoint)
-      oldRemap.foreach(releaseCheckpoint)
+      val old = snap
+      snap = Snapshot(Vector(clustersNow.transform(graft.ops.Ckpt.fresh)), None)
+      old.labelSegs.foreach(releaseCheckpoint)
+      old.rootRemap.foreach(releaseCheckpoint)
     }
+  }
+
+  private[streaming] object ClusterState {
+    /** Fresh state over an initial corpus: every doc a singleton
+      * (non-integral id columns get a stateless no-op instance).
+      */
+    def apply(initial: DataFrame, idCol: String): ClusterState = {
+      val integral = initial.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      new ClusterState(
+        if (integral) Some(initial.select(col(idCol).cast("long").as("doc_id"))
+          .withColumn("component_id", col("doc_id"))) else None,
+        s"'$idCol' is " + initial.schema(idCol).dataType.simpleString)
+    }
+
+    /** State restored from a persisted (doc_id, component_id) label
+      * table — the durable-resume path. Restoration is equivalent to a
+      * [[ClusterState.compact]]: one base segment, empty remap.
+      */
+    def restored(labels: Option[DataFrame]): ClusterState =
+      new ClusterState(labels, "(restored without a label slot)")
   }
 
   /** Online ingest dedup gate: the streaming composition of the
@@ -414,20 +450,24 @@ object Streams {
       idCol: String,
       textCol: String,
       k: Int, numPerm: Int, bands: Int, num: Int, den: Int,
-      compactEvery: Int = 8) {
+      compactEvery: Int = 8,
+      restored: Option[Streams.DedupGateState] = None) {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     // newest-last segment lists; every element is localCheckpoint-
     // materialized so no segment's plan depends on another
     @volatile private var corpusSegs: Vector[DataFrame] =
       Vector(initial.transform(graft.ops.Ckpt.fresh))
     @volatile private var indexSegs: Vector[DataFrame] =
-      Vector(graft.ops.Dedup.minhashBandKeys(
-        initial, idCol, textCol, k, numPerm, bands).transform(graft.ops.Ckpt.fresh))
-    @volatile private var rejectedLog: Option[DataFrame] = None
+      Vector(restored.map(_.index).getOrElse(graft.ops.Dedup.minhashBandKeys(
+        initial, idCol, textCol, k, numPerm, bands)).transform(graft.ops.Ckpt.fresh))
+    @volatile private var rejectedLog: Option[DataFrame] =
+      restored.flatMap(_.rejected).map(_.transform(graft.ops.Ckpt.fresh))
     // Cluster state: the initial corpus seeds as singletons — the gate
     // clusters what it SEES; pre-existing standing labels can be
-    // folded in upfront via Components.dedupClustersDelta.
-    private val clusterState = new ClusterState(initial, idCol)
+    // folded in upfront via Components.dedupClustersDelta. On resume,
+    // the persisted label table restores directly (restore ≡ compact).
+    private val clusterState = restored.fold(ClusterState(initial, idCol))(
+      st => ClusterState.restored(st.labels))
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
@@ -455,6 +495,28 @@ object Streams {
       * the batch-replay / non-streaming entry point.
       */
     def ingest(batch: DataFrame): Unit = fold(batch)
+
+    /** Durably commit the gate's standing state to `store` as ONE
+      * manifest version (corpus + band-key index + rejection log +
+      * cluster labels): the manifest CAS makes the commit atomic —
+      * a crash anywhere before it leaves the previous version intact,
+      * exactly the reference store's log-replay durability contract
+      * (assemblage_kv/src/lib.rs:602-652). [[Streams.resumeDedupGate]]
+      * reconstructs a live gate from the committed version; the
+      * restored gate's decisions are fold-for-fold identical to the
+      * uninterrupted gate's (GatePersistenceSpec + the q104 restart
+      * leg), because a restore is equivalent to an LSM compaction —
+      * which the replay oracles already prove semantics-preserving.
+      * Returns the committed version.
+      */
+    def persist(store: graft.bulk.ManifestStore): Long = {
+      val txn = store.begin()
+      txn.stage("corpus", corpusNow)
+      txn.stage("index", indexNow)
+      rejectedLog.foreach(r => txn.stage("rejected", r))
+      if (clusterState.integralIds) txn.stage("labels", clustersNow)
+      txn.commit().fold(throw _, identity)
+    }
 
     private[graft] def fold(batch: DataFrame): Unit = {
       import graft.ops.Dedup
@@ -535,6 +597,40 @@ object Streams {
       num: Int = 1, den: Int = 2, compactEvery: Int = 8): DedupGate =
     new DedupGate(initialCorpus, idCol, textCol, k, numPerm, bands, num, den, compactEvery)
 
+  /** Restored standing state of a [[DedupGate]] (the non-corpus slots
+    * of [[DedupGate.persist]]'s manifest; `labels` is None for gates
+    * over non-integral id columns, `rejected` before the first fold).
+    */
+  private[graft] final case class DedupGateState(
+      index: DataFrame,
+      rejected: Option[DataFrame],
+      labels: Option[DataFrame])
+
+  /** Resume a [[DedupGate]] from `store`'s latest committed manifest
+    * (the durable twin of [[newDedupGate]]): standing corpus, band-key
+    * index, rejection log, and cluster labels reload from the
+    * versioned slots; the minhash kernel is NOT re-run over the
+    * corpus. `foldsSinceCompact` restarts at 0 — a restore IS a
+    * compaction (one segment per table, remap folded in), which the
+    * gate replays prove semantics-preserving. The k/numPerm/bands/
+    * num/den parameters must match the persisting gate's — they are
+    * pipeline configuration, not state (a mismatch would probe the
+    * index with incompatible band keys).
+    */
+  def resumeDedupGate(
+      store: graft.bulk.ManifestStore,
+      idCol: String,
+      textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      num: Int = 1, den: Int = 2, compactEvery: Int = 8): DedupGate = {
+    val corpus = store.read("corpus").getOrElse(throw new IllegalStateException(
+      s"no committed dedup-gate state in '${store.name}' (missing 'corpus' slot)"))
+    val index = store.read("index").getOrElse(throw new IllegalStateException(
+      s"dedup-gate manifest in '${store.name}' has no 'index' slot"))
+    new DedupGate(corpus, idCol, textCol, k, numPerm, bands, num, den, compactEvery,
+      restored = Some(DedupGateState(index, store.read("rejected"), store.read("labels"))))
+  }
+
   /** Online EMBEDDING ingest dedup gate — the vector-modality twin of
     * [[DedupGate]]: each micro-batch of (id, vector) rows is checked
     * against the standing corpus via the LSH bucket join
@@ -565,19 +661,26 @@ object Streams {
       initial: DataFrame,
       idCol: String, vecCol: String,
       dim: Int, threshold: Double, targetBucket: Long,
-      compactEvery: Int = 8) {
+      compactEvery: Int = 8,
+      restored: Option[Streams.EmbeddingGateState] = None) {
     import graft.ops.Similarity
     require(compactEvery >= 1, "compactEvery must be >= 1")
     @volatile private var planes: Int =
-      Similarity.autoPlanes(initial.count(), targetBucket)
+      restored.map(_.planes).getOrElse(
+        Similarity.autoPlanes(initial.count(), targetBucket))
     @volatile private var indexSegs: Vector[DataFrame] =
-      Vector(Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes).transform(graft.ops.Ckpt.fresh))
+      Vector(restored.map(_.index).getOrElse(
+        Similarity.cosineLshIndex(initial, idCol, vecCol, dim, planes))
+        .transform(graft.ops.Ckpt.fresh))
     @volatile private var count: Long = indexSegs.head.count()
-    @volatile private var rejectedLog: Option[DataFrame] = None
+    @volatile private var rejectedLog: Option[DataFrame] =
+      restored.flatMap(_.rejected).map(_.transform(graft.ops.Ckpt.fresh))
     // Cluster state — the same delta-CC fold as the text gate
     // (shared [[ClusterState]] machinery; labels compact with the
-    // index, including across auto-B resigns).
-    private val clusterState = new ClusterState(initial, idCol)
+    // index, including across auto-B resigns). On resume, the
+    // persisted label table restores directly (restore ≡ compact).
+    private val clusterState = restored.fold(ClusterState(initial, idCol))(
+      st => ClusterState.restored(st.labels))
     private var foldsSinceCompact = 0
 
     private def unionAll(segs: Vector[DataFrame]): DataFrame =
@@ -599,6 +702,26 @@ object Streams {
 
     /** Synchronously fold one micro-batch of (id, vector) rows. */
     def ingest(batch: DataFrame): Unit = fold(batch)
+
+    /** Durably commit the gate's standing state (signature index —
+      * self-contained, packed vectors included — plus plane count,
+      * rejection log, cluster labels) as ONE manifest version; see
+      * [[DedupGate.persist]] for the contract.
+      * [[Streams.resumeEmbeddingDedupGate]] reconstructs a live gate;
+      * the carried plane count rides a 1-row `meta` slot so a resumed
+      * gate probes with the exact signatures the index was built at
+      * (auto-B resigns after resume work unchanged — the packed
+      * vectors travel with the index).
+      */
+    def persist(store: graft.bulk.ManifestStore): Long = {
+      val spark = indexSegs.head.sparkSession
+      val txn = store.begin()
+      txn.stage("index", indexNow)
+      txn.stage("meta", spark.range(1).select(lit(planes).as("planes")))
+      rejectedLog.foreach(r => txn.stage("rejected", r))
+      if (clusterState.integralIds) txn.stage("labels", clustersNow)
+      txn.commit().fold(throw _, identity)
+    }
 
     private[graft] def fold(batch: DataFrame): Unit = {
       val vsPairs = Similarity.cosinePairsLshIndexed(
@@ -668,6 +791,37 @@ object Streams {
       compactEvery: Int = 8): EmbeddingDedupGate =
     new EmbeddingDedupGate(initialCorpus, idCol, vecCol, dim, threshold, targetBucket, compactEvery)
 
+  /** Restored standing state of an [[EmbeddingDedupGate]]. */
+  private[graft] final case class EmbeddingGateState(
+      index: DataFrame,
+      planes: Int,
+      rejected: Option[DataFrame],
+      labels: Option[DataFrame])
+
+  /** Resume an [[EmbeddingDedupGate]] from `store`'s latest committed
+    * manifest — the durable twin of [[newEmbeddingDedupGate]]. The
+    * signature index is self-contained (packed vectors + norms +
+    * buckets), so nothing is recomputed; the corpus count (the auto-B
+    * input) is the index's row count by construction.
+    */
+  def resumeEmbeddingDedupGate(
+      store: graft.bulk.ManifestStore,
+      idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      targetBucket: Long = graft.ops.Similarity.LshTargetBucket,
+      compactEvery: Int = 8): EmbeddingDedupGate = {
+    val index = store.read("index").getOrElse(throw new IllegalStateException(
+      s"no committed embedding-gate state in '${store.name}' (missing 'index' slot)"))
+    val planes = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"embedding-gate manifest in '${store.name}' has no 'meta' slot"))
+      .head().getAs[Int]("planes")
+    new EmbeddingDedupGate(
+      index.select(col("id").as(idCol)), idCol, vecCol, dim, threshold, targetBucket,
+      compactEvery,
+      restored = Some(EmbeddingGateState(
+        index, planes, store.read("rejected"), store.read("labels"))))
+  }
+
   /** Run [[EmbeddingDedupGate]] over a streaming frame via
     * foreachBatch. Returns the live gate handle + the query.
     */
@@ -714,13 +868,17 @@ object Streams {
       idCol: String,
       textCol: String,
       tokensPerShard: Long,
-      compactEvery: Int = 8) {
+      compactEvery: Int = 8,
+      restoredDecisions: Option[DataFrame] = None,
+      initialBatchIdx: Long = 0L) {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     @volatile private var digestSegs: Vector[DataFrame] =
       Vector(initialDigests.select(col("digest")).distinct()
         .transform(graft.ops.Ckpt.fresh))
     @volatile private var trainTokens: Long = initialTrainTokens
-    @volatile private var decisionSegs: Vector[DataFrame] = Vector.empty
+    @volatile private var decisionSegs: Vector[DataFrame] =
+      restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
+        .getOrElse(Vector.empty)
     // The eval set is immutable gate state: shingle its vocabulary
     // ONCE at construction instead of re-running the eval-side kernel
     // every micro-batch.
@@ -730,7 +888,7 @@ object Streams {
         "doc_id", "text", k = 3)
       .transform(graft.ops.Ckpt.fresh)
     private var foldsSinceCompact = 0
-    private var batchIdx = 0L
+    private var batchIdx = initialBatchIdx
 
     def digestsNow: DataFrame = digestSegs.reduce(_ unionByName _)
     def trainTokensNow: Long = trainTokens
@@ -748,6 +906,23 @@ object Streams {
 
     /** Synchronously fold one micro-batch (the foreachBatch body). */
     def ingest(batch: DataFrame): Unit = fold(batch)
+
+    /** Durably commit the gate's standing state (digest index +
+      * decision log + the train-token/batch counters in a 1-row `meta`
+      * slot) as ONE manifest version; see [[DedupGate.persist]] for
+      * the contract. The eval set is configuration, not state — the
+      * resume constructor re-shingles it once, as the live constructor
+      * does.
+      */
+    def persist(store: graft.bulk.ManifestStore): Long = {
+      val spark = digestSegs.head.sparkSession
+      val txn = store.begin()
+      txn.stage("digests", digestsNow)
+      if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
+      txn.stage("meta", spark.range(1).select(
+        lit(trainTokens).as("train_tokens"), lit(batchIdx).as("batch_idx")))
+      txn.commit().fold(throw _, identity)
+    }
 
     private[graft] def fold(batch: DataFrame): Unit = {
       import graft.ops.{Curation, TextAnalysis}
@@ -845,6 +1020,31 @@ object Streams {
       graft.ops.Curation.standingCurationState(standing, evalSet, idCol, textCol)
     new CurationGate(digests, tokens, evalSet, idCol, textCol,
       tokensPerShard, compactEvery)
+  }
+
+  /** Resume a [[CurationGate]] from `store`'s latest committed
+    * manifest — the durable twin of [[newCurationGate]]: digest index,
+    * decision log, cumulative train-token total, and the batch counter
+    * reload from the versioned slots (decisions keep their original
+    * batch numbers; the next fold continues the sequence). `evalSet` /
+    * `tokensPerShard` are pipeline configuration and must match the
+    * persisting gate's.
+    */
+  def resumeCurationGate(
+      store: graft.bulk.ManifestStore,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerShard: Long,
+      compactEvery: Int = 8): CurationGate = {
+    val digests = store.read("digests").getOrElse(throw new IllegalStateException(
+      s"no committed curation-gate state in '${store.name}' (missing 'digests' slot)"))
+    val meta = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"curation-gate manifest in '${store.name}' has no 'meta' slot")).head()
+    new CurationGate(digests, meta.getAs[Long]("train_tokens"), evalSet,
+      idCol, textCol, tokensPerShard, compactEvery,
+      restoredDecisions = store.read("decisions"),
+      initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }
 
   /** Run [[DedupGate]] over a streaming frame of documents via

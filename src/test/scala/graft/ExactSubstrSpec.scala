@@ -235,4 +235,16 @@ class ExactSubstrSpec extends AnyFunSuite {
       assert(out(i) === want, s"id=$i bucket=$b")
     }
   }
+
+  test("winnowed kernel fails loudly on non-positive stride/width") {
+    // graft_winnowed_hashes is a registered SQL function — a direct
+    // call must not silently return garbage (round-8 advice)
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("abcdefgh")
+    intercept[IllegalArgumentException] {
+      graft.functions.WinnowedHashes.compute(s, 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.WinnowedHashes.compute(s, 0, 2)
+    }
+  }
 }
