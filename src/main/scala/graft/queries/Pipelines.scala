@@ -600,6 +600,41 @@ object Pipelines {
       gate.decisions
     }),
 
+    // COMPOSED curation-gate replay (round-9): q114's gate with the
+    // near-dup stage enabled — each batch's exact-canonical reps are
+    // additionally checked against the standing rep corpus via the q85
+    // band-key machinery (and within the batch), rejecting
+    // near-duplicates as a first-class status between 'duplicate' and
+    // 'quality'. Injected twins make every path non-vacuous:
+    //   +2000000 exact twins (id%89=0) land in the SAME batch →
+    //     'duplicate' must win over 'near-dup' (precedence);
+    //   +4000000 PERTURBED twins (id%79=0, suffix-appended) land in
+    //     the same batch → 'near-dup within batch' (higher id loses);
+    //   +5000001 perturbed twins (id%73=0) shift one batch →
+    //     'near-dup' vs the carried rep corpus (both directions).
+    // The oracle replays the fold chain with the near-dup relation
+    // reconstructed exactly (band collisions ∩ exact jaccard > 1/2).
+    "q115_curation_gate_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusBase = docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      val corpus = corpusBase
+        .unionByName(corpusBase.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(corpusBase.filter(col("doc_id") % 79 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" near twin appended marker")).as("text")))
+        .unionByName(corpusBase.filter(col("doc_id") % 73 === 0)
+          .select((col("doc_id") + 5000001L).as("doc_id"),
+            concat(col("text"), lit(" shifted near twin marker")).as("text")))
+      val gate = graft.streaming.Streams.newCurationGate(
+        corpus.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", tokensPerShard = 16384L, compactEvery = 2,
+        nearDup = Some(graft.streaming.Streams.NearDupParams()))
+      (1 to 3).foreach(i => gate.ingest(corpus.filter(col("doc_id") % 4 === i)))
+      gate.decisions
+    }),
+
     // Two-stage exact-substring — the 100 TB production flow the
     // winnowed pass exists to drive: stage 1 (q106) flags candidate
     // docs at ~1/stride the row volume; stage 2 runs the EXACT window
@@ -689,24 +724,57 @@ object Pipelines {
   private def gateRejUnion(nBatches: Int): String =
     (1 to nBatches).map(i => s"SELECT id, reason FROM rej$i").mkString(" UNION ALL ")
 
-  /** Unrolled fold chain for the curation-gate replay (q114): per
-    * batch i, the four-way decision against the carried digest set
-    * (duplicate beats quality beats contamination), the split of kept
-    * docs, append packing from the running train-token total, and the
-    * state advance (digests grow by ALL batch digests — a decision is
-    * immutable once made, so even a quality-rejected doc's digest
-    * marks later copies as duplicates).
+  /** Unrolled fold chain for the curation-gate replays (q114/q115):
+    * per batch i, the decision against the carried digest set
+    * (duplicate beats near-dup beats quality beats contamination), the
+    * split of kept docs, append packing from the running train-token
+    * total, and the state advance (digests grow by ALL batch digests —
+    * a decision is immutable once made, so even a quality-rejected
+    * doc's digest marks later copies as duplicates).
+    *
+    * With `nd = true` (q115, the composed near-dup gate) the chain
+    * additionally folds the REP-corpus state: `ndq(u, v)` is the
+    * symmetric verified near-dup relation (band collision + exact
+    * jaccard, supplied by the caller) and `rep0` the standing rep ids;
+    * per batch, a non-duplicate doc is 'near-dup' if it relates to any
+    * carried rep or to a LOWER-id non-duplicate of its own batch
+    * (exactly DedupGate's one-shot flagging), and unflagged
+    * non-duplicates fold into rep_i — whatever their quality/
+    * contamination outcome, matching the carried-digest rule.
     */
-  private def curationFoldCtes(nBatches: Int): String =
+  private def curationFoldCtes(nBatches: Int, nd: Boolean = false): String =
     (1 to nBatches).map { i =>
-      s"""bdg$i AS (SELECT doc_id, text, md5(text) AS digest,
-             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-           FROM corpusq WHERE doc_id % 4 = $i),
-         st$i AS (SELECT doc_id, text, digest,
-             CASE WHEN digest IN (SELECT digest FROM dig${i - 1}) OR rn > 1 THEN 'duplicate'
+      val ndCtes = if (!nd) "" else s"""
+         dup$i AS (SELECT doc_id FROM bdg$i
+             WHERE digest IN (SELECT digest FROM dig${i - 1}) OR rn > 1),
+         nodup$i AS (SELECT doc_id FROM bdg$i
+             WHERE doc_id NOT IN (SELECT doc_id FROM dup$i)),
+         ndf$i AS (SELECT DISTINCT n.u AS doc_id FROM ndq n JOIN rep${i - 1} r ON n.v = r.doc_id
+             WHERE n.u IN (SELECT doc_id FROM nodup$i)
+             UNION
+             SELECT DISTINCT n.u FROM ndq n
+             WHERE n.u IN (SELECT doc_id FROM nodup$i)
+               AND n.v IN (SELECT doc_id FROM nodup$i) AND n.u > n.v),
+         rep$i AS (SELECT doc_id FROM rep${i - 1}
+             UNION SELECT doc_id FROM nodup$i
+             WHERE doc_id NOT IN (SELECT doc_id FROM ndf$i)),"""
+      val statusCase =
+        if (nd)
+          s"""CASE WHEN doc_id IN (SELECT doc_id FROM dup$i) THEN 'duplicate'
+                  WHEN doc_id IN (SELECT doc_id FROM ndf$i) THEN 'near-dup'
                   WHEN doc_id NOT IN (SELECT doc_id FROM gkq) THEN 'quality'
                   WHEN doc_id IN (SELECT doc_id FROM contq) THEN 'contaminated'
-                  ELSE 'ok' END AS status
+                  ELSE 'ok' END"""
+        else
+          s"""CASE WHEN digest IN (SELECT digest FROM dig${i - 1}) OR rn > 1 THEN 'duplicate'
+                  WHEN doc_id NOT IN (SELECT doc_id FROM gkq) THEN 'quality'
+                  WHEN doc_id IN (SELECT doc_id FROM contq) THEN 'contaminated'
+                  ELSE 'ok' END"""
+      s"""bdg$i AS (SELECT doc_id, text, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM corpusq WHERE doc_id % 4 = $i),$ndCtes
+         st$i AS (SELECT doc_id, text, digest,
+             $statusCase AS status
            FROM bdg$i),
          ks$i AS (SELECT doc_id, text, status,
              CASE WHEN status <> 'ok' THEN 'none'
@@ -1623,6 +1691,62 @@ object Pipelines {
          tot0 AS (SELECT CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS tot
                   FROM kept0 WHERE substr(md5(text), 1, 2) < 'e6'),
          ${curationFoldCtes(3)}
+         SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec1
+         UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec2
+         UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec3""",
+
+    // Composed near-dup curation gate: q114's chain with nd=true — the
+    // near-dup relation ndq is reconstructed exactly as q104's oracle
+    // (minhash band collisions verified by exact jaccard > 1/2 over
+    // the twin-injected corpus), rep0 seeds from the standing slice,
+    // and per batch the rep corpus folds forward by the unflagged
+    // exact-canonical reps.
+    "q115_curation_gate_neardup" ->
+      s"""WITH corpusbase AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         corpusq AS (SELECT doc_id, text FROM corpusbase
+           UNION ALL SELECT doc_id + 2000000, text FROM corpusbase WHERE doc_id % 89 = 0
+           UNION ALL SELECT doc_id + 4000000, text || ' near twin appended marker' FROM corpusbase WHERE doc_id % 79 = 0
+           UNION ALL SELECT doc_id + 5000001, text || ' shifted near twin marker' FROM corpusbase WHERE doc_id % 73 = 0),
+         ${gopherKeepCte("q")},
+         toksq AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpusq),
+         shq AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                 FROM toksq, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         etoks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents WHERE doc_id % 97 = 0),
+         esh AS (SELECT DISTINCT w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+                 FROM etoks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT ${h60("shingle")} AS h FROM esh),
+         contq AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_id, ${h60("shingle")} AS h FROM shq)
+                   WHERE h IN (SELECT h FROM ev)),
+         shcntq AS (SELECT doc_id, count(*) AS c FROM shq GROUP BY doc_id),
+         interq AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                    FROM shq a JOIN shq b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         jacq AS (SELECT id_a, id_b FROM interq
+                  JOIN shcntq ca ON id_a = ca.doc_id JOIN shcntq cb ON id_b = cb.doc_id
+                  WHERE inter * 2 > ca.c + cb.c - inter),
+         perm(i, a, b) AS (VALUES $minhashPermValues),
+         hhq AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM shq),
+         mhq AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+                 FROM hhq, perm GROUP BY doc_id, i),
+         bkq AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+                 FROM mhq GROUP BY doc_id, i // 4),
+         ndpq AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                  FROM bkq x JOIN bkq y ON x.band = y.band AND x.key = y.key
+                    AND x.doc_id <> y.doc_id),
+         ndq AS (SELECT p.u, p.v FROM ndpq p JOIN jacq j
+                 ON j.id_a = least(p.u, p.v) AND j.id_b = greatest(p.u, p.v)),
+         s0 AS (SELECT doc_id, text FROM corpusq WHERE doc_id % 4 = 0),
+         dig0 AS (SELECT DISTINCT md5(text) AS digest FROM s0),
+         rep0 AS (SELECT doc_id FROM s0),
+         dg0 AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM s0),
+         canon0 AS (SELECT doc_id FROM dg0 WHERE doc_id = cid),
+         kept0 AS (SELECT c.doc_id, c.text FROM s0 c
+                   JOIN canon0 USING (doc_id) JOIN gkq ON gkq.doc_id = c.doc_id
+                   WHERE c.doc_id NOT IN (SELECT doc_id FROM contq)),
+         tot0 AS (SELECT CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS tot
+                  FROM kept0 WHERE substr(md5(text), 1, 2) < 'e6'),
+         ${curationFoldCtes(3, nd = true)}
          SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec1
          UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec2
          UNION ALL SELECT doc_id, batch, status, split, shard_id, offset_tokens FROM dec3""",

@@ -861,6 +861,13 @@ object Streams {
     * three folds and hash-matches every decision and shard offset
     * against a DuckDB fold-forward reconstruction.
     */
+  /** MinHash-LSH configuration of [[CurationGate]]'s optional near-dup
+    * stage — the q85 kernel's parameters (shingle k, permutations,
+    * bands, jaccard threshold num/den).
+    */
+  final case class NearDupParams(
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16, num: Int = 1, den: Int = 2)
+
   final class CurationGate private[graft] (
       initialDigests: DataFrame,
       initialTrainTokens: Long,
@@ -870,8 +877,13 @@ object Streams {
       tokensPerShard: Long,
       compactEvery: Int = 8,
       restoredDecisions: Option[DataFrame] = None,
-      initialBatchIdx: Long = 0L) {
+      initialBatchIdx: Long = 0L,
+      nearDup: Option[NearDupParams] = None,
+      initialRepCorpus: Option[DataFrame] = None,
+      restoredRepIndex: Option[DataFrame] = None) {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(nearDup.isEmpty || initialRepCorpus.isDefined,
+      "a near-dup-enabled gate needs the standing rep corpus (doc_id, text)")
     @volatile private var digestSegs: Vector[DataFrame] =
       Vector(initialDigests.select(col("digest")).distinct()
         .transform(graft.ops.Ckpt.fresh))
@@ -879,6 +891,23 @@ object Streams {
     @volatile private var decisionSegs: Vector[DataFrame] =
       restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
         .getOrElse(Vector.empty)
+    // Near-dup stage state (round-9, verdict task 2): the standing
+    // REP corpus — one (doc_id, text) row per distinct-content
+    // representative ever ingested (every doc not rejected as
+    // duplicate/near-dup, regardless of its quality/contamination
+    // outcome: its content is decided, so later near-copies are
+    // rejected, mirroring the carried-digest rule) — plus its
+    // band-key index, both in LSM segments exactly as [[DedupGate]]
+    // carries them. Empty vectors when the stage is off.
+    @volatile private var repSegs: Vector[DataFrame] =
+      if (nearDup.isEmpty) Vector.empty
+      else Vector(initialRepCorpus.get.transform(graft.ops.Ckpt.fresh))
+    @volatile private var repIdxSegs: Vector[DataFrame] =
+      nearDup.fold(Vector.empty[DataFrame]) { p =>
+        Vector(restoredRepIndex.getOrElse(graft.ops.Dedup.minhashBandKeys(
+            initialRepCorpus.get, "doc_id", "text", p.k, p.numPerm, p.bands))
+          .transform(graft.ops.Ckpt.fresh))
+      }
     // The eval set is immutable gate state: shingle its vocabulary
     // ONCE at construction instead of re-running the eval-side kernel
     // every micro-batch.
@@ -892,6 +921,13 @@ object Streams {
 
     def digestsNow: DataFrame = digestSegs.reduce(_ unionByName _)
     def trainTokensNow: Long = trainTokens
+    /** The standing near-dup rep corpus (doc_id, text); only when the
+      * near-dup stage is enabled. */
+    def repCorpusNow: DataFrame = {
+      require(nearDup.isDefined, "the near-dup stage is not enabled on this gate")
+      repSegs.reduce(_ unionByName _)
+    }
+    private def repIdxNow: DataFrame = repIdxSegs.reduce(_ unionByName _)
     /** Every decision emitted so far (empty frame before the first
       * fold): (doc_id, batch, status, split, shard_id, offset_tokens).
       */
@@ -919,14 +955,19 @@ object Streams {
       val txn = store.begin()
       txn.stage("digests", digestsNow)
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
+      if (nearDup.isDefined) {
+        txn.stage("corpus", repCorpusNow)
+        txn.stage("bandindex", repIdxNow)
+      }
       txn.stage("meta", spark.range(1).select(
         lit(trainTokens).as("train_tokens"), lit(batchIdx).as("batch_idx")))
       txn.commit().fold(throw _, identity)
     }
 
     private[graft] def fold(batch: DataFrame): Unit = {
-      import graft.ops.{Curation, TextAnalysis}
+      import graft.ops.{Curation, Dedup, TextAnalysis}
       graft.functions.TextStatsFns.ensureRegistered(batch.sparkSession)
+      graft.functions.DedupKernels.ensureRegistered(batch.sparkSession)
       batchIdx += 1
       val b = batch.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"))
@@ -943,16 +984,54 @@ object Streams {
         .join(broadcast(seen.withColumn("seen", lit(true))), Seq("digest"), "left")
         .withColumn("rn", row_number().over(wDig))
         .withColumn("dup", coalesce(col("seen"), lit(false)) || col("rn") > 1)
+      // Near-dup stage (when enabled): exact-canonical batch reps
+      // (non-duplicates) checked against the standing rep corpus via
+      // the q85 delta band join (broadcast delta, standing index a
+      // pure probe scan) and within themselves (higher id of a pair
+      // flagged, as DedupGate); unflagged reps fold into the rep
+      // corpus + band index. Precedence: an exact duplicate is never
+      // re-labeled near-dup (the kernel only sees non-duplicates).
+      var ndScratch = List.empty[DataFrame]
+      val ndFlagOpt: Option[DataFrame] = nearDup.map { p =>
+        val nodup = withDup.filter(!col("dup")).select(col("doc_id"), col("text"))
+          .transform(graft.ops.Ckpt.fresh)
+        val vs = Dedup.minhashLshDeltaPairsIndexed(
+            repIdxNow, repCorpusNow, nodup, "doc_id", "text",
+            p.k, p.numPerm, p.bands, p.num, p.den, broadcastDelta = true)
+          .transform(graft.ops.Ckpt.fresh)
+        val within = Dedup.minhashLshPairsNative(
+            nodup, "doc_id", "text", p.k, p.numPerm, p.bands, p.num, p.den)
+          .transform(graft.ops.Ckpt.fresh)
+        val flagged = vs.select(col("delta_id").as("doc_id"))
+          .unionByName(within.select(greatest(col("id_a"), col("id_b")).as("doc_id")))
+          .distinct()
+          .transform(graft.ops.Ckpt.fresh)
+        val newReps = nodup.join(flagged, Seq("doc_id"), "left_anti")
+          .transform(graft.ops.Ckpt.fresh)
+        val newIdx = Dedup.minhashBandKeys(
+            newReps, "doc_id", "text", p.k, p.numPerm, p.bands)
+          .transform(graft.ops.Ckpt.fresh)
+        repSegs = repSegs :+ newReps
+        repIdxSegs = repIdxSegs :+ newIdx
+        ndScratch = List(nodup, vs, within)
+        flagged
+      }
+      val withNd = ndFlagOpt.fold(withDup.withColumn("ndup", lit(false))) { f =>
+        withDup
+          .join(broadcast(f.withColumn("nd_hit", lit(true))), Seq("doc_id"), "left")
+          .withColumn("ndup", coalesce(col("nd_hit"), lit(false)))
+      }
       val quality = TextAnalysis.gopherRules(b, "doc_id", "text")
         .select(col("doc_id"), col("keep"))
       val contaminated = Curation.decontaminateWithVocab(
           b, evalVocab, "doc_id", "text", k = 3)
         .select(col("doc_id"), col("contaminated"))
-      val judged = withDup
+      val judged = withNd
         .join(quality, Seq("doc_id"))
         .join(contaminated, Seq("doc_id"))
         .withColumn("status",
           when(col("dup"), "duplicate")
+            .when(col("ndup"), "near-dup")
             .when(!col("keep"), "quality")
             .when(col("contaminated"), "contaminated")
             .otherwise("ok"))
@@ -993,15 +1072,24 @@ object Streams {
       if (foldsSinceCompact >= compactEvery) {
         // Digest index AND decision log compact on the same LSM
         // cadence: without the latter, decisions' plan grows one leaf
-        // per fold for the stream's whole life.
+        // per fold for the stream's whole life. The near-dup rep
+        // corpus + band index (when enabled) ride the same cadence.
         val (oldDig, oldDec) = (digestSegs, decisionSegs)
         digestSegs = Vector(digestsNow.transform(graft.ops.Ckpt.fresh))
         decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
+        if (nearDup.isDefined) {
+          val (oldRep, oldIdx) = (repSegs, repIdxSegs)
+          repSegs = Vector(repCorpusNow.transform(graft.ops.Ckpt.fresh))
+          repIdxSegs = Vector(repIdxNow.transform(graft.ops.Ckpt.fresh))
+          oldRep.foreach(releaseCheckpoint)
+          oldIdx.foreach(releaseCheckpoint)
+        }
         foldsSinceCompact = 0
         oldDig.foreach(releaseCheckpoint)
         oldDec.foreach(releaseCheckpoint)
       }
-      (Seq(b, seen, judged, packed) ++ packScratch).foreach(releaseCheckpoint)
+      (Seq(b, seen, judged, packed) ++ packScratch ++
+        ndFlagOpt.toSeq ++ ndScratch).foreach(releaseCheckpoint)
     }
   }
 
@@ -1015,11 +1103,20 @@ object Streams {
       idCol: String,
       textCol: String,
       tokensPerShard: Long,
-      compactEvery: Int = 8): CurationGate = {
+      compactEvery: Int = 8,
+      nearDup: Option[NearDupParams] = None): CurationGate = {
     val (digests, tokens) =
       graft.ops.Curation.standingCurationState(standing, evalSet, idCol, textCol)
+    // With the near-dup stage on, every standing doc seeds the rep
+    // corpus (its content is decided state, as with digests); the
+    // standing token total stays the exact-dedup pipeline's — the
+    // q102/standingCurationState keep — so a near-dup gate over an
+    // exact-curated standing corpus appends consistently to its shards.
     new CurationGate(digests, tokens, evalSet, idCol, textCol,
-      tokensPerShard, compactEvery)
+      tokensPerShard, compactEvery,
+      nearDup = nearDup,
+      initialRepCorpus = nearDup.map(_ => standing.select(
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))))
   }
 
   /** Resume a [[CurationGate]] from `store`'s latest committed
@@ -1036,15 +1133,23 @@ object Streams {
       idCol: String,
       textCol: String,
       tokensPerShard: Long,
-      compactEvery: Int = 8): CurationGate = {
+      compactEvery: Int = 8,
+      nearDup: Option[NearDupParams] = None): CurationGate = {
     val digests = store.read("digests").getOrElse(throw new IllegalStateException(
       s"no committed curation-gate state in '${store.name}' (missing 'digests' slot)"))
     val meta = store.read("meta").getOrElse(throw new IllegalStateException(
       s"curation-gate manifest in '${store.name}' has no 'meta' slot")).head()
+    val repCorpus = nearDup.map(_ => store.read("corpus").getOrElse(
+      throw new IllegalStateException(
+        s"near-dup resume needs a 'corpus' slot in '${store.name}' — " +
+          "was the persisting gate near-dup-enabled?")))
     new CurationGate(digests, meta.getAs[Long]("train_tokens"), evalSet,
       idCol, textCol, tokensPerShard, compactEvery,
       restoredDecisions = store.read("decisions"),
-      initialBatchIdx = meta.getAs[Long]("batch_idx"))
+      initialBatchIdx = meta.getAs[Long]("batch_idx"),
+      nearDup = nearDup,
+      initialRepCorpus = repCorpus,
+      restoredRepIndex = if (nearDup.isDefined) store.read("bandindex") else None)
   }
 
   /** Run [[DedupGate]] over a streaming frame of documents via

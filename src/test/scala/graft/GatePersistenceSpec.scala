@@ -219,4 +219,41 @@ class GatePersistenceSpec extends AnyFunSuite {
       assert(g2.digestsNow.count() === uninterrupted.digestsNow.count())
     }
   }
+
+  test("near-dup curation gate: kill+resume restores the rep corpus + band index") {
+    val s = spark
+    import s.implicits._
+    val standing = docs(100L -> 100L, 101L -> 101L)
+    val evalSet = docs(900L -> 900L)
+    def nearTwin(seed: Long): String = goodText(seed) + " twin marker tail"
+    // 11 near-dups standing 100 (vs REP corpus); 13 near-dups 12
+    // within batch; batch 2's 21 near-dups batch 1's ADMITTED 12 —
+    // only caught if the rep corpus + band index survive the restart
+    val batches = Seq(
+      Seq((10L, goodText(10)), (11L, nearTwin(100L)), (12L, goodText(12)), (13L, nearTwin(12L))),
+      Seq((20L, goodText(20)), (21L, nearTwin(12L) + " x")),
+      Seq((30L, nearTwin(20L)), (31L, goodText(31))))
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val nd = Some(Streams.NearDupParams())
+    def fresh() = Streams.newCurationGate(standing, evalSet, "doc_id", "text",
+      tokensPerShard = 50L, compactEvery = 2, nearDup = nd)
+    val uninterrupted = fresh()
+    batches.foreach(b => uninterrupted.ingest(frame(b)))
+    val wantDec = cDecisions(uninterrupted)
+    assert(wantDec.count(_._3 == "near-dup") >= 3,
+      s"near-dup path vacuous: $wantDec")
+    (1 to 2).foreach { k =>
+      val store = tmpStore()
+      val g1 = fresh()
+      batches.take(k).foreach(b => g1.ingest(frame(b)))
+      g1.persist(store)
+      val g2 = Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
+        tokensPerShard = 50L, compactEvery = 2, nearDup = nd)
+      assert(g2.repCorpusNow.count() === g1.repCorpusNow.count())
+      batches.drop(k).foreach(b => g2.ingest(frame(b)))
+      assert(cDecisions(g2) === wantDec, s"decisions diverged at kill point $k")
+      assert(g2.repCorpusNow.select("doc_id").collect().map(_.getLong(0)).toSet ===
+        uninterrupted.repCorpusNow.select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+  }
 }
