@@ -683,6 +683,72 @@ object Dedup {
           .as("repeated_permille"))
   }
 
+  /** Incremental WINNOWED exact-substring — the delta twin of
+    * [[exactSubstrRepeatsStrided]] (q106) and the index a 100 TB
+    * pipeline would actually maintain: the standing side's state is
+    * the winnowed fingerprint-multiplicity index — ~2/(stride+1) the
+    * row volume of the stride-1 index [[exactSubstrDeltaRepeats]]
+    * (q99) probes — and each batch pays the winnowing kernel on the
+    * DELTA only. Result-identical to [[exactSubstrRepeatsStrided]]
+    * over standing ∪ delta restricted to the delta docs
+    * (ExactSubstrSpec parity), with the same detection guarantee
+    * (repeats ≥ width + stride − 1 always collide; the selection is
+    * content-determined, so a batch copy and a standing copy of a
+    * repeat select the same fingerprints no matter their offsets).
+    *
+    * Plan shape mirrors q99's: the standing index contributes ONE
+    * probe — semi-joined against the broadcast delta-hash set,
+    * emitting a delta-bounded frame (in production a bucket-pruned
+    * lookup of the maintained index, not a kernel pass); everything
+    * downstream is delta-bounded. The two-regime broadcast rule gates
+    * the hash-keyed build sides on the distinct-fingerprint count and
+    * the re-ingest anti-join on the doc count separately.
+    */
+  def exactSubstrDeltaRepeatsStrided(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    graft.functions.TextHashes.ensureRegistered(standing.sparkSession)
+    def winnowed(df: DataFrame) = graft.Tables.fanOut(df).select(
+      col(idCol).as("doc_id"),
+      explode(call_function("graft_winnowed_hashes",
+        col(textCol), lit(width), lit(stride))).as("h"))
+    val wd = winnowed(delta)
+    val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val idsSmall = delta.count() <= broadcastDeltaCap
+    def idsSized(df: DataFrame): DataFrame = if (idsSmall) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val standingOnly = standing.join(
+      idsSized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    // In production this is the maintained winnowed index, not a
+    // kernel pass.
+    val standingIdx = winnowed(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
+    val standingHits = standingIdx
+      .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
+      .localCheckpoint()
+    val rep = deltaCounts.join(standingHits, Seq("h"), "left")
+      .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
+      .select(col("h"), lit(1).as("is_rep"))
+    val per = wd.join(sized(rep), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"), count(col("is_rep")).as("n_repeated"))
+    delta.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        expr("(coalesce(n_repeated, 0L) * 1000) div greatest(coalesce(n_selected, 0L), 1)")
+          .as("selected_rep_permille"))
+  }
+
   /** Repeated-span resolution — the CUT decision of the exact-substring
     * pass: merge [[exactSubstrRepeats]]'s repeated windows into maximal
     * character spans per document (gaps-and-islands over window start

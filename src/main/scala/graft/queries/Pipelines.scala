@@ -656,6 +656,21 @@ object Pipelines {
         docs.join(flagged, Seq("doc_id"), "left_semi"), "doc_id", "text", width = 40)
     }),
 
+    // Incremental WINNOWED exact-substring (round-9): the doc_id%7=0
+    // batch's winnowed fingerprints probe the STANDING winnowed
+    // multiplicity index — the index a 100 TB pipeline actually
+    // maintains (q99's shape at ~1/stride the volume), within-batch
+    // repeats included. Result-identical to q106 over the union
+    // restricted to the delta (the oracle is q106's chain with that
+    // restriction).
+    "q116_winnowed_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactSubstrDeltaRepeatsStrided(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", width = 40, stride = 20)
+    }),
+
     // Incremental media near-dup: the doc_id%7=0 blob batch tested
     // against the standing corpus's frame-digest index + within itself
     // — the MEDIA member of the delta family. Result-identical to q108
@@ -1530,6 +1545,49 @@ object Pipelines {
                 CAST(coalesce(p.n_repeated, 0) * 1000 //
                      greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
          FROM documents d LEFT JOIN per p USING (doc_id)"""
+    },
+
+    // Delta fold ≡ full winnowed recompute: q106's chain verbatim with
+    // the final restriction to the doc_id%7=0 delta — the multiplicity
+    // index is over the UNION, exactly what the Spark side's
+    // standing-index probe + delta counts reconstruct.
+    "q116_winnowed_delta" -> {
+      val S = 20
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mcnt AS (SELECT doc_id, count(*) AS m FROM w GROUP BY doc_id),
+         key AS (SELECT doc_id, i, h,
+                 CAST(h AS HUGEINT) * 1099511627776 + i AS k FROM w),
+         wm AS (SELECT doc_id, i AS j,
+                  min(k) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${S - 1} FOLLOWING) AS mk
+                FROM key),
+         selpos AS (SELECT DISTINCT wm.doc_id,
+                      CAST(wm.mk % 1099511627776 AS BIGINT) AS i
+                    FROM wm JOIN mcnt USING (doc_id)
+                    WHERE wm.j <= greatest(mcnt.m - $S + 1, 1)),
+         sel AS (SELECT s.doc_id, k.h
+                 FROM selpos s JOIN key k ON k.doc_id = s.doc_id AND k.i = s.i),
+         mult AS (SELECT h, count(*) AS c FROM sel GROUP BY h),
+         per AS (SELECT doc_id, count(*) AS n_selected,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+                 FROM sel JOIN mult USING (h) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         WHERE d.doc_id % 7 = 0"""
     },
 
     // PPM decode twin: dimensions from octet_length, pixel digest from

@@ -109,6 +109,49 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(inc.exists(_._2._2 > 0L), "delta batch found no repeats — vacuous at this SF")
   }
 
+  test("delta WINNOWED exact-substr equals the full strided pass restricted to delta docs") {
+    val docs = Tables.load(spark, dir, "documents")
+    val standing = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val full = Dedup.exactSubstrRepeatsStrided(docs, "doc_id", "text",
+        width = 40, stride = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val inc = Dedup.exactSubstrDeltaRepeatsStrided(standing, delta, "doc_id", "text",
+        width = 40, stride = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(inc.nonEmpty)
+    inc.foreach { case (id, v) => assert(v === full(id), s"divergence at doc $id") }
+    assert(inc.exists(_._2._2 > 0L), "delta batch found no repeats — vacuous at this SF")
+    // the shuffle-fallback regime (caps = 0) must agree too
+    val shuffled = Dedup.exactSubstrDeltaRepeatsStrided(standing, delta, "doc_id", "text",
+        width = 40, stride = 20, broadcastDeltaCap = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    inc.foreach { case (id, v) => assert(v === shuffled(id), s"regime divergence at doc $id") }
+  }
+
+  test("delta winnowed: misaligned planted copies at the guarantee length are detected") {
+    import spark.implicits._
+    // A repeat of width + stride − 1 = 59 chars planted at DIFFERENT
+    // offsets in a standing and a delta doc: winnowing must select a
+    // common fingerprint in both copies (content-determined selection),
+    // so the delta doc flags — a naive every-S-th-window stride has no
+    // such guarantee.
+    val repeat = (1 to 59).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val standing = Seq(
+      (1L, "X" * 13 + repeat + "Y" * 40),
+      (2L, "Q" * 90 + "R" * 30)).toDF("doc_id", "text")
+    val delta = Seq(
+      (7L, "Z" * 31 + repeat + "W" * 21),
+      // aperiodic filler: no repeated 40-char window (a constant run
+      // would self-repeat within the doc and flag)
+      (14L, new scala.util.Random(99).alphanumeric.take(95).mkString)).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDeltaRepeatsStrided(standing, delta, "doc_id", "text",
+        width = 40, stride = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(7L) > 0L, "guarantee-length repeat missed by the delta winnowed pass")
+    assert(out(14L) === 0L)
+  }
+
   test("delta exact-substr: a re-ingested id pairs against the batch copy, not its stale twin") {
     import spark.implicits._
     // Standing doc 5 has OLD text; the delta re-ingests id 5 with new
