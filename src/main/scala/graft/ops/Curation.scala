@@ -301,6 +301,58 @@ object Curation {
         (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space third
+    * leg next to [[decontaminate]] (exact n-gram collision) and
+    * [[decontaminateFuzzy]] (lexical near-dup): flag every corpus
+    * document whose EMBEDDING is within `threshold` cosine of any eval
+    * embedding — the paraphrase mode neither lexical pass catches (a
+    * reworded eval item shares no shingles but lands next to it in
+    * embedding space).
+    *
+    * Runs the q93 LSH bucket machinery with the EVAL SET as the
+    * broadcast delta: candidates are eval×corpus bucket collisions
+    * only (never corpus×corpus), the standing corpus contributes one
+    * map-side signature pass and is never shuffled (in production: the
+    * persisted cosineLshIndex), and verification is exact cosine on
+    * the candidates. The flagged set is the deterministic
+    * LSH-candidate subset (q93's recall discipline — both engines
+    * derive identical buckets, so the subset is reproducible
+    * bit-for-bit). Plane count derives from the combined corpus+eval
+    * count, the geometry the corpus itself would use.
+    *
+    * Sides are namespaced into disjoint string keys ("c:"/"e:"), as
+    * [[decontaminateFuzzy]]: corpus and eval ids are independent, and
+    * a shared raw id would be silently anti-joined as a re-ingested
+    * twin. Returns every corpus row: (doc_id, n_eval_matches,
+    * contaminated).
+    */
+  def decontaminateSemantic(
+      corpusEmb: DataFrame,
+      evalEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetBucket: Long = Similarity.LshTargetBucket): DataFrame = {
+    val corpus = corpusEmb.select(
+      concat(lit("c:"), col(idCol).cast("string")).as("gid"), col(vecCol).as("v"))
+    val evals = evalEmb.select(
+      concat(lit("e:"), col(idCol).cast("string")).as("gid"), col(vecCol).as("v"))
+    val pairs = Similarity.cosinePairsLshDeltaAuto(
+      corpus, evals, "gid", "v", dim, threshold, targetBucket)
+    val flagged = pairs
+      .groupBy(col("corpus_id").as("gid"))
+      .agg(count(lit(1)).as("n_eval_matches"))
+    corpusEmb.select(
+        col(idCol).as("doc_id"),
+        concat(lit("c:"), col(idCol).cast("string")).as("gid"))
+      .join(flagged, Seq("gid"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        (coalesce(col("n_eval_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Leakage-free train/val/test split: assign every document to a
     * split by hashing its near-dup CLUSTER id, not its own id — so a
     * pair of near-duplicate documents can never straddle the

@@ -504,6 +504,24 @@ object Pipelines {
       Curation.decontaminateFuzzy(docs, evalSet, "doc_id", "text")
     }),
 
+    // SEMANTIC decontamination (round-9): the embedding-space third
+    // leg next to q82 (exact collision) and q98 (lexical fuzzy) —
+    // corpus vectors within 0.45 cosine of any eval vector, via the
+    // q93 LSH bucket join with the eval set as the broadcast delta.
+    // The eval set is injected paraphrase twins of every 83rd corpus
+    // vector (ids negated; component 0 NEGATED — an exact FP-safe
+    // perturbation with cosine ≈ 1 − 2v₀²/‖v‖² ≈ 0.97, mirrored
+    // bit-for-bit by the oracle), making the flag path non-vacuous.
+    "q117_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalEmb = emb.filter(col("vec_id") % 83 === 0)
+        .select((-col("vec_id") - 1L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+      Curation.decontaminateSemantic(emb, evalEmb, "vec_id", "embedding",
+        dim = 64, threshold = 0.45)
+    }),
+
     // Multimodal binary pipeline: text → binary blob → stub decode →
     // per-frame digests, via typed Dataset mapPartitions.
     "q50_media_features" -> ((s, dir) => {
@@ -1086,6 +1104,46 @@ object Pipelines {
          JOIN e b ON b.vec_id = ss.vec_id
          WHERE sd.vec_id % 5 = 0 AND ss.vec_id % 5 <> 0
            AND ${sqlCosine("a.v", "b.v", 64)} >= 0.30""",
+
+    // Semantic decontamination: the q93 signature pipeline over the
+    // combined corpus+eval set ("c:"/"e:" namespaced, B from the
+    // combined count), eval twins perturbed by negating component 0
+    // (exact in both float and double, so both engines see identical
+    // vectors), bucket-collision candidates verified at cosine ≥ 0.45.
+    "q117_decontaminate_semantic" ->
+      s"""WITH $embCte,
+         evv AS (SELECT -vec_id - 1 AS vec_id,
+                 [CASE WHEN i = 1 THEN -CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       ELSE CAST(embedding[CAST(i AS INT)] AS DOUBLE) END
+                  for i in range(1, 65)] AS v
+                 FROM embeddings WHERE vec_id % 83 = 0),
+         allv AS (SELECT 'c:' || vec_id::VARCHAR AS gid, v FROM e
+                  UNION ALL SELECT 'e:' || vec_id::VARCHAR AS gid, v FROM evv),
+         nb AS (SELECT greatest(4, CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS b
+                FROM (SELECT (count(*) + ${Similarity.LshTargetBucket} - 1) // ${Similarity.LshTargetBucket} AS m
+                      FROM allv)),
+         eq AS (SELECT gid, v,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(v, x -> x * 1000)] AS qv
+                FROM allv),
+         pl AS (SELECT p, j, ${h60("p::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000 AS comp
+                FROM range(60) t(p), range(64) u(j)
+                WHERE p < (SELECT b FROM nb)),
+         dots AS (SELECT eq.gid, pl.p, sum(eq.qv[CAST(pl.j+1 AS INT)] * pl.comp) AS d
+                  FROM eq, pl GROUP BY 1, 2),
+         sig AS (SELECT gid,
+                 sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+                 FROM dots GROUP BY 1),
+         hits AS (SELECT DISTINCT CAST(substr(sc.gid, 3) AS BIGINT) AS doc_id, se.gid AS egid
+                  FROM sig sc JOIN sig se ON sc.bucket = se.bucket
+                  JOIN allv a ON a.gid = sc.gid
+                  JOIN allv b ON b.gid = se.gid
+                  WHERE sc.gid LIKE 'c:%' AND se.gid LIKE 'e:%'
+                    AND ${sqlCosine("a.v", "b.v", 64)} >= 0.45),
+         flag AS (SELECT doc_id, count(*) AS n FROM hits GROUP BY doc_id)
+         SELECT m.vec_id AS doc_id,
+                CAST(coalesce(f.n, 0) AS BIGINT) AS n_eval_matches,
+                coalesce(f.n, 0) > 0 AS contaminated
+         FROM embeddings m LEFT JOIN flag f ON f.doc_id = m.vec_id""",
 
     // Quantized-IVF replay: q101's trunc-quantization + integer dots
     // for cells/probes/shortlist, q38's probe budget, float rerank of
