@@ -163,12 +163,34 @@ object Curation {
     * where the range boundaries fall, so partition count never changes
     * the assignment.
     */
+  /** Per-doc token count under the named tokenizer: "ws" — whitespace
+    * tokens (the graft_text_stats field, q86/q88's historical unit);
+    * "bpe" — deterministic subword tokens (graft_bpe_count, the unit
+    * real training-shard budgets use; see
+    * [[graft.functions.BpeTokenizer]]). One switch shared by
+    * [[shardPack]], [[corpusStats]] and the curation gate's counter so
+    * the shard math can never mix units.
+    */
+  private[graft] def tokenCountCol(textCol: Column, tokenizer: String): Column =
+    tokenizer match {
+      case "ws" => call_function("graft_text_stats", textCol).getField("n_tokens")
+      case "bpe" => call_function("graft_bpe_count", textCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected 'ws' or 'bpe')")
+    }
+
+  private[graft] def registerTokenizers(df: DataFrame): Unit = {
+    graft.functions.TextStatsFns.ensureRegistered(df.sparkSession)
+    graft.functions.BpeFns.ensureRegistered(df.sparkSession)
+  }
+
   def shardPack(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      tokensPerShard: Long): DataFrame =
-    shardPackWithScratch(docs, idCol, textCol, tokensPerShard)._1
+      tokensPerShard: Long,
+      tokenizer: String = "ws"): DataFrame =
+    shardPackWithScratch(docs, idCol, textCol, tokensPerShard, tokenizer)._1
 
   /** [[shardPack]] exposing its internal checkpoint for callers that
     * fold per micro-batch (the curation gate): the scratch frame must
@@ -180,11 +202,12 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      tokensPerShard: Long): (DataFrame, Seq[DataFrame]) = {
-    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+      tokensPerShard: Long,
+      tokenizer: String = "ws"): (DataFrame, Seq[DataFrame]) = {
+    registerTokenizers(docs)
     val toks = docs.select(
       col(idCol).as("doc_id"),
-      call_function("graft_text_stats", col(textCol)).getField("n_tokens").as("n_tokens"),
+      tokenCountCol(col(textCol), tokenizer).as("n_tokens"),
       md5(col(textCol)).as("okey"))
     val parted = toks.repartitionByRange(col("okey"), col("doc_id"))
       .withColumn("part", spark_partition_id())
@@ -225,12 +248,13 @@ object Curation {
       docs: DataFrame,
       strataCol: String,
       idCol: String,
-      textCol: String): DataFrame = {
-    graft.functions.TextStatsFns.ensureRegistered(docs.sparkSession)
+      textCol: String,
+      tokenizer: String = "ws"): DataFrame = {
+    registerTokenizers(docs)
     val tk = docs.select(
       col(strataCol),
       col(idCol).as("doc_id"),
-      call_function("graft_text_stats", col(textCol)).getField("n_tokens").as("nt"))
+      tokenCountCol(col(textCol), tokenizer).as("nt"))
     val w = Window.partitionBy(strataCol).orderBy(col("nt"), col("doc_id"))
     val wn = Window.partitionBy(strataCol)
     tk
@@ -495,12 +519,12 @@ object Curation {
       standing: DataFrame,
       evalSet: DataFrame,
       idCol: String,
-      textCol: String): (DataFrame, Long) = {
-    graft.functions.TextStatsFns.ensureRegistered(standing.sparkSession)
+      textCol: String,
+      tokenizer: String = "ws"): (DataFrame, Long) = {
+    registerTokenizers(standing)
     val trainTokens = curatedKeep(standing, evalSet, idCol, textCol)
       .filter(splitColumn(col("text")) === "train")
-      .select(call_function("graft_text_stats", col("text"))
-        .getField("n_tokens").as("n_tokens"))
+      .select(tokenCountCol(col("text"), tokenizer).as("n_tokens"))
       .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
       .head().getLong(0)
     val digests = standing.select(md5(col(textCol)).as("digest")).distinct()

@@ -674,6 +674,18 @@ object Pipelines {
         docs.join(flagged, Seq("doc_id"), "left_semi"), "doc_id", "text", width = 40)
     }),
 
+    // Deterministic subword (BPE) shard packing (round-9): q86's
+    // two-level prefix-sum pack with the token unit switched to the
+    // fixed-merges byte-pair tokenizer (graft_bpe_count) — the unit
+    // real training-shard budgets are denominated in. The oracle
+    // replays the merges deterministically (a replace-chain over a
+    // separator-wrapped token encoding, GENERATED from the same
+    // Merges table), so a green row proves exact subword counts AND
+    // the pack arithmetic over them.
+    "q118_bpe_shard_pack" -> ((s, dir) =>
+      Curation.shardPack(t(s, dir, "documents"), "doc_id", "text",
+        tokensPerShard = 16384L, tokenizer = "bpe")),
+
     // Incremental WINNOWED exact-substring (round-9): the doc_id%7=0
     // batch's winnowed fingerprints probe the STANDING winnowed
     // multiplicity index — the index a 100 TB pipeline actually
@@ -894,6 +906,25 @@ object Pipelines {
 
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  /** The BPE kernel's DuckDB replay, generated from
+    * [[graft.functions.BpeTokenizer.Merges]] (single source of truth):
+    * each code point wrapped in chr(31) separators (`|c|` concatenated
+    * → `|a||b||c|`), then ONE replace per merge — the pattern
+    * `|a||b|` → `|ab|` consumes both wrapped tokens whole, so
+    * left-to-right non-overlapping replace is exactly the kernel's
+    * one-pass-per-merge scan. Token count = separators/2.
+    */
+  private val bpeEncodeSql: String = {
+    val us = "chr(31)"
+    def lit(x: String) = "'" + x.replace("'", "''") + "'"
+    val init = s"CASE WHEN len(text) = 0 THEN '' ELSE $us || " +
+      s"array_to_string(string_split(text, ''), $us || $us) || $us END"
+    graft.functions.BpeTokenizer.Merges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, $us || ${lit(a)} || $us || $us || ${lit(b)} || $us, " +
+        s"$us || ${lit(a + b)} || $us)"
+    }
+  }
 
   /** Where q39 exports its trained centroid table for the DuckDB twin.
     * Absolute so the oracle SQL works regardless of DuckDB's cwd; under
@@ -1453,6 +1484,28 @@ object Pipelines {
              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
              md5(text) AS okey
            FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+               FROM tk)
+         SELECT doc_id, n_tokens, cb // 16384 AS shard_id, cb % 16384 AS offset_tokens
+         FROM c""",
+
+    // BPE shard pack: q86's pack arithmetic over the subword counts.
+    // The BPE replay wraps every code point in chr(31) separators and
+    // applies one replace() per merge — string replace's left-to-right
+    // non-overlapping scan over the double-separator encoding is
+    // EXACTLY the kernel's one-pass-per-merge semantics (each match
+    // consumes both wrapped tokens whole; a fresh merge result cannot
+    // re-merge in the same pass). The chain is generated from
+    // BpeTokenizer.Merges, the single source of truth.
+    "q118_bpe_shard_pack" ->
+      s"""WITH enc AS (SELECT doc_id, text, $bpeEncodeSql AS s FROM documents),
+         tk AS (SELECT doc_id,
+             CAST(CASE WHEN len(text) = 0 THEN 0
+                  ELSE (len(s) - len(replace(s, chr(31), ''))) // 2 END AS BIGINT) AS n_tokens,
+             md5(text) AS okey
+           FROM enc),
          c AS (SELECT doc_id, n_tokens,
                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY okey, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb

@@ -880,7 +880,8 @@ object Streams {
       initialBatchIdx: Long = 0L,
       nearDup: Option[NearDupParams] = None,
       initialRepCorpus: Option[DataFrame] = None,
-      restoredRepIndex: Option[DataFrame] = None) {
+      restoredRepIndex: Option[DataFrame] = None,
+      tokenizer: String = "ws") {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(nearDup.isEmpty || initialRepCorpus.isDefined,
       "a near-dup-enabled gate needs the standing rep corpus (doc_id, text)")
@@ -1043,7 +1044,8 @@ object Streams {
       // shardPack already tokenizes each doc, so its output ALSO feeds
       // the counter advance — one kernel pass, not two.
       val (packRaw, packScratch) = Curation.shardPackWithScratch(
-        judged.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
+        judged.filter(col("split") === "train"), "doc_id", "text", tokensPerShard,
+        tokenizer)
       val packed = packRaw
         .select(col("doc_id"), col("n_tokens"),
           (col("shard_id") * tokensPerShard + col("offset_tokens") +
@@ -1104,9 +1106,10 @@ object Streams {
       textCol: String,
       tokensPerShard: Long,
       compactEvery: Int = 8,
-      nearDup: Option[NearDupParams] = None): CurationGate = {
+      nearDup: Option[NearDupParams] = None,
+      tokenizer: String = "ws"): CurationGate = {
     val (digests, tokens) =
-      graft.ops.Curation.standingCurationState(standing, evalSet, idCol, textCol)
+      graft.ops.Curation.standingCurationState(standing, evalSet, idCol, textCol, tokenizer)
     // With the near-dup stage on, every standing doc seeds the rep
     // corpus (its content is decided state, as with digests); the
     // standing token total stays the exact-dedup pipeline's — the
@@ -1116,7 +1119,8 @@ object Streams {
       tokensPerShard, compactEvery,
       nearDup = nearDup,
       initialRepCorpus = nearDup.map(_ => standing.select(
-        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))))
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))),
+      tokenizer = tokenizer)
   }
 
   /** Resume a [[CurationGate]] from `store`'s latest committed
@@ -1134,7 +1138,8 @@ object Streams {
       textCol: String,
       tokensPerShard: Long,
       compactEvery: Int = 8,
-      nearDup: Option[NearDupParams] = None): CurationGate = {
+      nearDup: Option[NearDupParams] = None,
+      tokenizer: String = "ws"): CurationGate = {
     val digests = store.read("digests").getOrElse(throw new IllegalStateException(
       s"no committed curation-gate state in '${store.name}' (missing 'digests' slot)"))
     val meta = store.read("meta").getOrElse(throw new IllegalStateException(
@@ -1149,7 +1154,8 @@ object Streams {
       initialBatchIdx = meta.getAs[Long]("batch_idx"),
       nearDup = nearDup,
       initialRepCorpus = repCorpus,
-      restoredRepIndex = if (nearDup.isDefined) store.read("bandindex") else None)
+      restoredRepIndex = if (nearDup.isDefined) store.read("bandindex") else None,
+      tokenizer = tokenizer)
   }
 
   /** Run [[DedupGate]] over a streaming frame of documents via

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.BpeTokenizer
+import graft.ops.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic byte-pair tokenizer (round-9 verdict task 3): fixed
+  * merges in table order, one non-overlapping left-to-right pass per
+  * merge over code points — semantics pinned here against hand-derived
+  * token sequences; exact cross-engine parity is q118's oracle.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bpe-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  private def toks(s: String): List[String] =
+    BpeTokenizer.tokens(UTF8String.fromString(s)).toList
+
+  test("merges apply in table order, one pass each") {
+    // "the": (t,h) rank 1 → th,e; (th,e) level 2 → the
+    assert(toks("the") === List("the"))
+    // "station": (a,t) rank 8 consumes the 'at' before (t,i) rank 11
+    // could form 'ti' — order matters and is pinned
+    assert(toks("station") === List("st", "at", "i", "on"))
+    // space-prefixed function word: " the" is ONE token
+    assert(toks("in the end") === List("in", " the", " ", "en", "d"))
+  }
+
+  test("pinned token sequences (the exact convention, not just counts)") {
+    // hand-derived under the documented semantics
+    assert(toks("") === Nil)
+    assert(toks("a") === List("a"))
+    // (a,a) is not a merge — no accidental self-merge
+    assert(toks("aaa") === List("a", "a", "a"))
+    assert(toks("and and") === List("and", " and"))
+    assert(toks("to the of and a") ===
+      List("to", " the", " of", " and", " a"))
+  }
+
+  test("within-pass non-overlap: a fresh merge result does not re-merge in the same pass") {
+    // merge ("t","h"): "tth" → pass yields th? positions: t,t,h —
+    // pair (0,1)=(t,t) no; (1,2)=(t,h) merge → t,th. Later ("th","e")
+    // doesn't apply. Final: "t","h","e" chain check on "ththth":
+    // one pass merges (0,1),(2,3),(4,5) → th,th,th
+    assert(toks("ththth") === List("th", "th", "th"))
+  }
+
+  test("supplementary-plane code points are single start units") {
+    val s = "a🎉b" // a 🎉 b
+    assert(toks(s) === List("a", "🎉", "b"))
+    assert(BpeTokenizer.count(UTF8String.fromString(s)) === 3L)
+  }
+
+  test("count equals token length; BPE compresses English text below char count") {
+    val text = "the quick brown fox jumps over the lazy dog and the cat"
+    val n = BpeTokenizer.count(UTF8String.fromString(text))
+    assert(n === toks(text).length.toLong)
+    assert(n < text.length, "no compression — merges not firing")
+  }
+
+  test("shardPack/corpusStats accept the bpe tokenizer and count subwords") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "station to the end of it"),
+      (3L, "")).toDF("doc_id", "text")
+    val packed = Curation.shardPack(docs, "doc_id", "text",
+        tokensPerShard = 8L, tokenizer = "bpe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      val want = BpeTokenizer.count(UTF8String.fromString(r.getString(1)))
+      assert(packed(r.getLong(0)) === want, s"doc ${r.getLong(0)}")
+    }
+    val stats = Curation.corpusStats(
+        docs.withColumn("lang", lit("en")), "lang", "doc_id", "text",
+        tokenizer = "bpe")
+      .collect()
+    assert(stats.head.getAs[Long]("sum_tokens") ===
+      docs.collect().map(r => BpeTokenizer.count(UTF8String.fromString(r.getString(1)))).sum)
+    intercept[IllegalArgumentException] {
+      Curation.shardPack(docs, "doc_id", "text", 8L, tokenizer = "nope")
+    }
+  }
+}
