@@ -64,10 +64,14 @@ object Bench {
     val steadyState = !sys.env.get("SPARK_GRAFT_COLD").contains("true")
     // Optional subset (comma-separated names) — used by the scale-curve
     // runs, where the intentionally-quadratic verifiers would dominate
-    // wall-clock at large replication factors.
+    // wall-clock at large replication factors. Selects from ALL query
+    // keys (not just the default bench set), so one-off scale legs of
+    // the bench-excluded gate replays (q104/q114/q115) can be timed
+    // without adding their replay-feeding cost to the default suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.benchQueries)(f => SparkEntry.benchQueries.filter(f))
+    val selected = only.fold(SparkEntry.benchQueries)(f =>
+      SparkEntry.queries.keySet.filter(f).toSeq.sorted)
     // Record system load so each bench JSON is self-adjudicating: the box
     // shows ±30% noisy-neighbor variance when the driver's own jobs run
     // (load avg ~5); a regression measured at load >2 is noise until

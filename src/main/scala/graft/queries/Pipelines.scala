@@ -374,6 +374,15 @@ object Pipelines {
     // the components the batch's edges reach. The oracle is q37's
     // full recursive-CTE CC over the UNION edge set, so a green row
     // proves delta fold ≡ full recompute.
+    //
+    // COST-MODEL NOTE (do not misread the bench number): q103's timed
+    // seconds include the pair pipeline + the FULL standing
+    // contraction, re-derived here only so the oracle can replay the
+    // fold. The production incremental cost is the FOLD ALONE
+    // (Components.fusedDeltaRelabel — one broadcast-restricted probe
+    // + one fused single-task job per batch), measured flat per batch
+    // by tools/DedupGateBench and pinned as the "q103 fold-only" row
+    // in BASELINE.md next to this query's end-to-end number.
     "q103_dedup_clusters_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairsNative(

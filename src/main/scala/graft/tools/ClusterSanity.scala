@@ -90,13 +90,23 @@ object ClusterSanity {
     nodesC.unpersist(); edgesC.unpersist()
 
     // 3. Shuffle-heavy scale legs: real shuffle transport between
-    // worker JVMs at the 62x document scale.
+    // worker JVMs at the 62x document scale. Round-9 adds the
+    // two-stage winnow→exact flow (q112 — the stage-1/stage-2
+    // checkpoint interlock crosses executor boundaries), the media
+    // delta (q113 — decode-vs-probe split: decode is map-side flat on
+    // the workers, the probe is the broadcast-semi frame join), and
+    // the winnowed delta (q116 — the standing winnowed index probe).
     scaleDir.foreach { sd =>
       for (q <- Seq("q20_gram_postings", "q31_dedup_jaccard",
           "q32_dedup_minhash_lsh", "q36_ann_lsh")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
         time(s"$q @62x (steady)")(noop(fn(spark, sd)))
+      }
+      for (q <- Seq("q112_exact_substr_twostage", "q113_media_dedup_delta",
+          "q116_winnowed_delta", "q114_curation_gate_replay")) {
+        val fn = graft.SparkEntry.queries(q)
+        time(s"$q @62x")(noop(fn(spark, sd)))
       }
     }
 
@@ -124,6 +134,20 @@ object ClusterSanity {
         "q108_media_dedup", "q109_ann_ivf_quantized",
         "q111_curation_delta", "q112_exact_substr_twostage",
         "q113_media_dedup_delta", "q114_curation_gate_replay")) {
+      val fn = graft.SparkEntry.queries(q)
+      time(q)(noop(fn(spark, sfDir)))
+    }
+
+    // 3d. Round-9 additions: the composed near-dup curation gate
+    // (q115 — band-key rep-index probes per fold across executors),
+    // the winnowed delta (q116), semantic decontamination (q117 —
+    // eval-as-broadcast-delta bucket join), and BPE shard packing
+    // (q118 — the merge-scan kernel on executors + the two-level
+    // prefix sum). q104/q114 in 3c now ALSO exercise the durable-gate
+    // restart leg here: persist stages parquet from executor tasks and
+    // the resumed gate re-checkpoints across the worker JVMs.
+    for (q <- Seq("q115_curation_gate_neardup", "q116_winnowed_delta",
+        "q117_decontaminate_semantic", "q118_bpe_shard_pack")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }

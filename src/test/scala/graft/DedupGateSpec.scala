@@ -157,6 +157,11 @@ class DedupGateSpec extends AnyFunSuite {
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
     val gate = Streams.newDedupGate(corpus, "doc_id", "text", compactEvery = 3)
+    // Baseline BEFORE the folds: suites share the forked test JVM's
+    // SparkSession, so blocks left by earlier suites (gate specs hold
+    // live carried checkpoints) must not count against THIS gate's
+    // growth bound — the assertion below is on the delta.
+    val cachedBefore = s.sparkContext.getRDDStorageInfo.length
     val nBatches = 10
     (1 to nBatches).foreach { b =>
       // one duplicate of the seed (always rejected) + one novel doc per batch
@@ -183,8 +188,8 @@ class DedupGateSpec extends AnyFunSuite {
     // ContextCleaner, not eagerly) — far below one-per-batch growth,
     // which would sit at ≥40 here (4+ transient checkpoints × 10
     // batches on top of the carried frames)
-    val cached = s.sparkContext.getRDDStorageInfo.length
-    assert(cached <= 25, s"cached RDDs grew with batch count: $cached")
+    val cached = s.sparkContext.getRDDStorageInfo.length - cachedBefore
+    assert(cached <= 25, s"cached RDDs grew with batch count: $cached new blocks")
   }
 
   test("broadcastDelta plan: the standing index streams through broadcast joins, never a shuffle") {

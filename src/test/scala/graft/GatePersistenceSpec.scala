@@ -3,6 +3,7 @@ package graft
 import graft.bulk.ManifestStore
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Durable, restartable gate state (round-9 verdict task 1): each
@@ -17,13 +18,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * assemblage_kv/tests/transactions.rs:8-110), re-expressed as
   * parquet slots + manifest CAS.
   */
-class GatePersistenceSpec extends AnyFunSuite {
+class GatePersistenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .appName("graft-gate-persistence-spec")
     .config("spark.sql.shuffle.partitions", "2")
     .getOrCreate()
+
+  /** The ~15 gates this suite replays each hold live carried
+    * checkpoints when they go out of scope; suites share the forked
+    * test JVM's SparkContext, so release everything on exit or later
+    * suites' block-growth bounds see this suite's residue.
+    */
+  override def afterAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
 
   private def tmpStore(): ManifestStore =
     new ManifestStore(spark,
