@@ -72,6 +72,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.benchQueries)(f =>
       SparkEntry.queries.keySet.filter(f).toSeq.sorted)
+    // Loud note when a selection reaches outside the default bench set
+    // (deliberately excluded replays/verifiers): the caller asked for
+    // it, but a recipe that EXPECTED the old intersection semantics
+    // should see why its totals moved.
+    val offMenu = selected.filterNot(SparkEntry.benchQueries.toSet)
+    if (offMenu.nonEmpty) System.err.println(
+      s"[bench] note: timing ${offMenu.size} bench-EXCLUDED queries by request: " +
+        offMenu.mkString(", "))
     // Record system load so each bench JSON is self-adjudicating: the box
     // shows ±30% noisy-neighbor variance when the driver's own jobs run
     // (load avg ~5); a regression measured at load >2 is noise until

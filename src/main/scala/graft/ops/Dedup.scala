@@ -632,6 +632,48 @@ object Dedup {
     * anti-joined out of the standing side first (the delta copy is
     * authoritative), as in the MinHash delta.
     */
+  /** The shared delta-probe plumbing of the two incremental
+    * exact-substring forms (stride-1 q99 / winnowed q116): build the
+    * delta's fingerprint stream with `fingerprints`, probe the
+    * standing side's multiplicity index (recomputed here with the same
+    * builder; maintained state in production), and return
+    * (delta fingerprint stream, repeated-hash set (h, is_rep) with the
+    * broadcast decision applied).
+    *
+    * Two-regime rule: micro-batch deltas broadcast (the gate shape); a
+    * backfill-sized delta above the cap falls back to shuffle joins
+    * instead of blowing the broadcast limit. The hash-keyed build
+    * sides gate on the distinct-fingerprint count; the re-ingest
+    * anti-join gates on the DOC count separately, because a backfill
+    * of near-identical (or sub-width) docs can carry millions of rows
+    * behind a tiny — or zero — distinct-hash count.
+    */
+  private def substrDeltaRepeatedSet(
+      standing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      fingerprints: DataFrame => DataFrame,
+      broadcastDeltaCap: Long): (DataFrame, DataFrame) = {
+    val wd = fingerprints(delta)
+    val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    val idsSmall = delta.count() <= broadcastDeltaCap
+    def idsSized(df: DataFrame): DataFrame = if (idsSmall) broadcast(df) else df
+    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
+    val standingOnly = standing.join(
+      idsSized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
+    // In production this is the maintained index, not a kernel pass.
+    val standingIdx = fingerprints(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
+    val standingHits = standingIdx
+      .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
+      .localCheckpoint()
+    val rep = deltaCounts.join(standingHits, Seq("h"), "left")
+      .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
+      .select(col("h"), lit(1).as("is_rep"))
+    (wd, sized(rep))
+  }
+
   def exactSubstrDeltaRepeats(
       standing: DataFrame,
       delta: DataFrame,
@@ -643,32 +685,9 @@ object Dedup {
     def windows(df: DataFrame) = graft.Tables.fanOut(df).select(
       col(idCol).as("doc_id"),
       explode(call_function("graft_window_hashes", col(textCol), lit(width))).as("h"))
-    val wd = windows(delta)
-    val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
-    // Micro-batch deltas broadcast (the gate shape); a backfill-sized
-    // delta above the cap falls back to shuffle joins instead of
-    // blowing the broadcast limit — the same two-regime rule as
-    // exactSubstrRepeats' broadcastRepCap. The hash-keyed build sides
-    // gate on the distinct-window-hash count; the re-ingest anti-join
-    // gates on the DOC count separately, because a backfill of
-    // near-identical (or sub-width) docs can carry millions of rows
-    // behind a tiny — or zero — distinct-hash count.
-    val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
-    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
-    val idsSmall = delta.count() <= broadcastDeltaCap
-    def idsSized(df: DataFrame): DataFrame = if (idsSmall) broadcast(df) else df
-    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
-    val standingOnly = standing.join(
-      idsSized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
-    // In production this is the maintained index, not a kernel pass.
-    val standingIdx = windows(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
-    val standingHits = standingIdx
-      .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
-      .localCheckpoint()
-    val rep = deltaCounts.join(standingHits, Seq("h"), "left")
-      .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
-      .select("h")
-    val hits = wd.join(sized(rep), Seq("h"), "left_semi")
+    val (wd, rep) = substrDeltaRepeatedSet(
+      standing, delta, idCol, windows, broadcastDeltaCap)
+    val hits = wd.join(rep.select("h"), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_repeated"))
     delta.select(
@@ -718,25 +737,9 @@ object Dedup {
       col(idCol).as("doc_id"),
       explode(call_function("graft_winnowed_hashes",
         col(textCol), lit(width), lit(stride))).as("h"))
-    val wd = winnowed(delta)
-    val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
-    val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
-    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
-    val idsSmall = delta.count() <= broadcastDeltaCap
-    def idsSized(df: DataFrame): DataFrame = if (idsSmall) broadcast(df) else df
-    val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
-    val standingOnly = standing.join(
-      idsSized(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
-    // In production this is the maintained winnowed index, not a
-    // kernel pass.
-    val standingIdx = winnowed(standingOnly).groupBy("h").agg(count(lit(1)).as("cs"))
-    val standingHits = standingIdx
-      .join(sized(deltaCounts.select("h")), Seq("h"), "left_semi")
-      .localCheckpoint()
-    val rep = deltaCounts.join(standingHits, Seq("h"), "left")
-      .filter(col("cd") + coalesce(col("cs"), lit(0L)) > 1)
-      .select(col("h"), lit(1).as("is_rep"))
-    val per = wd.join(sized(rep), Seq("h"), "left")
+    val (wd, rep) = substrDeltaRepeatedSet(
+      standing, delta, idCol, winnowed, broadcastDeltaCap)
+    val per = wd.join(rep, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_selected"), count(col("is_rep")).as("n_repeated"))
     delta.select(col(idCol).as("doc_id"))

@@ -425,6 +425,10 @@ object Pipelines {
       // GatePersistenceSpec at every other kill point).
       val gate = withGateStore(s) { store =>
         g1.persist(store)
+        // the abandoned pre-restart gate's checkpoints are released —
+        // the resumed gate re-materializes from the store's parquet,
+        // so nothing it holds references g1's blocks
+        g1.release()
         graft.streaming.Streams.resumeDedupGate(store, "doc_id", "text", compactEvery = 2)
       }
       gate.ingest(docs.filter(col("doc_id") % 4 === 3))
@@ -620,6 +624,7 @@ object Pipelines {
       // batch counters) restores decision- and shard-offset-identical.
       val gate = withGateStore(s) { store =>
         g1.persist(store)
+        g1.release() // see q104 — the resumed gate holds no g1 blocks
         graft.streaming.Streams.resumeCurationGate(store, evalSet,
           "doc_id", "text", tokensPerShard = 16384L, compactEvery = 2)
       }
@@ -923,6 +928,13 @@ object Pipelines {
     * `|a||b|` → `|ab|` consumes both wrapped tokens whole, so
     * left-to-right non-overlapping replace is exactly the kernel's
     * one-pass-per-merge scan. Token count = separators/2.
+    *
+    * PRECONDITION (oracle side only — the kernel handles any input):
+    * the encoding is ambiguous for text containing a literal U+001F,
+    * so the q118 oracle appends a poison row whenever any document
+    * contains one — the gate then goes RED with a diagnosable row
+    * instead of silently diverging. Real corpora with control chars
+    * would need a different separator choice per corpus.
     */
   private val bpeEncodeSql: String = {
     val us = "chr(31)"
@@ -1520,7 +1532,10 @@ object Pipelines {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
                FROM tk)
          SELECT doc_id, n_tokens, cb // 16384 AS shard_id, cb % 16384 AS offset_tokens
-         FROM c""",
+         FROM c
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         WHERE EXISTS (SELECT 1 FROM documents WHERE contains(text, chr(31)))""",
 
     "q87_mixture_sample" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

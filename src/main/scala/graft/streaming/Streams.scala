@@ -374,6 +374,17 @@ object Streams {
       old.labelSegs.foreach(releaseCheckpoint)
       old.rootRemap.foreach(releaseCheckpoint)
     }
+
+    /** Drop every carried checkpoint — terminal; the state must not be
+      * folded or read after this. For abandoning a gate whose standing
+      * state has been persisted (or is no longer needed).
+      */
+    private[streaming] def release(): Unit = {
+      val old = snap
+      snap = Snapshot(Vector.empty, None)
+      old.labelSegs.foreach(releaseCheckpoint)
+      old.rootRemap.foreach(releaseCheckpoint)
+    }
   }
 
   private[streaming] object ClusterState {
@@ -509,7 +520,7 @@ object Streams {
       * which the replay oracles already prove semantics-preserving.
       * Returns the committed version.
       */
-    def persist(store: graft.bulk.ManifestStore): Long = {
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val txn = store.begin()
       txn.stage("corpus", corpusNow)
       txn.stage("index", indexNow)
@@ -518,7 +529,22 @@ object Streams {
       txn.commit().fold(throw _, identity)
     }
 
-    private[graft] def fold(batch: DataFrame): Unit = {
+    /** Drop every carried checkpoint — terminal; the gate must not be
+      * used after this. For abandoning a gate whose state was just
+      * persisted (the restart legs) or is no longer needed — without
+      * it the orphaned blocks pin block-manager memory for the rest
+      * of the session.
+      */
+    def release(): Unit = synchronized {
+      (corpusSegs ++ indexSegs).foreach(releaseCheckpoint)
+      rejectedLog.foreach(releaseCheckpoint)
+      corpusSegs = Vector.empty
+      indexSegs = Vector.empty
+      rejectedLog = None
+      clusterState.release()
+    }
+
+    private[graft] def fold(batch: DataFrame): Unit = synchronized {
       import graft.ops.Dedup
       // the micro-batch frame lives on a CLONED session whose function
       // registry was snapshot before any kernel registration on the
@@ -713,7 +739,7 @@ object Streams {
       * (auto-B resigns after resume work unchanged — the packed
       * vectors travel with the index).
       */
-    def persist(store: graft.bulk.ManifestStore): Long = {
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val spark = indexSegs.head.sparkSession
       val txn = store.begin()
       txn.stage("index", indexNow)
@@ -723,7 +749,17 @@ object Streams {
       txn.commit().fold(throw _, identity)
     }
 
-    private[graft] def fold(batch: DataFrame): Unit = {
+    /** Drop every carried checkpoint — terminal; see
+      * [[DedupGate.release]]. */
+    def release(): Unit = synchronized {
+      indexSegs.foreach(releaseCheckpoint)
+      rejectedLog.foreach(releaseCheckpoint)
+      indexSegs = Vector.empty
+      rejectedLog = None
+      clusterState.release()
+    }
+
+    private[graft] def fold(batch: DataFrame): Unit = synchronized {
       val vsPairs = Similarity.cosinePairsLshIndexed(
           indexNow, batch, idCol, vecCol, dim, planes, threshold)
         .transform(graft.ops.Ckpt.fresh)
@@ -951,7 +987,7 @@ object Streams {
       * resume constructor re-shingles it once, as the live constructor
       * does.
       */
-    def persist(store: graft.bulk.ManifestStore): Long = {
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val spark = digestSegs.head.sparkSession
       val txn = store.begin()
       txn.stage("digests", digestsNow)
@@ -960,12 +996,29 @@ object Streams {
         txn.stage("corpus", repCorpusNow)
         txn.stage("bandindex", repIdxNow)
       }
+      // the tokenizer RIDES the manifest: the carried train-token
+      // counter is denominated in its units, and a resume under a
+      // different tokenizer would silently mix units in the shard
+      // arithmetic — resumeCurationGate validates the match.
       txn.stage("meta", spark.range(1).select(
-        lit(trainTokens).as("train_tokens"), lit(batchIdx).as("batch_idx")))
+        lit(trainTokens).as("train_tokens"), lit(batchIdx).as("batch_idx"),
+        lit(tokenizer).as("tokenizer")))
       txn.commit().fold(throw _, identity)
     }
 
-    private[graft] def fold(batch: DataFrame): Unit = {
+    /** Drop every carried checkpoint (digests, decisions, rep corpus +
+      * band index, eval vocabulary) — terminal; see
+      * [[DedupGate.release]]. */
+    def release(): Unit = synchronized {
+      (digestSegs ++ decisionSegs ++ repSegs ++ repIdxSegs).foreach(releaseCheckpoint)
+      digestSegs = Vector.empty
+      decisionSegs = Vector.empty
+      repSegs = Vector.empty
+      repIdxSegs = Vector.empty
+      releaseCheckpoint(evalVocab)
+    }
+
+    private[graft] def fold(batch: DataFrame): Unit = synchronized {
       import graft.ops.{Curation, Dedup, TextAnalysis}
       graft.functions.TextStatsFns.ensureRegistered(batch.sparkSession)
       graft.functions.DedupKernels.ensureRegistered(batch.sparkSession)
@@ -1142,8 +1195,18 @@ object Streams {
       tokenizer: String = "ws"): CurationGate = {
     val digests = store.read("digests").getOrElse(throw new IllegalStateException(
       s"no committed curation-gate state in '${store.name}' (missing 'digests' slot)"))
-    val meta = store.read("meta").getOrElse(throw new IllegalStateException(
-      s"curation-gate manifest in '${store.name}' has no 'meta' slot")).head()
+    val metaDf = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"curation-gate manifest in '${store.name}' has no 'meta' slot"))
+    val meta = metaDf.head()
+    // the persisted counter's unit must match the resuming gate's —
+    // a mismatch would mix token units in the shard arithmetic
+    if (metaDf.columns.contains("tokenizer")) {
+      val stored = meta.getAs[String]("tokenizer")
+      require(stored == tokenizer,
+        s"curation-gate manifest in '${store.name}' was persisted with " +
+          s"tokenizer='$stored' but resume requested '$tokenizer' — the " +
+          "carried train-token counter is denominated in the persisted unit")
+    }
     val repCorpus = nearDup.map(_ => store.read("corpus").getOrElse(
       throw new IllegalStateException(
         s"near-dup resume needs a 'corpus' slot in '${store.name}' — " +

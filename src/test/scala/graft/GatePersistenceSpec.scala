@@ -231,6 +231,26 @@ class GatePersistenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("curation gate: resume under a different tokenizer fails loudly (unit mixing)") {
+    val s = spark
+    import s.implicits._
+    val standing = docs(100L -> 100L)
+    val evalSet = docs(900L -> 900L)
+    val g = Streams.newCurationGate(standing, evalSet, "doc_id", "text",
+      tokensPerShard = 50L, tokenizer = "bpe")
+    g.ingest(Seq((10L, goodText(10))).toDF("doc_id", "text"))
+    val store = tmpStore()
+    g.persist(store)
+    // matching tokenizer resumes fine
+    Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
+      tokensPerShard = 50L, tokenizer = "bpe")
+    // mismatched tokenizer must not silently mix units in the counter
+    intercept[IllegalArgumentException] {
+      Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
+        tokensPerShard = 50L)
+    }
+  }
+
   test("near-dup curation gate: kill+resume restores the rep corpus + band index") {
     val s = spark
     import s.implicits._
