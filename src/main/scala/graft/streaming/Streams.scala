@@ -225,18 +225,48 @@ object Streams {
     * localCheckpoint-materialized, so the plan never grows with stream
     * length — the loop-carried-frame rule; superseded checkpoints are
     * unpersisted so the block store doesn't grow with it either).
+    *
+    * `lastUpdated` is the CONSUMER WATERMARK — the highest episode_ts
+    * folded so far (fetch_broadcast's last_updated,
+    * assemblage_db/src/broadcasts.rs watermark semantics): it travels
+    * with [[persist]]'s manifest, so a RESUMED stream re-reads the
+    * episode files fresh (no Spark checkpoint needed) and skips
+    * everything already applied — replaying an old episode would
+    * REGRESS nodes a newer episode already rewrote, which is why the
+    * watermark is state, not an optimization.
     */
-  final class MaintainedIndex private[streaming] (initial: DataFrame) {
+  final class MaintainedIndex private[streaming] (
+      initial: DataFrame, initialLastTs: Long = Long.MinValue) {
     @volatile private var standing: DataFrame = initial.transform(graft.ops.Ckpt.fresh)
+    @volatile private var lastTs: Long = initialLastTs
     def current: DataFrame = standing
-    private[streaming] def fold(batch: DataFrame): Unit = {
+    def lastUpdated: Long = lastTs
+    private[streaming] def fold(batch: DataFrame): Unit = synchronized {
       val prev = standing
+      // one scalar per batch: the watermark advance (the same audited
+      // driver-side-scalar shape as the curation gate's token counter)
+      val mx = batch.agg(coalesce(max(col("episode_ts")), lit(Long.MinValue)))
+        .head().getLong(0)
       standing = applyEpisodeBatch(prev, batch).transform(graft.ops.Ckpt.fresh)
+      if (mx > lastTs) lastTs = mx
       // release AFTER publishing the successor: a concurrent `current`
       // reader sees either frame fully materialized (a reader that holds
       // prev across a batch boundary must re-read `current` instead —
       // the usual snapshot contract)
       releaseCheckpoint(prev)
+    }
+
+    /** Durably commit (postings, consumer watermark) as ONE manifest
+      * version — see [[DedupGate.persist]] for the contract;
+      * [[Streams.resumeMaintainedIndexFromEpisodes]] restarts the
+      * stream from it.
+      */
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
+      val txn = store.begin()
+      txn.stage("postings", standing)
+      txn.stage("meta",
+        standing.sparkSession.range(1).select(lit(lastTs).as("last_ts")))
+      txn.commit().fold(throw _, identity)
     }
   }
 
@@ -258,7 +288,7 @@ object Streams {
       dir: String,
       initial: DataFrame,
       sinceTs: Long = Long.MinValue): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
-    val handle = new MaintainedIndex(initial)
+    val handle = new MaintainedIndex(initial, sinceTs)
     val query = readEpisodes(spark, dir)
       .filter(col("episode_ts") > sinceTs)
       .writeStream
@@ -266,6 +296,26 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) => handle.fold(batch) }
       .start()
     (handle, query)
+  }
+
+  /** Resume [[maintainIndexFromEpisodes]] from `store`'s latest
+    * committed manifest — the durable restart of the streaming
+    * reindex, the reference's reopen-then-catch-up (log replay +
+    * fetch watermark). The restarted file stream re-lists everything
+    * under `dir` (it is a FRESH query — no Spark checkpoint), and the
+    * persisted consumer watermark skips every episode the dead stream
+    * already folded; only episodes newer than the manifest replay.
+    */
+  def resumeMaintainedIndexFromEpisodes(
+      spark: SparkSession,
+      dir: String,
+      store: graft.bulk.ManifestStore): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val postings = store.read("postings").getOrElse(throw new IllegalStateException(
+      s"no committed index state in '${store.name}' (missing 'postings' slot)"))
+    val lastTs = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"index manifest in '${store.name}' has no 'meta' slot"))
+      .head().getAs[Long]("last_ts")
+    maintainIndexFromEpisodes(spark, dir, postings, sinceTs = lastTs)
   }
 
   /** Loop-carried duplicate-cluster state shared by the ingest gates:

@@ -112,6 +112,65 @@ class StreamingReindexSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("durable restart: persist mid-stream, resume from the manifest, catch up — equals a rebuild") {
+    // The reference's reopen-then-catch-up (log replay + fetch
+    // watermark): kill the maintaining stream after some episodes,
+    // persist (postings + consumer watermark) through ManifestStore,
+    // write MORE episodes — including a rewrite of a node the dead
+    // stream already indexed, which a watermark-less resume would risk
+    // clobbering whenever old and new episodes land in different
+    // micro-batches — then resume and assert the maintained table
+    // equals a rebuild from final states.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-episodes-resume").toString
+    def writeEpisode(bid: String, ts: Long, rows: Seq[(Array[Byte], String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ep-stage").toString
+      rows.map { case (nid, kind, payload) => (bid, ts, nid, kind, payload) }
+        .toDF("broadcast_id", "episode_ts", "node_id", "kind", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, bid)
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.move(part.toPath, dst.resolve(s"ep_$ts.parquet"))
+    }
+    def id(b: Byte) = Array[Byte](b)
+    val initial = GramIndex.postings(
+      Seq((id(1), "hello world"), (id(2), "stable doc")).toDF("node_id", "text"),
+      "node_id", "text")
+
+    // leg 1: two episodes, then kill + persist
+    val (h1, q1) = Streams.maintainIndexFromEpisodes(s, dir, initial)
+    val store = new graft.bulk.ManifestStore(s,
+      java.nio.file.Files.createTempDirectory("graft-index-store").toString)
+    try {
+      writeEpisode("b1", 100L, Seq((id(1), "TEXT", "hello brave world")))
+      writeEpisode("b1", 110L, Seq((id(3), "TEXT", "third doc arrives")))
+      q1.processAllAvailable()
+      assert(h1.lastUpdated === 110L)
+      h1.persist(store)
+    } finally q1.stop()
+
+    // leg 2: more episodes AFTER the kill — including node 1 again
+    writeEpisode("b1", 120L, Seq((id(1), "TEXT", "hello final world"), (id(3), "REMOVE", null)))
+    writeEpisode("b1", 130L, Seq((id(4), "TEXT", "brand new")))
+
+    val (h2, q2) = Streams.resumeMaintainedIndexFromEpisodes(s, dir, store)
+    try {
+      assert(h2.lastUpdated === 110L)
+      q2.processAllAvailable()
+      assert(h2.lastUpdated === 130L)
+      val rebuilt = GramIndex.postings(
+        Seq((id(1), "hello final world"), (id(2), "stable doc"), (id(4), "brand new"))
+          .toDF("node_id", "text"),
+        "node_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Array[Byte]]("id").toSeq, r.getLong(1), r.getLong(2))).toSet
+      assert(rows(h2.current) === rows(rebuilt))
+    } finally q2.stop()
+  }
+
   test("duplicate writes to one id within a batch keep the postings table keyed") {
     // postings()' one-pass kernel aggregates per input ROW, so a batch
     // with two upserts of the same id would emit duplicate (id, gram)
