@@ -715,6 +715,33 @@ object Pipelines {
         "doc_id", "text", width = 40, stride = 20)
     }),
 
+    // WINNOW-GATE replay (round-9): the q116 standing winnowed index
+    // as ACTUALLY-MAINTAINED durable gate state — doc_id%4=0 seeds the
+    // multiplicity index, three ordered batches are annotated against
+    // everything seen so far (plus themselves) and fold their
+    // fingerprint counts in; compactEvery=2 forces an LSM merge
+    // mid-replay, and the q104/q114-style RESTART leg persists the
+    // index + decision log after fold 2 and resumes a fresh gate for
+    // fold 3 — against an unchanged oracle (the q106 winnow chain with
+    // per-batch cumulative multiplicities). Decisions are immutable:
+    // an early doc is not re-flagged when a later copy arrives; the
+    // copy itself flags.
+    "q119_winnow_gate_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val g1 = graft.streaming.Streams.newWinnowGate(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        width = 40, stride = 20, compactEvery = 2)
+      (1 to 2).foreach(i => g1.ingest(docs.filter(col("doc_id") % 4 === i)))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeWinnowGate(store, "doc_id", "text",
+          width = 40, stride = 20, compactEvery = 2)
+      }
+      gate.ingest(docs.filter(col("doc_id") % 4 === 3))
+      gate.decisions
+    }),
+
     // Incremental media near-dup: the doc_id%7=0 blob batch tested
     // against the standing corpus's frame-digest index + within itself
     // — the MEDIA member of the delta family. Result-identical to q108
@@ -1723,6 +1750,54 @@ object Pipelines {
                      greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
          FROM documents d LEFT JOIN per p USING (doc_id)
          WHERE d.doc_id % 7 = 0"""
+    },
+
+    // Winnow-gate fold-forward: the q106 selection chain computes each
+    // doc's content-determined fingerprints ONCE (selection is
+    // doc-local); the gate's per-batch rule — an occurrence is
+    // repeated iff its fingerprint's multiplicity over seed ∪ batches
+    // ≤ i exceeds 1 — is the cumulative multiplicity join `mb`.
+    "q119_winnow_gate_replay" -> {
+      val S = 20
+      s"""WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 38, 1))) AS i
+           FROM documents),
+         w AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 31 + x) % 1000000007) * 4294967296 +
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ord(substr(text, CAST(i + k AS INT), 1)) AS BIGINT) for k in range(0, 40)]),
+               (acc, x) -> (acc * 131 + x) % 998244353) AS h
+           FROM pos),
+         mcnt AS (SELECT doc_id, count(*) AS m FROM w GROUP BY doc_id),
+         key AS (SELECT doc_id, i, h,
+                 CAST(h AS HUGEINT) * 1099511627776 + i AS k FROM w),
+         wm AS (SELECT doc_id, i AS j,
+                  min(k) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${S - 1} FOLLOWING) AS mk
+                FROM key),
+         selpos AS (SELECT DISTINCT wm.doc_id,
+                      CAST(wm.mk % 1099511627776 AS BIGINT) AS i
+                    FROM wm JOIN mcnt USING (doc_id)
+                    WHERE wm.j <= greatest(mcnt.m - $S + 1, 1)),
+         sel AS (SELECT s.doc_id, k.h
+                 FROM selpos s JOIN key k ON k.doc_id = s.doc_id AND k.i = s.i),
+         mult AS (SELECT h, doc_id % 4 AS b, count(*) AS c FROM sel GROUP BY 1, 2),
+         mb AS (SELECT m.h, t.i, sum(m.c) AS cm
+                FROM mult m, range(1, 4) t(i) WHERE m.b <= t.i GROUP BY 1, 2),
+         per AS (SELECT d.doc_id, count(*) AS n_selected,
+                   sum(CASE WHEN mb.cm > 1 THEN 1 ELSE 0 END) AS n_repeated
+                 FROM sel d JOIN mb ON mb.h = d.h AND mb.i = d.doc_id % 4
+                 WHERE d.doc_id % 4 <> 0
+                 GROUP BY 1)
+         SELECT d.doc_id, CAST(d.doc_id % 4 AS BIGINT) AS batch,
+                CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected,
+                CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+                CAST(coalesce(p.n_repeated, 0) * 1000 //
+                     greatest(coalesce(p.n_selected, 0), 1) AS BIGINT) AS selected_rep_permille
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         WHERE d.doc_id % 4 <> 0"""
     },
 
     // PPM decode twin: dimensions from octet_length, pixel digest from

@@ -1271,6 +1271,188 @@ object Streams {
       tokenizer = tokenizer)
   }
 
+  /** Online WINNOWED exact-substring gate — the q116 delta operator's
+    * standing index as ACTUALLY-MAINTAINED (and durable) gate state:
+    * the loop carries the winnowed fingerprint MULTIPLICITY index
+    * (h → count over every doc ever seen, at ~2/(stride+1) the row
+    * volume of a stride-1 window index) in LSM segments; each
+    * micro-batch of documents is annotated with its repeated-content
+    * statistics against everything seen so far PLUS itself (the
+    * q106/q116 semantics: an occurrence is repeated iff its
+    * fingerprint's total multiplicity over seen ∪ batch exceeds 1),
+    * then its fingerprint counts fold into the index. Decisions are
+    * immutable once emitted — an early doc is NOT re-flagged when a
+    * later copy arrives (the copy itself flags), exactly the one-shot
+    * ingest-annotation a 100 TB dedup pipeline runs before the exact
+    * pass (q112's stage 1, incrementally).
+    *
+    * Per-batch cost: one winnowing kernel pass over the DELTA, one
+    * broadcast-restricted probe of the standing index (never
+    * shuffled), and a delta-sized segment append. Width/stride are
+    * pipeline configuration and RIDE the persistence manifest —
+    * resuming under different values would probe an incompatible
+    * fingerprint space, so [[Streams.resumeWinnowGate]] validates
+    * them (as the curation gate's tokenizer).
+    */
+  final class WinnowGate private[graft] (
+      initial: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int,
+      compactEvery: Int = 8,
+      restoredIndex: Option[DataFrame] = None,
+      restoredDecisions: Option[DataFrame] = None,
+      initialBatchIdx: Long = 0L) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(width >= 1 && stride >= 1, "width and stride must be >= 1")
+
+    private def winnowed(df: DataFrame): DataFrame = {
+      graft.functions.TextHashes.ensureRegistered(df.sparkSession)
+      graft.Tables.fanOut(df).select(
+        col(idCol).as("doc_id"),
+        explode(call_function("graft_winnowed_hashes",
+          col(textCol), lit(width), lit(stride))).as("h"))
+    }
+
+    // (h, c) multiplicity segments, newest last; summed across
+    // segments at read time, merged at compaction.
+    @volatile private var indexSegs: Vector[DataFrame] =
+      Vector(restoredIndex.getOrElse(
+          winnowed(initial).groupBy("h").agg(count(lit(1)).as("c")))
+        .transform(graft.ops.Ckpt.fresh))
+    @volatile private var decisionSegs: Vector[DataFrame] =
+      restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
+        .getOrElse(Vector.empty)
+    private var foldsSinceCompact = 0
+    private var batchIdx = initialBatchIdx
+
+    /** The standing multiplicity index (h, c) as of the last fold —
+      * segment counts summed. */
+    def indexNow: DataFrame = indexSegs.reduce(_ unionByName _)
+      .groupBy("h").agg(sum("c").as("c"))
+    /** Every annotation emitted so far: (doc_id, batch, n_selected,
+      * n_repeated, selected_rep_permille). */
+    def decisions: DataFrame = decisionSegs match {
+      case segs if segs.nonEmpty => segs.reduce(_ unionByName _)
+      case _ => indexSegs.head.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("batch"),
+          lit(0L).as("n_selected"), lit(0L).as("n_repeated"),
+          lit(0L).as("selected_rep_permille"))
+        .limit(0)
+    }
+
+    /** Synchronously fold one micro-batch (the foreachBatch body). */
+    def ingest(batch: DataFrame): Unit = fold(batch)
+
+    /** Durably commit (multiplicity index, decision log, counters +
+      * width/stride config) as ONE manifest version; see
+      * [[DedupGate.persist]] for the contract. */
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
+      val spark = indexSegs.head.sparkSession
+      val txn = store.begin()
+      txn.stage("index", indexNow)
+      if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
+      txn.stage("meta", spark.range(1).select(
+        lit(batchIdx).as("batch_idx"), lit(width).as("width"),
+        lit(stride).as("stride")))
+      txn.commit().fold(throw _, identity)
+    }
+
+    /** Drop every carried checkpoint — terminal; see
+      * [[DedupGate.release]]. */
+    def release(): Unit = synchronized {
+      (indexSegs ++ decisionSegs).foreach(releaseCheckpoint)
+      indexSegs = Vector.empty
+      decisionSegs = Vector.empty
+    }
+
+    private[graft] def fold(batch: DataFrame): Unit = synchronized {
+      batchIdx += 1
+      val b = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+        .transform(graft.ops.Ckpt.fresh)
+      // two consumers (probe + per-doc agg) + the segment append —
+      // the kernel runs once
+      val wd = winnowed(b).transform(graft.ops.Ckpt.fresh)
+      val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd"))
+        .transform(graft.ops.Ckpt.fresh)
+      // broadcast-delta probe: the standing index is a pure scan,
+      // never shuffled per batch (the gate contract)
+      val standingHits = indexNow
+        .join(broadcast(deltaCounts.select("h")), Seq("h"), "left_semi")
+        .transform(graft.ops.Ckpt.fresh)
+      val rep = deltaCounts
+        .join(broadcast(standingHits), Seq("h"), "left")
+        .filter(col("cd") + coalesce(col("c"), lit(0L)) > 1)
+        .select(col("h"), lit(1).as("is_rep"))
+      val per = wd.join(broadcast(rep), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_selected"), count(col("is_rep")).as("n_repeated"))
+      val decisionSeg = b.select(col(idCol).as("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchIdx).as("batch"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+          expr("(coalesce(n_repeated, 0L) * 1000) div greatest(coalesce(n_selected, 0L), 1)")
+            .as("selected_rep_permille"))
+        .transform(graft.ops.Ckpt.fresh)
+      decisionSegs = decisionSegs :+ decisionSeg
+      indexSegs = indexSegs :+ deltaCounts
+        .select(col("h"), col("cd").as("c")).transform(graft.ops.Ckpt.fresh)
+      foldsSinceCompact += 1
+      if (foldsSinceCompact >= compactEvery) {
+        val (oldIdx, oldDec) = (indexSegs, decisionSegs)
+        indexSegs = Vector(indexNow.transform(graft.ops.Ckpt.fresh))
+        decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
+        foldsSinceCompact = 0
+        oldIdx.foreach(releaseCheckpoint)
+        oldDec.foreach(releaseCheckpoint)
+      }
+      Seq(b, wd, standingHits).foreach(releaseCheckpoint)
+      // deltaCounts' checkpoint is superseded by the re-checkpointed
+      // segment projection above
+      releaseCheckpoint(deltaCounts)
+    }
+  }
+
+  /** Construct a standalone [[WinnowGate]] whose standing index seeds
+    * from an initial corpus. */
+  def newWinnowGate(
+      initialCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int,
+      compactEvery: Int = 8): WinnowGate =
+    new WinnowGate(initialCorpus, idCol, textCol, width, stride, compactEvery)
+
+  /** Resume a [[WinnowGate]] from `store`'s latest committed manifest;
+    * width/stride must match the persisting gate's (validated against
+    * the meta slot — a mismatch would probe an incompatible
+    * fingerprint space).
+    */
+  def resumeWinnowGate(
+      store: graft.bulk.ManifestStore,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int,
+      compactEvery: Int = 8): WinnowGate = {
+    val index = store.read("index").getOrElse(throw new IllegalStateException(
+      s"no committed winnow-gate state in '${store.name}' (missing 'index' slot)"))
+    val meta = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"winnow-gate manifest in '${store.name}' has no 'meta' slot")).head()
+    require(meta.getAs[Int]("width") == width && meta.getAs[Int]("stride") == stride,
+      s"winnow-gate manifest in '${store.name}' was persisted with " +
+        s"width=${meta.getAs[Int]("width")} stride=${meta.getAs[Int]("stride")} " +
+        s"but resume requested width=$width stride=$stride")
+    new WinnowGate(index.limit(0).select(lit(0L).as(idCol), lit("").as(textCol)),
+      idCol, textCol, width, stride, compactEvery,
+      restoredIndex = Some(index),
+      restoredDecisions = store.read("decisions"),
+      initialBatchIdx = meta.getAs[Long]("batch_idx"))
+  }
+
   /** Run [[DedupGate]] over a streaming frame of documents via
     * foreachBatch. Returns the live gate handle + the query.
     */

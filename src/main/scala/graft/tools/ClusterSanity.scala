@@ -147,7 +147,8 @@ object ClusterSanity {
     // restart leg here: persist stages parquet from executor tasks and
     // the resumed gate re-checkpoints across the worker JVMs.
     for (q <- Seq("q115_curation_gate_neardup", "q116_winnowed_delta",
-        "q117_decontaminate_semantic", "q118_bpe_shard_pack")) {
+        "q117_decontaminate_semantic", "q118_bpe_shard_pack",
+        "q119_winnow_gate_replay")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }

@@ -251,6 +251,58 @@ class GatePersistenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnow gate: per-batch annotations equal the q116 delta operator; kill+resume identical") {
+    val s = spark
+    import s.implicits._
+    // planted repeats: a 59-char guarantee-length string shared across
+    // batches at different offsets + within-batch twins
+    val repeat = (1 to 59).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    def filler(seed: Int) = new scala.util.Random(seed).alphanumeric.take(80).mkString
+    val seed = Seq(
+      (100L, "X" * 13 + repeat + "Y" * 40), (101L, filler(1)))
+    val batches = Seq(
+      Seq((10L, "Z" * 31 + repeat + "W" * 21), (11L, filler(2))),
+      Seq((20L, filler(3)), (21L, "Q" * 5 + repeat + "R" * 60)),
+      Seq((30L, filler(2) + " tail"), (31L, filler(4))))
+    def frame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val (w, st) = (40, 20)
+
+    // uninterrupted replay
+    val uninterrupted = Streams.newWinnowGate(frame(seed), "doc_id", "text", w, st, compactEvery = 2)
+    batches.foreach(b => uninterrupted.ingest(frame(b)))
+    def decRows(g: Streams.WinnowGate) = g.decisions.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val wantDec = decRows(uninterrupted)
+    assert(wantDec.exists(d => d._1 == 10L && d._4 > 0L),
+      "cross-batch planted repeat not flagged")
+
+    // per-batch parity with the q116 delta operator over seen-so-far
+    (1 to 3).foreach { i =>
+      val standing = frame(seed ++ batches.take(i - 1).flatten)
+      val op = graft.ops.Dedup.exactSubstrDeltaRepeatsStrided(
+          standing, frame(batches(i - 1)), "doc_id", "text", w, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val gateBatch = wantDec.filter(_._2 == i.toLong)
+        .map(d => (d._1, d._3, d._4, d._5))
+      assert(gateBatch === op, s"gate batch $i diverged from the delta operator")
+    }
+
+    // kill+resume at every boundary
+    (1 to 2).foreach { k =>
+      val store = tmpStore()
+      val g1 = Streams.newWinnowGate(frame(seed), "doc_id", "text", w, st, compactEvery = 2)
+      batches.take(k).foreach(b => g1.ingest(frame(b)))
+      g1.persist(store)
+      val g2 = Streams.resumeWinnowGate(store, "doc_id", "text", w, st, compactEvery = 2)
+      batches.drop(k).foreach(b => g2.ingest(frame(b)))
+      assert(decRows(g2) === wantDec, s"decisions diverged at kill point $k")
+      // config mismatch fails loudly
+      intercept[IllegalArgumentException] {
+        Streams.resumeWinnowGate(store, "doc_id", "text", w, stride = 10)
+      }
+    }
+  }
+
   test("near-dup curation gate: kill+resume restores the rep corpus + band index") {
     val s = spark
     import s.implicits._
