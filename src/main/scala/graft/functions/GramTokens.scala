@@ -171,5 +171,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((MinWindowHash.functionName, MinWindowHash.info, MinWindowHash.builder))
     ext.injectFunction((TextStats.functionName, TextStats.info, TextStats.builder))
     ext.injectFunction((LangHits.functionName, LangHits.info, LangHits.builder))
+    ext.injectFunction((WindowHashes.functionName, WindowHashes.info, WindowHashes.builder))
+    ext.injectFunction((WinnowedHashes.functionName, WinnowedHashes.info, WinnowedHashes.builder))
+    ext.injectFunction((BpeCount.functionName, BpeCount.info, BpeCount.builder))
+    ext.injectFunction((BpeTokens.functionName, BpeTokens.info, BpeTokens.builder))
   }
 }

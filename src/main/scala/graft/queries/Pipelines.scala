@@ -450,10 +450,21 @@ object Pipelines {
     // itself is spec+bench-covered: EmbeddingGateSpec live rebuild).
     "q105_embedding_gate_replay" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val gate = graft.streaming.Streams.newEmbeddingDedupGate(
+      val g1 = graft.streaming.Streams.newEmbeddingDedupGate(
         emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
         dim = 64, threshold = 0.30, targetBucket = 1L << 40, compactEvery = 2)
-      (1 to 3).foreach(i => gate.ingest(emb.filter(col("vec_id") % 4 === i)))
+      (1 to 2).foreach(i => g1.ingest(emb.filter(col("vec_id") % 4 === i)))
+      // RESTART leg (round-9, as q104/q114/q119): persist after the
+      // fold-2 compaction, resume a fresh gate for fold 3 — unchanged
+      // oracle, so a green row proves the signature index + plane
+      // count + labels restore decision-identical.
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeEmbeddingDedupGate(store, "vec_id", "embedding",
+          dim = 64, threshold = 0.30, targetBucket = 1L << 40, compactEvery = 2)
+      }
+      gate.ingest(emb.filter(col("vec_id") % 4 === 3))
       emb.filter(col("vec_id") % 4 =!= 0)
         .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
         .join(gate.rejected.select(col("id").as("vec_id"), col("reason")),
