@@ -496,6 +496,174 @@ object Media {
         (col("ca") + col("cb") - col("inter")).as("union_size"))
   }
 
+  /** Per-doc perceptual hash (8×8 average-hash) packed as four 16-bit
+    * bands `b0..b3` — band k holds grid bits 16k..16k+15.
+    */
+  final case class PHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** 8×8 integer average-hash (aHash) over the DECODED pixel payload —
+    * the perceptual-image-dedup fingerprint (the classic aHash of
+    * image-dedup practice: downsample to an 8×8 grid, threshold each
+    * cell against the global mean). Unlike [[ppmFrameDigests]]' exact
+    * byte frames, this survives small pixel perturbations — the
+    * near-dup axis byte frames cannot see.
+    *
+    * Everything is EXACT integer math so the DuckDB oracle replays it
+    * bit-for-bit:
+    *  - gray(p) = r+g+b (a channel sum — scale-free, no /3);
+    *  - pixel (row, col) lands in grid cell (row*8 div h, col*8 div w);
+    *  - bit(cell) = 1 iff cellSum · totalCount > totalSum · cellCount
+    *    (cross-multiplied mean comparison — no division, no floats;
+    *    ties and empty cells are 0 on both sides).
+    * The 64 bits are packed as four 16-bit bands (not one i64 — DuckDB
+    * BIGINT can't build bit 63 by addition), which are ALSO the
+    * pigeonhole join keys of [[phashNearDupPairs]]. One map-side
+    * per-partition pass; the binary column never leaves the executor.
+    */
+  def ppmAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, _, pix) = decodePpmBytes(row.content)
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var p = 0
+      val nPix = w * h
+      while (p < nPix) {
+        val gray = (pix(3 * p) & 0xff) + (pix(3 * p + 1) & 0xff) +
+          (pix(3 * p + 2) & 0xff)
+        val ci = (p / w) * 8 / h
+        val cj = (p % w) * 8 / w
+        val cell = ci * 8 + cj
+        cellSum(cell) += gray
+        cellCnt(cell) += 1L
+        p += 1
+      }
+      var totalSum = 0L; var totalCnt = 0L
+      var c = 0
+      while (c < 64) { totalSum += cellSum(c); totalCnt += cellCnt(c); c += 1 }
+      val bands = new Array[Int](4)
+      c = 0
+      while (c < 64) {
+        if (cellSum(c) * totalCnt > totalSum * cellCnt(c))
+          bands(c / 16) |= 1 << (c % 16)
+        c += 1
+      }
+      PHashRow(row.doc_id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
+  /** Perceptual near-dup pairs: blobs whose aHashes differ in at most
+    * `maxHamming` of 64 bits. Candidate generation is the SimHash
+    * pigeonhole discipline ([[Dedup.simhashPairs]]): split the hash
+    * into 4 bands of 16 bits — hamming ≤ 3 forces at least one band
+    * equal — and equi-join on (band, key); verification is the exact
+    * hamming distance over the full hash carried on both join sides.
+    * Never an all-pairs image comparison.
+    *
+    * `maxBandFreq` is the stop-band prune (the stop-frame analog): at
+    * 100 TB, near-constant images (solid color, letterboxing bars)
+    * collapse onto a handful of band keys whose df² candidate blow-up
+    * carries no per-pair signal. A band key shared by more docs than
+    * the cap is dropped BEFORE the self-join (sort-free agg →
+    * broadcast-anti, as everywhere). Recall caveat, stated rather than
+    * hidden: a pair is missed only if EVERY band it shares is hot —
+    * i.e. both docs sit inside a > cap-sized near-identical mass, which
+    * is exactly the mass exact-hash grouping (groupBy all four bands)
+    * dedups for free upstream.
+    */
+  def phashNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
+    val hashed = graft.ops.Ckpt.fresh(ppmAHash(media).toDF())
+    val bandRows = hashed.select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val hot = bandRows.groupBy("band", "key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandFreq)
+      .select("band", "key")
+    val kept = bandRows.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    def ham(a: String, b: String): org.apache.spark.sql.Column =
+      (0 until 4).map(k =>
+        bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
+    kept.as("x")
+      .join(kept.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        ham("x", "y").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental perceptual near-dup: pairs the DELTA batch forms —
+    * against the standing corpus and within itself — under the same
+    * hamming ≤ `maxHamming` contract as [[phashNearDupPairs]], without
+    * re-pairing the standing corpus against itself. The standing aHash
+    * table is the maintained state in production (each blob hashed
+    * once, ever — 8 bytes/blob); here it is re-derived from the rows
+    * only so the oracle can replay it. Plan shape mirrors
+    * [[mediaNearDupDeltaPairs]]: delta hashes broadcast under the cap
+    * (shuffle fallback above), the standing side enters ONLY as a
+    * probe — one semi-restricted scan of its band index, never a
+    * self-join, never reshuffled. The stop-band prune uses the UNION
+    * df (the maintained counter in production), so delta ∘ standing ≡
+    * the full operator restricted to pairs touching the delta.
+    */
+  def phashNearDupDeltaPairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
+    def bandRows(hashed: DataFrame): DataFrame = hashed.select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bd = graft.ops.Ckpt.fresh(bandRows(ppmAHash(delta).toDF()))
+    val deltaSmall = bd.count() <= broadcastDeltaCap
+    def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
+    // Delta rows are authoritative for re-ingested ids, as in every
+    // delta operator here.
+    val bs = bandRows(ppmAHash(standing).toDF())
+      .join(sized(bd.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+      .transform(graft.ops.Ckpt.fresh)
+    val hot = bs.select("band", "key").unionByName(bd.select("band", "key"))
+      .groupBy("band", "key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandFreq)
+      .select("band", "key")
+      .transform(graft.ops.Ckpt.fresh)
+    val keptD = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .transform(graft.ops.Ckpt.fresh)
+    // Candidate probe: standing band rows that hit a kept delta band
+    // key — delta-bounded output, the standing table never shuffles.
+    val candS = bs.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .join(sized(keptD.select("band", "key").distinct()),
+        Seq("band", "key"), "left_semi")
+    def ham(a: String, b: String): org.apache.spark.sql.Column =
+      (0 until 4).map(k =>
+        bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
+    def pairs(x: DataFrame, y: DataFrame, ordered: Boolean): DataFrame = {
+      val j = x.as("x").join(y.as("y"), Seq("band", "key"))
+      val lim = if (ordered) j.where(col("x.doc_id") < col("y.doc_id"))
+        else j.where(col("x.doc_id") =!= col("y.doc_id"))
+      lim.select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        ham("x", "y").cast("long").as("hamming"))
+    }
+    pairs(keptD, keptD, ordered = true)
+      .unionByName(pairs(keptD, candS, ordered = false))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving
     * aspect ratio, integer-exact (the stub twin of a thumbnailing
     * pass; a real implementation would also transform the bytes).

@@ -593,6 +593,61 @@ object Pipelines {
         Media.asPpm(docs.select("doc_id", "text").unionByName(twins), "doc_id", "text"))
     }),
 
+    // Perceptual (aHash) media near-dup: pairs whose 8×8 integer
+    // average-hashes over the decoded pixels differ in ≤ 3 of 64 bits
+    // — the near-dup axis q108's exact byte frames cannot see (a
+    // brightness-nudged image shares NO exact frame but flips few
+    // aHash bits). All-integer kernel (channel-sum gray, cross-
+    // multiplied mean threshold), so the oracle replays it exactly in
+    // hex space. Non-vacuous both ways: %67 docs get an IDENTICAL
+    // twin (+1e6, hamming 0) and %61 ASCII docs ≥300 chars get a
+    // first-3-chars→'~~~' twin (+2e6) — a ~60-gray nudge on three
+    // adjacent cycled stream bytes, measured on this corpus to land
+    // all twins at hamming 2: the 0 < hamming ≤ 3 path (a delta-1
+    // nudge is absorbed entirely — the hash is built to ignore it).
+    "q120_media_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.phashNearDupPairs(Media.asPpm(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
+    // Incremental perceptual near-dup: a delta batch (every 7th doc +
+    // injected twins) pairs against the standing corpus and within
+    // itself; the standing aHash table is maintained state in
+    // production (8 bytes/blob, hashed once ever) and never
+    // self-joins. Injected positives cover all three pair shapes:
+    // +1e6 identical twins of %67 standing docs (cross, hamming 0),
+    // +2e6 '~~~' twins of %61 standing docs (cross, hamming ≈2), and
+    // +3e6 identical twins of %49 delta docs (within-delta).
+    "q121_media_phash_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val standing = docs.filter(col("doc_id") % 7 =!= 0)
+      val deltaBase = docs.filter(col("doc_id") % 7 === 0)
+      val crossExact = standing.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val crossNear = standing.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val withinExact = deltaBase.filter(col("doc_id") % 49 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val delta = deltaBase.unionByName(crossExact)
+        .unionByName(crossNear).unionByName(withinExact)
+      Media.phashNearDupDeltaPairs(
+        Media.asPpm(standing, "doc_id", "text"),
+        Media.asPpm(delta, "doc_id", "text"))
+    }),
+
     // Second real container — RIFF/WAVE 16-bit PCM: little-endian
     // binary header fields (channels / sample rate / sample count all
     // validated for internal consistency) + PCM payload digest. Proves
@@ -1879,6 +1934,116 @@ object Pipelines {
          SELECT id_a, id_b, inter,
                 ca.c + cb.c - inter AS union_size
          FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id""",
+
+    // aHash replay in hex space: every pixel byte of the cycled
+    // stream is read back out of hex(encode(t)) (byte k of the
+    // payload = source byte k % l → hex chars 2(k%l)+1..2), summed
+    // into 8×8 grid cells, thresholded by integer cross-
+    // multiplication, packed into the same four 16-bit bands, then
+    // the same pigeonhole join + exact hamming verify.
+    "q120_media_phash" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h FROM src),
+         bytes AS (SELECT doc_id, w, h, p, hx, (3*p + ch) % l AS k
+           FROM dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
+         vals AS (SELECT doc_id, w, h, p,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1 AS bv
+           FROM bytes),
+         cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) // 3 AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    // Delta replay: the SAME aHash pipeline over standing ∪ delta,
+    // restricted to pairs touching the delta (ids % 7 = 0 or the
+    // injected ≥1e6 twins) — the delta ∘ standing ≡ full-restricted
+    // contract every incremental operator here is held to.
+    "q121_media_phash_delta" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 61 = 0
+             AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300
+           UNION ALL
+           SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 49 = 0),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h FROM src),
+         bytes AS (SELECT doc_id, w, h, p, hx, (3*p + ch) % l AS k
+           FROM dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
+         vals AS (SELECT doc_id, w, h, p,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1 AS bv
+           FROM bytes),
+         cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) // 3 AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr
+         WHERE hamming <= 3
+           AND (id_a % 7 = 0 OR id_a >= 1000000 OR id_b % 7 = 0 OR id_b >= 1000000)""",
 
     // Delta-curation replay: standing stages re-derived to produce the
     // carried state (digest set + train-token total), then the batch's

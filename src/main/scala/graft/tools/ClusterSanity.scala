@@ -104,7 +104,8 @@ object ClusterSanity {
         time(s"$q @62x (steady)")(noop(fn(spark, sd)))
       }
       for (q <- Seq("q112_exact_substr_twostage", "q113_media_dedup_delta",
-          "q116_winnowed_delta", "q114_curation_gate_replay")) {
+          "q116_winnowed_delta", "q114_curation_gate_replay",
+          "q120_media_phash", "q121_media_phash_delta")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
