@@ -571,30 +571,39 @@ object Media {
     * is exactly the mass exact-hash grouping (groupBy all four bands)
     * dedups for free upstream.
     */
+  /** One (band, key) row per hash band, carrying the full 4-band hash
+    * for the hamming verify — the pigeonhole layout [[phashNearDupPairs]]
+    * and [[phashNearDupDeltaPairs]] share (and the q120/q121 oracles
+    * mirror): changing the band count or key width here changes every
+    * consumer together.
+    */
+  private def phashBandRows(hashed: DataFrame): DataFrame = hashed.select(
+    col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+    explode(array((0 until 4).map(k =>
+      struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
+    .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Exact hamming distance between the two joined sides' full hashes. */
+  private def phashHamming(a: String, b: String): org.apache.spark.sql.Column =
+    (0 until 4).map(k =>
+      bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
+
   def phashNearDupPairs(
       media: Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    val hashed = graft.ops.Ckpt.fresh(ppmAHash(media).toDF())
-    val bandRows = hashed.select(
-      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bandRows = phashBandRows(graft.ops.Ckpt.fresh(ppmAHash(media).toDF()))
     val hot = bandRows.groupBy("band", "key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandFreq)
       .select("band", "key")
     val kept = bandRows.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    def ham(a: String, b: String): org.apache.spark.sql.Column =
-      (0 until 4).map(k =>
-        bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
     kept.as("x")
       .join(kept.as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        ham("x", "y").cast("long").as("hamming"))
+        phashHamming("x", "y").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -620,18 +629,12 @@ object Media {
       maxBandFreq: Long = 1000L,
       broadcastDeltaCap: Long = 4000000L): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    def bandRows(hashed: DataFrame): DataFrame = hashed.select(
-      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val bd = graft.ops.Ckpt.fresh(bandRows(ppmAHash(delta).toDF()))
+    val bd = graft.ops.Ckpt.fresh(phashBandRows(ppmAHash(delta).toDF()))
     val deltaSmall = bd.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     // Delta rows are authoritative for re-ingested ids, as in every
     // delta operator here.
-    val bs = bandRows(ppmAHash(standing).toDF())
+    val bs = phashBandRows(ppmAHash(standing).toDF())
       .join(sized(bd.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
     val hot = bs.select("band", "key").unionByName(bd.select("band", "key"))
@@ -646,9 +649,6 @@ object Media {
     val candS = bs.join(broadcast(hot), Seq("band", "key"), "left_anti")
       .join(sized(keptD.select("band", "key").distinct()),
         Seq("band", "key"), "left_semi")
-    def ham(a: String, b: String): org.apache.spark.sql.Column =
-      (0 until 4).map(k =>
-        bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
     def pairs(x: DataFrame, y: DataFrame, ordered: Boolean): DataFrame = {
       val j = x.as("x").join(y.as("y"), Seq("band", "key"))
       val lim = if (ordered) j.where(col("x.doc_id") < col("y.doc_id"))
@@ -656,7 +656,7 @@ object Media {
       lim.select(
         least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
-        ham("x", "y").cast("long").as("hamming"))
+        phashHamming("x", "y").cast("long").as("hamming"))
     }
     pairs(keptD, keptD, ordered = true)
       .unionByName(pairs(keptD, candS, ordered = false))

@@ -226,29 +226,45 @@ object Streams {
     * length — the loop-carried-frame rule; superseded checkpoints are
     * unpersisted so the block store doesn't grow with it either).
     *
-    * `lastUpdated` is the CONSUMER WATERMARK — the highest episode_ts
-    * folded so far (fetch_broadcast's last_updated,
-    * assemblage_db/src/broadcasts.rs watermark semantics): it travels
-    * with [[persist]]'s manifest, so a RESUMED stream re-reads the
-    * episode files fresh (no Spark checkpoint needed) and skips
-    * everything already applied — replaying an old episode would
-    * REGRESS nodes a newer episode already rewrote, which is why the
-    * watermark is state, not an optimization.
+    * The CONSUMER WATERMARK (fetch_broadcast's last_updated,
+    * assemblage_db/src/broadcasts.rs watermark semantics) is kept PER
+    * BROADCAST: episode_ts is only totally ordered within one
+    * broadcast's own sequence ([[applyEpisodeBatch]]'s contract), so a
+    * single global max could permanently skip another broadcast's
+    * not-yet-folded episode whose ts happens to sit below it. The
+    * marks map (broadcast_id → highest ts folded) travels with
+    * [[persist]]'s manifest, so a RESUMED stream re-reads the episode
+    * files fresh (no Spark checkpoint needed) and skips exactly what
+    * was already applied — replaying an old episode would REGRESS
+    * nodes a newer episode already rewrote, which is why the watermark
+    * is state, not an optimization. The map is gate METADATA, bounded
+    * by the subscription count, never by stream length.
     */
   final class MaintainedIndex private[streaming] (
-      initial: DataFrame, initialLastTs: Long = Long.MinValue) {
+      initial: DataFrame,
+      initialFloor: Long = Long.MinValue,
+      initialMarks: Map[String, Long] = Map.empty) {
     @volatile private var standing: DataFrame = initial.transform(graft.ops.Ckpt.fresh)
-    @volatile private var lastTs: Long = initialLastTs
+    @volatile private var marks: Map[String, Long] = initialMarks
     def current: DataFrame = standing
-    def lastUpdated: Long = lastTs
+    /** Highest episode_ts folded across all broadcasts (the reference's
+      * last_updated) — reporting only; the RESUME filter uses the
+      * per-broadcast [[watermarks]].
+      */
+    def lastUpdated: Long = (marks.values ++ Iterator(initialFloor)).max
+    def watermarks: Map[String, Long] = marks
     private[streaming] def fold(batch: DataFrame): Unit = synchronized {
       val prev = standing
-      // one scalar per batch: the watermark advance (the same audited
-      // driver-side-scalar shape as the curation gate's token counter)
-      val mx = batch.agg(coalesce(max(col("episode_ts")), lit(Long.MinValue)))
-        .head().getLong(0)
+      // one subscription-bounded collect per batch: the per-broadcast
+      // watermark advance (the same audited driver-side-scalar shape
+      // as the curation gate's token counter)
+      val mx = batch.groupBy("broadcast_id")
+        .agg(max(col("episode_ts")).as("ts"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
       standing = applyEpisodeBatch(prev, batch).transform(graft.ops.Ckpt.fresh)
-      if (mx > lastTs) lastTs = mx
+      marks = mx.foldLeft(marks) { case (m, (bid, ts)) =>
+        if (ts > m.getOrElse(bid, Long.MinValue)) m.updated(bid, ts) else m
+      }
       // release AFTER publishing the successor: a concurrent `current`
       // reader sees either frame fully materialized (a reader that holds
       // prev across a batch boundary must re-read `current` instead —
@@ -256,19 +272,27 @@ object Streams {
       releaseCheckpoint(prev)
     }
 
-    /** Durably commit (postings, consumer watermark) as ONE manifest
-      * version — see [[DedupGate.persist]] for the contract;
-      * [[Streams.resumeMaintainedIndexFromEpisodes]] restarts the
-      * stream from it.
+    /** Durably commit (postings, late-subscriber floor, per-broadcast
+      * watermarks) as ONE manifest version — see [[DedupGate.persist]]
+      * for the contract; [[Streams.resumeMaintainedIndexFromEpisodes]]
+      * restarts the stream from it.
       */
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
+      val spark = standing.sparkSession
       val txn = store.begin()
       txn.stage("postings", standing)
       txn.stage("meta",
-        standing.sparkSession.range(1).select(lit(lastTs).as("last_ts")))
+        spark.range(1).select(lit(initialFloor).as("floor_ts")))
+      txn.stage("marks", spark.createDataFrame(
+        marks.toSeq.map(p => MaintainedIndexMark(p._1, p._2))))
       txn.commit().fold(throw _, identity)
     }
   }
+
+  /** One (broadcast_id, last_ts) consumer-watermark row of
+    * [[MaintainedIndex.persist]]'s `marks` slot.
+    */
+  final case class MaintainedIndexMark(broadcast_id: String, last_ts: Long)
 
   /** STREAMING incremental index maintenance over the episode source:
     * `readEpisodes(dir)` → foreachBatch → [[applyEpisodeBatch]]. The
@@ -287,10 +311,18 @@ object Streams {
       spark: SparkSession,
       dir: String,
       initial: DataFrame,
-      sinceTs: Long = Long.MinValue): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
-    val handle = new MaintainedIndex(initial, sinceTs)
+      sinceTs: Long = Long.MinValue,
+      sinceBy: Map[String, Long] = Map.empty): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val handle = new MaintainedIndex(initial, sinceTs, sinceBy)
+    // Global floor (the late-subscriber cut) AND the per-broadcast
+    // consumer watermark: element_at on the map literal is null for an
+    // unseen broadcast → MinValue → everything above the floor folds.
+    val marksFilter =
+      if (sinceBy.isEmpty) lit(true)
+      else col("episode_ts") > coalesce(
+        element_at(typedLit(sinceBy), col("broadcast_id")), lit(Long.MinValue))
     val query = readEpisodes(spark, dir)
-      .filter(col("episode_ts") > sinceTs)
+      .filter(col("episode_ts") > sinceTs && marksFilter)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) => handle.fold(batch) }
@@ -312,10 +344,13 @@ object Streams {
       store: graft.bulk.ManifestStore): (MaintainedIndex, org.apache.spark.sql.streaming.StreamingQuery) = {
     val postings = store.read("postings").getOrElse(throw new IllegalStateException(
       s"no committed index state in '${store.name}' (missing 'postings' slot)"))
-    val lastTs = store.read("meta").getOrElse(throw new IllegalStateException(
+    val floor = store.read("meta").getOrElse(throw new IllegalStateException(
       s"index manifest in '${store.name}' has no 'meta' slot"))
-      .head().getAs[Long]("last_ts")
-    maintainIndexFromEpisodes(spark, dir, postings, sinceTs = lastTs)
+      .head().getAs[Long]("floor_ts")
+    val marks = store.read("marks").getOrElse(throw new IllegalStateException(
+      s"index manifest in '${store.name}' has no 'marks' slot"))
+      .collect().map(r => r.getAs[String]("broadcast_id") -> r.getAs[Long]("last_ts")).toMap
+    maintainIndexFromEpisodes(spark, dir, postings, sinceTs = floor, sinceBy = marks)
   }
 
   /** Loop-carried duplicate-cluster state shared by the ingest gates:

@@ -171,6 +171,62 @@ class StreamingReindexSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("per-broadcast watermarks: resume folds another broadcast's lower-ts episode") {
+    // episode_ts is only totally ordered WITHIN one broadcast's own
+    // sequence — a resume filtering on a single global max(episode_ts)
+    // would permanently skip broadcast b2's ep_105 here because the
+    // dead stream had already folded b1's ep_110. The per-broadcast
+    // marks must fold it (b2 was never seen) while still skipping
+    // b1's already-applied episodes.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-episodes-multib").toString
+    def writeEpisode(bid: String, ts: Long, rows: Seq[(Array[Byte], String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ep-stage").toString
+      rows.map { case (nid, kind, payload) => (bid, ts, nid, kind, payload) }
+        .toDF("broadcast_id", "episode_ts", "node_id", "kind", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, bid)
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.move(part.toPath, dst.resolve(s"ep_$ts.parquet"))
+    }
+    def id(b: Byte) = Array[Byte](b)
+    val initial = GramIndex.postings(
+      Seq((id(1), "hello world")).toDF("node_id", "text"), "node_id", "text")
+
+    val (h1, q1) = Streams.maintainIndexFromEpisodes(s, dir, initial)
+    val store = new graft.bulk.ManifestStore(s,
+      java.nio.file.Files.createTempDirectory("graft-index-store-mb").toString)
+    try {
+      writeEpisode("b1", 110L, Seq((id(1), "hello brave world")).map {
+        case (nid, t) => (nid, "TEXT", t)
+      })
+      q1.processAllAvailable()
+      assert(h1.watermarks === Map("b1" -> 110L))
+      h1.persist(store)
+    } finally q1.stop()
+
+    // after the kill: b2's own sequence starts at 105 (< b1's mark),
+    // and b1 advances past its mark
+    writeEpisode("b2", 105L, Seq((id(2), "TEXT", "second feed")))
+    writeEpisode("b1", 120L, Seq((id(1), "TEXT", "hello final world")))
+
+    val (h2, q2) = Streams.resumeMaintainedIndexFromEpisodes(s, dir, store)
+    try {
+      q2.processAllAvailable()
+      assert(h2.watermarks === Map("b1" -> 120L, "b2" -> 105L))
+      val rebuilt = GramIndex.postings(
+        Seq((id(1), "hello final world"), (id(2), "second feed"))
+          .toDF("node_id", "text"),
+        "node_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Array[Byte]]("id").toSeq, r.getLong(1), r.getLong(2))).toSet
+      assert(rows(h2.current) === rows(rebuilt))
+    } finally q2.stop()
+  }
+
   test("duplicate writes to one id within a batch keep the postings table keyed") {
     // postings()' one-pass kernel aggregates per input ROW, so a batch
     // with two upserts of the same id would emit duplicate (id, gram)
