@@ -589,12 +589,16 @@ object Media {
     (0 until 4).map(k =>
       bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
 
-  def phashNearDupPairs(
-      media: Dataset[MediaRow],
-      maxHamming: Int = 3,
-      maxBandFreq: Long = 1000L): DataFrame = {
+  /** The shared pigeonhole engine over any 4×16-bit-band perceptual
+    * hash ([[ppmAHash]] for images, [[wavEnvelopeHash]] for audio):
+    * stop-band prune → (band, key) equi-join → exact hamming verify.
+    */
+  private def bandedNearDupPairs(
+      hashed: DataFrame,
+      maxHamming: Int,
+      maxBandFreq: Long): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    val bandRows = phashBandRows(graft.ops.Ckpt.fresh(ppmAHash(media).toDF()))
+    val bandRows = phashBandRows(graft.ops.Ckpt.fresh(hashed))
     val hot = bandRows.groupBy("band", "key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandFreq)
       .select("band", "key")
@@ -607,6 +611,12 @@ object Media {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  def phashNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(ppmAHash(media).toDF(), maxHamming, maxBandFreq)
 
   /** Incremental perceptual near-dup: pairs the DELTA batch forms —
     * against the standing corpus and within itself — under the same
@@ -627,14 +637,24 @@ object Media {
       delta: Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L,
-      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    bandedNearDupDeltaPairs(ppmAHash(standing).toDF(), ppmAHash(delta).toDF(),
+      maxHamming, maxBandFreq, broadcastDeltaCap)
+
+  /** The delta form of [[bandedNearDupPairs]], over any 4-band hash. */
+  private def bandedNearDupDeltaPairs(
+      hashedStanding: DataFrame,
+      hashedDelta: DataFrame,
+      maxHamming: Int,
+      maxBandFreq: Long,
+      broadcastDeltaCap: Long): DataFrame = {
     require(maxHamming < 4, "pigeonhole over 4 bands covers hamming <= 3")
-    val bd = graft.ops.Ckpt.fresh(phashBandRows(ppmAHash(delta).toDF()))
+    val bd = graft.ops.Ckpt.fresh(phashBandRows(hashedDelta))
     val deltaSmall = bd.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     // Delta rows are authoritative for re-ingested ids, as in every
     // delta operator here.
-    val bs = phashBandRows(ppmAHash(standing).toDF())
+    val bs = phashBandRows(hashedStanding)
       .join(sized(bd.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
     val hot = bs.select("band", "key").unionByName(bd.select("band", "key"))
@@ -663,6 +683,74 @@ object Media {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** 64-block integer envelope hash over the DECODED PCM payload — the
+    * audio analog of [[ppmAHash]] (the loudness-envelope fingerprint of
+    * audio-dedup practice: partition the sample sequence into 64
+    * blocks, threshold each block's |amplitude| mass against the
+    * global mean). Survives small sample perturbations that break
+    * exact PCM digests; all-integer so the oracle replays it in hex
+    * space:
+    *  - value j = the j-th little-endian signed 16-bit sample across
+    *    the interleaved channel stream, |·| taken in Int (|−32768|
+    *    included);
+    *  - sample j lands in block j*64 div m (m = total values);
+    *  - bit(block) = blockSum · totalCount > totalSum · blockCount —
+    *    the same cross-multiplied mean threshold, ties and empty
+    *    blocks 0.
+    * Packed as the same four 16-bit bands; one map-side pass.
+    */
+  def wavEnvelopeHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (_, _, _, pcm) = decodeWavBytes(row.content)
+      val m = pcm.length / 2
+      val blockSum = new Array[Long](64)
+      val blockCnt = new Array[Long](64)
+      var j = 0
+      while (j < m) {
+        val v = ((pcm(2 * j) & 0xff) | (pcm(2 * j + 1) << 8)).toShort.toInt
+        val block = j * 64 / m
+        blockSum(block) += math.abs(v)
+        blockCnt(block) += 1L
+        j += 1
+      }
+      var totalSum = 0L; var totalCnt = 0L
+      var c = 0
+      while (c < 64) { totalSum += blockSum(c); totalCnt += blockCnt(c); c += 1 }
+      val bands = new Array[Int](4)
+      c = 0
+      while (c < 64) {
+        if (blockSum(c) * totalCnt > totalSum * blockCnt(c))
+          bands(c / 16) |= 1 << (c % 16)
+        c += 1
+      }
+      PHashRow(row.doc_id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
+
+  /** Perceptual audio near-dup: blobs whose envelope hashes differ in
+    * at most `maxHamming` of 64 bits — [[bandedNearDupPairs]] over
+    * [[wavEnvelopeHash]], the audio twin of [[phashNearDupPairs]].
+    */
+  def audioNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(wavEnvelopeHash(media).toDF(), maxHamming, maxBandFreq)
+
+  /** Incremental perceptual audio near-dup — the audio twin of
+    * [[phashNearDupDeltaPairs]], same standing-probe-only contract.
+    */
+  def audioNearDupDeltaPairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    bandedNearDupDeltaPairs(
+      wavEnvelopeHash(standing).toDF(), wavEnvelopeHash(delta).toDF(),
+      maxHamming, maxBandFreq, broadcastDeltaCap)
 
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving
     * aspect ratio, integer-exact (the stub twin of a thumbnailing

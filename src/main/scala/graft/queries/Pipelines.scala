@@ -648,6 +648,50 @@ object Pipelines {
         Media.asPpm(delta, "doc_id", "text"))
     }),
 
+    // Perceptual AUDIO near-dup: the q120 axis over the OTHER real
+    // container — 64-block |PCM| envelope hashes (little-endian signed
+    // 16-bit samples, integer cross-multiplied threshold) banded into
+    // the same pigeonhole join. Same twin scheme as q120 (identical
+    // +1e6, '~~~' +2e6 — measured 3 of 4 twins in 0 < hamming ≤ 3 on
+    // this corpus).
+    "q122_audio_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.audioNearDupPairs(Media.asWav(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
+    // Incremental perceptual audio near-dup — q121's shape over the
+    // envelope hash: delta batch vs the standing envelope table
+    // (maintained state in production, probe-only) + within itself.
+    "q123_audio_phash_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val standing = docs.filter(col("doc_id") % 7 =!= 0)
+      val deltaBase = docs.filter(col("doc_id") % 7 === 0)
+      val crossExact = standing.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val crossNear = standing.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val withinExact = deltaBase.filter(col("doc_id") % 49 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val delta = deltaBase.unionByName(crossExact)
+        .unionByName(crossNear).unionByName(withinExact)
+      Media.audioNearDupDeltaPairs(
+        Media.asWav(standing, "doc_id", "text"),
+        Media.asWav(delta, "doc_id", "text"))
+    }),
+
     // Second real container — RIFF/WAVE 16-bit PCM: little-endian
     // binary header fields (channels / sample rate / sample count all
     // validated for internal consistency) + PCM payload digest. Proves
@@ -1987,6 +2031,119 @@ object Pipelines {
            FROM kept x JOIN kept y
              ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    // Envelope-hash replay in hex space: every PCM byte of the cycled
+    // stream read back out of hex(encode(t)) (sample j = little-endian
+    // signed 16-bit from payload bytes 2j, 2j+1 → source bytes
+    // (2j) % l, (2j+1) % l), |amplitude| summed into 64 blocks,
+    // thresholded by integer cross-multiplication, then the identical
+    // band/pigeonhole tail as q120.
+    "q122_audio_phash" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m FROM src),
+         bytes AS (SELECT doc_id, m, j, hx,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1
+           FROM dims, UNNEST(range(0, m)) u(j)),
+         vals AS (SELECT doc_id, m, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+         cells AS (SELECT doc_id, (j*64) // m AS cell,
+             sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS s,
+             count(*) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    // q121's delta discipline over the envelope pipeline.
+    "q123_audio_phash_delta" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 61 = 0
+             AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300
+           UNION ALL
+           SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 49 = 0),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m FROM src),
+         bytes AS (SELECT doc_id, m, j, hx,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1
+           FROM dims, UNNEST(range(0, m)) u(j)),
+         vals AS (SELECT doc_id, m, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+         cells AS (SELECT doc_id, (j*64) // m AS cell,
+             sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS s,
+             count(*) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr
+         WHERE hamming <= 3
+           AND (id_a % 7 = 0 OR id_a >= 1000000 OR id_b % 7 = 0 OR id_b >= 1000000)""",
 
     // Delta replay: the SAME aHash pipeline over standing ∪ delta,
     // restricted to pairs touching the delta (ids % 7 = 0 or the
