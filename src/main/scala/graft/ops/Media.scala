@@ -577,7 +577,7 @@ object Media {
     * mirror): changing the band count or key width here changes every
     * consumer together.
     */
-  private def phashBandRows(hashed: DataFrame): DataFrame = hashed.select(
+  private[graft] def phashBandRows(hashed: DataFrame): DataFrame = hashed.select(
     col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
     explode(array((0 until 4).map(k =>
       struct(lit(k).as("band"), col(s"b$k").as("key"))): _*)).as("bk"))
@@ -585,7 +585,7 @@ object Media {
       col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** Exact hamming distance between the two joined sides' full hashes. */
-  private def phashHamming(a: String, b: String): org.apache.spark.sql.Column =
+  private[graft] def phashHamming(a: String, b: String): org.apache.spark.sql.Column =
     (0 until 4).map(k =>
       bit_count(col(s"$a.b$k").bitwiseXOR(col(s"$b.b$k")))).reduce(_ + _)
 

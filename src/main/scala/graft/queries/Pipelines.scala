@@ -648,6 +648,43 @@ object Pipelines {
         Media.asPpm(delta, "doc_id", "text"))
     }),
 
+    // Band-hash gate replay: the maintained perceptual-hash index as
+    // durable gate state (the streaming form of q121) — batches
+    // doc_id % 4 flow through Streams.BandHashGate (hash table + band
+    // multiplicities in LSM segments, compaction forced mid-replay,
+    // persist→resume restart leg after fold 2); every streamed doc's
+    // annotation (n_partners, min_hamming vs everything seen so far +
+    // own batch) is hash-matched against the q120 pipeline with a
+    // batch(partner) ≤ batch(doc) restriction. Twin offsets +1000001 /
+    // +2000002 SHIFT the twin's batch, so the oracle exercises
+    // same-batch pairs, carried-standing partners (incl. batch-0
+    // initial corpus), and decision immutability (a doc folded before
+    // its twin arrives must NOT count it).
+    "q124_media_gate_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000002L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val hashed = graft.ops.Media.ppmAHash(graft.ops.Media.asPpm(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text")).toDF()
+      val g1 = graft.streaming.Streams.newBandHashGate(
+        hashed.filter(col("doc_id") % 4 === 0), compactEvery = 2)
+      (1 to 2).foreach(i => g1.ingest(hashed.filter(col("doc_id") % 4 === i)))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release() // resume re-checkpoints every slot (see q104)
+        graft.streaming.Streams.resumeBandHashGate(store, compactEvery = 2)
+      }
+      gate.ingest(hashed.filter(col("doc_id") % 4 === 3))
+      gate.decisions
+    }),
+
     // Perceptual AUDIO near-dup: the q120 axis over the OTHER real
     // container — 64-block |PCM| envelope hashes (little-endian signed
     // 16-bit samples, integer cross-multiplied threshold) banded into
@@ -2031,6 +2068,70 @@ object Pipelines {
            FROM kept x JOIN kept y
              ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    // Gate replay: q120's hash pipeline over the shifted-twin aug,
+    // then per-streamed-doc partner aggregation restricted to
+    // batch(partner) ≤ batch(doc) — the append-only hash table makes
+    // the whole fold-forward collapse into one symmetric-pairs query
+    // (no per-batch CTE chain needed: decisions depend only on ids
+    // seen so far, never on earlier DECISIONS).
+    "q124_media_gate_replay" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000002, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h FROM src),
+         bytes AS (SELECT doc_id, w, h, p, hx, (3*p + ch) % l AS k
+           FROM dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
+         vals AS (SELECT doc_id, w, h, p,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1 AS bv
+           FROM bytes),
+         cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) // 3 AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id),
+         flagged AS (SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3),
+         sym AS (SELECT id_a AS doc_id, id_b AS partner, hamming FROM flagged
+                 UNION ALL
+                 SELECT id_b, id_a, hamming FROM flagged),
+         ann AS (SELECT doc_id, count(*) AS n, min(hamming) AS mh
+                 FROM sym WHERE partner % 4 <= doc_id % 4 GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(d.doc_id % 4 AS BIGINT) AS batch,
+           CAST(coalesce(ann.n, 0) AS BIGINT) AS n_partners,
+           CAST(coalesce(ann.mh, -1) AS BIGINT) AS min_hamming
+         FROM (SELECT doc_id FROM bv4 WHERE doc_id % 4 <> 0) d
+         LEFT JOIN ann USING (doc_id)""",
 
     // Envelope-hash replay in hex space: every PCM byte of the cycled
     // stream read back out of hex(encode(t)) (sample j = little-endian

@@ -1488,6 +1488,213 @@ object Streams {
       initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }
 
+  /** The maintained perceptual-hash index as durable gate state
+    * (round 9, completing the gate family across modalities): ingests
+    * micro-batches of ALREADY-HASHED frames — (doc_id, b0..b3), any
+    * 4×16-bit-band perceptual hash ([[graft.ops.Media.ppmAHash]] for
+    * images, [[graft.ops.Media.wavEnvelopeHash]] for audio; decode +
+    * hash stay map-side in the caller's pipeline) — and annotates each
+    * batch doc with its near-dup partners among everything seen so far
+    * plus the batch itself: the streaming form of the q121/q123 delta
+    * operators, hash-agnostic by construction.
+    *
+    * State: hash segments (doc_id, b0..b3 — 1 row/blob, newest last)
+    * plus the (band, key, c) band-multiplicity segments that make the
+    * stop-band decision O(delta) (the winnow gate's maintained-counter
+    * discipline: without it every fold would re-aggregate the standing
+    * band rows — an O(corpus) shuffle per batch). Per fold the standing
+    * side is ONE narrow scan (band rows derived in-map) restricted by a
+    * broadcast of the batch's kept band keys; it never shuffles.
+    * Decisions are immutable at fold time: partners arriving in LATER
+    * batches do not revise an earlier annotation (the carried-digest
+    * rule's analog).
+    */
+  final class BandHashGate private[graft] (
+      initialHashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      compactEvery: Int = 8,
+      restoredBands: Option[DataFrame] = None,
+      restoredDecisions: Option[DataFrame] = None,
+      initialBatchIdx: Long = 0L) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(maxHamming >= 0 && maxHamming < 4,
+      "pigeonhole over 4 bands covers hamming <= 3")
+
+    private def hashCols(df: DataFrame): DataFrame = df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("b0").cast("int").as("b0"), col("b1").cast("int").as("b1"),
+      col("b2").cast("int").as("b2"), col("b3").cast("int").as("b3"))
+
+    @volatile private var hashSegs: Vector[DataFrame] =
+      Vector(hashCols(initialHashes).transform(graft.ops.Ckpt.fresh))
+    @volatile private var bandSegs: Vector[DataFrame] =
+      Vector(restoredBands.getOrElse(
+          graft.ops.Media.phashBandRows(hashCols(initialHashes))
+            .groupBy("band", "key").agg(count(lit(1)).as("c")))
+        .transform(graft.ops.Ckpt.fresh))
+    @volatile private var decisionSegs: Vector[DataFrame] =
+      restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
+        .getOrElse(Vector.empty)
+    private var foldsSinceCompact = 0
+    private var batchIdx = initialBatchIdx
+
+    /** The standing hash table (doc_id, b0..b3) as of the last fold. */
+    def hashesNow: DataFrame = hashSegs.reduce(_ unionByName _)
+    private def bandsNow: DataFrame = bandSegs.reduce(_ unionByName _)
+      .groupBy("band", "key").agg(sum("c").as("c"))
+    /** Every annotation emitted so far: (doc_id, batch, n_partners,
+      * min_hamming — -1 when no partner).
+      */
+    def decisions: DataFrame = decisionSegs match {
+      case segs if segs.nonEmpty => segs.reduce(_ unionByName _)
+      case _ => hashSegs.head.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("batch"),
+          lit(0L).as("n_partners"), lit(-1L).as("min_hamming"))
+        .limit(0)
+    }
+
+    /** Synchronously fold one micro-batch of hash rows. */
+    def ingest(batchHashes: DataFrame): Unit = fold(batchHashes)
+
+    /** Durably commit (hash table, band multiplicities, decision log,
+      * counters + hash-space config) as ONE manifest version; see
+      * [[DedupGate.persist]] for the contract.
+      */
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
+      val spark = hashSegs.head.sparkSession
+      val txn = store.begin()
+      txn.stage("hashes", hashesNow)
+      txn.stage("bands", bandsNow)
+      if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
+      txn.stage("meta", spark.range(1).select(
+        lit(batchIdx).as("batch_idx"), lit(maxHamming).as("max_hamming"),
+        lit(maxBandFreq).as("max_band_freq")))
+      txn.commit().fold(throw _, identity)
+    }
+
+    /** Drop every carried checkpoint — terminal; see
+      * [[DedupGate.release]]. */
+    def release(): Unit = synchronized {
+      (hashSegs ++ bandSegs ++ decisionSegs).foreach(releaseCheckpoint)
+      hashSegs = Vector.empty
+      bandSegs = Vector.empty
+      decisionSegs = Vector.empty
+    }
+
+    private[graft] def fold(batchHashes: DataFrame): Unit = synchronized {
+      batchIdx += 1
+      val hd = hashCols(batchHashes).transform(graft.ops.Ckpt.fresh)
+      val bd = graft.ops.Media.phashBandRows(hd)
+        .transform(graft.ops.Ckpt.fresh)
+      val deltaCounts = bd.groupBy("band", "key").agg(count(lit(1)).as("cd"))
+        .transform(graft.ops.Ckpt.fresh)
+      // stop-band decision from the MAINTAINED multiplicities — only
+      // keys the delta touches can generate candidates, so the
+      // standing side is a broadcast-semi-restricted scan of the
+      // (band, key, c) index, never a standing re-aggregation
+      val standingHits = bandsNow
+        .join(broadcast(deltaCounts.select("band", "key")),
+          Seq("band", "key"), "left_semi")
+        .transform(graft.ops.Ckpt.fresh)
+      val hot = deltaCounts
+        .join(broadcast(standingHits), Seq("band", "key"), "left")
+        .filter(col("cd") + coalesce(col("c"), lit(0L)) > maxBandFreq)
+        .select("band", "key")
+      val keptD = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
+        .transform(graft.ops.Ckpt.fresh)
+      // candidate standing band rows: derived IN-MAP from the hash
+      // segments (4 narrow rows/blob), anti'd on re-ingested ids
+      // (delta-authoritative), restricted to the batch's kept keys —
+      // delta-bounded output, the standing table never shuffles
+      val candS = graft.ops.Media.phashBandRows(hashesNow)
+        .join(broadcast(hd.select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(broadcast(keptD.select("band", "key").distinct()),
+          Seq("band", "key"), "left_semi")
+        .join(broadcast(hot), Seq("band", "key"), "left_anti")
+      def pairs(x: DataFrame, y: DataFrame, ordered: Boolean): DataFrame = {
+        val j = x.as("x").join(y.as("y"), Seq("band", "key"))
+        val lim = if (ordered) j.where(col("x.doc_id") < col("y.doc_id"))
+          else j.where(col("x.doc_id") =!= col("y.doc_id"))
+        lim.select(
+          least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+          graft.ops.Media.phashHamming("x", "y").cast("long").as("hamming"))
+      }
+      val pr = pairs(keptD, keptD, ordered = true)
+        .unionByName(pairs(keptD, candS, ordered = false))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+      val both = pr.select(col("id_a").as("doc_id"), col("hamming"))
+        .unionByName(pr.select(col("id_b").as("doc_id"), col("hamming")))
+      val per = both
+        .join(broadcast(hd.select("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_partners"), min("hamming").as("min_hamming"))
+      val decisionSeg = hd.select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchIdx).as("batch"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+        .transform(graft.ops.Ckpt.fresh)
+      decisionSegs = decisionSegs :+ decisionSeg
+      hashSegs = hashSegs :+ hd
+      bandSegs = bandSegs :+ deltaCounts
+        .select(col("band"), col("key"), col("cd").as("c"))
+        .transform(graft.ops.Ckpt.fresh)
+      foldsSinceCompact += 1
+      if (foldsSinceCompact >= compactEvery) {
+        val (oldH, oldB, oldD) = (hashSegs, bandSegs, decisionSegs)
+        hashSegs = Vector(hashesNow.transform(graft.ops.Ckpt.fresh))
+        bandSegs = Vector(bandsNow.transform(graft.ops.Ckpt.fresh))
+        decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
+        foldsSinceCompact = 0
+        (oldH ++ oldB ++ oldD).foreach(releaseCheckpoint)
+      }
+      Seq(bd, standingHits, keptD).foreach(releaseCheckpoint)
+      // hd's checkpoint lives on as a hash segment; deltaCounts' is
+      // superseded by the re-checkpointed segment projection above
+      releaseCheckpoint(deltaCounts)
+    }
+  }
+
+  /** Construct a standalone [[BandHashGate]] whose standing hash table
+    * seeds from already-hashed initial frames (doc_id, b0..b3). */
+  def newBandHashGate(
+      initialHashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      compactEvery: Int = 8): BandHashGate =
+    new BandHashGate(initialHashes, maxHamming, maxBandFreq, compactEvery)
+
+  /** Resume a [[BandHashGate]] from `store`'s latest committed
+    * manifest; maxHamming/maxBandFreq must match the persisting
+    * gate's (validated against the meta slot — a mismatch would
+    * change which partners past decisions were allowed to see).
+    */
+  def resumeBandHashGate(
+      store: graft.bulk.ManifestStore,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      compactEvery: Int = 8): BandHashGate = {
+    val hashes = store.read("hashes").getOrElse(throw new IllegalStateException(
+      s"no committed band-hash-gate state in '${store.name}' (missing 'hashes' slot)"))
+    val bands = store.read("bands").getOrElse(throw new IllegalStateException(
+      s"band-hash-gate manifest in '${store.name}' has no 'bands' slot"))
+    val meta = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"band-hash-gate manifest in '${store.name}' has no 'meta' slot")).head()
+    require(meta.getAs[Int]("max_hamming") == maxHamming &&
+        meta.getAs[Long]("max_band_freq") == maxBandFreq,
+      s"band-hash-gate manifest in '${store.name}' was persisted with " +
+        s"maxHamming=${meta.getAs[Int]("max_hamming")} " +
+        s"maxBandFreq=${meta.getAs[Long]("max_band_freq")} but resume requested " +
+        s"maxHamming=$maxHamming maxBandFreq=$maxBandFreq")
+    new BandHashGate(hashes, maxHamming, maxBandFreq, compactEvery,
+      restoredBands = Some(bands),
+      restoredDecisions = store.read("decisions"),
+      initialBatchIdx = meta.getAs[Long]("batch_idx"))
+  }
+
   /** Run [[DedupGate]] over a streaming frame of documents via
     * foreachBatch. Returns the live gate handle + the query.
     */

@@ -105,7 +105,8 @@ object ClusterSanity {
       }
       for (q <- Seq("q112_exact_substr_twostage", "q113_media_dedup_delta",
           "q116_winnowed_delta", "q114_curation_gate_replay",
-          "q120_media_phash", "q121_media_phash_delta")) {
+          "q120_media_phash", "q121_media_phash_delta",
+          "q122_audio_phash", "q123_audio_phash_delta")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

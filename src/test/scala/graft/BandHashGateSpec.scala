@@ -1,0 +1,139 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** BandHashGate (q124): the maintained perceptual-hash index as
+  * durable gate state — live fold parity against a brute-force
+  * reference, decision immutability, the maintained-band stop
+  * decision, delta-authoritative re-ingest, and persist/resume
+  * restart identity through a forced compaction.
+  */
+class BandHashGateSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bandhash-gate-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hashFrame(rows: Seq[(Long, Int, Int, Int, Int)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  private def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+    Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+      Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+
+  private def collectDecisions(gate: Streams.BandHashGate) =
+    gate.decisions.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  /** Brute-force annotations: for each streamed doc, partners at
+    * hamming <= 3 among docs with batch <= its own (excluding itself).
+    */
+  private def reference(
+      byBatch: Map[Long, Seq[(Long, (Int, Int, Int, Int))]]): Set[(Long, Long, Long, Long)] = {
+    val all = byBatch.toSeq.flatMap { case (b, ds) => ds.map(d => (b, d._1, d._2)) }
+    (for {
+      (b, id, h) <- all if b > 0
+      partners = all.filter { case (pb, pid, ph) =>
+        pb <= b && pid != id && hamming(ph, h) <= 3
+      }
+    } yield (id, b,
+      partners.size.toLong,
+      if (partners.isEmpty) -1L else partners.map(p => hamming(p._3, h).toLong).min)).toSet
+  }
+
+  test("fold annotations equal brute force over seen-so-far + own batch; decisions immutable") {
+    val rnd = new Random(5)
+    def rh() = (rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536))
+    // base population + planted twins across and within batches
+    val h1 = rh(); val h2 = rh()
+    val h1near = (h1._1 ^ 3, h1._2, h1._3, h1._4) // hamming 2
+    val byBatch: Map[Long, Seq[(Long, (Int, Int, Int, Int))]] = Map(
+      0L -> ((1 to 10).map(i => i.toLong -> rh()) :+ (20L -> h1)),
+      1L -> Seq(30L -> h1near, 31L -> rh(), 32L -> h2), // cross pair vs batch 0
+      2L -> Seq(40L -> h2, 41L -> h2, 42L -> rh()),     // within-batch + cross pair
+      3L -> Seq(50L -> rh()))
+    val gate = Streams.newBandHashGate(
+      hashFrame(byBatch(0L).map(d => (d._1, d._2._1, d._2._2, d._2._3, d._2._4))))
+    (1L to 3L).foreach { b =>
+      gate.ingest(hashFrame(byBatch(b).map(d => (d._1, d._2._1, d._2._2, d._2._3, d._2._4))))
+    }
+    val got = collectDecisions(gate)
+    val want = reference(byBatch)
+    assert(got === want)
+    // non-vacuous: a nonzero-hamming cross partner and a within-batch pair
+    assert(got.exists { case (id, _, n, mh) => id == 30L && n >= 1 && mh == 2L })
+    assert(got.exists { case (id, b, n, mh) => id == 41L && b == 2L && n >= 2 && mh == 0L })
+    // immutability: doc 32 (batch 1) folded before its h2 partners
+    // arrived in batch 2 — its decision must NOT count them
+    assert(got.exists { case (id, _, n, _) => id == 32L && n == 0L })
+    gate.release()
+  }
+
+  test("persist/resume through a forced compaction is decision-identical") {
+    val rnd = new Random(9)
+    def rh() = (rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536))
+    val batches = (0 to 3).map(b =>
+      b.toLong -> (0 until 8).map(i => (b * 100 + i).toLong -> rh())).toMap
+    // twin crossing the restart point: batch 3 doc copies a batch-1 hash
+    val byBatch = batches.updated(3L, batches(3L) :+ (399L -> batches(1L).head._2))
+    def frame(b: Long) =
+      hashFrame(byBatch(b).map(d => (d._1, d._2._1, d._2._2, d._2._3, d._2._4)))
+    // uninterrupted run (compactEvery=2 forces a compaction at fold 2)
+    val g0 = Streams.newBandHashGate(frame(0L), compactEvery = 2)
+    (1L to 3L).foreach(b => g0.ingest(frame(b)))
+    val want = collectDecisions(g0)
+    g0.release()
+    // killed-and-resumed run: persist right after the fold-2 compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandgate-store")
+    val store = new graft.bulk.ManifestStore(spark, dir.toString)
+    val g1 = Streams.newBandHashGate(frame(0L), compactEvery = 2)
+    (1L to 2L).foreach(b => g1.ingest(frame(b)))
+    g1.persist(store)
+    g1.release()
+    val g2 = Streams.resumeBandHashGate(store, compactEvery = 2)
+    g2.ingest(frame(3L))
+    val got = collectDecisions(g2)
+    assert(got === want)
+    assert(got.exists { case (id, _, n, mh) => id == 399L && n >= 1 && mh == 0L },
+      "the cross-restart twin must be found by the RESUMED gate")
+    g2.release()
+    // config mismatch on resume fails loudly
+    intercept[IllegalArgumentException](Streams.resumeBandHashGate(store, maxHamming = 2))
+  }
+
+  test("maintained stop-band decision: hot keys generate no candidates, cold keys survive") {
+    // 20 standing docs share one exact hash (all four band keys at
+    // df 20 > cap 10); a batch doc matching them must see NO partners
+    // through the hot bands, while a second batch doc pairing a cold
+    // standing hash is found
+    val hotH = (7, 8, 9, 10); val coldH = (1111, 2222, 3333, 4444)
+    val standing = (0 until 20).map(i => (i.toLong, hotH._1, hotH._2, hotH._3, hotH._4)) :+
+      ((50L, coldH._1, coldH._2, coldH._3, coldH._4))
+    val gate = Streams.newBandHashGate(hashFrame(standing), maxBandFreq = 10L)
+    gate.ingest(hashFrame(Seq(
+      (100L, hotH._1, hotH._2, hotH._3, hotH._4),
+      (101L, coldH._1, coldH._2, coldH._3, coldH._4))))
+    val got = collectDecisions(gate)
+    assert(got === Set((100L, 1L, 0L, -1L), (101L, 1L, 1L, 0L)))
+    gate.release()
+  }
+
+  test("re-ingested ids are delta-authoritative: no self-pair with the standing twin") {
+    val h = (1, 2, 3, 4)
+    val gate = Streams.newBandHashGate(hashFrame(Seq((1L, h._1, h._2, h._3, h._4))))
+    gate.ingest(hashFrame(Seq((1L, h._1, h._2, h._3, h._4))))
+    val got = collectDecisions(gate)
+    assert(got === Set((1L, 1L, 0L, -1L)))
+    gate.release()
+  }
+}
