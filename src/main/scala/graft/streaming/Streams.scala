@@ -541,13 +541,32 @@ object Streams {
     *    remap folds into the base segments at the same `compactEvery`
     *    LSM cadence as the corpus/index.
     */
+  /** Common surface of the five durable ingest gates (text dedup,
+    * embedding dedup, curation, winnowed-substring, band-hash): a
+    * synchronous micro-batch fold, an atomic durable commit of the
+    * full standing state through [[graft.bulk.ManifestStore]], and a
+    * terminal checkpoint release. [[Streams.gateStream]] wires any of
+    * them to a Structured Streaming source with periodic durable
+    * commits — the production restartable-ingest shape.
+    */
+  trait IngestGate {
+    /** Synchronously fold one micro-batch (the foreachBatch body) —
+      * the batch-replay / non-streaming entry point. */
+    def ingest(batch: DataFrame): Unit
+    /** Durably commit the gate's standing state to `store` as ONE
+      * manifest-CAS version; returns the committed version. */
+    def persist(store: graft.bulk.ManifestStore): Long
+    /** Drop every carried checkpoint — terminal. */
+    def release(): Unit
+  }
+
   final class DedupGate private[graft] (
       initial: DataFrame,
       idCol: String,
       textCol: String,
       k: Int, numPerm: Int, bands: Int, num: Int, den: Int,
       compactEvery: Int = 8,
-      restored: Option[Streams.DedupGateState] = None) {
+      restored: Option[Streams.DedupGateState] = None) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     // newest-last segment lists; every element is localCheckpoint-
     // materialized so no segment's plan depends on another
@@ -773,7 +792,7 @@ object Streams {
       idCol: String, vecCol: String,
       dim: Int, threshold: Double, targetBucket: Long,
       compactEvery: Int = 8,
-      restored: Option[Streams.EmbeddingGateState] = None) {
+      restored: Option[Streams.EmbeddingGateState] = None) extends IngestGate {
     import graft.ops.Similarity
     require(compactEvery >= 1, "compactEvery must be >= 1")
     @volatile private var planes: Int =
@@ -952,11 +971,7 @@ object Streams {
       idCol: String, vecCol: String,
       dim: Int, threshold: Double): (EmbeddingDedupGate, org.apache.spark.sql.streaming.StreamingQuery) = {
     val gate = newEmbeddingDedupGate(initialCorpus, idCol, vecCol, dim, threshold)
-    val query = vectors.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) => gate.fold(batch) }
-      .start()
-    (gate, query)
+    (gate, gateStream(gate, vectors))
   }
 
   /** Online CURATION gate — the stateful streaming form of
@@ -1002,7 +1017,7 @@ object Streams {
       nearDup: Option[NearDupParams] = None,
       initialRepCorpus: Option[DataFrame] = None,
       restoredRepIndex: Option[DataFrame] = None,
-      tokenizer: String = "ws") {
+      tokenizer: String = "ws") extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(nearDup.isEmpty || initialRepCorpus.isDefined,
       "a near-dup-enabled gate needs the standing rep corpus (doc_id, text)")
@@ -1338,7 +1353,7 @@ object Streams {
       compactEvery: Int = 8,
       restoredIndex: Option[DataFrame] = None,
       restoredDecisions: Option[DataFrame] = None,
-      initialBatchIdx: Long = 0L) {
+      initialBatchIdx: Long = 0L) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(width >= 1 && stride >= 1, "width and stride must be >= 1")
 
@@ -1516,7 +1531,7 @@ object Streams {
       compactEvery: Int = 8,
       restoredBands: Option[DataFrame] = None,
       restoredDecisions: Option[DataFrame] = None,
-      initialBatchIdx: Long = 0L) {
+      initialBatchIdx: Long = 0L) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(maxHamming >= 0 && maxHamming < 4,
       "pigeonhole over 4 bands covers hamming <= 3")
@@ -1695,8 +1710,41 @@ object Streams {
       initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }
 
+  /** Wire any [[IngestGate]] — live-constructed or resumed from a
+    * manifest — to a Structured Streaming source via foreachBatch,
+    * durably committing the gate's standing state to `store` every
+    * `persistEvery` folds (one manifest-CAS version per commit): the
+    * production restartable-ingest shape. On driver loss, resume the
+    * gate from the store's latest committed version
+    * (`resumeDedupGate`/`resumeWinnowGate`/…) and re-feed the source
+    * from the offsets of that commit — the gates' decision
+    * immutability plus restore ≡ compaction make the replay
+    * fold-for-fold identical to the uninterrupted run
+    * (GateStreamSpec, GatePersistenceSpec, the q104–q124 restart
+    * legs). Each commit stages the FULL standing state (the
+    * restore-≡-compact contract's price): choose `persistEvery` so
+    * the amortized commit cost stays below the fold cost — the
+    * per-batch tables in BASELINE.md give both sides.
+    */
+  def gateStream(
+      gate: IngestGate,
+      batches: DataFrame,
+      store: Option[graft.bulk.ManifestStore] = None,
+      persistEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(persistEvery >= 1, "persistEvery must be >= 1")
+    val folds = new java.util.concurrent.atomic.AtomicLong(0L)
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gate.ingest(batch)
+        if (store.isDefined && folds.incrementAndGet() % persistEvery == 0)
+          store.foreach(gate.persist(_))
+      }
+      .start()
+  }
+
   /** Run [[DedupGate]] over a streaming frame of documents via
-    * foreachBatch. Returns the live gate handle + the query.
+    * [[gateStream]]. Returns the live gate handle + the query.
     */
   def dedupGateStream(
       docs: DataFrame,
@@ -1706,11 +1754,7 @@ object Streams {
       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
       num: Int = 1, den: Int = 2): (DedupGate, org.apache.spark.sql.streaming.StreamingQuery) = {
     val gate = new DedupGate(initialCorpus, idCol, textCol, k, numPerm, bands, num, den)
-    val query = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) => gate.fold(batch) }
-      .start()
-    (gate, query)
+    (gate, gateStream(gate, docs))
   }
 
   /** Per-broadcast episode/node counts over the episode stream. */
