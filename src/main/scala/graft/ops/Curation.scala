@@ -268,6 +268,76 @@ object Curation {
         max(when(col("rn") === expr("(19 * n + 19) div 20"), col("nt"))).as("p95_tokens"))
   }
 
+  /** Sketched corpus statistics — the 100 TB twin of [[corpusStats]],
+    * with the vocabulary axis added. Exact per-stratum stats need a
+    * per-stratum SORT (the rank window) and exact vocabulary needs a
+    * DISTINCT over every token occurrence — both full shuffles of the
+    * corpus at cluster scale. The production path here is two
+    * map-side-partial, constant-state aggregations instead:
+    * HyperLogLog++ (`approx_count_distinct`) for per-stratum
+    * vocabulary and a mergeable quantile sketch
+    * (`percentile_approx`) for token percentiles — no sort, no
+    * distinct shuffle, sketch state merges associatively across
+    * executors.
+    *
+    * Like q34's exact-verifier role and q109's recall gate, the
+    * returned frame carries the EXACT figures (oracle-able across
+    * engines) plus `sketch_ok` — 1 iff every sketched figure lands
+    * within its bound of the exact one (vocabulary within
+    * `vocabBoundPermille`; percentiles within max(2 tokens, 5%)).
+    * A sketch regression flips the column and fails the driver's
+    * hash compare; production calls drop the exact legs and keep the
+    * sketch aggregations.
+    */
+  def corpusStatsSketched(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String,
+      vocabBoundPermille: Long = 50L): DataFrame = {
+    registerTokenizers(docs)
+    // doc-grain legs (exact rank percentiles + the quantile sketch)
+    // fused into ONE tokenize + ONE strata shuffle: the sketch agg
+    // rides the window's partitioning, as in corpusStats
+    val tk = docs.select(
+      col(strataCol),
+      col(idCol).as("doc_id"),
+      tokenCountCol(col(textCol), "ws").as("nt"))
+    val w = Window.partitionBy(strataCol).orderBy(col("nt"), col("doc_id"))
+    val wn = Window.partitionBy(strataCol)
+    val exact = tk
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col(strataCol))
+      .agg(
+        max(col("n")).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("nt"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("nt"))).as("p95_tokens"),
+        percentile_approx(col("nt"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("pcts"))
+    // token occurrences: one explode shared by the exact-distinct leg
+    // and the HLL leg (identical token multiset to the oracle's \S+)
+    val vocab = docs.select(
+      col(strataCol),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(strataCol).agg(
+        countDistinct(col("tok")).as("n_vocab"),
+        approx_count_distinct(col("tok"), 0.01).as("n_vocab_hll"))
+    def near(sk: Column, ex: Column): Column =
+      abs(sk - ex) * 20 <= greatest(lit(40L), ex)
+    exact.join(vocab, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("sum_tokens"),
+        col("p50_tokens"), col("p95_tokens"), col("n_vocab"),
+        when(
+          abs(col("n_vocab_hll") - col("n_vocab")) * 1000 <=
+            col("n_vocab") * vocabBoundPermille &&
+          near(col("pcts").getItem(0), col("p50_tokens")) &&
+          near(col("pcts").getItem(1), col("p95_tokens")), 1L)
+          .otherwise(0L).as("sketch_ok"))
+  }
+
   /** Fuzzy (near-dup) benchmark decontamination: flag corpus documents
     * whose n-gram Jaccard overlap with ANY eval document exceeds
     * `num/den` — the paraphrase-robust complement of [[decontaminate]]

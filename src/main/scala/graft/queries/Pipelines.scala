@@ -323,6 +323,15 @@ object Pipelines {
     "q88_corpus_stats" -> ((s, dir) =>
       Curation.corpusStats(t(s, dir, "documents"), "lang", "doc_id", "text")),
 
+    // Sketched corpus stats: q88 + the vocabulary axis, with the 100 TB
+    // path (HLL++ distinct + mergeable quantile sketch — map-side
+    // partials, no sort/distinct shuffle) accuracy-gated against the
+    // exact legs: sketch_ok=1 iff HLL vocab is within 5% and sketched
+    // percentiles within max(2, 5%) — a sketch regression flips the
+    // column and fails the hash compare (q109's recall-gate shape).
+    "q125_sketch_stats" -> ((s, dir) =>
+      Curation.corpusStatsSketched(t(s, dir, "documents"), "lang", "doc_id", "text")),
+
     // Leakage-free split: q37's near-dup clusters are hashed to
     // train/val/test AS UNITS (90/5/5 in 1/256ths), so no near-dup
     // pair can straddle the held-out boundary.
@@ -1773,6 +1782,30 @@ object Pipelines {
                 max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS p50_tokens,
                 max(CASE WHEN rn = (19 * n + 19) // 20 THEN nt END) AS p95_tokens
          FROM r GROUP BY lang""",
+
+    // q88's exact replay + exact vocabulary; the sketch gate column is
+    // the literal 1 — the Spark side computes it from |sketch - exact|
+    // against the documented bounds, so an out-of-bound sketch breaks
+    // the hash match.
+    "q125_sketch_stats" ->
+      """WITH tk AS (SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt
+           FROM documents),
+         r AS (SELECT lang, nt,
+                 row_number() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM tk),
+         ex AS (SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                max(CASE WHEN rn = (n + 1) // 2 THEN nt END) AS p50_tokens,
+                max(CASE WHEN rn = (19 * n + 19) // 20 THEN nt END) AS p95_tokens
+           FROM r GROUP BY lang),
+         vb AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+           FROM (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok
+                 FROM documents) GROUP BY lang)
+         SELECT ex.lang, ex.n_docs, ex.sum_tokens, ex.p50_tokens,
+                ex.p95_tokens, vb.n_vocab, CAST(1 AS BIGINT) AS sketch_ok
+         FROM ex JOIN vb USING (lang)""",
 
     "q95_cluster_split" ->
       s"""WITH RECURSIVE $cappedJaccardCte,

@@ -202,6 +202,34 @@ object Prof {
             noop(pairsOf(p))
           }
         }
+      case "sketch" =>
+        // q125 leg split: doc-grain exact+sketch agg vs the vocab
+        // (explode + countDistinct + HLL) leg vs the joined whole.
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        graft.functions.TextStatsFns.ensureRegistered(spark)
+        for (i <- 1 to 2) {
+          time(s"docgrain $i")(noop(docs.select(col("lang"),
+            call_function("graft_text_stats", col("text")).getField("n_tokens").as("nt"))
+            .groupBy("lang").agg(sum("nt"),
+              percentile_approx(col("nt"), array(lit(0.5), lit(0.95)), lit(10000)))))
+          time(s"explode-only $i")(noop(docs.select(col("lang"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)))
+          time(s"vocab-hll-only $i")(noop(docs.select(col("lang"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .groupBy("lang").agg(approx_count_distinct(col("tok"), 0.01).as("h"))))
+          time(s"vocab-exact+hll $i")(noop(docs.select(col("lang"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+            .filter(length(col("tok")) > 0)
+            .groupBy("lang").agg(countDistinct(col("tok")).as("v"),
+              approx_count_distinct(col("tok"), 0.01).as("h"))))
+          time(s"full q125 $i")(noop(
+            graft.SparkEntry.queries("q125_sketch_stats")(spark, dir)))
+        }
+
       case "q01cents" =>
         // Is the DECIMAL aggregation q01's cost, or the scan/schedule
         // floor? Compare: bare filtered count, the DECIMAL agg (shipped
