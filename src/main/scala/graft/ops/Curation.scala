@@ -77,6 +77,78 @@ object Curation {
         (coalesce(col("n_contaminated_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-membership decontamination — the 100 TB form of
+    * [[decontaminateWithVocab]] for when the eval-side vocabulary
+    * outgrows a broadcastable hash set (a big decontamination corpus,
+    * a URL blocklist, a digest denylist): instead of shipping the
+    * vocabulary, ship its CONSTANT-SIZE Bloom filter. Build = one
+    * mergeable aggregation over the vocabulary (per-partition bitsets
+    * OR together — `graft_bloom_agg`, Spark's own runtime-filter
+    * sketch); probe = a map-side codegen'd membership expression
+    * against the filter embedded as a literal (`graft_bloom_contains`)
+    * — the corpus side needs NO join at all. A Bloom filter has no
+    * false negatives, so the flagged set is a superset of the exact
+    * one by construction; false positives are bounded by the sizing
+    * (`fpp` per probe, compounding over a doc's shingles).
+    *
+    * The exact leg rides along for the gate (the q125 discipline):
+    *  - `bloom_ok` = 1 iff this doc's exact contamination is covered
+    *    by the Bloom flag (completeness — must ALWAYS hold);
+    *  - `fp_ok` = 1 iff the corpus-wide false-positive rate among
+    *    exactly-clean docs stays within `maxFpPermille` (the sizing
+    *    bound actually holding at this corpus' shingle counts).
+    * Both are computed from the sketch, replayed by the oracle as
+    * literal 1s — a regression in either fails the hash compare.
+    * Production calls drop the exact leg and keep build + probe.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      fpp: Double = 1e-6,
+      maxFpPermille: Long = 20L): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(corpus.sparkSession)
+    graft.functions.BloomFns.ensureRegistered(corpus.sparkSession)
+    // consumed three times (sizing, build, exact leg) — query-layer
+    // persist, released by the caller's clearCache cadence
+    val vocab = evalShingleVocab(evalSet, idCol, textCol, k).persist()
+    // sketch sizing: one bounded scalar (the sketch itself is the
+    // point — its size must not depend on reading the data twice more)
+    val nItems = math.max(vocab.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nItems, fpp)
+    val bloomBin = vocab
+      .agg(call_function("graft_bloom_agg", col("h"), lit(nItems), lit(nBits))
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bloomFlags = graft.Tables.fanOut(corpus).select(
+        col(idCol).as("doc_id"),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
+      .filter(call_function("graft_bloom_contains", lit(bloomBin), col("h")))
+      .select("doc_id").distinct()
+      .withColumn("bloom_flag", lit(true))
+    val exact = decontaminateWithVocab(corpus, vocab, idCol, textCol, k)
+    // consumed twice (global gate scalar + final projection)
+    val joined = exact.join(bloomFlags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_contaminated_shingles"), col("contaminated"),
+        coalesce(col("bloom_flag"), lit(false)).as("bloom_flag"))
+      .persist()
+    // the corpus-wide FP gate is ONE audited driver-side scalar (the
+    // gate-constant pattern): a constant-key join here would fold into
+    // a nested-loop plan, and a global window would single-partition
+    // the corpus — both worse at scale than one 2-long collect
+    val g = joined.agg(
+      sum(when(col("bloom_flag") && !col("contaminated"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("contaminated"), 1L).otherwise(0L)).as("clean")).head()
+    val fpOk = (if (g.isNullAt(0)) 0L else g.getLong(0)) * 1000L <=
+      math.max(if (g.isNullAt(1)) 0L else g.getLong(1), 1L) * maxFpPermille
+    joined.select(col("doc_id"), col("n_contaminated_shingles"), col("contaminated"),
+      when(!col("contaminated") || col("bloom_flag"), 1L).otherwise(0L).as("bloom_ok"),
+      lit(if (fpOk) 1L else 0L).as("fp_ok"))
+  }
+
   /** Deterministic stratified quota sample: the first `k` documents of
     * every stratum in md5(text) order (doc_id tie-break) — the mixture
     * / data-budget step of corpus curation, reproducible across runs

@@ -332,6 +332,20 @@ object Pipelines {
     "q125_sketch_stats" -> ((s, dir) =>
       Curation.corpusStatsSketched(t(s, dir, "documents"), "lang", "doc_id", "text")),
 
+    // Bloom-membership decontamination: q82's split with the eval
+    // vocabulary shipped as a constant-size Bloom filter instead of a
+    // broadcast set — build is one mergeable agg, probe is a map-side
+    // codegen'd expression, no corpus-side join. bloom_ok pins the
+    // no-false-negative guarantee per doc, fp_ok pins the corpus-wide
+    // FP rate within the sizing bound; both replayed as literal 1s.
+    "q126_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3)
+    }),
+
     // Leakage-free split: q37's near-dup clusters are hashed to
     // train/val/test AS UNITS (90/5/5 in 1/256ths), so no near-dup
     // pair can straddle the held-out boundary.
@@ -1806,6 +1820,25 @@ object Pipelines {
          SELECT ex.lang, ex.n_docs, ex.sum_tokens, ex.p50_tokens,
                 ex.p95_tokens, vb.n_vocab, CAST(1 AS BIGINT) AS sketch_ok
          FROM ex JOIN vb USING (lang)""",
+
+    // q82's exact replay + the two sketch-gate literals: the Spark
+    // side computes bloom_ok from per-doc Bloom coverage of the exact
+    // flags (no false negatives) and fp_ok from the corpus-wide FP
+    // rate vs the sizing bound — either regressing breaks the hash.
+    "q126_decontaminate_bloom" ->
+      s"""WITH $shingleCte,
+         shh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
+         ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         hits AS (SELECT doc_id, count(*) AS n FROM shh
+                  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM ev)
+                  GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+                coalesce(h.n, 0) > 0 AS contaminated,
+                CAST(1 AS BIGINT) AS bloom_ok,
+                CAST(1 AS BIGINT) AS fp_ok
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 97 <> 0""",
 
     "q95_cluster_split" ->
       s"""WITH RECURSIVE $cappedJaccardCte,
