@@ -49,7 +49,8 @@ object SparkEntry {
     val streamReplay = Set("q91_stream_sessions", "q92_stream_hourly",
       "q104_gate_replay", "q105_embedding_gate_replay",
       "q114_curation_gate_replay", "q115_curation_gate_neardup",
-      "q119_winnow_gate_replay", "q124_media_gate_replay")
+      "q119_winnow_gate_replay", "q124_media_gate_replay",
+      "q127_vector_index_gate")
     (queries.keySet - "q22_overlap_pairs")
       .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q))
       .toSeq.sorted

@@ -348,6 +348,128 @@ object Similarity {
     recallVsExact(reranked, emb, idCol, vecCol, queries, k)
   }
 
+  /** Driver-side quantized-centroid closure — the fixed coordinate
+    * system of a maintained IVF index (bounded: ≤ numCentroids rows,
+    * the audited ivfTopK collect). Built ONCE at index construction
+    * from the initial corpus and shipped inside the assignment/probe
+    * UDF closures; persisted as a small frame so a resumed index
+    * probes the IDENTICAL cells. cid-ascending, strict > — ties to
+    * the lower cell id, the shared training/probing rule.
+    */
+  private[graft] final class CentroidClosure(
+      val cids: Array[Long],
+      val cqvs: Array[Array[Byte]],
+      val cqns: Array[Double]) extends Serializable {
+    private def nc = cids.length
+    private[Similarity] def cellOf(v: Array[Byte], nrm: Double): Long = {
+      var best = 0L; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nc) {
+        val s = dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c))
+        if (s > bestSim) { bestSim = s; best = cids(c) }
+        c += 1
+      }
+      best
+    }
+    private[Similarity] def probesOf(nprobe: Int)(v: Array[Byte], nrm: Double): Array[Long] =
+      Array.tabulate(nc)(c => (dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c)), cids(c)))
+        .sortBy { case (s, cid) => (-s, cid) }
+        .take(nprobe)
+        .map(_._2)
+    /** The closure as a persistable frame (cid, cqv, cqn). */
+    def toFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      cids.indices.map(i => (cids(i), cqvs(i), cqns(i)))
+        .toDF("cid", "cqv", "cqn")
+    }
+  }
+
+  private[graft] object CentroidClosure {
+    /** Closure over the `numCentroids` LOWEST ids of `initial` — the
+      * maintained-index seed rule (deterministic, SQL-replayable as
+      * ORDER BY id LIMIT n). */
+    def fromInitial(initial: DataFrame, idCol: String, vecCol: String,
+        numCentroids: Int): CentroidClosure =
+      fromRows(withQuantized(
+          initial.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol, "c")
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2))))
+    /** Rebuild from a persisted (cid, cqv, cqn) frame. */
+    def fromFrame(df: DataFrame): CentroidClosure =
+      fromRows(df.collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2))))
+    private def fromRows(rows: Array[(Long, Array[Byte], Double)]): CentroidClosure = {
+      require(rows.nonEmpty, "centroid closure needs at least one centroid")
+      val s = rows.sortBy(_._1)
+      new CentroidClosure(s.map(_._1), s.map(_._2), s.map(_._3))
+    }
+  }
+
+  /** One vector frame projected to maintained-IVF postings:
+    * (vec_id, cell, qv int8, qn, fv packed-float, fnrm) — the int8
+    * codes drive cell assignment and the shortlist, the packed floats
+    * ride along for the exact rerank so serving never rejoins the raw
+    * corpus. One UDF projection per axis, map-side, zero shuffle.
+    */
+  private[graft] def quantizedPostings(
+      df: DataFrame, idCol: String, vecCol: String,
+      cc: CentroidClosure): DataFrame = {
+    val cellUdf = udf((v: Array[Byte], nrm: Double) => cc.cellOf(v, nrm))
+    df.select(
+        col(idCol).cast("long").as("vec_id"),
+        quantizeUdf(asDouble(col(vecCol))).as("qv"),
+        packUdf(asDouble(col(vecCol))).as("fv"))
+      .withColumn("qn", sqrt(dotQPacked(col("qv"), col("qv")).cast("double")))
+      .withColumn("fnrm", sqrt(dotPacked(col("fv"), col("fv"))))
+      .withColumn("cell", cellUdf(col("qv"), col("qn")))
+      .select("vec_id", "cell", "qv", "qn", "fv", "fnrm")
+  }
+
+  /** Annotate one batch of postings with its top-k neighbors among
+    * `standing` ∪ the batch itself — the per-fold kernel of the
+    * maintained IVF index (the q109 pipeline with the corpus split
+    * into a standing table and a delta): probes broadcast, the
+    * standing side enters ONLY as a scan semi-restricted by the
+    * batch's probed cells (it never shuffles), integer-dot shortlist,
+    * float rerank of shortlist rows only. Returns
+    * (query_id, rank, neighbor_id), rank 1..k — found-only rows,
+    * all tie-breaks mirroring the DuckDB replay's row_number rules.
+    */
+  private[graft] def ivfAnnotateBatch(
+      standing: DataFrame,
+      batch: DataFrame,
+      cc: CentroidClosure,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val probeUdf = udf((v: Array[Byte], nrm: Double) => cc.probesOf(nprobe)(v, nrm))
+    val probes = batch.select(
+        col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"),
+        col("fv").as("qfv"), col("fnrm").as("qfnrm"),
+        explode(probeUdf(col("qv"), col("qn"))).as("cell"))
+    val candidates = standing
+      .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+      .join(broadcast(probes.select("cell").distinct()), Seq("cell"), "left_semi")
+      .unionByName(batch)
+    val ws = Window.partitionBy("query_id").orderBy(col("simq").desc, col("neighbor_id"))
+    val short = candidates.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("simq",
+        dotQPacked(col("qqv"), col("qv")).cast("double") / (col("qqn") * col("qn")))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("simq"), col("qfv"), col("qfnrm"), col("fv"), col("fnrm"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .withColumn("sim", dotPacked(col("qfv"), col("fv")) / (col("qfnrm") * col("fnrm")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   /** Embedding-space quality eval: for each query, how many of its k
     * exact-cosine nearest neighbors share the query's label — the kNN
     * label-consistency metric a training pipeline runs on an embedding

@@ -708,6 +708,35 @@ object Pipelines {
       gate.decisions
     }),
 
+    // Vector-index gate replay: the maintained quantized-IVF serving
+    // index as durable gate state (the search-side complement of the
+    // q105 embedding dedup gate) — batches vec_id % 4 flow through
+    // Streams.VectorIndexGate (postings + fixed centroid closure in
+    // LSM segments, compaction forced mid-replay, persist→resume
+    // restart leg after fold 2); every streamed vector's top-10
+    // annotation (integer-dot shortlist over probed cells, float
+    // rerank) is hash-matched against the q109 chain restricted to
+    // batch(neighbor) ≤ batch(query). Decisions are immutable at fold
+    // time, so the fold-forward collapses into the one restricted
+    // chain (the q124 discipline).
+    "q127_vector_index_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2)
+      (1 to 2).foreach(i => g1.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release() // resume re-checkpoints every slot (see q104)
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2)
+      }
+      gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
     // Perceptual AUDIO near-dup: the q120 axis over the OTHER real
     // container — 64-block |PCM| envelope hashes (little-endian signed
     // 16-bit samples, integer cross-multiplied threshold) banded into
@@ -1452,6 +1481,59 @@ object Pipelines {
                 CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
                 CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
          FROM fq LEFT JOIN ov USING (query_id)""",
+
+    // Vector-index gate replay: the q109 quantized chain with the
+    // centroid closure seeded from the initial batch's 16 lowest ids
+    // and one extra predicate — batch(neighbor) ≤ batch(query), batch
+    // = vec_id % 4 — which IS the entire fold-forward: the postings
+    // are append-only and decisions immutable, so each query's top-10
+    // at its fold time equals the restricted single-pass ranking.
+    "q127_vector_index_gate" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 4 <> 0) WHERE rn <= 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY CAST(${sqlDotInt("q.qv", "n.qv", 64)} AS DOUBLE)
+                                 / (q.nrm * n.nrm) DESC, n.vec_id) AS srank
+             FROM probes p
+             JOIN cells cl ON cl.cell = p.cell
+             JOIN qn n ON n.vec_id = cl.vec_id
+             JOIN qn q ON q.vec_id = p.query_id
+             WHERE n.vec_id <> p.query_id
+               AND n.vec_id % 4 <= p.query_id % 4) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)
+         SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,

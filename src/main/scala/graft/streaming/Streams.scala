@@ -1710,6 +1710,170 @@ object Streams {
       initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }
 
+  /** The maintained vector SEARCH index as durable gate state (round
+    * 9, the serving-side complement of [[EmbeddingDedupGate]]'s
+    * near-dup rejection): a quantized IVF index
+    * ([[graft.ops.Similarity.ivfTopKQuantizedRecall]]'s pipeline with
+    * the corpus split into standing state and a delta) kept fresh as
+    * embeddings stream in. Each micro-batch is quantized and
+    * cell-assigned map-side against the FIXED centroid closure
+    * (seeded from the initial corpus, persisted with the index so a
+    * resumed gate probes identical cells), annotated with its top-k
+    * neighbors among everything seen so far plus the batch itself
+    * (integer-dot shortlist, float rerank riding the postings — the
+    * raw corpus is never rejoined), and appended to the postings
+    * segments. Decisions are immutable at fold time: a neighbor
+    * arriving later never revises an earlier top-k (the gate-family
+    * contract, and what lets the oracle collapse the fold-forward into
+    * one batch-restricted q109 chain).
+    *
+    * Per fold the standing side is ONE narrow scan semi-restricted by
+    * a broadcast of the batch's probed cells — it never shuffles; the
+    * shortlist/rerank windows partition on the DELTA's query ids, so
+    * per-batch cost is O(delta × probed-cell mass), not O(corpus).
+    */
+  final class VectorIndexGate private[graft] (
+      initialPostings: DataFrame,
+      closure: graft.ops.Similarity.CentroidClosure,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      compactEvery: Int = 8,
+      restoredDecisions: Option[DataFrame] = None,
+      initialBatchIdx: Long = 0L) extends IngestGate {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(nprobe >= 1 && shortlist >= k && k >= 1,
+      "need nprobe >= 1 and shortlist >= k >= 1")
+
+    @volatile private var postSegs: Vector[DataFrame] =
+      Vector(initialPostings.transform(graft.ops.Ckpt.fresh))
+    @volatile private var decisionSegs: Vector[DataFrame] =
+      restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
+        .getOrElse(Vector.empty)
+    private var foldsSinceCompact = 0
+    private var batchIdx = initialBatchIdx
+
+    /** The standing postings (vec_id, cell, qv, qn, fv, fnrm). */
+    def postingsNow: DataFrame = postSegs.reduce(_ unionByName _)
+    /** Every annotation emitted so far:
+      * (query_id, batch, rank, neighbor_id) — found-only rows. */
+    def decisions: DataFrame = decisionSegs match {
+      case segs if segs.nonEmpty => segs.reduce(_ unionByName _)
+      case _ => postSegs.head.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("batch"),
+          lit(0L).as("rank"), lit(0L).as("neighbor_id"))
+        .limit(0)
+    }
+    /** Serve the CURRENT index for an ad-hoc query frame of raw
+      * vectors — same kernel as the fold, no state change. */
+    def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+      graft.ops.Similarity.ivfAnnotateBatch(
+        postingsNow,
+        graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure)
+          .join(postingsNow.select("vec_id"), Seq("vec_id"), "left_anti"),
+        closure, nprobe, shortlist, k)
+
+    /** Synchronously fold one micro-batch of postings-projected rows —
+      * callers project raw vectors via [[Streams.newVectorIndexGate]]'s
+      * companion projection or feed raw frames through
+      * [[foldRaw]]. */
+    def ingest(batch: DataFrame): Unit = fold(batch)
+    /** Fold a raw (idCol, vecCol) frame. */
+    def foldRaw(batch: DataFrame, idCol: String, vecCol: String): Unit =
+      fold(graft.ops.Similarity.quantizedPostings(batch, idCol, vecCol, closure))
+
+    def persist(store: graft.bulk.ManifestStore): Long = synchronized {
+      val spark = postSegs.head.sparkSession
+      val txn = store.begin()
+      txn.stage("postings", postingsNow)
+      txn.stage("centroids", closure.toFrame(spark))
+      if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
+      txn.stage("meta", spark.range(1).select(
+        lit(batchIdx).as("batch_idx"), lit(nprobe).as("nprobe"),
+        lit(shortlist).as("shortlist"), lit(k).as("k")))
+      txn.commit().fold(throw _, identity)
+    }
+
+    def release(): Unit = synchronized {
+      (postSegs ++ decisionSegs).foreach(releaseCheckpoint)
+      postSegs = Vector.empty
+      decisionSegs = Vector.empty
+    }
+
+    private[graft] def fold(batchPostings: DataFrame): Unit = synchronized {
+      batchIdx += 1
+      val bp = batchPostings.transform(graft.ops.Ckpt.fresh)
+      val decisionSeg = graft.ops.Similarity
+        .ivfAnnotateBatch(postingsNow, bp, closure, nprobe, shortlist, k)
+        .select(col("query_id"), lit(batchIdx).as("batch"),
+          col("rank"), col("neighbor_id"))
+        .transform(graft.ops.Ckpt.fresh)
+      decisionSegs = decisionSegs :+ decisionSeg
+      // delta-authoritative: a re-ingested id supersedes its standing
+      // posting (newest-last union order keeps both visible until
+      // compaction; the fold's anti-join already prefers the delta)
+      postSegs = postSegs :+ bp
+      foldsSinceCompact += 1
+      if (foldsSinceCompact >= compactEvery) {
+        val (oldP, oldD) = (postSegs, decisionSegs)
+        postSegs = Vector(postingsNow.transform(graft.ops.Ckpt.fresh))
+        decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
+        foldsSinceCompact = 0
+        (oldP ++ oldD).foreach(releaseCheckpoint)
+      }
+    }
+  }
+
+  /** Construct a standalone [[VectorIndexGate]]: centroid closure from
+    * the `numCentroids` lowest ids of the initial corpus, postings
+    * from the whole of it. */
+  def newVectorIndexGate(
+      initialCorpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int,
+      nprobe: Int = 2,
+      shortlist: Int = 40,
+      k: Int = 10,
+      compactEvery: Int = 8): VectorIndexGate = {
+    val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
+      initialCorpus, idCol, vecCol, numCentroids)
+    new VectorIndexGate(
+      graft.ops.Similarity.quantizedPostings(initialCorpus, idCol, vecCol, cc),
+      cc, nprobe, shortlist, k, compactEvery)
+  }
+
+  /** Resume a [[VectorIndexGate]] from `store`'s latest committed
+    * manifest; nprobe/shortlist/k must match the persisting gate's
+    * (validated against the meta slot — a mismatch would change which
+    * neighbors past decisions were allowed to see). The centroid
+    * closure restores from its own slot, so the resumed index probes
+    * the identical cells. */
+  def resumeVectorIndexGate(
+      store: graft.bulk.ManifestStore,
+      nprobe: Int = 2,
+      shortlist: Int = 40,
+      k: Int = 10,
+      compactEvery: Int = 8): VectorIndexGate = {
+    val postings = store.read("postings").getOrElse(throw new IllegalStateException(
+      s"no committed vector-index state in '${store.name}' (missing 'postings' slot)"))
+    val cents = store.read("centroids").getOrElse(throw new IllegalStateException(
+      s"vector-index manifest in '${store.name}' has no 'centroids' slot"))
+    val meta = store.read("meta").getOrElse(throw new IllegalStateException(
+      s"vector-index manifest in '${store.name}' has no 'meta' slot")).head()
+    require(meta.getAs[Int]("nprobe") == nprobe &&
+        meta.getAs[Int]("shortlist") == shortlist && meta.getAs[Int]("k") == k,
+      s"vector-index manifest in '${store.name}' was persisted with " +
+        s"nprobe=${meta.getAs[Int]("nprobe")} shortlist=${meta.getAs[Int]("shortlist")} " +
+        s"k=${meta.getAs[Int]("k")} but resume requested " +
+        s"nprobe=$nprobe shortlist=$shortlist k=$k")
+    new VectorIndexGate(postings,
+      graft.ops.Similarity.CentroidClosure.fromFrame(cents),
+      nprobe, shortlist, k, compactEvery,
+      restoredDecisions = store.read("decisions"),
+      initialBatchIdx = meta.getAs[Long]("batch_idx"))
+  }
+
   /** Wire any [[IngestGate]] — live-constructed or resumed from a
     * manifest — to a Structured Streaming source via foreachBatch,
     * durably committing the gate's standing state to `store` every

@@ -106,7 +106,8 @@ object ClusterSanity {
       for (q <- Seq("q112_exact_substr_twostage", "q113_media_dedup_delta",
           "q116_winnowed_delta", "q114_curation_gate_replay",
           "q120_media_phash", "q121_media_phash_delta",
-          "q122_audio_phash", "q123_audio_phash_delta")) {
+          "q122_audio_phash", "q123_audio_phash_delta",
+          "q125_sketch_stats", "q126_decontaminate_bloom")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
@@ -150,7 +151,7 @@ object ClusterSanity {
     // the resumed gate re-checkpoints across the worker JVMs.
     for (q <- Seq("q115_curation_gate_neardup", "q116_winnowed_delta",
         "q117_decontaminate_semantic", "q118_bpe_shard_pack",
-        "q119_winnow_gate_replay")) {
+        "q119_winnow_gate_replay", "q124_media_gate_replay")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }

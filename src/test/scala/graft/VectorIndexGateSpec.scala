@@ -1,0 +1,114 @@
+package graft
+
+import graft.bulk.ManifestStore
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streams.VectorIndexGate — the maintained quantized-IVF serving
+  * index: decision immutability, restart parity at a fold boundary
+  * (persist→release→resume, the crash discipline), the
+  * batch-visibility contract (a neighbor never arrives from the
+  * future), nprobe cell locality, and the ad-hoc search surface.
+  * Numeric parity with the full replay chain is the q127 oracle's job.
+  */
+class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-vectorindexgate-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    super.afterAll()
+  }
+
+  private def tmpStore(): ManifestStore =
+    new ManifestStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-gate-store").toString)
+
+  // two clean clusters along axes 0 and 1; ids 0/1 seed the centroids
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+  private val initial = vecs(
+    0L -> Seq(1.0, 0.1, 0.0, 0.0), 1L -> Seq(0.1, 1.0, 0.0, 0.0),
+    2L -> Seq(0.9, 0.2, 0.0, 0.0), 3L -> Seq(0.2, 0.9, 0.0, 0.0))
+  private val b1 = vecs(10L -> Seq(0.95, 0.15, 0.0, 0.0), 11L -> Seq(0.15, 0.95, 0.0, 0.0))
+  private val b2 = vecs(20L -> Seq(0.92, 0.18, 0.0, 0.0))
+  private val b3 = vecs(30L -> Seq(0.18, 0.92, 0.0, 0.0))
+  private val batchOf = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+    10L -> 1L, 11L -> 1L, 20L -> 2L, 30L -> 3L)
+
+  private def newGate() = Streams.newVectorIndexGate(
+    initial, "vec_id", "embedding",
+    numCentroids = 2, nprobe = 1, shortlist = 4, k = 2, compactEvery = 2)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("restart at a fold boundary ≡ uninterrupted; decisions immutable; no future neighbors") {
+    val live = newGate()
+    Seq(b1, b2).foreach(b => live.foldRaw(b, "vec_id", "embedding"))
+    val afterTwo = rows(live.decisions)
+    val store = tmpStore()
+    live.persist(store)
+    live.foldRaw(b3, "vec_id", "embedding")
+    val uninterrupted = rows(live.decisions)
+    // immutability: fold 3 only appended
+    assert(afterTwo.subsetOf(uninterrupted))
+    assert(uninterrupted.filter(_._2 == 3L).nonEmpty)
+    live.release()
+
+    val resumed = Streams.resumeVectorIndexGate(store,
+      nprobe = 1, shortlist = 4, k = 2, compactEvery = 2)
+    assert(rows(resumed.decisions) === afterTwo)
+    resumed.foldRaw(b3, "vec_id", "embedding")
+    assert(rows(resumed.decisions) === uninterrupted)
+
+    // visibility: a neighbor's batch never exceeds the query's
+    for ((q, b, _, n) <- uninterrupted) {
+      assert(batchOf(q) === b)
+      assert(batchOf(n) <= b, s"query $q (batch $b) saw future neighbor $n")
+    }
+    // nprobe=1 cell locality on these clean clusters: axis-0 queries
+    // only ever meet axis-0 neighbors (and symmetrically)
+    val axis0 = Set(0L, 2L, 10L, 20L)
+    for ((q, _, _, n) <- uninterrupted)
+      assert(axis0(q) === axis0(n), s"cross-cell pair $q -> $n under nprobe=1")
+    // the nearest same-cluster vector ranks first: 20's exact-cosine
+    // order among visible axis-0 candidates {0, 2, 10}
+    // candidates {0, 2, 10}: angular distance to 20 is 1.5° (id 2),
+    // 2.1° (id 10), 5.4° (id 0)
+    val top20 = resumed.decisions.filter(col("query_id") === 20L)
+      .orderBy("rank").collect().map(_.getLong(3)).toSeq
+    assert(top20 === Seq(2L, 10L))
+    resumed.release()
+  }
+
+  test("search serves the current index without mutating state; resume validates params") {
+    val gate = newGate()
+    gate.foldRaw(b1, "vec_id", "embedding")
+    val before = rows(gate.decisions)
+    // ad-hoc query near cluster B
+    val res = gate.search(vecs(99L -> Seq(0.2, 0.88, 0.0, 0.0)), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.map(_._1).toSet === Set(99L) && res.length === 2)
+    assert(res.map(_._3).forall(Set(1L, 3L, 11L)))
+    assert(rows(gate.decisions) === before)
+
+    val store = tmpStore()
+    gate.persist(store)
+    gate.release()
+    val e = intercept[IllegalArgumentException] {
+      Streams.resumeVectorIndexGate(store, nprobe = 2, shortlist = 4, k = 2)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+}
