@@ -44,6 +44,15 @@ object Similarity {
     bb.array()
   }
 
+  /** Exact inverse of [[packDoubles]] — lets a maintained index
+    * reconstruct raw vectors from its own postings (re-seeding) with
+    * bit-identical doubles. */
+  private def unpackDoubles(b: Array[Byte]): Seq[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    Seq.tabulate(b.length / 8)(i => bb.getDouble(i * 8))
+  }
+  private[graft] val unpackUdf = udf(unpackDoubles _)
+
   /** The hot-path form: vectors pre-packed into byte buffers so the
     * per-pair fold reads primitive doubles with zero boxing (boxed
     * Seq[Double] was the dominant cost at millions of pairs).

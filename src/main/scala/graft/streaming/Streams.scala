@@ -1764,6 +1764,29 @@ object Streams {
           lit(0L).as("rank"), lit(0L).as("neighbor_id"))
         .limit(0)
     }
+    /** Rebuild this index under a NEW centroid count from its own
+      * postings — the occupancy-sizing move (cell size ∝ corpus/nc;
+      * BASELINE's vector-gate table measures the knob): raw vectors
+      * reconstruct bit-identically from the packed floats, the new
+      * closure seeds from the lowest `numCentroids` ids of the
+      * CURRENT corpus, every posting re-assigns map-side, and the
+      * decision log carries over verbatim (decisions are immutable —
+      * re-seeding changes FUTURE probes only). The old gate's
+      * checkpoints are released; use the returned gate. */
+    def reseed(numCentroids: Int): VectorIndexGate = synchronized {
+      val raw = postingsNow.select(col("vec_id"),
+        graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
+      val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
+        raw, "vec_id", "v", numCentroids)
+      val fresh = new VectorIndexGate(
+        graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc),
+        cc, nprobe, shortlist, k, compactEvery,
+        restoredDecisions = if (decisionSegs.nonEmpty) Some(decisions) else None,
+        initialBatchIdx = batchIdx)
+      release()
+      fresh
+    }
+
     /** Serve the CURRENT index for an ad-hoc query frame of raw
       * vectors — same kernel as the fold, no state change. */
     def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -151,7 +151,8 @@ object ClusterSanity {
     // the resumed gate re-checkpoints across the worker JVMs.
     for (q <- Seq("q115_curation_gate_neardup", "q116_winnowed_delta",
         "q117_decontaminate_semantic", "q118_bpe_shard_pack",
-        "q119_winnow_gate_replay", "q124_media_gate_replay")) {
+        "q119_winnow_gate_replay", "q124_media_gate_replay",
+        "q127_vector_index_gate")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }

@@ -92,6 +92,25 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     resumed.release()
   }
 
+  test("reseed rebuilds from own postings: content identical, decisions carried, folds continue") {
+    val gate = newGate()
+    Seq(b1, b2).foreach(b => gate.foldRaw(b, "vec_id", "embedding"))
+    val decBefore = rows(gate.decisions)
+    val postBefore = gate.postingsNow.select("vec_id", "qv", "fv").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    val reseeded = gate.reseed(numCentroids = 4)
+    // packed floats and int8 codes survive the unpack->requantize
+    // round-trip bit-identically; only cell assignments may change
+    val postAfter = reseeded.postingsNow.select("vec_id", "qv", "fv").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(postAfter === postBefore)
+    assert(rows(reseeded.decisions) === decBefore)
+    reseeded.foldRaw(b3, "vec_id", "embedding")
+    val b3rows = rows(reseeded.decisions).filter(_._2 == 3L)
+    assert(b3rows.nonEmpty && b3rows.forall(_._1 == 30L))
+    reseeded.release()
+  }
+
   test("search serves the current index without mutating state; resume validates params") {
     val gate = newGate()
     gate.foldRaw(b1, "vec_id", "embedding")
