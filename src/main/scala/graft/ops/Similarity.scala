@@ -450,17 +450,23 @@ object Similarity {
       cc: CentroidClosure,
       nprobe: Int,
       shortlist: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      includeBatchAsCandidates: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val probeUdf = udf((v: Array[Byte], nrm: Double) => cc.probesOf(nprobe)(v, nrm))
     val probes = batch.select(
         col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"),
         col("fv").as("qfv"), col("fnrm").as("qfnrm"),
         explode(probeUdf(col("qv"), col("qn"))).as("cell"))
-    val candidates = standing
+    // the standing anti-join is delta-authoritative on a fold and
+    // drops a same-id stored copy on a search (a doc is never its own
+    // neighbor); ad-hoc SEARCH ranks against the index only, so the
+    // query frame joins the candidate pool only when folding
+    val standingC = standing
       .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
       .join(broadcast(probes.select("cell").distinct()), Seq("cell"), "left_semi")
-      .unionByName(batch)
+    val candidates =
+      if (includeBatchAsCandidates) standingC.unionByName(batch) else standingC
     val ws = Window.partitionBy("query_id").orderBy(col("simq").desc, col("neighbor_id"))
     val short = candidates.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))

@@ -1788,13 +1788,16 @@ object Streams {
     }
 
     /** Serve the CURRENT index for an ad-hoc query frame of raw
-      * vectors — same kernel as the fold, no state change. */
+      * vectors — same kernel as the fold, no state change. Results
+      * come from the INDEX only (queries never match each other), and
+      * a query whose id exists in the index skips its own stored copy
+      * but still gets its neighbors. */
     def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
       graft.ops.Similarity.ivfAnnotateBatch(
         postingsNow,
-        graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure)
-          .join(postingsNow.select("vec_id"), Seq("vec_id"), "left_anti"),
-        closure, nprobe, shortlist, k)
+        graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure),
+        closure, nprobe, shortlist, k,
+        includeBatchAsCandidates = false)
 
     /** Synchronously fold one micro-batch of postings-projected rows —
       * callers project raw vectors via [[Streams.newVectorIndexGate]]'s

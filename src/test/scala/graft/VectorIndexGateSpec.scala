@@ -115,11 +115,18 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gate = newGate()
     gate.foldRaw(b1, "vec_id", "embedding")
     val before = rows(gate.decisions)
-    // ad-hoc query near cluster B
-    val res = gate.search(vecs(99L -> Seq(0.2, 0.88, 0.0, 0.0)), "vec_id", "embedding")
+    // two ad-hoc queries near cluster B, one reusing an INDEXED id:
+    // results come from the index only (the two queries never match
+    // each other despite probing the same cell), and 11 skips its own
+    // stored copy but still gets its neighbors
+    val res = gate.search(
+        vecs(99L -> Seq(0.2, 0.88, 0.0, 0.0), 11L -> Seq(0.15, 0.95, 0.0, 0.0)),
+        "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(res.map(_._1).toSet === Set(99L) && res.length === 2)
+    assert(res.map(_._1).toSet === Set(99L, 11L) && res.length === 4)
     assert(res.map(_._3).forall(Set(1L, 3L, 11L)))
+    assert(res.filter(_._1 == 11L).map(_._3).toSet === Set(1L, 3L))
+    assert(!res.exists(p => p._1 == 99L && p._3 == 99L))
     assert(rows(gate.decisions) === before)
 
     val store = tmpStore()
