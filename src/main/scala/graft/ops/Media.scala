@@ -767,4 +767,198 @@ object Media {
       scaled("width").as("rs_width"),
       scaled("height").as("rs_height"))
   }
+
+  // ── Video: YUV4MPEG2 (Y4M), the third real container ──────────────
+  // The uncompressed-video interchange format (mjpegtools lineage):
+  // ASCII stream header `YUV4MPEG2 W<w> H<h> F<n>:<d> Ip A1:1 C<cs>\n`
+  // followed by frames, each `FRAME\n` + the raw plane bytes. Cmono =
+  // one w·h luma plane per frame — REAL frame semantics (the image and
+  // audio containers are single-payload; video is where per-frame
+  // operators stop being a naming convention and become byte ranges a
+  // parser must find).
+
+  final case class Y4mFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      luma_md5: String)
+
+  /** Deterministic Y4M encoding of a text corpus: real container
+    * bytes — the stream header above (Cmono) followed by `nf` FRAME
+    * sections whose concatenated luma planes are the UTF-8 text cycled
+    * to nf·w·h bytes. Dimensions/frame count derive from the BYTE
+    * length (w = 8 + L mod 24, h = 6 + L mod 17, nf = 2 + L mod 5), so
+    * the DuckDB twin reproduces them from octet_length — the asPpm /
+    * asWav discipline on the video axis.
+    */
+  def asY4m(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "video/x-yuv4mpeg", encodeY4m(bytes))
+      })
+  }
+
+  private[graft] def encodeY4m(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val w = 8 + l % 24
+    val h = 6 + l % 17
+    val nf = 2 + l % 5
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + nf * (frameMark.length + w * h))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var j = 0
+    var f = 0
+    while (f < nf) {
+      System.arraycopy(frameMark, 0, out, off, frameMark.length)
+      off += frameMark.length
+      var p = 0
+      while (p < w * h) {
+        out(off) = src(j % l)
+        off += 1; p += 1; j += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** REAL Y4M parse: validates the magic, reads the space-separated
+    * stream parameters (W/H required; only Cmono payloads are
+    * supported — a real pipeline would dispatch per colourspace),
+    * then walks the FRAME sections (parameters after FRAME are
+    * tolerated per spec), slicing one w·h luma plane per frame.
+    * Truncated planes, missing markers, or an unsupported colourspace
+    * fail loudly — media decoding that silently zero-fills poisons
+    * every downstream fingerprint.
+    */
+  private[graft] def decodeY4mBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    var i = 0
+    def readLine(): String = {
+      val start = i
+      while (i < b.length && b(i) != '\n') i += 1
+      require(i < b.length, "y4m: unterminated header line")
+      val s = new String(b, start, i - start, "US-ASCII")
+      i += 1
+      s
+    }
+    val header = readLine()
+    require(header.startsWith("YUV4MPEG2"),
+      s"y4m: bad magic '${header.take(9)}'")
+    var w = -1; var h = -1; var cs = "420jpeg" // the format's default
+    header.split(' ').drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toInt
+        case 'H' => h = p.drop(1).toInt
+        case 'C' => cs = p.drop(1)
+        case _ => () // F/I/A/X parameters don't affect plane sizes here
+      }
+    }
+    require(w > 0 && h > 0, s"y4m: missing or invalid dimensions W=$w H=$h")
+    require(cs == "mono", s"y4m: unsupported colourspace '$cs' (Cmono only)")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (i < b.length) {
+      val mark = readLine()
+      require(mark == "FRAME" || mark.startsWith("FRAME "),
+        s"y4m: expected FRAME marker, got '${mark.take(8)}'")
+      require(i + w * h <= b.length,
+        s"y4m: truncated frame ${frames.length} (need ${w * h} bytes, have ${b.length - i})")
+      frames += java.util.Arrays.copyOfRange(b, i, i + w * h)
+      i += w * h
+    }
+    require(frames.nonEmpty, "y4m: stream has no frames")
+    (w, h, frames.toArray)
+  }
+
+  /** Parse each row's Y4M container and digest the concatenated luma
+    * planes (uppercase-hex md5, the decodePpm discipline — the oracle
+    * proves decode ∘ encode recovers dimensions, frame count, and the
+    * exact plane bytes). Per-partition, zero shuffles.
+    */
+  def decodeY4m(media: Dataset[MediaRow]): Dataset[Y4mFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, frames) = decodeY4mBytes(row.content)
+        val luma = new Array[Byte](frames.length * w * h)
+        var f = 0
+        while (f < frames.length) {
+          System.arraycopy(frames(f), 0, luma, f * w * h, w * h)
+          f += 1
+        }
+        Y4mFeatures(row.doc_id, w.toLong, h.toLong, frames.length.toLong,
+          md5Hex(md, hexUpper(luma, 0, luma.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** Per-FRAME 8×8 average-hash over the decoded luma planes — the
+    * [[ppmAHash]] kernel applied to each real frame (gray = the luma
+    * byte itself; same integer cell mapping and cross-multiplied
+    * threshold, so the q129 oracle replays it bit-for-bit). Returns
+    * (doc_id, frame, b0..b3).
+    */
+  def y4mFrameAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val (w, h, frames) = decodeY4mBytes(row.content)
+      frames.iterator.zipWithIndex.map { case (pix, fi) =>
+        val cellSum = new Array[Long](64)
+        val cellCnt = new Array[Long](64)
+        var p = 0
+        val nPix = w * h
+        while (p < nPix) {
+          val cell = ((p / w) * 8 / h) * 8 + (p % w) * 8 / w
+          cellSum(cell) += (pix(p) & 0xff).toLong
+          cellCnt(cell) += 1L
+          p += 1
+        }
+        var totalSum = 0L; var totalCnt = 0L
+        var c = 0
+        while (c < 64) { totalSum += cellSum(c); totalCnt += cellCnt(c); c += 1 }
+        val bands = new Array[Int](4)
+        c = 0
+        while (c < 64) {
+          if (cellSum(c) * totalCnt > totalSum * cellCnt(c))
+            bands(c / 16) |= 1 << (c % 16)
+          c += 1
+        }
+        (row.doc_id, fi.toLong, bands(0), bands(1), bands(2), bands(3))
+      }
+    }).toDF("doc_id", "frame", "b0", "b1", "b2", "b3")
+  }
+
+  /** Cross-video near-dup FRAME pairs: frames of different videos
+    * whose aHashes differ in ≤ `maxHamming` of 64 bits — temporal
+    * near-dup detection (re-encodes, overlays, clipped copies share
+    * frames long before whole files match). Runs the SAME pigeonhole
+    * engine as the image/audio axes by packing (doc, frame) into one
+    * key (nf < 8 by construction, so doc_id·8 + frame is injective
+    * and order-preserving across docs); the stop-band prune therefore
+    * counts FRAME occurrences — the right df unit for letterbox-style
+    * constant frames. Same-doc frame pairs (internal repetition) are
+    * excluded from the cross-video contract.
+    */
+  def videoNearDupFramePairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame = {
+    val packed = y4mFrameAHash(media).select(
+      (col("doc_id") * 8 + col("frame")).as("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    bandedNearDupPairs(packed, maxHamming, maxBandFreq)
+      .select(
+        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
+        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
+        col("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+  }
 }

@@ -595,6 +595,38 @@ object Pipelines {
         .toDF()
         .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
 
+    // VIDEO decode (the third real container): YUV4MPEG2 — stream
+    // header parse (W/H/C params, Cmono plane sizing) + FRAME-marker
+    // walk slicing one luma plane per frame; the oracle proves
+    // decode∘encode recovers dimensions, frame count, and the exact
+    // concatenated plane bytes (hex-space md5, the q107 discipline).
+    "q128_video_decode" -> ((s, dir) =>
+      Media.decodeY4m(Media.asY4m(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_frames", "luma_md5")),
+
+    // Cross-video near-dup FRAMES: per-frame aHash over the decoded
+    // luma planes through the SHARED pigeonhole engine ((doc,frame)
+    // packed into one key — nf < 8 — so image/audio/video ride one
+    // band layout). Twins keep the flag path non-vacuous: exact copies
+    // (id+4000004, every frame hamming 0) and '~~~'-perturbed copies
+    // (id+5000005, length-preserving, so only the frames whose cycled
+    // byte ranges cover positions 0-2 change — the rest stay exact).
+    "q129_video_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 4000004L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 5000005L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.videoNearDupFramePairs(Media.asY4m(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -2114,6 +2146,84 @@ object Pipelines {
            md5(substr(repeat(hex(encode(t)), CAST((w*h*3 + l - 1) // l AS INT)),
                1, 2 * w * h * 3)) AS pixel_md5
          FROM dims""",
+
+    // Video decode∘encode identity: dimensions/frame count from
+    // octet_length, concatenated luma planes = the cycled source
+    // bytes — rebuilt in hex space (q107's repeat+substr discipline).
+    "q128_video_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, t,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 24 AS w,
+             6 + octet_length(encode(t)) % 17 AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src)
+         SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           md5(substr(repeat(hex(encode(t)), CAST((nf*w*h + l - 1) // l AS INT)),
+               1, 2 * nf * w * h)) AS luma_md5
+         FROM dims""",
+
+    // Cross-video near-dup frames: the q120 aHash chain with a frame
+    // dimension — luma byte p of frame f is source byte (f·w·h+p) mod
+    // l, cells/threshold/band packing identical, pairs keyed on the
+    // packed (doc·8+frame) ordering with same-doc pairs excluded.
+    "q129_video_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 4000004, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 5000005, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 24 AS w,
+             6 + octet_length(encode(t)) % 17 AS h,
+             2 + octet_length(encode(t)) % 5 AS nf FROM src),
+         bytes AS (SELECT doc_id, w, h, f, p, hx, (f*w*h + p) % l AS k
+           FROM dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         vals AS (SELECT doc_id, w, h, f, p,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1 AS bv
+           FROM bytes),
+         cells AS (SELECT doc_id, f,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, f, sum(s) AS ts, sum(c) AS tc
+                 FROM cells GROUP BY 1, 2),
+         bits AS (SELECT doc_id, f, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id, f)),
+         bv4 AS (SELECT doc_id, f,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1, 2),
+         bands AS (SELECT doc_id, f, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, x.f AS frame_a,
+             y.doc_id AS id_b, y.f AS frame_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key
+             AND x.doc_id * 8 + x.f < y.doc_id * 8 + y.f)
+         SELECT id_a, CAST(frame_a AS BIGINT) AS frame_a,
+                id_b, CAST(frame_b AS BIGINT) AS frame_b, hamming
+         FROM pr WHERE hamming <= 3 AND id_a <> id_b""",
 
     "q110_wav_decode" ->
       """WITH src AS (SELECT doc_id,

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.{Media, MediaRow}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Video axis (q128/q129): the YUV4MPEG2 container — encode∘decode
+  * identity, loud parser failures, per-frame aHash against an
+  * independent reference, and the cross-video frame near-dup contract
+  * (packed pigeonhole == brute force; same-doc pairs excluded).
+  */
+class VideoY4mSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-video-y4m-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference per-frame aHash the slow, obvious way: decode, then for
+    * each frame group pixels by grid cell and threshold against the
+    * frame mean — independent of the kernel's single-pass loop. */
+  private def referenceFrameHashes(bytes: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    val (w, h, frames) = Media.decodeY4mBytes(Media.encodeY4m(bytes))
+    frames.toSeq.map { pix =>
+      val cells = pix.indices.groupBy(p => (p / w) * 8 / h * 8 + (p % w) * 8 / w)
+      val totalSum = pix.map(b => (b & 0xff).toLong).sum
+      val totalCnt = pix.length.toLong
+      val bands = new Array[Int](4)
+      for ((cell, ps) <- cells) {
+        val s = ps.map(p => (pix(p) & 0xff).toLong).sum
+        if (s * totalCnt > totalSum * ps.length)
+          bands(cell / 16) |= 1 << (cell % 16)
+      }
+      (bands(0), bands(1), bands(2), bands(3))
+    }
+  }
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, b) =>
+      MediaRow(id, "video/x-yuv4mpeg", Media.encodeY4m(b))
+    })
+  }
+
+  test("decode ∘ encode recovers dimensions, frame count, and plane bytes") {
+    val rnd = new Random(23)
+    for (len <- Seq(1, 7, 63, 300, 1201)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val (w, h, frames) = Media.decodeY4mBytes(Media.encodeY4m(src))
+      assert(w === 8 + len % 24 && h === 6 + len % 17)
+      assert(frames.length === 2 + len % 5)
+      for ((fr, fi) <- frames.zipWithIndex; p <- 0 until w * h)
+        assert(fr(p) === src((fi * w * h + p) % len),
+          s"len=$len frame=$fi byte=$p")
+    }
+  }
+
+  test("the parser fails loudly: magic, colourspace, truncation; tolerates FRAME params") {
+    val good = Media.encodeY4m("hello video world".getBytes("UTF-8"))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(badMagic)).getMessage.contains("magic"))
+    val cs = new String(good, "ISO-8859-1").replace("Cmono", "C420jpeg")
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(cs.getBytes("ISO-8859-1"))).getMessage.contains("colourspace"))
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(java.util.Arrays.copyOf(good, good.length - 3)))
+      .getMessage.contains("truncated"))
+    // per spec, FRAME may carry parameters — the frame walk tolerates them
+    val withParam = new String(good, "ISO-8859-1").replaceFirst("FRAME\n", "FRAME Xq\n")
+    val (_, _, frames) = Media.decodeY4mBytes(withParam.getBytes("ISO-8859-1"))
+    assert(frames.length === 2 + ("hello video world".length % 5))
+  }
+
+  test("per-frame aHash matches the independent reference; frames hash independently") {
+    val rnd = new Random(29)
+    for (len <- Seq(40, 301, 997)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val got = Media.y4mFrameAHash(mediaOf(Seq(1L -> src)))
+        .orderBy("frame").collect()
+        .map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSeq
+      assert(got === referenceFrameHashes(src), s"len=$len")
+    }
+  }
+
+  test("cross-video frame pairs: pigeonhole == brute force, same-doc pairs excluded") {
+    val rnd = new Random(31)
+    val base = Array.fill(600)(rnd.nextInt(256).toByte)
+    val copy = base.clone() // every frame hamming 0 vs base
+    val perturbed = base.clone(); perturbed(0) = (perturbed(0) ^ 0x7f).toByte
+    val other = Array.fill(611)(rnd.nextInt(256).toByte) // different dims
+    val media = mediaOf(Seq(1L -> base, 2L -> copy, 3L -> perturbed, 4L -> other))
+    val got = Media.videoNearDupFramePairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // brute force over the reference hashes
+    val hs = for {
+      (id, src) <- Seq(1L -> base, 2L -> copy, 3L -> perturbed, 4L -> other)
+      (hb, f) <- referenceFrameHashes(src).zipWithIndex
+    } yield (id, f.toLong, hb)
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    val brute = (for {
+      (ia, fa, ha) <- hs; (ib, fb, hb) <- hs
+      if ia * 8 + fa < ib * 8 + fb && ia != ib && ham(ha, hb) <= 3
+    } yield (ia, fa, ib, fb, ham(ha, hb).toLong)).toSet
+    assert(got === brute)
+    // the copy really pairs with base on every frame (hamming 0) —
+    // at least the diagonal; random intra-video collisions may add more
+    val nf = 2 + 600 % 5
+    assert(got.count(p => p._1 == 1L && p._3 == 2L && p._5 == 0L) >= nf)
+    assert(got.forall(p => p._1 != p._3))
+  }
+}
