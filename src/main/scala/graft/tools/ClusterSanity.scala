@@ -107,7 +107,8 @@ object ClusterSanity {
           "q116_winnowed_delta", "q114_curation_gate_replay",
           "q120_media_phash", "q121_media_phash_delta",
           "q122_audio_phash", "q123_audio_phash_delta",
-          "q125_sketch_stats", "q126_decontaminate_bloom")) {
+          "q125_sketch_stats", "q126_decontaminate_bloom",
+          "q128_video_decode", "q129_video_neardup")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
