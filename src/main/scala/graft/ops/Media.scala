@@ -961,4 +961,33 @@ object Media {
         col("hamming"))
       .filter(col("id_a") =!= col("id_b"))
   }
+
+  /** Incremental cross-video frame near-dup: the frame pairs a DELTA
+    * batch of videos forms — against the standing corpus and within
+    * itself — under [[videoNearDupFramePairs]]' contract, without
+    * re-pairing the standing corpus against itself. Same shared delta
+    * engine as the image/audio axes over the packed (doc·8+frame)
+    * keys: the standing frame-hash table is the maintained state in
+    * production (≤ 7 hashes/video, 8 bytes each), probed once per
+    * delta — never self-joined, never reshuffled; the stop-band prune
+    * uses the UNION df, so delta ∘ standing ≡ the full operator
+    * restricted to pairs touching the delta.
+    */
+  def videoNearDupDeltaFramePairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+    def packed(m: Dataset[MediaRow]) = y4mFrameAHash(m).select(
+      (col("doc_id") * 8 + col("frame")).as("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    bandedNearDupDeltaPairs(packed(standing), packed(delta),
+        maxHamming, maxBandFreq, broadcastDeltaCap)
+      .select(
+        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
+        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
+        col("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+  }
 }

@@ -769,6 +769,30 @@ object Pipelines {
       gate.decisions
     }),
 
+    // Incremental video frame near-dup: q129's detection for a DELTA
+    // batch of videos vs the standing frame-hash table (probe-only,
+    // q121/q123's restriction discipline) — cross-exact, cross-near,
+    // and within-delta twin shapes all non-vacuous.
+    "q130_video_neardup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val standing = docs.filter(col("doc_id") % 7 =!= 0)
+      val deltaBase = docs.filter(col("doc_id") % 7 === 0)
+      val crossExact = standing.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val crossNear = standing.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val withinExact = deltaBase.filter(col("doc_id") % 49 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val delta = deltaBase.unionByName(crossExact)
+        .unionByName(crossNear).unionByName(withinExact)
+      Media.videoNearDupDeltaFramePairs(
+        Media.asY4m(standing, "doc_id", "text"),
+        Media.asY4m(delta, "doc_id", "text"))
+    }),
+
     // Perceptual AUDIO near-dup: the q120 axis over the OTHER real
     // container — 64-block |PCM| envelope hashes (little-endian signed
     // 16-bit samples, integer cross-multiplied threshold) banded into
@@ -2224,6 +2248,68 @@ object Pipelines {
          SELECT id_a, CAST(frame_a AS BIGINT) AS frame_a,
                 id_b, CAST(frame_b AS BIGINT) AS frame_b, hamming
          FROM pr WHERE hamming <= 3 AND id_a <> id_b""",
+
+    // Delta replay: q129's frame-aHash chain over standing ∪ delta,
+    // restricted to pairs touching a delta VIDEO (doc % 7 = 0 or an
+    // injected ≥1e6 twin) — the delta ∘ standing ≡ full-restricted
+    // contract at frame granularity.
+    "q130_video_neardup_delta" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 7 <> 0 AND doc_id % 61 = 0
+             AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300
+           UNION ALL
+           SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 49 = 0),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 24 AS w,
+             6 + octet_length(encode(t)) % 17 AS h,
+             2 + octet_length(encode(t)) % 5 AS nf FROM src),
+         bytes AS (SELECT doc_id, w, h, f, p, hx, (f*w*h + p) % l AS k
+           FROM dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         vals AS (SELECT doc_id, w, h, f, p,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k+2 AS INT), 1)) - 1 AS bv
+           FROM bytes),
+         cells AS (SELECT doc_id, f,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, f, sum(s) AS ts, sum(c) AS tc
+                 FROM cells GROUP BY 1, 2),
+         bits AS (SELECT doc_id, f, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id, f)),
+         bv4 AS (SELECT doc_id, f,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1, 2),
+         bands AS (SELECT doc_id, f, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, x.f AS frame_a,
+             y.doc_id AS id_b, y.f AS frame_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key
+             AND x.doc_id * 8 + x.f < y.doc_id * 8 + y.f)
+         SELECT id_a, CAST(frame_a AS BIGINT) AS frame_a,
+                id_b, CAST(frame_b AS BIGINT) AS frame_b, hamming
+         FROM pr WHERE hamming <= 3 AND id_a <> id_b
+           AND (id_a % 7 = 0 OR id_a >= 1000000 OR id_b % 7 = 0 OR id_b >= 1000000)""",
 
     "q110_wav_decode" ->
       """WITH src AS (SELECT doc_id,

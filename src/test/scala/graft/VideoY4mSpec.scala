@@ -116,4 +116,25 @@ class VideoY4mSpec extends AnyFunSuite {
     assert(got.count(p => p._1 == 1L && p._3 == 2L && p._5 == 0L) >= nf)
     assert(got.forall(p => p._1 != p._3))
   }
+
+  test("delta ∘ standing ≡ full operator restricted to pairs touching the delta") {
+    val rnd = new Random(37)
+    val standing = (1L to 6L).map(i => i -> Array.fill(200 + 13 * i.toInt)(rnd.nextInt(256).toByte))
+    val delta = Seq(
+      10L -> standing(2)._2.clone(), // cross twin of standing doc 3
+      11L -> Array.fill(517)(rnd.nextInt(256).toByte),
+      12L -> Array.fill(517)(rnd.nextInt(256).toByte)) // dims match 11: within-delta shot
+    val deltaIds = delta.map(_._1).toSet
+    val deltaPairs = Media.videoNearDupDeltaFramePairs(
+        mediaOf(standing), mediaOf(delta)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val fullRestricted = Media.videoNearDupFramePairs(mediaOf(standing ++ delta))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter(p => deltaIds(p._1) || deltaIds(p._3)).toSet
+    assert(deltaPairs === fullRestricted)
+    // the cross twin is really found: every frame of 10 pairs doc 3
+    val nf3 = 2 + standing(2)._2.length % 5
+    assert(deltaPairs.count(p => p._1 == 3L && p._3 == 10L && p._5 == 0L) >= nf3)
+  }
 }
