@@ -962,6 +962,30 @@ object Media {
       .filter(col("id_a") =!= col("id_b"))
   }
 
+  /** Frame-AWARE sampling: every `every`-th REAL frame of each video,
+    * digested — unlike [[sampleFrames]]' fixed byte windows over raw
+    * container bytes, this samples the frames the PARSER found, so a
+    * sampled digest identifies an actual displayable plane (the unit
+    * a training pipeline deduplicates, captions, or embeds). Returns
+    * (doc_id, frame, frame_md5) with the decodePpm hex-digest
+    * discipline; map-side, zero shuffles.
+    */
+  def y4mSampleFrames(media: Dataset[MediaRow], every: Int): Dataset[FrameSample] = {
+    require(every >= 1, "every must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val (_, _, frames) = decodeY4mBytes(row.content)
+        frames.iterator.zipWithIndex.collect {
+          case (fr, fi) if fi % every == 0 =>
+            FrameSample(row.doc_id, fi.toLong,
+              md5Hex(md, hexUpper(fr, 0, fr.length).getBytes("US-ASCII")))
+        }
+      }
+    }
+  }
+
   /** Incremental cross-video frame near-dup: the frame pairs a DELTA
     * batch of videos forms — against the standing corpus and within
     * itself — under [[videoNearDupFramePairs]]' contract, without

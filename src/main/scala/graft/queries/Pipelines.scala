@@ -769,6 +769,16 @@ object Pipelines {
       gate.decisions
     }),
 
+    // Frame-aware video sampling: every 2nd REAL frame (as found by
+    // the parser, not a byte window) digested — the sampling unit a
+    // pipeline captions/embeds; oracle slices the same frames out of
+    // the cycled source in hex space.
+    "q131_video_frame_sample" -> ((s, dir) =>
+      Media.y4mSampleFrames(
+        Media.asY4m(t(s, dir, "documents"), "doc_id", "text"), every = 2)
+        .toDF()
+        .select("doc_id", "frame_idx", "frame_md5")),
+
     // Incremental video frame near-dup: q129's detection for a DELTA
     // batch of videos vs the standing frame-hash table (probe-only,
     // q121/q123's restriction discipline) — cross-exact, cross-near,
@@ -2248,6 +2258,25 @@ object Pipelines {
          SELECT id_a, CAST(frame_a AS BIGINT) AS frame_a,
                 id_b, CAST(frame_b AS BIGINT) AS frame_b, hamming
          FROM pr WHERE hamming <= 3 AND id_a <> id_b""",
+
+    // Every-2nd-frame digests: frame f of a video is bytes
+    // f·w·h .. (f+1)·w·h−1 of the cycled source — sliced out of the
+    // repeated hex stream and md5'd per sampled frame.
+    "q131_video_frame_sample" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 24 AS w,
+             6 + octet_length(encode(t)) % 17 AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           md5(substr(repeat(hx, CAST((nf*w*h + l - 1) // l AS INT)),
+               CAST(2*f*w*h + 1 AS INT), CAST(2*w*h AS INT))) AS frame_md5
+         FROM dims, UNNEST(range(0, nf)) fr(f)
+         WHERE f % 2 = 0""",
 
     // Delta replay: q129's frame-aHash chain over standing ∪ delta,
     // restricted to pairs touching a delta VIDEO (doc % 7 = 0 or an

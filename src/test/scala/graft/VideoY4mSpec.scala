@@ -117,6 +117,23 @@ class VideoY4mSpec extends AnyFunSuite {
     assert(got.forall(p => p._1 != p._3))
   }
 
+  test("frame-aware sampling digests the parser's frames, every Nth") {
+    val rnd = new Random(43)
+    val src = Array.fill(451)(rnd.nextInt(256).toByte)
+    val (w, h, frames) = Media.decodeY4mBytes(Media.encodeY4m(src))
+    val got = Media.y4mSampleFrames(mediaOf(Seq(5L -> src)), every = 2)
+      .collect().map(r => (r.frame_idx, r.frame_md5)).toMap
+    assert(got.keySet === frames.indices.filter(_ % 2 == 0).map(_.toLong).toSet)
+    // digests identify the actual plane bytes (independent recompute)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((fi, d) <- got) {
+      val hex = frames(fi.toInt).map(b => f"${b & 0xff}%02X").mkString
+      val exp = md.digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+      assert(d === exp, s"frame $fi")
+    }
+    assert(w === 8 + 451 % 24 && h === 6 + 451 % 17)
+  }
+
   test("delta ∘ standing ≡ full operator restricted to pairs touching the delta") {
     val rnd = new Random(37)
     val standing = (1L to 6L).map(i => i -> Array.fill(200 + 13 * i.toInt)(rnd.nextInt(256).toByte))
