@@ -947,12 +947,26 @@ object Media {
     * constant frames. Same-doc frame pairs (internal repetition) are
     * excluded from the cross-video contract.
     */
+  /** (doc·8 + frame) packed key — injective ONLY below 8 frames, so
+    * any video the parser found ≥ 8 frames in fails LOUDLY here
+    * instead of silently mis-attributing its frames to the next
+    * doc_id ([[asY4m]] caps at 6, but these are public operators
+    * over arbitrary Y4M bytes). */
+  private def packedFrameKey: org.apache.spark.sql.Column =
+    when(col("frame") >= 8,
+      raise_error(concat(
+        lit("videoNearDup frame packing: doc "), col("doc_id"),
+        lit(" has frame index "), col("frame"),
+        lit(" >= 8 — the (doc*8+frame) key is no longer injective")))
+        .cast("long"))
+      .otherwise(col("doc_id") * 8 + col("frame"))
+
   def videoNearDupFramePairs(
       media: Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame = {
     val packed = y4mFrameAHash(media).select(
-      (col("doc_id") * 8 + col("frame")).as("doc_id"),
+      packedFrameKey.as("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
     bandedNearDupPairs(packed, maxHamming, maxBandFreq)
       .select(
@@ -1004,7 +1018,7 @@ object Media {
       maxBandFreq: Long = 1000L,
       broadcastDeltaCap: Long = 4000000L): DataFrame = {
     def packed(m: Dataset[MediaRow]) = y4mFrameAHash(m).select(
-      (col("doc_id") * 8 + col("frame")).as("doc_id"),
+      packedFrameKey.as("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
     bandedNearDupDeltaPairs(packed(standing), packed(delta),
         maxHamming, maxBandFreq, broadcastDeltaCap)

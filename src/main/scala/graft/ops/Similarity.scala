@@ -301,32 +301,16 @@ object Similarity {
       shortlist: Int,
       k: Int): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
-    // Quantized centroid closure: cid-ascending, strict > — ties to the
-    // lower cell id, the shared training/probing rule.
-    val centRows = withQuantized(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
-      .collect()
-      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2)))
-      .sortBy(_._1)
-    val cids = centRows.map(_._1)
-    val cqvs = centRows.map(_._2)
-    val cqns = centRows.map(_._3)
-    val nc = centRows.length
-    val cellUdf = udf { (v: Array[Byte], nrm: Double) =>
-      var best = 0L; var bestSim = Double.NegativeInfinity
-      var c = 0
-      while (c < nc) {
-        val s = dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c))
-        if (s > bestSim) { bestSim = s; best = cids(c) }
-        c += 1
-      }
-      best
-    }
-    val probeUdf = udf { (v: Array[Byte], nrm: Double) =>
-      Array.tabulate(nc)(c => (dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c)), cids(c)))
-        .sortBy { case (s, cid) => (-s, cid) }
-        .take(nprobe)
-        .map(_._2)
-    }
+    // Quantized centroid closure (the shared CentroidClosure kernel —
+    // ONE copy of the argmax/tie-break rule): centroids are the ids
+    // below numCentroids, the q109 selection the DuckDB twin replays
+    // as WHERE id < n.
+    val cc = CentroidClosure.fromRows(
+      withQuantized(emb.filter(col(idCol) < numCentroids), idCol, vecCol, "c")
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2))))
+    val cellUdf = udf((v: Array[Byte], nrm: Double) => cc.cellOf(v, nrm))
+    val probeUdf = udf((v: Array[Byte], nrm: Double) => cc.probesOf(nprobe)(v, nrm))
     val cells = withQuantized(emb, idCol, vecCol, "n")
       .withColumn("cell", cellUdf(col("nqv"), col("nqn")))
     val probes = withQuantized(queries, idCol, vecCol, "q")
@@ -370,8 +354,12 @@ object Similarity {
       val cqvs: Array[Array[Byte]],
       val cqns: Array[Double]) extends Serializable {
     private def nc = cids.length
+    /** Cell of `v`: argmax centroid similarity, strict > — ties (and
+      * the all-NaN case of a zero-norm vector, where no comparison
+      * ever fires) resolve to the LOWEST cell id, matching the DuckDB
+      * twin's NaN-sorts-first / row_number(cid) rule. */
     private[Similarity] def cellOf(v: Array[Byte], nrm: Double): Long = {
-      var best = 0L; var bestSim = Double.NegativeInfinity
+      var best = cids(0); var bestSim = Double.NegativeInfinity
       var c = 0
       while (c < nc) {
         val s = dotQ(v, cqvs(c)).toDouble / (nrm * cqns(c))
@@ -407,7 +395,8 @@ object Similarity {
     def fromFrame(df: DataFrame): CentroidClosure =
       fromRows(df.collect()
         .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getDouble(2))))
-    private def fromRows(rows: Array[(Long, Array[Byte], Double)]): CentroidClosure = {
+    private[Similarity] def fromRows(
+        rows: Array[(Long, Array[Byte], Double)]): CentroidClosure = {
       require(rows.nonEmpty, "centroid closure needs at least one centroid")
       val s = rows.sortBy(_._1)
       new CentroidClosure(s.map(_._1), s.map(_._2), s.map(_._3))
@@ -458,12 +447,18 @@ object Similarity {
         col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn"),
         col("fv").as("qfv"), col("fnrm").as("qfnrm"),
         explode(probeUdf(col("qv"), col("qn"))).as("cell"))
-    // the standing anti-join is delta-authoritative on a fold and
-    // drops a same-id stored copy on a search (a doc is never its own
-    // neighbor); ad-hoc SEARCH ranks against the index only, so the
-    // query frame joins the candidate pool only when folding
-    val standingC = standing
-      .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+    // On a FOLD the standing anti-join is delta-authoritative: a
+    // re-ingested id's standing copy yields to the batch copy (which
+    // joins the pool below). On a SEARCH the batch is a query frame,
+    // not new corpus — anti-joining would suppress a standing vector
+    // from EVERY query's pool whenever ANY query reuses its id, so
+    // search keeps the full index and relies on the per-query
+    // self-skip (qid =!= vec_id) alone.
+    val standingLive =
+      if (includeBatchAsCandidates)
+        standing.join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+      else standing
+    val standingC = standingLive
       .join(broadcast(probes.select("cell").distinct()), Seq("cell"), "left_semi")
     val candidates =
       if (includeBatchAsCandidates) standingC.unionByName(batch) else standingC
@@ -477,9 +472,18 @@ object Similarity {
       .withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= shortlist)
     val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    // A standing corpus may transiently hold >1 version of a vec_id
+    // (re-ingest before the next compaction — the gate's LSM
+    // multi-version window); keep only the best-scoring copy per
+    // (query, neighbor) so one neighbor never occupies two ranks.
+    // With unique ids (the common case) this window is a logical
+    // no-op over the shortlist-bounded frame.
+    val wv = Window.partitionBy("query_id", "neighbor_id").orderBy(col("sim").desc)
     short
       .withColumn("sim", dotPacked(col("qfv"), col("fv")) / (col("qfnrm") * col("fnrm")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("vrank", row_number().over(wv))
+      .filter(col("vrank") === 1)
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))

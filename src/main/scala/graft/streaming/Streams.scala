@@ -1747,14 +1747,41 @@ object Streams {
 
     @volatile private var postSegs: Vector[DataFrame] =
       Vector(initialPostings.transform(graft.ops.Ckpt.fresh))
+    // Fold seq of each postings segment (lockstep with postSegs):
+    // the version order that lets compaction drop a SUPERSEDED copy
+    // of a re-ingested vec_id — newest segment wins.
+    private var postSeqs: Vector[Long] = Vector(initialBatchIdx)
     @volatile private var decisionSegs: Vector[DataFrame] =
       restoredDecisions.map(d => Vector(d.transform(graft.ops.Ckpt.fresh)))
         .getOrElse(Vector.empty)
     private var foldsSinceCompact = 0
     private var batchIdx = initialBatchIdx
 
-    /** The standing postings (vec_id, cell, qv, qn, fv, fnrm). */
+    /** The standing postings (vec_id, cell, qv, qn, fv, fnrm). A
+      * re-ingested id keeps BOTH versions visible here until the next
+      * compaction (the LSM multi-version window — the reference's
+      * versions-until-merge contract, assemblage_kv/src/lib.rs:602);
+      * the serving kernel collapses duplicates per (query, neighbor)
+      * and compaction/persist/reseed all run newest-wins. */
     def postingsNow: DataFrame = postSegs.reduce(_ unionByName _)
+
+    /** Newest-wins view of the postings: one row per vec_id, the copy
+      * from the highest-seq segment (ties inside one batch break on
+      * the packed-float payload for determinism). One window shuffle,
+      * run only at compaction/persist/reseed — never on the fold or
+      * search path. */
+    private def dedupedPostings: DataFrame =
+      if (postSegs.size == 1) postSegs.head
+      else {
+        val tagged = postSegs.lazyZip(postSeqs)
+          .map((seg, sq) => seg.withColumn("_seq", lit(sq)))
+          .reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("_seq").desc, col("fv"))
+        tagged.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_seq", "_rn")
+      }
     /** Every annotation emitted so far:
       * (query_id, batch, rank, neighbor_id) — found-only rows. */
     def decisions: DataFrame = decisionSegs match {
@@ -1774,7 +1801,7 @@ object Streams {
       * re-seeding changes FUTURE probes only). The old gate's
       * checkpoints are released; use the returned gate. */
     def reseed(numCentroids: Int): VectorIndexGate = synchronized {
-      val raw = postingsNow.select(col("vec_id"),
+      val raw = dedupedPostings.select(col("vec_id"),
         graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
       val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
         raw, "vec_id", "v", numCentroids)
@@ -1811,7 +1838,7 @@ object Streams {
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val spark = postSegs.head.sparkSession
       val txn = store.begin()
-      txn.stage("postings", postingsNow)
+      txn.stage("postings", dedupedPostings)
       txn.stage("centroids", closure.toFrame(spark))
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
       txn.stage("meta", spark.range(1).select(
@@ -1823,6 +1850,7 @@ object Streams {
     def release(): Unit = synchronized {
       (postSegs ++ decisionSegs).foreach(releaseCheckpoint)
       postSegs = Vector.empty
+      postSeqs = Vector.empty
       decisionSegs = Vector.empty
     }
 
@@ -1836,13 +1864,17 @@ object Streams {
         .transform(graft.ops.Ckpt.fresh)
       decisionSegs = decisionSegs :+ decisionSeg
       // delta-authoritative: a re-ingested id supersedes its standing
-      // posting (newest-last union order keeps both visible until
-      // compaction; the fold's anti-join already prefers the delta)
+      // posting. The fold's anti-join prefers the delta immediately;
+      // both versions stay visible to OTHER queries until the next
+      // compaction (the LSM multi-version window), where the
+      // newest-wins dedupe physically drops the superseded copy.
       postSegs = postSegs :+ bp
+      postSeqs = postSeqs :+ batchIdx
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
         val (oldP, oldD) = (postSegs, decisionSegs)
-        postSegs = Vector(postingsNow.transform(graft.ops.Ckpt.fresh))
+        postSegs = Vector(dedupedPostings.transform(graft.ops.Ckpt.fresh))
+        postSeqs = Vector(batchIdx)
         decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
         (oldP ++ oldD).foreach(releaseCheckpoint)

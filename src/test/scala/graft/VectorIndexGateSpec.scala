@@ -117,8 +117,10 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = rows(gate.decisions)
     // two ad-hoc queries near cluster B, one reusing an INDEXED id:
     // results come from the index only (the two queries never match
-    // each other despite probing the same cell), and 11 skips its own
-    // stored copy but still gets its neighbors
+    // each other despite probing the same cell); 11 skips its own
+    // stored copy but still gets its neighbors, and 11's STANDING
+    // copy still serves the OTHER query — the self-skip is per-query,
+    // never batch-wide
     val res = gate.search(
         vecs(99L -> Seq(0.2, 0.88, 0.0, 0.0), 11L -> Seq(0.15, 0.95, 0.0, 0.0)),
         "vec_id", "embedding")
@@ -126,6 +128,10 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_._1).toSet === Set(99L, 11L) && res.length === 4)
     assert(res.map(_._3).forall(Set(1L, 3L, 11L)))
     assert(res.filter(_._1 == 11L).map(_._3).toSet === Set(1L, 3L))
+    // 99's exact-cosine top-2 among {1, 3, 11} is {3, 11}: the
+    // indexed copy of 11 must rank for 99 even though 11 is also a
+    // query id in the same search frame
+    assert(res.filter(_._1 == 99L).map(_._3).toSet === Set(3L, 11L))
     assert(!res.exists(p => p._1 == 99L && p._3 == 99L))
     assert(rows(gate.decisions) === before)
 
@@ -136,5 +142,49 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       Streams.resumeVectorIndexGate(store, nprobe = 2, shortlist = 4, k = 2)
     }
     assert(e.getMessage.contains("nprobe"))
+  }
+
+  test("re-ingest supersedes: compaction keeps one newest copy; stale cell stops serving") {
+    val gate = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 8, k = 4, compactEvery = 2)
+    gate.foldRaw(b1, "vec_id", "embedding") // 10 lives on axis 0
+    // fold 2 re-ingests 10 MOVED to axis 1 and triggers compaction
+    gate.foldRaw(vecs(10L -> Seq(0.1, 0.99, 0.0, 0.0)), "vec_id", "embedding")
+    assert(gate.postingsNow.filter(col("vec_id") === 10L).count() === 1L)
+    // the surviving copy is the NEW vector: an axis-1 search finds 10,
+    // an axis-0 search no longer sees the superseded copy
+    val near1 = gate.search(vecs(99L -> Seq(0.15, 0.9, 0.0, 0.0)), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(near1.exists(_._2 == 10L), s"re-ingested 10 missing from axis-1 serve: ${near1.toSeq}")
+    val near0 = gate.search(vecs(98L -> Seq(0.95, 0.1, 0.0, 0.0)), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!near0.exists(_._2 == 10L), s"stale axis-0 copy of 10 still serving: ${near0.toSeq}")
+    // persist→resume round-trips the deduped postings
+    val store = tmpStore()
+    gate.persist(store)
+    gate.release()
+    val resumed = Streams.resumeVectorIndexGate(store,
+      nprobe = 1, shortlist = 8, k = 4, compactEvery = 2)
+    assert(resumed.postingsNow.filter(col("vec_id") === 10L).count() === 1L)
+    resumed.release()
+  }
+
+  test("multi-version window pre-compaction: a neighbor never occupies two ranks") {
+    val gate = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 8, k = 4, compactEvery = 8)
+    gate.foldRaw(b1, "vec_id", "embedding") // 10 = (0.95, 0.15), axis 0
+    // re-ingest 10 still on axis 0 — both versions share the probed
+    // cell until the (distant) compaction
+    gate.foldRaw(vecs(10L -> Seq(0.9, 0.05, 0.0, 0.0)), "vec_id", "embedding")
+    assert(gate.postingsNow.filter(col("vec_id") === 10L).count() === 2L)
+    val res = gate.search(vecs(97L -> Seq(0.93, 0.1, 0.0, 0.0)), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // candidates {0, 2, 10v1, 10v2} with k=4: 10 appears exactly once
+    assert(res.count(_._3 == 10L) === 1, s"double-ranked neighbor: ${res.toSeq}")
+    assert(res.map(_._3).toSet === Set(0L, 2L, 10L))
+    assert(res.map(_._2).sorted === Seq(1L, 2L, 3L), s"ranks not dense: ${res.toSeq}")
+    gate.release()
   }
 }

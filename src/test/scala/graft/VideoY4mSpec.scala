@@ -154,4 +154,25 @@ class VideoY4mSpec extends AnyFunSuite {
     val nf3 = 2 + standing(2)._2.length % 5
     assert(deltaPairs.count(p => p._1 == 3L && p._3 == 10L && p._5 == 0L) >= nf3)
   }
+
+  test("a video with >= 8 parsed frames fails the frame-key packing loudly") {
+    // hand-built Y4M: 9 frames of a 4x4 mono plane — decodes fine
+    // (the parser accepts any frame count) but must be REJECTED by
+    // the (doc*8+frame) packing instead of silently attributing
+    // frame 8 to doc_id+1
+    val header = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val body = (0 until 9).flatMap(f =>
+      "FRAME\n".getBytes("US-ASCII").toSeq ++ Array.fill(16)(f.toByte).toSeq).toArray
+    val nineFrames = header ++ body
+    assert(Media.decodeY4mBytes(nineFrames)._3.length === 9)
+    import spark.implicits._
+    val media = spark.createDataset(Seq(MediaRow(5L, "video/x-yuv4mpeg", nineFrames)))
+    val e = intercept[Exception] {
+      Media.videoNearDupFramePairs(media).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("no longer injective"), s"got: ${rootMsg(e).take(300)}")
+  }
 }
