@@ -121,14 +121,22 @@ object BpeCount {
   val functionName: FunctionIdentifier = FunctionIdentifier("graft_bpe_count")
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[BpeCount].getCanonicalName, "graft_bpe_count")
-  val builder: Seq[Expression] => Expression = c => BpeCount(Cast(c.head, StringType))
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child) => BpeCount(Cast(child, StringType))
+    case other => throw new IllegalArgumentException(
+      s"graft_bpe_count(text) takes 1 argument, got ${other.length}")
+  }
 }
 
 object BpeTokens {
   val functionName: FunctionIdentifier = FunctionIdentifier("graft_bpe_tokens")
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[BpeTokens].getCanonicalName, "graft_bpe_tokens")
-  val builder: Seq[Expression] => Expression = c => BpeTokens(Cast(c.head, StringType))
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child) => BpeTokens(Cast(child, StringType))
+    case other => throw new IllegalArgumentException(
+      s"graft_bpe_tokens(text) takes 1 argument, got ${other.length}")
+  }
 }
 
 object BpeFns {

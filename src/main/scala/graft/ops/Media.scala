@@ -35,9 +35,12 @@ final case class FrameSample(doc_id: Long, frame_idx: Long, frame_md5: String)
   *    decode ∘ encode recovers dimensions and exact pixel bytes, and
   *    [[mediaNearDupPairs]] runs byte-frame near-dup over the decoded
   *    payload (q108).
-  *  - [[decodeStub]] remains for formats whose codecs aren't in this
-  *    container (JPEG/audio/video): a deterministic fake preserving
-  *    the exact compute/IO shape.
+  *  - [[decodePng]] (round 10) parses a real COMPRESSED container:
+  *    CRC-verified chunk framing, zlib/DEFLATE inflate, per-scanline
+  *    filter reconstruction — pure `java.util.zip`, no new deps.
+  *  - [[decodeStub]] remains only for codecs genuinely absent from
+  *    this container (JPEG/FLAC-class transforms): a deterministic
+  *    fake preserving the exact compute/IO shape.
   * The partitioning, schema, and batch shape are the real design: at
   * 100 TB this runs embarrassingly parallel with zero shuffles,
   * bounded memory per partition (streaming over rows), and the binary
@@ -524,6 +527,15 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
       val (w, h, _, pix) = decodePpmBytes(row.content)
+      aHashRgb(row.doc_id, w, h, pix)
+    })
+  }
+
+  /** The aHash kernel over a decoded RGB payload — shared by every
+    * image container ([[ppmAHash]], [[pngAHash]]): same pixels in,
+    * same hash out, regardless of how the bytes arrived on disk.
+    */
+  private[graft] def aHashRgb(docId: Long, w: Int, h: Int, pix: Array[Byte]): PHashRow = {
       val cellSum = new Array[Long](64)
       val cellCnt = new Array[Long](64)
       var p = 0
@@ -548,8 +560,7 @@ object Media {
           bands(c / 16) |= 1 << (c % 16)
         c += 1
       }
-      PHashRow(row.doc_id, bands(0), bands(1), bands(2), bands(3))
-    })
+      PHashRow(docId, bands(0), bands(1), bands(2), bands(3))
   }
 
   /** Perceptual near-dup pairs: blobs whose aHashes differ in at most
@@ -862,16 +873,22 @@ object Media {
       }
     }
     require(w > 0 && h > 0, s"y4m: missing or invalid dimensions W=$w H=$h")
+    // Plane size must be computed in Long: W65536 H65536 makes Int w*h wrap to
+    // 0, which would make the truncation check pass and "decode" empty frames.
+    val planeSize = w.toLong * h.toLong
+    require(planeSize <= b.length,
+      s"y4m: frame size ${planeSize} exceeds stream length ${b.length}")
+    val plane = planeSize.toInt
     require(cs == "mono", s"y4m: unsupported colourspace '$cs' (Cmono only)")
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (i < b.length) {
       val mark = readLine()
       require(mark == "FRAME" || mark.startsWith("FRAME "),
         s"y4m: expected FRAME marker, got '${mark.take(8)}'")
-      require(i + w * h <= b.length,
-        s"y4m: truncated frame ${frames.length} (need ${w * h} bytes, have ${b.length - i})")
-      frames += java.util.Arrays.copyOfRange(b, i, i + w * h)
-      i += w * h
+      require(i + plane <= b.length,
+        s"y4m: truncated frame ${frames.length} (need ${plane} bytes, have ${b.length - i})")
+      frames += java.util.Arrays.copyOfRange(b, i, i + plane)
+      i += plane
     }
     require(frames.nonEmpty, "y4m: stream has no frames")
     (w, h, frames.toArray)
@@ -1028,4 +1045,284 @@ object Media {
         col("hamming"))
       .filter(col("id_a") =!= col("id_b"))
   }
+
+  // ───────────────────────── PNG (round 10) ─────────────────────────
+  // The first COMPRESSED container: real zlib/DEFLATE IDAT streams,
+  // real per-scanline filters (None/Sub/Up/Average/Paeth), real CRC32
+  // chunk framing — pure JVM (java.util.zip), no new dependencies.
+  // This closes the gap between the uncompressed containers (PPM/WAV/
+  // Y4M) and how 100 TB of media actually arrives: the decode is a
+  // genuine inflate + filter reconstruction, and the decoded pixels
+  // flow into the SAME aHash near-dup engine as PPM (aHashRgb), so
+  // container format and perceptual dedup stay orthogonal.
+
+  /** Deterministic PNG encoding of a text corpus: 8-bit RGB (color
+    * type 2), same dimension formula as [[encodePpm]] (w = 8 + L mod
+    * 40, h = 6 + L mod 23) and the same cycled-byte pixel payload, so
+    * the DuckDB twin reproduces the DECODED pixels from octet_length
+    * — the compressed bytes themselves never need an oracle. Each
+    * scanline is filtered with type (row mod 5), so a round-trip
+    * exercises every PNG filter; the compressed stream is split into
+    * ≤ 8 KiB IDAT chunks, so the decoder's chunk-concatenation path
+    * is always live.
+    */
+  def asPng(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "image/png", encodePng(bytes))
+      })
+  }
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream,
+      typ: String, data: Array[Byte], from: Int, len: Int): Unit = {
+    out.write(be32(len), 0, 4)
+    val t = typ.getBytes("US-ASCII")
+    out.write(t, 0, 4)
+    out.write(data, from, len)
+    val crc = new java.util.zip.CRC32
+    crc.update(t, 0, 4)
+    crc.update(data, from, len)
+    out.write(be32(crc.getValue.toInt), 0, 4)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private[graft] def encodePng(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val w = 8 + l % 40
+    val h = 6 + l % 23
+    val stride = w * 3
+    // filtered stream: h scanlines of (filter byte + filtered bytes)
+    val filtered = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](stride)   // current scanline, unfiltered
+    val prior = new Array[Byte](stride) // previous scanline, unfiltered
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < stride) { raw(i) = src((y * stride + i) % l); i += 1 }
+      val f = y % 5
+      val base = y * (1 + stride)
+      filtered(base) = f.toByte
+      i = 0
+      while (i < stride) {
+        val x = raw(i) & 0xff
+        val a = if (i >= 3) raw(i - 3) & 0xff else 0
+        val b = prior(i) & 0xff
+        val c = if (i >= 3) prior(i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case _ => x - paeth(a, b, c)
+        }
+        filtered(base + 1 + i) = v.toByte
+        i += 1
+      }
+      System.arraycopy(raw, 0, prior, 0, stride)
+      y += 1
+    }
+    // zlib-wrap the filtered stream (PNG mandates the zlib format,
+    // which is Deflater's default framing)
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val z = zbuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream(z.length + 128)
+    out.write(PngSignature, 0, 8)
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be32(w), 0, ihdr, 0, 4)
+    System.arraycopy(be32(h), 0, ihdr, 4, 4)
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 2  // color type: truecolor RGB
+    // ihdr(10..12) = compression 0, filter method 0, interlace 0
+    pngChunk(out, "IHDR", ihdr, 0, 13)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(8192, z.length - off)
+      pngChunk(out, "IDAT", z, off, n)
+      off += n
+    }
+    pngChunk(out, "IEND", Array.emptyByteArray, 0, 0)
+    out.toByteArray
+  }
+
+  /** REAL PNG parser: signature, CRC-verified chunk walk (IHDR first,
+    * ≥1 IDAT, IEND last; ancillary chunks skipped but still CRC-
+    * checked, unknown CRITICAL chunks rejected), zlib inflate of the
+    * concatenated IDAT payload to exactly h·(1+3w) bytes, then
+    * per-scanline filter reconstruction (None/Sub/Up/Average/Paeth).
+    * Throws on malformed input — truncated stream, CRC mismatch, bad
+    * filter type, inflate length mismatch: a decode pass over public
+    * bytes must fail loudly, not fabricate pixels.
+    */
+  private[graft] def decodePngBytes(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(b, 8), PngSignature), "not a PNG: bad signature")
+    var p = 8
+    def readBe32(): Int = {
+      require(p + 4 <= b.length, "png: truncated chunk header")
+      val v = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      p += 4
+      v
+    }
+    var w = -1; var h = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream(b.length)
+    while (p < b.length) {
+      require(!seenIend, "png: data after IEND")
+      val len = readBe32()
+      require(len >= 0 && p + 4 + len + 4 <= b.length,
+        s"png: chunk length $len overruns stream")
+      val typ = new String(b, p, 4, "US-ASCII")
+      val dataFrom = p + 4
+      val crc = new java.util.zip.CRC32
+      crc.update(b, p, 4 + len)
+      p += 4 + len
+      val want = readBe32()
+      require(crc.getValue.toInt == want,
+        s"png: CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr, "png: duplicate IHDR")
+          require(idat.size == 0 && len == 13, "png: malformed IHDR")
+          seenIhdr = true
+          w = ((b(dataFrom) & 0xff) << 24) | ((b(dataFrom + 1) & 0xff) << 16) |
+            ((b(dataFrom + 2) & 0xff) << 8) | (b(dataFrom + 3) & 0xff)
+          h = ((b(dataFrom + 4) & 0xff) << 24) | ((b(dataFrom + 5) & 0xff) << 16) |
+            ((b(dataFrom + 6) & 0xff) << 8) | (b(dataFrom + 7) & 0xff)
+          require(w > 0 && h > 0, s"png: invalid dimensions ${w}x$h")
+          // Long math: adversarial headers must not wrap the expected
+          // inflate size (the Y4M lesson)
+          require(h.toLong * (1L + 3L * w) <= Int.MaxValue,
+            s"png: ${w}x$h exceeds supported raster size")
+          require(b(dataFrom + 8) == 8, "png: only bit depth 8 supported")
+          require(b(dataFrom + 9) == 2, "png: only truecolor RGB supported")
+          require(b(dataFrom + 10) == 0 && b(dataFrom + 11) == 0,
+            "png: unknown compression/filter method")
+          require(b(dataFrom + 12) == 0, "png: interlaced streams unsupported")
+        case "IDAT" =>
+          require(seenIhdr, "png: IDAT before IHDR")
+          idat.write(b, dataFrom, len)
+        case "IEND" =>
+          require(len == 0, "png: non-empty IEND")
+          seenIend = true
+        case other =>
+          // ancillary bit: lowercase first letter → safe to skip
+          require((other.charAt(0) & 0x20) != 0,
+            s"png: unknown critical chunk '$other'")
+          require(seenIhdr, s"png: '$other' before IHDR")
+      }
+    }
+    require(seenIhdr && seenIend, "png: missing IHDR or IEND")
+    require(idat.size > 0, "png: no IDAT data")
+    val stride = w * 3
+    val expect = h * (1 + stride)
+    val filtered = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expect && !inflater.finished()) {
+        val n = inflater.inflate(filtered, got, expect - got)
+        require(n > 0 || inflater.finished(),
+          "png: truncated or corrupt DEFLATE stream")
+        got += n
+      }
+      require(got == expect,
+        s"png: inflated $got bytes, raster needs $expect")
+      // drain: a conforming stream ends exactly at the raster boundary
+      require(inflater.inflate(new Array[Byte](1)) == 0 && inflater.finished(),
+        "png: DEFLATE stream continues past the raster")
+    } finally inflater.end()
+    // filter reconstruction, in place scanline by scanline
+    val pix = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = filtered(y * (1 + stride)) & 0xff
+      require(f <= 4, s"png: invalid filter type $f on scanline $y")
+      val base = y * (1 + stride) + 1
+      val out = y * stride
+      val priorOut = out - stride
+      var i = 0
+      while (i < stride) {
+        val x = filtered(base + i) & 0xff
+        val a = if (i >= 3) pix(out + i - 3) & 0xff else 0
+        val b2 = if (y > 0) pix(priorOut + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) pix(priorOut + i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b2
+          case 3 => x + ((a + b2) >> 1)
+          case _ => x + paeth(a, b2, c)
+        }
+        pix(out + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, pix)
+  }
+
+  /** Parse each media row's PNG container and digest its DECODED
+    * pixels — inflate + filter reconstruction per partition, zero
+    * shuffles, the binary column never leaves the executor (the
+    * [[decodePpm]] contract over a compressed container).
+    */
+  def decodePng(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, pix) = decodePngBytes(row.content)
+        PpmFeatures(row.doc_id, w.toLong, h.toLong, pix.length.toLong,
+          md5Hex(md, hexUpper(pix, 0, pix.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** aHash over DECODED PNG pixels — [[ppmAHash]]'s exact kernel fed
+    * from the compressed container. */
+  def pngAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, pix) = decodePngBytes(row.content)
+      aHashRgb(row.doc_id, w, h, pix)
+    })
+  }
+
+  /** Perceptual near-dup over PNG blobs: inflate → defilter → aHash →
+    * the shared pigeonhole band engine. Identical pixels produce
+    * identical pairs whether they arrived as PPM or PNG.
+    */
+  def pngNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(pngAHash(media).toDF(), maxHamming, maxBandFreq)
 }

@@ -627,6 +627,41 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // COMPRESSED-container decode (round 10): documents → real PNG
+    // blobs (zlib DEFLATE IDAT, per-scanline filters cycling all five
+    // types, CRC32 chunk framing) → the real parser (CRC-verified
+    // chunk walk, inflate, filter reconstruction) → dimensions +
+    // decoded-pixel digest. The encoder cycles the same byte payload
+    // into the same dimension formula as PPM, so the oracle rebuilds
+    // the DECODED raster from octet_length + the cycled hex stream —
+    // proving decode ∘ encode is the identity THROUGH a genuine
+    // compressed encoding (the compressed bytes themselves need no
+    // oracle: only what they decode to does).
+    "q132_png_decode" -> ((s, dir) =>
+      Media.decodePng(Media.asPng(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
+    // Perceptual near-dup over the COMPRESSED container: inflate →
+    // defilter → the exact q120 aHash kernel → the shared pigeonhole
+    // band engine. Same twin injections as q120, and — because the
+    // decoded pixels are identical to the PPM path's — the same
+    // pairs: container format and perceptual dedup are orthogonal.
+    "q133_png_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.pngNearDupPairs(Media.asPng(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -728,6 +763,17 @@ object Pipelines {
         docs.select("doc_id", "text")
           .unionByName(exactTwins).unionByName(nearTwins),
         "doc_id", "text")).toDF()
+      // The oracle prunes with the GLOBAL hot set while the gate
+      // prunes each fold with counts-so-far; the two agree only while
+      // no (band, key) df crosses maxBandFreq mid-stream. Make that
+      // assumption load-bearing: fail if any band key even approaches
+      // the cap (half of the gate's default 1000).
+      val maxDf = graft.ops.Media.phashBandRows(hashed)
+        .groupBy("band", "key").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      require(maxDf <= 500L,
+        s"q124 oracle's one-pass collapse needs every (band,key) df well " +
+          s"under maxBandFreq=1000; corpus peaks at $maxDf")
       val g1 = graft.streaming.Streams.newBandHashGate(
         hashed.filter(col("doc_id") % 4 === 0), compactEvery = 2)
       (1 to 2).foreach(i => g1.ingest(hashed.filter(col("doc_id") % 4 === i)))
@@ -1252,7 +1298,7 @@ object Pipelines {
   private val stopwordValues: String =
     TextAnalysis.stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "q16_hourly_events" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
          count(*) AS n_events,
@@ -3094,4 +3140,12 @@ object Pipelines {
                 CASE WHEN greatest(width, height) <= 256 THEN height
                      ELSE (height * 256) // greatest(width, height) END AS rs_height
          FROM d""")
+
+  // PNG decodes to the exact raster the PPM path carries (same
+  // dimension formula, same cycled payload), so the q107/q120 twins
+  // ARE the PNG oracles — container-orthogonality made executable:
+  // DuckDB never sees a DEFLATE stream, only what it must decode to.
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
+    "q133_png_neardup" -> oracleSqlBase("q120_media_phash"))
 }

@@ -1299,14 +1299,16 @@ object Streams {
       s"curation-gate manifest in '${store.name}' has no 'meta' slot"))
     val meta = metaDf.head()
     // the persisted counter's unit must match the resuming gate's —
-    // a mismatch would mix token units in the shard arithmetic
-    if (metaDf.columns.contains("tokenizer")) {
-      val stored = meta.getAs[String]("tokenizer")
-      require(stored == tokenizer,
-        s"curation-gate manifest in '${store.name}' was persisted with " +
-          s"tokenizer='$stored' but resume requested '$tokenizer' — the " +
-          "carried train-token counter is denominated in the persisted unit")
-    }
+    // a mismatch would mix token units in the shard arithmetic. A
+    // manifest written before the column existed could only have been
+    // produced by a whitespace-counting gate, so its unit is "ws".
+    val stored =
+      if (metaDf.columns.contains("tokenizer")) meta.getAs[String]("tokenizer")
+      else "ws"
+    require(stored == tokenizer,
+      s"curation-gate manifest in '${store.name}' was persisted with " +
+        s"tokenizer='$stored' but resume requested '$tokenizer' — the " +
+        "carried train-token counter is denominated in the persisted unit")
     val repCorpus = nearDup.map(_ => store.read("corpus").getOrElse(
       throw new IllegalStateException(
         s"near-dup resume needs a 'corpus' slot in '${store.name}' — " +
@@ -1523,6 +1525,16 @@ object Streams {
     * Decisions are immutable at fold time: partners arriving in LATER
     * batches do not revise an earlier annotation (the carried-digest
     * rule's analog).
+    *
+    * Re-ingesting a doc_id supersedes its earlier hash: segments are
+    * fold-seq-tagged and compaction/persist keep only the newest copy
+    * per doc_id, with the band multiplicities REBUILT from the
+    * deduped hashes (the [[VectorIndexGate]] discipline). Between
+    * compactions a superseded copy can still appear as a partner —
+    * the same bounded staleness window the vector gate accepts. For
+    * the video-frame variant, doc_id is the packed (video, frame)
+    * key, so a re-encoded SHORTER video leaves its trailing frames
+    * standing until the caller re-ingests tombstone hashes for them.
     */
   final class BandHashGate private[graft] (
       initialHashes: DataFrame,
@@ -1543,6 +1555,10 @@ object Streams {
 
     @volatile private var hashSegs: Vector[DataFrame] =
       Vector(hashCols(initialHashes).transform(graft.ops.Ckpt.fresh))
+    // Fold seq of each hash segment (lockstep with hashSegs): the
+    // version order that lets compaction drop a SUPERSEDED copy of a
+    // re-ingested doc_id — newest segment wins.
+    private var hashSeqs: Vector[Long] = Vector(initialBatchIdx)
     @volatile private var bandSegs: Vector[DataFrame] =
       Vector(restoredBands.getOrElse(
           graft.ops.Media.phashBandRows(hashCols(initialHashes))
@@ -1558,6 +1574,28 @@ object Streams {
     def hashesNow: DataFrame = hashSegs.reduce(_ unionByName _)
     private def bandsNow: DataFrame = bandSegs.reduce(_ unionByName _)
       .groupBy("band", "key").agg(sum("c").as("c"))
+    /** Newest-wins view of the hash table: one row per doc_id, the
+      * copy from the highest-seq segment. One window shuffle, run only
+      * at compaction/persist — never on the fold path. */
+    private def dedupedHashes: DataFrame =
+      if (hashSegs.size == 1) hashSegs.head
+      else {
+        val tagged = hashSegs.lazyZip(hashSeqs)
+          .map((seg, sq) => seg.withColumn("_seq", lit(sq)))
+          .reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("_seq").desc,
+            col("b0"), col("b1"), col("b2"), col("b3"))
+        tagged.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_seq", "_rn")
+      }
+    /** Band multiplicities REBUILT from a deduped hash table — the
+      * only counts consistent with newest-wins (the running segment
+      * sums would keep a superseded copy's contribution). */
+    private def bandsOf(hashes: DataFrame): DataFrame =
+      graft.ops.Media.phashBandRows(hashes)
+        .groupBy("band", "key").agg(count(lit(1)).as("c"))
     /** Every annotation emitted so far: (doc_id, batch, n_partners,
       * min_hamming — -1 when no partner).
       */
@@ -1579,13 +1617,16 @@ object Streams {
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val spark = hashSegs.head.sparkSession
       val txn = store.begin()
-      txn.stage("hashes", hashesNow)
-      txn.stage("bands", bandsNow)
+      val dh = dedupedHashes.transform(graft.ops.Ckpt.fresh)
+      txn.stage("hashes", dh)
+      txn.stage("bands", bandsOf(dh))
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
       txn.stage("meta", spark.range(1).select(
         lit(batchIdx).as("batch_idx"), lit(maxHamming).as("max_hamming"),
         lit(maxBandFreq).as("max_band_freq")))
-      txn.commit().fold(throw _, identity)
+      val v = txn.commit().fold(throw _, identity)
+      releaseCheckpoint(dh)
+      v
     }
 
     /** Drop every carried checkpoint — terminal; see
@@ -1654,14 +1695,17 @@ object Streams {
         .transform(graft.ops.Ckpt.fresh)
       decisionSegs = decisionSegs :+ decisionSeg
       hashSegs = hashSegs :+ hd
+      hashSeqs = hashSeqs :+ batchIdx
       bandSegs = bandSegs :+ deltaCounts
         .select(col("band"), col("key"), col("cd").as("c"))
         .transform(graft.ops.Ckpt.fresh)
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
         val (oldH, oldB, oldD) = (hashSegs, bandSegs, decisionSegs)
-        hashSegs = Vector(hashesNow.transform(graft.ops.Ckpt.fresh))
-        bandSegs = Vector(bandsNow.transform(graft.ops.Ckpt.fresh))
+        val deduped = dedupedHashes.transform(graft.ops.Ckpt.fresh)
+        hashSegs = Vector(deduped)
+        hashSeqs = Vector(batchIdx)
+        bandSegs = Vector(bandsOf(deduped).transform(graft.ops.Ckpt.fresh))
         decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
         (oldH ++ oldB ++ oldD).foreach(releaseCheckpoint)

@@ -137,6 +137,39 @@ class BandHashGateSpec extends AnyFunSuite {
     gate.release()
   }
 
+  test("re-ingest supersedes: compaction and persist keep only the newest hash per doc_id") {
+    val hA = (1, 2, 3, 4); val hB = (60000, 50000, 40000, 30000)
+    def frame(rows: (Long, (Int, Int, Int, Int))*) =
+      hashFrame(rows.map { case (id, h) => (id, h._1, h._2, h._3, h._4) })
+    // doc 1 arrives with hash A, is re-ingested with hash B, and a
+    // fold later the gate compacts (compactEvery=2): the superseded A
+    // copy and its band counts must be gone from the standing state
+    val g = Streams.newBandHashGate(frame(1L -> hA), compactEvery = 2)
+    g.ingest(frame(1L -> hB))             // fold 1: re-ingest, new hash
+    g.ingest(frame(5L -> (9, 9, 9, 9)))  // fold 2: triggers compaction
+    g.ingest(frame(10L -> hA, 11L -> hB)) // fold 3: probe both hashes
+    val got = collectDecisions(g)
+    assert(got.contains((10L, 3L, 0L, -1L)),
+      "superseded hash A must not partner after compaction")
+    assert(got.contains((11L, 3L, 1L, 0L)),
+      "current hash B must partner doc 1 exactly once")
+    g.release()
+    // persist (WITHOUT an intervening compaction) must write the
+    // deduped table: resume and probe again
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandgate-dedupe")
+    val store = new graft.bulk.ManifestStore(spark, dir.toString)
+    val g1 = Streams.newBandHashGate(frame(1L -> hA), compactEvery = 99)
+    g1.ingest(frame(1L -> hB))
+    g1.persist(store)
+    g1.release()
+    val g2 = Streams.resumeBandHashGate(store, compactEvery = 99)
+    g2.ingest(frame(10L -> hA, 11L -> hB))
+    val got2 = collectDecisions(g2)
+    assert(got2.exists { case (id, _, n, _) => id == 10L && n == 0L })
+    assert(got2.exists { case (id, _, n, mh) => id == 11L && n == 1L && mh == 0L })
+    g2.release()
+  }
+
   test("modality-closed: VIDEO frames stream through the gate via packed (doc,frame) keys") {
     // the gate is hash-agnostic by construction — per-frame Y4M
     // aHashes with doc_id*8+frame keys make it a streaming video

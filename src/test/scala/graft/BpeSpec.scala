@@ -65,6 +65,15 @@ class BpeSpec extends AnyFunSuite {
     assert(n < text.length, "no compression — merges not firing")
   }
 
+  test("SQL builders reject wrong arity with a descriptive error") {
+    val s = spark
+    graft.functions.BpeFns.ensureRegistered(s)
+    val e = intercept[Exception](s.sql("SELECT graft_bpe_count('a','b')").collect())
+    assert(e.getMessage.contains("1 argument") || e.getMessage.contains("got 2"))
+    val e0 = intercept[Exception](s.sql("SELECT graft_bpe_tokens()").collect())
+    assert(e0.getMessage.contains("1 argument") || e0.getMessage.contains("got 0"))
+  }
+
   test("shardPack/corpusStats accept the bpe tokenizer and count subwords") {
     val s = spark
     import s.implicits._

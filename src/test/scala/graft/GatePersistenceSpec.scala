@@ -249,6 +249,18 @@ class GatePersistenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
         tokensPerShard = 50L)
     }
+    // a pre-round-9 manifest has NO tokenizer column: its counter
+    // could only be whitespace-denominated, so resume must treat it
+    // as "ws" — rejecting bpe rather than skipping the check
+    val legacyMeta = store.read("meta").get.select("train_tokens", "batch_idx")
+    store.begin().stage("meta", legacyMeta).commit()
+      .fold(c => fail(c.toString), identity)
+    intercept[IllegalArgumentException] {
+      Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
+        tokensPerShard = 50L, tokenizer = "bpe")
+    }
+    Streams.resumeCurationGate(store, evalSet, "doc_id", "text",
+      tokensPerShard = 50L) // tokenizer = "ws" default resumes fine
   }
 
   test("winnow gate: per-batch annotations equal the q116 delta operator; kill+resume identical") {

@@ -75,6 +75,11 @@ class VideoY4mSpec extends AnyFunSuite {
     val withParam = new String(good, "ISO-8859-1").replaceFirst("FRAME\n", "FRAME Xq\n")
     val (_, _, frames) = Media.decodeY4mBytes(withParam.getBytes("ISO-8859-1"))
     assert(frames.length === 2 + ("hello video world".length % 5))
+    // adversarial header whose Int w*h wraps to 0 (65536 * 65536):
+    // the Long-size check must reject it, not "decode" empty frames
+    val overflow = "YUV4MPEG2 W65536 H65536 Cmono\nFRAME\n".getBytes("US-ASCII")
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(overflow)).getMessage.contains("exceeds"))
   }
 
   test("per-frame aHash matches the independent reference; frames hash independently") {
