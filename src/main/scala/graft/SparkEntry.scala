@@ -51,8 +51,15 @@ object SparkEntry {
       "q114_curation_gate_replay", "q115_curation_gate_neardup",
       "q119_winnow_gate_replay", "q124_media_gate_replay",
       "q127_vector_index_gate")
+    // q125/q126 carry EXACT oracle legs (rank-window percentiles,
+    // countDistinct, semi-join FP audits) inside the query purely to
+    // gate their sketches — verify-only twins. The benched entries are
+    // the production sketch-only forms (q134/q135), so the suite times
+    // the constant-state paths a 100 TB run would execute.
+    val verifyOnlyTwins = Set("q125_sketch_stats", "q126_decontaminate_bloom")
     (queries.keySet - "q22_overlap_pairs")
-      .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q))
+      .filterNot(q => q.startsWith("q6") || graphPoint(q) || streamReplay(q) ||
+        verifyOnlyTwins(q))
       .toSeq.sorted
   }
 }

@@ -410,6 +410,83 @@ object Curation {
           .otherwise(0L).as("sketch_ok"))
   }
 
+  /** The PRODUCTION form of [[corpusStatsSketched]] — sketches only,
+    * no exact legs: two constant-state, map-side-partial aggregations
+    * (count/sum + mergeable quantile sketch at doc grain; HLL++ at
+    * token grain). No rank window, no per-stratum sort, no DISTINCT
+    * shuffle — the shape that stays flat at 100 TB. Accuracy is
+    * certified separately: [[corpusStatsSketched]] (q125) carries the
+    * exact legs and the `sketch_ok` gate as the verify-only oracle
+    * twin, so this benched path stays honest without paying the
+    * oracle's sort every run.
+    */
+  def corpusStatsSketchOnly(
+      docs: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String): DataFrame = {
+    registerTokenizers(docs)
+    val st = docs.select(
+        col(strataCol),
+        tokenCountCol(col(textCol), "ws").as("nt"))
+      .groupBy(strataCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        percentile_approx(col("nt"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("pcts"))
+    val vocab = docs.select(
+        col(strataCol),
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(strataCol)
+      .agg(approx_count_distinct(col("tok"), 0.01).as("n_vocab_sketch"))
+    st.join(vocab, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("sum_tokens"),
+        col("pcts").getItem(0).as("p50_sketch"),
+        col("pcts").getItem(1).as("p95_sketch"),
+        col("n_vocab_sketch"))
+  }
+
+  /** The PRODUCTION form of [[decontaminateBloom]] — probe only, no
+    * exact legs: build the constant-size Bloom sketch from the eval
+    * vocabulary (one mergeable agg), then flag corpus docs with a
+    * map-side codegen'd membership probe. The corpus is never joined,
+    * never shuffled; flags are a (bounded-rate) SUPERSET of the exact
+    * contamination set — no false negatives by construction, FP rate
+    * certified by [[decontaminateBloom]] (q126), the verify-only
+    * oracle twin that carries the exact legs and both audit gates.
+    */
+  def decontaminateBloomProbeOnly(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      fpp: Double = 1e-6): DataFrame = {
+    graft.functions.DedupKernels.ensureRegistered(corpus.sparkSession)
+    graft.functions.BloomFns.ensureRegistered(corpus.sparkSession)
+    val vocab = evalShingleVocab(evalSet, idCol, textCol, k)
+    val nItems = math.max(vocab.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nItems, fpp)
+    val bloomBin = vocab
+      .agg(call_function("graft_bloom_agg", col("h"), lit(nItems), lit(nBits))
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hits = graft.Tables.fanOut(corpus).select(
+        col(idCol).as("doc_id"),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
+      .filter(call_function("graft_bloom_contains", lit(bloomBin), col("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bloom_hits"),
+        (coalesce(col("n"), lit(0L)) > 0).as("flagged"))
+  }
+
   /** Fuzzy (near-dup) benchmark decontamination: flag corpus documents
     * whose n-gram Jaccard overlap with ANY eval document exceeds
     * `num/den` — the paraphrase-robust complement of [[decontaminate]]

@@ -346,6 +346,30 @@ object Pipelines {
         "doc_id", "text", k = 3)
     }),
 
+    // PRODUCTION sketch stats (round 10): the benched form of q125 —
+    // sketch aggregations only (count/sum + quantile sketch + HLL), no
+    // rank window, no DISTINCT shuffle. Sketch outputs aren't DuckDB-
+    // reproducible, so this entry carries the driver's rows-only check;
+    // accuracy is oracle-gated by q125 (verify-only), whose sketch_ok
+    // column fails the hash compare if either sketch drifts its bound.
+    "q134_sketch_stats_prod" -> ((s, dir) =>
+      Curation.corpusStatsSketchOnly(
+        t(s, dir, "documents"), "lang", "doc_id", "text")),
+
+    // PRODUCTION Bloom decontamination (round 10): the benched form of
+    // q126 — build the eval-vocabulary Bloom sketch, probe the corpus
+    // map-side, emit (doc_id, n_bloom_hits, flagged). No exact legs,
+    // no audit joins; rows-only driver check (flags include the
+    // bounded FP superset), with q126 as the verify-only oracle twin
+    // pinning no-false-negatives and the corpus-wide FP rate.
+    "q135_bloom_prod" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminateBloomProbeOnly(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3)
+    }),
+
     // Leakage-free split: q37's near-dup clusters are hashed to
     // train/val/test AS UNITS (90/5/5 in 1/256ths), so no near-dup
     // pair can straddle the held-out boundary.

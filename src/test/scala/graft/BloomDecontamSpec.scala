@@ -56,6 +56,22 @@ class BloomDecontamSpec extends AnyFunSuite {
       !r(2L).getBoolean(2) && !r(3L).getBoolean(2))
   }
 
+  test("production probe-only form: flags are a no-false-negative superset of exact") {
+    val (corpus, evalSet) = frames
+    val prod = Curation.decontaminateBloomProbeOnly(
+      corpus, evalSet, "doc_id", "text", k = 3, fpp = 1e-12)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val ex = Curation.decontaminate(corpus, evalSet, "doc_id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(prod.keySet === ex.keySet)
+    for ((id, row) <- ex if row.getBoolean(2))
+      assert(prod(id).getBoolean(2),
+        s"doc $id exact-contaminated but not bloom-flagged (false negative!)")
+    // at fpp 1e-12 on this toy corpus the probe is FP-free too
+    assert(prod.view.mapValues(_.getBoolean(2)).toMap ===
+      ex.view.mapValues(_.getBoolean(2)).toMap)
+  }
+
   test("the FP gate is computed, not constant: an impossible bound flips fp_ok") {
     val (corpus, evalSet) = frames
     val flipped = Curation.decontaminateBloom(

@@ -44,6 +44,22 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(r.view.mapValues(_.toSeq.slice(1, 5)).toMap === ex)
   }
 
+  test("production sketch-only form: exact counts exact, sketches within q125's bounds") {
+    val r = Curation.corpusStatsSketchOnly(corpus, "lang", "doc_id", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val ex = Curation.corpusStats(corpus, "lang", "doc_id", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    for ((lang, row) <- r) {
+      assert(row.getLong(1) === ex(lang).getLong(1), s"$lang n_docs")
+      assert(row.getLong(2) === ex(lang).getLong(2), s"$lang sum_tokens")
+      // sketches within q125's documented bounds (max(2, 5%) tokens)
+      assert(math.abs(row.getLong(3) - ex(lang).getLong(3)) <= 2, s"$lang p50")
+      assert(math.abs(row.getLong(4) - ex(lang).getLong(4)) <= 2, s"$lang p95")
+    }
+    assert(math.abs(r("en").getLong(5) - 8L) <= 1 &&
+      math.abs(r("de").getLong(5) - 3L) <= 1)
+  }
+
   test("the gate is computed, not constant: an impossible vocab bound flips sketch_ok") {
     val flipped = Curation.corpusStatsSketched(
       corpus, "lang", "doc_id", "text", vocabBoundPermille = -1L)
