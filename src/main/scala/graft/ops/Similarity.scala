@@ -353,6 +353,8 @@ object Similarity {
       val cids: Array[Long],
       val cqvs: Array[Array[Byte]],
       val cqns: Array[Double]) extends Serializable {
+    /** Centroid count — the occupancy-reseed input (corpus / nc). */
+    def numCentroids: Int = cids.length
     private def nc = cids.length
     /** Cell of `v`: argmax centroid similarity, strict > — ties (and
       * the all-NaN case of a zero-norm vector, where no comparison

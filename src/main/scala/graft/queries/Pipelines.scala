@@ -839,6 +839,43 @@ object Pipelines {
       gate.decisions
     }),
 
+    // Vector-index gate with the OCCUPANCY AUTO-RESEED live (round
+    // 10): q127's replay with targetCellOccupancy=16, so the fold-2
+    // compaction doubles the closure 16 → 32 centroids (seeded from
+    // the lowest 32 ids of the corpus at that fold — the
+    // SQL-replayable rule), the reseeded closure rides the manifest
+    // through a persist→resume restart, and batch 3 probes the WIDER
+    // index. The oracle is two q109 chains: batches 1-2 against the
+    // 16-centroid closure, batch 3 against the 32-centroid closure
+    // over vec_id%4 <= 2 — decisions before the reseed are immutable,
+    // decisions after it see the new coordinate system. The
+    // centroidCount assert makes the oracle's LIMIT 32 load-bearing:
+    // a corpus size that fired zero or two doublings fails here, not
+    // silently in the hash compare.
+    "q136_vector_gate_reseed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, targetCellOccupancy = 16L)
+      (1 to 2).foreach(i => g1.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      require(g1.centroidCount == 32,
+        s"q136 oracle models exactly ONE doubling (16 -> 32) at the " +
+          s"fold-2 compaction; gate reseeded to ${g1.centroidCount}")
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2,
+          targetCellOccupancy = 16L)
+      }
+      require(gate.centroidCount == 32,
+        "reseeded closure must survive persist -> resume")
+      gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
     // Frame-aware video sampling: every 2nd REAL frame (as found by
     // the parser, not a byte window) digested — the sampling unit a
     // pipeline captions/embeds; oracle slices the same frames out of
@@ -1670,6 +1707,95 @@ object Pipelines {
          SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
                 CAST(rank AS BIGINT) AS rank, neighbor_id
          FROM rer""",
+
+    // q127's chain with the mid-replay reseed modeled: batches 1-2
+    // probe the 16-centroid closure (phase 1 = the q127 CTEs
+    // restricted to query %4 <= 2), batch 3 probes the DOUBLED
+    // closure — lowest 32 ids of the corpus at the fold-2 compaction
+    // (vec_id % 4 <= 2), with every vector re-assigned to the new
+    // cells. Re-quantization is lossless (packed doubles), so both
+    // phases derive qv/norms from the same qt/qn CTEs.
+    "q136_vector_gate_reseed" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 4 IN (1, 2)) WHERE rn <= 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY CAST(${sqlDotInt("q.qv", "n.qv", 64)} AS DOUBLE)
+                                 / (q.nrm * n.nrm) DESC, n.vec_id) AS srank
+             FROM probes p
+             JOIN cells cl ON cl.cell = p.cell
+             JOIN qn n ON n.vec_id = cl.vec_id
+             JOIN qn q ON q.vec_id = p.query_id
+             WHERE n.vec_id <> p.query_id
+               AND n.vec_id % 4 <= p.query_id % 4) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10),
+         cents2 AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 4 <= 2 ORDER BY vec_id LIMIT 32),
+         cells2 AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents2 c) WHERE rn = 1),
+         probes2 AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents2 c WHERE qn.vec_id % 4 = 3) WHERE rn <= 2),
+         short2 AS (SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, n.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY CAST(${sqlDotInt("q.qv", "n.qv", 64)} AS DOUBLE)
+                                 / (q.nrm * n.nrm) DESC, n.vec_id) AS srank
+             FROM probes2 p
+             JOIN cells2 cl ON cl.cell = p.cell
+             JOIN qn n ON n.vec_id = cl.vec_id
+             JOIN qn q ON q.vec_id = p.query_id
+             WHERE n.vec_id <> p.query_id) WHERE srank <= 40),
+         rer2 AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short2 s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)
+         SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer
+         UNION ALL
+         SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer2""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,

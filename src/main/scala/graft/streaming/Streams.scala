@@ -1778,16 +1778,26 @@ object Streams {
     */
   final class VectorIndexGate private[graft] (
       initialPostings: DataFrame,
-      closure: graft.ops.Similarity.CentroidClosure,
+      initialClosure: graft.ops.Similarity.CentroidClosure,
       nprobe: Int,
       shortlist: Int,
       k: Int,
       compactEvery: Int = 8,
+      targetCellOccupancy: Long = 0L,
       restoredDecisions: Option[DataFrame] = None,
       initialBatchIdx: Long = 0L) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(nprobe >= 1 && shortlist >= k && k >= 1,
       "need nprobe >= 1 and shortlist >= k >= 1")
+
+    // The coordinate system is MUTABLE under the occupancy policy: an
+    // auto-reseed at compaction swaps in a wider closure (decisions
+    // are immutable, so only FUTURE probes change — the contract the
+    // manual reseed() documents, now self-triggering).
+    @volatile private var closure: graft.ops.Similarity.CentroidClosure =
+      initialClosure
+    /** Current centroid count — occupancy-reseed observability. */
+    def centroidCount: Int = closure.numCentroids
 
     @volatile private var postSegs: Vector[DataFrame] =
       Vector(initialPostings.transform(graft.ops.Ckpt.fresh))
@@ -1852,6 +1862,7 @@ object Streams {
       val fresh = new VectorIndexGate(
         graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc),
         cc, nprobe, shortlist, k, compactEvery,
+        targetCellOccupancy = targetCellOccupancy,
         restoredDecisions = if (decisionSegs.nonEmpty) Some(decisions) else None,
         initialBatchIdx = batchIdx)
       release()
@@ -1917,7 +1928,35 @@ object Streams {
       foldsSinceCompact += 1
       if (foldsSinceCompact >= compactEvery) {
         val (oldP, oldD) = (postSegs, decisionSegs)
-        postSegs = Vector(dedupedPostings.transform(graft.ops.Ckpt.fresh))
+        var deduped = dedupedPostings.transform(graft.ops.Ckpt.fresh)
+        // Occupancy-triggered auto-reseed (the LSM auto-B analog the
+        // embedding gate runs for its plane count): when mean cell
+        // occupancy crosses the target, DOUBLE the centroid count —
+        // geometric growth bounds reseeds to O(log corpus) over the
+        // gate's lifetime, and the doubling rule is SQL-replayable
+        // (the q127 oracle models the widened closure as "lowest 2nc
+        // ids of the corpus at the reseed fold"). The deduped corpus
+        // requantizes once, map-side; probes from the NEXT fold on
+        // use the wider closure, keeping per-batch probed-cell mass
+        // (≈ nprobe × occupancy) bounded as the corpus grows.
+        if (targetCellOccupancy > 0L) {
+          val n = deduped.count()
+          var nc = closure.numCentroids
+          while (n > targetCellOccupancy * nc) nc *= 2
+          if (nc != closure.numCentroids) {
+            val raw = deduped.select(col("vec_id"),
+              graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
+            val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
+              raw, "vec_id", "v", nc)
+            val requantized = graft.ops.Similarity
+              .quantizedPostings(raw, "vec_id", "v", cc)
+              .transform(graft.ops.Ckpt.fresh)
+            releaseCheckpoint(deduped)
+            deduped = requantized
+            closure = cc
+          }
+        }
+        postSegs = Vector(deduped)
         postSeqs = Vector(batchIdx)
         decisionSegs = Vector(decisions.transform(graft.ops.Ckpt.fresh))
         foldsSinceCompact = 0
@@ -1937,12 +1976,14 @@ object Streams {
       nprobe: Int = 2,
       shortlist: Int = 40,
       k: Int = 10,
-      compactEvery: Int = 8): VectorIndexGate = {
+      compactEvery: Int = 8,
+      targetCellOccupancy: Long = 0L): VectorIndexGate = {
     val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
       initialCorpus, idCol, vecCol, numCentroids)
     new VectorIndexGate(
       graft.ops.Similarity.quantizedPostings(initialCorpus, idCol, vecCol, cc),
-      cc, nprobe, shortlist, k, compactEvery)
+      cc, nprobe, shortlist, k, compactEvery,
+      targetCellOccupancy = targetCellOccupancy)
   }
 
   /** Resume a [[VectorIndexGate]] from `store`'s latest committed
@@ -1956,7 +1997,8 @@ object Streams {
       nprobe: Int = 2,
       shortlist: Int = 40,
       k: Int = 10,
-      compactEvery: Int = 8): VectorIndexGate = {
+      compactEvery: Int = 8,
+      targetCellOccupancy: Long = 0L): VectorIndexGate = {
     val postings = store.read("postings").getOrElse(throw new IllegalStateException(
       s"no committed vector-index state in '${store.name}' (missing 'postings' slot)"))
     val cents = store.read("centroids").getOrElse(throw new IllegalStateException(
@@ -1972,6 +2014,7 @@ object Streams {
     new VectorIndexGate(postings,
       graft.ops.Similarity.CentroidClosure.fromFrame(cents),
       nprobe, shortlist, k, compactEvery,
+      targetCellOccupancy = targetCellOccupancy,
       restoredDecisions = store.read("decisions"),
       initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }

@@ -111,6 +111,45 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     reseeded.release()
   }
 
+  test("occupancy auto-reseed: fires at compaction, doubles until bounded, pre-reseed decisions immutable") {
+    // target occupancy 1 with a 7-vector corpus at the fold-2
+    // compaction: 2 -> 4 -> 8 centroids (two doublings in one check)
+    val auto = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2, compactEvery = 2,
+      targetCellOccupancy = 1L)
+    val plain = newGate()
+    Seq(b1, b2).foreach { b =>
+      auto.foldRaw(b, "vec_id", "embedding")
+      plain.foldRaw(b, "vec_id", "embedding")
+    }
+    // doubling 2 -> 4 -> 8, then naturally capped at the 7-row corpus
+    assert(auto.centroidCount === 7,
+      "two doublings fire in one check; closure caps at corpus size")
+    assert(plain.centroidCount === 2)
+    // decisions made BEFORE the reseed are identical to the
+    // fixed-closure gate's — the reseed changes future probes only
+    assert(rows(auto.decisions) === rows(plain.decisions))
+    // postings content survives the requantize bit-identically
+    val pAuto = auto.postingsNow.select("vec_id", "qv", "fv").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    val pPlain = plain.postingsNow.select("vec_id", "qv", "fv").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(pAuto === pPlain)
+    // the widened closure persists: resume carries it and keeps folding
+    val store = tmpStore()
+    auto.persist(store)
+    auto.release()
+    val resumed = Streams.resumeVectorIndexGate(store,
+      nprobe = 1, shortlist = 4, k = 2, compactEvery = 2,
+      targetCellOccupancy = 1L)
+    assert(resumed.centroidCount === 7)
+    resumed.foldRaw(b3, "vec_id", "embedding")
+    assert(rows(resumed.decisions).exists(_._1 == 30L))
+    resumed.release()
+    plain.release()
+  }
+
   test("search serves the current index without mutating state; resume validates params") {
     val gate = newGate()
     gate.foldRaw(b1, "vec_id", "embedding")
