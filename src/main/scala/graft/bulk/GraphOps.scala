@@ -66,6 +66,41 @@ object GraphOps {
     * column matching the edge id type) — the form the oracle-checked
     * q61 uses over the Long-keyed derived graph.
     */
+  /** All-pairs transitive closure (src, dst), src ≠ dst paths of
+    * length ≥ 1, by pointer doubling: C_{k+1} = C_k ∪ C_k∘C_k, so a
+    * depth-d DAG closes in ⌈log2 d⌉ rounds (one distinct-join +
+    * checkpoint each) instead of d frontier rounds — the round-count
+    * lever for the job-floor-bound batch-tile path (the q68
+    * previewAll discipline). Output volume is O(Σ_nodes reach(n)); on
+    * the shallow-wide document DAGs this engine stores that is the
+    * same magnitude as the per-root reach the callers project out of
+    * it. Cycle-safe: a cycle's pairs saturate (distinct) and the
+    * no-growth round terminates the loop.
+    */
+  private[graft] def reachPairs(edges01: DataFrame): DataFrame = {
+    var c = edges01.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var n = c.count()
+    var growing = n > 0
+    while (growing) {
+      val doubled = c
+        .unionByName(c.as("a")
+          .join(c.select(col("src").as("mid"), col("dst").as("dst2")).as("b"),
+            col("a.dst") === col("b.mid"))
+          .select(col("a.src").as("src"), col("b.dst2").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      val n2 = doubled.count()
+      c.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      c = doubled
+      if (n2 == n) growing = false else n = n2
+    }
+    c
+  }
+
   def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
     // frontier pieces checkpointed; the visited set stays a lazy union
@@ -527,21 +562,18 @@ object GraphOps {
     * graph depth.
     */
   def nonblankClosure(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val up = edges.select(col("parent_id"), col("child_id")).distinct()
+    // ancestors-of-nonblank-text = closure sources reaching a seed —
+    // pointer-doubled ([[reachPairs]], log2(depth) rounds; the
+    // complexity trade is documented there)
     val seedCp = nodes
       .filter(col("kind") === "TEXT" && trim(coalesce(col("text"), lit(""))) =!= "")
       .select("id").localCheckpoint()
-    var parts = Vector(seedCp)
-    var frontier = seedCp
-    var growing = true
-    while (growing) {
-      val next = up.join(frontier, up("child_id") === frontier("id"))
-        .select(col("parent_id").as("id")).distinct()
-        .join(parts.reduce(_ unionByName _), Seq("id"), "left_anti").localCheckpoint()
-      if (next.isEmpty) growing = false
-      else { parts :+= next; frontier = next }
-    }
-    parts.reduce(_ unionByName _)
+    val c = reachPairs(edges.select(col("parent_id").as("src"),
+      col("child_id").as("dst")))
+    seedCp.unionByName(
+        c.join(seedCp.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src").as("id")))
+      .distinct()
   }
 
   /** is_cyclic (lib.rs:424-442) for MANY roots in one tagged BFS:
@@ -718,35 +750,53 @@ object GraphOps {
         .when(col("kind") === "LIST", false)
         .when(col("kind") === "STYLED" && col("style_kind") === "BLOCK", false)
         .otherwise(lit(null).cast("boolean")))
-    // localCheckpoint, not cache: these frames are reassigned in the
-    // loop, and a cache entry on the seed would outlive the method (one
-    // leaked entry per spanClass call in a long-lived session);
-    // checkpoint blocks are reclaimed with the frame. The resolved set
-    // accumulates as a lazy union of checkpointed steps
-    // (accumulator-vs-frontier, see descendantsFrom).
-    var resolvedParts = Vector(base.filter(col("is_span").isNotNull)
-      .select(col("id"), col("is_span")).localCheckpoint())
-    var pending = base.filter(col("is_span").isNull).select(col("id")).localCheckpoint()
+    // POINTER-DOUBLED chain resolution (round 10 — the step-per-round
+    // form paid one round per styled-chain link, and the batch-tile
+    // wall is round-count bound): a pending span wrapper's class is
+    // its styled CHAIN's endpoint class, and the chain is a functional
+    // graph (one child slot per wrapper; a malformed multi-slot
+    // wrapper deterministically follows its lowest slot), so the jump
+    // table J(id) = (nxt after 2^k hops, cls once a base-resolved
+    // endpoint falls inside the window) squares each round:
+    // log2(longest chain) rounds instead of longest-chain rounds.
+    // Walkers on cyclic chains never acquire cls and a round that
+    // resolves nothing new terminates the loop — they stay
+    // unclassified, exactly the step-form's unresolvable semantics.
+    // localCheckpoint, not cache: frames are reassigned per round, and
+    // a cache entry on the seed would outlive the method.
+    val resolvedBase = base.filter(col("is_span").isNotNull)
+      .select(col("id"), col("is_span")).localCheckpoint()
     val styledEdge = edges.select(col("parent_id"), col("child_id"))
-    // one action per round: the step count both drives progress and
-    // updates the pending tally (a separate pending.count() per round
-    // would double the job count of the fixpoint)
-    var pendingCount = pending.count()
-    while (pendingCount > 0) {
-      val resolved = resolvedParts.reduce(_ unionByName _)
-      val step = pending
-        .join(styledEdge, pending("id") === styledEdge("parent_id"))
-        .join(resolved.withColumnRenamed("id", "rid"), col("child_id") === col("rid"))
-        .select(pending("id"), col("is_span"))
+    val pending0 = base.filter(col("is_span").isNull).select(col("id"))
+    var jump = pending0
+      .join(styledEdge, pending0("id") === styledEdge("parent_id"))
+      .groupBy("id").agg(min(col("child_id")).as("nxt"))
+      .join(resolvedBase.select(col("id").as("nxt"), col("is_span").as("cls")),
+        Seq("nxt"), "left")
+      .select(col("id"), col("nxt"), col("cls"))
+      .localCheckpoint()
+    var resolvedCount = jump.filter(col("cls").isNotNull).count()
+    var growing = jump.filter(col("cls").isNull).limit(1).count() > 0
+    while (growing) {
+      val doubled = jump.as("a")
+        .join(jump.select(col("id").as("nxt"), col("nxt").as("nxt2"),
+          col("cls").as("cls2")).as("b"), Seq("nxt"), "left")
+        .select(col("a.id").as("id"),
+          when(col("a.cls").isNotNull, col("nxt"))
+            .otherwise(col("nxt2")).as("nxt"),
+          coalesce(col("a.cls"), col("cls2")).as("cls"))
         .localCheckpoint()
-      val n = step.count()
-      if (n == 0) pendingCount = 0 // unresolvable = cyclic styled chains
-      else {
-        resolvedParts :+= step
-        pending = pending.join(step.select("id"), Seq("id"), "left_anti").localCheckpoint()
-        pendingCount -= n
+      val nowResolved = doubled.filter(col("cls").isNotNull).count()
+      jump.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
       }
+      jump = doubled
+      if (nowResolved == resolvedCount) growing = false
+      else resolvedCount = nowResolved
     }
-    resolvedParts.reduce(_ unionByName _)
+    resolvedBase.unionByName(
+      jump.filter(col("cls").isNotNull).select(col("id"), col("cls").as("is_span")))
   }
 }

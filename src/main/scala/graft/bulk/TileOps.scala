@@ -34,6 +34,12 @@ object TileOps {
     */
   private val MaxDepth = 100
 
+  /** Descent levels folded into one checkpoint + emptiness probe per
+    * round (the loops are job-floor bound, not data bound — see
+    * sectionItems).
+    */
+  private val LevelsPerRound = 1
+
   /** (root, id) pairs: id is in root's view = descendants stopping at
     * links (the tagged form of GraphOps.descendantsUntilLinksFrom).
     */
@@ -48,37 +54,36 @@ object TileOps {
       .join(spans.select(col("id").as("child_id"), col("is_span").as("csp")), "child_id")
       .select(col("parent_id"), col("child_id"), (col("psp") && !col("csp")).as("is_link"))
       .distinct().cache()
-    // Loop-carried FRONTIER pieces are checkpointed (each is an input
-    // to the next round's joins); the ACCUMULATORS stay lazy unions of
-    // those already-materialized pieces — a per-round checkpoint of the
-    // accumulator re-writes all prior rounds' blocks just to add one
-    // round's worth, and at local scale its job alone dominates the
-    // fixpoint (one job per round per accumulator, ~0.3 s floor each).
-    // Plan depth grows only linearly in rounds (a union of checkpointed
-    // leaves), so there is no lineage blowup.
-    val seed = roots.select(col("id").as("root"), col("id")).localCheckpoint()
-    var allParts = Vector(seed)
-    var expandedParts = Vector(seed)
-    var frontier = seed
-    def union(parts: Vector[DataFrame]) = parts.reduce(_ unionByName _)
-    var growing = true
-    while (growing) {
-      val reached = traversable.join(frontier, traversable("parent_id") === frontier("id"))
-        .select(col("root"), col("child_id").as("id"), col("is_link"))
-        .localCheckpoint()
-      val newExp = reached.filter(!col("is_link")).select("root", "id").distinct()
-        .join(union(expandedParts), Seq("root", "id"), "left_anti").localCheckpoint()
-      val newAll = reached.select("root", "id").distinct()
-        .join(union(allParts), Seq("root", "id"), "left_anti").localCheckpoint()
-      if (!newAll.isEmpty) allParts :+= newAll
-      if (newExp.isEmpty) growing = false
-      else {
-        expandedParts :+= newExp
-        frontier = newExp
-      }
-    }
+    // POINTER-DOUBLED reach (round 10 — the frontier BFS paid one
+    // round per DAG level, and the batch-tile wall is round-count
+    // bound): a link edge can only ever be the LAST edge of a view
+    // path (link children enter the view but never expand), so
+    //   view(root) = {root} ∪ Cn[root] ∪ L[{root} ∪ Cn[root]]
+    // with Cn the transitive closure of the NON-link traversable
+    // edges — and Cn squares in log2(depth) doubling rounds
+    // ([[GraphOps.reachPairs]], the q68 previewAll discipline).
+    // Complexity note, stated not hidden: the closure is all-sources
+    // (O(Σ_nodes reach) pairs vs the BFS's O(Σ_roots reach)) — the
+    // right trade for the shallow-wide document DAGs this engine
+    // stores, where depth ≲ 20 and most nodes sit inside some root's
+    // view anyway; a deep-narrow graph would prefer the old frontier
+    // form.
+    val nonLink = traversable.filter(!col("is_link"))
+      .select(col("parent_id").as("src"), col("child_id").as("dst"))
+    val linkE = traversable.filter(col("is_link"))
+      .select(col("parent_id").as("src"), col("child_id").as("dst"))
+    val cn = GraphOps.reachPairs(nonLink)
+    val r = roots.select(col("id").as("root"))
+    val inViewNoLinks = r.select(col("root"), col("root").as("id"))
+      .unionByName(r.join(cn, col("root") === col("src"))
+        .select(col("root"), col("dst").as("id")))
+    val linked = inViewNoLinks
+      .join(linkE, col("id") === col("src"))
+      .select(col("root"), col("dst").as("id"))
+    val out = inViewNoLinks.unionByName(linked).distinct()
+      .localCheckpoint()
     traversable.unpersist()
-    union(allParts)
+    out
   }
 
   /** Roots whose child walk reaches a node with ≥ 2 parent slots
@@ -88,24 +93,17 @@ object TileOps {
   def sharedDescendantRoots(edges: DataFrame, roots: DataFrame): DataFrame = {
     val e = edges.select(col("parent_id"), col("child_id")).distinct()
     val slotCounts = edges.groupBy("child_id").agg(count(lit(1)).as("np"))
-    // frontier pieces checkpointed; `reach` stays a lazy union of them
-    // (see viewReach for the accumulator-vs-frontier rationale)
-    val seed = roots.select(col("id").as("root"), col("id")).localCheckpoint()
-    var reachParts = Vector(seed)
-    var frontier = seed
-    var growing = true
-    while (growing) {
-      val next = e.join(frontier, e("parent_id") === frontier("id"))
-        .select(col("root"), col("child_id").as("id")).distinct()
-        .join(reachParts.reduce(_ unionByName _), Seq("root", "id"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) growing = false
-      else { reachParts :+= next; frontier = next }
-    }
-    val reach = reachParts.reduce(_ unionByName _)
+    // a root qualifies iff its child walk reaches a ≥2-slot node:
+    // reach = identity ∪ closure, via log-round pointer doubling
+    // (complexity trade documented at viewReach)
+    val ce = GraphOps.reachPairs(e.select(col("parent_id").as("src"),
+      col("child_id").as("dst")))
+    val r = roots.select(col("id").as("root"))
+    val reach = r.select(col("root"), col("root").as("parent_id"))
+      .unionByName(r.join(ce, col("root") === col("src"))
+        .select(col("root"), col("dst").as("parent_id")))
     // reachable CHILDREN of reached nodes, with global slot count ≥ 2
-    val reachedChildren = e.join(
-      reach.select(col("root"), col("id").as("parent_id")), Seq("parent_id"))
+    val reachedChildren = e.join(reach, Seq("parent_id"))
       .select(col("root"), col("child_id"))
       .distinct()
     reachedChildren.join(slotCounts.filter(col("np") >= 2), Seq("child_id"))
@@ -141,34 +139,43 @@ object TileOps {
     var emittedParts = Vector(frontier.limit(0)
       .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"),
         col("bs"), col("ss")))
+    // LevelsPerRound descent levels share one checkpoint + one
+    // emptiness probe (round 10 — the one-level form paid a
+    // job-floor-bound round per tree level): the intermediate
+    // frontiers stay lazy joins over the last checkpointed one, so
+    // per-round plan depth is bounded by LevelsPerRound small joins.
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
-      depth += 1
-      val info = frontier.join(kinds, Seq("cur"))
-      // text always terminates; a chain terminates unless splitting
-      val leaf = info.filter(col("kind") === "TEXT" ||
-          (col("kind") === "LIST" && col("layout") === "CHAIN" && !col("split")))
-        .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"),
-          col("bs"), col("ss"))
-      val stepped = info
-        .filter((col("kind") === "LIST" && (col("layout") === "PAGE" || col("split"))) ||
-          col("kind") === "STYLED")
-        .join(childEdges, col("cur") === childEdges("parent_id"))
-        .select(col("root"), col("child_id"), col("multi"),
-          concat(col("path"), key(col("child_index"))).as("npath"),
-          when(col("kind") === "STYLED", col("split")).otherwise(lit(false)).as("nsplit"),
-          when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
-            array_union(col("bs"), col("styles"))).otherwise(col("bs")).as("nbs"),
-          when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
-            array_union(col("ss"), col("styles"))).otherwise(col("ss")).as("nss"))
-      val multiLeaf = stepped.filter(col("multi"))
-        .select(col("root"), col("npath").as("path"), col("child_id").as("sub_root"),
-          lit("MULTI").as("item"), col("nbs").as("bs"), col("nss").as("ss"))
-      emittedParts ++= Vector(leaf, multiLeaf)
-      frontier = stepped.filter(!col("multi"))
-        .select(col("root"), col("child_id").as("cur"), col("npath").as("path"),
-          col("nsplit").as("split"), col("nbs").as("bs"), col("nss").as("ss"))
-        .localCheckpoint()
+      var f = frontier
+      var lvl = 0
+      while (lvl < LevelsPerRound && depth < MaxDepth) {
+        depth += 1; lvl += 1
+        val info = f.join(kinds, Seq("cur"))
+        // text always terminates; a chain terminates unless splitting
+        val leaf = info.filter(col("kind") === "TEXT" ||
+            (col("kind") === "LIST" && col("layout") === "CHAIN" && !col("split")))
+          .select(col("root"), col("path"), col("cur").as("sub_root"), lit("LEAF").as("item"),
+            col("bs"), col("ss"))
+        val stepped = info
+          .filter((col("kind") === "LIST" && (col("layout") === "PAGE" || col("split"))) ||
+            col("kind") === "STYLED")
+          .join(childEdges, col("cur") === childEdges("parent_id"))
+          .select(col("root"), col("child_id"), col("multi"),
+            concat(col("path"), key(col("child_index"))).as("npath"),
+            when(col("kind") === "STYLED", col("split")).otherwise(lit(false)).as("nsplit"),
+            when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
+              array_union(col("bs"), col("styles"))).otherwise(col("bs")).as("nbs"),
+            when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
+              array_union(col("ss"), col("styles"))).otherwise(col("ss")).as("nss"))
+        val multiLeaf = stepped.filter(col("multi"))
+          .select(col("root"), col("npath").as("path"), col("child_id").as("sub_root"),
+            lit("MULTI").as("item"), col("nbs").as("bs"), col("nss").as("ss"))
+        emittedParts ++= Vector(leaf, multiLeaf)
+        f = stepped.filter(!col("multi"))
+          .select(col("root"), col("child_id").as("cur"), col("npath").as("path"),
+            col("nsplit").as("split"), col("nbs").as("bs"), col("nss").as("ss"))
+      }
+      frontier = f.localCheckpoint()
     }
     // materialize before dropping the childEdges cache the lazy pieces
     // reference
@@ -191,23 +198,28 @@ object TileOps {
     // leaf pieces stay lazy plans over the checkpointed frontiers
     var leafParts = Vector(frontier.limit(0)
       .select(col("sr"), col("p2"), col("cur").as("leaf"), col("bs2"), col("ss2")))
+    // LevelsPerRound levels per checkpoint (see sectionItems)
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
-      depth += 1
-      val info = frontier.join(kinds, Seq("cur"))
-      leafParts :+= info.filter(col("kind") === "TEXT" ||
-          (col("kind") === "LIST" && col("layout") === "CHAIN"))
-        .select(col("sr"), col("p2"), col("cur").as("leaf"), col("bs2"), col("ss2"))
-      frontier = info
-        .filter((col("kind") === "LIST" && col("layout") === "PAGE") || col("kind") === "STYLED")
-        .join(edges, col("cur") === edges("parent_id"))
-        .select(col("sr"), col("child_id").as("cur"),
-          concat(col("p2"), key(col("child_index"))).as("p2"),
-          when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
-            array_union(col("bs2"), col("styles"))).otherwise(col("bs2")).as("bs2"),
-          when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
-            array_union(col("ss2"), col("styles"))).otherwise(col("ss2")).as("ss2"))
-        .localCheckpoint()
+      var f = frontier
+      var lvl = 0
+      while (lvl < LevelsPerRound && depth < MaxDepth) {
+        depth += 1; lvl += 1
+        val info = f.join(kinds, Seq("cur"))
+        leafParts :+= info.filter(col("kind") === "TEXT" ||
+            (col("kind") === "LIST" && col("layout") === "CHAIN"))
+          .select(col("sr"), col("p2"), col("cur").as("leaf"), col("bs2"), col("ss2"))
+        f = info
+          .filter((col("kind") === "LIST" && col("layout") === "PAGE") || col("kind") === "STYLED")
+          .join(edges, col("cur") === edges("parent_id"))
+          .select(col("sr"), col("child_id").as("cur"),
+            concat(col("p2"), key(col("child_index"))).as("p2"),
+            when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
+              array_union(col("bs2"), col("styles"))).otherwise(col("bs2")).as("bs2"),
+            when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
+              array_union(col("ss2"), col("styles"))).otherwise(col("ss2")).as("ss2"))
+      }
+      frontier = f.localCheckpoint()
     }
     leafParts.reduce(_ unionByName _)
   }
@@ -227,25 +239,30 @@ object TileOps {
     var spanParts = Vector(frontier.limit(0)
       .select(col("leaf"), col("spath"), col("ss"),
         lit(null).cast("string").as("text"), lit(false).as("is_link")))
+    // LevelsPerRound levels per checkpoint (see sectionItems)
     var depth = 0
     while (!frontier.isEmpty && depth < MaxDepth) {
-      depth += 1
-      val info = frontier.join(kinds, Seq("cur"))
-      spanParts :+= info.filter(col("kind") === "TEXT")
-        .select(col("leaf"), col("spath"), col("ss"), col("text"), lit(false).as("is_link"))
-      spanParts :+= info.filter((col("kind") === "LIST" && col("layout") === "PAGE") ||
-          (col("kind") === "STYLED" && col("style_kind") === "BLOCK"))
-        .select(col("leaf"), col("spath"), col("ss"),
-          lit(null).cast("string").as("text"), lit(true).as("is_link"))
-      frontier = info
-        .filter((col("kind") === "LIST" && col("layout") === "CHAIN") ||
-          (col("kind") === "STYLED" && col("style_kind") === "SPAN"))
-        .join(edges, col("cur") === edges("parent_id"))
-        .select(col("leaf"), col("child_id").as("cur"),
-          concat(col("spath"), key(col("child_index"))).as("spath"),
-          when(col("style_kind") === "SPAN", array_union(col("ss"), col("styles")))
-            .otherwise(col("ss")).as("ss"))
-        .localCheckpoint()
+      var f = frontier
+      var lvl = 0
+      while (lvl < LevelsPerRound && depth < MaxDepth) {
+        depth += 1; lvl += 1
+        val info = f.join(kinds, Seq("cur"))
+        spanParts :+= info.filter(col("kind") === "TEXT")
+          .select(col("leaf"), col("spath"), col("ss"), col("text"), lit(false).as("is_link"))
+        spanParts :+= info.filter((col("kind") === "LIST" && col("layout") === "PAGE") ||
+            (col("kind") === "STYLED" && col("style_kind") === "BLOCK"))
+          .select(col("leaf"), col("spath"), col("ss"),
+            lit(null).cast("string").as("text"), lit(true).as("is_link"))
+        f = info
+          .filter((col("kind") === "LIST" && col("layout") === "CHAIN") ||
+            (col("kind") === "STYLED" && col("style_kind") === "SPAN"))
+          .join(edges, col("cur") === edges("parent_id"))
+          .select(col("leaf"), col("child_id").as("cur"),
+            concat(col("spath"), key(col("child_index"))).as("spath"),
+            when(col("style_kind") === "SPAN", array_union(col("ss"), col("styles")))
+              .otherwise(col("ss")).as("ss"))
+      }
+      frontier = f.localCheckpoint()
     }
     spanParts.reduce(_ unionByName _)
   }
@@ -354,20 +371,57 @@ object TileOps {
     * largest inline ancestor, minus anything already in the root's
     * view).
     */
+  // GRAFT_TILE_TIMING=1 prints per-phase wall to stderr (TileProf's
+  // drill-down; no cost when unset).
+  private def phase[T](name: String)(f: => T): T = {
+    if (!sys.env.contains("GRAFT_TILE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[tile-phase] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // the span-classification fixpoint feeds the sibling walks (x2),
-    // the promotion climbs (x2) and the in-view reach - pay for it once
-    val spans = GraphOps.spanClass(nodes, edges).localCheckpoint()
-    val items = sectionItems(nodes, edges, roots) // checkpointed by sectionItems
+    // the promotion climb and the in-view reach - pay for it once
+    val spans = phase("spanClass")(GraphOps.spanClass(nodes, edges).localCheckpoint())
+    // The batch-tile wall is JOB-COUNT bound (one driver job per BFS
+    // round per loop); the loops below are independent until the final
+    // assembly, so they submit from concurrent driver threads (round
+    // 10) — wall = the longest dependency CHAIN
+    // (items → leaves → siblings → promote), with the in-view reach,
+    // the shared-flag walk, and the sibling core hidden behind it.
+    val inViewF = Future(phase("viewReach")(
+      viewReach(nodes, edges, roots, Some(spans)).localCheckpoint()))
+    val sibCoreF = Future(phase("sibCore")(
+      GraphOps.siblingCore(nodes, edges, Some(spans))))
+    // both sibling walks' fixpoints (nodeRepr + delegation) are
+    // leaf-independent — only the final restriction needs leafIds, so
+    // the walks overlap the whole section chain
+    val sibWalkF = Seq(true, false).map { before =>
+      before -> sibCoreF.map(core => phase(s"sibWalk($before)")(
+        GraphOps.siblingAdjacencyFrom(nodes, core, before)))
+    }.toMap
+    val items = phase("sectionItems")(sectionItems(nodes, edges, roots))
     // shared flags for text/chain leaves (multi sections are always shared)
     val leafRoots = items.filter(col("item") === "LEAF")
       .select(col("sub_root").as("id")).distinct()
-    val shared = sharedDescendantRoots(edges, leafRoots)
-      .select(col("id").as("sub_root"), lit(true).as("sh")).localCheckpoint()
+    val sharedF = Future(phase("sharedRoots")(sharedDescendantRoots(edges, leafRoots)
+      .select(col("id").as("sub_root"), lit(true).as("sh")).localCheckpoint()))
+    // ordered leaves per section root — needs only the sub_root SET,
+    // which the shared join below does not change: runs concurrently
+    // with the shared-flag walk
+    val leaves = phase("subsectionLeaves")(subsectionLeaves(nodes, edges,
+      items.select(col("sub_root").as("id")).distinct()).localCheckpoint())
     val chainKinds = nodes.select(col("id").as("sub_root"),
       (col("kind") === "LIST" && col("layout") === "CHAIN").as("isChain"))
     val sections = items
-      .join(shared, Seq("sub_root"), "left")
+      .join(Await.result(sharedF, Duration.Inf), Seq("sub_root"), "left")
       .join(chainKinds, Seq("sub_root"))
       .select(col("root"), col("path"), col("sub_root"),
         when(col("item") === "MULTI", col("sub_root"))
@@ -375,24 +429,24 @@ object TileOps {
           .as("section_anchor"),
         (col("item") === "MULTI" || col("sh").isNotNull).as("section_shared"))
 
-    // ordered leaves per section root
-    val leaves = subsectionLeaves(nodes, edges,
-      sections.select(col("sub_root").as("id")).distinct()).localCheckpoint()
-
     // branches per (root, leaf, side) — the two directions share the
     // sibling walk's side-independent prefix (non-blank closure +
-    // candidate classification), built once
+    // candidate classification) AND one promotion climb over the
+    // union of both sides' sibling ids (round 10: the climb is
+    // per-sibling context-free, so two identical loops were one)
     val leafIds = leaves.select(col("leaf").as("id")).distinct().localCheckpoint()
-    val sibCore = GraphOps.siblingCore(nodes, edges, Some(spans))
-    def branches(before: Boolean): DataFrame = {
-      val sibs = GraphOps.siblingAdjacencyFrom(nodes, sibCore, before)
+    val sibsOf = phase("sibAdjacency")(sibWalkF.map { case (before, f) =>
+      before -> Await.result(f, Duration.Inf)
         .join(leafIds, Seq("id"), "left_semi").localCheckpoint()
-      val promoted = promote(edges,
-        sibs.select(col("sibling_id").as("id")).distinct(), spans)
-      sibs.join(promoted.withColumnRenamed("s0", "sibling_id"), Seq("sibling_id"))
+    })
+    val promoted = phase("promote")(promote(edges,
+      sibsOf.valuesIterator.reduce(_ unionByName _)
+        .select(col("sibling_id").as("id")).distinct(), spans))
+    def branches(before: Boolean): DataFrame =
+      sibsOf(before)
+        .join(promoted.withColumnRenamed("s0", "sibling_id"), Seq("sibling_id"))
         .select(col("id").as("leaf"), col("promoted"))
-    }
-    val inView = viewReach(nodes, edges, roots, Some(spans)).localCheckpoint()
+    val inView = Await.result(inViewF, Duration.Inf)
     def branchArrays(before: Boolean, cname: String): DataFrame = {
       // a leaf's branches are per TILE: drop promoted ids already in
       // the root's view, then aggregate the survivors
