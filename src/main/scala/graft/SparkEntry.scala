@@ -36,7 +36,8 @@ object SparkEntry {
   def benchQueries: Seq[String] = {
     val graphPoint = Set("q70_markup_roundtrip", "q71_swap_obsolete",
       "q72_dirty_propagation", "q73_tile_sections", "q78_tile_branches",
-      "q79_tile_parent_branches", "q80_import_namespaced", "q81_tile_markup")
+      "q79_tile_parent_branches", "q80_import_namespaced", "q81_tile_markup",
+      "q137_restore", "q138_broadcast_roundtrip")
     // q91/q92 replay events through MemoryStream micro-batches — a
     // correctness harness for the streaming operators; timing it would
     // measure driver-side replay feeding, not the engine (their batch

@@ -324,6 +324,95 @@ object GraphQueries {
             coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
             coalesce(col("child_index").cast("long"), lit(-1L)).as("child_index"))
       }.reduce(_ unionByName _)
+    }),
+
+    // restore (round 10 — the last §2.2 operator without a driver
+    // oracle; reference core.rs:552-594 restore_unindexed): subtrees
+    // of every id%10==6 page are TRASHED (tombstone closure over the
+    // child walk), then the %3==0 trash roots are restored. The bulk
+    // closure un-tombstones the seeds' reach CONTINUING ONLY THROUGH
+    // REMOVED nodes (styled edges crossing into live subtrees stop
+    // there — the NoNeedToRestore boundary), and parent sets rebuild:
+    // restored nodes reset to exactly the incoming restored edges
+    // (the roots, having none, end EMPTY — 'E' rows), live children
+    // of restored parents keep their sets plus the new edges. One row
+    // per (id, rel): R = un-tombstoned, P = a rebuilt parent edge,
+    // E = affected with empty parent set; the oracle replays the two
+    // closures as recursive CTEs over the same derived graph.
+    "q137_restore" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val reach = graft.bulk.GraphOps.descendantsFrom(edges,
+        nodes.filter(col("id") % 10 === 6).select("id"))
+      val removed = nodes.select(col("id"))
+        .join(reach.select(col("id"), lit(true).as("rm")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("rm"), lit(false)).as("is_removed"))
+      val parents = edges.select(col("child_id").as("id"),
+        col("parent_id"), col("child_index"))
+      val seeds = nodes.filter(col("id") % 10 === 6 && col("id") % 3 === 0)
+        .select("id")
+      val res = graft.bulk.Restore.restoreClosure(removed, edges, parents, seeds)
+      val pRows = res.parents.select(col("id"), lit("P").as("rel"),
+        col("parent_id"), col("child_index").cast("long").as("child_index"))
+      val rRows = res.restored.select(col("id"), lit("R").as("rel"),
+        lit(-1L).as("parent_id"), lit(-1L).as("child_index"))
+      val eRows = res.affected
+        .join(res.parents.select("id").distinct(), Seq("id"), "left_anti")
+        .select(col("id"), lit("E").as("rel"),
+          lit(-1L).as("parent_id"), lit(-1L).as("child_index"))
+      rRows.unionByName(pRows).unionByName(eRows)
+    }),
+
+    // Broadcast round-trip with EPISODE WATERMARKS (round 10 — the
+    // last replication surface without a driver oracle; reference
+    // index.rs:61-84 watermarked episode pulls + 456-531
+    // export_since): the DescRoot subtree is published as three
+    // INCREMENTAL episodes — episode k carries exactly the nodes
+    // whose latest write is ts k (write model: node's base version is
+    // 1 + id%3; %5==0 nodes are re-edited at ts 3, so LWW is
+    // non-vacuous) via exportSubgraph's since/last_ts path, each with
+    // the synthetic export-root injection (rootId 0 is outside the
+    // closure). Two consumers at watermarks 1 and 2 fetch only the
+    // episodes NEWER than their watermark, XOR-remap every id into
+    // their namespace (the q80 import), and fold them
+    // last-write-wins over their pre-applied standing state. One row
+    // per (namespaced id, winning version, kind), plus each
+    // consumer's advanced watermark row.
+    "q138_broadcast_roundtrip" -> ((s, dir) => {
+      val (nodes, edges) = graphTables(s, dir)
+      val seed = nodes.filter(col("id") === DescRoot).select("id")
+      def asof(k: Int) = {
+        val base = lit(1) + col("id") % 3
+        val ts = when(col("id") % 5 === 0 && lit(k) >= 3, 3L).otherwise(base)
+        nodes.filter(base <= k)
+          .withColumn("last_ts", ts).withColumn("ver", ts)
+      }
+      val episodes = (1 to 3).map(k =>
+        k -> ImportExport.exportSubgraph(asof(k), edges, seed, lit(0L),
+          since = k - 1L))
+      Seq((BcNs1, 1), (BcNs2, 2)).map { case (ns, watermark) =>
+        val xor = ImportExport.xorLong(ns)
+        def imp(eps: Seq[(Int, ImportExport.Exported)]) = eps.map { case (k, ex) =>
+          ImportExport.importNamespaced(ex, xor).nodes
+            .select(col("id"), coalesce(col("ver"), lit(0L)).cast("long").as("ver"),
+              col("kind"), lit(k).as("ep"))
+        }
+        // standing = episodes the consumer applied before (how its
+        // watermark got here); fetch pulls ONLY the strictly newer
+        // ones — the index.rs:61-84 pull filter
+        val standing = imp(episodes.filter(_._1 <= watermark))
+        val fetched = imp(episodes.filter(_._1 > watermark))
+        require(fetched.nonEmpty, s"watermark $watermark fetches nothing — vacuous")
+        val all = (standing ++ fetched).reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("ver").desc, col("ep").desc)
+        val state = all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("ver"), col("kind"))
+        val newWatermark = math.max(watermark, 3)
+        state.unionByName(nodes.sparkSession.range(1).select(
+          xor(lit(-1L)).as("id"), lit(newWatermark.toLong).as("ver"),
+          lit("WATERMARK").as("kind")))
+      }.reduce(_ unionByName _)
     }))
 
   /** Import namespaces for q80: disjoint high bits, so the two imports
@@ -331,6 +420,12 @@ object GraphQueries {
     */
   private val ImportNs1 = 1L << 42
   private val ImportNs2 = 1L << 43
+
+  /** Consumer namespaces for q138 (disjoint from q80's and the id
+    * range, same rationale).
+    */
+  private val BcNs1 = 1L << 44
+  private val BcNs2 = 1L << 45
 
   /** Shared DuckDB re-derivation of the graph (same rules as
     * [[graphTables]]) plus the recursive span-class fixpoint.
@@ -799,7 +894,70 @@ object GraphQueries {
          SELECT n.id, n.kind,
                 coalesce(p.parent_id, -1) AS parent_id,
                 CAST(coalesce(p.child_index, -1) AS BIGINT) AS child_index
-         FROM impn n LEFT JOIN impp p ON p.id = n.id AND p.v = n.v""")
+         FROM impn n LEFT JOIN impp p ON p.id = n.id AND p.v = n.v""",
+
+    // Two recursive closures replay the bulk restore: the tombstone
+    // reach from every %10==6 trash root, then the restore reach from
+    // the %3==0 seeds continuing only through tombstoned nodes; the
+    // parent rebuild is set algebra over the second closure's edges.
+    "q137_restore" ->
+      s"""WITH RECURSIVE $graphCte,
+         troot AS (SELECT id FROM kind WHERE id % 10 = 6),
+         removedset(id) AS (
+           SELECT id FROM troot
+           UNION
+           SELECT e.child_id FROM removedset r JOIN edges e ON e.parent_id = r.id),
+         restored(id) AS (
+           SELECT id FROM troot
+           WHERE id % 3 = 0 AND id IN (SELECT id FROM removedset)
+           UNION
+           SELECT e.child_id FROM restored r JOIN edges e ON e.parent_id = r.id
+           WHERE e.child_id IN (SELECT id FROM removedset)),
+         incoming AS (SELECT DISTINCT e.child_id AS id, e.parent_id, e.child_index
+                      FROM edges e JOIN restored r ON r.id = e.parent_id),
+         affch AS (SELECT DISTINCT id FROM incoming),
+         keptbase AS (
+           SELECT p.id, p.parent_id, p.child_index
+           FROM (SELECT child_id AS id, parent_id, child_index FROM edges) p
+           JOIN affch USING (id)
+           WHERE p.id NOT IN (SELECT id FROM restored)),
+         newparents AS (
+           SELECT DISTINCT id, parent_id, child_index FROM
+             (SELECT * FROM keptbase UNION ALL SELECT * FROM incoming)),
+         affected AS (SELECT id FROM restored UNION SELECT id FROM affch)
+         SELECT id, 'R' AS rel, CAST(-1 AS BIGINT) AS parent_id,
+                CAST(-1 AS BIGINT) AS child_index FROM restored
+         UNION ALL
+         SELECT id, 'P', parent_id, CAST(child_index AS BIGINT) FROM newparents
+         UNION ALL
+         SELECT id, 'E', -1, -1 FROM affected
+         WHERE id NOT IN (SELECT DISTINCT id FROM newparents)""",
+
+    // The episode fold-forward collapses: every closure node's final
+    // row is its MAX write version (base 1 + id%3, re-edit 3 for
+    // %5==0), the synthetic export root rides every episode at ver 0,
+    // and each consumer's watermark advances to the newest episode —
+    // all XOR-shifted into both consumer namespaces.
+    "q138_broadcast_roundtrip" ->
+      s"""WITH RECURSIVE $graphCte,
+         reach(id) AS (
+           SELECT CAST($DescRoot AS BIGINT)
+           UNION
+           SELECT e.child_id FROM reach r JOIN edges e ON e.parent_id = r.id),
+         vers AS (SELECT k.id,
+                  CASE WHEN k.id % 5 = 0 THEN 3 ELSE 1 + k.id % 3 END AS ver,
+                  CASE WHEN k.kind = 'TEXT' THEN 'TEXT'
+                       WHEN k.kind IN ('CHAIN','PAGE') THEN 'LIST'
+                       ELSE 'STYLED' END AS kind
+                  FROM kind k JOIN reach r ON r.id = k.id),
+         ns(v) AS (SELECT CAST($BcNs1 AS BIGINT)
+                   UNION ALL SELECT CAST($BcNs2 AS BIGINT))
+         SELECT xor(vers.id, ns.v) AS id, CAST(vers.ver AS BIGINT) AS ver,
+                vers.kind FROM vers CROSS JOIN ns
+         UNION ALL
+         SELECT xor(CAST(0 AS BIGINT), ns.v), 0, 'LIST' FROM ns
+         UNION ALL
+         SELECT xor(CAST(-1 AS BIGINT), ns.v), 3, 'WATERMARK' FROM ns""")
 
   /** The q73 tile CTE chain (section walk → shared flags → subsection
     * leaves), shared by q73 and q78.
