@@ -269,6 +269,16 @@ object Components {
       deltaPairs: DataFrame,
       broadcastDeltaCap: Long = 4000000L,
       singleTaskCap: Long = SingleTaskEdgeCap): DeltaLabels = {
+    // Session override for the broadcast/fused gating — the ops knob
+    // that lets a deploy (or a bench leg) force the DISTRIBUTED
+    // relabel regime without touching gate signatures: a backfill
+    // operator sets it once per session. When set it wins over
+    // parameter caps (it also lowers the single-task cap, so cap 0
+    // exercises the full shuffle path end-to-end).
+    val capOverride = standingLabels.sparkSession.conf
+      .getOption("spark.graft.relabelBroadcastCap").map(_.toLong)
+    val bCap = capOverride.getOrElse(broadcastDeltaCap)
+    val sCap = capOverride.fold(singleTaskCap)(c => math.min(c, singleTaskCap))
     val edges = deltaPairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
@@ -278,11 +288,11 @@ object Components {
     // broadcast gating and fused single-task eligibility.
     val eCount = edges.count()
     val bound = 2 * eCount + ids.count()
-    if (bound <= math.min(broadcastDeltaCap, singleTaskCap))
+    if (bound <= math.min(bCap, sCap))
       fusedDeltaRelabel(standingLabels, ids, edges)
     else
       distributedDeltaRelabel(
-        standingLabels, ids, edges, bound <= broadcastDeltaCap, singleTaskCap)
+        standingLabels, ids, edges, bound <= bCap, sCap)
   }
 
   /** The micro-batch regime of [[deltaRelabel]]: the whole fold runs

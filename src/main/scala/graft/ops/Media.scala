@@ -763,6 +763,37 @@ object Media {
       wavEnvelopeHash(standing).toDF(), wavEnvelopeHash(delta).toDF(),
       maxHamming, maxBandFreq, broadcastDeltaCap)
 
+  /** The MAINTAINED-STATE form of [[audioNearDupDeltaPairs]] (round
+    * 10): the standing side enters as an already-hashed (doc_id,
+    * b0..b3) table — exactly what [[graft.streaming.Streams.BandHashGate]]
+    * carries — so a per-batch fold decodes ONLY the delta; the
+    * standing corpus's bytes are never re-read, the production
+    * contract at stream scale (per-batch cost measured in
+    * BandHashGateBench's wav leg). Pair-identical to the decode-both
+    * form on equal inputs (AudioPHashSpec).
+    */
+  def audioNearDupDeltaPairsIndexed(
+      standingHashes: DataFrame,
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    bandedNearDupDeltaPairs(
+      standingHashes, wavEnvelopeHash(delta).toDF(),
+      maxHamming, maxBandFreq, broadcastDeltaCap)
+
+  /** The maintained-state form of [[phashNearDupDeltaPairs]] — the
+    * image twin of [[audioNearDupDeltaPairsIndexed]]. */
+  def phashNearDupDeltaPairsIndexed(
+      standingHashes: DataFrame,
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    bandedNearDupDeltaPairs(
+      standingHashes, ppmAHash(delta).toDF(),
+      maxHamming, maxBandFreq, broadcastDeltaCap)
+
   /** Resize metadata: scale (width, height) to fit `maxDim` preserving
     * aspect ratio, integer-exact (the stub twin of a thumbnailing
     * pass; a real implementation would also transform the bytes).

@@ -949,8 +949,12 @@ object Pipelines {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       val delta = deltaBase.unionByName(crossExact)
         .unionByName(crossNear).unionByName(withinExact)
-      Media.audioNearDupDeltaPairs(
-        Media.asWav(standing, "doc_id", "text"),
+      // the MAINTAINED-STATE call shape: standing enters as the hash
+      // table a BandHashGate carries (re-derived here so the oracle
+      // can replay it — the q121 convention); only the delta decodes
+      // inside the operator
+      Media.audioNearDupDeltaPairsIndexed(
+        Media.wavEnvelopeHash(Media.asWav(standing, "doc_id", "text")).toDF(),
         Media.asWav(delta, "doc_id", "text"))
     }),
 

@@ -17,7 +17,13 @@ import graft.streaming.Streams
   * sees it: the decode/hash stage is the stream transform, the fold
   * is the state maintenance.
   *
-  * Usage: runMain graft.tools.BandHashGateBench [docsDir] [batches] [batchSize] [initRows]
+  * A fifth argument picks the modality: `ppm` (default — PPM encode +
+  * aHash) or `wav` (WAV encode + PCM envelope hash), so the AUDIO
+  * maintained path gets its own per-batch cost row (the q123
+  * production shape: only the batch decodes; the standing corpus is
+  * the carried hash table).
+  *
+  * Usage: runMain graft.tools.BandHashGateBench [docsDir] [batches] [batchSize] [initRows] [ppm|wav]
   */
 object BandHashGateBench {
 
@@ -41,12 +47,17 @@ object BandHashGateBench {
       .collect()
     require(docs.length > initRows, s"need > $initRows docs in $docsDir")
     import spark.implicits._
-    def hashed(rows: Array[org.apache.spark.sql.Row]) = graft.ops.Media
-      .ppmAHash(graft.ops.Media.asPpm(
-        rows.map(r => (r.getLong(0), r.getString(1))).toSeq
-          .toDF("doc_id", "text"),
-        "doc_id", "text"))
-      .toDF()
+    val mode = if (args.length > 4) args(4) else "ppm"
+    def hashed(rows: Array[org.apache.spark.sql.Row]) = {
+      val df = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("doc_id", "text")
+      (mode match {
+        case "wav" => graft.ops.Media.wavEnvelopeHash(
+          graft.ops.Media.asWav(df, "doc_id", "text"))
+        case _ => graft.ops.Media.ppmAHash(
+          graft.ops.Media.asPpm(df, "doc_id", "text"))
+      }).toDF()
+    }
 
     val gate = Streams.newBandHashGate(hashed(docs.take(initRows)))
     def storage(): (Long, Int) = {
@@ -70,7 +81,7 @@ object BandHashGateBench {
     val head5 = walls.take(5).sum / math.min(5, walls.size)
     val tail5 = walls.takeRight(5).sum / math.min(5, walls.size)
     val flagged = gate.decisions.filter(col("n_partners") > 0).count()
-    println(s"""{"summary":"band-hash-gate","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":${graft.Bench.fmt(head5, 3)},"last5_avg_sec":${graft.Bench.fmt(tail5, 3)},"growth":${if (head5 > 0) graft.Bench.fmt(tail5 / head5, 2) else "null"},"annotated_docs":${gate.decisions.count()},"flagged_docs":$flagged,"final_hash_rows":${gate.hashesNow.count()}}""")
+    println(s"""{"summary":"band-hash-gate","mode":"$mode","batches":${walls.size},"batch_size":$batchSize,"first5_avg_sec":${graft.Bench.fmt(head5, 3)},"last5_avg_sec":${graft.Bench.fmt(tail5, 3)},"growth":${if (head5 > 0) graft.Bench.fmt(tail5 / head5, 2) else "null"},"annotated_docs":${gate.decisions.count()},"flagged_docs":$flagged,"final_hash_rows":${gate.hashesNow.count()}}""")
     spark.stop()
   }
 }

@@ -27,6 +27,9 @@ object DedupGateBench {
     val batches = if (args.length > 1) args(1).toInt else 50
     val batchSize = if (args.length > 2) args(2).toInt else 1000
     val initRows = if (args.length > 3) args(3).toInt else 5000
+    // 5th arg forces the relabel broadcast cap (0 = every fold takes
+    // the DISTRIBUTED shuffle regime — the 100 TB backfill path)
+    val relabelCap = if (args.length > 4) Some(args(4).toLong) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +37,8 @@ object DedupGateBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    relabelCap.foreach(c =>
+      spark.conf.set("spark.graft.relabelBroadcastCap", c.toString))
 
     // deterministic id-ordered split: first initRows docs seed the
     // corpus, the next batches×batchSize stream through the gate

@@ -121,5 +121,12 @@ class AudioPHashSpec extends AnyFunSuite {
       "cross delta-standing pair vacuous")
     assert(inc.exists { case (a, b, _) => a % 5 == 0 && b % 5 == 0 },
       "within-delta pair vacuous")
+    // the maintained-state form (standing enters as the already-hashed
+    // table a BandHashGate carries; only the delta decodes) is
+    // pair-identical to the decode-both form
+    val standingHashes = Media.wavEnvelopeHash(mediaOf(standingRows)).toDF()
+    val idx = Media.audioNearDupDeltaPairsIndexed(standingHashes, mediaOf(deltaRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idx === inc, "indexed standing form diverged from decode-both")
   }
 }

@@ -126,6 +126,13 @@ class ComponentsSpec extends AnyFunSuite {
         s"delta fold divergence at seed=$seed")
       assert(runDelta(standingLabels, deltaIds, deltaPairs, cap = 0L) === full,
         s"star-loop delta fold divergence at seed=$seed")
+      // the session knob forces the DISTRIBUTED regime through the
+      // gates' default-cap call path (the backfill/bench hook) — same
+      // labels as the fused micro-batch regime
+      spark.conf.set("spark.graft.relabelBroadcastCap", "0")
+      try assert(runDelta(standingLabels, deltaIds, deltaPairs) === full,
+        s"conf-forced shuffle regime divergence at seed=$seed")
+      finally spark.conf.unset("spark.graft.relabelBroadcastCap")
     }
   }
 

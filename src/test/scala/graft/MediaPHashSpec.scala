@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Media, MediaRow}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.util.Random
@@ -152,5 +153,34 @@ class MediaPHashSpec extends AnyFunSuite {
     assert(pruned === Set((100L, 101L)))
     val full = Media.phashNearDupPairs(mediaOf(rows)).count()
     assert(full === 20L * 19 / 2 + 1)
+  }
+
+  test("degenerate-band corpus: post-prune candidate volume is cap-bounded (letterbox mass)") {
+    // the skew case a real media corpus hits: a large near-identical
+    // mass (solid frames, letterbox bars) collapses onto FOUR band
+    // keys whose df² candidates carry no signal. 300 identical docs at
+    // cap 16: the prune must (a) emit zero pairs inside the mass,
+    // (b) keep every post-prune (band, key) at df <= cap — the bound
+    // that caps the join's candidate volume at bands · cap per row —
+    // and (c) still find the scattered cold twins.
+    val mass = Array.tabulate(420)(i => (i % 7).toByte) // near-constant
+    val cold1 = Array.tabulate(500)(i => ((i * 11 + 3) % 251).toByte)
+    val cold2 = Array.tabulate(460)(i => ((i * 17 + 5) % 249).toByte)
+    val rows = (0 until 300).map(i => i.toLong -> mass) ++
+      Seq(1000L -> cold1, 1001L -> cold1, 2000L -> cold2, 2001L -> cold2)
+    val cap = 16L
+    val got = Media.phashNearDupPairs(mediaOf(rows), maxBandFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1000L, 1001L), (2000L, 2001L)),
+      "mass pairs must be pruned; cold twins must survive")
+    // the candidate bound itself: df of every SURVIVING band key <= cap
+    val hashes = Media.ppmAHash(mediaOf(rows)).toDF()
+    val dfs = Media.phashBandRows(hashes)
+      .groupBy("band", "key").count()
+    val maxSurviving = dfs.filter(col("count") <= cap)
+      .agg(max("count")).head().getLong(0)
+    val massDf = dfs.agg(max("count")).head().getLong(0)
+    assert(massDf >= 300L, "the mass must actually be a hot band")
+    assert(maxSurviving <= cap)
   }
 }
