@@ -339,6 +339,64 @@ object TileOps {
     val spanIds = spans.filter(col("is_span")).select(col("id"))
     val uniq = edges.groupBy("child_id").agg(count(lit(1)).as("np"), min("parent_id").as("pid"))
       .filter(col("np") === 1).select(col("child_id").as("id"), col("pid"))
+    // POINTER-DOUBLED climb (round 10): promoted(s0) = the first
+    // NON-climbable node on s0's unique-parent chain (climbable =
+    // span-rendered AND exactly one parent slot), and the chain is a
+    // functional graph — so a jump table J(x) = (position after 2^k
+    // hops, terminal once inside the window) squares per round
+    // (log2(height) rounds; the spanClass discipline). Walkers whose
+    // chain CYCLES never acquire a terminal: they fall back to the
+    // stepwise walk below, whose visited-set emission (the first
+    // revisited node) is the serving recursion's cycle rule — the
+    // fallback input is empty on well-formed graphs, costing one
+    // emptiness probe.
+    val climb = spanIds.join(uniq, Seq("id"))
+    var jump = climb.as("c")
+      .join(climb.select(col("id").as("pid")).withColumn("t", lit(true)),
+        Seq("pid"), "left")
+      .select(col("id"), col("pid").as("nxt"),
+        when(col("t").isNull, col("pid")).as("fin"))
+      .localCheckpoint()
+    var resolved = jump.filter(col("fin").isNotNull).count()
+    var growing = jump.filter(col("fin").isNull).limit(1).count() > 0
+    while (growing) {
+      val doubled = jump.as("a")
+        .join(jump.select(col("id").as("nxt"), col("nxt").as("nxt2"),
+          col("fin").as("fin2")).as("b"), Seq("nxt"), "left")
+        .select(col("a.id").as("id"),
+          when(col("a.fin").isNotNull, col("nxt")).otherwise(col("nxt2")).as("nxt"),
+          coalesce(col("a.fin"), col("fin2")).as("fin"))
+        .localCheckpoint()
+      val now = doubled.filter(col("fin").isNotNull).count()
+      jump.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      jump = doubled
+      if (now == resolved) growing = false else resolved = now
+    }
+    val s0s = sibIds.select(col("id"))
+    val looked = s0s.join(jump.select(col("id"), col("fin")), Seq("id"), "left")
+    val immediate = looked.filter(col("fin").isNull)
+      .join(climb.select("id"), Seq("id"), "left_anti")
+      .select(col("id").as("s0"), col("id").as("promoted"))
+    val chained = looked.filter(col("fin").isNotNull)
+      .select(col("id").as("s0"), col("fin").as("promoted"))
+    val cyclic = looked.filter(col("fin").isNull)
+      .join(climb.select("id"), Seq("id"), "left_semi")
+      .select("id")
+    immediate.unionByName(chained)
+      .unionByName(promoteStepwise(edges, cyclic, spans))
+  }
+
+  /** The stepwise climb — now only the cycle fallback of [[promote]]
+    * (its visited-set walk is the serving recursion's cycle rule).
+    */
+  private def promoteStepwise(edges: DataFrame, sibIds: DataFrame, spans: DataFrame): DataFrame = {
+    val spanIds = spans.filter(col("is_span")).select(col("id"))
+    val uniq = edges.groupBy("child_id").agg(count(lit(1)).as("np"), min("parent_id").as("pid"))
+      .filter(col("np") === 1).select(col("child_id").as("id"), col("pid"))
     var state = sibIds.select(col("id").as("s0"), col("id").as("cur")).localCheckpoint()
     // visited ≡ the union of every state frame so far; both it and the
     // finals accumulate as lazy unions of the checkpointed states
@@ -405,8 +463,19 @@ object TileOps {
     // the walks overlap the whole section chain
     val sibWalkF = Seq(true, false).map { before =>
       before -> sibCoreF.map(core => phase(s"sibWalk($before)")(
-        GraphOps.siblingAdjacencyFrom(nodes, core, before)))
+        GraphOps.siblingAdjacencyFrom(nodes, core, before)
+          .localCheckpoint()))
     }.toMap
+    // the promotion climb is per-sibling context-free, so it runs over
+    // the UNRESTRICTED union of both walks' sibling ids the moment
+    // they land — concurrent with the whole section chain; the
+    // leaf-restricted sides join against it later
+    val promotedF = Future.sequence(sibWalkF.values.toSeq).map { walks =>
+      phase("promote")(promote(edges,
+        walks.reduce(_ unionByName _)
+          .select(col("sibling_id").as("id")).distinct(), spans)
+        .localCheckpoint())
+    }
     val items = phase("sectionItems")(sectionItems(nodes, edges, roots))
     // shared flags for text/chain leaves (multi sections are always shared)
     val leafRoots = items.filter(col("item") === "LEAF")
@@ -420,6 +489,8 @@ object TileOps {
       items.select(col("sub_root").as("id")).distinct()).localCheckpoint())
     val chainKinds = nodes.select(col("id").as("sub_root"),
       (col("kind") === "LIST" && col("layout") === "CHAIN").as("isChain"))
+    // checkpointed: consumed by BOTH branch sides' per-root frames and
+    // the final assembly — a lazy plan would re-run its joins 3×
     val sections = items
       .join(Await.result(sharedF, Duration.Inf), Seq("sub_root"), "left")
       .join(chainKinds, Seq("sub_root"))
@@ -428,6 +499,7 @@ object TileOps {
           .when(col("isChain") && col("sh").isNotNull, col("sub_root"))
           .as("section_anchor"),
         (col("item") === "MULTI" || col("sh").isNotNull).as("section_shared"))
+      .localCheckpoint()
 
     // branches per (root, leaf, side) — the two directions share the
     // sibling walk's side-independent prefix (non-blank closure +
@@ -435,33 +507,38 @@ object TileOps {
     // union of both sides' sibling ids (round 10: the climb is
     // per-sibling context-free, so two identical loops were one)
     val leafIds = leaves.select(col("leaf").as("id")).distinct().localCheckpoint()
-    val sibsOf = phase("sibAdjacency")(sibWalkF.map { case (before, f) =>
-      before -> Await.result(f, Duration.Inf)
-        .join(leafIds, Seq("id"), "left_semi").localCheckpoint()
-    })
-    val promoted = phase("promote")(promote(edges,
-      sibsOf.valuesIterator.reduce(_ unionByName _)
-        .select(col("sibling_id").as("id")).distinct(), spans))
-    def branches(before: Boolean): DataFrame =
-      sibsOf(before)
-        .join(promoted.withColumnRenamed("s0", "sibling_id"), Seq("sibling_id"))
-        .select(col("id").as("leaf"), col("promoted"))
-    val inView = Await.result(inViewF, Duration.Inf)
-    def branchArrays(before: Boolean, cname: String): DataFrame = {
-      // a leaf's branches are per TILE: drop promoted ids already in
-      // the root's view, then aggregate the survivors
-      val perRoot = sections.select(col("root"), col("sub_root")).distinct()
-        .join(leaves.select(col("sr").as("sub_root"), col("leaf")), Seq("sub_root"))
-        .select(col("root"), col("leaf")).distinct()
-      perRoot.join(branches(before), Seq("leaf"))
-        .join(inView.select(col("root"), col("id").as("promoted"))
-          .withColumn("inv", lit(true)), Seq("root", "promoted"), "left")
-        .filter(col("inv").isNull)
-        .groupBy("root", "leaf")
-        .agg(array_sort(collect_set(col("promoted"))).as(cname))
-    }
-    val beforeB = branchArrays(before = true, "before_ids")
-    val afterB = branchArrays(before = false, "after_ids")
+    val perRoot = sections.select(col("root"), col("sub_root")).distinct()
+      .join(leaves.select(col("sr").as("sub_root"), col("leaf")), Seq("sub_root"))
+      .select(col("root"), col("leaf")).distinct()
+      .localCheckpoint()
+    // each side's restriction + per-tile branch aggregation
+    // materializes on its own thread; the final assembly reads two
+    // small checkpointed (root, leaf, ids) frames
+    val branchArrayF = Seq((true, "before_ids"), (false, "after_ids")).map {
+      case (before, cname) =>
+        val f = for {
+          walk <- sibWalkF(before)
+          promoted <- promotedF
+          inView <- inViewF
+        } yield phase(s"branchArray($before)") {
+          val sibs = walk.join(leafIds, Seq("id"), "left_semi")
+          val branch = sibs
+            .join(promoted.withColumnRenamed("s0", "sibling_id"), Seq("sibling_id"))
+            .select(col("id").as("leaf"), col("promoted"))
+          // a leaf's branches are per TILE: drop promoted ids already
+          // in the root's view, then aggregate the survivors
+          perRoot.join(branch, Seq("leaf"))
+            .join(inView.select(col("root"), col("id").as("promoted"))
+              .withColumn("inv", lit(true)), Seq("root", "promoted"), "left")
+            .filter(col("inv").isNull)
+            .groupBy("root", "leaf")
+            .agg(array_sort(collect_set(col("promoted"))).as(cname))
+            .localCheckpoint()
+        }
+        (cname, f)
+    }.toMap
+    val beforeB = Await.result(branchArrayF("before_ids"), Duration.Inf)
+    val afterB = Await.result(branchArrayF("after_ids"), Duration.Inf)
 
     val emptyArr = array().cast("array<string>")
     val wSec = Window.partitionBy("root").orderBy("path")
