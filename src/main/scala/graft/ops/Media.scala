@@ -1356,4 +1356,452 @@ object Media {
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame =
     bandedNearDupPairs(pngAHash(media).toDF(), maxHamming, maxBandFreq)
+
+  // ──────────────────────── JPEG (round 10) ────────────────────────
+  // The second compressed container, and the first LOSSY one:
+  // baseline JPEG (ITU T.81), grayscale/luma. The DECODER is the real
+  // thing — marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman
+  // entropy decode with byte-stuffing, run-length AC with ZRL/EOB,
+  // zigzag dequantization, and a full 2-D IDCT — so arbitrary
+  // baseline-luma streams decode (JpegSpec drives nonzero-AC blocks
+  // through it against an independent IDCT). The deterministic
+  // ENCODER emits DC-only blocks (per-block flat approximation,
+  // standard Annex-K Huffman tables, flat quant 16): lossy like real
+  // JPEG, yet the decoded raster is CLOSED-FORM replayable — every
+  // pixel of block b is clamp(2·trunc(S_b/128) + 128) with S_b the
+  // block's level-shifted sum — which is what lets a DuckDB oracle
+  // pin decode∘encode through a genuinely entropy-coded stream.
+
+  /** Standard luminance Huffman tables (T.81 Annex K.3.3). */
+  private val JpegDcBits =
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val JpegAcBits =
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  /** Zigzag order: zigzag index -> raster index (T.81 Figure 5). */
+  private val JpegZigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+  private val JpegQ = 16 // flat quant: multiple of 8, so DC-only IDCT is exact
+
+  /** Canonical Huffman codes from a BITS/HUFFVAL pair:
+    * symbol -> (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+  private lazy val DcEnc = huffCodes(JpegDcBits, JpegDcVals)
+
+  /** Wrap a text corpus as baseline-JPEG rows: gray raster = the
+    * UTF-8 bytes cycled over w·h pixels, w = 8·(1 + L mod 5),
+    * h = 8·(1 + L mod 4) (multiples of 8: whole MCUs; the DECODER
+    * still handles edge clipping for foreign streams).
+    */
+  def asJpeg(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "image/jpeg", encodeJpegGray(bytes))
+      })
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s, per convention
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private[graft] def encodeJpegGray(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val w = 8 * (1 + l % 5)
+    val h = 8 * (1 + l % 4)
+    val out = new java.io.ByteArrayOutputStream(512)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(JpegQ)) // DQT: table 0, 8-bit
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1,
+      0x01, 0x11, 0x00)) // SOF0: 1 component, no subsampling, qtable 0
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals) // DHT DC 0
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals) // DHT AC 0
+    seg(0xda, Array(1, 0x01, 0x00, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val acEnc = huffCodes(JpegAcBits, JpegAcVals)
+    val (eobCode, eobLen) = acEnc(0x00)
+    var prevDc = 0
+    val bw8 = w / 8; val bh8 = h / 8
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        // level-shifted block sum -> quantized DC (truncate toward 0)
+        var s = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            s += (src(((by * 8 + r) * w + bx * 8 + c) % l) & 0xff) - 128
+            c += 1
+          }
+          r += 1
+        }
+        val dcq = s / (8 * JpegQ) // truncation: |s| <= 8128, exact
+        val diff = dcq - prevDc
+        prevDc = dcq
+        val mag = math.abs(diff)
+        val cat = 32 - Integer.numberOfLeadingZeros(mag) // bits of |diff|
+        val (dcCode, dcLen) = DcEnc(cat)
+        bw.put(dcCode, dcLen)
+        if (cat > 0) {
+          val bits = if (diff < 0) diff + (1 << cat) - 1 else diff
+          bw.put(bits, cat)
+        }
+        bw.put(eobCode, eobLen) // all-zero AC
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline-JPEG luma parser: marker walk, DQT/DHT/SOF0/SOS,
+    * canonical Huffman entropy decode (byte-stuffed), zigzag
+    * dequantization, 2-D IDCT, edge clipping. Grayscale (one
+    * component) baseline only; progressive/multi-component/restart
+    * streams are rejected loudly, as are Huffman overruns, >64
+    * coefficients, and data past EOI.
+    */
+  private[graft] def decodeJpegBytes(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var p = 0
+    def u8(): Int = {
+      require(p < b.length, "jpeg: truncated stream")
+      val v = b(p) & 0xff; p += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    require(b.length >= 2 && u8() == 0xff && u8() == 0xd8, "jpeg: bad SOI")
+    var w = -1; var h = -1
+    var qtab: Array[Int] = null
+    // Huffman tables as canonical (firstCode/firstIndex per length)
+    final case class Huff(maxLen: Int, firstCode: Array[Int], firstIdx: Array[Int],
+      counts: Array[Int], vals: Array[Int])
+    def buildHuff(bits: Array[Int], vals: Array[Int]): Huff = {
+      val firstCode = new Array[Int](17); val firstIdx = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        firstCode(len) = code; firstIdx(len) = k
+        code += bits(len); k += bits(len)
+        code <<= 1
+      }
+      Huff(16, firstCode, firstIdx, bits, vals)
+    }
+    var dcHuff: Huff = null; var acHuff: Huff = null
+    var sofSeen = false
+    var pix: Array[Byte] = null
+    var done = false
+    while (!done) {
+      require(u8() == 0xff, "jpeg: expected marker")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes
+      m match {
+        case 0xd9 => done = true // EOI (legal only after the scan)
+          require(pix != null, "jpeg: EOI before any scan")
+        case 0xdb =>
+          val len = u16() - 2
+          var rem = len
+          while (rem > 0) {
+            val pq = u8(); rem -= 1
+            require((pq >> 4) == 0, "jpeg: only 8-bit quant tables")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = u8(); i += 1 }
+            rem -= 64
+            if ((pq & 0x0f) == 0) qtab = t
+          }
+        case 0xc4 =>
+          val len = u16() - 2
+          var rem = len
+          while (rem > 0) {
+            val tc = u8(); rem -= 1
+            val bits = new Array[Int](17)
+            var total = 0
+            var i = 1
+            while (i <= 16) { bits(i) = u8(); total += bits(i); i += 1 }
+            rem -= 16
+            val vals = new Array[Int](total)
+            i = 0
+            while (i < total) { vals(i) = u8(); i += 1 }
+            rem -= total
+            val hf = buildHuff(bits, vals)
+            if ((tc >> 4) == 0) { if ((tc & 0xf) == 0) dcHuff = hf }
+            else { if ((tc & 0xf) == 0) acHuff = hf }
+          }
+        case 0xc0 =>
+          val len = u16()
+          require(u8() == 8, "jpeg: only 8-bit precision")
+          h = u16(); w = u16()
+          require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue / 4,
+            s"jpeg: bad dimensions ${w}x$h")
+          val nc = u8()
+          require(nc == 1, s"jpeg: only grayscale supported, got $nc components")
+          val _ = (u8(), u8(), u8()) // id, sampling, qtable selector
+          require(len == 8 + 3, "jpeg: malformed SOF0")
+          sofSeen = true
+        case 0xc2 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"jpeg: unsupported SOF marker 0xff$m%02x (baseline sequential only)")
+        case 0xda =>
+          require(sofSeen && qtab != null && dcHuff != null && acHuff != null,
+            "jpeg: SOS before SOF/DQT/DHT")
+          val len = u16()
+          val ns = u8()
+          require(ns == 1 && len == 6 + 2, "jpeg: single-component scan only")
+          val _ = (u8(), u8()) // component id, table selectors
+          require(u8() == 0 && u8() == 63 && u8() == 0,
+            "jpeg: non-baseline spectral selection")
+          // entropy-coded segment: bit reader with stuffing
+          var acc = 0; var nbits = 0
+          def bit(): Int = {
+            if (nbits == 0) {
+              require(p < b.length, "jpeg: entropy data truncated")
+              val v = b(p) & 0xff; p += 1
+              if (v == 0xff) {
+                require(p < b.length, "jpeg: entropy data truncated")
+                val nxt = b(p) & 0xff
+                require(nxt == 0x00,
+                  f"jpeg: unexpected marker 0xff$nxt%02x inside scan")
+                p += 1
+              }
+              acc = v; nbits = 8
+            }
+            nbits -= 1
+            (acc >>> nbits) & 1
+          }
+          def decodeSym(hf: Huff): Int = {
+            var code = 0; var len2 = 0
+            while (len2 < 16) {
+              code = (code << 1) | bit(); len2 += 1
+              val idx = code - hf.firstCode(len2)
+              if (idx >= 0 && idx < hf.counts(len2))
+                return hf.vals(hf.firstIdx(len2) + idx)
+            }
+            throw new IllegalArgumentException("jpeg: invalid Huffman code")
+          }
+          def receiveExtend(cat: Int): Int = {
+            if (cat == 0) return 0
+            var v = 0
+            var i = 0
+            while (i < cat) { v = (v << 1) | bit(); i += 1 }
+            if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+          }
+          pix = new Array[Byte](w * h)
+          val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+          val coef = new Array[Int](64)
+          val block = new Array[Int](64)
+          var prevDc = 0
+          var by = 0
+          while (by < bh8) {
+            var bx = 0
+            while (bx < bw8) {
+              java.util.Arrays.fill(coef, 0)
+              val dcCat = decodeSym(dcHuff)
+              require(dcCat <= 11, "jpeg: DC category out of range")
+              prevDc += receiveExtend(dcCat)
+              coef(0) = prevDc * qtab(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeSym(acHuff)
+                val run = rs >> 4; val cat = rs & 0x0f
+                if (cat == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true
+                } else {
+                  k += run
+                  require(k < 64, "jpeg: AC run past block end")
+                  coef(JpegZigzag(k)) = receiveExtend(cat) * qtab(k)
+                  k += 1
+                }
+              }
+              idct8x8(coef, block)
+              var r = 0
+              while (r < 8) {
+                val py = by * 8 + r
+                if (py < h) {
+                  var c = 0
+                  while (c < 8) {
+                    val px = bx * 8 + c
+                    if (px < w) pix(py * w + px) = block(r * 8 + c).toByte
+                    c += 1
+                  }
+                }
+                r += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+        case rst if rst == 0x01 || (rst >= 0xd0 && rst <= 0xd7) =>
+          throw new IllegalArgumentException(
+            "jpeg: TEM/restart markers unsupported")
+        case other =>
+          // segments with length we skip: APPn, COM...
+          require(other != 0xdd, "jpeg: restart interval unsupported")
+          val len = u16()
+          require(len >= 2 && p + len - 2 <= b.length, "jpeg: segment overruns")
+          p += len - 2
+      }
+    }
+    require(p == b.length, "jpeg: trailing data after EOI")
+    (w, h, pix)
+  }
+
+  /** Separable double-precision IDCT with final round + clamp — the
+    * straightforward T.81 A.3.3 definition (exact for DC-only blocks
+    * whose DC is a multiple of 8, which the oracle relies on).
+    */
+  private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) 0.7071067811865476 else 1.0
+            val cv = if (v == 0) 0.7071067811865476 else 1.0
+            sum += cu * cv * coef(u * 8 + v) *
+              math.cos((2 * r + 1) * u * math.Pi / 16) *
+              math.cos((2 * c + 1) * v * math.Pi / 16)
+            v += 1
+          }
+          u += 1
+        }
+        val x = math.round(sum / 4.0 + 128.0).toInt
+        out(r * 8 + c) = math.max(0, math.min(255, x))
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Parse each row's JPEG and digest the DECODED gray raster (the
+    * [[decodePpm]] contract over the lossy container). */
+  def decodeJpeg(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, pix) = decodeJpegBytes(row.content)
+        PpmFeatures(row.doc_id, w.toLong, h.toLong, pix.length.toLong,
+          md5Hex(md, hexUpper(pix, 0, pix.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** aHash over the decoded GRAY raster — [[aHashRgb]]'s kernel with a
+    * single-channel gray (identical thresholds: gray vs channel-sum is
+    * scale-free). */
+  private[graft] def aHashGray(docId: Long, w: Int, h: Int, pix: Array[Byte]): PHashRow = {
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var p = 0
+    val nPix = w * h
+    while (p < nPix) {
+      val ci = (p / w) * 8 / h
+      val cj = (p % w) * 8 / w
+      val cell = ci * 8 + cj
+      cellSum(cell) += (pix(p) & 0xff)
+      cellCnt(cell) += 1L
+      p += 1
+    }
+    var totalSum = 0L; var totalCnt = 0L
+    var c = 0
+    while (c < 64) { totalSum += cellSum(c); totalCnt += cellCnt(c); c += 1 }
+    val bands = new Array[Int](4)
+    c = 0
+    while (c < 64) {
+      if (cellSum(c) * totalCnt > totalSum * cellCnt(c))
+        bands(c / 16) |= 1 << (c % 16)
+      c += 1
+    }
+    PHashRow(docId, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** aHash over DECODED JPEG pixels — the perceptual fingerprint
+    * survives the lossy round-trip (JpegSpec pins twin behavior). */
+  def jpegAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, pix) = decodeJpegBytes(row.content)
+      aHashGray(row.doc_id, w, h, pix)
+    })
+  }
+
+  /** Perceptual near-dup over JPEG blobs: entropy decode → dequant →
+    * IDCT → aHash → the shared pigeonhole band engine. */
+  def jpegNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(jpegAHash(media).toDF(), maxHamming, maxBandFreq)
 }

@@ -686,6 +686,45 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // LOSSY compressed container (round 10): documents → real baseline
+    // JPEG (standard Annex-K Huffman tables, byte-stuffed entropy
+    // coding, flat quant 16, DC-only blocks) → the real decoder
+    // (marker walk, canonical Huffman decode, zigzag dequantization,
+    // 2-D IDCT, clamp) → dimensions + decoded-raster digest. Unlike
+    // PNG (q132), decode ∘ encode is NOT the identity — JPEG is lossy
+    // — but the DC-only stream's decoded raster is CLOSED-FORM (every
+    // pixel of block b is 2·trunc(S_b/128) + 128 with S_b the block's
+    // level-shifted sum), so the oracle rebuilds the LOSSY result from
+    // the cycled source bytes and pins the entire entropy-decode →
+    // dequant → IDCT chain without ever seeing a Huffman bit.
+    "q139_jpeg_decode" -> ((s, dir) =>
+      Media.decodeJpeg(Media.asJpeg(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
+    // Perceptual near-dup THROUGH the lossy container: entropy decode
+    // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
+    // twins (id+6000006) survive at hamming 0 (same bytes ⇒ same lossy
+    // raster); '~~~'-perturbed twins (id+7000007) shift a few block
+    // DCs by ≤2 gray levels — mostly absorbed by the perceptual hash,
+    // which is the point of hashing DECODED pixels, not container
+    // bytes. The oracle replays aHash over the same closed-form
+    // rasters, so lossiness cancels exactly on both sides.
+    "q140_jpeg_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 6000006L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 7000007L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.jpegNearDupPairs(Media.asJpeg(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -2401,6 +2440,109 @@ object Pipelines {
            md5(substr(repeat(hex(encode(t)), CAST((nf*w*h + l - 1) // l AS INT)),
                1, 2 * nf * w * h)) AS luma_md5
          FROM dims""",
+
+    // JPEG decode: the container is LOSSY, so the oracle rebuilds the
+    // decoder's output — not the source — from the closed form of the
+    // DC-only encoder: pixel of block (by,bx) = 128 + 2·trunc(S/128),
+    // S = Σ(block bytes) − 64·128, bytes cycled from the source. This
+    // pins entropy decode → dequant → IDCT end-to-end (any Huffman or
+    // IDCT defect shifts a block's gray level and breaks the digest).
+    "q139_jpeg_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5),
+         blocks AS (SELECT doc_id, w, h, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, w, p FROM dims, UNNEST(range(0, w*h)) u(p)),
+         pix AS (SELECT x.doc_id, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.by = (x.p // x.w) // 8
+             AND b.bx = (x.p % x.w) // 8),
+         dig AS (SELECT doc_id,
+             md5(string_agg(lpad(upper(to_hex(pv)), 2, '0'), '' ORDER BY p)) AS pixel_md5
+           FROM pix GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
+         FROM dims d JOIN dig USING (doc_id)""",
+
+    // JPEG near-dup: q120's aHash→band→pigeonhole chain, with the
+    // byte-cycled RGB raster swapped for the closed-form DC-only gray
+    // raster (per-block constant pv) — lossiness cancels because both
+    // engines hash the DECODED image.
+    "q140_jpeg_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 6000006, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 7000007, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5),
+         blocks AS (SELECT doc_id, w, h, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM bsum),
+         pix AS (SELECT d.doc_id, d.w, d.h, u.p FROM dims d, UNNEST(range(0, w*h)) u(p)),
+         vals AS (SELECT x.doc_id, x.w, x.h, x.p, b.pv
+           FROM pix x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.by = (x.p // x.w) // 8
+             AND b.bx = (x.p % x.w) // 8),
+         cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(pv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
 
     // Cross-video near-dup frames: the q120 aHash chain with a frame
     // dimension — luma byte p of frame f is source byte (f·w·h+p) mod
