@@ -715,29 +715,35 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
       val (_, _, _, pcm) = decodeWavBytes(row.content)
-      val m = pcm.length / 2
-      val blockSum = new Array[Long](64)
-      val blockCnt = new Array[Long](64)
-      var j = 0
-      while (j < m) {
-        val v = ((pcm(2 * j) & 0xff) | (pcm(2 * j + 1) << 8)).toShort.toInt
-        val block = j * 64 / m
-        blockSum(block) += math.abs(v)
-        blockCnt(block) += 1L
-        j += 1
-      }
-      var totalSum = 0L; var totalCnt = 0L
-      var c = 0
-      while (c < 64) { totalSum += blockSum(c); totalCnt += blockCnt(c); c += 1 }
-      val bands = new Array[Int](4)
-      c = 0
-      while (c < 64) {
-        if (blockSum(c) * totalCnt > totalSum * blockCnt(c))
-          bands(c / 16) |= 1 << (c % 16)
-        c += 1
-      }
-      PHashRow(row.doc_id, bands(0), bands(1), bands(2), bands(3))
+      envelopeHashOfPcm(row.doc_id, pcm)
     })
+  }
+
+  /** The per-row envelope kernel behind [[wavEnvelopeHash]] and
+    * [[flacEnvelopeHash]] — container-independent by construction. */
+  private[graft] def envelopeHashOfPcm(docId: Long, pcm: Array[Byte]): PHashRow = {
+    val m = pcm.length / 2
+    val blockSum = new Array[Long](64)
+    val blockCnt = new Array[Long](64)
+    var j = 0
+    while (j < m) {
+      val v = ((pcm(2 * j) & 0xff) | (pcm(2 * j + 1) << 8)).toShort.toInt
+      val block = j * 64 / m
+      blockSum(block) += math.abs(v)
+      blockCnt(block) += 1L
+      j += 1
+    }
+    var totalSum = 0L; var totalCnt = 0L
+    var c = 0
+    while (c < 64) { totalSum += blockSum(c); totalCnt += blockCnt(c); c += 1 }
+    val bands = new Array[Int](4)
+    c = 0
+    while (c < 64) {
+      if (blockSum(c) * totalCnt > totalSum * blockCnt(c))
+        bands(c / 16) |= 1 << (c % 16)
+      c += 1
+    }
+    PHashRow(docId, bands(0), bands(1), bands(2), bands(3))
   }
 
   /** Perceptual audio near-dup: blobs whose envelope hashes differ in
@@ -1804,4 +1810,472 @@ object Media {
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame =
     bandedNearDupPairs(jpegAHash(media).toDF(), maxHamming, maxBandFreq)
+
+  // ──────────────────────── FLAC (round 10) ────────────────────────
+  // The compressed-AUDIO container, completing the codec trio next to
+  // PNG (lossless image) and JPEG (lossy image). The DECODER is a real
+  // fixed-predictor-subset FLAC parser: fLaC magic + metadata-block
+  // walk, STREAMINFO field unpack, frame sync/header parse (UTF-8
+  // coded numbers, explicit and tabled block sizes / sample rates)
+  // with CRC-8 verification, bit-level subframe decode (CONSTANT /
+  // VERBATIM / FIXED orders 0-4), Rice residual decode (4- and 5-bit
+  // parameter methods, arbitrary partition orders, escape-coded raw
+  // partitions), fixed-predictor reconstruction, per-frame CRC-16
+  // verification, and a final STREAMINFO-MD5 check of the decoded
+  // PCM — the container's own end-to-end losslessness proof. LPC
+  // subframes, stereo decorrelation, and wasted bits are REJECTED
+  // LOUDLY (documented subset, the baseline-JPEG discipline).
+  //
+  // The deterministic ENCODER emits real entropy-coded streams:
+  // 160-sample frames, per-channel subframes cycling VERBATIM and
+  // FIXED orders 0-2 (CONSTANT when a block is flat), Rice-coded
+  // residuals with per-partition parameter fit, CRC-8/CRC-16 framing,
+  // and the PCM MD5 in STREAMINFO. FLAC is LOSSLESS, so decode ∘
+  // encode recovers the exact WAV-path PCM (same channels / rate /
+  // sample-count / payload formulas as [[encodeWav]]) — which is what
+  // lets the q110/q122 DuckDB oracles gate the FLAC queries verbatim,
+  // the audio analog of PNG riding the PPM oracles.
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0, MSB-first — the FLAC
+    * frame-header checksum. */
+  private[graft] def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+          else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0, MSB-first —
+    * the FLAC whole-frame checksum. */
+  private[graft] def flacCrc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MSB-first bit writer (no byte stuffing — FLAC frames are plain). */
+  private final class FlacBitWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var acc = 0; private var n = 0
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1L).toInt
+        n += 1
+        if (n == 8) { buf.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    /** FLAC unary: q zero bits terminated by a one bit. */
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def alignZero(): Unit = while (n != 0) put(0, 1)
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); buf.toByteArray }
+  }
+
+  /** Wrap a text corpus as FLAC rows — channel / rate / sample-count /
+    * payload formulas IDENTICAL to [[asWav]], so the decoded PCM (and
+    * hence every downstream digest and envelope hash) is the WAV
+    * path's. */
+  def asFlac(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "audio/flac", encodeFlac(bytes))
+      })
+  }
+
+  private val FlacBlockSize = 160
+
+  private[graft] def encodeFlac(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val channels = 1 + l % 2
+    val sampleRate = 8000 + (l % 8) * 1000
+    val nSamples = 64 + l % 512 // per channel
+    val dataBytes = nSamples * channels * 2
+    val pcm = new Array[Byte](dataBytes)
+    var i = 0
+    while (i < dataBytes) { pcm(i) = src(i % l); i += 1 }
+    def sample(ch: Int, t: Int): Int =
+      ((pcm(2 * (t * channels + ch)) & 0xff) |
+        (pcm(2 * (t * channels + ch) + 1) << 8)).toShort.toInt
+    val md5 = MessageDigest.getInstance("MD5").digest(pcm)
+
+    val out = new java.io.ByteArrayOutputStream(dataBytes / 2 + 128)
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO (type 0, last-metadata-block), 34 bytes
+    val si = new FlacBitWriter
+    val bs0 = math.min(FlacBlockSize, nSamples)
+    si.put(bs0.toLong, 16); si.put(bs0.toLong, 16) // min/max block size
+    si.put(0L, 24); si.put(0L, 24) // min/max frame size: unknown
+    si.put(sampleRate.toLong, 20)
+    si.put((channels - 1).toLong, 3)
+    si.put(15L, 5) // bps - 1
+    si.put(nSamples.toLong, 36)
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+
+    var f = 0
+    var t0 = 0
+    while (t0 < nSamples) {
+      val bs = math.min(FlacBlockSize, nSamples - t0)
+      val w = new FlacBitWriter
+      w.put(0xfff8L, 16) // sync + reserved + fixed-blocksize strategy
+      w.put(0x60L, 8) // blocksize code 6 (8-bit follows), rate code 0
+      w.put(((channels - 1) << 4 | (4 << 1)).toLong, 8) // chan asgn | 16 bps
+      require(f < 128, "frame number beyond 1-byte UTF-8 range")
+      w.put(f.toLong, 8) // UTF-8 coded frame number
+      w.put((bs - 1).toLong, 8)
+      val hdr = { w.alignZero(); w.bytes }
+      val w2 = new FlacBitWriter
+      var ch = 0
+      while (ch < channels) {
+        val x = Array.tabulate(bs)(t => sample(ch, t0 + t))
+        val flat = x.forall(_ == x(0))
+        if (flat) { // CONSTANT
+          w2.put(0L, 8) // 0 | type 000000 | no wasted bits
+          w2.put((x(0).toLong & 0xffffL), 16)
+        } else (f + ch) % 4 match {
+          case 3 => // VERBATIM
+            w2.put(1L << 1, 8)
+            var t = 0
+            while (t < bs) { w2.put(x(t).toLong & 0xffffL, 16); t += 1 }
+          case o0 => // FIXED order (0..2), capped below the block size
+            val o = math.min(o0, bs - 1) // short last frame: order < bs
+            w2.put(((8 + o) << 1).toLong, 8)
+            var t = 0
+            while (t < o) { w2.put(x(t).toLong & 0xffffL, 16); t += 1 }
+            val res = Array.tabulate(bs - o) { j =>
+              val t2 = j + o
+              o match {
+                case 0 => x(t2)
+                case 1 => x(t2) - x(t2 - 1)
+                case _ => x(t2) - 2 * x(t2 - 1) + x(t2 - 2)
+              }
+            }
+            w2.put(0L, 2) // residual method: 4-bit Rice params
+            w2.put(0L, 4) // partition order 0
+            var total = 0L
+            res.foreach(r => total += ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL)
+            var k = 0
+            while (k < 14 && (res.length.toLong << (k + 1)) < total) k += 1
+            w2.put(k.toLong, 4)
+            res.foreach { r =>
+              val u = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+              w2.putUnary((u >>> k).toInt)
+              if (k > 0) w2.put(u, k)
+            }
+        }
+        ch += 1
+      }
+      w2.alignZero()
+      val body = w2.bytes
+      val frame = new Array[Byte](hdr.length + 1 + body.length)
+      System.arraycopy(hdr, 0, frame, 0, hdr.length)
+      frame(hdr.length) = flacCrc8(hdr, 0, hdr.length).toByte
+      System.arraycopy(body, 0, frame, hdr.length + 1, body.length)
+      out.write(frame)
+      val c16 = flacCrc16(frame, 0, frame.length)
+      out.write(c16 >> 8); out.write(c16 & 0xff)
+      f += 1
+      t0 += bs
+    }
+    out.toByteArray
+  }
+
+  /** MSB-first bit reader with byte-position tracking. */
+  private final class FlacBitReader(b: Array[Byte], start: Int) {
+    var pos: Int = start // next unread byte when bit-aligned
+    private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < b.length, "flac: truncated stream")
+        acc = b(pos) & 0xff; pos += 1; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(c: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < c) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def signedBits(c: Int): Int = {
+      val v = bits(c)
+      (v << (64 - c) >> (64 - c)).toInt
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) { q += 1; require(q < (1 << 24), "flac: runaway unary") }
+      q
+    }
+    def aligned: Boolean = n == 0
+    def alignCheckZero(): Unit =
+      while (n != 0) require(bit() == 0, "flac: nonzero frame padding")
+  }
+
+  /** REAL FLAC parser (fixed-predictor subset): magic + metadata walk,
+    * STREAMINFO, frame headers with CRC-8, subframes (CONSTANT /
+    * VERBATIM / FIXED 0-4), Rice residuals (both parameter widths,
+    * any partition order, escape codes), CRC-16 per frame, and the
+    * STREAMINFO MD5 verified against the decoded PCM. LPC subframes,
+    * stereo decorrelation (left/right/mid-side), wasted bits, and
+    * non-16-bit streams are rejected loudly. Returns the
+    * [[decodeWavBytes]] contract: (channels, sampleRate, nSamples,
+    * interleaved little-endian PCM).
+    */
+  private[graft] def decodeFlacBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(b.length >= 42 &&
+      new String(b, 0, 4, "US-ASCII") == "fLaC", "flac: bad magic")
+    var p = 4
+    var last = false
+    var haveSi = false
+    var minBs = 0; var maxBs = 0; var rate = 0; var channels = 0
+    var totalSamples = 0L
+    val siMd5 = new Array[Byte](16)
+    while (!last) {
+      require(p + 4 <= b.length, "flac: truncated metadata header")
+      val hdr = b(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      require(typ != 127, "flac: invalid metadata block type")
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      p += 4
+      require(p + len <= b.length, "flac: metadata block overruns")
+      if (typ == 0) {
+        require(len == 34, "flac: malformed STREAMINFO")
+        val r = new FlacBitReader(b, p)
+        minBs = r.bits(16).toInt; maxBs = r.bits(16).toInt
+        r.bits(24); r.bits(24) // min/max frame size (unknown ok)
+        rate = r.bits(20).toInt
+        channels = r.bits(3).toInt + 1
+        val bps = r.bits(5).toInt + 1
+        require(bps == 16, s"flac: only 16-bit streams supported, got $bps")
+        totalSamples = r.bits(36)
+        System.arraycopy(b, p + 18, siMd5, 0, 16)
+        haveSi = true
+      }
+      p += len
+    }
+    require(haveSi, "flac: missing STREAMINFO")
+    require(rate > 0 && minBs >= 16, "flac: invalid STREAMINFO")
+
+    val pcmOut = new java.io.ByteArrayOutputStream(
+      math.min(math.max(1024L, totalSamples * channels * 2), 1L << 26).toInt)
+    var decoded = 0L
+    while (p < b.length) {
+      val frameStart = p
+      // ── frame header (always byte-aligned) ──
+      require(p + 5 <= b.length, "flac: truncated frame header")
+      require((b(p) & 0xff) == 0xff && ((b(p + 1) & 0xfe)) == 0xf8,
+        "flac: bad frame sync")
+      val variableBlocking = (b(p + 1) & 0x01) != 0
+      val bsCode = (b(p + 2) & 0xff) >> 4
+      val rateCode = b(p + 2) & 0x0f
+      val chanCode = (b(p + 3) & 0xff) >> 4
+      val sizeCode = (b(p + 3) & 0x0e) >> 1
+      require((b(p + 3) & 0x01) == 0, "flac: reserved header bit set")
+      p += 4
+      // UTF-8 coded frame/sample number (1-7 bytes)
+      val first = b(p) & 0xff; p += 1
+      var extra = 0
+      if (first >= 0x80) {
+        var m = first
+        while ((m & 0x40) != 0) { extra += 1; m <<= 1 }
+        require(extra >= 1 && extra <= 6, "flac: bad UTF-8 number")
+        var i = 0
+        while (i < extra) {
+          require((b(p) & 0xc0) == 0x80, "flac: bad UTF-8 continuation")
+          p += 1; i += 1
+        }
+      }
+      val bs = bsCode match {
+        case 0 => throw new IllegalArgumentException("flac: reserved blocksize code")
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => val v = (b(p) & 0xff) + 1; p += 1; v
+        case 7 =>
+          val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1; p += 2; v
+        case c => 256 << (c - 8)
+      }
+      val frameRate = rateCode match {
+        case 0 => rate
+        case 1 => 88200; case 2 => 176400; case 3 => 192000
+        case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
+        case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
+        case 12 => val v = (b(p) & 0xff) * 1000; p += 1; v
+        case 13 =>
+          val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v
+        case 14 =>
+          val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) * 10; p += 2; v
+        case _ => throw new IllegalArgumentException("flac: invalid rate code")
+      }
+      require(frameRate == rate, "flac: frame sample rate differs from STREAMINFO")
+      require(chanCode < 8,
+        "flac: stereo decorrelation unsupported (independent channels only)")
+      val frameCh = chanCode + 1
+      require(frameCh == channels, "flac: frame channels differ from STREAMINFO")
+      require(sizeCode == 4 || sizeCode == 0, "flac: only 16-bit frames supported")
+      val _ = variableBlocking // number semantics only; not needed to decode
+      require(p < b.length, "flac: truncated at header CRC")
+      val crc8Got = b(p) & 0xff; p += 1
+      require(crc8Got == flacCrc8(b, frameStart, p - 1), "flac: frame header CRC-8 mismatch")
+      // ── subframes (bit-level) ──
+      val r = new FlacBitReader(b, p)
+      val chans = Array.ofDim[Int](frameCh, bs)
+      var ch = 0
+      while (ch < frameCh) {
+        require(r.bit() == 0, "flac: subframe padding bit set")
+        val typ = r.bits(6).toInt
+        val wasted = r.bit()
+        require(wasted == 0, "flac: wasted bits unsupported")
+        val x = chans(ch)
+        if (typ == 0) { // CONSTANT
+          val v = r.signedBits(16)
+          java.util.Arrays.fill(x, v)
+        } else if (typ == 1) { // VERBATIM
+          var t = 0
+          while (t < bs) { x(t) = r.signedBits(16); t += 1 }
+        } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+          val o = typ & 0x07
+          require(o < bs, "flac: predictor order >= block size")
+          var t = 0
+          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+          val res = new Array[Int](bs - o)
+          val method = r.bits(2).toInt
+          require(method <= 1, "flac: reserved residual method")
+          val pw = if (method == 0) 4 else 5
+          val esc = (1 << pw) - 1
+          val po = r.bits(4).toInt
+          require((bs >> po) << po == bs, "flac: partition order doesn't divide block")
+          var part = 0
+          var ri = 0
+          while (part < (1 << po)) {
+            val cnt = (bs >> po) - (if (part == 0) o else 0)
+            require(cnt > 0, "flac: empty residual partition")
+            val param = r.bits(pw).toInt
+            if (param == esc) {
+              val rawBits = r.bits(5).toInt
+              var j = 0
+              while (j < cnt) {
+                res(ri) = if (rawBits == 0) 0 else r.signedBits(rawBits)
+                ri += 1; j += 1
+              }
+            } else {
+              var j = 0
+              while (j < cnt) {
+                val q = r.unary()
+                val u = (q.toLong << param) | r.bits(param)
+                res(ri) = ((u >>> 1) ^ -(u & 1L)).toInt
+                ri += 1; j += 1
+              }
+            }
+            part += 1
+          }
+          t = o
+          while (t < bs) {
+            val rr = res(t - o)
+            x(t) = o match {
+              case 0 => rr
+              case 1 => rr + x(t - 1)
+              case 2 => rr + 2 * x(t - 1) - x(t - 2)
+              case 3 => rr + 3 * x(t - 1) - 3 * x(t - 2) + x(t - 3)
+              case _ => rr + 4 * x(t - 1) - 6 * x(t - 2) + 4 * x(t - 3) - x(t - 4)
+            }
+            t += 1
+          }
+        } else if ((typ & 0x20) != 0) {
+          throw new IllegalArgumentException(
+            "flac: LPC subframes unsupported (fixed-predictor subset)")
+        } else {
+          throw new IllegalArgumentException(f"flac: reserved subframe type $typ%02x")
+        }
+        ch += 1
+      }
+      r.alignCheckZero()
+      p = r.pos
+      require(p + 2 <= b.length, "flac: truncated at frame CRC")
+      val crc16Got = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+      require(crc16Got == flacCrc16(b, frameStart, p), "flac: frame CRC-16 mismatch")
+      p += 2
+      var t = 0
+      while (t < bs) {
+        var c = 0
+        while (c < frameCh) {
+          val v = chans(c)(t)
+          require(v >= Short.MinValue && v <= Short.MaxValue,
+            "flac: decoded sample out of 16-bit range")
+          pcmOut.write(v & 0xff); pcmOut.write((v >> 8) & 0xff)
+          c += 1
+        }
+        t += 1
+      }
+      decoded += bs
+    }
+    require(totalSamples == 0L || decoded == totalSamples,
+      s"flac: decoded $decoded samples, STREAMINFO says $totalSamples")
+    val pcm = pcmOut.toByteArray
+    val md5 = MessageDigest.getInstance("MD5").digest(pcm)
+    require(siMd5.forall(_ == 0) || java.util.Arrays.equals(md5, siMd5),
+      "flac: PCM MD5 mismatch — lossless reconstruction failed")
+    (channels, rate, decoded.toInt, pcm)
+  }
+
+  /** Parse each row's FLAC and digest the decoded PCM — the
+    * [[decodeWav]] contract over the compressed container. */
+  def decodeFlac(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (ch, sr, n, pcm) = decodeFlacBytes(row.content)
+        WavFeatures(row.doc_id, ch.toLong, sr.toLong, n.toLong,
+          md5Hex(md, hexUpper(pcm, 0, pcm.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** Envelope hash over the decoded FLAC PCM — [[wavEnvelopeHash]]'s
+    * exact kernel; losslessness makes it bit-identical to the WAV
+    * path's hash for the same source. */
+  def flacEnvelopeHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (_, _, _, pcm) = decodeFlacBytes(row.content)
+      envelopeHashOfPcm(row.doc_id, pcm)
+    })
+  }
+
+  /** Perceptual audio near-dup over FLAC blobs: entropy decode →
+    * fixed-predictor reconstruction → envelope hash → the shared
+    * pigeonhole band engine. */
+  def flacNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(flacEnvelopeHash(media).toDF(), maxHamming, maxBandFreq)
 }

@@ -725,6 +725,40 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // COMPRESSED-audio container (round 10, completing the codec trio
+    // next to PNG and JPEG): documents → real FLAC streams (Rice-coded
+    // FIXED/VERBATIM/CONSTANT subframes, CRC-8/CRC-16 framing, PCM MD5
+    // in STREAMINFO) → the real fixed-predictor-subset parser →
+    // channels/rate/sample-count + decoded-PCM digest. FLAC is
+    // LOSSLESS and the encoder reuses the WAV path's channel/rate/
+    // count/payload formulas, so the q110 oracle IS the FLAC oracle:
+    // DuckDB never sees a Rice bit, only what it must decode to.
+    "q141_flac_decode" -> ((s, dir) =>
+      Media.decodeFlac(Media.asFlac(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "channels", "sample_rate", "n_samples", "pcm_md5")),
+
+    // Perceptual audio near-dup THROUGH the compressed container:
+    // Rice decode → fixed-predictor reconstruction → envelope hash →
+    // the shared pigeonhole band engine. Same twins as q122, and —
+    // because the decoded PCM is bit-identical to the WAV path's —
+    // the same pairs: container format and perceptual dedup stay
+    // orthogonal on the audio axis too.
+    "q142_flac_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.flacNearDupPairs(Media.asFlac(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -3443,5 +3477,10 @@ object Pipelines {
   // DuckDB never sees a DEFLATE stream, only what it must decode to.
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
-    "q133_png_neardup" -> oracleSqlBase("q120_media_phash"))
+    "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
+    // FLAC is lossless over the WAV path's exact PCM formulas, so the
+    // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
+    // of PNG riding the PPM oracles above.
+    "q141_flac_decode" -> oracleSqlBase("q110_wav_decode"),
+    "q142_flac_neardup" -> oracleSqlBase("q122_audio_phash"))
 }

@@ -1,0 +1,184 @@
+package graft
+
+import graft.ops.Media
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** FLAC (q141/q142): the compressed-AUDIO container completing the
+  * codec trio (PNG lossless image, JPEG lossy image, FLAC lossless
+  * audio). Losslessness is the load-bearing property: decode ∘ encode
+  * must recover the WAV path's exact PCM, which is what lets the
+  * q110/q122 oracles gate the FLAC queries verbatim. The decoder is
+  * exercised beyond the encoder's emissions: a hand-built frame with
+  * a nonzero partition order, the 5-bit Rice parameter method, and an
+  * escape-coded partition must reconstruct against a direct
+  * recurrence, and malformed streams must fail loudly.
+  */
+class FlacSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-flac-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** The WAV-path PCM formulas (the encodeWav contract). */
+  private def expectedPcm(src0: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val channels = 1 + l % 2
+    val rate = 8000 + (l % 8) * 1000
+    val n = 64 + l % 512
+    val pcm = Array.tabulate(n * channels * 2)(i => src(i % l))
+    (channels, rate, n, pcm)
+  }
+
+  test("decode ∘ encode recovers the exact WAV-path PCM (lossless)") {
+    val rnd = new Random(37)
+    for (len <- Seq(1, 2, 9, 64, 257, 500, 1000, 3333)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val (ch, sr, n, pcm) = Media.decodeFlacBytes(Media.encodeFlac(src))
+      val (ech, esr, en, epcm) = expectedPcm(src)
+      assert((ch, sr, n) === ((ech, esr, en)), s"len=$len header")
+      assert(java.util.Arrays.equals(pcm, epcm), s"len=$len pcm")
+    }
+  }
+
+  test("subframe coverage: FIXED 0-2, VERBATIM, CONSTANT all roundtrip") {
+    // l=1000 -> 552 samples -> 4 frames (160,160,160,72), mono:
+    // subframe types cycle f%4 = FIXED0, FIXED1, FIXED2, VERBATIM
+    val rnd = new Random(41)
+    val varied = Array.fill(1000)(rnd.nextInt(256).toByte)
+    val (_, _, _, pcm) = Media.decodeFlacBytes(Media.encodeFlac(varied))
+    assert(java.util.Arrays.equals(pcm, expectedPcm(varied)._4))
+    // one repeated byte -> every sample equal -> CONSTANT subframes
+    val flat = Array.fill(300)('a'.toByte)
+    val (_, _, _, fpcm) = Media.decodeFlacBytes(Media.encodeFlac(flat))
+    assert(java.util.Arrays.equals(fpcm, expectedPcm(flat)._4))
+    assert(fpcm.distinct.length <= 2, "flat source must decode flat")
+  }
+
+  /** Spec-local MSB-first bit writer for hand-building streams. */
+  private final class BW {
+    val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1L).toInt; n += 1
+        if (n == 8) { buf.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def unary(q: Int): Unit = { (0 until q).foreach(_ => put(0, 1)); put(1, 1) }
+    def align(): Unit = while (n != 0) put(0, 1)
+    def bytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  test("hand-built frame: partition order 1, 5-bit Rice method, escape partition") {
+    // mono, 32 samples, FIXED order 1. Warmup x0=100. Residuals:
+    // partition 0 (15 residuals, after the warmup): escape, 9 raw bits
+    // each, values -200..+220 stepping; partition 1 (16 residuals):
+    // rice k=3, small values.
+    val bs = 32
+    val res0 = Array.tabulate(15)(i => -200 + i * 30) // |.| < 256 -> 9 bits signed
+    val res1 = Array.tabulate(16)(i => (if (i % 2 == 0) i else -i) * 2)
+    val x = new Array[Int](bs)
+    x(0) = 100
+    val allRes = res0 ++ res1
+    for (t <- 1 until bs) x(t) = allRes(t - 1) + x(t - 1)
+    // PCM bytes (LE) + md5 for STREAMINFO
+    val pcm = new Array[Byte](bs * 2)
+    for (t <- 0 until bs) {
+      pcm(2 * t) = (x(t) & 0xff).toByte; pcm(2 * t + 1) = ((x(t) >> 8) & 0xff).toByte
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BW
+    si.put(bs.toLong, 16); si.put(bs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20); si.put(0L, 3); si.put(15L, 5); si.put(bs.toLong, 36)
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+    // frame header: sync/fixed, bs code 6 (8-bit), rate code 0, mono,
+    // 16 bps, frame number 0
+    val hdr = Array[Int](0xff, 0xf8, 0x60, 0x08, 0x00, bs - 1).map(_.toByte)
+    val body = new BW
+    body.put(0x09L << 1, 8) // FIXED order 1, no wasted bits
+    body.put(x(0).toLong & 0xffffL, 16) // warmup
+    body.put(1L, 2) // residual method 1: 5-bit params
+    body.put(1L, 4) // partition order 1
+    body.put(31L, 5) // partition 0: escape
+    body.put(9L, 5) // 9 raw bits per residual
+    res0.foreach(r => body.put(r.toLong & 0x1ffL, 9))
+    body.put(3L, 5) // partition 1: rice k=3
+    res1.foreach { r =>
+      val u = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+      body.unary((u >>> 3).toInt); body.put(u, 3)
+    }
+    val bodyB = body.bytes
+    val frame = hdr ++ Array(Media.flacCrc8(hdr, 0, hdr.length).toByte) ++ bodyB
+    out.write(frame)
+    val c16 = Media.flacCrc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val (ch, sr, n, got) = Media.decodeFlacBytes(out.toByteArray)
+    assert((ch, sr, n) === ((1, 8000, bs)))
+    assert(java.util.Arrays.equals(got, pcm),
+      s"got ${got.take(8).mkString(",")} want ${pcm.take(8).mkString(",")}")
+  }
+
+  test("the parser fails loudly: magic, LPC, CRC-8, CRC-16, MD5, trailing, truncation") {
+    val good = Media.encodeFlac("flac container test payload".getBytes("UTF-8"))
+    val badMagic = good.clone(); badMagic(2) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(badMagic)).getMessage.contains("magic"))
+    // locate the first frame: metadata is 4 + 4 + 34 bytes
+    val frame0 = 4 + 4 + 34
+    assert((good(frame0) & 0xff) == 0xff, "frame sync position")
+    // header is 6 bytes then CRC-8, then the first subframe byte
+    val sfOff = frame0 + 7
+    val lpc = good.clone(); lpc(sfOff) = (0x20 << 1).toByte // LPC order 1
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(lpc)).getMessage.contains("LPC"))
+    val badC8 = good.clone(); badC8(frame0 + 6) = (badC8(frame0 + 6) ^ 0x5a).toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(badC8)).getMessage.contains("CRC-8"))
+    // corrupt the LAST frame's CRC-16 (the stream tail)
+    val badC16 = good.clone()
+    badC16(badC16.length - 1) = (badC16(badC16.length - 1) ^ 0x5a).toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(badC16)).getMessage.contains("CRC-16"))
+    // corrupt the STREAMINFO md5 (offset 4+4+18)
+    val badMd5 = good.clone(); badMd5(4 + 4 + 18) = (badMd5(4 + 4 + 18) ^ 0x5a).toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(badMd5)).getMessage.contains("MD5"))
+    val trail = java.util.Arrays.copyOf(good, good.length + 8)
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(trail)).getMessage.toLowerCase.contains("sync"))
+    assert(intercept[IllegalArgumentException](
+      Media.decodeFlacBytes(java.util.Arrays.copyOf(good, good.length - 3)))
+      .getMessage.toLowerCase.matches(".*(trunc|crc).*"))
+  }
+
+  test("container orthogonality: FLAC near-dup pairs equal the WAV path's") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(43)
+    val docs = (1L to 40L).map(i =>
+      (i, rnd.alphanumeric.take(80 + rnd.nextInt(700)).mkString)).toDF("doc_id", "text")
+    val aug = docs.unionByName(docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flacPairs = pairSet(Media.flacNearDupPairs(Media.asFlac(aug, "doc_id", "text")))
+    val wavPairs = pairSet(Media.audioNearDupPairs(Media.asWav(aug, "doc_id", "text")))
+    assert(flacPairs === wavPairs, "lossless => identical envelope pairs")
+    assert(flacPairs.exists(p => p._2 - p._1 == 100L && p._3 == 0L),
+      "exact twins at hamming 0")
+  }
+}
