@@ -1527,14 +1527,19 @@ object Media {
     out.toByteArray
   }
 
-  /** REAL baseline-JPEG luma parser: marker walk, DQT/DHT/SOF0/SOS,
-    * canonical Huffman entropy decode (byte-stuffed), zigzag
-    * dequantization, 2-D IDCT, edge clipping. Grayscale (one
-    * component) baseline only; progressive/multi-component/restart
-    * streams are rejected loudly, as are Huffman overruns, >64
-    * coefficients, and data past EOI.
+  /** REAL baseline-JPEG parser: marker walk, DQT/DHT/SOF0/SOS (up to
+    * four quant and 2+2 Huffman tables), canonical Huffman entropy
+    * decode (byte-stuffed), interleaved MCU walk with per-component
+    * sampling factors 1-2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) and DC
+    * predictors, zigzag dequantization, 2-D IDCT, per-plane edge
+    * clipping. One- and three-component frames; chroma planes are
+    * returned at their NATURAL (subsampled) resolution — upsampling is
+    * presentation, not decoding. Progressive/restart streams are
+    * rejected loudly, as are Huffman overruns, >64 coefficients, and
+    * data past EOI. Returns (w, h, per-component (cw, ch, plane)).
     */
-  private[graft] def decodeJpegBytes(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+  private[graft] def decodeJpegPlanes(
+      b: Array[Byte]): (Int, Int, Array[(Int, Int, Array[Byte])]) = {
     var p = 0
     def u8(): Int = {
       require(p < b.length, "jpeg: truncated stream")
@@ -1543,7 +1548,7 @@ object Media {
     def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
     require(b.length >= 2 && u8() == 0xff && u8() == 0xd8, "jpeg: bad SOI")
     var w = -1; var h = -1
-    var qtab: Array[Int] = null
+    val qtabs = new Array[Array[Int]](4)
     // Huffman tables as canonical (firstCode/firstIndex per length)
     final case class Huff(maxLen: Int, firstCode: Array[Int], firstIdx: Array[Int],
       counts: Array[Int], vals: Array[Int])
@@ -1557,9 +1562,13 @@ object Media {
       }
       Huff(16, firstCode, firstIdx, bits, vals)
     }
-    var dcHuff: Huff = null; var acHuff: Huff = null
+    val dcHuffs = new Array[Huff](4); val acHuffs = new Array[Huff](4)
+    // per-component SOF fields: id, sampling h/v, quant selector
+    var compIds: Array[Int] = null
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null
     var sofSeen = false
-    var pix: Array[Byte] = null
+    var planes: Array[(Int, Int, Array[Byte])] = null
     var done = false
     while (!done) {
       require(u8() == 0xff, "jpeg: expected marker")
@@ -1567,24 +1576,26 @@ object Media {
       while (m == 0xff) m = u8() // fill bytes
       m match {
         case 0xd9 => done = true // EOI (legal only after the scan)
-          require(pix != null, "jpeg: EOI before any scan")
+          require(planes != null, "jpeg: EOI before any scan")
         case 0xdb =>
           val len = u16() - 2
           var rem = len
           while (rem > 0) {
             val pq = u8(); rem -= 1
             require((pq >> 4) == 0, "jpeg: only 8-bit quant tables")
+            require((pq & 0x0f) < 4, "jpeg: quant table id out of range")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(i) = u8(); i += 1 }
             rem -= 64
-            if ((pq & 0x0f) == 0) qtab = t
+            qtabs(pq & 0x0f) = t
           }
         case 0xc4 =>
           val len = u16() - 2
           var rem = len
           while (rem > 0) {
             val tc = u8(); rem -= 1
+            require((tc & 0x0f) < 4 && (tc >> 4) <= 1, "jpeg: DHT id out of range")
             val bits = new Array[Int](17)
             var total = 0
             var i = 1
@@ -1595,8 +1606,7 @@ object Media {
             while (i < total) { vals(i) = u8(); i += 1 }
             rem -= total
             val hf = buildHuff(bits, vals)
-            if ((tc >> 4) == 0) { if ((tc & 0xf) == 0) dcHuff = hf }
-            else { if ((tc & 0xf) == 0) acHuff = hf }
+            if ((tc >> 4) == 0) dcHuffs(tc & 0xf) = hf else acHuffs(tc & 0xf) = hf
           }
         case 0xc0 =>
           val len = u16()
@@ -1605,21 +1615,51 @@ object Media {
           require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue / 4,
             s"jpeg: bad dimensions ${w}x$h")
           val nc = u8()
-          require(nc == 1, s"jpeg: only grayscale supported, got $nc components")
-          val _ = (u8(), u8(), u8()) // id, sampling, qtable selector
-          require(len == 8 + 3, "jpeg: malformed SOF0")
+          require(nc == 1 || nc == 3,
+            s"jpeg: 1 (gray) or 3 (YCbCr) components only, got $nc")
+          require(len == 8 + 3 * nc, "jpeg: malformed SOF0")
+          compIds = new Array[Int](nc); compH = new Array[Int](nc)
+          compV = new Array[Int](nc); compQ = new Array[Int](nc)
+          var ci = 0
+          while (ci < nc) {
+            compIds(ci) = u8()
+            val samp = u8()
+            // T.81 A.2: single-component scans are never interleaved —
+            // sampling factors are irrelevant and ignored (as libjpeg does)
+            compH(ci) = if (nc == 1) 1 else samp >> 4
+            compV(ci) = if (nc == 1) 1 else samp & 0x0f
+            require(compH(ci) >= 1 && compH(ci) <= 2 &&
+              compV(ci) >= 1 && compV(ci) <= 2,
+              f"jpeg: unsupported sampling factors 0x$samp%02x (1-2 only)")
+            compQ(ci) = u8()
+            require(compQ(ci) < 4, "jpeg: quant selector out of range")
+            ci += 1
+          }
           sofSeen = true
         case 0xc2 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
             f"jpeg: unsupported SOF marker 0xff$m%02x (baseline sequential only)")
         case 0xda =>
-          require(sofSeen && qtab != null && dcHuff != null && acHuff != null,
-            "jpeg: SOS before SOF/DQT/DHT")
+          require(sofSeen, "jpeg: SOS before SOF/DQT/DHT")
+          val nc = compIds.length
           val len = u16()
           val ns = u8()
-          require(ns == 1 && len == 6 + 2, "jpeg: single-component scan only")
-          val _ = (u8(), u8()) // component id, table selectors
+          require(ns == nc && len == 6 + 2 * ns,
+            "jpeg: scan must cover all frame components")
+          val compDc = new Array[Huff](nc); val compAc = new Array[Huff](nc)
+          var si = 0
+          while (si < ns) {
+            val cid = u8()
+            val ts = u8()
+            val ci = compIds.indexOf(cid)
+            require(ci >= 0, s"jpeg: scan references unknown component $cid")
+            require((ts >> 4) <= 1 && (ts & 0x0f) <= 1, "jpeg: table selector out of range")
+            compDc(ci) = dcHuffs(ts >> 4); compAc(ci) = acHuffs(ts & 0x0f)
+            require(compDc(ci) != null && compAc(ci) != null &&
+              qtabs(compQ(ci)) != null, "jpeg: SOS before SOF/DQT/DHT")
+            si += 1
+          }
           require(u8() == 0 && u8() == 63 && u8() == 0,
             "jpeg: non-baseline spectral selection")
           // entropy-coded segment: bit reader with stuffing
@@ -1657,53 +1697,75 @@ object Media {
             while (i < cat) { v = (v << 1) | bit(); i += 1 }
             if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
           }
-          pix = new Array[Byte](w * h)
-          val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+          val hmax = compH.max; val vmax = compV.max
+          // natural (subsampled) plane dims, T.81 A.1.1 ceil form
+          val planeW = Array.tabulate(nc)(c => (w * compH(c) + hmax - 1) / hmax)
+          val planeH = Array.tabulate(nc)(c => (h * compV(c) + vmax - 1) / vmax)
+          val planePix = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
           val coef = new Array[Int](64)
           val block = new Array[Int](64)
-          var prevDc = 0
-          var by = 0
-          while (by < bh8) {
-            var bx = 0
-            while (bx < bw8) {
-              java.util.Arrays.fill(coef, 0)
-              val dcCat = decodeSym(dcHuff)
-              require(dcCat <= 11, "jpeg: DC category out of range")
-              prevDc += receiveExtend(dcCat)
-              coef(0) = prevDc * qtab(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = decodeSym(acHuff)
-                val run = rs >> 4; val cat = rs & 0x0f
-                if (cat == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += run
-                  require(k < 64, "jpeg: AC run past block end")
-                  coef(JpegZigzag(k)) = receiveExtend(cat) * qtab(k)
-                  k += 1
-                }
-              }
-              idct8x8(coef, block)
-              var r = 0
-              while (r < 8) {
-                val py = by * 8 + r
-                if (py < h) {
-                  var c = 0
-                  while (c < 8) {
-                    val px = bx * 8 + c
-                    if (px < w) pix(py * w + px) = block(r * 8 + c).toByte
-                    c += 1
+          val prevDc = new Array[Int](nc)
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              var c = 0
+              while (c < nc) {
+                val qtab = qtabs(compQ(c))
+                var v2 = 0
+                while (v2 < compV(c)) {
+                  var h2 = 0
+                  while (h2 < compH(c)) {
+                    java.util.Arrays.fill(coef, 0)
+                    val dcCat = decodeSym(compDc(c))
+                    require(dcCat <= 11, "jpeg: DC category out of range")
+                    prevDc(c) += receiveExtend(dcCat)
+                    coef(0) = prevDc(c) * qtab(0)
+                    var k = 1
+                    var eob = false
+                    while (k < 64 && !eob) {
+                      val rs = decodeSym(compAc(c))
+                      val run = rs >> 4; val cat = rs & 0x0f
+                      if (cat == 0) {
+                        if (run == 15) k += 16 // ZRL
+                        else eob = true
+                      } else {
+                        k += run
+                        require(k < 64, "jpeg: AC run past block end")
+                        coef(JpegZigzag(k)) = receiveExtend(cat) * qtab(k)
+                        k += 1
+                      }
+                    }
+                    idct8x8(coef, block)
+                    val cw = planeW(c); val chh = planeH(c)
+                    val pix = planePix(c)
+                    val bx = mx * compH(c) + h2; val by = my * compV(c) + v2
+                    var r = 0
+                    while (r < 8) {
+                      val py = by * 8 + r
+                      if (py < chh) {
+                        var cc = 0
+                        while (cc < 8) {
+                          val px = bx * 8 + cc
+                          if (px < cw) pix(py * cw + px) = block(r * 8 + cc).toByte
+                          cc += 1
+                        }
+                      }
+                      r += 1
+                    }
+                    h2 += 1
                   }
+                  v2 += 1
                 }
-                r += 1
+                c += 1
               }
-              bx += 1
+              mx += 1
             }
-            by += 1
+            my += 1
           }
+          planes = Array.tabulate(nc)(c => (planeW(c), planeH(c), planePix(c)))
         case rst if rst == 0x01 || (rst >= 0xd0 && rst <= 0xd7) =>
           throw new IllegalArgumentException(
             "jpeg: TEM/restart markers unsupported")
@@ -1716,6 +1778,17 @@ object Media {
       }
     }
     require(p == b.length, "jpeg: trailing data after EOI")
+    (w, h, planes)
+  }
+
+  /** The single-component (luma) view of [[decodeJpegPlanes]] — the
+    * q139/q140 gray contract. */
+  private[graft] def decodeJpegBytes(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodeJpegPlanes(b)
+    require(planes.length == 1,
+      s"jpeg: only grayscale supported here, got ${planes.length} components")
+    val (cw, ch, pix) = planes(0)
+    require(cw == w && ch == h, "jpeg: gray plane dims mismatch")
     (w, h, pix)
   }
 
@@ -1810,6 +1883,186 @@ object Media {
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame =
     bandedNearDupPairs(jpegAHash(media).toDF(), maxHamming, maxBandFreq)
+
+  // ──────────── JPEG color / 4:2:0 (round 10, second leg) ──────────
+  // Real-world JPEGs are 3-component YCbCr with 4:2:0 chroma
+  // subsampling and interleaved MCUs — a structurally different scan
+  // from the gray path (multiple quant + Huffman tables, 2×2+1+1
+  // block interleave, per-component DC predictors, subsampled plane
+  // geometry). The encoder emits exactly that shape with the standard
+  // Annex-K CHROMINANCE tables on the chroma channels; per-plane
+  // DC-only closed forms (luma 2·trunc(S/128)+128 at flat quant 16,
+  // chroma 3·trunc(S/192)+128 at flat quant 24) keep the lossy output
+  // DuckDB-replayable.
+
+  /** Standard chrominance Huffman tables (T.81 Annex K.3.3.2). */
+  private val JpegDcChromaBits =
+    Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val JpegDcChromaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val JpegAcChromaBits =
+    Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val JpegAcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private lazy val DcChromaEnc = huffCodes(JpegDcChromaBits, JpegDcChromaVals)
+  private val JpegQChroma = 24 // flat chroma quant: multiple of 8 => exact
+
+  /** Chroma plane phase offsets into the cycled source stream — Cb and
+    * Cr read the same bytes the luma does, shifted, so the oracle
+    * rebuilds all three planes from one hex stream. */
+  private val JpegCbOff = 17
+  private val JpegCrOff = 41
+
+  /** Wrap a text corpus as 3-component YCbCr baseline JPEGs, 4:2:0 by
+    * default (4:4:4 with `subsample = false`). Luma w = M·(1+L mod 3),
+    * h = M·(1+L mod 2) with M the MCU span (16 subsampled, 8 not);
+    * plane p of Y/Cb/Cr = src[(p + 0/17/41) mod L] over each plane's
+    * own raster.
+    */
+  def asJpegColor(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "image/jpeg", encodeJpegColor(bytes))
+      })
+  }
+
+  private[graft] def encodeJpegColor(
+      src0: Array[Byte], subsample: Boolean = true): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val mcuSpan = if (subsample) 16 else 8
+    val w = mcuSpan * (1 + l % 3)
+    val h = mcuSpan * (1 + l % 2)
+    val cw = if (subsample) w / 2 else w
+    val chh = if (subsample) h / 2 else h
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(JpegQ)) // DQT 0: luma
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(JpegQChroma)) // DQT 1: chroma
+    val lumaSamp = if (subsample) 0x22 else 0x11
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      0x01, lumaSamp, 0x00, // Y: qtable 0
+      0x02, 0x11, 0x01, // Cb: qtable 1
+      0x03, 0x11, 0x01)) // Cr: qtable 1
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals)
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
+    seg(0xc4, Array(0x01) ++ JpegDcChromaBits.drop(1) ++ JpegDcChromaVals)
+    seg(0xc4, Array(0x11) ++ JpegAcChromaBits.drop(1) ++ JpegAcChromaVals)
+    seg(0xda, Array(3, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val acLuma = huffCodes(JpegAcBits, JpegAcVals)(0x00)
+    val acChroma = huffCodes(JpegAcChromaBits, JpegAcChromaVals)(0x00)
+    // level-shifted DC-only block encode over plane (pw × _), source
+    // offset `off`, quant q, predictor carried per component
+    val prevDc = new Array[Int](3)
+    def putBlock(c: Int, pw: Int, off: Int, q: Int, bx: Int, by: Int): Unit = {
+      var s = 0
+      var r = 0
+      while (r < 8) {
+        var cc = 0
+        while (cc < 8) {
+          s += (src((((by * 8 + r) * pw + bx * 8 + cc) + off) % l) & 0xff) - 128
+          cc += 1
+        }
+        r += 1
+      }
+      val dcq = s / (8 * q)
+      val diff = dcq - prevDc(c)
+      prevDc(c) = dcq
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag)
+      val (dcCode, dcLen) = if (c == 0) DcEnc(cat) else DcChromaEnc(cat)
+      bw.put(dcCode, dcLen)
+      if (cat > 0) {
+        val bits = if (diff < 0) diff + (1 << cat) - 1 else diff
+        bw.put(bits, cat)
+      }
+      val (eobCode, eobLen) = if (c == 0) acLuma else acChroma
+      bw.put(eobCode, eobLen)
+    }
+    val lumaBlocks = if (subsample) 2 else 1
+    val mcusX = w / mcuSpan; val mcusY = h / mcuSpan
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v2 = 0
+        while (v2 < lumaBlocks) {
+          var h2 = 0
+          while (h2 < lumaBlocks) {
+            putBlock(0, w, 0, JpegQ, mx * lumaBlocks + h2, my * lumaBlocks + v2)
+            h2 += 1
+          }
+          v2 += 1
+        }
+        putBlock(1, cw, JpegCbOff, JpegQChroma, mx, my)
+        putBlock(2, cw, JpegCrOff, JpegQChroma, mx, my)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  final case class JpegColorFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      cb_width: Long,
+      cb_height: Long,
+      y_md5: String,
+      cb_md5: String,
+      cr_md5: String)
+
+  /** Parse each row's YCbCr JPEG and digest the three DECODED planes
+    * at natural (subsampled) resolution — the q139 contract extended
+    * to the interleaved-MCU scan. */
+  def decodeJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, planes) = decodeJpegPlanes(row.content)
+        require(planes.length == 3, s"jpeg: expected YCbCr, got ${planes.length}")
+        val (yw, yh, y) = planes(0)
+        val (cbw, cbh, cb) = planes(1)
+        val (crw, crh, cr) = planes(2)
+        require(yw == w && yh == h && cbw == crw && cbh == crh,
+          "jpeg: inconsistent plane geometry")
+        def dig(a: Array[Byte]) =
+          md5Hex(md, hexUpper(a, 0, a.length).getBytes("US-ASCII"))
+        JpegColorFeatures(row.doc_id, w.toLong, h.toLong,
+          cbw.toLong, cbh.toLong, dig(y), dig(cb), dig(cr))
+      }
+    }
+  }
 
   // ──────────────────────── FLAC (round 10) ────────────────────────
   // The compressed-AUDIO container, completing the codec trio next to

@@ -759,6 +759,20 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // COLOR JPEG (round 10): 3-component YCbCr with 4:2:0 chroma
+    // subsampling and interleaved MCUs — the scan structure real-world
+    // JPEGs actually use (2×2 luma + Cb + Cr blocks per MCU, separate
+    // quant + standard-chrominance Huffman tables, per-component DC
+    // predictors). The decoder emits each plane at its NATURAL
+    // subsampled resolution; per-plane DC-only closed forms (luma
+    // 2·trunc(S/128)+128, chroma 3·trunc(S/192)+128 over phase-shifted
+    // cycled bytes) let the oracle rebuild all three lossy planes.
+    "q143_jpeg_color_decode" -> ((s, dir) =>
+      Media.decodeJpegColor(Media.asJpegColor(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "cb_width", "cb_height",
+          "y_md5", "cb_md5", "cr_md5")),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -2817,6 +2831,56 @@ object Pipelines {
            FROM kept x JOIN kept y
              ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
+
+    // Color JPEG decode: the q139 closed form per PLANE — three legs
+    // (Y at quant 16 / scale 2, Cb and Cr at quant 24 / scale 3,
+    // phase offsets 0/17/41 into the same cycled hex stream), chroma
+    // at half resolution, pivoted into one row per doc.
+    "q143_jpeg_color_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             16 * (1 + octet_length(encode(t)) % 3) AS w,
+             16 * (1 + octet_length(encode(t)) % 2) AS h
+           FROM src),
+         pl AS (SELECT doc_id, hx, l, pli,
+             CASE WHEN pli = 0 THEN w ELSE w // 2 END AS pw,
+             CASE WHEN pli = 0 THEN h ELSE h // 2 END AS ph,
+             CASE pli WHEN 0 THEN 0 WHEN 1 THEN 17 ELSE 41 END AS off,
+             CASE WHEN pli = 0 THEN 128.0 ELSE 192.0 END AS dv,
+             CASE WHEN pli = 0 THEN 2 ELSE 3 END AS sc
+           FROM dims, UNNEST(range(3)) u(pli)),
+         bsum AS (SELECT doc_id, pli, pw, sc, dv, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*pw + bx*8 + i%8) + off) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*pw + bx*8 + i%8) + off) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM pl, UNNEST(range(0, ph//8)) u1(by), UNNEST(range(0, pw//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY doc_id, pli, pw, sc, dv, by, bx),
+         blocks AS (SELECT doc_id, pli, pw, by, bx,
+             greatest(0, least(255, 128 + sc * CAST(trunc(s / dv) AS BIGINT))) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, pli, pw, p
+           FROM pl, UNNEST(range(0, pw*ph)) u(p)),
+         pix AS (SELECT x.doc_id, x.pli, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.pli = x.pli
+             AND b.by = (x.p // x.pw) // 8 AND b.bx = (x.p % x.pw) // 8),
+         dig AS (SELECT doc_id, pli,
+             md5(string_agg(lpad(upper(to_hex(pv)), 2, '0'), '' ORDER BY p)) AS m
+           FROM pix GROUP BY 1, 2)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w // 2 AS BIGINT) AS cb_width, CAST(h // 2 AS BIGINT) AS cb_height,
+           max(CASE WHEN pli = 0 THEN m END) AS y_md5,
+           max(CASE WHEN pli = 1 THEN m END) AS cb_md5,
+           max(CASE WHEN pli = 2 THEN m END) AS cr_md5
+         FROM dims d JOIN dig USING (doc_id)
+         GROUP BY d.doc_id, w, h""",
 
     // Gate replay: q120's hash pipeline over the shifted-twin aug,
     // then per-streamed-doc partner aggregation restricted to

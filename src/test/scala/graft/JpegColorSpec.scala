@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.Media
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** YCbCr baseline JPEG (q143): the interleaved-MCU scan — 4:2:0
+  * subsampling (2×2 luma + Cb + Cr per MCU), multiple quant/Huffman
+  * tables (standard chrominance tables on the chroma channels),
+  * per-component DC predictors, subsampled plane geometry. Each
+  * decoded plane must match its DC-only closed form; 4:4:4 exercises
+  * the same machinery at sampling 1×1.
+  */
+class JpegColorSpec extends AnyFunSuite {
+
+  /** Closed-form expected plane: every pixel of block (by,bx) is
+    * clamp(128 + scale·trunc(S/(8q))), S the level-shifted block sum
+    * over src cycled with phase `off`.
+    */
+  private def expectedPlane(
+      src: Array[Byte], pw: Int, ph: Int, off: Int, q: Int, scale: Int): Array[Byte] = {
+    val l = src.length
+    val out = new Array[Byte](pw * ph)
+    for (by <- 0 until ph / 8; bx <- 0 until pw / 8) {
+      var s = 0
+      for (r <- 0 until 8; c <- 0 until 8)
+        s += (src((((by * 8 + r) * pw + bx * 8 + c) + off) % l) & 0xff) - 128
+      val v = math.max(0, math.min(255, 128 + scale * (s / (8 * q))))
+      for (r <- 0 until 8; c <- 0 until 8)
+        out((by * 8 + r) * pw + bx * 8 + c) = v.toByte
+    }
+    out
+  }
+
+  private def check(src: Array[Byte], subsample: Boolean): Unit = {
+    val l = src.length
+    val mcu = if (subsample) 16 else 8
+    val ew = mcu * (1 + l % 3); val eh = mcu * (1 + l % 2)
+    val ecw = if (subsample) ew / 2 else ew
+    val ech = if (subsample) eh / 2 else eh
+    val (w, h, planes) = Media.decodeJpegPlanes(Media.encodeJpegColor(src, subsample))
+    assert((w, h) === ((ew, eh)), s"l=$l dims")
+    assert(planes.length === 3)
+    val (yw, yh, y) = planes(0)
+    assert((yw, yh) === ((ew, eh)))
+    assert(java.util.Arrays.equals(y, expectedPlane(src, ew, eh, 0, 16, 2)),
+      s"l=$l luma")
+    val (cbw, cbh, cb) = planes(1)
+    val (crw, crh, cr) = planes(2)
+    assert((cbw, cbh) === ((ecw, ech)), s"l=$l chroma dims")
+    assert((crw, crh) === ((ecw, ech)))
+    assert(java.util.Arrays.equals(cb, expectedPlane(src, ecw, ech, 17, 24, 3)),
+      s"l=$l cb")
+    assert(java.util.Arrays.equals(cr, expectedPlane(src, ecw, ech, 41, 24, 3)),
+      s"l=$l cr")
+  }
+
+  test("4:2:0 decode ∘ encode equals the per-plane closed forms") {
+    val rnd = new Random(47)
+    for (len <- Seq(1, 9, 42, 64, 257, 1000, 3333))
+      check(Array.fill(len)(rnd.nextInt(256).toByte), subsample = true)
+  }
+
+  test("4:4:4 decode ∘ encode equals the per-plane closed forms") {
+    val rnd = new Random(53)
+    for (len <- Seq(5, 100, 999))
+      check(Array.fill(len)(rnd.nextInt(256).toByte), subsample = false)
+  }
+
+  test("per-component DC predictors are independent (varying content)") {
+    // strongly varying luma with flat chroma phases would cross-corrupt
+    // if the predictors were shared — the closed-form check above
+    // catches it, but pin a case with large alternating DC swings
+    val src = Array.tabulate(1000)(i => (if ((i / 64) % 2 == 0) 10 else 245).toByte)
+    check(src, subsample = true)
+  }
+
+  test("the parser fails loudly on bad color structure") {
+    val good = Media.encodeJpegColor("jpeg color fail cases".getBytes("UTF-8"))
+    // SOF0 sampling factor 3 for luma
+    var i = 2
+    while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+    val sofPay = i + 4 // marker(2) + len(2)
+    val badSamp = good.clone()
+    badSamp(sofPay + 5 + 1 + 1) = 0x33.toByte // Y sampling h=3,v=3
+    assert(intercept[IllegalArgumentException](
+      Media.decodeJpegPlanes(badSamp)).getMessage.contains("sampling"))
+    // scan referencing an unknown component id
+    var j = 2
+    while (!((good(j) & 0xff) == 0xff && (good(j + 1) & 0xff) == 0xda)) j += 1
+    val badScan = good.clone()
+    badScan(j + 5) = 0x07.toByte // first scan component id 1 -> 7
+    assert(intercept[IllegalArgumentException](
+      Media.decodeJpegPlanes(badScan)).getMessage.contains("unknown component"))
+    // gray entry refuses color streams
+    assert(intercept[IllegalArgumentException](
+      Media.decodeJpegBytes(good)).getMessage.contains("grayscale"))
+  }
+}
