@@ -1466,9 +1466,17 @@ object Media {
     }
   }
 
-  private[graft] def encodeJpegGray(src0: Array[Byte]): Array[Byte] = {
+  /** `restartEvery`: MCUs per restart interval — 0 = no DRI, -1
+    * (default) derives L mod 5 so the corpus mixes restart and
+    * plain streams and the driver oracles exercise BOTH framings
+    * (restarts reframe entropy data and reset predictors on both
+    * sides, so the decoded raster — and hence the oracle — is
+    * invariant). */
+  private[graft] def encodeJpegGray(
+      src0: Array[Byte], restartEvery: Int = -1): Array[Byte] = {
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
+    val ri = if (restartEvery < 0) l % 5 else restartEvery
     val w = 8 * (1 + l % 5)
     val h = 8 * (1 + l % 4)
     val out = new java.io.ByteArrayOutputStream(512)
@@ -1485,16 +1493,25 @@ object Media {
       0x01, 0x11, 0x00)) // SOF0: 1 component, no subsampling, qtable 0
     seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals) // DHT DC 0
     seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals) // DHT AC 0
+    if (ri > 0) seg(0xdd, Array(ri >> 8, ri & 0xff)) // DRI
     seg(0xda, Array(1, 0x01, 0x00, 0, 63, 0)) // SOS
     val bw = new BitWriter(out)
     val acEnc = huffCodes(JpegAcBits, JpegAcVals)
     val (eobCode, eobLen) = acEnc(0x00)
     var prevDc = 0
+    var mcuCount = 0
+    var rstIdx = 0
     val bw8 = w / 8; val bh8 = h / 8
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        if (ri > 0 && mcuCount > 0 && mcuCount % ri == 0) {
+          bw.flush() // pad to byte boundary with 1s
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          prevDc = 0
+        }
         // level-shifted block sum -> quantized DC (truncate toward 0)
         var s = 0
         var r = 0
@@ -1518,6 +1535,7 @@ object Media {
           bw.put(bits, cat)
         }
         bw.put(eobCode, eobLen) // all-zero AC
+        mcuCount += 1
         bx += 1
       }
       by += 1
@@ -1567,6 +1585,7 @@ object Media {
     var compIds: Array[Int] = null
     var compH: Array[Int] = null; var compV: Array[Int] = null
     var compQ: Array[Int] = null
+    var restartInterval = 0 // DRI: MCUs between RSTn markers (0 = none)
     var sofSeen = false
     var planes: Array[(Int, Int, Array[Byte])] = null
     var done = false
@@ -1707,10 +1726,24 @@ object Media {
           val coef = new Array[Int](64)
           val block = new Array[Int](64)
           val prevDc = new Array[Int](nc)
+          var mcuCount = 0
+          var rstIdx = 0
           var my = 0
           while (my < mcusY) {
             var mx = 0
             while (mx < mcusX) {
+              if (restartInterval > 0 && mcuCount > 0 &&
+                  mcuCount % restartInterval == 0) {
+                // byte-align (discard the interval's padding bits),
+                // consume RSTn, verify the 0-7 cycle, reset predictors
+                nbits = 0
+                require(p + 2 <= b.length, "jpeg: entropy data truncated")
+                require((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xd0 + rstIdx,
+                  f"jpeg: expected RST$rstIdx%d, got 0x${b(p) & 0xff}%02x${b(p + 1) & 0xff}%02x")
+                p += 2
+                rstIdx = (rstIdx + 1) % 8
+                java.util.Arrays.fill(prevDc, 0)
+              }
               var c = 0
               while (c < nc) {
                 val qtab = qtabs(compQ(c))
@@ -1761,17 +1794,20 @@ object Media {
                 }
                 c += 1
               }
+              mcuCount += 1
               mx += 1
             }
             my += 1
           }
           planes = Array.tabulate(nc)(c => (planeW(c), planeH(c), planePix(c)))
+        case 0xdd => // DRI
+          require(u16() == 4, "jpeg: malformed DRI")
+          restartInterval = u16()
         case rst if rst == 0x01 || (rst >= 0xd0 && rst <= 0xd7) =>
           throw new IllegalArgumentException(
-            "jpeg: TEM/restart markers unsupported")
+            "jpeg: TEM/restart marker outside a scan")
         case other =>
           // segments with length we skip: APPn, COM...
-          require(other != 0xdd, "jpeg: restart interval unsupported")
           val len = u16()
           require(len >= 2 && p + len - 2 <= b.length, "jpeg: segment overruns")
           p += len - 2
@@ -1945,9 +1981,11 @@ object Media {
   }
 
   private[graft] def encodeJpegColor(
-      src0: Array[Byte], subsample: Boolean = true): Array[Byte] = {
+      src0: Array[Byte], subsample: Boolean = true,
+      restartEvery: Int = -1): Array[Byte] = {
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
+    val ri = if (restartEvery < 0) l % 5 else restartEvery
     val mcuSpan = if (subsample) 16 else 8
     val w = mcuSpan * (1 + l % 3)
     val h = mcuSpan * (1 + l % 2)
@@ -1973,6 +2011,7 @@ object Media {
     seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
     seg(0xc4, Array(0x01) ++ JpegDcChromaBits.drop(1) ++ JpegDcChromaVals)
     seg(0xc4, Array(0x11) ++ JpegAcChromaBits.drop(1) ++ JpegAcChromaVals)
+    if (ri > 0) seg(0xdd, Array(ri >> 8, ri & 0xff)) // DRI
     seg(0xda, Array(3, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0, 63, 0)) // SOS
     val bw = new BitWriter(out)
     val acLuma = huffCodes(JpegAcBits, JpegAcVals)(0x00)
@@ -2007,10 +2046,18 @@ object Media {
     }
     val lumaBlocks = if (subsample) 2 else 1
     val mcusX = w / mcuSpan; val mcusY = h / mcuSpan
+    var mcuCount = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (ri > 0 && mcuCount > 0 && mcuCount % ri == 0) {
+          bw.flush()
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+        }
         var v2 = 0
         while (v2 < lumaBlocks) {
           var h2 = 0
@@ -2022,6 +2069,7 @@ object Media {
         }
         putBlock(1, cw, JpegCbOff, JpegQChroma, mx, my)
         putBlock(2, cw, JpegCrOff, JpegQChroma, mx, my)
+        mcuCount += 1
         mx += 1
       }
       my += 1
@@ -2071,13 +2119,14 @@ object Media {
   // walk, STREAMINFO field unpack, frame sync/header parse (UTF-8
   // coded numbers, explicit and tabled block sizes / sample rates)
   // with CRC-8 verification, bit-level subframe decode (CONSTANT /
-  // VERBATIM / FIXED orders 0-4), Rice residual decode (4- and 5-bit
+  // VERBATIM / FIXED orders 0-4 / LPC orders 1-32 with quantized
+  // coefficients and shift), Rice residual decode (4- and 5-bit
   // parameter methods, arbitrary partition orders, escape-coded raw
-  // partitions), fixed-predictor reconstruction, per-frame CRC-16
+  // partitions), predictor reconstruction, per-frame CRC-16
   // verification, and a final STREAMINFO-MD5 check of the decoded
-  // PCM — the container's own end-to-end losslessness proof. LPC
-  // subframes, stereo decorrelation, and wasted bits are REJECTED
-  // LOUDLY (documented subset, the baseline-JPEG discipline).
+  // PCM — the container's own end-to-end losslessness proof. Stereo
+  // decorrelation and wasted bits are REJECTED LOUDLY (documented
+  // subset, the baseline-JPEG discipline).
   //
   // The deterministic ENCODER emits real entropy-coded streams:
   // 160-sample frames, per-channel subframes cycling VERBATIM and
@@ -2291,15 +2340,15 @@ object Media {
       while (n != 0) require(bit() == 0, "flac: nonzero frame padding")
   }
 
-  /** REAL FLAC parser (fixed-predictor subset): magic + metadata walk,
-    * STREAMINFO, frame headers with CRC-8, subframes (CONSTANT /
-    * VERBATIM / FIXED 0-4), Rice residuals (both parameter widths,
-    * any partition order, escape codes), CRC-16 per frame, and the
-    * STREAMINFO MD5 verified against the decoded PCM. LPC subframes,
-    * stereo decorrelation (left/right/mid-side), wasted bits, and
-    * non-16-bit streams are rejected loudly. Returns the
-    * [[decodeWavBytes]] contract: (channels, sampleRate, nSamples,
-    * interleaved little-endian PCM).
+  /** REAL FLAC parser: magic + metadata walk, STREAMINFO, frame
+    * headers with CRC-8, subframes (CONSTANT / VERBATIM / FIXED 0-4 /
+    * LPC 1-32 with quantized coefficients and right-shift), Rice
+    * residuals (both parameter widths, any partition order, escape
+    * codes), CRC-16 per frame, and the STREAMINFO MD5 verified
+    * against the decoded PCM. Stereo decorrelation (left/right/
+    * mid-side), wasted bits, and non-16-bit streams are rejected
+    * loudly. Returns the [[decodeWavBytes]] contract: (channels,
+    * sampleRate, nSamples, interleaved little-endian PCM).
     */
   private[graft] def decodeFlacBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(b.length >= 42 &&
@@ -2407,17 +2456,10 @@ object Media {
         val wasted = r.bit()
         require(wasted == 0, "flac: wasted bits unsupported")
         val x = chans(ch)
-        if (typ == 0) { // CONSTANT
-          val v = r.signedBits(16)
-          java.util.Arrays.fill(x, v)
-        } else if (typ == 1) { // VERBATIM
-          var t = 0
-          while (t < bs) { x(t) = r.signedBits(16); t += 1 }
-        } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
-          val o = typ & 0x07
-          require(o < bs, "flac: predictor order >= block size")
-          var t = 0
-          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+        // Rice residual section for predictor order o (shared between
+        // FIXED and LPC): 2-bit method, 4-bit partition order, then
+        // 2^po partitions of rice- or escape-coded residuals.
+        def readResiduals(o: Int): Array[Int] = {
           val res = new Array[Int](bs - o)
           val method = r.bits(2).toInt
           require(method <= 1, "flac: reserved residual method")
@@ -2449,6 +2491,20 @@ object Media {
             }
             part += 1
           }
+          res
+        }
+        if (typ == 0) { // CONSTANT
+          val v = r.signedBits(16)
+          java.util.Arrays.fill(x, v)
+        } else if (typ == 1) { // VERBATIM
+          var t = 0
+          while (t < bs) { x(t) = r.signedBits(16); t += 1 }
+        } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+          val o = typ & 0x07
+          require(o < bs, "flac: predictor order >= block size")
+          var t = 0
+          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+          val res = readResiduals(o)
           t = o
           while (t < bs) {
             val rr = res(t - o)
@@ -2461,9 +2517,28 @@ object Media {
             }
             t += 1
           }
-        } else if ((typ & 0x20) != 0) {
-          throw new IllegalArgumentException(
-            "flac: LPC subframes unsupported (fixed-predictor subset)")
+        } else if ((typ & 0x20) != 0) { // LPC, order 1-32
+          val o = (typ & 0x1f) + 1
+          require(o < bs, "flac: predictor order >= block size")
+          var t = 0
+          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+          val precM1 = r.bits(4).toInt
+          require(precM1 != 15, "flac: invalid LPC precision")
+          val prec = precM1 + 1
+          val shift = r.signedBits(5)
+          require(shift >= 0, "flac: negative LPC shift")
+          val coef = new Array[Int](o)
+          var j = 0
+          while (j < o) { coef(j) = r.signedBits(prec); j += 1 }
+          val res = readResiduals(o)
+          t = o
+          while (t < bs) {
+            var acc = 0L
+            var k = 0
+            while (k < o) { acc += coef(k).toLong * x(t - 1 - k); k += 1 }
+            x(t) = res(t - o) + (acc >> shift).toInt
+            t += 1
+          }
         } else {
           throw new IllegalArgumentException(f"flac: reserved subframe type $typ%02x")
         }

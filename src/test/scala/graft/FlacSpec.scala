@@ -132,7 +132,58 @@ class FlacSpec extends AnyFunSuite {
       s"got ${got.take(8).mkString(",")} want ${pcm.take(8).mkString(",")}")
   }
 
-  test("the parser fails loudly: magic, LPC, CRC-8, CRC-16, MD5, trailing, truncation") {
+  test("hand-built LPC subframe: quantized coefficients, shift, Rice residuals") {
+    // mono, 32 samples, LPC order 2, precision 12, shift 9,
+    // coefficients [400, 112] (gain 512/512 = 1.0 — stable), rice k=2
+    val bs = 32
+    val coefs = Array(400, 112); val shift = 9
+    val res = Array.tabulate(bs - 2)(i => (if (i % 3 == 0) -1 else 1) * (i % 5))
+    val x = new Array[Int](bs)
+    x(0) = 50; x(1) = 60
+    for (t <- 2 until bs) {
+      val pred = ((coefs(0).toLong * x(t - 1) + coefs(1).toLong * x(t - 2)) >> shift).toInt
+      x(t) = res(t - 2) + pred
+    }
+    val pcm = new Array[Byte](bs * 2)
+    for (t <- 0 until bs) {
+      pcm(2 * t) = (x(t) & 0xff).toByte; pcm(2 * t + 1) = ((x(t) >> 8) & 0xff).toByte
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BW
+    si.put(bs.toLong, 16); si.put(bs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20); si.put(0L, 3); si.put(15L, 5); si.put(bs.toLong, 36)
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+    val hdr = Array[Int](0xff, 0xf8, 0x60, 0x08, 0x00, bs - 1).map(_.toByte)
+    val body = new BW
+    body.put((0x20L | 1L) << 1, 8) // LPC order 2 (0b100001), no wasted bits
+    body.put(x(0).toLong & 0xffffL, 16); body.put(x(1).toLong & 0xffffL, 16)
+    body.put(11L, 4) // precision - 1
+    body.put(shift.toLong & 0x1fL, 5)
+    coefs.foreach(c => body.put(c.toLong & 0xfffL, 12))
+    body.put(0L, 2) // method 0: 4-bit rice params
+    body.put(0L, 4) // partition order 0
+    body.put(2L, 4) // rice k=2
+    res.foreach { r =>
+      val u = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+      body.unary((u >>> 2).toInt); body.put(u, 2)
+    }
+    val bodyB = body.bytes
+    val frame = hdr ++ Array(Media.flacCrc8(hdr, 0, hdr.length).toByte) ++ bodyB
+    out.write(frame)
+    val c16 = Media.flacCrc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val (ch, sr, n, got) = Media.decodeFlacBytes(out.toByteArray)
+    assert((ch, sr, n) === ((1, 8000, bs)))
+    assert(java.util.Arrays.equals(got, pcm),
+      s"got ${got.take(6).mkString(",")} want ${pcm.take(6).mkString(",")}")
+  }
+
+  test("the parser fails loudly: magic, reserved type, CRC-8, CRC-16, MD5, trailing, truncation") {
     val good = Media.encodeFlac("flac container test payload".getBytes("UTF-8"))
     val badMagic = good.clone(); badMagic(2) = 'X'.toByte
     assert(intercept[IllegalArgumentException](
@@ -142,9 +193,9 @@ class FlacSpec extends AnyFunSuite {
     assert((good(frame0) & 0xff) == 0xff, "frame sync position")
     // header is 6 bytes then CRC-8, then the first subframe byte
     val sfOff = frame0 + 7
-    val lpc = good.clone(); lpc(sfOff) = (0x20 << 1).toByte // LPC order 1
+    val rsv = good.clone(); rsv(sfOff) = (0x02 << 1).toByte // reserved type 2
     assert(intercept[IllegalArgumentException](
-      Media.decodeFlacBytes(lpc)).getMessage.contains("LPC"))
+      Media.decodeFlacBytes(rsv)).getMessage.contains("reserved subframe"))
     val badC8 = good.clone(); badC8(frame0 + 6) = (badC8(frame0 + 6) ^ 0x5a).toByte
     assert(intercept[IllegalArgumentException](
       Media.decodeFlacBytes(badC8)).getMessage.contains("CRC-8"))

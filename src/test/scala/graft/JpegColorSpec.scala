@@ -76,6 +76,38 @@ class JpegColorSpec extends AnyFunSuite {
     check(src, subsample = true)
   }
 
+  test("restart intervals: framing is invariant, the RSTn cycle is verified") {
+    val rnd = new Random(59)
+    val src = Array.fill(997)(rnd.nextInt(256).toByte) // 48x32 luma = 6 MCUs
+    // same decoded planes with and without restart markers
+    val plain = Media.decodeJpegPlanes(Media.encodeJpegColor(src, subsample = true,
+      restartEvery = 0))
+    val restarted = Media.decodeJpegPlanes(Media.encodeJpegColor(src, subsample = true,
+      restartEvery = 1)) // a marker between every MCU: max predictor resets
+    assert(plain._1 === restarted._1 && plain._2 === restarted._2)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(plain._3(c)._3, restarted._3(c)._3),
+        s"plane $c must be framing-invariant")
+    // corrupt one RSTn's cycle index -> loud failure
+    val enc = Media.encodeJpegColor(src, subsample = true, restartEvery = 1)
+    var i = 2
+    var rstAt = -1
+    while (rstAt < 0 && i < enc.length - 1) {
+      // the first restart marker inside the scan (skip the DRI segment,
+      // whose payload can't contain 0xFFD0..D7 by construction here)
+      if ((enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xd0) rstAt = i
+      else i += 1
+    }
+    assert(rstAt > 0, "expected an RST0 in the stream")
+    val bad = enc.clone(); bad(rstAt + 1) = 0xd3.toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeJpegPlanes(bad)).getMessage.contains("RST"))
+    // gray path: same invariance
+    val g0 = Media.decodeJpegBytes(Media.encodeJpegGray(src, restartEvery = 0))
+    val g2 = Media.decodeJpegBytes(Media.encodeJpegGray(src, restartEvery = 2))
+    assert(java.util.Arrays.equals(g0._3, g2._3))
+  }
+
   test("the parser fails loudly on bad color structure") {
     val good = Media.encodeJpegColor("jpeg color fail cases".getBytes("UTF-8"))
     // SOF0 sampling factor 3 for luma
