@@ -2125,8 +2125,9 @@ object Media {
   // partitions), predictor reconstruction, per-frame CRC-16
   // verification, and a final STREAMINFO-MD5 check of the decoded
   // PCM — the container's own end-to-end losslessness proof. Stereo
-  // decorrelation and wasted bits are REJECTED LOUDLY (documented
-  // subset, the baseline-JPEG discipline).
+  // decorrelation (left-side / right-side / mid-side, the side
+  // channel at bps+1) and wasted-bits subframes decode too — the
+  // full 16-bit FLAC surface.
   //
   // The deterministic ENCODER emits real entropy-coded streams:
   // 160-sample frames, per-channel subframes cycling VERBATIM and
@@ -2344,11 +2345,12 @@ object Media {
     * headers with CRC-8, subframes (CONSTANT / VERBATIM / FIXED 0-4 /
     * LPC 1-32 with quantized coefficients and right-shift), Rice
     * residuals (both parameter widths, any partition order, escape
-    * codes), CRC-16 per frame, and the STREAMINFO MD5 verified
-    * against the decoded PCM. Stereo decorrelation (left/right/
-    * mid-side), wasted bits, and non-16-bit streams are rejected
-    * loudly. Returns the [[decodeWavBytes]] contract: (channels,
-    * sampleRate, nSamples, interleaved little-endian PCM).
+    * codes), stereo decorrelation (left-side / right-side / mid-side,
+    * side channel at bps+1), wasted-bits subframes, CRC-16 per frame,
+    * and the STREAMINFO MD5 verified against the decoded PCM.
+    * Non-16-bit streams are rejected loudly. Returns the
+    * [[decodeWavBytes]] contract: (channels, sampleRate, nSamples,
+    * interleaved little-endian PCM).
     */
   private[graft] def decodeFlacBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(b.length >= 42 &&
@@ -2437,10 +2439,16 @@ object Media {
         case _ => throw new IllegalArgumentException("flac: invalid rate code")
       }
       require(frameRate == rate, "flac: frame sample rate differs from STREAMINFO")
-      require(chanCode < 8,
-        "flac: stereo decorrelation unsupported (independent channels only)")
-      val frameCh = chanCode + 1
+      require(chanCode <= 10, "flac: reserved channel assignment")
+      // 0-7: independent; 8: left/side, 9: right/side, 10: mid/side
+      // (the decorrelated SIDE channel carries one extra bit)
+      val frameCh = if (chanCode < 8) chanCode + 1 else 2
       require(frameCh == channels, "flac: frame channels differ from STREAMINFO")
+      val sideChannel = chanCode match {
+        case 8 | 10 => 1
+        case 9 => 0
+        case _ => -1
+      }
       require(sizeCode == 4 || sizeCode == 0, "flac: only 16-bit frames supported")
       val _ = variableBlocking // number semantics only; not needed to decode
       require(p < b.length, "flac: truncated at header CRC")
@@ -2453,8 +2461,12 @@ object Media {
       while (ch < frameCh) {
         require(r.bit() == 0, "flac: subframe padding bit set")
         val typ = r.bits(6).toInt
-        val wasted = r.bit()
-        require(wasted == 0, "flac: wasted bits unsupported")
+        // wasted-bits flag: k trailing zero bits were dropped from
+        // every sample; the subframe codes at bps−k and the decoder
+        // shifts back up after reconstruction
+        val wasted = if (r.bit() == 0) 0 else r.unary() + 1
+        val chBps = (if (ch == sideChannel) 17 else 16) - wasted
+        require(chBps >= 1, "flac: wasted bits exceed sample size")
         val x = chans(ch)
         // Rice residual section for predictor order o (shared between
         // FIXED and LPC): 2-bit method, 4-bit partition order, then
@@ -2494,16 +2506,16 @@ object Media {
           res
         }
         if (typ == 0) { // CONSTANT
-          val v = r.signedBits(16)
+          val v = r.signedBits(chBps)
           java.util.Arrays.fill(x, v)
         } else if (typ == 1) { // VERBATIM
           var t = 0
-          while (t < bs) { x(t) = r.signedBits(16); t += 1 }
+          while (t < bs) { x(t) = r.signedBits(chBps); t += 1 }
         } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
           val o = typ & 0x07
           require(o < bs, "flac: predictor order >= block size")
           var t = 0
-          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+          while (t < o) { x(t) = r.signedBits(chBps); t += 1 }
           val res = readResiduals(o)
           t = o
           while (t < bs) {
@@ -2521,7 +2533,7 @@ object Media {
           val o = (typ & 0x1f) + 1
           require(o < bs, "flac: predictor order >= block size")
           var t = 0
-          while (t < o) { x(t) = r.signedBits(16); t += 1 }
+          while (t < o) { x(t) = r.signedBits(chBps); t += 1 }
           val precM1 = r.bits(4).toInt
           require(precM1 != 15, "flac: invalid LPC precision")
           val prec = precM1 + 1
@@ -2542,7 +2554,29 @@ object Media {
         } else {
           throw new IllegalArgumentException(f"flac: reserved subframe type $typ%02x")
         }
+        if (wasted > 0) {
+          var t = 0
+          while (t < bs) { x(t) = x(t) << wasted; t += 1 }
+        }
         ch += 1
+      }
+      // undo stereo decorrelation (T.81's analog of the libFLAC forms):
+      // left/side -> R = L - S; right/side -> L = R + S;
+      // mid/side  -> mid2 = (M << 1) | (S & 1); L = (mid2+S)/2, R = (mid2-S)/2
+      if (sideChannel >= 0) {
+        val a = chans(0); val bC = chans(1)
+        var t = 0
+        while (t < bs) {
+          chanCode match {
+            case 8 => bC(t) = a(t) - bC(t)
+            case 9 => val s0 = a(t); a(t) = bC(t) + s0
+            case _ =>
+              val side = bC(t)
+              val mid2 = (a(t) << 1) | (side & 1)
+              a(t) = (mid2 + side) >> 1; bC(t) = (mid2 - side) >> 1
+          }
+          t += 1
+        }
       }
       r.alignCheckZero()
       p = r.pos

@@ -183,6 +183,99 @@ class FlacSpec extends AnyFunSuite {
       s"got ${got.take(6).mkString(",")} want ${pcm.take(6).mkString(",")}")
   }
 
+  /** Hand-build a single-frame stereo container with VERBATIM
+    * subframes under a given channel assignment (8/9/10) — the side
+    * channel codes at 17 bits. */
+  private def buildStereo(code: Int, left: Array[Int], right: Array[Int]): Array[Byte] = {
+    val bs = left.length
+    val pcm = new Array[Byte](bs * 4)
+    for (t <- 0 until bs) {
+      pcm(4 * t) = (left(t) & 0xff).toByte; pcm(4 * t + 1) = ((left(t) >> 8) & 0xff).toByte
+      pcm(4 * t + 2) = (right(t) & 0xff).toByte; pcm(4 * t + 3) = ((right(t) >> 8) & 0xff).toByte
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    val (ch0, ch1) = code match {
+      case 8 => (left, Array.tabulate(bs)(t => left(t) - right(t)))
+      case 9 => (Array.tabulate(bs)(t => left(t) - right(t)), right)
+      case _ => (Array.tabulate(bs)(t => (left(t) + right(t)) >> 1),
+        Array.tabulate(bs)(t => left(t) - right(t)))
+    }
+    val sideIdx = if (code == 9) 0 else 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BW
+    si.put(bs.toLong, 16); si.put(bs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20); si.put(1L, 3); si.put(15L, 5); si.put(bs.toLong, 36)
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+    val hdr = Array[Int](0xff, 0xf8, 0x60, (code << 4) | 0x08, 0x00, bs - 1)
+      .map(_.toByte)
+    val body = new BW
+    for ((chan, idx) <- Seq((ch0, 0), (ch1, 1))) {
+      val bits = if (idx == sideIdx) 17 else 16
+      body.put(1L << 1, 8) // VERBATIM, no wasted bits
+      chan.foreach(v => body.put(v.toLong & ((1L << bits) - 1), bits))
+    }
+    val bodyB = body.bytes
+    val frame = hdr ++ Array(Media.flacCrc8(hdr, 0, hdr.length).toByte) ++ bodyB
+    out.write(frame)
+    val c16 = Media.flacCrc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    out.toByteArray
+  }
+
+  test("stereo decorrelation: left-side, right-side, mid-side reconstruct L/R") {
+    val rnd = new Random(61)
+    val bs = 24
+    val left = Array.fill(bs)(rnd.nextInt(65536) - 32768)
+    val right = Array.fill(bs)(rnd.nextInt(65536) - 32768)
+    for (code <- Seq(8, 9, 10)) {
+      val (ch, sr, n, got) = Media.decodeFlacBytes(buildStereo(code, left, right))
+      assert((ch, sr, n) === ((2, 8000, bs)), s"code=$code header")
+      for (t <- 0 until bs) {
+        val gl = ((got(4 * t) & 0xff) | (got(4 * t + 1) << 8)).toShort.toInt
+        val gr = ((got(4 * t + 2) & 0xff) | (got(4 * t + 3) << 8)).toShort.toInt
+        assert(gl === left(t) && gr === right(t), s"code=$code t=$t")
+      }
+    }
+  }
+
+  test("wasted bits: subframe codes at bps−k, decoder shifts back up") {
+    val bs = 16
+    val k = 3 // samples are multiples of 8
+    val x = Array.tabulate(bs)(t => ((t * 37) % 1000 - 500) * 8)
+    val pcm = new Array[Byte](bs * 2)
+    for (t <- 0 until bs) {
+      pcm(2 * t) = (x(t) & 0xff).toByte; pcm(2 * t + 1) = ((x(t) >> 8) & 0xff).toByte
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BW
+    si.put(bs.toLong, 16); si.put(bs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20); si.put(0L, 3); si.put(15L, 5); si.put(bs.toLong, 36)
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+    val hdr = Array[Int](0xff, 0xf8, 0x60, 0x08, 0x00, bs - 1).map(_.toByte)
+    val body = new BW
+    body.put(1L, 1 + 6) // pad 0 + VERBATIM (000001), then wasted flag:
+    body.put(1L, 1) // wasted-bits flag set
+    body.unary(k - 1) // unary-coded count-1
+    x.foreach(v => body.put((v >> k).toLong & ((1L << (16 - k)) - 1), 16 - k))
+    val bodyB = body.bytes
+    val frame = hdr ++ Array(Media.flacCrc8(hdr, 0, hdr.length).toByte) ++ bodyB
+    out.write(frame)
+    val c16 = Media.flacCrc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val (ch, sr, n, got) = Media.decodeFlacBytes(out.toByteArray)
+    assert((ch, sr, n) === ((1, 8000, bs)))
+    assert(java.util.Arrays.equals(got, pcm))
+  }
+
   test("the parser fails loudly: magic, reserved type, CRC-8, CRC-16, MD5, trailing, truncation") {
     val good = Media.encodeFlac("flac container test payload".getBytes("UTF-8"))
     val badMagic = good.clone(); badMagic(2) = 'X'.toByte
