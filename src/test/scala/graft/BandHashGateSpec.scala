@@ -198,4 +198,48 @@ class BandHashGateSpec extends AnyFunSuite {
     assert(dec.filter(_._1 == 2L).forall(_._4 === 0L))
     gate.release()
   }
+
+  test("modality-closed: lossy JPEG twins and cross-container WAV→FLAC deltas ride the gate") {
+    import spark.implicits._
+    val rnd = new Random(43)
+    val base = Array.fill(400)(rnd.nextInt(256).toByte)
+    val other = Array.fill(421)(rnd.nextInt(256).toByte)
+    // JPEG: the gate hashes DECODED pixels, so exact source twins
+    // collide at hamming 0 even though the container is lossy AND the
+    // entropy framing differs (restart intervals derive from length)
+    def jpegHashes(rows: Seq[(Long, Array[Byte])]) =
+      graft.ops.Media.jpegAHash(
+        spark.createDataset(rows.map { case (id, b) =>
+          graft.ops.MediaRow(id, "image/jpeg", graft.ops.Media.encodeJpegGray(b)) }))
+        .toDF()
+    val g = Streams.newBandHashGate(jpegHashes(Seq(1L -> base)))
+    g.ingest(jpegHashes(Seq(2L -> other, 3L -> base.clone())))
+    val dec = g.decisions.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(dec.exists { case (id, n, mh) => id == 3L && n >= 1L && mh == 0L },
+      "lossy twin must hit its standing partner at hamming 0")
+    assert(dec.exists { case (id, n, _) => id == 2L && n == 0L })
+    g.release()
+    // WAV-built standing state probed by FLAC deltas: losslessness
+    // makes the envelope hash container-independent, so one gate
+    // serves mixed-container audio corpora
+    def wavHashes(rows: Seq[(Long, Array[Byte])]) =
+      graft.ops.Media.wavEnvelopeHash(
+        spark.createDataset(rows.map { case (id, b) =>
+          graft.ops.MediaRow(id, "audio/wav", graft.ops.Media.encodeWav(b)) }))
+        .toDF()
+    def flacHashes(rows: Seq[(Long, Array[Byte])]) =
+      graft.ops.Media.flacEnvelopeHash(
+        spark.createDataset(rows.map { case (id, b) =>
+          graft.ops.MediaRow(id, "audio/flac", graft.ops.Media.encodeFlac(b)) }))
+        .toDF()
+    val g2 = Streams.newBandHashGate(wavHashes(Seq(10L -> base)))
+    g2.ingest(flacHashes(Seq(20L -> base.clone(), 21L -> other)))
+    val dec2 = g2.decisions.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(dec2.exists { case (id, n, mh) => id == 20L && n >= 1L && mh == 0L },
+      "a FLAC delta must match its WAV-ingested twin exactly")
+    assert(dec2.exists { case (id, n, _) => id == 21L && n == 0L })
+    g2.release()
+  }
 }
