@@ -1379,12 +1379,12 @@ object Media {
   // pin decode∘encode through a genuinely entropy-coded stream.
 
   /** Standard luminance Huffman tables (T.81 Annex K.3.3). */
-  private val JpegDcBits =
+  private[graft] val JpegDcBits =
     Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
-  private val JpegAcBits =
+  private[graft] val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private[graft] val JpegAcBits =
     Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
-  private val JpegAcVals = Array(
+  private[graft] val JpegAcVals = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
     0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
@@ -1401,7 +1401,7 @@ object Media {
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
   /** Zigzag order: zigzag index -> raster index (T.81 Figure 5). */
-  private val JpegZigzag = Array(
+  private[graft] val JpegZigzag = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -1410,7 +1410,7 @@ object Media {
 
   /** Canonical Huffman codes from a BITS/HUFFVAL pair:
     * symbol -> (code, length). */
-  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[graft] def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var k = 0
     val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
@@ -2111,6 +2111,27 @@ object Media {
       }
     }
   }
+
+  /** Luma aHash over the color container — perceptual dedup hashes
+    * the Y plane only (chroma adds no structure the 64-bit hash can
+    * see at 8×8 cells), so color and gray JPEGs of the same luma
+    * content collide. */
+  def jpegColorAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, planes) = decodeJpegPlanes(row.content)
+      require(planes.length == 3, s"jpeg: expected YCbCr, got ${planes.length}")
+      aHashGray(row.doc_id, w, h, planes(0)._3)
+    })
+  }
+
+  /** Perceptual near-dup over color JPEGs: interleaved-MCU decode →
+    * luma aHash → the shared pigeonhole band engine. */
+  def jpegColorNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(jpegColorAHash(media).toDF(), maxHamming, maxBandFreq)
 
   // ──────────────────────── FLAC (round 10) ────────────────────────
   // The compressed-AUDIO container, completing the codec trio next to

@@ -773,6 +773,25 @@ object Pipelines {
         .select("doc_id", "width", "height", "cb_width", "cb_height",
           "y_md5", "cb_md5", "cr_md5")),
 
+    // Perceptual near-dup over the COLOR container: interleaved-MCU
+    // decode → LUMA aHash (chroma adds nothing a 64-bit 8×8-cell hash
+    // can see) → the shared pigeonhole band engine. The oracle replays
+    // the luma closed form at the color path's 16-multiple dimensions.
+    "q144_jpeg_color_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 8000008L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 9000009L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.jpegColorNearDupPairs(Media.asJpegColor(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -2881,6 +2900,68 @@ object Pipelines {
            max(CASE WHEN pli = 2 THEN m END) AS cr_md5
          FROM dims d JOIN dig USING (doc_id)
          GROUP BY d.doc_id, w, h""",
+
+    // Color-JPEG near-dup: the q140 chain with the color path's
+    // 16-multiple dimensions; only the luma closed form feeds the
+    // aHash (the operator hashes the Y plane).
+    "q144_jpeg_color_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 8000008, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 9000009, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             16 * (1 + octet_length(encode(t)) % 3) AS w,
+             16 * (1 + octet_length(encode(t)) % 2) AS h
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5),
+         blocks AS (SELECT doc_id, w, h, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM bsum),
+         pix AS (SELECT d.doc_id, d.w, d.h, u.p FROM dims d, UNNEST(range(0, w*h)) u(p)),
+         vals AS (SELECT x.doc_id, x.w, x.h, x.p, b.pv
+           FROM pix x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.by = (x.p // x.w) // 8
+             AND b.bx = (x.p % x.w) // 8),
+         cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(pv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
 
     // Gate replay: q120's hash pipeline over the shifted-twin aug,
     // then per-streamed-doc partner aggregation restricted to

@@ -107,6 +107,55 @@ class JpegSpec extends AnyFunSuite {
       s"got ${pix.take(8).mkString(",")} want ${expect.take(8).mkString(",")}")
   }
 
+  test("dense AC stream: multiple coefficients, ZRL runs, signed extend, nonzero DC") {
+    // hand-assemble a single-block entropy stream from the standard
+    // tables: DC diff +2 (cat 2), AC zz1 = +3 (run 0, cat 2), a ZRL
+    // (16 zeros), AC zz20 = -1 (run 2 after the ZRL, cat 1), EOB —
+    // exercising run-length skips, the ZRL symbol, and both extend
+    // signs through Huffman codes of several lengths.
+    val base = Media.encodeJpegGray(Array.fill(20)(0.toByte), restartEvery = 0)
+    var i = 2
+    while (!((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xda)) i += 1
+    val entStart = i + 2 + 8
+    val head = java.util.Arrays.copyOfRange(base, 0, entStart)
+    val dcEnc = Media.huffCodes(Media.JpegDcBits, Media.JpegDcVals)
+    val acEnc = Media.huffCodes(Media.JpegAcBits, Media.JpegAcVals)
+    def codeBits(ce: (Int, Int)): String =
+      Integer.toBinaryString(ce._1 | (1 << ce._2)).substring(1)
+    val bits = new StringBuilder
+    bits ++= codeBits(dcEnc(2)) ++= "10" // DC cat 2, diff +2
+    bits ++= codeBits(acEnc(0x02)) ++= "11" // run 0, cat 2, +3 at zz1
+    bits ++= codeBits(acEnc(0xf0)) // ZRL: 16 zeros (zz2..zz17)
+    bits ++= codeBits(acEnc(0x21)) ++= "0" // run 2, cat 1, -1 at zz20
+    bits ++= codeBits(acEnc(0x00)) // EOB
+    val padded = bits.toString + "1" * ((8 - bits.length % 8) % 8)
+    val ent = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+      .flatMap(b => if (b == 0xff.toByte) Seq(b, 0x00.toByte) else Seq(b)) // stuffing
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head); out.write(ent); out.write(0xff); out.write(0xd9)
+    val (w, h, pix) = Media.decodeJpegBytes(out.toByteArray)
+    assert(w === 8 && h === 8)
+    // reference: dequantized coefficients through a direct IDCT
+    val coef = new Array[Int](64)
+    coef(0) = 2 * 16
+    coef(Media.JpegZigzag(1)) = 3 * 16
+    coef(Media.JpegZigzag(20)) = -1 * 16
+    val expect = Array.tabulate(64) { idx =>
+      val r = idx / 8; val c = idx % 8
+      var sum = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 0.7071067811865476 else 1.0
+        val cv = if (v == 0) 0.7071067811865476 else 1.0
+        sum += cu * cv * coef(u * 8 + v) *
+          math.cos((2 * r + 1) * u * math.Pi / 16) *
+          math.cos((2 * c + 1) * v * math.Pi / 16)
+      }
+      math.max(0, math.min(255, math.round(sum / 4.0 + 128.0).toInt)).toByte
+    }
+    assert(java.util.Arrays.equals(pix, expect),
+      s"got ${pix.take(8).mkString(",")} want ${expect.take(8).mkString(",")}")
+  }
+
   test("the parser fails loudly: SOI, progressive, truncation, trailing data, restarts") {
     val good = Media.encodeJpegGray("hello jpeg".getBytes("UTF-8"))
     val badSoi = good.clone(); badSoi(1) = 0x00
