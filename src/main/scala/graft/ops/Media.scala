@@ -2112,6 +2112,61 @@ object Media {
     }
   }
 
+  final case class ResizedFeatures(
+      doc_id: Long,
+      rs_width: Long,
+      rs_height: Long,
+      n_rs_bytes: Long,
+      rs_md5: String)
+
+  /** REAL pixel resize (replacing the round-2 dims-only resizeStub
+    * contract with actual raster work): integer box downsample of the
+    * decoded P6 raster by `factor` — output pixel (R,C,ch) is the
+    * floor-mean of its covering factor×factor cell, with TRUE cell
+    * counts at the right/bottom edges (no padding bias). All-integer
+    * arithmetic, so the DuckDB twin replays every output byte exactly;
+    * one map-side pass, the thumbnailing shape a 100 TB media
+    * pipeline runs after decode.
+    */
+  def resizePpmBox(media: Dataset[MediaRow], factor: Int): Dataset[ResizedFeatures] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, _, pix) = decodePpmBytes(row.content)
+        val rw = (w + factor - 1) / factor
+        val rh = (h + factor - 1) / factor
+        val sums = new Array[Long](rw * rh * 3)
+        val cnts = new Array[Int](rw * rh)
+        var p = 0
+        val nPix = w * h
+        while (p < nPix) {
+          val cell = (p / w / factor) * rw + (p % w) / factor
+          var ch = 0
+          while (ch < 3) {
+            sums(cell * 3 + ch) += (pix(3 * p + ch) & 0xff)
+            ch += 1
+          }
+          cnts(cell) += 1
+          p += 1
+        }
+        val out = new Array[Byte](rw * rh * 3)
+        var c = 0
+        while (c < rw * rh) {
+          var ch = 0
+          while (ch < 3) {
+            out(c * 3 + ch) = (sums(c * 3 + ch) / cnts(c)).toByte
+            ch += 1
+          }
+          c += 1
+        }
+        ResizedFeatures(row.doc_id, rw.toLong, rh.toLong, out.length.toLong,
+          md5Hex(md, hexUpper(out, 0, out.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
   /** Luma aHash over the color container — perceptual dedup hashes
     * the Y plane only (chroma adds no structure the 64-bit hash can
     * see at 8×8 cells), so color and gray JPEGs of the same luma

@@ -792,6 +792,17 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // REAL pixel resize (round 10): decode P6 → 2× integer box
+    // downsample (floor-mean per cell, true edge counts) → resized-
+    // raster digest. Upgrades q52's dims-only resize contract to
+    // actual raster work — the thumbnailing pass a media pipeline
+    // runs after decode — while staying byte-exactly DuckDB-replayable
+    // (all-integer arithmetic over the cycled source bytes).
+    "q145_media_resize_pixels" -> ((s, dir) =>
+      Media.resizePpmBox(Media.asPpm(t(s, dir, "documents"), "doc_id", "text"), 2)
+        .toDF()
+        .select("doc_id", "rs_width", "rs_height", "n_rs_bytes", "rs_md5")),
+
     // Media near-dup via byte frames: pairs of decoded blobs sharing
     // ≥1 exact 256-byte pixel frame (inverted frame-digest join — the
     // byte-sequence overlap the reference pitches its gram index for,
@@ -2900,6 +2911,37 @@ object Pipelines {
            max(CASE WHEN pli = 2 THEN m END) AS cr_md5
          FROM dims d JOIN dig USING (doc_id)
          GROUP BY d.doc_id, w, h""",
+
+    // Real resize: per-channel floor-mean over 2×2 cells of the
+    // decoded PPM raster (edge cells keep their true counts), digest
+    // in resized row-major interleaved order.
+    "q145_media_resize_pixels" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h
+           FROM src),
+         vals AS (SELECT doc_id, w, h, p, ch,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*((3*p+ch) % l)+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*((3*p+ch) % l)+2 AS INT), 1)) - 1 AS bv
+           FROM dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
+         cells AS (SELECT doc_id,
+             ((p // w) // 2) * ((w + 1) // 2) + (p % w) // 2 AS cell, ch,
+             sum(bv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2, 3),
+         dig AS (SELECT doc_id,
+             md5(string_agg(lpad(upper(to_hex(s // c)), 2, '0'),
+                 '' ORDER BY cell * 3 + ch)) AS rs_md5
+           FROM cells GROUP BY 1)
+         SELECT d.doc_id,
+           CAST((w + 1) // 2 AS BIGINT) AS rs_width,
+           CAST((h + 1) // 2 AS BIGINT) AS rs_height,
+           CAST(((w + 1) // 2) * ((h + 1) // 2) * 3 AS BIGINT) AS n_rs_bytes,
+           dig.rs_md5
+         FROM dims d JOIN dig USING (doc_id)""",
 
     // Color-JPEG near-dup: the q140 chain with the color path's
     // 16-multiple dimensions; only the luma closed form feeds the

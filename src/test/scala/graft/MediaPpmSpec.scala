@@ -36,6 +36,34 @@ class MediaPpmSpec extends AnyFunSuite {
     }
   }
 
+  test("box resize: floor-mean cells, true edge counts, odd dimensions") {
+    val s = spark
+    import s.implicits._
+    // 3x3 checker raster with known values -> 2x downsample to 2x2:
+    // cell(0,0) covers 4 px, edges cover 2, the corner covers 1
+    val w = 3; val h = 3
+    val vals = Array(
+      10, 20, 30, // row 0 (per-pixel gray: R=G=B=v)
+      40, 50, 60,
+      70, 80, 90)
+    val pix = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h; ch <- 0 until 3) pix(3 * p + ch) = vals(p).toByte
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val blob = header ++ pix
+    val rows = spark.createDataset(Seq(graft.ops.MediaRow(1L, "image/x-portable-pixmap", blob)))
+    val r = Media.resizePpmBox(rows, 2).collect().head
+    assert(r.rs_width === 2L && r.rs_height === 2L && r.n_rs_bytes === 12L)
+    // expected cells: (10+20+40+50)/4=30, (30+60)/2=45, (70+80)/2=75, 90/1=90
+    val expect = Array(30, 45, 75, 90).flatMap(v => Array.fill(3)(v.toByte))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = expect.map(b => f"${b & 0xff}%02X").mkString
+    val em = md.digest(hex.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    assert(r.rs_md5 === em, "resized digest must equal the hand-computed cells")
+    // factor 1 is the identity raster
+    val id1 = Media.resizePpmBox(rows, 1).collect().head
+    assert(id1.rs_width === 3L && id1.n_rs_bytes === 27L)
+  }
+
   test("parser accepts spec-conformant headers it did not write") {
     // netpbm allows any whitespace runs between header fields
     val pix = Array.tabulate(2 * 3 * 3)(i => (i * 7).toByte)
