@@ -108,7 +108,14 @@ object ClusterSanity {
           "q120_media_phash", "q121_media_phash_delta",
           "q122_audio_phash", "q123_audio_phash_delta",
           "q125_sketch_stats", "q126_decontaminate_bloom",
-          "q128_video_decode", "q129_video_neardup")) {
+          "q128_video_decode", "q129_video_neardup",
+          // round-10 codec trio: entropy decode is map-side worker
+          // work (Media closures + Huffman/Rice state serialize to
+          // executors); the near-dup tails shuffle band keys
+          "q139_jpeg_decode", "q140_jpeg_neardup",
+          "q141_flac_decode", "q142_flac_neardup",
+          "q143_jpeg_color_decode", "q144_jpeg_color_neardup",
+          "q145_media_resize_pixels")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
