@@ -1228,6 +1228,8 @@ object Media {
       v
     }
     var w = -1; var h = -1
+    var colorType = -1; var bpp = 0
+    var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream(b.length)
     while (p < b.length) {
@@ -1253,15 +1255,36 @@ object Media {
           h = ((b(dataFrom + 4) & 0xff) << 24) | ((b(dataFrom + 5) & 0xff) << 16) |
             ((b(dataFrom + 6) & 0xff) << 8) | (b(dataFrom + 7) & 0xff)
           require(w > 0 && h > 0, s"png: invalid dimensions ${w}x$h")
+          require(b(dataFrom + 8) == 8, "png: only bit depth 8 supported")
+          colorType = b(dataFrom + 9) & 0xff
+          // every 8-bit color type decodes; output is normalized to an
+          // RGB raster (gray replicated, palette looked up, alpha
+          // dropped -- the libpng strip-alpha convention for pipelines
+          // that hash pixels)
+          bpp = colorType match {
+            case 0 => 1 // grayscale
+            case 2 => 3 // truecolor RGB
+            case 3 => 1 // palette indices
+            case 4 => 2 // gray + alpha
+            case 6 => 4 // RGBA
+            case other => throw new IllegalArgumentException(
+              s"png: invalid color type $other")
+          }
           // Long math: adversarial headers must not wrap the expected
           // inflate size (the Y4M lesson)
-          require(h.toLong * (1L + 3L * w) <= Int.MaxValue,
+          require(h.toLong * (1L + bpp.toLong * w) <= Int.MaxValue &&
+            w.toLong * h * 3 <= Int.MaxValue,
             s"png: ${w}x$h exceeds supported raster size")
-          require(b(dataFrom + 8) == 8, "png: only bit depth 8 supported")
-          require(b(dataFrom + 9) == 2, "png: only truecolor RGB supported")
           require(b(dataFrom + 10) == 0 && b(dataFrom + 11) == 0,
             "png: unknown compression/filter method")
           require(b(dataFrom + 12) == 0, "png: interlaced streams unsupported")
+        case "PLTE" =>
+          require(seenIhdr && idat.size == 0, "png: PLTE must precede IDAT")
+          require(len > 0 && len % 3 == 0 && len <= 768, "png: malformed PLTE")
+          // required for color type 3; legal-but-advisory for 2 and 6
+          require(colorType == 3 || colorType == 2 || colorType == 6,
+            "png: PLTE forbidden for this color type")
+          plte = java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + len)
         case "IDAT" =>
           require(seenIhdr, "png: IDAT before IHDR")
           idat.write(b, dataFrom, len)
@@ -1277,7 +1300,8 @@ object Media {
     }
     require(seenIhdr && seenIend, "png: missing IHDR or IEND")
     require(idat.size > 0, "png: no IDAT data")
-    val stride = w * 3
+    require(colorType != 3 || plte != null, "png: palette image without PLTE")
+    val stride = w * bpp
     val expect = h * (1 + stride)
     val filtered = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
@@ -1308,9 +1332,9 @@ object Media {
       var i = 0
       while (i < stride) {
         val x = filtered(base + i) & 0xff
-        val a = if (i >= 3) pix(out + i - 3) & 0xff else 0
+        val a = if (i >= bpp) pix(out + i - bpp) & 0xff else 0
         val b2 = if (y > 0) pix(priorOut + i) & 0xff else 0
-        val c = if (y > 0 && i >= 3) pix(priorOut + i - 3) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) pix(priorOut + i - bpp) & 0xff else 0
         val v = f match {
           case 0 => x
           case 1 => x + a
@@ -1323,7 +1347,34 @@ object Media {
       }
       y += 1
     }
-    (w, h, pix)
+    // normalize to RGB
+    if (colorType == 2) (w, h, pix)
+    else {
+      val rgb = new Array[Byte](w * h * 3)
+      var q = 0
+      val n = w * h
+      while (q < n) {
+        colorType match {
+          case 0 =>
+            val g = pix(q)
+            rgb(3 * q) = g; rgb(3 * q + 1) = g; rgb(3 * q + 2) = g
+          case 3 =>
+            val idx = pix(q) & 0xff
+            require(3 * idx + 2 < plte.length,
+              s"png: palette index $idx out of range")
+            rgb(3 * q) = plte(3 * idx); rgb(3 * q + 1) = plte(3 * idx + 1)
+            rgb(3 * q + 2) = plte(3 * idx + 2)
+          case 4 =>
+            val g = pix(2 * q)
+            rgb(3 * q) = g; rgb(3 * q + 1) = g; rgb(3 * q + 2) = g
+          case _ => // 6: RGBA
+            rgb(3 * q) = pix(4 * q); rgb(3 * q + 1) = pix(4 * q + 1)
+            rgb(3 * q + 2) = pix(4 * q + 2)
+        }
+        q += 1
+      }
+      (w, h, rgb)
+    }
   }
 
   /** Parse each media row's PNG container and digest its DECODED

@@ -105,6 +105,76 @@ class PngSpec extends AnyFunSuite {
       Media.decodePngBytes(withChunk(good, "QRST"))).getMessage.contains("critical"))
   }
 
+  /** Hand-build a complete PNG of arbitrary color type: IHDR, optional
+    * PLTE, one filter-0 IDAT, IEND. */
+  private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      plte: Option[Array[Byte]] = None): Array[Byte] = {
+    def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      val v = crc.getValue.toInt
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte), 0, 4)
+    }
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4 }
+    require(raw.length == w * h * bpp)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    chunk(out, "IHDR", ihdr)
+    plte.foreach(p => chunk(out, "PLTE", p))
+    val filtered = new Array[Byte](h * (1 + w * bpp))
+    for (y <- 0 until h)
+      System.arraycopy(raw, y * w * bpp, filtered, y * (1 + w * bpp) + 1, w * bpp)
+    val dfl = new java.util.zip.Deflater()
+    dfl.setInput(filtered); dfl.finish()
+    val comp = new Array[Byte](filtered.length + 64)
+    val n = dfl.deflate(comp); dfl.end()
+    chunk(out, "IDAT", java.util.Arrays.copyOf(comp, n))
+    chunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  test("all 8-bit color types decode with RGB normalization") {
+    // grayscale: g replicated to (g,g,g)
+    val gray = Array[Byte](10, 20, 30, 40)
+    val (gw, gh, gp) = Media.decodePngBytes(buildPng(2, 2, 0, gray))
+    assert(gw === 2 && gh === 2)
+    assert(gp.toSeq === gray.flatMap(g => Seq(g, g, g)).toSeq)
+    // palette: index -> PLTE triple
+    val plte = Array[Byte](1, 2, 3, 40, 50, 60, 70, 80, 90)
+    val idx = Array[Byte](2, 0, 1, 2)
+    val (_, _, pp) = Media.decodePngBytes(buildPng(2, 2, 3, idx, Some(plte)))
+    assert(pp.toSeq === Seq[Byte](70, 80, 90, 1, 2, 3, 40, 50, 60, 70, 80, 90))
+    // gray+alpha: alpha dropped
+    val ga = Array[Byte](11, 100, 22, (200 & 0xff).toByte)
+    val (_, _, gap) = Media.decodePngBytes(buildPng(2, 1, 4, ga))
+    assert(gap.toSeq === Seq[Byte](11, 11, 11, 22, 22, 22))
+    // RGBA: alpha dropped
+    val rgba = Array[Byte](1, 2, 3, 99, 4, 5, 6, 98)
+    val (_, _, rp) = Media.decodePngBytes(buildPng(2, 1, 6, rgba))
+    assert(rp.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6))
+    // RGB through the same builder matches the encoder's path
+    val rgb = Array[Byte](9, 8, 7, 6, 5, 4)
+    val (_, _, tp) = Media.decodePngBytes(buildPng(2, 1, 2, rgb))
+    assert(tp.toSeq === rgb.toSeq)
+    // failure modes: palette image without PLTE; out-of-range index
+    assert(intercept[IllegalArgumentException](
+      Media.decodePngBytes(buildPng(2, 2, 3, idx))).getMessage.contains("PLTE"))
+    val shortPlte = Array[Byte](1, 2, 3)
+    assert(intercept[IllegalArgumentException](
+      Media.decodePngBytes(buildPng(2, 2, 3, idx, Some(shortPlte))))
+      .getMessage.contains("palette index"))
+  }
+
   test("PNG and PPM paths produce identical aHashes and identical near-dup pairs") {
     val s = spark
     import s.implicits._
