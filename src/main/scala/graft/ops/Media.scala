@@ -2376,29 +2376,43 @@ object Media {
       val w = new FlacBitWriter
       w.put(0xfff8L, 16) // sync + reserved + fixed-blocksize strategy
       w.put(0x60L, 8) // blocksize code 6 (8-bit follows), rate code 0
-      w.put(((channels - 1) << 4 | (4 << 1)).toLong, 8) // chan asgn | 16 bps
+      // stereo docs code MID-SIDE (assignment 10): the decorrelation
+      // real encoders use, exercised by the driver oracles on every
+      // even-length doc because decode is lossless either way
+      val chanAsgn = if (channels == 2) 10 else 0
+      w.put((chanAsgn << 4 | (4 << 1)).toLong, 8) // chan asgn | 16 bps
       require(f < 128, "frame number beyond 1-byte UTF-8 range")
       w.put(f.toLong, 8) // UTF-8 coded frame number
       w.put((bs - 1).toLong, 8)
       val hdr = { w.alignZero(); w.bytes }
       val w2 = new FlacBitWriter
+      // mid-side channel derivation for stereo (independent for mono);
+      // the side channel codes at 17 bits
+      val chanData: Array[Array[Int]] =
+        if (channels == 2)
+          Array(
+            Array.tabulate(bs)(t => (sample(0, t0 + t) + sample(1, t0 + t)) >> 1),
+            Array.tabulate(bs)(t => sample(0, t0 + t) - sample(1, t0 + t)))
+        else Array(Array.tabulate(bs)(t => sample(0, t0 + t)))
       var ch = 0
       while (ch < channels) {
-        val x = Array.tabulate(bs)(t => sample(ch, t0 + t))
+        val x = chanData(ch)
+        val bits = if (channels == 2 && ch == 1) 17 else 16
+        val mask = (1L << bits) - 1
         val flat = x.forall(_ == x(0))
         if (flat) { // CONSTANT
           w2.put(0L, 8) // 0 | type 000000 | no wasted bits
-          w2.put((x(0).toLong & 0xffffL), 16)
+          w2.put(x(0).toLong & mask, bits)
         } else (f + ch) % 4 match {
           case 3 => // VERBATIM
             w2.put(1L << 1, 8)
             var t = 0
-            while (t < bs) { w2.put(x(t).toLong & 0xffffL, 16); t += 1 }
+            while (t < bs) { w2.put(x(t).toLong & mask, bits); t += 1 }
           case o0 => // FIXED order (0..2), capped below the block size
             val o = math.min(o0, bs - 1) // short last frame: order < bs
             w2.put(((8 + o) << 1).toLong, 8)
             var t = 0
-            while (t < o) { w2.put(x(t).toLong & 0xffffL, 16); t += 1 }
+            while (t < o) { w2.put(x(t).toLong & mask, bits); t += 1 }
             val res = Array.tabulate(bs - o) { j =>
               val t2 = j + o
               o match {
