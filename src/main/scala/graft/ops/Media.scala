@@ -852,15 +852,25 @@ object Media {
       })
   }
 
+  /** Even-dimension streams emit 4:2:0 (C420jpeg) with real chroma
+    * planes; odd dims fall back to Cmono — a MIXED-colourspace corpus,
+    * so the driver oracle (which digests luma only, and luma is the
+    * same cycled stream either way) exercises both payload layouts.
+    * Chroma planes cycle the source at phase offsets 17/41 (the JPEG
+    * color convention). */
   private[graft] def encodeY4m(src0: Array[Byte]): Array[Byte] = {
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
     val w = 8 + l % 24
     val h = 6 + l % 17
     val nf = 2 + l % 5
-    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val c420 = w % 2 == 0 && h % 2 == 0
+    val cs = if (c420) "C420jpeg" else "Cmono"
+    val chromaPlane = if (c420) (w / 2) * (h / 2) else 0
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cs\n".getBytes("US-ASCII")
     val frameMark = "FRAME\n".getBytes("US-ASCII")
-    val out = new Array[Byte](header.length + nf * (frameMark.length + w * h))
+    val out = new Array[Byte](
+      header.length + nf * (frameMark.length + w * h + 2 * chromaPlane))
     System.arraycopy(header, 0, out, 0, header.length)
     var off = header.length
     var j = 0
@@ -873,14 +883,25 @@ object Media {
         out(off) = src(j % l)
         off += 1; p += 1; j += 1
       }
+      if (c420) {
+        var q = 0
+        while (q < chromaPlane) { // Cb then Cr, phase-shifted cycles
+          out(off) = src((f * chromaPlane + q + 17) % l)
+          out(off + chromaPlane) = src((f * chromaPlane + q + 41) % l)
+          off += 1; q += 1
+        }
+        off += chromaPlane
+      }
       f += 1
     }
     out
   }
 
   /** REAL Y4M parse: validates the magic, reads the space-separated
-    * stream parameters (W/H required; only Cmono payloads are
-    * supported — a real pipeline would dispatch per colourspace),
+    * stream parameters (W/H required; Cmono, C420 variants, C422 and
+    * C444 payload layouts supported — the LUMA plane is extracted,
+    * chroma planes are sized and skipped, the fingerprinting
+    * convention every perceptual path here uses),
     * then walks the FRAME sections (parameters after FRAME are
     * tolerated per spec), slicing one w·h luma plane per frame.
     * Truncated planes, missing markers, or an unsupported colourspace
@@ -910,22 +931,38 @@ object Media {
       }
     }
     require(w > 0 && h > 0, s"y4m: missing or invalid dimensions W=$w H=$h")
-    // Plane size must be computed in Long: W65536 H65536 makes Int w*h wrap to
+    // chroma payload per luma sample, in quarters (0 = mono, 2 = 4:2:0,
+    // 4 = 4:2:2, 8 = 4:4:4); luma is always the leading w*h plane
+    val chromaQuarters = cs match {
+      case "mono" => 0
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+        require(w % 2 == 0 && h % 2 == 0,
+          s"y4m: 4:2:0 requires even dimensions, got ${w}x$h")
+        2
+      case "422" =>
+        require(w % 2 == 0, s"y4m: 4:2:2 requires even width, got $w")
+        4
+      case "444" => 8
+      case other => throw new IllegalArgumentException(
+        s"y4m: unsupported colourspace '$other'")
+    }
+    // Frame size must be computed in Long: W65536 H65536 makes Int w*h wrap to
     // 0, which would make the truncation check pass and "decode" empty frames.
-    val planeSize = w.toLong * h.toLong
-    require(planeSize <= b.length,
-      s"y4m: frame size ${planeSize} exceeds stream length ${b.length}")
-    val plane = planeSize.toInt
-    require(cs == "mono", s"y4m: unsupported colourspace '$cs' (Cmono only)")
+    val lumaSize = w.toLong * h.toLong
+    val frameSize = lumaSize + lumaSize * chromaQuarters / 4
+    require(frameSize <= b.length,
+      s"y4m: frame size ${frameSize} exceeds stream length ${b.length}")
+    val plane = lumaSize.toInt
+    val skip = (frameSize - lumaSize).toInt
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     while (i < b.length) {
       val mark = readLine()
       require(mark == "FRAME" || mark.startsWith("FRAME "),
         s"y4m: expected FRAME marker, got '${mark.take(8)}'")
-      require(i + plane <= b.length,
-        s"y4m: truncated frame ${frames.length} (need ${plane} bytes, have ${b.length - i})")
+      require(i + plane + skip <= b.length,
+        s"y4m: truncated frame ${frames.length} (need ${plane + skip} bytes, have ${b.length - i})")
       frames += java.util.Arrays.copyOfRange(b, i, i + plane)
-      i += plane
+      i += plane + skip
     }
     require(frames.nonEmpty, "y4m: stream has no frames")
     (w, h, frames.toArray)

@@ -65,9 +65,14 @@ class VideoY4mSpec extends AnyFunSuite {
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     assert(intercept[IllegalArgumentException](
       Media.decodeY4mBytes(badMagic)).getMessage.contains("magic"))
-    val cs = new String(good, "ISO-8859-1").replace("Cmono", "C420jpeg")
+    val cs = new String(good, "ISO-8859-1").replace("Cmono", "C411")
     assert(intercept[IllegalArgumentException](
       Media.decodeY4mBytes(cs.getBytes("ISO-8859-1"))).getMessage.contains("colourspace"))
+    // 4:2:0 requires even dims: rebadging this ODD-dims mono stream fails
+    val oddAs420 = new String(good, "ISO-8859-1").replace("Cmono", "C420jpeg")
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(oddAs420.getBytes("ISO-8859-1")))
+      .getMessage.contains("even dimensions"))
     assert(intercept[IllegalArgumentException](
       Media.decodeY4mBytes(java.util.Arrays.copyOf(good, good.length - 3)))
       .getMessage.contains("truncated"))
@@ -80,6 +85,23 @@ class VideoY4mSpec extends AnyFunSuite {
     val overflow = "YUV4MPEG2 W65536 H65536 Cmono\nFRAME\n".getBytes("US-ASCII")
     assert(intercept[IllegalArgumentException](
       Media.decodeY4mBytes(overflow)).getMessage.contains("exceeds"))
+  }
+
+  test("4:2:0 payloads: luma extracted, chroma planes sized and skipped") {
+    // l=40 -> w=24, h=12 (both even) -> the encoder emits C420jpeg
+    val src = Array.tabulate(40)(i => (i * 7 + 3).toByte)
+    val blob = Media.encodeY4m(src)
+    assert(new String(blob, 0, 60, "ISO-8859-1").contains("C420jpeg"))
+    val (w, h, frames) = Media.decodeY4mBytes(blob)
+    assert(w === 24 && h === 12 && frames.length === 2)
+    // the luma planes are the SAME cycled stream mono would carry
+    val l = src.length
+    for (f <- frames.indices; p <- 0 until w * h)
+      assert(frames(f)(p) === src((f * w * h + p) % l), s"f=$f p=$p")
+    // chroma truncation fails loudly (cut mid-way into the last Cr plane)
+    assert(intercept[IllegalArgumentException](
+      Media.decodeY4mBytes(java.util.Arrays.copyOf(blob, blob.length - 10)))
+      .getMessage.contains("truncated"))
   }
 
   test("per-frame aHash matches the independent reference; frames hash independently") {
