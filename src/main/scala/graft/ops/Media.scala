@@ -2200,6 +2200,55 @@ object Media {
     }
   }
 
+  /** Container detection by magic bytes — the dispatch a real ingest
+    * runs before any decode (content-type headers lie; the bytes
+    * don't). Returns a stable tag or fails loudly on unknown leaders.
+    */
+  private[graft] def sniffContainer(b: Array[Byte]): String = {
+    require(b.length >= 12, "sniff: blob too short to identify")
+    if (b(0) == 'P' && b(1) == '6') "ppm"
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
+    else if (new String(b, 0, math.min(9, b.length), "US-ASCII") == "YUV4MPEG2") "y4m"
+    else throw new IllegalArgumentException(
+      f"sniff: unknown container (leading bytes ${b(0) & 0xff}%02x${b(1) & 0xff}%02x)")
+  }
+
+  /** Sniff-and-decode to an RGB raster: dispatches PPM/PNG blobs (the
+    * two containers whose decode IS the identity raster) by magic
+    * bytes — the mixed-corpus shape real ingest sees, where the
+    * container column is untrusted and only the bytes decide. */
+  private[graft] def decodeRgbAuto(b: Array[Byte]): (Int, Int, Array[Byte]) =
+    sniffContainer(b) match {
+      case "ppm" => val (w, h, _, pix) = decodePpmBytes(b); (w, h, pix)
+      case "png" => decodePngBytes(b)
+      case other => throw new IllegalArgumentException(
+        s"sniff: container '$other' does not decode to a lossless RGB raster")
+    }
+
+  /** aHash over sniff-decoded rasters: one hash pipeline over a
+    * MIXED-container corpus. */
+  def autoAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, pix) = decodeRgbAuto(row.content)
+      aHashRgb(row.doc_id, w, h, pix)
+    })
+  }
+
+  /** Perceptual near-dup over a mixed PPM/PNG corpus: magic-byte
+    * dispatch → decode → aHash → the shared band engine. Containers
+    * are irrelevant to the pairs — only pixels are.
+    */
+  def autoNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(autoAHash(media).toDF(), maxHamming, maxBandFreq)
+
   final case class ResizedFeatures(
       doc_id: Long,
       rs_width: Long,

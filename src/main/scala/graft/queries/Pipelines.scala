@@ -792,6 +792,28 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // MIXED-container ingest (round 10): the corpus arrives half PPM,
+    // half PNG (by doc_id parity), with every exact twin shifted to
+    // the OPPOSITE parity — so each twin pair crosses containers and
+    // only magic-byte dispatch + decode can find it. One hash pipeline
+    // over untrusted container bytes: the real ingest shape, where
+    // content-type metadata lies and the bytes decide.
+    "q146_container_sniff_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000002L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val aug = docs.select("doc_id", "text")
+        .unionByName(exactTwins).unionByName(nearTwins)
+      val asMixed = Media.asPpm(aug.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .unionByName(Media.asPng(aug.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      Media.autoNearDupPairs(asMixed)
+    }),
+
     // REAL pixel resize (round 10): decode P6 → 2× integer box
     // downsample (floor-mean per cell, true edge counts) → resized-
     // raster digest. Upgrades q52's dims-only resize contract to
@@ -3669,5 +3691,12 @@ object Pipelines {
     // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
     // of PNG riding the PPM oracles above.
     "q141_flac_decode" -> oracleSqlBase("q110_wav_decode"),
-    "q142_flac_neardup" -> oracleSqlBase("q122_audio_phash"))
+    "q142_flac_neardup" -> oracleSqlBase("q122_audio_phash"),
+    // mixed-container sniff: pixels are container-independent, so the
+    // q120 chain IS the oracle — only the twin offsets differ (odd
+    // shifts flip doc_id parity, making every twin pair cross the
+    // PPM/PNG container boundary)
+    "q146_container_sniff_neardup" -> oracleSqlBase("q120_media_phash")
+      .replace("doc_id + 1000000", "doc_id + 1000001")
+      .replace("doc_id + 2000000", "doc_id + 2000002"))
 }

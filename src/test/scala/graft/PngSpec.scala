@@ -175,6 +175,29 @@ class PngSpec extends AnyFunSuite {
       .getMessage.contains("palette index"))
   }
 
+  test("container sniffing: magic bytes dispatch all six formats; unknowns fail loudly") {
+    val src = "sniff me please, twelve+".getBytes("UTF-8")
+    assert(Media.sniffContainer(Media.encodePpm(src)) === "ppm")
+    assert(Media.sniffContainer(Media.encodePng(src)) === "png")
+    assert(Media.sniffContainer(Media.encodeJpegGray(src)) === "jpeg")
+    assert(Media.sniffContainer(Media.encodeJpegColor(src)) === "jpeg")
+    assert(Media.sniffContainer(Media.encodeWav(src)) === "wav")
+    assert(Media.sniffContainer(Media.encodeFlac(src)) === "flac")
+    assert(Media.sniffContainer(Media.encodeY4m(src)) === "y4m")
+    assert(intercept[IllegalArgumentException](
+      Media.sniffContainer("GIF89a-not-supported".getBytes("US-ASCII")))
+      .getMessage.contains("unknown container"))
+    assert(intercept[IllegalArgumentException](
+      Media.sniffContainer(Array[Byte](1, 2))).getMessage.contains("too short"))
+    // lossless-raster dispatch decodes PPM and PNG to the same pixels
+    val (w1, h1, p1) = Media.decodeRgbAuto(Media.encodePpm(src))
+    val (w2, h2, p2) = Media.decodeRgbAuto(Media.encodePng(src))
+    assert(w1 === w2 && h1 === h2 && java.util.Arrays.equals(p1, p2))
+    // lossy/audio/video containers are rejected by the RGB dispatch
+    assert(intercept[IllegalArgumentException](
+      Media.decodeRgbAuto(Media.encodeWav(src))).getMessage.contains("lossless RGB"))
+  }
+
   test("PNG and PPM paths produce identical aHashes and identical near-dup pairs") {
     val s = spark
     import s.implicits._
