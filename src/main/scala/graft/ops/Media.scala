@@ -2068,17 +2068,30 @@ object Media {
       })
   }
 
+  /** `sampH`/`sampV` are the luma sampling factors: (2,2) = 4:2:0,
+    * (2,1) = 4:2:2, (1,2) = 4:4:0, (1,1) = 4:4:4. The boolean
+    * `subsample` forms delegate with (2,2)/(1,1). */
   private[graft] def encodeJpegColor(
-      src0: Array[Byte], subsample: Boolean = true,
+      src0: Array[Byte], subsample: Boolean,
+      restartEvery: Int): Array[Byte] =
+    encodeJpegColorSampled(src0, if (subsample) 2 else 1,
+      if (subsample) 2 else 1, restartEvery)
+  private[graft] def encodeJpegColor(
+      src0: Array[Byte], subsample: Boolean = true): Array[Byte] =
+    encodeJpegColor(src0, subsample, -1)
+
+  private[graft] def encodeJpegColorSampled(
+      src0: Array[Byte], sampH: Int, sampV: Int,
       restartEvery: Int = -1): Array[Byte] = {
+    require(sampH >= 1 && sampH <= 2 && sampV >= 1 && sampV <= 2)
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
     val ri = if (restartEvery < 0) l % 5 else restartEvery
-    val mcuSpan = if (subsample) 16 else 8
-    val w = mcuSpan * (1 + l % 3)
-    val h = mcuSpan * (1 + l % 2)
-    val cw = if (subsample) w / 2 else w
-    val chh = if (subsample) h / 2 else h
+    val mcuW = 8 * sampH; val mcuH = 8 * sampV
+    val w = mcuW * (1 + l % 3)
+    val h = mcuH * (1 + l % 2)
+    val cw = w / sampH
+    val chh = h / sampV
     val out = new java.io.ByteArrayOutputStream(1024)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -2090,7 +2103,7 @@ object Media {
     marker(0xd8) // SOI
     seg(0xdb, Array(0x00) ++ Array.fill(64)(JpegQ)) // DQT 0: luma
     seg(0xdb, Array(0x01) ++ Array.fill(64)(JpegQChroma)) // DQT 1: chroma
-    val lumaSamp = if (subsample) 0x22 else 0x11
+    val lumaSamp = (sampH << 4) | sampV
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
       0x01, lumaSamp, 0x00, // Y: qtable 0
       0x02, 0x11, 0x01, // Cb: qtable 1
@@ -2132,8 +2145,7 @@ object Media {
       val (eobCode, eobLen) = if (c == 0) acLuma else acChroma
       bw.put(eobCode, eobLen)
     }
-    val lumaBlocks = if (subsample) 2 else 1
-    val mcusX = w / mcuSpan; val mcusY = h / mcuSpan
+    val mcusX = w / mcuW; val mcusY = h / mcuH
     var mcuCount = 0
     var rstIdx = 0
     var my = 0
@@ -2147,10 +2159,10 @@ object Media {
           prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
         }
         var v2 = 0
-        while (v2 < lumaBlocks) {
+        while (v2 < sampV) {
           var h2 = 0
-          while (h2 < lumaBlocks) {
-            putBlock(0, w, 0, JpegQ, mx * lumaBlocks + h2, my * lumaBlocks + v2)
+          while (h2 < sampH) {
+            putBlock(0, w, 0, JpegQ, mx * sampH + h2, my * sampV + v2)
             h2 += 1
           }
           v2 += 1

@@ -68,6 +68,26 @@ class JpegColorSpec extends AnyFunSuite {
       check(Array.fill(len)(rnd.nextInt(256).toByte), subsample = false)
   }
 
+  test("4:2:2 and 4:4:0 interleaves decode to their per-plane closed forms") {
+    val rnd = new Random(67)
+    for ((sh, sv) <- Seq((2, 1), (1, 2)); len <- Seq(33, 500, 1234)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val l = src.length
+      val ew = 8 * sh * (1 + l % 3); val eh = 8 * sv * (1 + l % 2)
+      val ecw = ew / sh; val ech = eh / sv
+      val (w, h, planes) =
+        Media.decodeJpegPlanes(Media.encodeJpegColorSampled(src, sh, sv))
+      assert((w, h) === ((ew, eh)), s"$sh:$sv l=$l dims")
+      assert(java.util.Arrays.equals(planes(0)._3, expectedPlane(src, ew, eh, 0, 16, 2)),
+        s"$sh:$sv l=$l luma")
+      assert((planes(1)._1, planes(1)._2) === ((ecw, ech)), s"$sh:$sv l=$l chroma dims")
+      assert(java.util.Arrays.equals(planes(1)._3, expectedPlane(src, ecw, ech, 17, 24, 3)),
+        s"$sh:$sv l=$l cb")
+      assert(java.util.Arrays.equals(planes(2)._3, expectedPlane(src, ecw, ech, 41, 24, 3)),
+        s"$sh:$sv l=$l cr")
+    }
+  }
+
   test("per-component DC predictors are independent (varying content)") {
     // strongly varying luma with flat chroma phases would cross-corrupt
     // if the predictors were shared — the closed-form check above
