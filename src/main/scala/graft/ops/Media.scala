@@ -2212,6 +2212,187 @@ object Media {
     }
   }
 
+  // ───────────── real JPEG ENCODER / transcode (round 10) ──────────
+  // The deterministic DC-only encoder exists for oracle replay; THIS
+  // is the full baseline encoder — forward DCT, quality-scaled
+  // Annex-K quantization, run-length AC entropy coding — which makes
+  // the JPEG side a complete codec and enables the re-compression
+  // (storage-tiering) pass real media pipelines run: decode →
+  // re-encode at a lower quality. Not SQL-oracle-able (float DCT);
+  // correctness is spec-pinned: block-constant rasters round-trip
+  // EXACTLY at high quality, arbitrary rasters meet a PSNR floor, and
+  // every emitted stream re-enters the validating decoder.
+
+  /** Annex-K K.1 luminance quantization table (raster order). */
+  private val JpegQLumaK1 = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** libjpeg quality scaling: 1..100 → per-entry table clamp [1,255]. */
+  private[graft] def qualityTable(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, "quality must be 1..100")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
+  }
+
+  /** T.81 A.3.3 forward DCT of one level-shifted 8×8 block. */
+  private def fdct8x8(f: Array[Int], out: Array[Double]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            sum += f(r * 8 + c) *
+              math.cos((2 * r + 1) * u * math.Pi / 16) *
+              math.cos((2 * c + 1) * v * math.Pi / 16)
+            c += 1
+          }
+          r += 1
+        }
+        val cu = if (u == 0) 0.7071067811865476 else 1.0
+        val cv = if (v == 0) 0.7071067811865476 else 1.0
+        out(u * 8 + v) = 0.25 * cu * cv * sum
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** FULL baseline-JPEG grayscale encoder: arbitrary dimensions (edge
+    * blocks replicate border pixels), forward DCT, quality-scaled
+    * quantization, standard-table Huffman with run-length AC
+    * (ZRL/EOB), byte stuffing. */
+  private[graft] def encodeJpegRealGray(
+      pix: Array[Byte], w: Int, h: Int, quality: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h, "bad raster")
+    val qt = qualityTable(JpegQLumaK1, quality)
+    val out = new java.io.ByteArrayOutputStream(pix.length / 2 + 256)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    // DQT elements are transmitted in ZIGZAG order (T.81 B.2.4.1)
+    seg(0xdb, Array(0x00) ++ Array.tabulate(64)(k => qt(JpegZigzag(k))))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 0x01, 0x11, 0x00))
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals)
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
+    seg(0xda, Array(1, 0x01, 0x00, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val acEnc = huffCodes(JpegAcBits, JpegAcVals)
+    def putCoef(v: Int, code: (Int, Int), cat: Int): Unit = {
+      bw.put(code._1, code._2)
+      if (cat > 0) {
+        val bits = if (v < 0) v + (1 << cat) - 1 else v
+        bw.put(bits, cat)
+      }
+    }
+    val blk = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var prevDc = 0
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        var r = 0
+        while (r < 8) { // border replication for edge blocks
+          val py = math.min(by * 8 + r, h - 1)
+          var c = 0
+          while (c < 8) {
+            val px = math.min(bx * 8 + c, w - 1)
+            blk(r * 8 + c) = (pix(py * w + px) & 0xff) - 128
+            c += 1
+          }
+          r += 1
+        }
+        fdct8x8(blk, freq)
+        var k = 0
+        while (k < 64) {
+          val rasterIdx = JpegZigzag(k)
+          zz(k) = math.round(freq(rasterIdx) / qt(rasterIdx)).toInt
+          k += 1
+        }
+        // DC
+        val diff = zz(0) - prevDc
+        prevDc = zz(0)
+        val dcCat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        require(dcCat <= 11, "jpeg encode: DC diff out of range")
+        putCoef(diff, DcEnc(dcCat), dcCat)
+        // AC with run lengths
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run >= 16) { putCoef(0, acEnc(0xf0), 0); run -= 16 } // ZRL
+            val cat = 32 - Integer.numberOfLeadingZeros(math.abs(zz(k)))
+            require(cat <= 10, "jpeg encode: AC coefficient out of range")
+            putCoef(zz(k), acEnc((run << 4) | cat), cat)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putCoef(0, acEnc(0x00), 0) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  final case class TranscodeFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_orig_bytes: Long,
+      n_recoded_bytes: Long,
+      psnr_permille: Long)
+
+  /** Re-compression pass: decode each (gray) JPEG, re-encode it with
+    * the FULL encoder at `quality`, decode the result through the
+    * validating parser, and report sizes + integer PSNR (permille dB,
+    * 999999 for identical rasters) — the storage-tiering op, one
+    * map-side pass. */
+  def transcodeJpeg(media: Dataset[MediaRow], quality: Int): Dataset[TranscodeFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, pix) = decodeJpegBytes(row.content)
+      val recoded = encodeJpegRealGray(pix, w, h, quality)
+      val (w2, h2, pix2) = decodeJpegBytes(recoded)
+      require(w2 == w && h2 == h, "transcode changed dimensions")
+      var se = 0L
+      var i = 0
+      while (i < pix.length) {
+        val d = (pix(i) & 0xff) - (pix2(i) & 0xff)
+        se += d.toLong * d
+        i += 1
+      }
+      val psnrPermille =
+        if (se == 0L) 999999L
+        else math.round(1000.0 * 10.0 *
+          math.log10(255.0 * 255.0 * pix.length / se.toDouble))
+      TranscodeFeatures(row.doc_id, w.toLong, h.toLong,
+        row.content.length.toLong, recoded.length.toLong, psnrPermille)
+    })
+  }
+
   /** Container detection by magic bytes — the dispatch a real ingest
     * runs before any decode (content-type headers lie; the bytes
     * don't). Returns a stable tag or fails loudly on unknown leaders.

