@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.Media
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Decoder fuzzing: the fail-loudly contract as a PROPERTY. Every
+  * decoder consumes arbitrary public bytes at 100 TB scale; a corrupt
+  * stream must either decode (mutations can be benign — payload bytes,
+  * ancillary fields) or throw IllegalArgumentException with a
+  * diagnosable message — never an ArrayIndexOutOfBounds, NegativeArraySize,
+  * NumberFormat, DataFormat, or any other leak of internal state, and
+  * never an unbounded loop. Byte flips and truncations over every
+  * container.
+  */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private def fuzz(name: String, trials: Int)(
+      mk: Array[Byte] => Array[Byte])(dec: Array[Byte] => Any): Unit = {
+    val rnd = new Random(name.hashCode)
+    var ok = 0L; var rejected = 0L
+    var t = 0
+    while (t < trials) {
+      val src = Array.fill(20 + rnd.nextInt(500))(rnd.nextInt(256).toByte)
+      val blob = mk(src)
+      val mutated =
+        if (rnd.nextBoolean()) { // byte flips
+          val m = blob.clone()
+          val flips = 1 + rnd.nextInt(5)
+          var i = 0
+          while (i < flips) {
+            m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte; i += 1
+          }
+          m
+        } else // truncation (and occasionally trailing garbage)
+          if (rnd.nextBoolean()) java.util.Arrays.copyOf(blob, 1 + rnd.nextInt(blob.length))
+          else java.util.Arrays.copyOf(blob, blob.length + 1 + rnd.nextInt(9))
+      try { dec(mutated); ok += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case e: Throwable =>
+          fail(s"$name trial $t: non-contract ${e.getClass.getName}: ${e.getMessage}")
+      }
+      t += 1
+    }
+    // mutations must actually bite: a fuzzer that never rejects is
+    // testing nothing
+    assert(rejected > trials / 4, s"$name: only $rejected/$trials rejected")
+  }
+
+  test("ppm survives byte flips and truncation")(
+    fuzz("ppm", 400)(Media.encodePpm)(Media.decodePpmBytes))
+
+  test("png survives byte flips and truncation")(
+    fuzz("png", 400)(Media.encodePng)(Media.decodePngBytes))
+
+  test("jpeg gray survives byte flips and truncation")(
+    fuzz("jpeg", 400)(b => Media.encodeJpegGray(b))(Media.decodeJpegBytes))
+
+  test("jpeg color survives byte flips and truncation")(
+    fuzz("jpegc", 300)(b => Media.encodeJpegColor(b))(Media.decodeJpegPlanes))
+
+  test("full-encoder jpeg survives byte flips and truncation") {
+    fuzz("jpegr", 200) { src =>
+      val (w, h, pix) = Media.decodeJpegBytes(Media.encodeJpegGray(src))
+      Media.encodeJpegRealGray(pix, w, h, 35)
+    }(Media.decodeJpegBytes)
+  }
+
+  test("wav survives byte flips and truncation")(
+    fuzz("wav", 400)(Media.encodeWav)(Media.decodeWavBytes))
+
+  test("flac survives byte flips and truncation")(
+    fuzz("flac", 400)(Media.encodeFlac)(Media.decodeFlacBytes))
+
+  test("y4m survives byte flips and truncation")(
+    fuzz("y4m", 400)(Media.encodeY4m)(Media.decodeY4mBytes))
+
+  test("sniffing survives arbitrary leading bytes") {
+    val rnd = new Random(97)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(12 + rnd.nextInt(50))(rnd.nextInt(256).toByte)
+      try Media.sniffContainer(junk)
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"sniff: ${e.getClass.getName}")
+      }
+    }
+  }
+}
