@@ -1916,6 +1916,13 @@ object Media {
     (w, h, pix)
   }
 
+  /** cos((2x+1)·u·π/16) lookup — the only trig either DCT direction
+    * needs; identical double values to the inline calls it replaces
+    * (same math.cos at the same arguments), so every pinned digest is
+    * unchanged. Indexed [x][u]. */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
   /** Separable double-precision IDCT with final round + clamp — the
     * straightforward T.81 A.3.3 definition (exact for DC-only blocks
     * whose DC is a multiple of 8, which the oracle relies on).
@@ -1923,8 +1930,10 @@ object Media {
   private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
     var r = 0
     while (r < 8) {
+      val cr = DctCos(r)
       var c = 0
       while (c < 8) {
+        val cc = DctCos(c)
         var sum = 0.0
         var u = 0
         while (u < 8) {
@@ -1932,9 +1941,7 @@ object Media {
           while (v < 8) {
             val cu = if (u == 0) 0.7071067811865476 else 1.0
             val cv = if (v == 0) 0.7071067811865476 else 1.0
-            sum += cu * cv * coef(u * 8 + v) *
-              math.cos((2 * r + 1) * u * math.Pi / 16) *
-              math.cos((2 * c + 1) * v * math.Pi / 16)
+            sum += cu * cv * coef(u * 8 + v) * cr(u) * cc(v)
             v += 1
           }
           u += 1
@@ -2250,11 +2257,10 @@ object Media {
         var sum = 0.0
         var r = 0
         while (r < 8) {
+          val cru = DctCos(r)(u)
           var c = 0
           while (c < 8) {
-            sum += f(r * 8 + c) *
-              math.cos((2 * r + 1) * u * math.Pi / 16) *
-              math.cos((2 * c + 1) * v * math.Pi / 16)
+            sum += f(r * 8 + c) * cru * DctCos(c)(v)
             c += 1
           }
           r += 1
