@@ -115,7 +115,8 @@ object ClusterSanity {
           "q139_jpeg_decode", "q140_jpeg_neardup",
           "q141_flac_decode", "q142_flac_neardup",
           "q143_jpeg_color_decode", "q144_jpeg_color_neardup",
-          "q145_media_resize_pixels")) {
+          "q145_media_resize_pixels", "q146_container_sniff_neardup",
+          "q147_jpeg_transcode")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
