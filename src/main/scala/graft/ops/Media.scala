@@ -2363,6 +2363,132 @@ object Media {
     out.toByteArray
   }
 
+  /** Annex-K K.2 chrominance quantization table (raster order). */
+  private val JpegQChromaK2 = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** FULL baseline-JPEG COLOR encoder: YCbCr 4:2:0 interleaved MCUs
+    * with forward DCT, quality-scaled K.1/K.2 quantization, and the
+    * standard luminance/chrominance Huffman tables. Chroma planes are
+    * supplied at their natural half resolution (what
+    * [[decodeJpegPlanes]] returns for 4:2:0). Even dimensions
+    * required; edge blocks replicate borders. */
+  private[graft] def encodeJpegRealColor(
+      y: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+      w: Int, h: Int, quality: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      "4:2:0 requires even dimensions")
+    val cw = w / 2; val chh = h / 2
+    require(y.length == w * h && cb.length == cw * chh && cr.length == cw * chh,
+      "bad plane geometry")
+    val qtY = qualityTable(JpegQLumaK1, quality)
+    val qtC = qualityTable(JpegQChromaK2, quality)
+    val out = new java.io.ByteArrayOutputStream(y.length / 2 + 512)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.tabulate(64)(k => qtY(JpegZigzag(k))))
+    seg(0xdb, Array(0x01) ++ Array.tabulate(64)(k => qtC(JpegZigzag(k))))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals)
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
+    seg(0xc4, Array(0x01) ++ JpegDcChromaBits.drop(1) ++ JpegDcChromaVals)
+    seg(0xc4, Array(0x11) ++ JpegAcChromaBits.drop(1) ++ JpegAcChromaVals)
+    seg(0xda, Array(3, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val acEncY = huffCodes(JpegAcBits, JpegAcVals)
+    val acEncC = huffCodes(JpegAcChromaBits, JpegAcChromaVals)
+    val blk = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val zz = new Array[Int](64)
+    val prevDc = new Array[Int](3)
+    def putBlock(plane: Array[Byte], pw: Int, ph: Int, bx: Int, by: Int,
+        qt: Array[Int], c: Int): Unit = {
+      var r = 0
+      while (r < 8) {
+        val py = math.min(by * 8 + r, ph - 1)
+        var cc = 0
+        while (cc < 8) {
+          val px = math.min(bx * 8 + cc, pw - 1)
+          blk(r * 8 + cc) = (plane(py * pw + px) & 0xff) - 128
+          cc += 1
+        }
+        r += 1
+      }
+      fdct8x8(blk, freq)
+      var k = 0
+      while (k < 64) {
+        val ri = JpegZigzag(k)
+        zz(k) = math.round(freq(ri) / qt(ri)).toInt
+        k += 1
+      }
+      val dcEnc = if (c == 0) DcEnc else DcChromaEnc
+      val acEnc = if (c == 0) acEncY else acEncC
+      val diff = zz(0) - prevDc(c)
+      prevDc(c) = zz(0)
+      val dcCat = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      require(dcCat <= 11, "jpeg encode: DC diff out of range")
+      val (dc0, dc1) = dcEnc(dcCat)
+      bw.put(dc0, dc1)
+      if (dcCat > 0)
+        bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (z0, z1) = acEnc(0xf0); bw.put(z0, z1); run -= 16
+          }
+          val cat = 32 - Integer.numberOfLeadingZeros(math.abs(zz(k)))
+          require(cat <= 10, "jpeg encode: AC coefficient out of range")
+          val (a0, a1) = acEnc((run << 4) | cat)
+          bw.put(a0, a1)
+          bw.put(if (zz(k) < 0) zz(k) + (1 << cat) - 1 else zz(k), cat)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (e0, e1) = acEnc(0x00); bw.put(e0, e1) }
+    }
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v2 = 0
+        while (v2 < 2) {
+          var h2 = 0
+          while (h2 < 2) {
+            putBlock(y, w, h, mx * 2 + h2, my * 2 + v2, qtY, 0)
+            h2 += 1
+          }
+          v2 += 1
+        }
+        putBlock(cb, cw, chh, mx, my, qtC, 1)
+        putBlock(cr, cw, chh, mx, my, qtC, 2)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   final case class TranscodeFeatures(
       doc_id: Long,
       width: Long,
@@ -2394,6 +2520,42 @@ object Media {
         if (se == 0L) 999999L
         else math.round(1000.0 * 10.0 *
           math.log10(255.0 * 255.0 * pix.length / se.toDouble))
+      TranscodeFeatures(row.doc_id, w.toLong, h.toLong,
+        row.content.length.toLong, recoded.length.toLong, psnrPermille)
+    })
+  }
+
+  /** Color re-compression pass: decode the YCbCr planes, re-encode
+    * 4:2:0 with the FULL color encoder at `quality`, re-decode through
+    * the validating parser, and report sizes + integer PSNR over all
+    * three planes. */
+  def transcodeJpegColor(media: Dataset[MediaRow], quality: Int): Dataset[TranscodeFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val (w, h, planes) = decodeJpegPlanes(row.content)
+      require(planes.length == 3, "color transcode needs a YCbCr stream")
+      val recoded = encodeJpegRealColor(
+        planes(0)._3, planes(1)._3, planes(2)._3, w, h, quality)
+      val (w2, h2, planes2) = decodeJpegPlanes(recoded)
+      require(w2 == w && h2 == h && planes2.length == 3,
+        "transcode changed geometry")
+      var se = 0L; var n = 0L
+      var c = 0
+      while (c < 3) {
+        val a = planes(c)._3; val b = planes2(c)._3
+        require(a.length == b.length, s"plane $c size changed")
+        var i = 0
+        while (i < a.length) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          se += d.toLong * d
+          i += 1
+        }
+        n += a.length
+        c += 1
+      }
+      val psnrPermille =
+        if (se == 0L) 999999L
+        else math.round(1000.0 * 10.0 * math.log10(255.0 * 255.0 * n / se.toDouble))
       TranscodeFeatures(row.doc_id, w.toLong, h.toLong,
         row.content.length.toLong, recoded.length.toLong, psnrPermille)
     })

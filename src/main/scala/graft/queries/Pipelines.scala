@@ -807,6 +807,17 @@ object Pipelines {
         .select("doc_id", "width", "height", "n_orig_bytes",
           "n_recoded_bytes", "psnr_permille")),
 
+    // Color transcode (rows-only, the q147 discipline on the YCbCr
+    // path): interleaved-MCU decode → FULL 4:2:0 re-encode (K.1/K.2
+    // quality-scaled tables, chroma at natural half resolution) →
+    // validating re-decode → sizes + PSNR over all three planes.
+    "q148_jpeg_color_transcode" -> ((s, dir) =>
+      Media.transcodeJpegColor(
+        Media.asJpegColor(t(s, dir, "documents"), "doc_id", "text"), quality = 35)
+        .toDF()
+        .select("doc_id", "width", "height", "n_orig_bytes",
+          "n_recoded_bytes", "psnr_permille")),
+
     // MIXED-container ingest (round 10): the corpus arrives half PPM,
     // half PNG (by doc_id parity), with every exact twin shifted to
     // the OPPOSITE parity — so each twin pair crosses containers and

@@ -169,6 +169,37 @@ class JpegColorSpec extends AnyFunSuite {
     assert(w3 === 13 && h3 === 9 && dec3.length === 13 * 9)
   }
 
+  test("full COLOR encoder: 4:2:0 transcode exact at q95 on DC-only input, bounded at q35") {
+    val rnd = new Random(73)
+    val src = Array.fill(888)(rnd.nextInt(256).toByte)
+    val (w, h, planes) = Media.decodeJpegPlanes(Media.encodeJpegColor(src))
+    // block-constant planes + q95 (both qt DCs divide evenly) => exact
+    val exact = Media.encodeJpegRealColor(
+      planes(0)._3, planes(1)._3, planes(2)._3, w, h, 95)
+    val (w1, h1, planes1) = Media.decodeJpegPlanes(exact)
+    assert(w1 === w && h1 === h)
+    for (c <- 0 until 3)
+      assert(java.util.Arrays.equals(planes1(c)._3, planes(c)._3), s"plane $c")
+    // lossy q35: all planes reconstruct within a sane PSNR
+    val noisyY = Array.tabulate(32 * 16)(i =>
+      ((math.sin(i * 0.6) * 80 + (i % 11) * 9 + 128).toInt & 0xff).toByte)
+    val noisyCb = Array.tabulate(16 * 8)(i => ((i * 23 + 7) & 0xff).toByte)
+    val noisyCr = Array.tabulate(16 * 8)(i => ((i * 31 + 3) & 0xff).toByte)
+    val enc = Media.encodeJpegRealColor(noisyY, noisyCb, noisyCr, 32, 16, 35)
+    val (w2, h2, dec) = Media.decodeJpegPlanes(enc)
+    assert(w2 === 32 && h2 === 16 && dec(1)._1 === 16 && dec(1)._2 === 8)
+    var se = 0L; var n = 0L
+    for ((orig, c) <- Seq(noisyY, noisyCb, noisyCr).zipWithIndex) {
+      val got = dec(c)._3
+      for (i <- orig.indices) {
+        val d = (orig(i) & 0xff) - (got(i) & 0xff); se += d.toLong * d
+      }
+      n += orig.length
+    }
+    val psnr = 10.0 * math.log10(255.0 * 255.0 * n / se.toDouble)
+    assert(psnr > 18.0, f"color q35 PSNR $psnr%.1f dB too low")
+  }
+
   test("the parser fails loudly on bad color structure") {
     val good = Media.encodeJpegColor("jpeg color fail cases".getBytes("UTF-8"))
     // SOF0 sampling factor 3 for luma
