@@ -80,8 +80,21 @@ object GraphOps {
   private[graft] def reachPairs(edges01: DataFrame): DataFrame = {
     var c = edges01.select(col("src"), col("dst")).distinct().localCheckpoint()
     var n = c.count()
+    // Closure-size guard: on a deep/high-fanout DAG the all-pairs set
+    // is Θ(Σ reach(n)) and can go quadratic in nodes even when callers
+    // only need a small projection. Rather than silently grinding into
+    // an executor-OOM shuffle, fail loudly once the pair set passes the
+    // cap (session-tunable) and point at the frontier-BFS alternative.
+    val maxPairs = edges01.sparkSession.conf
+      .getOption("spark.graft.reachPairsMaxPairs").map(_.toLong)
+      .getOrElse(1L << 28)
     var growing = n > 0
     while (growing) {
+      require(n <= maxPairs,
+        s"reachPairs: transitive closure exceeded $maxPairs pairs (now $n); " +
+          "this graph is too deep/dense for the all-pairs form — use " +
+          "descendantsFrom (frontier BFS) per seed, or raise " +
+          "spark.graft.reachPairsMaxPairs")
       val doubled = c
         .unionByName(c.as("a")
           .join(c.select(col("src").as("mid"), col("dst").as("dst2")).as("b"),

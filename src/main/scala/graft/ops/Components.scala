@@ -277,6 +277,15 @@ object Components {
     // exercises the full shuffle path end-to-end).
     val capOverride = standingLabels.sparkSession.conf
       .getOption("spark.graft.relabelBroadcastCap").map(_.toLong)
+    // The override wins over the caller's explicit caps, which is easy
+    // to forget when a stale session still carries a bench setting —
+    // surface it so regime flips are attributable from the logs.
+    capOverride.foreach { c =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"deltaRelabel: spark.graft.relabelBroadcastCap=$c overrides " +
+          s"caller caps (broadcastDeltaCap=$broadcastDeltaCap, " +
+          s"singleTaskCap=$singleTaskCap)")
+    }
     val bCap = capOverride.getOrElse(broadcastDeltaCap)
     val sCap = capOverride.fold(singleTaskCap)(c => math.min(c, singleTaskCap))
     val edges = deltaPairs

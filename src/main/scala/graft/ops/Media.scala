@@ -922,10 +922,18 @@ object Media {
     require(header.startsWith("YUV4MPEG2"),
       s"y4m: bad magic '${header.take(9)}'")
     var w = -1; var h = -1; var cs = "420jpeg" // the format's default
+    // Corrupted digit fields must raise IllegalArgumentException (the
+    // fail-loudly contract), not NumberFormatException from a bare toInt.
+    def dim(p: String): Int = {
+      val d = p.drop(1)
+      require(d.nonEmpty && d.length <= 9 && d.forall(c => c >= '0' && c <= '9'),
+        s"y4m: invalid dimension field '$p'")
+      d.toInt
+    }
     header.split(' ').drop(1).foreach { p =>
       if (p.nonEmpty) p.charAt(0) match {
-        case 'W' => w = p.drop(1).toInt
-        case 'H' => h = p.drop(1).toInt
+        case 'W' => w = dim(p)
+        case 'H' => h = dim(p)
         case 'C' => cs = p.drop(1)
         case _ => () // F/I/A/X parameters don't affect plane sizes here
       }
@@ -2999,6 +3007,7 @@ object Media {
         var m = first
         while ((m & 0x40) != 0) { extra += 1; m <<= 1 }
         require(extra >= 1 && extra <= 6, "flac: bad UTF-8 number")
+        require(p + extra <= b.length, "flac: truncated UTF-8 frame number")
         var i = 0
         while (i < extra) {
           require((b(p) & 0xc0) == 0x80, "flac: bad UTF-8 continuation")
@@ -3009,8 +3018,11 @@ object Media {
         case 0 => throw new IllegalArgumentException("flac: reserved blocksize code")
         case 1 => 192
         case c if c >= 2 && c <= 5 => 576 << (c - 2)
-        case 6 => val v = (b(p) & 0xff) + 1; p += 1; v
+        case 6 =>
+          require(p + 1 <= b.length, "flac: truncated blocksize field")
+          val v = (b(p) & 0xff) + 1; p += 1; v
         case 7 =>
+          require(p + 2 <= b.length, "flac: truncated blocksize field")
           val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1; p += 2; v
         case c => 256 << (c - 8)
       }
@@ -3019,10 +3031,14 @@ object Media {
         case 1 => 88200; case 2 => 176400; case 3 => 192000
         case 4 => 8000; case 5 => 16000; case 6 => 22050; case 7 => 24000
         case 8 => 32000; case 9 => 44100; case 10 => 48000; case 11 => 96000
-        case 12 => val v = (b(p) & 0xff) * 1000; p += 1; v
+        case 12 =>
+          require(p + 1 <= b.length, "flac: truncated sample-rate field")
+          val v = (b(p) & 0xff) * 1000; p += 1; v
         case 13 =>
+          require(p + 2 <= b.length, "flac: truncated sample-rate field")
           val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v
         case 14 =>
+          require(p + 2 <= b.length, "flac: truncated sample-rate field")
           val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) * 10; p += 2; v
         case _ => throw new IllegalArgumentException("flac: invalid rate code")
       }

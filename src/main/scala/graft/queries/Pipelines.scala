@@ -819,9 +819,10 @@ object Pipelines {
           "n_recoded_bytes", "psnr_permille")),
 
     // MIXED-container ingest (round 10): the corpus arrives half PPM,
-    // half PNG (by doc_id parity), with every exact twin shifted to
-    // the OPPOSITE parity — so each twin pair crosses containers and
-    // only magic-byte dispatch + decode can find it. One hash pipeline
+    // half PNG (by doc_id parity), with BOTH twin offsets odd
+    // (+1000001 exact, +2000001 near) so every twin lands on the
+    // OPPOSITE parity — each twin pair crosses containers and only
+    // magic-byte dispatch + decode can find it. One hash pipeline
     // over untrusted container bytes: the real ingest shape, where
     // content-type metadata lies and the bytes decide.
     "q146_container_sniff_neardup" -> ((s, dir) => {
@@ -831,7 +832,7 @@ object Pipelines {
       val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
           octet_length(col("text")) === length(col("text")) &&
           length(col("text")) >= 300)
-        .select((col("doc_id") + 2000002L).as("doc_id"),
+        .select((col("doc_id") + 2000001L).as("doc_id"),
           expr("concat('~~~', substring(text, 4))").as("text"))
       val aug = docs.select("doc_id", "text")
         .unionByName(exactTwins).unionByName(nearTwins)
@@ -3724,5 +3725,5 @@ object Pipelines {
     // PPM/PNG container boundary)
     "q146_container_sniff_neardup" -> oracleSqlBase("q120_media_phash")
       .replace("doc_id + 1000000", "doc_id + 1000001")
-      .replace("doc_id + 2000000", "doc_id + 2000002"))
+      .replace("doc_id + 2000000", "doc_id + 2000001"))
 }

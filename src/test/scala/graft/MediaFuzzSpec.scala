@@ -77,6 +77,33 @@ class MediaFuzzSpec extends AnyFunSuite {
   test("y4m survives byte flips and truncation")(
     fuzz("y4m", 400)(Media.encodeY4m)(Media.decodeY4mBytes))
 
+  // Deterministic (non-seed-dependent) probes at the exact offsets the
+  // random fuzzer can miss: FLAC's variable-length frame-header fields
+  // (blocksize/rate extension bytes, UTF-8 continuations) and Y4M's
+  // ~4 header digit bytes. Each must reject with IllegalArgumentException.
+  test("flac rejects streams truncated inside the frame header") {
+    val blob = Media.encodeFlac(Array.tabulate(400)(i => (i * 7).toByte))
+    // first frame starts right after the fLaC magic + 4+34 STREAMINFO
+    val frameStart = 4 + 4 + 34
+    for (cut <- frameStart + 1 to math.min(frameStart + 10, blob.length - 1)) {
+      val t = java.util.Arrays.copyOf(blob, cut)
+      val e = intercept[IllegalArgumentException](Media.decodeFlacBytes(t))
+      assert(e.getMessage.contains("flac"), s"cut=$cut: ${e.getMessage}")
+    }
+  }
+
+  test("y4m rejects corrupted header digit fields") {
+    val blob = Media.encodeY4m(Array.tabulate(300)(i => (i * 3).toByte))
+    val header = new String(blob.takeWhile(_ != '\n'), "US-ASCII")
+    val wPos = header.indexOf(" W") + 2
+    for (junk <- Seq('x', '-', ' ')) {
+      val m = blob.clone(); m(wPos) = junk.toByte
+      // ' ' empties the W field; letters corrupt it — both must be
+      // IllegalArgumentException, never NumberFormatException
+      intercept[IllegalArgumentException](Media.decodeY4mBytes(m))
+    }
+  }
+
   test("sniffing survives arbitrary leading bytes") {
     val rnd = new Random(97)
     for (_ <- 0 until 300) {
