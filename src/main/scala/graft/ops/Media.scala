@@ -437,16 +437,48 @@ object Media {
       standing: Dataset[MediaRow],
       delta: Dataset[MediaRow],
       maxFrameFreq: Long = 100L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    mediaNearDupDeltaPairsIndexed(
+      graft.ops.Ckpt.fresh(ppmFrameDigests(standing).toDF()
+        .select(col("doc_id"), col("frame_md5").as("fh")).distinct()),
+      delta, maxFrameFreq, broadcastDeltaCap)
+
+  /** The MAINTAINED-STATE form of [[mediaNearDupDeltaPairs]] — the
+    * frame-digest twin of [[audioNearDupDeltaPairsIndexed]]: the
+    * standing side enters as an already-derived, already-MATERIALIZED
+    * `(doc_id, fh)` table (distinct frame digests per doc — exactly
+    * the state a frame-digest gate carries), so a per-batch fold
+    * decodes ONLY the delta. The standing corpus's bytes are never
+    * re-encoded or re-decoded — the production contract at stream
+    * scale, and the plan fix for the one weak row of round 10 (the
+    * decode-both form re-derived the standing index inside every
+    * call).
+    *
+    * `standingFrames` MUST be materialized (gate/LSM state, or
+    * [[graft.ops.Ckpt.fresh]] at the call site): the hot-frame df agg,
+    * the candidate probe, and the partner-count pass each scan it once
+    * — three cheap scans of compact digests, zero standing-sized
+    * shuffles or re-writes inside the operator (the decode-both form
+    * checkpointed a standing-sized intermediate twice per call).
+    * Pair-identical to the decode-both form on equal inputs
+    * (MediaPpmSpec).
+    */
+  def mediaNearDupDeltaPairsIndexed(
+      standingFrames: DataFrame,
+      delta: Dataset[MediaRow],
+      maxFrameFreq: Long = 100L,
       broadcastDeltaCap: Long = 4000000L): DataFrame = {
     val fd = graft.ops.Ckpt.fresh(ppmFrameDigests(delta).toDF()
       .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
     val deltaSmall = fd.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     val deltaIds = fd.select("doc_id").distinct()
-    val fs = ppmFrameDigests(standing).toDF()
-      .select(col("doc_id"), col("frame_md5").as("fh")).distinct()
+    // Standing probe view: re-ingested ids anti-joined out (the delta
+    // copy is authoritative). NOT checkpointed — the input is
+    // materialized state and the anti-join fuses into each consumer
+    // scan.
+    val fs = standingFrames.select(col("doc_id"), col("fh"))
       .join(sized(deltaIds), Seq("doc_id"), "left_anti")
-      .transform(graft.ops.Ckpt.fresh)
     // Stop-frame prune over the UNION df (the maintained counter in
     // production), same cap semantics as the full operator.
     val hot = fs.select("fh").unionByName(fd.select("fh"))
@@ -456,16 +488,11 @@ object Media {
       .transform(graft.ops.Ckpt.fresh)
     val keptD = fd.join(broadcast(hot), Seq("fh"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
-    // One kept-standing frame view serves the candidate probe and the
-    // partner counts below (the decode already materialized into fs;
-    // this pins the pruned form so the two consumers cannot drift).
-    val keptS = fs.join(broadcast(hot), Seq("fh"), "left_anti")
-      .transform(graft.ops.Ckpt.fresh)
     // Candidate probe: standing kept frames that hit a delta frame —
-    // delta-bounded output, standing never shuffles.
-    val candS = keptS
+    // delta-bounded output, standing never shuffles, consumed exactly
+    // once (inlined into the join below).
+    val candS = fs.join(broadcast(hot), Seq("fh"), "left_anti")
       .join(sized(keptD.select("fh").distinct()), Seq("fh"), "left_semi")
-      .transform(graft.ops.Ckpt.fresh)
     val vsStanding = keptD.select(col("fh"), col("doc_id").as("did"))
       .join(candS.select(col("fh"), col("doc_id").as("sid")), Seq("fh"))
       .select(least(col("did"), col("sid")).as("id_a"),
@@ -489,7 +516,8 @@ object Media {
     def partnerSized(df: DataFrame): DataFrame =
       if (partnersSmall) broadcast(df) else df
     val cnt = keptD.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      .unionByName(keptS
+      .unionByName(fs
+        .join(broadcast(hot), Seq("fh"), "left_anti")
         .join(partnerSized(partnerIds), Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("c")))
     inter
@@ -1115,11 +1143,28 @@ object Media {
       delta: Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L,
+      broadcastDeltaCap: Long = 4000000L): DataFrame =
+    videoNearDupDeltaFramePairsIndexed(y4mFrameAHash(standing),
+      delta, maxHamming, maxBandFreq, broadcastDeltaCap)
+
+  /** The MAINTAINED-STATE form of [[videoNearDupDeltaFramePairs]] —
+    * the video twin of [[phashNearDupDeltaPairsIndexed]]: the standing
+    * side enters as the already-derived `(doc_id, frame, b0..b3)`
+    * frame-aHash table (exactly [[y4mFrameAHash]]'s output — the state
+    * a band-hash gate carries at ≤ 7 hashes/video, 8 bytes each), so a
+    * per-batch fold decodes ONLY the delta's container bytes.
+    */
+  def videoNearDupDeltaFramePairsIndexed(
+      standingFrameHashes: DataFrame,
+      delta: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
       broadcastDeltaCap: Long = 4000000L): DataFrame = {
-    def packed(m: Dataset[MediaRow]) = y4mFrameAHash(m).select(
+    def packed(hashed: DataFrame) = hashed.select(
       packedFrameKey.as("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
-    bandedNearDupDeltaPairs(packed(standing), packed(delta),
+    bandedNearDupDeltaPairs(
+        packed(standingFrameHashes), packed(y4mFrameAHash(delta).toDF()),
         maxHamming, maxBandFreq, broadcastDeltaCap)
       .select(
         expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
@@ -1641,6 +1686,169 @@ object Media {
     out.toByteArray
   }
 
+  /** Canonical AC table for progressive EOBn symbols (r<<4 for
+    * r = 0..14): the Annex-K AC table only carries EOB0 and ZRL at
+    * s = 0, so a progressive encoder that wants real EOB RUNS must
+    * declare its own DHT — 15 symbols, all at 4 bits. */
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] = Array.tabulate(15)(_ << 4)
+  private lazy val ProgAcEnc = huffCodes(ProgAcBits, ProgAcVals)
+
+  /** Progressive (SOF2) twin of [[encodeJpegGray]]: SAME dimensions,
+    * SAME flat quant, SAME DC-only quantized values — only the entropy
+    * FRAMING changes (successive-approximation DC scans, then AC scans
+    * that are pure EOB runs over the all-zero coefficients), so the
+    * decoded raster — and with it every q139-family oracle — is
+    * byte-identical to the baseline twin's. Framing variation derives
+    * from the byte length (the q139 restart discipline, which mixes
+    * both paths across any corpus): Al = L mod 2 picks a one-scan DC
+    * (Al = 0, single AC-first scan) vs the full four-scan ladder
+    * (DC first at Al = 1, DC refinement, AC first at Al = 1, AC
+    * refinement); restartEvery = L mod 5 threads RSTn markers through
+    * every scan kind, splitting EOB runs at interval boundaries.
+    */
+  private[graft] def encodeJpegGrayProgressive(
+      src0: Array[Byte], restartEvery: Int = -1): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val ri = if (restartEvery < 0) l % 5 else restartEvery
+    val al = l % 2
+    val w = 8 * (1 + l % 5)
+    val h = 8 * (1 + l % 4)
+    val out = new java.io.ByteArrayOutputStream(512)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(JpegQ)) // DQT: table 0
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1,
+      0x01, 0x11, 0x00)) // SOF2: 1 component, qtable 0
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals) // DHT DC 0
+    seg(0xc4, Array(0x10) ++ ProgAcBits.drop(1) ++ ProgAcVals) // DHT AC 0 (EOBn)
+    if (ri > 0) seg(0xdd, Array(ri >> 8, ri & 0xff)) // DRI
+    // per-block quantized DC values — the baseline encoder's dcq,
+    // bit-for-bit (the closed form the oracle rebuilds)
+    val bw8 = w / 8; val bh8 = h / 8
+    val nBlocks = bw8 * bh8
+    val dcq = new Array[Int](nBlocks)
+    var bi = 0
+    var by0 = 0
+    while (by0 < bh8) {
+      var bx0 = 0
+      while (bx0 < bw8) {
+        var s = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            s += (src(((by0 * 8 + r) * w + bx0 * 8 + c) % l) & 0xff) - 128
+            c += 1
+          }
+          r += 1
+        }
+        dcq(bi) = s / (8 * JpegQ)
+        bi += 1; bx0 += 1
+      }
+      by0 += 1
+    }
+    // restart threading shared by all scans: RSTn before every block
+    // whose index is a nonzero multiple of ri
+    def scanBody(body: (BitWriter, () => Unit) => Unit): Unit = {
+      val bw = new BitWriter(out)
+      var rst = 0
+      var mcu = 0
+      def atBlock(): Unit = {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          bw.flush(); marker(0xd0 + rst); rst = (rst + 1) % 8
+        }
+        mcu += 1
+      }
+      body(bw, atBlock _)
+      bw.flush()
+    }
+    // ── DC first scan: diffs of (dcq >> Al) with the standard table ──
+    seg(0xda, Array(1, 0x01, 0x00, 0, 0, al))
+    scanBody { (bw, atBlock) =>
+      var prevDc = 0
+      var i = 0
+      while (i < nBlocks) {
+        val restarted = i > 0 && ri > 0 && i % ri == 0
+        atBlock()
+        if (restarted) prevDc = 0 // predictor resets at the restart
+        val v = dcq(i) >> al
+        val diff = v - prevDc; prevDc = v
+        val mag = math.abs(diff)
+        val cat = 32 - Integer.numberOfLeadingZeros(mag)
+        val (c0, l0) = DcEnc(cat)
+        bw.put(c0, l0)
+        if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+        i += 1
+      }
+    }
+    // ── DC refinement (Al = 1 corpora): the held-back LSB, raw bits ──
+    // ((v >> 1) << 1) | (v & 1) == v in two's complement, so the
+    // decoder's |= reconstruction is exact for negative DCs too
+    if (al == 1) {
+      seg(0xda, Array(1, 0x01, 0x00, 0, 0, 0x10))
+      scanBody { (bw, atBlock) =>
+        var i = 0
+        while (i < nBlocks) { atBlock(); bw.put(dcq(i) & 1, 1); i += 1 }
+      }
+    }
+    // ── AC scans: all coefficients zero — pure EOB runs, split at
+    // restart boundaries (eobrun may not span one) ──
+    def acScan(ahal: Int): Unit = {
+      seg(0xda, Array(1, 0x01, 0x00, 1, 63, ahal))
+      scanBody { (bw, atBlock) =>
+        var i = 0
+        while (i < nBlocks) {
+          atBlock()
+          // the run starts at THIS block; cover the rest of the
+          // restart interval (or the image)
+          val n0 = if (ri > 0) math.min(ri - (i % ri), nBlocks - i)
+            else nBlocks - i
+          val n = math.min(n0, 32767)
+          val r = 31 - Integer.numberOfLeadingZeros(n)
+          val (cc, ll) = ProgAcEnc(r << 4)
+          bw.put(cc, ll)
+          if (r > 0) bw.put(n - (1 << r), r)
+          // the blocks the run skips still count as MCUs
+          var j = 1
+          while (j < n) { atBlock(); j += 1 }
+          i += n
+        }
+      }
+    }
+    if (al == 1) { acScan(0x01); acScan(0x10) } else acScan(0x00)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[asJpeg]] with a MIXED baseline/progressive corpus: doc_id
+    * parity picks the framing (even = SOF0 baseline, odd = SOF2
+    * progressive), so one oracle row drives BOTH decode paths over
+    * identical closed-form rasters — the framing-invariance trick
+    * that lets the q139 oracle transfer unchanged.
+    */
+  def asJpegMixed(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "image/jpeg",
+          if (id % 2 == 0) encodeJpegGray(bytes)
+          else encodeJpegGrayProgressive(bytes))
+      })
+  }
+
   /** REAL baseline-JPEG parser: marker walk, DQT/DHT/SOF0/SOS (up to
     * four quant and 2+2 Huffman tables), canonical Huffman entropy
     * decode (byte-stuffed), interleaved MCU walk with per-component
@@ -1685,12 +1893,288 @@ object Media {
     var sofSeen = false
     var planes: Array[(Int, Int, Array[Byte])] = null
     var done = false
+    // ── progressive (SOF2) state ──
+    // Progressive streams interleave the DCT coefficients across
+    // SCANS (spectral bands × successive-approximation bit planes),
+    // so decode becomes two-phase: every scan accumulates RAW
+    // (unquantized) coefficients into per-component block buffers;
+    // dequant + IDCT run once, at EOI. Baseline keeps its proven
+    // one-pass path below.
+    var progressive = false
+    var coefArrs: Array[Array[Int]] = null // per comp: blocksW*blocksH*64
+    var dcAl: Array[Int] = null // Al reached by DC scans (-2 = none yet)
+    var acAl: Array[Array[Int]] = null // per comp, per k in 1..63 (-2 = none)
+    // frame geometry, hoisted from SOF for the scan walks and the EOI
+    // IDCT: natural (subsampled) plane dims, interleaved block grid
+    // (incl. dummy blocks), real block grid
+    var hmaxF = 1; var vmaxF = 1
+    var planeWF: Array[Int] = null; var planeHF: Array[Int] = null
+    var mcusXF = 0; var mcusYF = 0
+    var blocksWF: Array[Int] = null; var blocksHF: Array[Int] = null
+    var rbwF: Array[Int] = null; var rbhF: Array[Int] = null
+    def blockOff(c: Int, bx: Int, by: Int): Int = (by * blocksWF(c) + bx) * 64
+
+    /** One progressive scan: validates the successive-approximation
+      * progression (the libjpeg coef_bits discipline), then runs the
+      * matching decoder of the four scan kinds — DC first (possibly
+      * interleaved), DC refinement (raw bits), AC first (EOB runs),
+      * AC refinement (correction bits, T.81 G.1.2.3) — accumulating
+      * RAW coefficients; dequant + IDCT happen once, at EOI.
+      */
+    def decodeProgressiveScan(
+        scanComp: Array[Int],
+        compDc: Array[Huff], compAc: Array[Huff],
+        ss: Int, se: Int, ah: Int, al: Int,
+        bit: () => Int,
+        decodeSym: Huff => Int,
+        receiveExtend: Int => Int,
+        receiveBits: Int => Int,
+        readRestart: () => Int): Unit = {
+      require(ss <= 63 && se <= 63 && ss <= se, s"jpeg: bad spectral band $ss..$se")
+      require(ah <= 13 && al <= 13, "jpeg: bad successive approximation")
+      val ns = scanComp.length
+      if (ss == 0) require(se == 0, "jpeg: progressive DC scan must have Se = 0")
+      else require(ns == 1, "jpeg: progressive AC scans are single-component")
+      scanComp.foreach { c =>
+        if (ss == 0) {
+          if (ah == 0) {
+            require(dcAl(c) == -2, s"jpeg: duplicate DC first scan for component $c")
+            require(compDc(c) != null, "jpeg: DC scan before DHT")
+          } else
+            require(dcAl(c) == ah && al == ah - 1,
+              "jpeg: DC refinement out of successive-approximation order")
+          dcAl(c) = al
+        } else {
+          require(dcAl(c) != -2, "jpeg: AC scan before the component's DC scan")
+          require(compAc(c) != null, "jpeg: AC scan before DHT")
+          var k = ss
+          while (k <= se) {
+            if (ah == 0)
+              require(acAl(c)(k) == -2, s"jpeg: duplicate AC first scan at k=$k")
+            else
+              require(acAl(c)(k) == ah && al == ah - 1,
+                "jpeg: AC refinement out of successive-approximation order")
+            acAl(c)(k) = al
+            k += 1
+          }
+        }
+      }
+      var mcuCount = 0
+      var rstIdx = 0
+      var eobrun = 0
+      val prevDc = new Array[Int](compIds.length)
+      def checkRestart(): Unit =
+        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+          require(eobrun == 0, "jpeg: EOB run spans a restart boundary")
+          val got = readRestart()
+          require(got == rstIdx, s"jpeg: expected RST$rstIdx, got RST$got")
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+        }
+      // the two DC walks share the block iteration: interleaved MCUs
+      // (incl. dummy edge blocks) when ns > 1, the component's real
+      // block grid when ns == 1 (T.81 A.2.2: non-interleaved scans
+      // cover exactly ceil(planeDim/8) blocks)
+      def dcWalk(perBlock: (Int, Int, Int) => Unit): Unit =
+        if (ns == 1) {
+          val c = scanComp(0)
+          var by = 0
+          while (by < rbhF(c)) {
+            var bx = 0
+            while (bx < rbwF(c)) {
+              checkRestart(); perBlock(c, bx, by); mcuCount += 1; bx += 1
+            }
+            by += 1
+          }
+        } else {
+          var my = 0
+          while (my < mcusYF) {
+            var mx = 0
+            while (mx < mcusXF) {
+              checkRestart()
+              var i = 0
+              while (i < ns) {
+                val c = scanComp(i)
+                var v2 = 0
+                while (v2 < compV(c)) {
+                  var h2 = 0
+                  while (h2 < compH(c)) {
+                    perBlock(c, mx * compH(c) + h2, my * compV(c) + v2)
+                    h2 += 1
+                  }
+                  v2 += 1
+                }
+                i += 1
+              }
+              mcuCount += 1; mx += 1
+            }
+            my += 1
+          }
+        }
+      if (ss == 0 && ah == 0) {
+        dcWalk { (c, bx, by) =>
+          val cat = decodeSym(compDc(c))
+          require(cat <= 11, "jpeg: DC category out of range")
+          prevDc(c) += receiveExtend(cat)
+          coefArrs(c)(blockOff(c, bx, by)) = prevDc(c) << al
+        }
+      } else if (ss == 0) {
+        dcWalk { (c, bx, by) =>
+          if (bit() == 1) coefArrs(c)(blockOff(c, bx, by)) |= (1 << al)
+        }
+      } else if (ah == 0) {
+        // AC first scan: EOB runs skip whole blocks; coefficients land
+        // in raster order at magnitude << Al
+        val c = scanComp(0)
+        val arr = coefArrs(c)
+        var by = 0
+        while (by < rbhF(c)) {
+          var bx = 0
+          while (bx < rbwF(c)) {
+            checkRestart()
+            if (eobrun > 0) eobrun -= 1
+            else {
+              val off = blockOff(c, bx, by)
+              var k = ss
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = decodeSym(compAc(c))
+                val r = rs >> 4; val s2 = rs & 0x0f
+                if (s2 == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else { eobrun = (1 << r) - 1 + receiveBits(r); brk = true }
+                } else {
+                  k += r
+                  require(k <= se, "jpeg: AC run past band end")
+                  arr(off + JpegZigzag(k)) = receiveExtend(s2) << al
+                  k += 1
+                }
+              }
+            }
+            mcuCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        // AC refinement (libjpeg decode_mcu_AC_refine): newly
+        // significant coefficients arrive as ±1<<Al; every NONZERO
+        // history coefficient passed over consumes one correction bit
+        val c = scanComp(0)
+        val arr = coefArrs(c)
+        val p1 = 1 << al; val m1 = -1 << al
+        var by = 0
+        while (by < rbhF(c)) {
+          var bx = 0
+          while (bx < rbwF(c)) {
+            checkRestart()
+            val off = blockOff(c, bx, by)
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = decodeSym(compAc(c))
+                var r = rs >> 4; val s2 = rs & 0x0f
+                var newVal = 0
+                if (s2 == 0) {
+                  // r == 15 is ZRL (skip 16 zero-history coefficients);
+                  // anything else starts an EOB run INCLUDING this block
+                  if (r != 15) { eobrun = (1 << r) + receiveBits(r); brk = true }
+                } else {
+                  require(s2 == 1, "jpeg: AC refinement magnitude must be 1")
+                  newVal = if (bit() == 1) p1 else m1
+                }
+                if (!brk) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val z = off + JpegZigzag(k)
+                    if (arr(z) != 0) {
+                      if (bit() == 1 && (arr(z) & p1) == 0)
+                        arr(z) += (if (arr(z) >= 0) p1 else m1)
+                      k += 1
+                    } else if (r == 0) {
+                      if (s2 != 0) arr(z) = newVal
+                      placed = true
+                      k += 1
+                    } else { r -= 1; k += 1 }
+                  }
+                  require(placed || s2 == 0,
+                    "jpeg: AC refinement ran past band end")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // the EOB run still consumes correction bits for the
+              // remaining nonzero history coefficients of this block
+              while (k <= se) {
+                val z = off + JpegZigzag(k)
+                if (arr(z) != 0 && bit() == 1 && (arr(z) & p1) == 0)
+                  arr(z) += (if (arr(z) >= 0) p1 else m1)
+                k += 1
+              }
+              eobrun -= 1
+            }
+            mcuCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    }
     while (!done) {
       require(u8() == 0xff, "jpeg: expected marker")
       var m = u8()
       while (m == 0xff) m = u8() // fill bytes
       m match {
-        case 0xd9 => done = true // EOI (legal only after the scan)
+        case 0xd9 => // EOI (legal only after the scan(s))
+          if (progressive) {
+            require(coefArrs != null && dcAl.forall(_ != -2),
+              "jpeg: EOI before every component's DC scan")
+            // render: dequantize the accumulated coefficients with the
+            // tables in effect and IDCT every REAL block (dummy blocks
+            // from interleaved DC scans are decoded but never shown)
+            val nc = compIds.length
+            val deq = new Array[Int](64)
+            val block = new Array[Int](64)
+            planes = Array.tabulate(nc) { c =>
+              val qtab = qtabs(compQ(c))
+              require(qtab != null, "jpeg: missing quant table at EOI")
+              val cw = planeWF(c); val chh = planeHF(c)
+              val pix = new Array[Byte](cw * chh)
+              val arr = coefArrs(c)
+              var by = 0
+              while (by < rbhF(c)) {
+                var bx = 0
+                while (bx < rbwF(c)) {
+                  val off = blockOff(c, bx, by)
+                  var k = 0
+                  while (k < 64) {
+                    val z = JpegZigzag(k)
+                    deq(z) = arr(off + z) * qtab(k)
+                    k += 1
+                  }
+                  idct8x8(deq, block)
+                  var r = 0
+                  while (r < 8) {
+                    val py = by * 8 + r
+                    if (py < chh) {
+                      var cc = 0
+                      while (cc < 8) {
+                        val px = bx * 8 + cc
+                        if (px < cw) pix(py * cw + px) = block(r * 8 + cc).toByte
+                        cc += 1
+                      }
+                    }
+                    r += 1
+                  }
+                  bx += 1
+                }
+                by += 1
+              }
+              (cw, chh, pix)
+            }
+          }
+          done = true
           require(planes != null, "jpeg: EOI before any scan")
         case 0xdb =>
           val len = u16() - 2
@@ -1723,16 +2207,22 @@ object Media {
             val hf = buildHuff(bits, vals)
             if ((tc >> 4) == 0) dcHuffs(tc & 0xf) = hf else acHuffs(tc & 0xf) = hf
           }
-        case 0xc0 =>
+        case 0xc0 | 0xc2 =>
+          require(!sofSeen, "jpeg: multiple SOF markers")
+          progressive = m == 0xc2
           val len = u16()
           require(u8() == 8, "jpeg: only 8-bit precision")
           h = u16(); w = u16()
           require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue / 4,
             s"jpeg: bad dimensions ${w}x$h")
+          // the progressive coefficient buffers cost 16 bytes/pixel/
+          // component — bound them so a hostile SOF2 can't OOM a task
+          require(!progressive || w.toLong * h <= (1L << 26),
+            s"jpeg: progressive frame ${w}x$h exceeds the coefficient-buffer cap")
           val nc = u8()
           require(nc == 1 || nc == 3,
             s"jpeg: 1 (gray) or 3 (YCbCr) components only, got $nc")
-          require(len == 8 + 3 * nc, "jpeg: malformed SOF0")
+          require(len == 8 + 3 * nc, "jpeg: malformed SOF")
           compIds = new Array[Int](nc); compH = new Array[Int](nc)
           compV = new Array[Int](nc); compQ = new Array[Int](nc)
           var ci = 0
@@ -1750,18 +2240,38 @@ object Media {
             require(compQ(ci) < 4, "jpeg: quant selector out of range")
             ci += 1
           }
+          hmaxF = compH.max; vmaxF = compV.max
+          planeWF = Array.tabulate(nc)(c => (w * compH(c) + hmaxF - 1) / hmaxF)
+          planeHF = Array.tabulate(nc)(c => (h * compV(c) + vmaxF - 1) / vmaxF)
+          mcusXF = (w + 8 * hmaxF - 1) / (8 * hmaxF)
+          mcusYF = (h + 8 * vmaxF - 1) / (8 * vmaxF)
+          blocksWF = Array.tabulate(nc)(c => mcusXF * compH(c))
+          blocksHF = Array.tabulate(nc)(c => mcusYF * compV(c))
+          rbwF = Array.tabulate(nc)(c => (planeWF(c) + 7) / 8)
+          rbhF = Array.tabulate(nc)(c => (planeHF(c) + 7) / 8)
+          if (progressive) {
+            coefArrs = Array.tabulate(nc)(c =>
+              new Array[Int](blocksWF(c) * blocksHF(c) * 64))
+            dcAl = Array.fill(nc)(-2)
+            acAl = Array.tabulate(nc)(_ => Array.fill(64)(-2))
+          }
           sofSeen = true
-        case 0xc2 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"jpeg: unsupported SOF marker 0xff$m%02x (baseline sequential only)")
+            f"jpeg: unsupported SOF marker 0xff$m%02x (baseline sequential or progressive Huffman only)")
         case 0xda =>
           require(sofSeen, "jpeg: SOS before SOF/DQT/DHT")
           val nc = compIds.length
           val len = u16()
           val ns = u8()
-          require(ns == nc && len == 6 + 2 * ns,
-            "jpeg: scan must cover all frame components")
+          if (progressive)
+            require(ns >= 1 && ns <= nc && len == 6 + 2 * ns,
+              "jpeg: malformed progressive SOS")
+          else
+            require(ns == nc && len == 6 + 2 * ns,
+              "jpeg: scan must cover all frame components")
+          val scanComp = new Array[Int](ns)
           val compDc = new Array[Huff](nc); val compAc = new Array[Huff](nc)
           var si = 0
           while (si < ns) {
@@ -1769,14 +2279,21 @@ object Media {
             val ts = u8()
             val ci = compIds.indexOf(cid)
             require(ci >= 0, s"jpeg: scan references unknown component $cid")
-            require((ts >> 4) <= 1 && (ts & 0x0f) <= 1, "jpeg: table selector out of range")
+            require((ts >> 4) <= 3 && (ts & 0x0f) <= 3, "jpeg: table selector out of range")
+            require(!scanComp.take(si).contains(ci),
+              s"jpeg: component $cid repeated in scan")
+            scanComp(si) = ci
             compDc(ci) = dcHuffs(ts >> 4); compAc(ci) = acHuffs(ts & 0x0f)
-            require(compDc(ci) != null && compAc(ci) != null &&
-              qtabs(compQ(ci)) != null, "jpeg: SOS before SOF/DQT/DHT")
+            if (!progressive)
+              require(compDc(ci) != null && compAc(ci) != null &&
+                qtabs(compQ(ci)) != null, "jpeg: SOS before SOF/DQT/DHT")
             si += 1
           }
-          require(u8() == 0 && u8() == 63 && u8() == 0,
-            "jpeg: non-baseline spectral selection")
+          val scanSs = u8(); val scanSe = u8(); val ahal = u8()
+          val scanAh = ahal >> 4; val scanAl = ahal & 0x0f
+          if (!progressive)
+            require(scanSs == 0 && scanSe == 63 && ahal == 0,
+              "jpeg: non-baseline spectral selection")
           // entropy-coded segment: bit reader with stuffing
           var acc = 0; var nbits = 0
           def bit(): Int = {
@@ -1812,6 +2329,27 @@ object Media {
             while (i < cat) { v = (v << 1) | bit(); i += 1 }
             if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
           }
+          def receiveBits(n: Int): Int = {
+            var v = 0
+            var i = 0
+            while (i < n) { v = (v << 1) | bit(); i += 1 }
+            v
+          }
+          if (progressive) {
+            decodeProgressiveScan(scanComp, compDc, compAc,
+              scanSs, scanSe, scanAh, scanAl,
+              bit _, decodeSym, receiveExtend, receiveBits,
+              () => { // restart: byte-align, consume + verify RSTn
+                nbits = 0
+                require(p + 2 <= b.length, "jpeg: entropy data truncated")
+                val got = b(p + 1) & 0xff
+                require((b(p) & 0xff) == 0xff && got >= 0xd0 && got <= 0xd7,
+                  f"jpeg: expected restart marker, got 0x${b(p) & 0xff}%02x$got%02x")
+                p += 2
+                got - 0xd0
+              })
+            // a progressive frame renders at EOI; fall back to marker walk
+          } else {
           val hmax = compH.max; val vmax = compV.max
           // natural (subsampled) plane dims, T.81 A.1.1 ceil form
           val planeW = Array.tabulate(nc)(c => (w * compH(c) + hmax - 1) / hmax)
@@ -1896,6 +2434,7 @@ object Media {
             my += 1
           }
           planes = Array.tabulate(nc)(c => (planeW(c), planeH(c), planePix(c)))
+          }
         case 0xdd => // DRI
           require(u16() == 4, "jpeg: malformed DRI")
           restartInterval = u16()

@@ -702,6 +702,23 @@ object Pipelines {
         .toDF()
         .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
 
+    // PROGRESSIVE JPEG (round 11): the corpus arrives half baseline
+    // (SOF0), half progressive (SOF2, by doc_id parity) — the
+    // dominant real-world JPEG form a crawl corpus is mostly made of.
+    // Progressive re-frames the same DC-only quantized values across
+    // successive-approximation DC scans (Al = L mod 2 picks the
+    // two-scan vs four-scan ladder) and EOB-run AC scans, with RSTn
+    // markers threaded through every scan kind (ri = L mod 5) — so
+    // the DECODED raster is framing-invariant and the q139 closed
+    // form is the oracle for both halves at once. Any defect in the
+    // multi-scan coefficient accumulation, the refinement bit
+    // handling, or the EOB-run bookkeeping shifts a block's gray
+    // level and breaks the digest.
+    "q149_jpeg_progressive_decode" -> ((s, dir) =>
+      Media.decodeJpeg(Media.asJpegMixed(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006) survive at hamming 0 (same bytes ⇒ same lossy
@@ -923,8 +940,12 @@ object Pipelines {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       val delta = deltaBase.unionByName(crossExact)
         .unionByName(crossNear).unionByName(withinExact)
-      Media.phashNearDupDeltaPairs(
-        Media.asPpm(standing, "doc_id", "text"),
+      // MAINTAINED-STATE call shape (the q123 convention): standing
+      // enters as the aHash table a BandHashGate carries (re-derived
+      // here so the oracle can replay it); only the delta decodes
+      // inside the operator.
+      Media.phashNearDupDeltaPairsIndexed(
+        Media.ppmAHash(Media.asPpm(standing, "doc_id", "text")).toDF(),
         Media.asPpm(delta, "doc_id", "text"))
     }),
 
@@ -1071,8 +1092,11 @@ object Pipelines {
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       val delta = deltaBase.unionByName(crossExact)
         .unionByName(crossNear).unionByName(withinExact)
-      Media.videoNearDupDeltaFramePairs(
-        Media.asY4m(standing, "doc_id", "text"),
+      // MAINTAINED-STATE call shape: standing enters as the
+      // frame-aHash table (re-derived here so the oracle can replay
+      // it); only the delta's container bytes decode inside.
+      Media.videoNearDupDeltaFramePairsIndexed(
+        Media.y4mFrameAHash(Media.asY4m(standing, "doc_id", "text")),
         Media.asY4m(delta, "doc_id", "text"))
     }),
 
@@ -1288,10 +1312,26 @@ object Pipelines {
     // against the standing corpus's frame-digest index + within itself
     // — the MEDIA member of the delta family. Result-identical to q108
     // (sans twins) over the union restricted to delta-touching pairs.
+    // MAINTAINED-STATE call shape (the q123 convention): standing
+    // enters as the materialized frame-digest table a gate carries
+    // (re-derived + checkpointed here so the oracle can replay it);
+    // only the delta decodes inside the operator, and the operator
+    // never re-writes a standing-sized intermediate.
+    // COST MODEL (the q103 discipline): the timed number includes the
+    // standing-index derivation (encode + decode + per-frame MD5 over
+    // 6/7 of the corpus) solely so the oracle can replay it; in
+    // production that table is the gate's durable state, amortized to
+    // one write per blob ever, and a fold pays only the delta decode
+    // plus index probes.
     "q113_media_dedup_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      Media.mediaNearDupDeltaPairs(
-        Media.asPpm(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+      val standingIdx = graft.ops.Ckpt.fresh(
+        Media.ppmFrameDigests(
+          Media.asPpm(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"))
+          .toDF()
+          .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
+      Media.mediaNearDupDeltaPairsIndexed(
+        standingIdx,
         Media.asPpm(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text"))
     }),
 
@@ -3719,6 +3759,11 @@ object Pipelines {
     // of PNG riding the PPM oracles above.
     "q141_flac_decode" -> oracleSqlBase("q110_wav_decode"),
     "q142_flac_neardup" -> oracleSqlBase("q122_audio_phash"),
+    // progressive JPEG: SOF2 re-FRAMES the same DC-only closed-form
+    // streams (successive-approximation DC scans + EOB-run AC scans),
+    // the decoded raster is invariant — so the q139 oracle transfers
+    // unchanged over the mixed baseline/progressive corpus
+    "q149_jpeg_progressive_decode" -> oracleSqlBase("q139_jpeg_decode"),
     // mixed-container sniff: pixels are container-independent, so the
     // q120 chain IS the oracle — only the twin offsets differ (odd
     // shifts flip doc_id parity, making every twin pair cross the

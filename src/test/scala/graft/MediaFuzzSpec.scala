@@ -68,6 +68,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     }(Media.decodeJpegBytes)
   }
 
+  test("progressive jpeg survives byte flips and truncation")(
+    fuzz("jpegprog", 400)(b => Media.encodeJpegGrayProgressive(b))(Media.decodeJpegBytes))
+
   test("wav survives byte flips and truncation")(
     fuzz("wav", 400)(Media.encodeWav)(Media.decodeWavBytes))
 

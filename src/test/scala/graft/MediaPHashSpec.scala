@@ -133,6 +133,13 @@ class MediaPHashSpec extends AnyFunSuite {
       mediaOf(standingRows), mediaOf(standingRows.take(5)))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     re.foreach { case (a, b) => assert(a != b) }
+    // the maintained-state form (standing enters as the aHash table a
+    // BandHashGate carries; only the delta decodes) is pair-identical
+    // to the decode-both form
+    val standingHashes = Media.ppmAHash(mediaOf(standingRows)).toDF()
+    val idx = Media.phashNearDupDeltaPairsIndexed(standingHashes, mediaOf(deltaRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(idx === inc, "indexed standing form diverged from decode-both")
   }
 
   test("stop-band prune drops hot bands; pairs sharing only cold bands survive") {

@@ -155,4 +155,41 @@ class MediaPpmSpec extends AnyFunSuite {
       s"twin pair not detected: $pairs")
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
+
+  test("frame delta ≡ full restricted; indexed standing form identical") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(53)
+    val base = (0 until 30).map(i =>
+      i.toLong -> Random.alphanumeric.take(300 + rnd.nextInt(300)).mkString).toMap
+    // plant: 25 (delta, %5==0) = copy of standing 7 (cross pair);
+    // 20 = copy of 15 (both delta — within-delta pair)
+    val rows = base + (25L -> base(7L)) + (20L -> base(15L))
+    def docsOf(m: Seq[(Long, String)]) = m.toDF("doc_id", "text")
+    val standingRows = rows.filter(_._1 % 5 != 0).toSeq
+    val deltaRows = rows.filter(_._1 % 5 == 0).toSeq
+    val inc = Media.mediaNearDupDeltaPairs(
+        Media.asPpm(docsOf(standingRows), "doc_id", "text"),
+        Media.asPpm(docsOf(deltaRows), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Media.mediaNearDupPairs(Media.asPpm(docsOf(rows.toSeq), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .filter(t => t._1 % 5 == 0 || t._2 % 5 == 0)
+    assert(inc === full)
+    assert(inc.exists { case (a, b, _, _) => (a % 5 == 0) != (b % 5 == 0) },
+      "cross delta-standing pair vacuous")
+    assert(inc.exists { case (a, b, _, _) => a % 5 == 0 && b % 5 == 0 },
+      "within-delta pair vacuous")
+    // the maintained-state form (standing enters as the materialized
+    // frame-digest table a gate carries; only the delta decodes) is
+    // pair-identical to the decode-both form
+    val standingIdx = graft.ops.Ckpt.fresh(
+      Media.ppmFrameDigests(Media.asPpm(docsOf(standingRows), "doc_id", "text"))
+        .toDF().select(col("doc_id"), col("frame_md5").as("fh")).distinct())
+    val idx = Media.mediaNearDupDeltaPairsIndexed(
+        standingIdx, Media.asPpm(docsOf(deltaRows), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(idx === inc, "indexed standing form diverged from decode-both")
+  }
 }

@@ -180,6 +180,12 @@ class VideoY4mSpec extends AnyFunSuite {
     // the cross twin is really found: every frame of 10 pairs doc 3
     val nf3 = 2 + standing(2)._2.length % 5
     assert(deltaPairs.count(p => p._1 == 3L && p._3 == 10L && p._5 == 0L) >= nf3)
+    // the maintained-state form (standing enters as the frame-aHash
+    // table; only the delta's container bytes decode) is pair-identical
+    val idx = Media.videoNearDupDeltaFramePairsIndexed(
+        Media.y4mFrameAHash(mediaOf(standing)), mediaOf(delta)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(idx === deltaPairs, "indexed standing form diverged from decode-both")
   }
 
   test("a video with >= 8 parsed frames fails the frame-key packing loudly") {
