@@ -1038,29 +1038,38 @@ object Media {
     media.mapPartitions(_.flatMap { row =>
       val (w, h, frames) = decodeY4mBytes(row.content)
       frames.iterator.zipWithIndex.map { case (pix, fi) =>
-        val cellSum = new Array[Long](64)
-        val cellCnt = new Array[Long](64)
-        var p = 0
-        val nPix = w * h
-        while (p < nPix) {
-          val cell = ((p / w) * 8 / h) * 8 + (p % w) * 8 / w
-          cellSum(cell) += (pix(p) & 0xff).toLong
-          cellCnt(cell) += 1L
-          p += 1
-        }
-        var totalSum = 0L; var totalCnt = 0L
-        var c = 0
-        while (c < 64) { totalSum += cellSum(c); totalCnt += cellCnt(c); c += 1 }
-        val bands = new Array[Int](4)
-        c = 0
-        while (c < 64) {
-          if (cellSum(c) * totalCnt > totalSum * cellCnt(c))
-            bands(c / 16) |= 1 << (c % 16)
-          c += 1
-        }
+        val bands = grayFrameAHashBands(pix, w, h)
         (row.doc_id, fi.toLong, bands(0), bands(1), bands(2), bands(3))
       }
     }).toDF("doc_id", "frame", "b0", "b1", "b2", "b3")
+  }
+
+  /** The per-frame gray aHash kernel shared by the video containers
+    * (Y4M and MJPEG-AVI): the [[ppmAHash]] integer cell mapping and
+    * cross-multiplied threshold over one luma plane, packed as four
+    * 16-bit bands. */
+  private def grayFrameAHashBands(pix: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var p = 0
+    val nPix = w * h
+    while (p < nPix) {
+      val cell = ((p / w) * 8 / h) * 8 + (p % w) * 8 / w
+      cellSum(cell) += (pix(p) & 0xff).toLong
+      cellCnt(cell) += 1L
+      p += 1
+    }
+    var totalSum = 0L; var totalCnt = 0L
+    var c = 0
+    while (c < 64) { totalSum += cellSum(c); totalCnt += cellCnt(c); c += 1 }
+    val bands = new Array[Int](4)
+    c = 0
+    while (c < 64) {
+      if (cellSum(c) * totalCnt > totalSum * cellCnt(c))
+        bands(c / 16) |= 1 << (c % 16)
+      c += 1
+    }
+    bands
   }
 
   /** Cross-video near-dup FRAME pairs: frames of different videos
@@ -1166,6 +1175,216 @@ object Media {
     bandedNearDupDeltaPairs(
         packed(standingFrameHashes), packed(y4mFrameAHash(delta).toDF()),
         maxHamming, maxBandFreq, broadcastDeltaCap)
+      .select(
+        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
+        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
+        col("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+  }
+
+  // ──────────────── MJPEG-in-AVI (round 11): COMPRESSED video ────────────────
+  // The first compressed VIDEO container: a real RIFF/AVI chunk walk
+  // ('hdrl' headers cross-checked against the stream, 'movi' LIST,
+  // '00dc' frames with RIFF word alignment) whose every frame is a
+  // complete baseline-or-progressive JPEG — so compressed video decode
+  // composes the existing JPEG entropy machinery per frame, exactly
+  // how MJPEG cameras and capture pipelines ship it.
+
+  /** Deterministic MJPEG-AVI encoding of a text corpus: nf = 2 +
+    * L mod 5 frames (the Y4M discipline), each frame a REAL JPEG of
+    * the source bytes rotated left by 13·f (so frames differ but stay
+    * closed-form), with per-frame framing alternating baseline (even
+    * f) and progressive (odd f) — the decoded rasters are framing-
+    * invariant, so the oracle needs only the DC-only closed form at
+    * per-frame offsets. Headers carry real cross-checkable fields:
+    * avih dwTotalFrames/dwWidth/dwHeight, strh 'vids'/'MJPG'/length,
+    * strf BITMAPINFOHEADER — the decoder validates all of them
+    * against the actual '00dc' contents.
+    */
+  private[graft] def encodeAvi(src0: Array[Byte]): Array[Byte] = {
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val nf = 2 + l % 5
+    val w = 8 * (1 + l % 5)
+    val h = 8 * (1 + l % 4)
+    val frames = Array.tabulate(nf) { f =>
+      val rot = Array.tabulate(l)(k => src((k + 13 * f) % l))
+      if (f % 2 == 0) encodeJpegGray(rot) else encodeJpegGrayProgressive(rot)
+    }
+    def le32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + data.length) ++ fcc(typ) ++ data
+    val avih = chunk("avih",
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, rate, pad, flags
+      le32(nf) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalFrames, initial, streams, bufSize
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nf) ++ // scale, rate, start, length
+      le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)) // rcFrame
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Wrap a text corpus as MJPEG-AVI rows. */
+  def asAvi(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "video/x-msvideo", encodeAvi(bytes))
+      })
+  }
+
+  /** REAL RIFF/AVI parser for MJPEG streams: validates the RIFF size
+    * against the byte length, walks LIST/chunk framing with word
+    * alignment, parses avih/strh/strf (stream type 'vids', handler/
+    * compression 'MJPG'), collects the 'movi' list's '00dc' frames and
+    * decodes each through [[decodeJpegPlanes]] (baseline AND
+    * progressive frames both arrive in the wild), cross-checking every
+    * decoded frame's dimensions and the final frame count against the
+    * declared header fields. Returns (w, h, luma planes).
+    */
+  private[graft] def decodeAviBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    def le32(at: Int): Int = {
+      require(at + 4 <= b.length, "avi: truncated dword")
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+    }
+    def le16(at: Int): Int = {
+      require(at + 2 <= b.length, "avi: truncated word")
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    }
+    def fcc(at: Int): String = {
+      require(at + 4 <= b.length, "avi: truncated fourcc")
+      new String(b, at, 4, "US-ASCII")
+    }
+    require(b.length >= 12 && fcc(0) == "RIFF", "avi: bad RIFF magic")
+    val riffSize = le32(4)
+    require(riffSize >= 4 && 8L + riffSize == b.length,
+      s"avi: RIFF size $riffSize inconsistent with stream length ${b.length}")
+    require(fcc(8) == "AVI ", s"avi: form type '${fcc(8)}' is not AVI")
+    var declW = -1; var declH = -1; var declFrames = -1; var declStreams = -1
+    var strhSeen = false; var strfSeen = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var w = -1; var h = -1
+    // walk a [from, until) run of chunks; LISTs recurse
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p < until) {
+        require(p + 8 <= until, "avi: truncated chunk header")
+        val id = fcc(p)
+        val sz = le32(p + 4)
+        require(sz >= 0 && p + 8 + sz <= until, s"avi: chunk '$id' overruns")
+        if (id == "LIST") {
+          require(sz >= 4, "avi: LIST too short")
+          val typ = fcc(p + 8)
+          walk(p + 12, p + 8 + sz, inMovi || typ == "movi")
+        } else if (id == "avih") {
+          require(sz >= 40, "avi: malformed avih")
+          declFrames = le32(p + 8 + 16)
+          declStreams = le32(p + 8 + 24)
+          declW = le32(p + 8 + 32); declH = le32(p + 8 + 36)
+        } else if (id == "strh") {
+          require(sz >= 48, "avi: malformed strh")
+          require(fcc(p + 8) == "vids", s"avi: stream type '${fcc(p + 8)}' unsupported (vids only)")
+          require(fcc(p + 12) == "MJPG", s"avi: handler '${fcc(p + 12)}' unsupported (MJPG only)")
+          require(le32(p + 8 + 32) == declFrames,
+            "avi: strh length differs from avih dwTotalFrames")
+          strhSeen = true
+        } else if (id == "strf") {
+          require(sz >= 40, "avi: malformed strf")
+          require(le32(p + 8) >= 40, "avi: bad BITMAPINFOHEADER size")
+          require(fcc(p + 8 + 16) == "MJPG", "avi: strf compression is not MJPG")
+          require(le32(p + 8 + 4) == declW && le32(p + 8 + 8) == declH,
+            "avi: strf dimensions differ from avih")
+          val _ = le16(p + 8 + 12)
+          strfSeen = true
+        } else if (inMovi && (id == "00dc" || id == "00db")) {
+          require(declFrames >= 0, "avi: movi data before the avih header")
+          val frame = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)
+          val (fw, fh, planes) = decodeJpegPlanes(frame)
+          require(fw == declW && fh == declH,
+            s"avi: frame ${frames.length} is ${fw}x$fh, header declares ${declW}x$declH")
+          if (w < 0) { w = fw; h = fh }
+          frames += planes(0)._3 // luma plane (gray or the Y of YCbCr)
+        }
+        // ignore other chunks (idx1, JUNK, vedt, ...) — still bounds-checked
+        p += 8 + sz + (sz % 2) // RIFF word alignment
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    require(declFrames >= 0, "avi: missing avih header")
+    require(strhSeen && strfSeen, "avi: missing strh/strf stream headers")
+    require(declStreams == 1, s"avi: $declStreams streams unsupported (single MJPG video only)")
+    require(frames.length == declFrames,
+      s"avi: ${frames.length} decoded frames, header declares $declFrames")
+    require(frames.nonEmpty, "avi: no frames")
+    (w, h, frames.toArray)
+  }
+
+  /** Decode features for the MJPEG-AVI rows — the [[decodeY4m]]
+    * contract (dims, frame count, concatenated-luma digest) on the
+    * compressed container. */
+  def decodeAvi(media: Dataset[MediaRow]): Dataset[Y4mFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, frames) = decodeAviBytes(row.content)
+        val luma = new Array[Byte](frames.length * w * h)
+        var f = 0
+        while (f < frames.length) {
+          System.arraycopy(frames(f), 0, luma, f * w * h, w * h)
+          f += 1
+        }
+        Y4mFeatures(row.doc_id, w.toLong, h.toLong, frames.length.toLong,
+          md5Hex(md, hexUpper(luma, 0, luma.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
+  /** Per-frame aHash over the DECODED MJPEG lumas — [[y4mFrameAHash]]
+    * on the compressed container, same shared kernel. */
+  def aviFrameAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val (w, h, frames) = decodeAviBytes(row.content)
+      frames.iterator.zipWithIndex.map { case (pix, fi) =>
+        val bands = grayFrameAHashBands(pix, w, h)
+        (row.doc_id, fi.toLong, bands(0), bands(1), bands(2), bands(3))
+      }
+    }).toDF("doc_id", "frame", "b0", "b1", "b2", "b3")
+  }
+
+  /** Cross-video frame near-dup over MJPEG-AVI —
+    * [[videoNearDupFramePairs]]' contract (packed (doc·8+frame) keys,
+    * shared pigeonhole engine, same-doc pairs excluded) on the
+    * compressed container. */
+  def aviNearDupFramePairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame = {
+    val packed = aviFrameAHash(media).select(
+      packedFrameKey.as("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    bandedNearDupPairs(packed, maxHamming, maxBandFreq)
       .select(
         expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
         expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
@@ -3119,6 +3338,8 @@ object Media {
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
     else if (new String(b, 0, math.min(9, b.length), "US-ASCII") == "YUV4MPEG2") "y4m"
     else throw new IllegalArgumentException(

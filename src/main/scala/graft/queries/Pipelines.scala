@@ -651,6 +651,40 @@ object Pipelines {
         "doc_id", "text"))
     }),
 
+    // COMPRESSED video (round 11): MJPEG-in-AVI — a real RIFF chunk
+    // walk (avih/strh/strf cross-checked against the stream, 'movi'
+    // list, word-aligned '00dc' frames) where every frame is a
+    // complete JPEG, alternating baseline and PROGRESSIVE framing per
+    // frame index. Frame f encodes the source rotated by 13·f, so the
+    // oracle rebuilds each frame's lossy raster from the q139 DC-only
+    // closed form at a per-frame offset — the entropy bits (two
+    // framings of them) never need an oracle, only what they decode to.
+    "q150_avi_decode" -> ((s, dir) =>
+      Media.decodeAvi(Media.asAvi(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_frames", "luma_md5")),
+
+    // Cross-video frame near-dup THROUGH the compressed container:
+    // RIFF walk → per-frame JPEG decode → frame aHash → the shared
+    // pigeonhole engine (q129's contract on MJPEG). Exact twins
+    // (+10000010, %67) share every frame at hamming 0; '~~~' twins
+    // (+11000011, %61, length-preserving) shift a few block DCs —
+    // mostly absorbed, the perceptual point.
+    "q151_avi_frame_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 10000010L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 11000011L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      Media.aviNearDupFramePairs(Media.asAvi(
+        docs.select("doc_id", "text")
+          .unionByName(exactTwins).unionByName(nearTwins),
+        "doc_id", "text"))
+    }),
+
     // COMPRESSED-container decode (round 10): documents → real PNG
     // blobs (zlib DEFLATE IDAT, per-scanline filters cycling all five
     // types, CRC32 chunk framing) → the real parser (CRC-verified
@@ -2647,6 +2681,121 @@ object Pipelines {
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
          FROM dims d JOIN dig USING (doc_id)""",
+
+    // MJPEG-AVI decode: the q139 closed form with a FRAME dimension —
+    // frame f encodes the source rotated by 13·f, so block (by,bx) of
+    // frame f sums bytes at ((by·8+r)·w + bx·8 + c + 13·f) mod l; the
+    // digest concatenates the per-frame block-constant rasters in
+    // (f, p) order. Pins the RIFF walk + BOTH JPEG framings (frames
+    // alternate baseline/progressive) end-to-end.
+    "q150_avi_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, nf, f, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*w + bx*8 + i%8) + 13*f) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*w + bx*8 + i%8) + 13*f) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, nf)) fr(f),
+                UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         blocks AS (SELECT doc_id, w, h, f, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, w, f, p
+           FROM dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         pix AS (SELECT x.doc_id, x.f, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.f = x.f
+             AND b.by = (x.p // x.w) // 8 AND b.bx = (x.p % x.w) // 8),
+         dig AS (SELECT doc_id,
+             md5(string_agg(lpad(upper(to_hex(pv)), 2, '0'), ''
+                 ORDER BY f, p)) AS luma_md5
+           FROM pix GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames, dig.luma_md5
+         FROM dims d JOIN dig USING (doc_id)""",
+
+    // MJPEG-AVI frame near-dup: the q129 frame-aHash chain with the
+    // cycled-byte luma swapped for the q150 closed-form pv raster —
+    // lossiness cancels (both engines hash the DECODED frames), frame
+    // keys pack as doc·8+f with same-doc pairs excluded.
+    "q151_avi_frame_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000010, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 11000011, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, f, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*w + bx*8 + i%8) + 13*f) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*w + bx*8 + i%8) + 13*f) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, nf)) fr(f),
+                UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         blocks AS (SELECT doc_id, w, h, f, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, w, h, f, p
+           FROM dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         vals AS (SELECT x.doc_id, x.w, x.h, x.f, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.f = x.f
+             AND b.by = (x.p // x.w) // 8 AND b.bx = (x.p % x.w) // 8),
+         cells AS (SELECT doc_id, f,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(pv) AS s, count(*) AS c
+           FROM vals GROUP BY 1, 2, 3),
+         tot AS (SELECT doc_id, f, sum(s) AS ts, sum(c) AS tc
+                 FROM cells GROUP BY 1, 2),
+         bits AS (SELECT doc_id, f, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id, f)),
+         bv4 AS (SELECT doc_id, f,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1, 2),
+         bands AS (SELECT doc_id, f, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, x.f AS frame_a,
+             y.doc_id AS id_b, y.f AS frame_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key
+             AND x.doc_id * 8 + x.f < y.doc_id * 8 + y.f)
+         SELECT id_a, CAST(frame_a AS BIGINT) AS frame_a,
+                id_b, CAST(frame_b AS BIGINT) AS frame_b, hamming
+         FROM pr WHERE hamming <= 3 AND id_a <> id_b""",
 
     // JPEG near-dup: q120's aHash→band→pigeonhole chain, with the
     // byte-cycled RGB raster swapped for the closed-form DC-only gray

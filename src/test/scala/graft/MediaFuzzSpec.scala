@@ -80,6 +80,9 @@ class MediaFuzzSpec extends AnyFunSuite {
   test("y4m survives byte flips and truncation")(
     fuzz("y4m", 400)(Media.encodeY4m)(Media.decodeY4mBytes))
 
+  test("avi survives byte flips and truncation")(
+    fuzz("avi", 300)(Media.encodeAvi)(Media.decodeAviBytes))
+
   // Deterministic (non-seed-dependent) probes at the exact offsets the
   // random fuzzer can miss: FLAC's variable-length frame-header fields
   // (blocksize/rate extension bytes, UTF-8 continuations) and Y4M's
