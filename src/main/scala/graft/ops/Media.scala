@@ -748,14 +748,23 @@ object Media {
   }
 
   /** The per-row envelope kernel behind [[wavEnvelopeHash]] and
-    * [[flacEnvelopeHash]] — container-independent by construction. */
-  private[graft] def envelopeHashOfPcm(docId: Long, pcm: Array[Byte]): PHashRow = {
-    val m = pcm.length / 2
+    * [[flacEnvelopeHash]] — container-independent by construction.
+    * `bytesPerSample` selects the little-endian signed sample width
+    * (2 for 16-bit, 3 for 24-bit streams). */
+  private[graft] def envelopeHashOfPcm(
+      docId: Long, pcm: Array[Byte], bytesPerSample: Int = 2): PHashRow = {
+    val m = pcm.length / bytesPerSample
     val blockSum = new Array[Long](64)
     val blockCnt = new Array[Long](64)
+    val shift = 32 - 8 * bytesPerSample
     var j = 0
     while (j < m) {
-      val v = ((pcm(2 * j) & 0xff) | (pcm(2 * j + 1) << 8)).toShort.toInt
+      var u = 0
+      var bi = 0
+      while (bi < bytesPerSample) {
+        u |= (pcm(bytesPerSample * j + bi) & 0xff) << (8 * bi); bi += 1
+      }
+      val v = (u << shift) >> shift // sign-extend from the top sample bit
       val block = j * 64 / m
       blockSum(block) += math.abs(v)
       blockCnt(block) += 1L
@@ -1448,41 +1457,80 @@ object Media {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass. */
+  private[graft] val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   private[graft] def encodePng(src0: Array[Byte]): Array[Byte] = {
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
     val w = 8 + l % 40
     val h = 6 + l % 23
     val stride = w * 3
-    // filtered stream: h scanlines of (filter byte + filtered bytes)
-    val filtered = new Array[Byte](h * (1 + stride))
-    val raw = new Array[Byte](stride)   // current scanline, unfiltered
-    val prior = new Array[Byte](stride) // previous scanline, unfiltered
-    var y = 0
-    while (y < h) {
-      var i = 0
-      while (i < stride) { raw(i) = src((y * stride + i) % l); i += 1 }
-      val f = y % 5
-      val base = y * (1 + stride)
-      filtered(base) = f.toByte
-      i = 0
-      while (i < stride) {
-        val x = raw(i) & 0xff
-        val a = if (i >= 3) raw(i - 3) & 0xff else 0
-        val b = prior(i) & 0xff
-        val c = if (i >= 3) prior(i - 3) & 0xff else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x - a
-          case 2 => x - b
-          case 3 => x - ((a + b) >> 1)
-          case _ => x - paeth(a, b, c)
+    // every 6th length class ships Adam7-INTERLACED (the real-world
+    // progressive-render share): the decoded raster is identical, so
+    // the driver oracles cover both layouts with zero SQL change
+    val interlaced = l % 6 == 1
+    val raster = Array.tabulate(h * stride)(i => src(i % l))
+    // scanline sequences per pass: the whole image (interlace 0) or
+    // the seven Adam7 reduced images (empty passes contribute nothing)
+    val passes: Seq[Array[Array[Byte]]] =
+      if (!interlaced) Seq(Array.tabulate(h)(y =>
+        java.util.Arrays.copyOfRange(raster, y * stride, (y + 1) * stride)))
+      else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        Array.tabulate(ph) { j =>
+          val y = y0 + j * dy
+          val row = new Array[Byte](pw * 3)
+          var i = 0
+          while (i < pw) {
+            val x = x0 + i * dx
+            row(3 * i) = raster(y * stride + 3 * x)
+            row(3 * i + 1) = raster(y * stride + 3 * x + 1)
+            row(3 * i + 2) = raster(y * stride + 3 * x + 2)
+            i += 1
+          }
+          row
         }
-        filtered(base + 1 + i) = v.toByte
-        i += 1
+      }.filter(_.nonEmpty)
+    // filtered stream: scanlines of (filter byte + filtered bytes),
+    // each pass filtered independently; the filter type cycles over a
+    // GLOBAL row counter so all five types are exercised either way
+    val filteredLen = passes.map(p => p.length * (1 + p(0).length)).sum
+    val filtered = new Array[Byte](filteredLen)
+    var fOff = 0
+    var globalRow = 0
+    passes.foreach { rows =>
+      val rowLen = rows(0).length
+      var prior = new Array[Byte](rowLen) // zero at each pass start
+      var y = 0
+      while (y < rows.length) {
+        val raw = rows(y)
+        val f = globalRow % 5
+        filtered(fOff) = f.toByte
+        var i = 0
+        while (i < rowLen) {
+          val x = raw(i) & 0xff
+          val a = if (i >= 3) raw(i - 3) & 0xff else 0
+          val b = prior(i) & 0xff
+          val c = if (i >= 3) prior(i - 3) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case _ => x - paeth(a, b, c)
+          }
+          filtered(fOff + 1 + i) = v.toByte
+          i += 1
+        }
+        prior = raw
+        fOff += 1 + rowLen
+        globalRow += 1
+        y += 1
       }
-      System.arraycopy(raw, 0, prior, 0, stride)
-      y += 1
     }
     // zlib-wrap the filtered stream (PNG mandates the zlib format,
     // which is Deflater's default framing)
@@ -1504,7 +1552,8 @@ object Media {
     System.arraycopy(be32(h), 0, ihdr, 4, 4)
     ihdr(8) = 8  // bit depth
     ihdr(9) = 2  // color type: truecolor RGB
-    // ihdr(10..12) = compression 0, filter method 0, interlace 0
+    // ihdr(10..11) = compression 0, filter method 0
+    ihdr(12) = if (interlaced) 1 else 0
     pngChunk(out, "IHDR", ihdr, 0, 13)
     var off = 0
     while (off < z.length) {
@@ -1538,6 +1587,7 @@ object Media {
     }
     var w = -1; var h = -1
     var colorType = -1; var bpp = 0
+    var interlace = 0
     var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream(b.length)
@@ -1586,7 +1636,8 @@ object Media {
             s"png: ${w}x$h exceeds supported raster size")
           require(b(dataFrom + 10) == 0 && b(dataFrom + 11) == 0,
             "png: unknown compression/filter method")
-          require(b(dataFrom + 12) == 0, "png: interlaced streams unsupported")
+          interlace = b(dataFrom + 12) & 0xff
+          require(interlace <= 1, s"png: unknown interlace method $interlace")
         case "PLTE" =>
           require(seenIhdr && idat.size == 0, "png: PLTE must precede IDAT")
           require(len > 0 && len % 3 == 0 && len <= 768, "png: malformed PLTE")
@@ -1611,7 +1662,21 @@ object Media {
     require(idat.size > 0, "png: no IDAT data")
     require(colorType != 3 || plte != null, "png: palette image without PLTE")
     val stride = w * bpp
-    val expect = h * (1 + stride)
+    // interlace geometry: one full pass (method 0) or the nonempty
+    // Adam7 reduced images (method 1), each filtered INDEPENDENTLY
+    // (the prior scanline resets at every pass boundary)
+    val passGeom: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1, w, h))
+      else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, pw, ph)
+      }.filter(t => t._5 > 0 && t._6 > 0)
+    val expectL = passGeom.map { case (_, _, _, _, pw, ph) =>
+      ph.toLong * (1L + pw.toLong * bpp)
+    }.sum
+    require(expectL <= Int.MaxValue, "png: interlaced raster too large")
+    val expect = expectL.toInt
     val filtered = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -1629,32 +1694,55 @@ object Media {
       require(inflater.inflate(new Array[Byte](1)) == 0 && inflater.finished(),
         "png: DEFLATE stream continues past the raster")
     } finally inflater.end()
-    // filter reconstruction, in place scanline by scanline
+    // filter reconstruction per pass, then scatter (deinterlace)
     val pix = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val f = filtered(y * (1 + stride)) & 0xff
-      require(f <= 4, s"png: invalid filter type $f on scanline $y")
-      val base = y * (1 + stride) + 1
-      val out = y * stride
-      val priorOut = out - stride
-      var i = 0
-      while (i < stride) {
-        val x = filtered(base + i) & 0xff
-        val a = if (i >= bpp) pix(out + i - bpp) & 0xff else 0
-        val b2 = if (y > 0) pix(priorOut + i) & 0xff else 0
-        val c = if (y > 0 && i >= bpp) pix(priorOut + i - bpp) & 0xff else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b2
-          case 3 => x + ((a + b2) >> 1)
-          case _ => x + paeth(a, b2, c)
+    var fOff = 0
+    passGeom.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val pStride = pw * bpp
+      val passPix = if (interlace == 0) pix else new Array[Byte](ph * pStride)
+      var y = 0
+      while (y < ph) {
+        val f = filtered(fOff + y * (1 + pStride)) & 0xff
+        require(f <= 4, s"png: invalid filter type $f on scanline $y")
+        val base = fOff + y * (1 + pStride) + 1
+        val out = y * pStride
+        val priorOut = out - pStride
+        var i = 0
+        while (i < pStride) {
+          val x = filtered(base + i) & 0xff
+          val a = if (i >= bpp) passPix(out + i - bpp) & 0xff else 0
+          val b2 = if (y > 0) passPix(priorOut + i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) passPix(priorOut + i - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b2
+            case 3 => x + ((a + b2) >> 1)
+            case _ => x + paeth(a, b2, c)
+          }
+          passPix(out + i) = v.toByte
+          i += 1
         }
-        pix(out + i) = v.toByte
-        i += 1
+        y += 1
       }
-      y += 1
+      if (interlace == 1) {
+        var j = 0
+        while (j < ph) {
+          val ty = y0 + j * dy
+          var i = 0
+          while (i < pw) {
+            val tx = x0 + i * dx
+            var k = 0
+            while (k < bpp) {
+              pix((ty * w + tx) * bpp + k) = passPix((j * pw + i) * bpp + k)
+              k += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+      }
+      fOff += ph * (1 + pStride)
     }
     // normalize to RGB
     if (colorType == 2) (w, h, pix)
@@ -3560,13 +3648,23 @@ object Media {
     val channels = 1 + l % 2
     val sampleRate = 8000 + (l % 8) * 1000
     val nSamples = 64 + l % 512 // per channel
-    val dataBytes = nSamples * channels * 2
+    // bit depth from the byte length: every 7th length class ships
+    // 24-bit (the real-world hi-res share) — the PCM payload is STILL
+    // the cycled source bytes, just grouped as 3-byte samples, so the
+    // decode oracle only branches on the byte width
+    val bps = if (l % 7 == 3) 24 else 16
+    val bytesPer = bps / 8
+    val dataBytes = nSamples * channels * bytesPer
     val pcm = new Array[Byte](dataBytes)
     var i = 0
     while (i < dataBytes) { pcm(i) = src(i % l); i += 1 }
-    def sample(ch: Int, t: Int): Int =
-      ((pcm(2 * (t * channels + ch)) & 0xff) |
-        (pcm(2 * (t * channels + ch) + 1) << 8)).toShort.toInt
+    def sample(ch: Int, t: Int): Int = {
+      val at = bytesPer * (t * channels + ch)
+      var u = 0
+      var bi = 0
+      while (bi < bytesPer) { u |= (pcm(at + bi) & 0xff) << (8 * bi); bi += 1 }
+      (u << (32 - bps)) >> (32 - bps) // sign-extend
+    }
     val md5 = MessageDigest.getInstance("MD5").digest(pcm)
 
     val out = new java.io.ByteArrayOutputStream(dataBytes / 2 + 128)
@@ -3578,7 +3676,7 @@ object Media {
     si.put(0L, 24); si.put(0L, 24) // min/max frame size: unknown
     si.put(sampleRate.toLong, 20)
     si.put((channels - 1).toLong, 3)
-    si.put(15L, 5) // bps - 1
+    si.put((bps - 1).toLong, 5)
     si.put(nSamples.toLong, 36)
     val siB = si.bytes
     out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
@@ -3595,7 +3693,8 @@ object Media {
       // real encoders use, exercised by the driver oracles on every
       // even-length doc because decode is lossless either way
       val chanAsgn = if (channels == 2) 10 else 0
-      w.put((chanAsgn << 4 | (4 << 1)).toLong, 8) // chan asgn | 16 bps
+      val szCode = if (bps == 24) 6 else 4
+      w.put((chanAsgn << 4 | (szCode << 1)).toLong, 8) // chan asgn | bps code
       require(f < 128, "frame number beyond 1-byte UTF-8 range")
       w.put(f.toLong, 8) // UTF-8 coded frame number
       w.put((bs - 1).toLong, 8)
@@ -3612,7 +3711,7 @@ object Media {
       var ch = 0
       while (ch < channels) {
         val x = chanData(ch)
-        val bits = if (channels == 2 && ch == 1) 17 else 16
+        val bits = if (channels == 2 && ch == 1) bps + 1 else bps
         val mask = (1L << bits) - 1
         val flat = x.forall(_ == x(0))
         if (flat) { // CONSTANT
@@ -3709,12 +3808,21 @@ object Media {
     * interleaved little-endian PCM).
     */
   private[graft] def decodeFlacBytes(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val (ch, rate, _, n, pcm) = decodeFlacBytesFull(b)
+    (ch, rate, n, pcm)
+  }
+
+  /** [[decodeFlacBytes]] with the stream's bit depth exposed —
+    * (channels, rate, bps, nSamples, pcm) — for consumers whose
+    * sample interpretation depends on it (the envelope hash). */
+  private[graft] def decodeFlacBytesFull(b: Array[Byte]): (Int, Int, Int, Int, Array[Byte]) = {
     require(b.length >= 42 &&
       new String(b, 0, 4, "US-ASCII") == "fLaC", "flac: bad magic")
     var p = 4
     var last = false
     var haveSi = false
     var minBs = 0; var maxBs = 0; var rate = 0; var channels = 0
+    var streamBps = 0
     var totalSamples = 0L
     val siMd5 = new Array[Byte](16)
     while (!last) {
@@ -3734,7 +3842,9 @@ object Media {
         rate = r.bits(20).toInt
         channels = r.bits(3).toInt + 1
         val bps = r.bits(5).toInt + 1
-        require(bps == 16, s"flac: only 16-bit streams supported, got $bps")
+        require(bps == 8 || bps == 16 || bps == 24,
+          s"flac: unsupported bit depth $bps (8/16/24-bit streams only)")
+        streamBps = bps
         totalSamples = r.bits(36)
         System.arraycopy(b, p + 18, siMd5, 0, 16)
         haveSi = true
@@ -3744,8 +3854,10 @@ object Media {
     require(haveSi, "flac: missing STREAMINFO")
     require(rate > 0 && minBs >= 16, "flac: invalid STREAMINFO")
 
+    val bytesPerSample = streamBps / 8
     val pcmOut = new java.io.ByteArrayOutputStream(
-      math.min(math.max(1024L, totalSamples * channels * 2), 1L << 26).toInt)
+      math.min(math.max(1024L, totalSamples * channels * bytesPerSample),
+        1L << 26).toInt)
     var decoded = 0L
     while (p < b.length) {
       val frameStart = p
@@ -3813,7 +3925,18 @@ object Media {
         case 9 => 0
         case _ => -1
       }
-      require(sizeCode == 4 || sizeCode == 0, "flac: only 16-bit frames supported")
+      // sample-size code: 0 = get from STREAMINFO; otherwise it must
+      // agree with STREAMINFO (1:8, 4:16, 6:24 are the depths we decode)
+      val frameBps = sizeCode match {
+        case 0 => streamBps
+        case 1 => 8
+        case 4 => 16
+        case 6 => 24
+        case other => throw new IllegalArgumentException(
+          s"flac: unsupported sample-size code $other")
+      }
+      require(frameBps == streamBps,
+        s"flac: frame bit depth $frameBps differs from STREAMINFO $streamBps")
       val _ = variableBlocking // number semantics only; not needed to decode
       require(p < b.length, "flac: truncated at header CRC")
       val crc8Got = b(p) & 0xff; p += 1
@@ -3829,7 +3952,7 @@ object Media {
         // every sample; the subframe codes at bps−k and the decoder
         // shifts back up after reconstruction
         val wasted = if (r.bit() == 0) 0 else r.unary() + 1
-        val chBps = (if (ch == sideChannel) 17 else 16) - wasted
+        val chBps = (if (ch == sideChannel) streamBps + 1 else streamBps) - wasted
         require(chBps >= 1, "flac: wasted bits exceed sample size")
         val x = chans(ch)
         // Rice residual section for predictor order o (shared between
@@ -3948,14 +4071,16 @@ object Media {
       val crc16Got = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
       require(crc16Got == flacCrc16(b, frameStart, p), "flac: frame CRC-16 mismatch")
       p += 2
+      val sampLo = -(1 << (streamBps - 1)); val sampHi = (1 << (streamBps - 1)) - 1
       var t = 0
       while (t < bs) {
         var c = 0
         while (c < frameCh) {
           val v = chans(c)(t)
-          require(v >= Short.MinValue && v <= Short.MaxValue,
-            "flac: decoded sample out of 16-bit range")
-          pcmOut.write(v & 0xff); pcmOut.write((v >> 8) & 0xff)
+          require(v >= sampLo && v <= sampHi,
+            s"flac: decoded sample out of $streamBps-bit range")
+          var bi = 0
+          while (bi < bytesPerSample) { pcmOut.write((v >> (8 * bi)) & 0xff); bi += 1 }
           c += 1
         }
         t += 1
@@ -3968,7 +4093,7 @@ object Media {
     val md5 = MessageDigest.getInstance("MD5").digest(pcm)
     require(siMd5.forall(_ == 0) || java.util.Arrays.equals(md5, siMd5),
       "flac: PCM MD5 mismatch — lossless reconstruction failed")
-    (channels, rate, decoded.toInt, pcm)
+    (channels, rate, streamBps, decoded.toInt, pcm)
   }
 
   /** Parse each row's FLAC and digest the decoded PCM — the
@@ -3991,8 +4116,8 @@ object Media {
   def flacEnvelopeHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
-      val (_, _, _, pcm) = decodeFlacBytes(row.content)
-      envelopeHashOfPcm(row.doc_id, pcm)
+      val (_, _, bps, _, pcm) = decodeFlacBytesFull(row.content)
+      envelopeHashOfPcm(row.doc_id, pcm, bps / 8)
     })
   }
 

@@ -3905,9 +3905,86 @@ object Pipelines {
     "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
     // FLAC is lossless over the WAV path's exact PCM formulas, so the
     // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
-    // of PNG riding the PPM oracles above.
-    "q141_flac_decode" -> oracleSqlBase("q110_wav_decode"),
-    "q142_flac_neardup" -> oracleSqlBase("q122_audio_phash"),
+    // of PNG riding the PPM oracles above. Round 11 widens the corpus
+    // with a 24-bit share (every 7th length class): the PCM payload is
+    // still the cycled source bytes, so the oracles only branch on the
+    // per-sample byte width st (2 or 3).
+    "q141_flac_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, t,
+             octet_length(encode(t)) AS l,
+             1 + octet_length(encode(t)) % 2 AS channels,
+             8000 + (octet_length(encode(t)) % 8) * 1000 AS sample_rate,
+             64 + octet_length(encode(t)) % 512 AS n_samples,
+             CASE WHEN octet_length(encode(t)) % 7 = 3 THEN 3 ELSE 2 END AS st
+           FROM src)
+         SELECT doc_id,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           md5(substr(repeat(hex(encode(t)),
+                 CAST((n_samples * channels * st + l - 1) // l AS INT)),
+               1, 2 * n_samples * channels * st)) AS pcm_md5
+         FROM dims""",
+    "q142_flac_neardup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m,
+             CASE WHEN octet_length(encode(t)) % 7 = 3 THEN 3 ELSE 2 END AS st
+           FROM src),
+         bytes AS (SELECT doc_id, m, st, j, hx,
+             (st*j) % l AS k0, (st*j + 1) % l AS k1, (st*j + 2) % l AS k2
+           FROM dims, UNNEST(range(0, m)) u(j)),
+         vals AS (SELECT doc_id, m, st, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1)
+             + CASE WHEN st = 3 THEN
+                 65536 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k2+1 AS INT), 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(hx, CAST(2*k2+2 AS INT), 1)) - 1)
+               ELSE 0 END AS v
+           FROM bytes),
+         cells AS (SELECT doc_id, (j*64) // m AS cell,
+             sum(abs(CASE WHEN st = 2 AND v >= 32768 THEN v - 65536
+                          WHEN st = 3 AND v >= 8388608 THEN v - 16777216
+                          ELSE v END)) AS s,
+             count(*) AS c
+           FROM vals GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM cells GROUP BY 1),
+         bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM cells JOIN tot USING (doc_id)),
+         bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM bits GROUP BY 1),
+         bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM bv4, UNNEST(range(4)) t(bnd)),
+         hot AS (SELECT bnd, key FROM bands GROUP BY bnd, key HAVING count(*) > 1000),
+         kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (bnd, key)),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+           FROM kept x JOIN kept y
+             ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
     // progressive JPEG: SOF2 re-FRAMES the same DC-only closed-form
     // streams (successive-approximation DC scans + EOB-run AC scans),
     // the decoded raster is invariant — so the q139 oracle transfers

@@ -25,20 +25,25 @@ class FlacSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** The WAV-path PCM formulas (the encodeWav contract). */
+  /** The WAV-path PCM formulas (the encodeWav contract), widened by
+    * the round-11 byte-width rule: every 7th length class is 24-bit,
+    * with the payload still the cycled source bytes. */
   private def expectedPcm(src0: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
     val channels = 1 + l % 2
     val rate = 8000 + (l % 8) * 1000
     val n = 64 + l % 512
-    val pcm = Array.tabulate(n * channels * 2)(i => src(i % l))
+    val st = if (l % 7 == 3) 3 else 2
+    val pcm = Array.tabulate(n * channels * st)(i => src(i % l))
     (channels, rate, n, pcm)
   }
 
   test("decode ∘ encode recovers the exact WAV-path PCM (lossless)") {
     val rnd = new Random(37)
-    for (len <- Seq(1, 2, 9, 64, 257, 500, 1000, 3333)) {
+    // 500 (mono) and 80/360 (stereo mid-side) land in the 24-bit
+    // length class (l % 7 == 3)
+    for (len <- Seq(1, 2, 9, 64, 80, 257, 360, 500, 1000, 3333)) {
       val src = Array.fill(len)(rnd.nextInt(256).toByte)
       val (ch, sr, n, pcm) = Media.decodeFlacBytes(Media.encodeFlac(src))
       val (ech, esr, en, epcm) = expectedPcm(src)
@@ -76,6 +81,50 @@ class FlacSpec extends AnyFunSuite {
     def unary(q: Int): Unit = { (0 until q).foreach(_ => put(0, 1)); put(1, 1) }
     def align(): Unit = while (n != 0) put(0, 1)
     def bytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  test("hand-built 24-bit frame: warmup and residuals beyond 16-bit range") {
+    // mono, 16 samples at 24 bits: FIXED order 1, warmup x0 = 100000
+    // (doesn't fit in 16 bits), residuals stepping by thousands — a
+    // stream no 16-bit path could decode by accident. PCM is 3-byte LE.
+    val bs = 16
+    val res = Array.tabulate(bs - 1)(i => (if (i % 2 == 0) 1 else -1) * (50000 + i * 1000))
+    val x = new Array[Int](bs)
+    x(0) = 100000
+    for (t <- 1 until bs) x(t) = res(t - 1) + x(t - 1)
+    assert(x.exists(v => v > 32767 || v < -32768), "fixture must exceed 16-bit range")
+    val pcm = new Array[Byte](bs * 3)
+    for (t <- 0 until bs; k <- 0 until 3) pcm(3 * t + k) = ((x(t) >> (8 * k)) & 0xff).toByte
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BW
+    si.put(bs.toLong, 16); si.put(bs.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)
+    si.put(8000L, 20); si.put(0L, 3); si.put(23L, 5); si.put(bs.toLong, 36) // bps-1 = 23
+    val siB = si.bytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length + 16)
+    out.write(siB); out.write(md5)
+    // frame header: bs code 6 (8-bit follows), rate 0, mono, SIZE CODE
+    // 6 = 24-bit (byte 3 = chan<<4 | size<<1 = 0x0c), frame number 0
+    val hdr = Array[Int](0xff, 0xf8, 0x60, 0x0c, 0x00, bs - 1).map(_.toByte)
+    val body = new BW
+    body.put(0x09L << 1, 8) // FIXED order 1, no wasted bits
+    body.put(x(0).toLong & 0xffffffL, 24) // 24-bit warmup
+    body.put(0L, 2) // residual method 0: 4-bit params
+    body.put(0L, 4) // partition order 0
+    body.put(15L, 4) // escape
+    body.put(18L, 5) // 18 raw bits per residual (|res| < 2^17)
+    res.foreach(r => body.put(r.toLong & 0x3ffffL, 18))
+    val bodyB = body.bytes
+    val frame = hdr ++ Array(Media.flacCrc8(hdr, 0, hdr.length).toByte) ++ bodyB
+    out.write(frame)
+    val c16 = Media.flacCrc16(frame, 0, frame.length)
+    out.write(c16 >> 8); out.write(c16 & 0xff)
+    val (ch, sr, n, got) = Media.decodeFlacBytes(out.toByteArray)
+    assert((ch, sr, n) === ((1, 8000, bs)))
+    assert(java.util.Arrays.equals(got, pcm),
+      s"got ${got.take(9).mkString(",")} want ${pcm.take(9).mkString(",")}")
   }
 
   test("hand-built frame: partition order 1, 5-bit Rice method, escape partition") {

@@ -49,6 +49,75 @@ class PngSpec extends AnyFunSuite {
     assert(w === 8 + 200 % 40)
   }
 
+  test("Adam7 interlaced encodes deinterlace to the identical cycled raster") {
+    // every 6th length class ships interlaced; the decoded raster must
+    // be indistinguishable from the sequential layout
+    val rnd = new Random(29)
+    for (len <- Seq(7, 13, 115, 241, 1201)) {
+      assert(len % 6 == 1, "fixture must land in the interlaced class")
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val blob = Media.encodePng(src)
+      // IHDR interlace byte: signature(8) + len(4) + 'IHDR'(4) + 12
+      assert(blob(8 + 4 + 4 + 12) === 1.toByte, "stream must declare Adam7")
+      val (w, h, pix) = Media.decodePngBytes(blob)
+      assert(w === 8 + len % 40 && h === 6 + len % 23)
+      assert(pix.zipWithIndex.forall { case (b, i) => b == src(i % len) },
+        s"len=$len: interlaced decode differs from the cycled source")
+    }
+  }
+
+  test("hand-built Adam7 stream: per-pass colors land at the spec's coordinates") {
+    // 4x4 RGB, interlace 1: only passes 1,4,5,6,7 are nonempty; give
+    // each pass a distinct gray value and assert the scatter geometry
+    // pixel by pixel — this pins Adam7's (x0,y0,dx,dy) table itself.
+    val w = 4; val h = 4
+    val passVal = Map(0 -> 10, 3 -> 40, 4 -> 50, 5 -> 60, 6 -> 70)
+    val passGeom = Seq( // (passIdx, x0, y0, dx, dy)
+      (0, 0, 0, 8, 8), (3, 2, 0, 4, 4), (4, 0, 2, 2, 4),
+      (5, 1, 0, 2, 2), (6, 0, 1, 1, 2))
+    val filtered = new java.io.ByteArrayOutputStream()
+    passGeom.foreach { case (pi, x0, y0, dx, dy) =>
+      val pw = (w - x0 + dx - 1) / dx
+      val ph = (h - y0 + dy - 1) / dy
+      for (_ <- 0 until ph) {
+        filtered.write(0) // filter type None
+        for (_ <- 0 until pw * 3) filtered.write(passVal(pi))
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte, 8, 2, 0, 0, 1))
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.empty)
+    val (gw, gh, pix) = Media.decodePngBytes(out.toByteArray)
+    assert(gw === w && gh === h)
+    def passOf(x: Int, y: Int): Int =
+      if (x % 8 == 0 && y % 8 == 0) 0
+      else if (x % 4 == 2 && y % 4 == 0) 3
+      else if (x % 2 == 0 && y % 4 == 2) 4
+      else if (x % 2 == 1 && y % 2 == 0) 5
+      else 6 // odd rows
+    for (y <- 0 until h; x <- 0 until w; k <- 0 until 3)
+      assert((pix((y * w + x) * 3 + k) & 0xff) === passVal(passOf(x, y)),
+        s"pixel ($x,$y) channel $k not from pass ${passOf(x, y)}")
+  }
+
   test("the parser fails loudly: signature, CRC, truncation, trailing data, filters") {
     val good = Media.encodePng("hello png world".getBytes("UTF-8"))
     // bad signature
