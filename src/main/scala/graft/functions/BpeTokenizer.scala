@@ -85,8 +85,15 @@ object BpeTokenizer {
   /** Apply the merges to `s`'s code-point sequence; returns the token
     * array (empty for the empty string).
     */
-  def tokens(s: UTF8String): Array[String] = {
-    val str = s.toString
+  def tokens(s: UTF8String): Array[String] = tokensWith(Merges, s.toString)
+
+  /** [[tokens]] over an ARBITRARY merges table — the form the
+    * distributed BPE trainer feeds its learned merges into (q153):
+    * identical pass semantics (fixed table order, one left-to-right
+    * non-overlapping pass per merge), so a learned table behaves
+    * exactly like the fixed one.
+    */
+  def tokensWith(merges: IndexedSeq[(String, String)], str: String): Array[String] = {
     if (str.isEmpty) return Array.empty
     val cps = str.codePoints().toArray
     var toks = new Array[String](cps.length)
@@ -94,24 +101,32 @@ object BpeTokenizer {
     var i = 0
     while (i < n) { toks(i) = new String(Character.toChars(cps(i))); i += 1 }
     var m = 0
-    while (m < Merges.length) {
-      val (a, b) = Merges(m)
-      var w = 0
-      i = 0
-      while (i < n) {
-        if (i + 1 < n && toks(i) == a && toks(i + 1) == b) {
-          toks(w) = a + b
-          i += 2
-        } else {
-          toks(w) = toks(i)
-          i += 1
-        }
-        w += 1
-      }
-      n = w
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      n = mergePass(toks, n, a, b)
       m += 1
     }
     java.util.Arrays.copyOf(toks, n)
+  }
+
+  /** One left-to-right non-overlapping merge pass over `toks(0..n)`,
+    * in place; returns the new length. A freshly merged token never
+    * re-merges with its right neighbor in the same pass — the exact
+    * semantics of the oracle's separator-wrapped `replace`. */
+  private[graft] def mergePass(toks: Array[String], n: Int, a: String, b: String): Int = {
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && toks(i) == a && toks(i + 1) == b) {
+        toks(w) = a + b
+        i += 2
+      } else {
+        toks(w) = toks(i)
+        i += 1
+      }
+      w += 1
+    }
+    w
   }
 
   def count(s: UTF8String): Long = tokens(s).length.toLong

@@ -1993,6 +1993,98 @@ object Media {
     out.toByteArray
   }
 
+  /** DC-only re-ENCODER from a decoded raster — the q139 trick applied
+    * to the encoder side: flat quant (`quant`, a multiple of 8 so the
+    * DC-only IDCT is exact), every block reduced to its quantized mean
+    * (AC discarded). On the block-constant rasters our deterministic
+    * encoders produce this is EXACT (a constant block's forward DCT
+    * has only DC), so decode → this re-encode → re-decode has a
+    * closed form the SQL oracle replays: v2 = clamp(128 + (quant/8) ·
+    * trunc(64·(v−128) / (8·quant))). On foreign rasters it is a real
+    * (lossy) DC-only transcode. Real entropy output: Annex-K DC
+    * Huffman, byte stuffing, EOB per block.
+    */
+  private[graft] def encodeJpegGrayDcFromRaster(
+      pix: Array[Byte], w: Int, h: Int, quant: Int): Array[Byte] = {
+    require(quant % 8 == 0 && quant > 0 && quant < 256,
+      s"dc transcode: quant $quant must be a positive multiple of 8 under 256")
+    require(w % 8 == 0 && h % 8 == 0 && pix.length == w * h,
+      s"dc transcode: raster ${w}x$h must be whole blocks")
+    val out = new java.io.ByteArrayOutputStream(256)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(quant))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 0x01, 0x11, 0x00))
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals)
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
+    seg(0xda, Array(1, 0x01, 0x00, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val acEnc = huffCodes(JpegAcBits, JpegAcVals)
+    val (eobCode, eobLen) = acEnc(0x00)
+    var prevDc = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        var s = 0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            s += (pix((by * 8 + r) * w + bx * 8 + c) & 0xff) - 128
+            c += 1
+          }
+          r += 1
+        }
+        val dcq = s / (8 * quant)
+        val diff = dcq - prevDc
+        prevDc = dcq
+        val mag = math.abs(diff)
+        val cat = 32 - Integer.numberOfLeadingZeros(mag)
+        val (dcCode, dcLen) = DcEnc(cat)
+        bw.put(dcCode, dcLen)
+        if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+        bw.put(eobCode, eobLen)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  final case class TranscodeDcRow(
+      doc_id: Long, width: Long, height: Long, recoded_md5: String)
+
+  /** HASH-GATED transcode: decode (either framing) → DC-only re-encode
+    * at flat `quant` → re-decode through the validating parser →
+    * digest of the re-decoded raster. Unlike [[transcodeJpeg]]'s
+    * float-DCT form (spec-gated, rows-only), every step here has a
+    * closed form, so the DuckDB oracle replays the WHOLE
+    * decode→re-encode→re-decode chain (q152).
+    */
+  def transcodeJpegDc(media: Dataset[MediaRow], quant: Int = 32): Dataset[TranscodeDcRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, pix) = decodeJpegBytes(row.content)
+        val recoded = encodeJpegGrayDcFromRaster(pix, w, h, quant)
+        val (w2, h2, pix2) = decodeJpegBytes(recoded)
+        require(w2 == w && h2 == h, "dc transcode: re-decoded dims diverged")
+        TranscodeDcRow(row.doc_id, w.toLong, h.toLong,
+          md5Hex(md, hexUpper(pix2, 0, pix2.length).getBytes("US-ASCII")))
+      }
+    }
+  }
+
   /** Canonical AC table for progressive EOBn symbols (r<<4 for
     * r = 0..14): the Annex-K AC table only carries EOB0 and ZRL at
     * s = 0, so a progressive encoder that wants real EOB RUNS must

@@ -753,6 +753,21 @@ object Pipelines {
         .toDF()
         .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
 
+    // HASH-GATED transcode (round 11): decode (mixed baseline +
+    // progressive corpus) → DC-only re-encode at flat quant 32 →
+    // re-decode through the validating parser → raster digest. The
+    // input rasters are block-constant, so the DC-only re-encode is
+    // EXACT (a constant block's forward DCT has only DC) and every
+    // stage has a closed form: v2 = clamp(128 + 4·trunc((pv−128)/4))
+    // on top of q139's pv — the whole decode→re-encode→re-decode
+    // chain replays in SQL, closing the rows-only gap the float-DCT
+    // transcodes (q147/q148, spec-gated) necessarily leave.
+    "q152_jpeg_transcode_dc" -> ((s, dir) =>
+      Media.transcodeJpegDc(
+        Media.asJpegMixed(t(s, dir, "documents"), "doc_id", "text"), quant = 32)
+        .toDF()
+        .select("doc_id", "width", "height", "recoded_md5")),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006) survive at hamming 0 (same bytes ⇒ same lossy
@@ -1300,6 +1315,18 @@ object Pipelines {
       Curation.shardPack(t(s, dir, "documents"), "doc_id", "text",
         tokensPerShard = 16384L, tokenizer = "bpe")),
 
+    // Distributed BPE TRAINING (round 11): learn 6 merges from the
+    // corpus by iterated pair-count aggregation — one shuffle per
+    // round (map-side partial agg), argmax with the (count DESC, a, b)
+    // binary tie-break, then a map-side merge pass with the exact
+    // inference semantics, state checkpointed per round. The oracle
+    // unrolls the SAME 6 rounds in SQL over the q118 separator
+    // encoding, DERIVING the merges rather than being told them — so
+    // a green row pins the whole training loop: counting semantics
+    // (overlapping pairs), the tie-break, and the pass semantics.
+    "q153_bpe_train" -> ((s, dir) =>
+      graft.ops.BpeTrain.learnMerges(t(s, dir, "documents"), "text", rounds = 6)),
+
     // Incremental WINNOWED exact-substring (round-9): the doc_id%7=0
     // batch's winnowed fingerprints probe the STANDING winnowed
     // multiplicity index — the index a 100 TB pipeline actually
@@ -1588,6 +1615,43 @@ object Pipelines {
       s"replace($acc, $us || ${lit(a)} || $us || $us || ${lit(b)} || $us, " +
         s"$us || ${lit(a + b)} || $us)"
     }
+  }
+
+  /** The q153 oracle, GENERATED for `rounds` rounds: unrolled
+    * (pair-count → argmax → separator-wrapped replace) chain over the
+    * q118 encoding. Each round's top CTE derives the merge the engine
+    * should have learned; the next state applies it via scalar
+    * subqueries, so the oracle never sees the learned table — it
+    * re-derives it.
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val us = "chr(31)"
+    val sep = s"$us || $us"
+    val init = s"CASE WHEN len(text) = 0 THEN '' ELSE $us || " +
+      s"array_to_string(string_split(text, ''), $sep) || $us END"
+    val sb = new StringBuilder
+    sb ++= s"WITH s0 AS (SELECT doc_id, $init AS s FROM documents)"
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+         tk$r AS (SELECT string_split(substr(s, 2, len(s) - 2), $sep) AS t
+                  FROM $prev WHERE len(s) > 0),
+         pc$r AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i+1 AS INT)] AS b,
+                    count(*) AS cnt
+                  FROM tk$r, UNNEST(range(1, len(t))) u(i)
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+         t$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         s$r AS (SELECT doc_id,
+                   replace(s,
+                     $us || (SELECT a FROM t$r) || $sep || (SELECT b FROM t$r) || $us,
+                     $us || (SELECT a || b FROM t$r) || $us) AS s
+                 FROM $prev)"""
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"""
+         SELECT CAST($r AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS pair_count
+         FROM t$r""").mkString("", " UNION ALL", "")
+    sb.toString
   }
 
   /** Where q39 exports its trained centroid table for the DuckDB twin.
@@ -2680,6 +2744,47 @@ object Pipelines {
          SELECT d.doc_id,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
+         FROM dims d JOIN dig USING (doc_id)""",
+
+    // DC-only transcode: q139's pv chain, then the re-encode→re-decode
+    // closed form v2 = clamp(128 + 4·trunc((pv−128)/4)) per block —
+    // the only SQL a full lossy transcode round needs once the encoder
+    // is DC-only at a flat multiple-of-8 quant.
+    "q152_jpeg_transcode_dc" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h
+           FROM src),
+         bsum AS (SELECT doc_id, w, h, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*(((by*8 + i//8)*w + bx*8 + i%8) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM dims, UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5),
+         blocks AS (SELECT doc_id, w, h, by, bx,
+             greatest(0, least(255,
+               128 + 4 * CAST(trunc((greatest(0, least(255,
+                 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) - 128) / 4.0) AS BIGINT)
+             )) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, w, p FROM dims, UNNEST(range(0, w*h)) u(p)),
+         pix AS (SELECT x.doc_id, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.by = (x.p // x.w) // 8
+             AND b.bx = (x.p % x.w) // 8),
+         dig AS (SELECT doc_id,
+             md5(string_agg(lpad(upper(to_hex(pv)), 2, '0'), '' ORDER BY p)) AS recoded_md5
+           FROM pix GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           dig.recoded_md5
          FROM dims d JOIN dig USING (doc_id)""",
 
     // MJPEG-AVI decode: the q139 closed form with a FRAME dimension —
@@ -3990,6 +4095,7 @@ object Pipelines {
     // the decoded raster is invariant — so the q139 oracle transfers
     // unchanged over the mixed baseline/progressive corpus
     "q149_jpeg_progressive_decode" -> oracleSqlBase("q139_jpeg_decode"),
+    "q153_bpe_train" -> bpeTrainSql(6),
     // mixed-container sniff: pixels are container-independent, so the
     // q120 chain IS the oracle — only the twin offsets differ (odd
     // shifts flip doc_id parity, making every twin pair cross the

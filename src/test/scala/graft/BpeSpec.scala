@@ -98,4 +98,38 @@ class BpeSpec extends AnyFunSuite {
       Curation.shardPack(docs, "doc_id", "text", 8L, tokenizer = "nope")
     }
   }
+
+  test("BPE training: learned merges, counts, tie-break, and dry stop on a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    // "ababab" has overlapping pairs (a,b)x3 (b,a)x2; "abab" adds
+    // (a,b)x2 (b,a)x1 -> round 1 learns (a,b) at 5. Round 2 state
+    // [ab,ab,ab]/[ab,ab] -> (ab,ab) at 3. Round 3's only pair
+    // (abab,ab) has count 1 < 2 -> training runs DRY at 2 merges.
+    val docs = Seq((1L, "ababab"), (2L, "abab")).toDF("doc_id", "text")
+    val got = graft.ops.BpeTrain.learnMerges(docs, "text", rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "b", 5L), (2L, "ab", "ab", 3L)))
+    // the learned table drops into the inference kernel unchanged
+    val learned = got.map(g => g._2 -> g._3).toIndexedSeq
+    assert(graft.functions.BpeTokenizer.tokensWith(learned, "ababab").toSeq ===
+      Seq("abab", "ab"))
+    assert(graft.functions.BpeTokenizer.tokensWith(learned, "abba").toSeq ===
+      Seq("ab", "b", "a"))
+    // tie-break: equal counts resolve by (a, b) binary order —
+    // "xy xy" and "yz yz" both give 2 cross pairs? construct exact:
+    // "xyxy" -> (x,y)x2 (y,x)x1; "yzyz" -> (y,z)x2 (z,y)x1 -> tie
+    // between (x,y) and (y,z) at 2 -> (x,y) wins on a asc
+    val tie = Seq((1L, "xyxy"), (2L, "yzyz")).toDF("doc_id", "text")
+    val t1 = graft.ops.BpeTrain.learnMerges(tie, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(t1.head === (("x", "y")))
+    // the fixed table and the generalized kernel agree (inference
+    // parity: tokens() IS tokensWith(Merges, _))
+    for (str <- Seq("the cat sat", "", "a", "threading the needle"))
+      assert(graft.functions.BpeTokenizer.tokensWith(
+        graft.functions.BpeTokenizer.Merges, str).toSeq ===
+        graft.functions.BpeTokenizer.tokens(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str)).toSeq)
+  }
 }

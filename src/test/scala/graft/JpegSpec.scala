@@ -349,6 +349,26 @@ class JpegSpec extends AnyFunSuite {
       .getMessage.contains("DC scan"))
   }
 
+  test("DC-only transcode: re-decoded raster equals the closed form per block") {
+    val rnd = new Random(59)
+    for (len <- Seq(20, 33, 497, 1200)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val blob = if (len % 2 == 0) Media.encodeJpegGray(src)
+        else Media.encodeJpegGrayProgressive(src)
+      val (w, h, pix) = Media.decodeJpegBytes(blob)
+      val recoded = Media.encodeJpegGrayDcFromRaster(pix, w, h, 32)
+      val (w2, h2, pix2) = Media.decodeJpegBytes(recoded)
+      assert(w2 === w && h2 === h)
+      // the input raster is block-constant, so the DC-only re-encode
+      // is exact and every output pixel is clamp(128 + 4*trunc((v-128)/4))
+      for (i <- 0 until w * h) {
+        val v = pix(i) & 0xff
+        val want = math.max(0, math.min(255, 128 + 4 * ((v - 128) / 4)))
+        assert((pix2(i) & 0xff) === want, s"len=$len pixel $i: v=$v")
+      }
+    }
+  }
+
   test("mixed baseline/progressive corpus: one operator, both framings, same digests") {
     val s = spark
     import s.implicits._
