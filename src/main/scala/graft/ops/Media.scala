@@ -3538,6 +3538,58 @@ object Media {
         s"sniff: container '$other' does not decode to a lossless RGB raster")
     }
 
+  /** Universal ingest hash: sniff EVERY container this engine decodes
+    * and emit the blob's per-modality band-hash rows — the dispatch a
+    * unified multimodal gate (q154) routes on. One decode pass per
+    * blob; the modality tag names the HASH SPACE, so a gate never
+    * compares hashes across incomparable kernels:
+    *  - `image`: PPM/PNG → lossless RGB raster → [[aHashRgb]]
+    *    (cross-container twins hash IDENTICAL — pixels decide);
+    *  - `jpeg`: lossy gray raster → the frame-aHash kernel (its own
+    *    space: a lossy raster never byte-matches a lossless one);
+    *  - `audio`: WAV/FLAC → PCM → [[envelopeHashOfPcm]] at the
+    *    stream's true sample width (lossless twins hash identical);
+    *  - `video`: Y4M/AVI → per-frame aHash at packed (doc·8+frame)
+    *    keys (the q129 convention).
+    */
+  def mixedMediaHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      sniffContainer(row.content) match {
+        case "ppm" | "png" =>
+          val (w, h, pix) = decodeRgbAuto(row.content)
+          val r = aHashRgb(row.doc_id, w, h, pix)
+          Iterator(("image", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+        case "jpeg" =>
+          val (_, _, planes) = decodeJpegPlanes(row.content)
+          val (cw, ch, luma) = planes(0)
+          val b = grayFrameAHashBands(luma, cw, ch)
+          Iterator(("jpeg", row.doc_id, b(0), b(1), b(2), b(3)))
+        case "wav" =>
+          val (_, _, _, pcm) = decodeWavBytes(row.content)
+          val r = envelopeHashOfPcm(row.doc_id, pcm, 2)
+          Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+        case "flac" =>
+          val (_, _, bps, _, pcm) = decodeFlacBytesFull(row.content)
+          val r = envelopeHashOfPcm(row.doc_id, pcm, bps / 8)
+          Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+        case "y4m" | "avi" =>
+          val (w, h, frames) =
+            if ((row.content(0) & 0xff) == 'R') decodeAviBytes(row.content)
+            else decodeY4mBytes(row.content)
+          require(frames.length < 8,
+            s"mixed hash: video ${row.doc_id} has ${frames.length} frames — " +
+              "the (doc*8+frame) key is no longer injective")
+          frames.iterator.zipWithIndex.map { case (pix, fi) =>
+            val b = grayFrameAHashBands(pix, w, h)
+            ("video", row.doc_id * 8 + fi, b(0), b(1), b(2), b(3))
+          }
+        case other => throw new IllegalArgumentException(
+          s"mixed hash: container '$other' has no hash route")
+      }
+    }).toDF("modality", "doc_id", "b0", "b1", "b2", "b3")
+  }
+
   /** aHash over sniff-decoded rasters: one hash pipeline over a
     * MIXED-container corpus. */
   def autoAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {

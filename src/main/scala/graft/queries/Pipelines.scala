@@ -36,6 +36,21 @@ object Pipelines {
     }
   }
 
+  /** [[withGateStore]] for the multimodal gate: one ManifestStore per
+    * modality under a shared temp root, all cleaned up together. */
+  private def withMixedGateStores[A](s: SparkSession)(
+      f: (String => graft.bulk.ManifestStore) => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixed-gate-replay")
+    try f(m => new graft.bulk.ManifestStore(s, s"$dir/$m"))
+    finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Stop-shingle df cap for the Jaccard family (q31/q37), mirrored in
     * their oracles. Shingles in more docs than this are dropped before
     * the inverted-index self-join (O(df²) pairs, no signal).
@@ -1046,6 +1061,64 @@ object Pipelines {
       gate.decisions
     }),
 
+    // UNIFIED multimodal ingest gate (round 11): one ORDERED stream of
+    // mixed containers — images (PPM even / PNG odd ids), audio (WAV
+    // even / FLAC odd, incl. the 24-bit length class), video (Y4M) —
+    // folding through Streams.MixedMediaGate: one sniff+decode+hash
+    // pass per batch routes rows into per-modality band-hash gates
+    // (per-gate LSM segments, lockstep batch counters, persist→resume
+    // restart after fold 3). Twin offsets +3000003 / +9000009 preserve
+    // doc_id % 3 (modality) but flip % 2 (container), so every IMAGE
+    // and AUDIO twin pair crosses its container boundary (lossless
+    // decode makes them hash-identical); video twins stay in-container
+    // (an uncompressed plane can never byte-match a lossy one — that
+    // is a fact about codecs, not a gap). Decisions: (doc_id, batch,
+    // n_partners, min_hamming, modality), video rows at packed
+    // (doc·8+frame) keys.
+    "q154_mixed_gate_replay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 3000003L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 9000009L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val aug = docs.unionByName(exactTwins).unionByName(nearTwins)
+      def blobs(part: org.apache.spark.sql.DataFrame) = {
+        val img = part.filter(col("doc_id") % 3 === 0)
+        val aud = part.filter(col("doc_id") % 3 === 1)
+        val vid = part.filter(col("doc_id") % 3 === 2)
+        Media.asPpm(img.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .unionByName(Media.asPng(img.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+          .unionByName(Media.asWav(aud.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+          .unionByName(Media.asFlac(aud.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+          .unionByName(Media.asY4m(vid, "doc_id", "text"))
+      }
+      // The oracle's one-pass collapse needs every (modality, band,
+      // key) df well under the gate's cap (the q124 caveat, per
+      // modality).
+      // union df across modalities: a conservative over-estimate of
+      // any single modality's (band, key) df
+      val maxDf = graft.ops.Media.phashBandRows(
+          graft.ops.Media.mixedMediaHash(blobs(aug))
+            .select("doc_id", "b0", "b1", "b2", "b3"))
+        .groupBy("band", "key").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      require(maxDf <= 500L,
+        s"q154 oracle's one-pass collapse needs every (band,key) df well " +
+          s"under maxBandFreq=1000; corpus peaks at $maxDf")
+      val g1 = graft.streaming.Streams.newMixedMediaGate(s, compactEvery = 2)
+      (0 to 2).foreach(i => g1.ingest(blobs(aug.filter(col("doc_id") % 4 === i))))
+      val gate = withMixedGateStores(s) { storeFor =>
+        g1.persist(storeFor)
+        g1.release()
+        graft.streaming.Streams.resumeMixedMediaGate(storeFor, compactEvery = 2)
+      }
+      gate.ingest(blobs(aug.filter(col("doc_id") % 4 === 3)))
+      gate.decisions
+    }),
+
     // Vector-index gate replay: the maintained quantized-IVF serving
     // index as durable gate state (the search-side complement of the
     // q105 embedding dedup gate) — batches vec_id % 4 flow through
@@ -1652,6 +1725,144 @@ object Pipelines {
          SELECT CAST($r AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS pair_count
          FROM t$r""").mkString("", " UNION ALL", "")
     sb.toString
+  }
+
+  /** The q154 oracle, assembled per modality. Hash derivations reuse
+    * the established chains (q124 image aHash, q142 audio envelope
+    * with the 24-bit branch on FLAC-routed ids, q129 video frame
+    * aHash at packed keys); each modality then runs the identical
+    * band/pigeonhole/annotation tail with its own batch expression
+    * (video batches derive from the UNPACKED doc id). The gate folds
+    * batches doc % 4 = 0..3 as folds 1..4, so batch = doc % 4 + 1 and
+    * a partner counts iff its batch ≤ the doc's.
+    */
+  private val mixedGateSql: String = {
+    val hexb = (k: String) =>
+      s"""(strpos('0123456789ABCDEF', substr(hx, CAST(2*($k)+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*($k)+2 AS INT), 1)) - 1"""
+    def tail(p: String, batchOf: String, modality: String): String = s"""
+         ${p}_bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
+             CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
+           FROM ${p}_bv4, UNNEST(range(4)) t(bnd)),
+         ${p}_hot AS (SELECT bnd, key FROM ${p}_bands GROUP BY bnd, key HAVING count(*) > 1000),
+         ${p}_kept AS (SELECT ${p}_bands.* FROM ${p}_bands ANTI JOIN ${p}_hot USING (bnd, key)),
+         ${p}_fl AS (SELECT id_a, id_b, hamming FROM (
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                 + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+             FROM ${p}_kept x JOIN ${p}_kept y
+               ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
+           WHERE hamming <= 3),
+         ${p}_sym AS (SELECT id_a AS doc_id, id_b AS partner, hamming FROM ${p}_fl
+                 UNION ALL SELECT id_b, id_a, hamming FROM ${p}_fl),
+         ${p}_ann AS (SELECT doc_id, count(*) AS n, min(hamming) AS mh
+                 FROM ${p}_sym s
+                 WHERE ${batchOf.replace("doc_id", "s.partner")} <=
+                       ${batchOf.replace("doc_id", "s.doc_id")}
+                 GROUP BY 1),
+         ${p}_out AS (SELECT d.doc_id,
+             CAST(${batchOf.replace("doc_id", "d.doc_id")} + 1 AS BIGINT) AS batch,
+             CAST(coalesce(a.n, 0) AS BIGINT) AS n_partners,
+             CAST(coalesce(a.mh, -1) AS BIGINT) AS min_hamming,
+             '$modality' AS modality
+           FROM (SELECT doc_id FROM ${p}_bv4) d
+           LEFT JOIN ${p}_ann a USING (doc_id))"""
+    s"""WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000003, text FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 9000009, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
+
+         im_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 40 AS w,
+             6 + octet_length(encode(t)) % 23 AS h
+           FROM src WHERE doc_id % 3 = 0),
+         im_bytes AS (SELECT doc_id, w, h, p, hx, (3*p + ch) % l AS k
+           FROM im_dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
+         im_vals AS (SELECT doc_id, w, h, p, ${hexb("k")} AS bv FROM im_bytes),
+         im_cells AS (SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) // 3 AS c
+           FROM im_vals GROUP BY 1, 2),
+         im_tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM im_cells GROUP BY 1),
+         im_bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM im_cells JOIN im_tot USING (doc_id)),
+         im_bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM im_bits GROUP BY 1),
+         ${tail("im", "doc_id % 4", "image").drop(1)},
+
+         au_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m,
+             CASE WHEN doc_id % 2 = 1 AND octet_length(encode(t)) % 7 = 3
+               THEN 3 ELSE 2 END AS st
+           FROM src WHERE doc_id % 3 = 1),
+         au_bytes AS (SELECT doc_id, m, st, j, hx,
+             (st*j) % l AS k0, (st*j + 1) % l AS k1, (st*j + 2) % l AS k2
+           FROM au_dims, UNNEST(range(0, m)) u(j)),
+         au_vals AS (SELECT doc_id, m, st, j,
+             ${hexb("k0")}
+             + 256 * (${hexb("k1")})
+             + CASE WHEN st = 3 THEN 65536 * (${hexb("k2")}) ELSE 0 END AS v
+           FROM au_bytes),
+         au_cells AS (SELECT doc_id, (j*64) // m AS cell,
+             sum(abs(CASE WHEN st = 2 AND v >= 32768 THEN v - 65536
+                          WHEN st = 3 AND v >= 8388608 THEN v - 16777216
+                          ELSE v END)) AS s,
+             count(*) AS c
+           FROM au_vals GROUP BY 1, 2),
+         au_tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM au_cells GROUP BY 1),
+         au_bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM au_cells JOIN au_tot USING (doc_id)),
+         au_bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM au_bits GROUP BY 1),
+         ${tail("au", "doc_id % 4", "audio").drop(1)},
+
+         vi_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 + octet_length(encode(t)) % 24 AS w,
+             6 + octet_length(encode(t)) % 17 AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src WHERE doc_id % 3 = 2),
+         vi_bytes AS (SELECT doc_id, w, h, f, p, hx, (f*w*h + p) % l AS k
+           FROM vi_dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         vi_vals AS (SELECT doc_id, w, h, f, p, ${hexb("k")} AS bv FROM vi_bytes),
+         vi_cells AS (SELECT doc_id, f,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(bv) AS s, count(*) AS c
+           FROM vi_vals GROUP BY 1, 2, 3),
+         vi_tot AS (SELECT doc_id, f, sum(s) AS ts, sum(c) AS tc
+                 FROM vi_cells GROUP BY 1, 2),
+         vi_bits AS (SELECT doc_id, f, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM vi_cells JOIN vi_tot USING (doc_id, f)),
+         vi_bv4 AS (SELECT doc_id * 8 + f AS doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM vi_bits GROUP BY 1),
+         ${tail("vi", "(doc_id // 8) % 4", "video").drop(1)}
+         SELECT doc_id, batch, n_partners, min_hamming, modality FROM im_out
+         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM au_out
+         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM vi_out"""
   }
 
   /** Where q39 exports its trained centroid table for the DuckDB twin.
@@ -4096,6 +4307,7 @@ object Pipelines {
     // unchanged over the mixed baseline/progressive corpus
     "q149_jpeg_progressive_decode" -> oracleSqlBase("q139_jpeg_decode"),
     "q153_bpe_train" -> bpeTrainSql(6),
+    "q154_mixed_gate_replay" -> mixedGateSql,
     // mixed-container sniff: pixels are container-independent, so the
     // q120 chain IS the oracle — only the twin offsets differ (odd
     // shifts flip doc_id parity, making every twin pair cross the

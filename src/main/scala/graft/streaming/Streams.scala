@@ -1754,6 +1754,79 @@ object Streams {
       initialBatchIdx = meta.getAs[Long]("batch_idx"))
   }
 
+  /** UNIFIED multimodal ingest gate (round 11, q154): blobs arrive as
+    * a MIXED stream of every container this engine decodes — content
+    * type untrusted, bytes decide — and one
+    * [[graft.ops.Media.mixedMediaHash]] pass sniffs, decodes, and
+    * hashes each blob into its modality's hash space; the rows route
+    * to per-modality [[BandHashGate]]s (image RGB-aHash, jpeg
+    * gray-aHash, audio envelope, video packed frame keys). Modalities
+    * never cross-pair — the tag names the hash space, and comparing
+    * an envelope hash to a pixel grid is noise, not dedup signal.
+    *
+    * EVERY batch folds into EVERY modality gate (empty slices
+    * included), so per-gate batch counters stay lockstep with the
+    * global stream and decisions carry the stream's fold index
+    * regardless of which modalities a batch happened to contain.
+    * Persist/resume commits each modality's gate into its own
+    * manifest store (one durable version per modality per persist).
+    */
+  final class MixedMediaGate private[graft] (
+      gates: Map[String, BandHashGate]) {
+
+    def ingest(blobs: org.apache.spark.sql.Dataset[graft.ops.MediaRow]): Unit = {
+      val hashed = graft.ops.Ckpt.fresh(graft.ops.Media.mixedMediaHash(blobs))
+      MixedMediaGate.Modalities.foreach { m =>
+        gates(m).ingest(
+          hashed.filter(col("modality") === m)
+            .select("doc_id", "b0", "b1", "b2", "b3"))
+      }
+      releaseCheckpoint(hashed)
+    }
+
+    /** Union of per-modality decisions, tagged. Video rows carry the
+      * packed (doc·8+frame) key as doc_id — the q129 convention. */
+    def decisions: DataFrame =
+      MixedMediaGate.Modalities.map(m =>
+        gates(m).decisions.withColumn("modality", lit(m)))
+        .reduce(_ unionByName _)
+
+    def persist(storeFor: String => graft.bulk.ManifestStore): Unit =
+      MixedMediaGate.Modalities.foreach(m => gates(m).persist(storeFor(m)))
+
+    def release(): Unit = gates.valuesIterator.foreach(_.release())
+  }
+
+  object MixedMediaGate {
+    /** The hash spaces [[graft.ops.Media.mixedMediaHash]] emits. */
+    val Modalities: Seq[String] = Seq("image", "jpeg", "audio", "video")
+  }
+
+  private def emptyHashFrame(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame.select(
+      lit(0L).as("doc_id"), lit(0).as("b0"), lit(0).as("b1"),
+      lit(0).as("b2"), lit(0).as("b3")).limit(0)
+
+  /** Construct a [[MixedMediaGate]] with empty standing state. */
+  def newMixedMediaGate(
+      spark: SparkSession,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      compactEvery: Int = 8): MixedMediaGate =
+    new MixedMediaGate(MixedMediaGate.Modalities.map(m =>
+      m -> newBandHashGate(emptyHashFrame(spark), maxHamming, maxBandFreq,
+        compactEvery)).toMap)
+
+  /** Resume a [[MixedMediaGate]] from per-modality stores. */
+  def resumeMixedMediaGate(
+      storeFor: String => graft.bulk.ManifestStore,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L,
+      compactEvery: Int = 8): MixedMediaGate =
+    new MixedMediaGate(MixedMediaGate.Modalities.map(m =>
+      m -> resumeBandHashGate(storeFor(m), maxHamming, maxBandFreq,
+        compactEvery)).toMap)
+
   /** The maintained vector SEARCH index as durable gate state (round
     * 9, the serving-side complement of [[EmbeddingDedupGate]]'s
     * near-dup rejection): a quantized IVF index

@@ -82,7 +82,69 @@ object ScaleGen {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 
-    println(s"[scalegen] wrote ${reps}x documents+embeddings to $out")
+    // ── relational fact tables (round 11): KEY-SHIFTED replicas ──
+    // The shift is applied consistently across every foreign key, so
+    // per-entity join cardinalities are preserved exactly: each
+    // replica's orders reference that replica's customers, lineitems
+    // reference that replica's orders, events keep their per-user
+    // session shapes. Dimension tables (nation/region/part/supplier)
+    // are NOT replicated — the realistic large-corpus shape is a fixed
+    // catalog with reps× the fact mass, so per-dim fan-in grows reps×
+    // (exactly what a broadcast-join plan must absorb) while per-fact
+    // chains stay identical. Timestamps and dates are untouched, so
+    // event-time distributions (hourly buckets, session gaps, as-of
+    // orderings) scale in DENSITY, not in span.
+    val custShift = 1000000L
+    val orderShift = 10000000L
+    val userShift = 1000000L
+    val eventShift = 10000000L
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    cust.crossJoin(broadcast(replicas))
+      .select(
+        (col("c_custkey") + col("k").cast("long") * custShift).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.crossJoin(broadcast(replicas))
+      .select(
+        (col("o_orderkey") + col("k").cast("long") * orderShift).as("o_orderkey"),
+        (col("o_custkey") + col("k").cast("long") * custShift).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(broadcast(replicas))
+      .select(
+        (col("l_orderkey") + col("k").cast("long") * orderShift).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(broadcast(replicas))
+      .select(
+        (col("event_id") + col("k").cast("long") * eventShift).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k").cast("long") * userShift).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    // fixed catalog dims: copied through unchanged
+    Seq("nation", "region", "part", "supplier").foreach { d =>
+      spark.read.parquet(s"$src/$d.parquet")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$d.parquet")
+    }
+
+    println(s"[scalegen] wrote ${reps}x documents+embeddings+facts (+fixed dims) to $out")
     spark.stop()
   }
 }
