@@ -3165,6 +3165,131 @@ object Media {
     }
   }
 
+  /** Color twin of [[encodeJpegGrayDcFromRaster]]: DC-only YCbCr
+    * re-encoder from DECODED planes (luma + chroma at natural
+    * subsampled resolution), flat per-class quants, interleaved MCUs
+    * with the sampling factors implied by the plane geometry. On
+    * block-constant planes the reduction is exact, so the full color
+    * transcode round keeps a closed form per plane (q155).
+    */
+  private[graft] def encodeJpegColorDcFromPlanes(
+      planes: Array[(Int, Int, Array[Byte])], w: Int, h: Int,
+      quantY: Int, quantC: Int): Array[Byte] = {
+    require(planes.length == 3, s"dc color transcode: need 3 planes, got ${planes.length}")
+    require(quantY % 8 == 0 && quantY > 0 && quantY < 256 &&
+      quantC % 8 == 0 && quantC > 0 && quantC < 256,
+      "dc color transcode: quants must be positive multiples of 8 under 256")
+    val (yw, yh, y) = planes(0)
+    val (cbw, cbh, cbP) = planes(1)
+    val (crw, crh, crP) = planes(2)
+    require(yw == w && yh == h && cbw == crw && cbh == crh,
+      "dc color transcode: inconsistent plane geometry")
+    val sampH = w / cbw; val sampV = h / cbh
+    require(sampH >= 1 && sampH <= 2 && sampV >= 1 && sampV <= 2 &&
+      sampH * cbw == w && sampV * cbh == h,
+      s"dc color transcode: unsupported sampling geometry ${w}x$h vs ${cbw}x$cbh")
+    require(w % (8 * sampH) == 0 && h % (8 * sampV) == 0,
+      "dc color transcode: raster must be whole MCUs")
+    val out = new java.io.ByteArrayOutputStream(512)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(quantY))
+    seg(0xdb, Array(0x01) ++ Array.fill(64)(quantC))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      0x01, (sampH << 4) | sampV, 0x00,
+      0x02, 0x11, 0x01,
+      0x03, 0x11, 0x01))
+    seg(0xc4, Array(0x00) ++ JpegDcBits.drop(1) ++ JpegDcVals)
+    seg(0xc4, Array(0x10) ++ JpegAcBits.drop(1) ++ JpegAcVals)
+    seg(0xc4, Array(0x01) ++ JpegDcChromaBits.drop(1) ++ JpegDcChromaVals)
+    seg(0xc4, Array(0x11) ++ JpegAcChromaBits.drop(1) ++ JpegAcChromaVals)
+    seg(0xda, Array(3, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val acLuma = huffCodes(JpegAcBits, JpegAcVals)(0x00)
+    val acChroma = huffCodes(JpegAcChromaBits, JpegAcChromaVals)(0x00)
+    val prevDc = new Array[Int](3)
+    def putBlock(c: Int, plane: Array[Byte], pw: Int, q: Int, bx: Int, by: Int): Unit = {
+      var s = 0
+      var r = 0
+      while (r < 8) {
+        var cc = 0
+        while (cc < 8) {
+          s += (plane((by * 8 + r) * pw + bx * 8 + cc) & 0xff) - 128
+          cc += 1
+        }
+        r += 1
+      }
+      val dcq = s / (8 * q)
+      val diff = dcq - prevDc(c)
+      prevDc(c) = dcq
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag)
+      val (dcCode, dcLen) = if (c == 0) DcEnc(cat) else DcChromaEnc(cat)
+      bw.put(dcCode, dcLen)
+      if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      val (eobCode, eobLen) = if (c == 0) acLuma else acChroma
+      bw.put(eobCode, eobLen)
+    }
+    val mcusX = w / (8 * sampH); val mcusY = h / (8 * sampV)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v2 = 0
+        while (v2 < sampV) {
+          var h2 = 0
+          while (h2 < sampH) {
+            putBlock(0, y, w, quantY, mx * sampH + h2, my * sampV + v2)
+            h2 += 1
+          }
+          v2 += 1
+        }
+        putBlock(1, cbP, cbw, quantC, mx, my)
+        putBlock(2, crP, cbw, quantC, mx, my)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** HASH-GATED color transcode (the q152 discipline on the YCbCr
+    * path): decode the interleaved-MCU container → DC-only 4:2:0
+    * re-encode at flat (quantY, quantC) → re-decode → per-plane
+    * digests. Every step has a closed form (luma v2 = clamp(128 +
+    * 4·trunc((pv−128)/4)), chroma at scale 6), so q155's oracle
+    * replays the full color transcode round in SQL.
+    */
+  def transcodeJpegColorDc(
+      media: Dataset[MediaRow],
+      quantY: Int = 32, quantC: Int = 48): Dataset[JpegColorFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (w, h, planes) = decodeJpegPlanes(row.content)
+        require(planes.length == 3, s"jpeg: expected YCbCr, got ${planes.length}")
+        val recoded = encodeJpegColorDcFromPlanes(planes, w, h, quantY, quantC)
+        val (w2, h2, planes2) = decodeJpegPlanes(recoded)
+        require(w2 == w && h2 == h && planes2.length == 3,
+          "dc color transcode: re-decoded geometry diverged")
+        def dig(a: Array[Byte]) =
+          md5Hex(md, hexUpper(a, 0, a.length).getBytes("US-ASCII"))
+        JpegColorFeatures(row.doc_id, w.toLong, h.toLong,
+          planes2(1)._1.toLong, planes2(1)._2.toLong,
+          dig(planes2(0)._3), dig(planes2(1)._3), dig(planes2(2)._3))
+      }
+    }
+  }
+
   // ───────────── real JPEG ENCODER / transcode (round 10) ──────────
   // The deterministic DC-only encoder exists for oracle replay; THIS
   // is the full baseline encoder — forward DCT, quality-scaled

@@ -783,6 +783,19 @@ object Pipelines {
         .toDF()
         .select("doc_id", "width", "height", "recoded_md5")),
 
+    // HASH-GATED COLOR transcode (round 11, completing the q147/q148
+    // closure): interleaved-MCU decode → DC-only 4:2:0 re-encode at
+    // flat (32, 48) → validating re-decode → per-plane digests. The
+    // decoded planes are block-constant, so the color round keeps a
+    // closed form per plane (luma scale 4, chroma scale 6 on top of
+    // q143's pv) and the WHOLE chain replays in SQL.
+    "q155_jpeg_color_transcode_dc" -> ((s, dir) =>
+      Media.transcodeJpegColorDc(
+        Media.asJpegColor(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "cb_width", "cb_height",
+          "y_md5", "cb_md5", "cr_md5")),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006) survive at hamming 0 (same bytes ⇒ same lossy
@@ -3447,6 +3460,59 @@ object Pipelines {
            GROUP BY doc_id, pli, pw, sc, dv, by, bx),
          blocks AS (SELECT doc_id, pli, pw, by, bx,
              greatest(0, least(255, 128 + sc * CAST(trunc(s / dv) AS BIGINT))) AS pv
+           FROM bsum),
+         pixpos AS (SELECT doc_id, pli, pw, p
+           FROM pl, UNNEST(range(0, pw*ph)) u(p)),
+         pix AS (SELECT x.doc_id, x.pli, x.p, b.pv
+           FROM pixpos x JOIN blocks b
+             ON b.doc_id = x.doc_id AND b.pli = x.pli
+             AND b.by = (x.p // x.pw) // 8 AND b.bx = (x.p % x.pw) // 8),
+         dig AS (SELECT doc_id, pli,
+             md5(string_agg(lpad(upper(to_hex(pv)), 2, '0'), '' ORDER BY p)) AS m
+           FROM pix GROUP BY 1, 2)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w // 2 AS BIGINT) AS cb_width, CAST(h // 2 AS BIGINT) AS cb_height,
+           max(CASE WHEN pli = 0 THEN m END) AS y_md5,
+           max(CASE WHEN pli = 1 THEN m END) AS cb_md5,
+           max(CASE WHEN pli = 2 THEN m END) AS cr_md5
+         FROM dims d JOIN dig USING (doc_id)
+         GROUP BY d.doc_id, w, h""",
+
+    // Color DC transcode: q143's per-plane pv chain, then the
+    // re-quant closed form (luma scale 4, chroma scale 6) — the q152
+    // trick on all three planes.
+    "q155_jpeg_color_transcode_dc" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             16 * (1 + octet_length(encode(t)) % 3) AS w,
+             16 * (1 + octet_length(encode(t)) % 2) AS h
+           FROM src),
+         pl AS (SELECT doc_id, hx, l, pli,
+             CASE WHEN pli = 0 THEN w ELSE w // 2 END AS pw,
+             CASE WHEN pli = 0 THEN h ELSE h // 2 END AS ph,
+             CASE pli WHEN 0 THEN 0 WHEN 1 THEN 17 ELSE 41 END AS off,
+             CASE WHEN pli = 0 THEN 128.0 ELSE 192.0 END AS dv,
+             CASE WHEN pli = 0 THEN 2 ELSE 3 END AS sc,
+             CASE WHEN pli = 0 THEN 4 ELSE 6 END AS sc2
+           FROM dims, UNNEST(range(3)) u(pli)),
+         bsum AS (SELECT doc_id, pli, pw, sc, sc2, dv, by, bx,
+             sum((strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*pw + bx*8 + i%8) + off) % l)+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx,
+                   CAST(2*((((by*8 + i//8)*pw + bx*8 + i%8) + off) % l)+2 AS INT), 1)) - 1)
+               - 8192 AS s
+           FROM pl, UNNEST(range(0, ph//8)) u1(by), UNNEST(range(0, pw//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY doc_id, pli, pw, sc, sc2, dv, by, bx),
+         blocks AS (SELECT doc_id, pli, pw, by, bx,
+             greatest(0, least(255,
+               128 + sc2 * CAST(trunc((greatest(0, least(255,
+                 128 + sc * CAST(trunc(s / dv) AS BIGINT))) - 128)
+                 / CAST(sc2 AS DOUBLE)) AS BIGINT))) AS pv
            FROM bsum),
          pixpos AS (SELECT doc_id, pli, pw, p
            FROM pl, UNNEST(range(0, pw*ph)) u(p)),

@@ -116,7 +116,12 @@ object ClusterSanity {
           "q141_flac_decode", "q142_flac_neardup",
           "q143_jpeg_color_decode", "q144_jpeg_color_neardup",
           "q145_media_resize_pixels", "q146_container_sniff_neardup",
-          "q147_jpeg_transcode")) {
+          "q147_jpeg_transcode",
+          // round-11: progressive decode, RIFF video, DC transcodes,
+          // BPE training (k driver rounds of one shuffle each)
+          "q149_jpeg_progressive_decode", "q150_avi_decode",
+          "q151_avi_frame_neardup", "q152_jpeg_transcode_dc",
+          "q155_jpeg_color_transcode_dc", "q153_bpe_train")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

@@ -221,4 +221,28 @@ class JpegColorSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Media.decodeJpegBytes(good)).getMessage.contains("grayscale"))
   }
+
+  test("DC-only color transcode: re-decoded planes equal the closed form") {
+    val rnd = new scala.util.Random(67)
+    for (len <- Seq(25, 300, 997)) {
+      val src = Array.fill(len)(rnd.nextInt(256).toByte)
+      val (w, h, planes) = Media.decodeJpegPlanes(Media.encodeJpegColor(src))
+      val recoded = Media.encodeJpegColorDcFromPlanes(planes, w, h, 32, 48)
+      val (w2, h2, planes2) = Media.decodeJpegPlanes(recoded)
+      assert(w2 === w && h2 === h)
+      // block-constant inputs make the DC-only re-encode exact:
+      // luma v2 = clamp(128 + 4*trunc((v-128)/4)); chroma scale 6
+      for (pli <- 0 until 3) {
+        val scale = if (pli == 0) 4 else 6
+        val (_, _, in) = planes(pli)
+        val (_, _, outP) = planes2(pli)
+        assert(in.length === outP.length)
+        for (i <- in.indices) {
+          val v = in(i) & 0xff
+          val want = math.max(0, math.min(255, 128 + scale * ((v - 128) / scale)))
+          assert((outP(i) & 0xff) === want, s"len=$len plane $pli pixel $i: v=$v")
+        }
+      }
+    }
+  }
 }
