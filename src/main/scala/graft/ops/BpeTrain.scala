@@ -54,34 +54,82 @@ object BpeTrain {
     // would silently diverge, so fail loudly up front.
     require(docs.filter(col(textCol).contains("\u001f")).isEmpty,
       "bpe train: corpus contains the reserved separator chr(31)")
-    var state: Dataset[Seq[String]] = docs
+    // Token representation: INT ids, globally consistent with zero
+    // coordination — a code point IS its own id (< 0x110000), learned
+    // merge r gets id MergeBase + r. Adjacent pairs pack into one
+    // Long key for the count shuffle; only the AGGREGATED pair table
+    // (tiny) ever materializes strings, via the driver-side id→string
+    // map broadcast into the decode step. At 100 TB this is the
+    // difference between shuffling billions of boxed strings per
+    // round and shuffling longs.
+    val MergeBase = 0x110000
+    def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    var mergeStr = Map.empty[Int, String] // learned ids only
+    def strOf(id: Int): String =
+      if (id >= MergeBase) mergeStr(id)
+      else new String(Character.toChars(id))
+    var state: Dataset[Array[Int]] = docs
       .select(col(textCol).cast("string").as("t"))
       .as[String]
-      .map(s => BpeTokenizer.tokensWith(IndexedSeq.empty, s).toSeq)
+      .map(s => s.codePoints().toArray)
     var stateDf = Ckpt.fresh(state.toDF("toks"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
-      val top = stateDf.as[Seq[String]]
-        .flatMap(t => (0 until math.max(0, t.length - 1)).map(i => (t(i), t(i + 1))))
-        .toDF("a", "b")
-        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      val mergedSoFar = mergeStr // stable copy for the executor closure
+      // argmax with the STRING-order tie-break (count DESC, a, b in
+      // binary string order — the oracle's ORDER BY): strings are
+      // decoded only on the AGGREGATED pair table, and only the one
+      // winning row reaches the driver
+      val top = stateDf.as[Array[Int]]
+        .flatMap { t =>
+          val n = t.length - 1
+          val out = new Array[Long](math.max(0, n))
+          var i = 0
+          while (i < n) { out(i) = pack(t(i), t(i + 1)); i += 1 }
+          out
+        }
+        .toDF("pk")
+        .groupBy("pk").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2) // a pair seen once carries no signal
+        .as[(Long, Long)]
+        .map { case (pk, cnt) =>
+          val aId = (pk >>> 32).toInt; val bId = pk.toInt
+          val aStr = if (aId >= MergeBase) mergedSoFar(aId)
+            else new String(Character.toChars(aId))
+          val bStr = if (bId >= MergeBase) mergedSoFar(bId)
+            else new String(Character.toChars(bId))
+          (aId, bId, aStr, bStr, cnt)
+        }
+        .toDF("aid", "bid", "a", "b", "cnt")
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
-      if (top.isEmpty) dry = true
-      else {
-        val a = top(0).getString(0); val b = top(0).getString(1)
-        val cnt = top(0).getLong(2)
-        learned += ((r, a, b, cnt))
-        stateDf = Ckpt.fresh(stateDf.as[Seq[String]].map { t =>
-          val arr = t.toArray
-          val n = BpeTokenizer.mergePass(arr, arr.length, a, b)
-          arr.take(n).toSeq
-        }.toDF("toks"))
-        r += 1
+        .headOption
+        .map(row => (row.getInt(0), row.getInt(1),
+          row.getString(2), row.getString(3), row.getLong(4)))
+      top match {
+        case None => dry = true
+        case Some((aId, bId, aStr, bStr, cnt)) =>
+          val newId = MergeBase + (r - 1)
+          mergeStr += (newId -> (aStr + bStr))
+          learned += ((r, aStr, bStr, cnt))
+          val pk = pack(aId, bId)
+          stateDf = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
+            // the exact left-to-right non-overlapping merge pass of
+            // BpeTokenizer.mergePass, on ids
+            val n = t.length
+            val out = new Array[Int](n)
+            var w = 0; var i = 0
+            while (i < n) {
+              if (i + 1 < n && pack(t(i), t(i + 1)) == pk) { out(w) = newId; i += 2 }
+              else { out(w) = t(i); i += 1 }
+              w += 1
+            }
+            java.util.Arrays.copyOf(out, w)
+          }.toDF("toks"))
+          r += 1
       }
     }
     learned.toSeq.toDF("round", "a", "b", "pair_count")

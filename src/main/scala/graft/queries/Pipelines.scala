@@ -798,12 +798,16 @@ object Pipelines {
 
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
-    // twins (id+6000006) survive at hamming 0 (same bytes ⇒ same lossy
-    // raster); '~~~'-perturbed twins (id+7000007) shift a few block
-    // DCs by ≤2 gray levels — mostly absorbed by the perceptual hash,
-    // which is the point of hashing DECODED pixels, not container
-    // bytes. The oracle replays aHash over the same closed-form
-    // rasters, so lossiness cancels exactly on both sides.
+    // twins (id+6000006, parity-preserving: same framing) survive at
+    // hamming 0 (same bytes ⇒ same lossy raster); '~~~'-perturbed
+    // twins (id+7000007, parity-FLIPPING: every near pair crosses the
+    // baseline↔progressive framing boundary) shift a few block DCs by
+    // ≤2 gray levels — mostly absorbed by the perceptual hash, which
+    // is the point of hashing DECODED pixels, not container bytes.
+    // Round 11: the corpus is MIXED-framing (asJpegMixed) — the
+    // oracle is unchanged because decoded rasters are
+    // framing-invariant, so one green row now drives near-dup through
+    // BOTH entropy layouts.
     "q140_jpeg_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val exactTwins = docs.filter(col("doc_id") % 67 === 0)
@@ -813,7 +817,7 @@ object Pipelines {
           length(col("text")) >= 300)
         .select((col("doc_id") + 7000007L).as("doc_id"),
           expr("concat('~~~', substring(text, 4))").as("text"))
-      Media.jpegNearDupPairs(Media.asJpeg(
+      Media.jpegNearDupPairs(Media.asJpegMixed(
         docs.select("doc_id", "text")
           .unionByName(exactTwins).unionByName(nearTwins),
         "doc_id", "text"))
