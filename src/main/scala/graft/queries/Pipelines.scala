@@ -1079,38 +1079,48 @@ object Pipelines {
     }),
 
     // UNIFIED multimodal ingest gate (round 11): one ORDERED stream of
-    // mixed containers — images (PPM even / PNG odd ids), audio (WAV
-    // even / FLAC odd, incl. the 24-bit length class), video (Y4M) —
+    // ALL SEVEN containers this engine decodes — images (PPM even /
+    // PNG odd ids), JPEG (every 5th image id, framing mixed by
+    // parity), audio (WAV even / FLAC odd, incl. the 24-bit length
+    // class), video (Y4M, with every 5th video id as MJPEG-AVI) —
     // folding through Streams.MixedMediaGate: one sniff+decode+hash
     // pass per batch routes rows into per-modality band-hash gates
     // (per-gate LSM segments, lockstep batch counters, persist→resume
-    // restart after fold 3). Twin offsets +3000003 / +9000009 preserve
-    // doc_id % 3 (modality) but flip % 2 (container), so every IMAGE
-    // and AUDIO twin pair crosses its container boundary (lossless
-    // decode makes them hash-identical); video twins stay in-container
-    // (an uncompressed plane can never byte-match a lossy one — that
-    // is a fact about codecs, not a gap). Decisions: (doc_id, batch,
-    // n_partners, min_hamming, modality), video rows at packed
-    // (doc·8+frame) keys.
+    // restart after fold 3). Twin offsets +15000015 / +45000045 are
+    // ≡ 0 mod 15 and ODD: they preserve doc_id % 3 (modality) and
+    // doc_id % 5 (the jpeg/avi splits) while flipping % 2 — so image
+    // twins cross PPM↔PNG, audio twins cross WAV↔FLAC, jpeg twins
+    // cross the baseline↔progressive framing boundary (all hash-
+    // identical: pixels/PCM decide), and video twins stay within
+    // their container class (an uncompressed plane can never
+    // byte-match a lossy one — a fact about codecs, not a gap).
+    // Decisions: (doc_id, batch, n_partners, min_hamming, modality),
+    // video rows at packed (doc·8+frame) keys.
     "q154_mixed_gate_replay" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val exactTwins = docs.filter(col("doc_id") % 67 === 0)
-        .select((col("doc_id") + 3000003L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 15000015L).as("doc_id"), col("text"))
       val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
           octet_length(col("text")) === length(col("text")) &&
           length(col("text")) >= 300)
-        .select((col("doc_id") + 9000009L).as("doc_id"),
+        .select((col("doc_id") + 45000045L).as("doc_id"),
           expr("concat('~~~', substring(text, 4))").as("text"))
       val aug = docs.unionByName(exactTwins).unionByName(nearTwins)
       def blobs(part: org.apache.spark.sql.DataFrame) = {
-        val img = part.filter(col("doc_id") % 3 === 0)
+        val imgAll = part.filter(col("doc_id") % 3 === 0)
+        val img = imgAll.filter(col("doc_id") % 5 =!= 0)
+        val jpg = imgAll.filter(col("doc_id") % 5 === 0)
         val aud = part.filter(col("doc_id") % 3 === 1)
-        val vid = part.filter(col("doc_id") % 3 === 2)
+        val vidAll = part.filter(col("doc_id") % 3 === 2)
+        val vidY = vidAll.filter(col("doc_id") % 5 =!= 0)
+        val vidA = vidAll.filter(col("doc_id") % 5 === 0)
         Media.asPpm(img.filter(col("doc_id") % 2 === 0), "doc_id", "text")
           .unionByName(Media.asPng(img.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+          .unionByName(Media.asJpegMixed(jpg, "doc_id", "text"))
           .unionByName(Media.asWav(aud.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
           .unionByName(Media.asFlac(aud.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
-          .unionByName(Media.asY4m(vid, "doc_id", "text"))
+          .unionByName(Media.asY4m(vidY, "doc_id", "text"))
+          .unionByName(Media.asAvi(vidA, "doc_id", "text"))
       }
       // The oracle's one-pass collapse needs every (modality, band,
       // key) df well under the gate's cap (the q124 caveat, per
@@ -1757,10 +1767,28 @@ object Pipelines {
     val hexb = (k: String) =>
       s"""(strpos('0123456789ABCDEF', substr(hx, CAST(2*($k)+1 AS INT), 1)) - 1) * 16
              + strpos('0123456789ABCDEF', substr(hx, CAST(2*($k)+2 AS INT), 1)) - 1"""
+    // the shared cells -> bits -> 4x16-bit band packing over any
+    // per-unit (doc [, f]) pixel-value stream named ${p}_vals(.., pv)
+    def aHashBv4(p: String, unit: String): String = s"""
+         ${p}_cells AS (SELECT $unit,
+             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
+             sum(pv) AS s, count(*) AS c
+           FROM ${p}_vals GROUP BY ALL),
+         ${p}_tot AS (SELECT $unit, sum(s) AS ts, sum(c) AS tc
+                 FROM ${p}_cells GROUP BY ALL),
+         ${p}_bits AS (SELECT $unit, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM ${p}_cells JOIN ${p}_tot USING (${unit.replace(", ", ", ").split(", ").mkString(", ")})),
+         ${p}_bv4 AS (SELECT $unit,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM ${p}_bits GROUP BY ALL)"""
     def tail(p: String, batchOf: String, modality: String): String = s"""
          ${p}_bands AS (SELECT doc_id, b0, b1, b2, b3, bnd,
              CASE bnd WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS key
-           FROM ${p}_bv4, UNNEST(range(4)) t(bnd)),
+           FROM ${p}_keys, UNNEST(range(4)) t(bnd)),
          ${p}_hot AS (SELECT bnd, key FROM ${p}_bands GROUP BY bnd, key HAVING count(*) > 1000),
          ${p}_kept AS (SELECT ${p}_bands.* FROM ${p}_bands ANTI JOIN ${p}_hot USING (bnd, key)),
          ${p}_fl AS (SELECT id_a, id_b, hamming FROM (
@@ -1782,13 +1810,13 @@ object Pipelines {
              CAST(coalesce(a.n, 0) AS BIGINT) AS n_partners,
              CAST(coalesce(a.mh, -1) AS BIGINT) AS min_hamming,
              '$modality' AS modality
-           FROM (SELECT doc_id FROM ${p}_bv4) d
+           FROM (SELECT doc_id FROM ${p}_keys) d
            LEFT JOIN ${p}_ann a USING (doc_id))"""
     s"""WITH aug AS (SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 3000003, text FROM documents WHERE doc_id % 67 = 0
+           SELECT doc_id + 15000015, text FROM documents WHERE doc_id % 67 = 0
            UNION ALL
-           SELECT doc_id + 9000009, '~~~' || substr(text, 4)
+           SELECT doc_id + 45000045, '~~~' || substr(text, 4)
            FROM documents
            WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
              AND length(text) >= 300),
@@ -1799,25 +1827,38 @@ object Pipelines {
              octet_length(encode(t)) AS l,
              8 + octet_length(encode(t)) % 40 AS w,
              6 + octet_length(encode(t)) % 23 AS h
-           FROM src WHERE doc_id % 3 = 0),
+           FROM src WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0),
          im_bytes AS (SELECT doc_id, w, h, p, hx, (3*p + ch) % l AS k
            FROM im_dims, UNNEST(range(0, w*h)) u(p), UNNEST(range(3)) v(ch)),
-         im_vals AS (SELECT doc_id, w, h, p, ${hexb("k")} AS bv FROM im_bytes),
-         im_cells AS (SELECT doc_id,
-             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
-             sum(bv) AS s, count(*) // 3 AS c
-           FROM im_vals GROUP BY 1, 2),
-         im_tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM im_cells GROUP BY 1),
-         im_bits AS (SELECT doc_id, cell,
-             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
-           FROM im_cells JOIN im_tot USING (doc_id)),
-         im_bv4 AS (SELECT doc_id,
-             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
-             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
-             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
-             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
-           FROM im_bits GROUP BY 1),
+         im_vals0 AS (SELECT doc_id, w, h, p, ${hexb("k")} AS bv FROM im_bytes),
+         im_vals AS (SELECT doc_id, w, h, p, sum(bv) AS pv
+           FROM im_vals0 GROUP BY 1, 2, 3, 4),
+         ${aHashBv4("im", "doc_id").drop(1)},
+         im_keys AS (SELECT doc_id, b0, b1, b2, b3 FROM im_bv4),
          ${tail("im", "doc_id % 4", "image").drop(1)},
+
+         jp_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h
+           FROM src WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+         jp_bsum AS (SELECT doc_id, w, h, by, bx,
+             sum(${hexb("((by*8 + i//8)*w + bx*8 + i%8) % l")}) - 8192 AS s
+           FROM jp_dims, UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5),
+         jp_blocks AS (SELECT doc_id, w, h, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM jp_bsum),
+         jp_pixpos AS (SELECT doc_id, w, h, p
+           FROM jp_dims, UNNEST(range(0, w*h)) u(p)),
+         jp_vals AS (SELECT x.doc_id, x.w, x.h, x.p, b.pv
+           FROM jp_pixpos x JOIN jp_blocks b
+             ON b.doc_id = x.doc_id AND b.by = (x.p // x.w) // 8
+             AND b.bx = (x.p % x.w) // 8),
+         ${aHashBv4("jp", "doc_id").drop(1)},
+         jp_keys AS (SELECT doc_id, b0, b1, b2, b3 FROM jp_bv4),
+         ${tail("jp", "doc_id % 4", "jpeg").drop(1)},
 
          au_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
              octet_length(encode(t)) AS l,
@@ -1829,7 +1870,7 @@ object Pipelines {
          au_bytes AS (SELECT doc_id, m, st, j, hx,
              (st*j) % l AS k0, (st*j + 1) % l AS k1, (st*j + 2) % l AS k2
            FROM au_dims, UNNEST(range(0, m)) u(j)),
-         au_vals AS (SELECT doc_id, m, st, j,
+         au_sv AS (SELECT doc_id, m, st, j,
              ${hexb("k0")}
              + 256 * (${hexb("k1")})
              + CASE WHEN st = 3 THEN 65536 * (${hexb("k2")}) ELSE 0 END AS v
@@ -1839,7 +1880,7 @@ object Pipelines {
                           WHEN st = 3 AND v >= 8388608 THEN v - 16777216
                           ELSE v END)) AS s,
              count(*) AS c
-           FROM au_vals GROUP BY 1, 2),
+           FROM au_sv GROUP BY 1, 2),
          au_tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM au_cells GROUP BY 1),
          au_bits AS (SELECT doc_id, cell,
              CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
@@ -1850,34 +1891,48 @@ object Pipelines {
              sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
              sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
            FROM au_bits GROUP BY 1),
+         au_keys AS (SELECT doc_id, b0, b1, b2, b3 FROM au_bv4),
          ${tail("au", "doc_id % 4", "audio").drop(1)},
 
-         vi_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+         vy_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
              octet_length(encode(t)) AS l,
              8 + octet_length(encode(t)) % 24 AS w,
              6 + octet_length(encode(t)) % 17 AS h,
              2 + octet_length(encode(t)) % 5 AS nf
-           FROM src WHERE doc_id % 3 = 2),
-         vi_bytes AS (SELECT doc_id, w, h, f, p, hx, (f*w*h + p) % l AS k
-           FROM vi_dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
-         vi_vals AS (SELECT doc_id, w, h, f, p, ${hexb("k")} AS bv FROM vi_bytes),
-         vi_cells AS (SELECT doc_id, f,
-             (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS cell,
-             sum(bv) AS s, count(*) AS c
-           FROM vi_vals GROUP BY 1, 2, 3),
-         vi_tot AS (SELECT doc_id, f, sum(s) AS ts, sum(c) AS tc
-                 FROM vi_cells GROUP BY 1, 2),
-         vi_bits AS (SELECT doc_id, f, cell,
-             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
-           FROM vi_cells JOIN vi_tot USING (doc_id, f)),
-         vi_bv4 AS (SELECT doc_id * 8 + f AS doc_id,
-             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
-             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
-             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
-             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
-           FROM vi_bits GROUP BY 1),
+           FROM src WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0),
+         vy_bytes AS (SELECT doc_id, w, h, f, p, hx, (f*w*h + p) % l AS k
+           FROM vy_dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         vy_vals AS (SELECT doc_id, w, h, f, p, ${hexb("k")} AS pv FROM vy_bytes),
+         ${aHashBv4("vy", "doc_id, f").drop(1)},
+
+         va_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h,
+             2 + octet_length(encode(t)) % 5 AS nf
+           FROM src WHERE doc_id % 3 = 2 AND doc_id % 5 = 0),
+         va_bsum AS (SELECT doc_id, w, h, f, by, bx,
+             sum(${hexb("(((by*8 + i//8)*w + bx*8 + i%8) + 13*f) % l")}) - 8192 AS s
+           FROM va_dims, UNNEST(range(0, nf)) fr(f),
+                UNNEST(range(0, h//8)) u1(by), UNNEST(range(0, w//8)) u2(bx),
+                UNNEST(range(64)) u3(i)
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         va_blocks AS (SELECT doc_id, w, h, f, by, bx,
+             greatest(0, least(255, 128 + 2 * CAST(trunc(s / 128.0) AS BIGINT))) AS pv
+           FROM va_bsum),
+         va_pixpos AS (SELECT doc_id, w, h, f, p
+           FROM va_dims, UNNEST(range(0, nf)) fr(f), UNNEST(range(0, w*h)) u(p)),
+         va_vals AS (SELECT x.doc_id, x.w, x.h, x.f, x.p, b.pv
+           FROM va_pixpos x JOIN va_blocks b
+             ON b.doc_id = x.doc_id AND b.f = x.f
+             AND b.by = (x.p // x.w) // 8 AND b.bx = (x.p % x.w) // 8),
+         ${aHashBv4("va", "doc_id, f").drop(1)},
+
+         vi_keys AS (SELECT doc_id * 8 + f AS doc_id, b0, b1, b2, b3 FROM vy_bv4
+                 UNION ALL SELECT doc_id * 8 + f, b0, b1, b2, b3 FROM va_bv4),
          ${tail("vi", "(doc_id // 8) % 4", "video").drop(1)}
          SELECT doc_id, batch, n_partners, min_hamming, modality FROM im_out
+         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM jp_out
          UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM au_out
          UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM vi_out"""
   }

@@ -9,9 +9,9 @@ import scala.util.Random
 
 /** Unified multimodal ingest gate (q154): sniff-dispatched hashing
   * over every decodable container, routed into per-modality band-hash
-  * gates. The oracle gates the full replay; these specs pin the parts
-  * the oracle can't see — modality isolation, the jpeg/avi routes the
-  * q154 corpus doesn't exercise, and the lockstep batch counters.
+  * gates. The oracle gates the full seven-container replay; these
+  * specs pin the parts the oracle can't see — modality isolation,
+  * per-route hash-space identities, and the lockstep batch counters.
   */
 class MixedGateSpec extends AnyFunSuite {
 
