@@ -467,7 +467,16 @@ object Media {
       standingFrames: DataFrame,
       delta: Dataset[MediaRow],
       maxFrameFreq: Long = 100L,
-      broadcastDeltaCap: Long = 4000000L): DataFrame = {
+      broadcastDeltaCap: Long = 4000000L,
+      fusedCap: Long = 4000000L): DataFrame = {
+    // Micro-batch regime (the Components.fusedDeltaRelabel lesson):
+    // below the cap, per-fold wall time is DOMINATED by the ~8 driver
+    // job round-trips of the distributed plan, not by work. One count
+    // of the materialized standing index decides; under the cap the
+    // whole fold runs as ONE job (delta decode map-side, everything
+    // else in a single reducer task over ≤ fusedCap + delta rows).
+    if (fusedCap > 0 && standingFrames.count() <= fusedCap)
+      return mediaNearDupDeltaPairsFused(standingFrames, delta, maxFrameFreq)
     val fd = graft.ops.Ckpt.fresh(ppmFrameDigests(delta).toDF()
       .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
     val deltaSmall = fd.count() <= broadcastDeltaCap
@@ -525,6 +534,109 @@ object Media {
       .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("ca") + col("cb") - col("inter")).as("union_size"))
+  }
+
+  /** The single-job micro-batch regime of
+    * [[mediaNearDupDeltaPairsIndexed]]: the standing index (tagged 0)
+    * and the delta's map-side-decoded frame digests (tagged 1) flow
+    * through one repartition(1) exchange into a single reducer task
+    * that replays the exact distributed semantics in memory —
+    * delta-distinct frames, re-ingested standing rows dropped, the
+    * union-df stop-frame prune, cross and within pair counting over
+    * kept frames, partner kept-frame counts. Result-identical to the
+    * distributed regime (MediaPpmSpec pins it via the cap hooks);
+    * bounded by the caller's fusedCap, exactly the
+    * [[graft.ops.Components]] single-task discipline.
+    */
+  private def mediaNearDupDeltaPairsFused(
+      standingFrames: DataFrame,
+      delta: Dataset[MediaRow],
+      maxFrameFreq: Long): DataFrame = {
+    val spark = standingFrames.sparkSession
+    import spark.implicits._
+    val s = standingFrames
+      .select(col("doc_id").cast("long"), col("fh"), lit(0).as("tag"))
+    val d = delta.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val (_, _, _, pix) = decodePpmBytes(row.content)
+        val n = (pix.length + FrameBytes - 1) / FrameBytes
+        (0 until n).iterator.map { f =>
+          val from = f * FrameBytes
+          val until = math.min(from + FrameBytes, pix.length)
+          (row.doc_id, md5Hex(md, hexUpper(pix, from, until).getBytes("US-ASCII")), 1)
+        }
+      }
+    }.toDF("doc_id", "fh", "tag")
+    s.unionByName(d)
+      .repartition(1)
+      .as[(Long, String, Int)]
+      .mapPartitions { it =>
+        val standing = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val deltaSets = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.LinkedHashSet[String]]
+        it.foreach {
+          case (id, fh, 0) => standing += ((id, fh))
+          case (id, fh, _) =>
+            deltaSets.getOrElseUpdate(id,
+              scala.collection.mutable.LinkedHashSet.empty[String]) += fh
+        }
+        val deltaIds = deltaSets.keySet
+        // union df over standing (re-ingested rows dropped — the
+        // delta copy is authoritative) + delta-distinct frames
+        val df = scala.collection.mutable.HashMap.empty[String, Long]
+        val keptStanding = standing.filterNot(r => deltaIds.contains(r._1))
+        keptStanding.foreach(r => df(r._2) = df.getOrElse(r._2, 0L) + 1L)
+        deltaSets.valuesIterator.foreach(_.foreach(fh =>
+          df(fh) = df.getOrElse(fh, 0L) + 1L))
+        def hot(fh: String): Boolean = df(fh) > maxFrameFreq
+        // standing inverted index + per-doc kept counts over KEPT rows
+        val sByFh = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        val sKeptCnt = scala.collection.mutable.HashMap.empty[Long, Long]
+        keptStanding.foreach { case (id, fh) =>
+          if (!hot(fh)) {
+            sByFh.getOrElseUpdate(fh,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+            sKeptCnt(id) = sKeptCnt.getOrElse(id, 0L) + 1L
+          }
+        }
+        val dByFh = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        val dKeptCnt = scala.collection.mutable.HashMap.empty[Long, Long]
+        deltaSets.foreach { case (id, fhs) =>
+          fhs.foreach { fh =>
+            if (!hot(fh)) {
+              dByFh.getOrElseUpdate(fh,
+                scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+              dKeptCnt(id) = dKeptCnt.getOrElse(id, 0L) + 1L
+            }
+          }
+        }
+        // pair intersection counts: for every kept delta frame, its
+        // standing hits (cross) and its other delta holders (within)
+        val inter = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        def bump(a: Long, b: Long): Unit = {
+          val k = if (a < b) (a, b) else (b, a)
+          inter(k) = inter.getOrElse(k, 0L) + 1L
+        }
+        dByFh.foreach { case (fh, dids) =>
+          sByFh.get(fh).foreach(_.foreach(sid => dids.foreach(did => bump(did, sid))))
+          var i = 0
+          while (i < dids.length) {
+            var j = i + 1
+            while (j < dids.length) { bump(dids(i), dids(j)); j += 1 }
+            i += 1
+          }
+        }
+        def cnt(id: Long): Long =
+          if (deltaIds.contains(id)) dKeptCnt.getOrElse(id, 0L)
+          else sKeptCnt.getOrElse(id, 0L)
+        inter.iterator.map { case ((a, b), n) =>
+          (a, b, n, cnt(a) + cnt(b) - n)
+        }
+      }
+      .toDF("id_a", "id_b", "inter", "union_size")
   }
 
   /** Per-doc perceptual hash (8×8 average-hash) packed as four 16-bit

@@ -191,5 +191,23 @@ class MediaPpmSpec extends AnyFunSuite {
         standingIdx, Media.asPpm(docsOf(deltaRows), "doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(idx === inc, "indexed standing form diverged from decode-both")
+    // regime parity: the single-job fused fold (default under the
+    // cap) must equal the distributed plan (forced via fusedCap = 0)
+    val dist = Media.mediaNearDupDeltaPairsIndexed(
+        standingIdx, Media.asPpm(docsOf(deltaRows), "doc_id", "text"),
+        fusedCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist === idx, "fused and distributed regimes diverged")
+    // and under a hot-frame cap low enough to bite, both regimes
+    // prune identically
+    val fusedCapped = Media.mediaNearDupDeltaPairsIndexed(
+        standingIdx, Media.asPpm(docsOf(deltaRows), "doc_id", "text"),
+        maxFrameFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val distCapped = Media.mediaNearDupDeltaPairsIndexed(
+        standingIdx, Media.asPpm(docsOf(deltaRows), "doc_id", "text"),
+        maxFrameFreq = 2L, fusedCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fusedCapped === distCapped, "regimes diverged under the stop-frame prune")
   }
 }
