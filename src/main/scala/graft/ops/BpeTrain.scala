@@ -116,7 +116,7 @@ object BpeTrain {
           mergeStr += (newId -> (aStr + bStr))
           learned += ((r, aStr, bStr, cnt))
           val pk = pack(aId, bId)
-          stateDf = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
+          val next = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
             // the exact left-to-right non-overlapping merge pass of
             // BpeTokenizer.mergePass, on ids
             val n = t.length
@@ -129,9 +129,15 @@ object BpeTrain {
             }
             java.util.Arrays.copyOf(out, w)
           }.toDF("toks"))
+          // release the superseded corpus-sized checkpoint (the
+          // GraphOps.reachPairs loop discipline): without this, up to
+          // `rounds` token-array snapshots pile up in executor storage
+          graft.streaming.Streams.releaseCheckpoint(stateDf)
+          stateDf = next
           r += 1
       }
     }
+    graft.streaming.Streams.releaseCheckpoint(stateDf)
     learned.toSeq.toDF("round", "a", "b", "pair_count")
       .select(col("round").cast("long"), col("a"), col("b"), col("pair_count"))
   }

@@ -471,12 +471,27 @@ object Media {
       fusedCap: Long = 4000000L): DataFrame = {
     // Micro-batch regime (the Components.fusedDeltaRelabel lesson):
     // below the cap, per-fold wall time is DOMINATED by the ~8 driver
-    // job round-trips of the distributed plan, not by work. One count
-    // of the materialized standing index decides; under the cap the
-    // whole fold runs as ONE job (delta decode map-side, everything
-    // else in a single reducer task over ≤ fusedCap + delta rows).
-    if (fusedCap > 0 && standingFrames.count() <= fusedCap)
-      return mediaNearDupDeltaPairsFused(standingFrames, delta, maxFrameFreq)
+    // job round-trips of the distributed plan, not by work. The cap
+    // bounds BOTH sides of the single reducer task (the round-11
+    // advice: a bulk-backfill delta against a small standing index
+    // must not silently collapse into one task): the standing count
+    // PLUS a header-free upper bound on the delta's frame digests —
+    // ceil(blob bytes / FrameBytes) per row, cheap because it never
+    // decodes, an over-estimate because pixels ≤ container bytes and
+    // distinct ≤ emitted. The delta scan only runs when standing
+    // already fits, so the oversized-standing path stays one count.
+    if (fusedCap > 0) {
+      val standingCount = standingFrames.count()
+      if (standingCount <= fusedCap) {
+        val deltaFrameUpper = delta.toDF()
+          .select(org.apache.spark.sql.functions.coalesce(
+            sum((octet_length(col("content")).cast("long") + (FrameBytes - 1))
+              .divide(FrameBytes).cast("long")), lit(0L)))
+          .head().getLong(0)
+        if (standingCount + deltaFrameUpper <= fusedCap)
+          return mediaNearDupDeltaPairsFused(standingFrames, delta, maxFrameFreq)
+      }
+    }
     val fd = graft.ops.Ckpt.fresh(ppmFrameDigests(delta).toDF()
       .select(col("doc_id"), col("frame_md5").as("fh")).distinct())
     val deltaSmall = fd.count() <= broadcastDeltaCap
@@ -1412,7 +1427,10 @@ object Media {
         require(p + 8 <= until, "avi: truncated chunk header")
         val id = fcc(p)
         val sz = le32(p + 4)
-        require(sz >= 0 && p + 8 + sz <= until, s"avi: chunk '$id' overruns")
+        // Long arithmetic: a hostile size near Int.MaxValue would wrap
+        // p + 8 + sz negative and slip past the bound (the Y4M-dims
+        // class of bug); the top-level RIFF check already uses 8L.
+        require(sz >= 0 && p + 8L + sz <= until, s"avi: chunk '$id' overruns")
         if (id == "LIST") {
           require(sz >= 4, "avi: LIST too short")
           val typ = fcc(p + 8)

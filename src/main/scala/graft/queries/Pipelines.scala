@@ -1090,10 +1090,15 @@ object Pipelines {
     // ≡ 0 mod 15 and ODD: they preserve doc_id % 3 (modality) and
     // doc_id % 5 (the jpeg/avi splits) while flipping % 2 — so image
     // twins cross PPM↔PNG, audio twins cross WAV↔FLAC, jpeg twins
-    // cross the baseline↔progressive framing boundary (all hash-
+    // cross the baseline↔progressive framing boundary (hash-
     // identical: pixels/PCM decide), and video twins stay within
     // their container class (an uncompressed plane can never
     // byte-match a lossy one — a fact about codecs, not a gap).
+    // ONE audio class is excluded from the cross-container signal:
+    // text lengths with l % 7 == 3 encode 24-bit FLAC but the WAV twin
+    // stays 16-bit (asWav has no 24-bit mode), so the envelope hashes
+    // differ and those twin pairs carry no dedup signal — the oracle
+    // models this per doc, so the exclusion is deliberate, not drift.
     // Decisions: (doc_id, batch, n_partners, min_hamming, modality),
     // video rows at packed (doc·8+frame) keys.
     "q154_mixed_gate_replay" -> ((s, dir) => {

@@ -99,6 +99,27 @@ object ScaleGen {
     val userShift = 1000000L
     val eventShift = 10000000L
 
+    // The replica arithmetic is only collision-free while every base
+    // key stays below its shift (at TPC-H sf>=10 the 15M orders would
+    // silently alias replica 0 of order 15000001 with replica 1 of
+    // order 5000001, breaking the preserved-cardinality invariant the
+    // scale legs rely on) — fail loudly instead of writing a corrupt
+    // scale corpus.
+    def assertBelow(table: String, key: String, shift: Long): Unit = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(org.apache.spark.sql.functions.max(col(key).cast("long")))
+        .head().getLong(0)
+      require(mx < shift,
+        s"scalegen: max($table.$key)=$mx >= shift $shift — replicas would " +
+          "collide; raise the shift (or derive it from max(key)+1)")
+    }
+    assertBelow("customer", "c_custkey", custShift)
+    assertBelow("orders", "o_orderkey", orderShift)
+    assertBelow("orders", "o_custkey", custShift)
+    assertBelow("lineitem", "l_orderkey", orderShift)
+    assertBelow("events", "event_id", eventShift)
+    assertBelow("events", "user_id", userShift)
+
     val cust = spark.read.parquet(s"$src/customer.parquet")
     cust.crossJoin(broadcast(replicas))
       .select(
