@@ -796,6 +796,31 @@ object Pipelines {
         .select("doc_id", "width", "height", "cb_width", "cb_height",
           "y_md5", "cb_md5", "cr_md5")),
 
+    // FOREIGN-ENCODER streams (round 12): the corpus blobs are encoded
+    // by javax.imageio — the JDK's independent codec stack — and
+    // decoded by THIS engine's validating parsers, breaking the
+    // self-encoded-corpus circularity of q132/q139 with a full oracle:
+    // PNG is lossless, so the q132 raster formula (and its SQL) apply
+    // verbatim no matter what filters/DEFLATE framing the JDK picked.
+    "q156_imageio_png_decode" -> ((s, dir) =>
+      Media.decodePng(
+        graft.ops.Interop.asImageIoPng(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
+    // The LOSSY foreign-encoder leg: javax.imageio baseline JPEG at
+    // compression quality 1.0 (all-ones quant tables) over BLOCK-
+    // CONSTANT rasters — a constant block's forward DCT is exactly its
+    // DC term and DC/1 quantizes losslessly, so the round is EXACT and
+    // the oracle rebuilds the raster straight from the cycled source
+    // bytes (the q139/q152 closed-form discipline, now with the JDK's
+    // libjpeg-derived encoder on the other side of the stream).
+    "q157_imageio_jpeg_decode" -> ((s, dir) =>
+      Media.decodeJpeg(
+        graft.ops.Interop.asImageIoJpeg(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006, parity-preserving: same framing) survive at
@@ -4349,6 +4374,36 @@ object Pipelines {
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
     "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
+    // ImageIO-encoded PNG decodes to the SAME raster as the PPM/PNG
+    // formula (lossless container, foreign encoder) — the q107 oracle
+    // is the q156 oracle.
+    "q156_imageio_png_decode" -> oracleSqlBase("q107_media_decode"),
+    // ImageIO JPEG at quality 1.0 over block-constant rasters is an
+    // EXACT round: pixel p of a w-wide raster is the source byte at
+    // ((p//w)//8 · w/8 + (p%w)//8) mod l — no block sums, no trunc
+    // chain: the lossy container behaves losslessly on this raster
+    // class, which is precisely what makes a foreign float/int-DCT
+    // encoder SQL-replayable.
+    "q157_imageio_jpeg_decode" ->
+      """WITH src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             8 * (1 + octet_length(encode(t)) % 5) AS w,
+             8 * (1 + octet_length(encode(t)) % 4) AS h
+           FROM src),
+         pix AS (SELECT doc_id, w, h, p,
+             substr(hx,
+               CAST(2*((((p//w)//8)*(w//8) + (p%w)//8) % l) + 1 AS INT), 2) AS hh
+           FROM dims, UNNEST(range(0, w*h)) u(p)),
+         dig AS (SELECT doc_id,
+             md5(string_agg(hh, '' ORDER BY p)) AS pixel_md5
+           FROM pix GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
+         FROM dims d JOIN dig USING (doc_id)""",
     // FLAC is lossless over the WAV path's exact PCM formulas, so the
     // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
     // of PNG riding the PPM oracles above. Round 11 widens the corpus
