@@ -1357,9 +1357,18 @@ object Media {
     }
     def list(typ: String, data: Array[Byte]): Array[Byte] =
       fcc("LIST") ++ le32(4 + data.length) ++ fcc(typ) ++ data
+    // every 4th length class ships a SECOND stream: mono 16-bit PCM
+    // audio (the WAV formulas' payload shape: nSamples = 64 + l%512,
+    // pcm cycled from the source) interleaved as '01wb' chunks — the
+    // dual-stream file real crawls are full of. Video-only classes
+    // stay single-stream, so one corpus exercises both parser paths.
+    val withAudio = l % 4 == 1
+    val audSamples = 64 + l % 512
+    val audRate = 8000
+    val pcm = Array.tabulate(2 * audSamples)(i => src(i % l))
     val avih = chunk("avih",
       le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, rate, pad, flags
-      le32(nf) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalFrames, initial, streams, bufSize
+      le32(nf) ++ le32(0) ++ le32(if (withAudio) 2 else 1) ++ le32(0) ++ // totalFrames, initial, streams, bufSize
       le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val strh = chunk("strh",
       fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
@@ -1369,8 +1378,29 @@ object Media {
     val strf = chunk("strf",
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
       fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)))
+    val strhA = chunk("strh",
+      fcc("auds") ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(audRate) ++ le32(0) ++ le32(audSamples) ++
+      le32(0) ++ le32(0) ++ le32(2) ++ // bufSize, quality, sampleSize = block align
+      le16(0) ++ le16(0) ++ le16(0) ++ le16(0))
+    val strfA = chunk("strf",
+      le16(1) ++ le16(1) ++ le32(audRate) ++ le32(audRate * 2) ++ // PCM, mono, rate, byteRate
+      le16(2) ++ le16(16)) // block align, bits
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf) ++
+      (if (withAudio) list("strl", strhA ++ strfA) else Array.emptyByteArray))
+    // interleave one even-aligned PCM slice after each video frame —
+    // the muxing shape real players expect
+    val moviData = frames.zipWithIndex.flatMap { case (fr, f) =>
+      val slice =
+        if (!withAudio) Array.emptyByteArray
+        else {
+          val from = 2 * (f * audSamples / nf)
+          val until = 2 * ((f + 1) * audSamples / nf)
+          java.util.Arrays.copyOfRange(pcm, from, until)
+        }
+      chunk("00dc", fr) ++ (if (withAudio) chunk("01wb", slice) else Array.emptyByteArray)
+    }
+    val movi = list("movi", moviData)
     val body = fcc("AVI ") ++ hdrl ++ movi
     fcc("RIFF") ++ le32(body.length) ++ body
   }
@@ -1398,6 +1428,16 @@ object Media {
     * declared header fields. Returns (w, h, luma planes).
     */
   private[graft] def decodeAviBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val (w, h, frames, _) = decodeAviBytesFull(b)
+    (w, h, frames)
+  }
+
+  /** [[decodeAviBytes]] plus the optional PCM audio track:
+    * (w, h, luma frames, Some((channels, sampleRate, pcm)) when the
+    * file carries an 'auds' stream).
+    */
+  private[graft] def decodeAviBytesFull(
+      b: Array[Byte]): (Int, Int, Array[Array[Byte]], Option[(Int, Int, Array[Byte])]) = {
     def le32(at: Int): Int = {
       require(at + 4 <= b.length, "avi: truncated dword")
       (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
@@ -1418,6 +1458,16 @@ object Media {
     require(fcc(8) == "AVI ", s"avi: form type '${fcc(8)}' is not AVI")
     var declW = -1; var declH = -1; var declFrames = -1; var declStreams = -1
     var strhSeen = false; var strfSeen = false
+    // optional second stream (round 12): PCM audio ('auds' strh +
+    // WAVEFORMATEX strf + '01wb' movi chunks) — the dual-stream AVI a
+    // real crawl corpus is full of. Video-only files stay declStreams
+    // == 1; anything else is still rejected loudly.
+    var strhCount = 0
+    var lastStrhType = ""
+    var audDeclSamples = -1; var audSampleSize = -1
+    var audChannels = -1; var audRate = -1; var audBits = -1
+    var audStrfSeen = false
+    val pcm = new java.io.ByteArrayOutputStream()
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var w = -1; var h = -1
     // walk a [from, until) run of chunks; LISTs recurse
@@ -1442,19 +1492,53 @@ object Media {
           declW = le32(p + 8 + 32); declH = le32(p + 8 + 36)
         } else if (id == "strh") {
           require(sz >= 48, "avi: malformed strh")
-          require(fcc(p + 8) == "vids", s"avi: stream type '${fcc(p + 8)}' unsupported (vids only)")
-          require(fcc(p + 12) == "MJPG", s"avi: handler '${fcc(p + 12)}' unsupported (MJPG only)")
-          require(le32(p + 8 + 32) == declFrames,
-            "avi: strh length differs from avih dwTotalFrames")
-          strhSeen = true
+          strhCount += 1
+          lastStrhType = fcc(p + 8)
+          if (strhCount == 1) {
+            require(lastStrhType == "vids",
+              s"avi: first stream type '$lastStrhType' unsupported (vids first)")
+            require(fcc(p + 12) == "MJPG", s"avi: handler '${fcc(p + 12)}' unsupported (MJPG only)")
+            require(le32(p + 8 + 32) == declFrames,
+              "avi: strh length differs from avih dwTotalFrames")
+            strhSeen = true
+          } else if (strhCount == 2) {
+            require(lastStrhType == "auds",
+              s"avi: second stream type '$lastStrhType' unsupported (auds only)")
+            audDeclSamples = le32(p + 8 + 32)
+            audSampleSize = le32(p + 8 + 44)
+            require(audDeclSamples > 0, "avi: auds strh declares no samples")
+          } else throw new IllegalArgumentException(
+            s"avi: $strhCount stream headers (at most vids + auds)")
         } else if (id == "strf") {
-          require(sz >= 40, "avi: malformed strf")
-          require(le32(p + 8) >= 40, "avi: bad BITMAPINFOHEADER size")
-          require(fcc(p + 8 + 16) == "MJPG", "avi: strf compression is not MJPG")
-          require(le32(p + 8 + 4) == declW && le32(p + 8 + 8) == declH,
-            "avi: strf dimensions differ from avih")
-          val _ = le16(p + 8 + 12)
-          strfSeen = true
+          if (lastStrhType == "vids") {
+            require(sz >= 40, "avi: malformed strf")
+            require(le32(p + 8) >= 40, "avi: bad BITMAPINFOHEADER size")
+            require(fcc(p + 8 + 16) == "MJPG", "avi: strf compression is not MJPG")
+            require(le32(p + 8 + 4) == declW && le32(p + 8 + 8) == declH,
+              "avi: strf dimensions differ from avih")
+            val _ = le16(p + 8 + 12)
+            strfSeen = true
+          } else if (lastStrhType == "auds") {
+            // WAVEFORMATEX core (16 bytes), PCM only — internal
+            // consistency checked like decodeWavBytes
+            require(sz >= 16, "avi: malformed audio strf")
+            require(le16(p + 8) == 1, "avi: audio strf is not PCM")
+            audChannels = le16(p + 8 + 2)
+            audRate = le32(p + 8 + 4)
+            val avgBytes = le32(p + 8 + 8)
+            val blockAlign = le16(p + 8 + 12)
+            audBits = le16(p + 8 + 14)
+            require(audBits == 16, s"avi: ${audBits}-bit audio unsupported (16-bit PCM only)")
+            require(audChannels >= 1 && blockAlign == audChannels * 2,
+              "avi: audio block align inconsistent")
+            require(avgBytes == audRate * blockAlign, "avi: audio byte rate inconsistent")
+            require(audSampleSize == 0 || audSampleSize == blockAlign,
+              "avi: strh dwSampleSize differs from block align")
+            audStrfSeen = true
+          } else throw new IllegalArgumentException("avi: strf before any strh")
+        } else if (inMovi && id == "01wb") {
+          require(audStrfSeen, "avi: audio data before the auds stream headers")
+          pcm.write(b, p + 8, sz)
         } else if (inMovi && (id == "00dc" || id == "00db")) {
           require(declFrames >= 0, "avi: movi data before the avih header")
           val frame = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz)
@@ -1471,11 +1555,24 @@ object Media {
     walk(12, b.length, inMovi = false)
     require(declFrames >= 0, "avi: missing avih header")
     require(strhSeen && strfSeen, "avi: missing strh/strf stream headers")
-    require(declStreams == 1, s"avi: $declStreams streams unsupported (single MJPG video only)")
+    require(declStreams == strhCount,
+      s"avi: avih declares $declStreams streams, found $strhCount stream headers")
     require(frames.length == declFrames,
       s"avi: ${frames.length} decoded frames, header declares $declFrames")
     require(frames.nonEmpty, "avi: no frames")
-    (w, h, frames.toArray)
+    val audio =
+      if (strhCount == 2) {
+        require(audStrfSeen, "avi: auds stream without its strf")
+        val bytes = pcm.toByteArray
+        require(bytes.length == audDeclSamples.toLong * audChannels * 2,
+          s"avi: ${bytes.length} audio bytes, auds strh declares " +
+            s"$audDeclSamples samples x $audChannels ch x 2")
+        Some((audChannels, audRate, bytes))
+      } else {
+        require(pcm.size == 0, "avi: audio chunks without an auds stream")
+        None
+      }
+    (w, h, frames.toArray, audio)
   }
 
   /** Decode features for the MJPEG-AVI rows — the [[decodeY4m]]
@@ -3776,6 +3873,7 @@ object Media {
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
+    else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
     else if (new String(b, 0, math.min(9, b.length), "US-ASCII") == "YUV4MPEG2") "y4m"
     else throw new IllegalArgumentException(
       f"sniff: unknown container (leading bytes ${b(0) & 0xff}%02x${b(1) & 0xff}%02x)")
@@ -3805,7 +3903,11 @@ object Media {
     *  - `audio`: WAV/FLAC → PCM → [[envelopeHashOfPcm]] at the
     *    stream's true sample width (lossless twins hash identical);
     *  - `video`: Y4M/AVI → per-frame aHash at packed (doc·8+frame)
-    *    keys (the q129 convention).
+    *    keys (the q129 convention);
+    *  - `text`: gzip member streams → decompressed UTF-8 text →
+    *    60-bit tf-weighted SimHash split into the q33 4×15-bit bands
+    *    (token-less docs emit no row — SimHash is undefined on them,
+    *    matching the q33 null convention).
     */
   def mixedMediaHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
@@ -3829,15 +3931,34 @@ object Media {
           val r = envelopeHashOfPcm(row.doc_id, pcm, bps / 8)
           Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
         case "y4m" | "avi" =>
-          val (w, h, frames) =
-            if ((row.content(0) & 0xff) == 'R') decodeAviBytes(row.content)
-            else decodeY4mBytes(row.content)
+          val (w, h, frames, audio) =
+            if ((row.content(0) & 0xff) == 'R') decodeAviBytesFull(row.content)
+            else { val (yw, yh, fs) = decodeY4mBytes(row.content); (yw, yh, fs, None) }
           require(frames.length < 8,
             s"mixed hash: video ${row.doc_id} has ${frames.length} frames — " +
               "the (doc*8+frame) key is no longer injective")
-          frames.iterator.zipWithIndex.map { case (pix, fi) =>
+          val vid = frames.iterator.zipWithIndex.map { case (pix, fi) =>
             val b = grayFrameAHashBands(pix, w, h)
             ("video", row.doc_id * 8 + fi, b(0), b(1), b(2), b(3))
+          }
+          // a dual-stream AVI's PCM track routes into the AUDIO hash
+          // space at the plain doc_id — same kernel as WAV/FLAC, so an
+          // AVI soundtrack dedups against standalone audio files
+          val aud = audio.iterator.map { case (_, _, pcmBytes) =>
+            val r = envelopeHashOfPcm(row.doc_id, pcmBytes, 2)
+            ("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3)
+          }
+          vid ++ aud
+        case "gzip" =>
+          val (_, bytes) = GzipStream.decodeGzipMembers(row.content)
+          val fp = graft.functions.SimHash60.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+          if (fp == null) Iterator.empty // token-less text: no fingerprint
+          else {
+            val f = fp.longValue()
+            Iterator(("text", row.doc_id,
+              (f & 32767L).toInt, ((f >> 15) & 32767L).toInt,
+              ((f >> 30) & 32767L).toInt, ((f >> 45) & 32767L).toInt))
           }
         case other => throw new IllegalArgumentException(
           s"mixed hash: container '$other' has no hash route")

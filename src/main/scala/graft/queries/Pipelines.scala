@@ -821,6 +821,30 @@ object Pipelines {
         .toDF()
         .select("doc_id", "width", "height", "n_pixel_bytes", "pixel_md5")),
 
+    // GZIP member-stream ingest (round 12): documents → multi-member
+    // gzip (1 + l%3 members, optional header fields cycled so FEXTRA/
+    // FNAME/FHCRC all occur in production data) → the full RFC 1952
+    // member walk (header parse, raw-DEFLATE inflate, per-member
+    // CRC32 + ISIZE trailer checks) → member count + decompressed
+    // digest. decode ∘ encode is the identity on the text, so the
+    // oracle needs only octet_length and the source bytes.
+    "q158_gzip_decode" -> ((s, dir) =>
+      graft.ops.GzipStream.decodeGzip(
+        graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "n_members", "n_bytes", "text_md5")),
+
+    // COMPOSED: compressed text straight into an existing curation
+    // pipeline — gzip decompress map-side, then the full q100 Gopher
+    // rule battery over the recovered text. The oracle is q100's SQL
+    // verbatim: the container must be perfectly transparent to every
+    // downstream text operator (the jsonl.gz-crawl ingest shape).
+    "q159_gzip_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        graft.ops.GzipStream.decompressText(
+          graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text")),
+        "doc_id", "text")),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006, parity-preserving: same framing) survive at
@@ -1135,12 +1159,31 @@ object Pipelines {
           length(col("text")) >= 300)
         .select((col("doc_id") + 45000045L).as("doc_id"),
           expr("concat('~~~', substring(text, 4))").as("text"))
+      // text-slot twins (round 12): the %67/%61 moduli never hit the
+      // text slot (doc_id ≡ 10 mod 15) below doc_id 610, so without
+      // these the text modality's positive path would be VACUOUS at
+      // verify SF (the q89 lesson). Offsets ≡ 0 mod 15 keep the slot.
+      val exactTextTwins = docs.filter(col("doc_id") % 30 === 10)
+        .select((col("doc_id") + 30000030L).as("doc_id"), col("text"))
+      val nearTextTwins = docs.filter(col("doc_id") % 30 === 25 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 60000060L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
       val aug = docs.unionByName(exactTwins).unionByName(nearTwins)
+        .unionByName(exactTextTwins).unionByName(nearTextTwins)
       def blobs(part: org.apache.spark.sql.DataFrame) = {
         val imgAll = part.filter(col("doc_id") % 3 === 0)
         val img = imgAll.filter(col("doc_id") % 5 =!= 0)
         val jpg = imgAll.filter(col("doc_id") % 5 === 0)
-        val aud = part.filter(col("doc_id") % 3 === 1)
+        val audAll = part.filter(col("doc_id") % 3 === 1)
+        // round 12: the EIGHTH container — every 5th audio-slot id
+        // ships multi-member gzip TEXT instead (the text modality:
+        // decompress → SimHash60 → the q33 4×15-bit bands). Twin
+        // offsets are ≡ 0 mod 15, so twins stay within the slot and
+        // exact twins fingerprint identically through decompression.
+        val aud = audAll.filter(col("doc_id") % 5 =!= 0)
+        val txt = audAll.filter(col("doc_id") % 5 === 0)
         val vidAll = part.filter(col("doc_id") % 3 === 2)
         val vidY = vidAll.filter(col("doc_id") % 5 =!= 0)
         val vidA = vidAll.filter(col("doc_id") % 5 === 0)
@@ -1149,6 +1192,7 @@ object Pipelines {
           .unionByName(Media.asJpegMixed(jpg, "doc_id", "text"))
           .unionByName(Media.asWav(aud.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
           .unionByName(Media.asFlac(aud.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+          .unionByName(graft.ops.GzipStream.asGzip(txt, "doc_id", "text"))
           .unionByName(Media.asY4m(vidY, "doc_id", "text"))
           .unionByName(Media.asAvi(vidA, "doc_id", "text"))
       }
@@ -1849,6 +1893,13 @@ object Pipelines {
            SELECT doc_id + 45000045, '~~~' || substr(text, 4)
            FROM documents
            WHERE doc_id % 61 = 0 AND octet_length(encode(text)) = length(text)
+             AND length(text) >= 300
+           UNION ALL
+           SELECT doc_id + 30000030, text FROM documents WHERE doc_id % 30 = 10
+           UNION ALL
+           SELECT doc_id + 60000060, '~~~' || substr(text, 4)
+           FROM documents
+           WHERE doc_id % 30 = 25 AND octet_length(encode(text)) = length(text)
              AND length(text) >= 300),
          src AS (SELECT doc_id,
              CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM aug),
@@ -1896,7 +1947,7 @@ object Pipelines {
                * (1 + octet_length(encode(t)) % 2) AS m,
              CASE WHEN doc_id % 2 = 1 AND octet_length(encode(t)) % 7 = 3
                THEN 3 ELSE 2 END AS st
-           FROM src WHERE doc_id % 3 = 1),
+           FROM src WHERE doc_id % 3 = 1 AND doc_id % 5 <> 0),
          au_bytes AS (SELECT doc_id, m, st, j, hx,
              (st*j) % l AS k0, (st*j + 1) % l AS k1, (st*j + 2) % l AS k2
            FROM au_dims, UNNEST(range(0, m)) u(j)),
@@ -1921,7 +1972,33 @@ object Pipelines {
              sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
              sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
            FROM au_bits GROUP BY 1),
-         au_keys AS (SELECT doc_id, b0, b1, b2, b3 FROM au_bv4),
+         aa_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             64 + octet_length(encode(t)) % 512 AS m
+           FROM src WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+             AND octet_length(encode(t)) % 4 = 1),
+         aa_bytes AS (SELECT doc_id, m, j, hx,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1
+           FROM aa_dims, UNNEST(range(0, m)) u(j)),
+         aa_sv AS (SELECT doc_id, m, j,
+             ${hexb("k0")} + 256 * (${hexb("k1")}) AS v
+           FROM aa_bytes),
+         aa_cells AS (SELECT doc_id, (j*64) // m AS cell,
+             sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS s,
+             count(*) AS c
+           FROM aa_sv GROUP BY 1, 2),
+         aa_tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM aa_cells GROUP BY 1),
+         aa_bits AS (SELECT doc_id, cell,
+             CASE WHEN s * tc > ts * c THEN 1 ELSE 0 END AS b
+           FROM aa_cells JOIN aa_tot USING (doc_id)),
+         aa_bv4 AS (SELECT doc_id,
+             sum(CASE WHEN cell // 16 = 0 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b0,
+             sum(CASE WHEN cell // 16 = 1 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b1,
+             sum(CASE WHEN cell // 16 = 2 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b2,
+             sum(CASE WHEN cell // 16 = 3 THEN b * (1 << CAST(cell % 16 AS INT)) ELSE 0 END) AS b3
+           FROM aa_bits GROUP BY 1),
+         au_keys AS (SELECT doc_id, b0, b1, b2, b3 FROM au_bv4
+                 UNION ALL SELECT doc_id, b0, b1, b2, b3 FROM aa_bv4),
          ${tail("au", "doc_id % 4", "audio").drop(1)},
 
          vy_dims AS (SELECT doc_id, hex(encode(t)) AS hx,
@@ -1960,11 +2037,29 @@ object Pipelines {
 
          vi_keys AS (SELECT doc_id * 8 + f AS doc_id, b0, b1, b2, b3 FROM vy_bv4
                  UNION ALL SELECT doc_id * 8 + f, b0, b1, b2, b3 FROM va_bv4),
-         ${tail("vi", "(doc_id // 8) % 4", "video").drop(1)}
+         ${tail("vi", "(doc_id // 8) % 4", "video").drop(1)},
+
+         tx_tf AS (SELECT doc_id, token, count(*) AS cnt FROM
+             (SELECT doc_id, unnest(regexp_extract_all(t, '\\S+')) AS token
+              FROM src WHERE doc_id % 3 = 1 AND doc_id % 5 = 0)
+             GROUP BY 1, 2),
+         tx_th AS (SELECT doc_id, cnt, ${h60("token")} AS h FROM tx_tf),
+         tx_sbits AS (SELECT doc_id, b,
+             sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+           FROM tx_th, UNNEST(range(60)) AS t(b) GROUP BY 1, 2),
+         tx_fp AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS f
+           FROM tx_sbits GROUP BY 1),
+         tx_keys AS (SELECT doc_id,
+             f & 32767 AS b0, (f >> 15) & 32767 AS b1,
+             (f >> 30) & 32767 AS b2, (f >> 45) & 32767 AS b3
+           FROM tx_fp),
+         ${tail("tx", "doc_id % 4", "text").drop(1)}
          SELECT doc_id, batch, n_partners, min_hamming, modality FROM im_out
          UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM jp_out
          UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM au_out
-         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM vi_out"""
+         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM vi_out
+         UNION ALL SELECT doc_id, batch, n_partners, min_hamming, modality FROM tx_out"""
   }
 
   /** Where q39 exports its trained centroid table for the DuckDB twin.
@@ -4404,6 +4499,18 @@ object Pipelines {
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
          FROM dims d JOIN dig USING (doc_id)""",
+    // gzip decode ∘ encode is the identity: member count and payload
+    // replay from octet_length and the source bytes alone (the
+    // compressed framing needs no oracle — only what it decodes to).
+    "q158_gzip_decode" ->
+      """SELECT doc_id,
+           CAST(1 + octet_length(encode(text)) % 3 AS BIGINT) AS n_members,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(hex(encode(text))) AS text_md5
+         FROM documents""",
+    // compressed corpus through the q100 curation battery: the
+    // container is transparent, so q100's oracle IS the q159 oracle.
+    "q159_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
     // FLAC is lossless over the WAV path's exact PCM formulas, so the
     // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
     // of PNG riding the PPM oracles above. Round 11 widens the corpus

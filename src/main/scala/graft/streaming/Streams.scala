@@ -1799,7 +1799,7 @@ object Streams {
 
   object MixedMediaGate {
     /** The hash spaces [[graft.ops.Media.mixedMediaHash]] emits. */
-    val Modalities: Seq[String] = Seq("image", "jpeg", "audio", "video")
+    val Modalities: Seq[String] = Seq("image", "jpeg", "audio", "video", "text")
   }
 
   private def emptyHashFrame(spark: SparkSession): DataFrame =

@@ -95,6 +95,61 @@ class AviSpec extends AnyFunSuite {
       .getMessage.nonEmpty)
   }
 
+  test("dual-stream AVI: the auds track decodes, validates, and routes to the audio space") {
+    val rnd = new Random(112)
+    // l % 4 == 1 → dual-stream; l % 4 != 1 → video-only
+    val dualSrc = Array.fill(41)(rnd.nextInt(256).toByte)
+    val monoSrc = Array.fill(40)(rnd.nextInt(256).toByte)
+    val (dw, dh, dFrames, dAudio) = Media.decodeAviBytesFull(Media.encodeAvi(dualSrc))
+    assert(dw == 8 * (1 + 41 % 5) && dh == 8 * (1 + 41 % 4))
+    assert(dFrames.length == 2 + 41 % 5)
+    val Some((ch, rate, pcm)) = dAudio
+    assert(ch == 1 && rate == 8000)
+    val wantSamples = 64 + 41 % 512
+    assert(pcm.length == 2 * wantSamples)
+    // the interleaved '01wb' slices concatenate back to the cycled source
+    (0 until pcm.length).foreach(i => assert(pcm(i) == dualSrc(i % 41), s"pcm byte $i"))
+    val (_, _, _, mAudio) = Media.decodeAviBytesFull(Media.encodeAvi(monoSrc))
+    assert(mAudio.isEmpty, "video-only class must carry no audio")
+    // frame decode is audio-invariant: same text through both paths
+    // gives the same lumas when the dims formulas agree
+    // hostile variants
+    val good = Media.encodeAvi(dualSrc)
+    def find(id: String, from: Int = 12): Int = {
+      val pat = id.getBytes("US-ASCII")
+      var i = from
+      while (!(0 until 4).forall(j => good(i + j) == pat(j))) i += 1
+      i
+    }
+    // audio strf claims a non-PCM format tag
+    val badFmt = good.clone()
+    val strhA = find("auds") - 8 // 'auds' sits at strh data start = chunk + 8
+    val strfA = find("strf", strhA + 8) // the audio strf follows the auds strh
+    badFmt(strfA + 8) = 2 // wFormatTag = ADPCM
+    assert(intercept[IllegalArgumentException](
+      Media.decodeAviBytesFull(badFmt)).getMessage.contains("PCM"))
+    // audio byte count lies: bump auds strh dwLength
+    val badLen = good.clone()
+    badLen(strhA + 8 + 32) = (badLen(strhA + 8 + 32) + 1).toByte
+    assert(intercept[IllegalArgumentException](
+      Media.decodeAviBytesFull(badLen)).getMessage.contains("samples"))
+    // avih declares 2 streams but the auds strl is present → drop the
+    // avih count to 1 instead: header/stream-count mismatch
+    val badCnt = good.clone()
+    val avih = find("avih")
+    badCnt(avih + 8 + 24) = 1
+    assert(intercept[IllegalArgumentException](
+      Media.decodeAviBytesFull(badCnt)).getMessage.contains("stream"))
+    // the mixed hash routes the track into the audio modality at doc_id
+    val s = spark
+    import s.implicits._
+    val rows = Seq(graft.ops.MediaRow(7L, "video/x-msvideo", good)).toDS()
+    val got = Media.mixedMediaHash(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val nf = 2 + 41 % 5
+    assert(got == (0 until nf).map(f => ("video", 7L * 8 + f)).toSet + (("audio", 7L)))
+  }
+
   test("cross-video frame near-dup finds exact twins at hamming 0 through the RIFF walk") {
     val s = spark
     import s.implicits._

@@ -83,6 +83,10 @@ class MediaFuzzSpec extends AnyFunSuite {
   test("avi survives byte flips and truncation")(
     fuzz("avi", 300)(Media.encodeAvi)(Media.decodeAviBytes))
 
+  test("gzip survives byte flips and truncation")(
+    fuzz("gzip", 400)(graft.ops.GzipStream.encodeGzipMembers)(
+      graft.ops.GzipStream.decodeGzipMembers))
+
   // Deterministic (non-seed-dependent) probes at the exact offsets the
   // random fuzzer can miss: FLAC's variable-length frame-header fields
   // (blocksize/rate extension bytes, UTF-8 continuations) and Y4M's

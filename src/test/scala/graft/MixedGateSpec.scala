@@ -39,7 +39,9 @@ class MixedGateSpec extends AnyFunSuite {
       (5L, "application/octet-stream", Media.encodeWav(bytes)),
       (6L, "application/octet-stream", Media.encodeFlac(bytes)),
       (7L, "application/octet-stream", Media.encodeY4m(bytes)),
-      (8L, "application/octet-stream", Media.encodeAvi(bytes)))
+      (8L, "application/octet-stream", Media.encodeAvi(bytes)),
+      (9L, "application/octet-stream", graft.ops.GzipStream.encodeGzipMembers(bytes)),
+      (10L, "application/octet-stream", graft.ops.GzipStream.encodeGzipMembers(bytes)))
     val got = Media.mixedMediaHash(mediaOf(rows))
       .select("modality", "doc_id").collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -47,6 +49,7 @@ class MixedGateSpec extends AnyFunSuite {
     assert(byMod("image") === Set(1L, 2L), "ppm+png share the image space")
     assert(byMod("jpeg") === Set(3L, 4L), "both jpeg framings share the jpeg space")
     assert(byMod("audio") === Set(5L, 6L), "wav+flac share the audio space")
+    assert(byMod("text") === Set(9L, 10L), "gzip routes to the text space")
     // video keys are packed doc*8+frame
     assert(byMod("video").forall(k => k / 8 == 7L || k / 8 == 8L))
     assert(byMod("video").exists(_ / 8 == 7L) && byMod("video").exists(_ / 8 == 8L))
@@ -59,6 +62,23 @@ class MixedGateSpec extends AnyFunSuite {
     assert(img(1L) === img(2L), "ppm/png twins must hash identical")
     val aud = bandsOf("audio")
     assert(aud(5L) === aud(6L), "wav/flac twins must hash identical")
+    // gzip exact twins fingerprint identical through decompression,
+    // and the bands ARE the SimHash60 4×15-bit split
+    val tx = bandsOf("text")
+    assert(tx(9L) === tx(10L), "gzip twins must hash identical")
+    val fp = graft.functions.SimHash60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(txt)).longValue()
+    assert(tx(9L) === (((fp & 32767L).toInt, ((fp >> 15) & 32767L).toInt,
+      ((fp >> 30) & 32767L).toInt, ((fp >> 45) & 32767L).toInt)),
+      "text bands must be the q33 simhash band split")
+  }
+
+  test("token-less gzip text emits no hash row (the q33 null convention)") {
+    val rows = Seq(
+      (20L, "x", graft.ops.GzipStream.encodeGzipMembers("   \n\t  ".getBytes("UTF-8"))),
+      (21L, "x", graft.ops.GzipStream.encodeGzipMembers("one token".getBytes("UTF-8"))))
+    val got = Media.mixedMediaHash(mediaOf(rows)).select("doc_id").collect().map(_.getLong(0))
+    assert(got.toSet === Set(21L))
   }
 
   test("modalities never cross-pair and batch counters stay lockstep") {
