@@ -41,12 +41,40 @@ object BpeTrain {
     * per round in learning order. Stops early (fewer rows) if the
     * corpus runs out of repeated pairs — every remaining pair count
     * would be ambiguous noise.
+    *
+    * VOCAB-SCALE BATCHING (round 12): each distributed pass learns up
+    * to `maxBatchPerPass` merges instead of one, so a 1k-merge vocab
+    * costs ~tens of passes, not 1k. The batch is PROVABLY identical to
+    * the sequential algorithm — the selection rule is:
+    *
+    *  1. take the count-sorted (cnt DESC, a, b) candidate PREFIX —
+    *     no skipping — while pairs stay pairwise TOKEN-DISJOINT;
+    *  2. let B = the count of the first EXCLUDED candidate (by
+    *     collision, cap, or end-of-table → B = 1, under the cnt ≥ 2
+    *     filter); trim the prefix to members with cnt > B.
+    *
+    * Why this equals sequential, merge by merge: batch members are
+    * token-disjoint, so applying p₁..pᵢ₋₁ leaves cnt(pᵢ) unchanged;
+    * every pair NOT in the batch has cnt ≤ B (sorted prefix, no
+    * skips); merging pⱼ only creates pairs (x,aⱼbⱼ)/(aⱼbⱼ,y) whose
+    * counts are bounded by old cnt(x,aⱼ)/cnt(bⱼ,y) — pairs that share
+    * a token with pⱼ, hence NOT selected, hence ≤ B — and only
+    * decreases pairs that share tokens. So at sequential step i the
+    * strict argmax is still pᵢ (cnt(pᵢ) > B beats everything else,
+    * and within the batch the (cnt, a, b) order IS the sequential
+    * tie-break). Ties with newly-created pairs are impossible by the
+    * STRICT trim. When the trim empties the batch (p₁ itself ties the
+    * boundary), the pass falls back to the always-correct single
+    * sequential merge. BpeSpec pins batched ≡ sequential on
+    * constructed corpora; the q153 oracle re-derives every count.
     */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
-      rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of range 1..64")
+      rounds: Int,
+      maxBatchPerPass: Int = 64): DataFrame = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds $rounds out of range 1..4096")
+    require(maxBatchPerPass >= 1, s"maxBatchPerPass $maxBatchPerPass must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     // The oracle replays token state through a chr(31)-separated
@@ -78,10 +106,14 @@ object BpeTrain {
     var dry = false
     while (r <= rounds && !dry) {
       val mergedSoFar = mergeStr // stable copy for the executor closure
-      // argmax with the STRING-order tie-break (count DESC, a, b in
-      // binary string order — the oracle's ORDER BY): strings are
-      // decoded only on the AGGREGATED pair table, and only the one
-      // winning row reaches the driver
+      val cap = math.min(rounds - r + 1, maxBatchPerPass)
+      // candidate list: enough rows past the cap that the batch
+      // boundary (first excluded candidate) is always visible
+      val limit = 2 * cap + 16
+      // candidates with the STRING-order tie-break (count DESC, a, b
+      // in binary string order — the oracle's ORDER BY): strings are
+      // decoded only on the AGGREGATED pair table, and only the tiny
+      // candidate head reaches the driver
       val top = stateDf.as[Array[Int]]
         .flatMap { t =>
           val n = t.length - 1
@@ -104,37 +136,68 @@ object BpeTrain {
         }
         .toDF("aid", "bid", "a", "b", "cnt")
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(limit)
         .collect()
-        .headOption
         .map(row => (row.getInt(0), row.getInt(1),
           row.getString(2), row.getString(3), row.getLong(4)))
-      top match {
-        case None => dry = true
-        case Some((aId, bId, aStr, bStr, cnt)) =>
-          val newId = MergeBase + (r - 1)
-          mergeStr += (newId -> (aStr + bStr))
-          learned += ((r, aStr, bStr, cnt))
-          val pk = pack(aId, bId)
-          val next = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
-            // the exact left-to-right non-overlapping merge pass of
-            // BpeTokenizer.mergePass, on ids
-            val n = t.length
-            val out = new Array[Int](n)
-            var w = 0; var i = 0
-            while (i < n) {
-              if (i + 1 < n && pack(t(i), t(i + 1)) == pk) { out(w) = newId; i += 2 }
-              else { out(w) = t(i); i += 1 }
-              w += 1
+      if (top.isEmpty) dry = true
+      else {
+        // 1. disjoint sorted prefix, 2. strict-boundary trim (see the
+        // equivalence argument in the scaladoc)
+        val usedTokens = scala.collection.mutable.HashSet.empty[Int]
+        val prefix = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, String, String, Long)]
+        var boundary = 1L // end-of-table: unseen pairs sit under the cnt>=2 filter
+        var stopped = false
+        var j = 0
+        while (j < top.length && !stopped) {
+          val cand = top(j)
+          if (prefix.length == cap ||
+              usedTokens.contains(cand._1) || usedTokens.contains(cand._2)) {
+            boundary = cand._5
+            stopped = true
+          } else {
+            prefix += cand
+            usedTokens += cand._1
+            usedTokens += cand._2
+          }
+          j += 1
+        }
+        val trimmed = prefix.takeWhile(_._5 > boundary)
+        // the trim can empty the batch (p1 ties the boundary): fall
+        // back to the always-correct single sequential merge
+        val batch = if (trimmed.nonEmpty) trimmed.toSeq else Seq(prefix.head)
+        val batchMap: Map[Long, Int] = batch.zipWithIndex.map {
+          case ((aId, bId, _, _, _), i) => pack(aId, bId) -> (MergeBase + (r - 1) + i)
+        }.toMap
+        batch.zipWithIndex.foreach { case ((_, _, aStr, bStr, cnt), i) =>
+          mergeStr += (MergeBase + (r - 1) + i) -> (aStr + bStr)
+          learned += ((r + i, aStr, bStr, cnt))
+        }
+        val next = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
+          // the exact left-to-right non-overlapping merge pass of
+          // BpeTokenizer.mergePass, on ids — token-disjoint batch
+          // members have non-overlapping sites, so one simultaneous
+          // scan IS the sequential pass composition
+          val n = t.length
+          val out = new Array[Int](n)
+          var w = 0; var i = 0
+          while (i < n) {
+            val hit = if (i + 1 < n) batchMap.get(pack(t(i), t(i + 1))) else None
+            hit match {
+              case Some(id) => out(w) = id; i += 2
+              case None => out(w) = t(i); i += 1
             }
-            java.util.Arrays.copyOf(out, w)
-          }.toDF("toks"))
-          // release the superseded corpus-sized checkpoint (the
-          // GraphOps.reachPairs loop discipline): without this, up to
-          // `rounds` token-array snapshots pile up in executor storage
-          graft.streaming.Streams.releaseCheckpoint(stateDf)
-          stateDf = next
-          r += 1
+            w += 1
+          }
+          java.util.Arrays.copyOf(out, w)
+        }.toDF("toks"))
+        // release the superseded corpus-sized checkpoint (the
+        // GraphOps.reachPairs loop discipline): without this, up to
+        // `rounds` token-array snapshots pile up in executor storage
+        graft.streaming.Streams.releaseCheckpoint(stateDf)
+        stateDf = next
+        r += batch.length
       }
     }
     graft.streaming.Streams.releaseCheckpoint(stateDf)

@@ -132,4 +132,39 @@ class BpeSpec extends AnyFunSuite {
         graft.functions.BpeTokenizer.tokens(
           org.apache.spark.unsafe.types.UTF8String.fromString(str)).toSeq)
   }
+
+  test("BATCHED training is merge-for-merge identical to sequential") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1212)
+    // small alphabets maximize pair collisions and count ties — the
+    // regime where an unsound batch rule would diverge from the
+    // sequential argmax chain
+    for ((alpha, docsN, len, rounds) <- Seq(
+        ("ab", 12, 24, 10),
+        ("abc", 20, 30, 16),
+        ("abcd", 30, 40, 24),
+        ("aabb", 16, 28, 12))) {
+      val docs = (1 to docsN).map { i =>
+        (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      }.toDF("doc_id", "text")
+      val seq = graft.ops.BpeTrain
+        .learnMerges(docs, "text", rounds, maxBatchPerPass = 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val bat = graft.ops.BpeTrain
+        .learnMerges(docs, "text", rounds) // default batching
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(bat.toSeq === seq.toSeq, s"alphabet '$alpha': batched diverged")
+    }
+    // and on English-ish text where counts are sparse
+    val eng = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the dog sat on the log and the dog sat again"),
+      (3L, "a cat and a dog sat on a mat and a log")).toDF("doc_id", "text")
+    val seqE = graft.ops.BpeTrain.learnMerges(eng, "text", 20, maxBatchPerPass = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val batE = graft.ops.BpeTrain.learnMerges(eng, "text", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(batE.toSeq === seqE.toSeq, "english corpus: batched diverged")
+  }
 }
