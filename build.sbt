@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No trailing "[success] Total time ..." stdout line: the driver keeps
+// only the last 2000 chars of bench output and parses the summary JSON
+// from it — the success banner after the JSON is pure parse hazard.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -146,6 +146,22 @@ object Bench {
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: summary line ${line.length} chars — may exceed the driver's 2000-char tail")
     println(line)
+    // Structured artifact (round-11 advice: stop making tooling regex-
+    // scrape a 2000-char stdout tail): the same JSON, one file, plus a
+    // pretty per-query map with FULL query names. build.sbt sets
+    // `Global / showSuccess := false` for the same reason — with no
+    // trailing "[success]" line, the summary JSON above is the final
+    // stdout line and a last-line parser finds it whole.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+        .mkString("{", ",", "}")
+      val doc = s"""{"summary":$line,"queries_full":$full}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        doc.getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }
