@@ -1008,4 +1008,269 @@ object Similarity {
       .filter(dotPacked(col("pa"), col("pb")) / (col("na") * col("nb")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  // ── Product quantization (round 12): the compression rung past int8
+  // SQ (q101). m subspaces × ksub centroids ⇒ m bytes/vector (64× on
+  // 64-dim float32 stores), queries scored by ADC lookup tables. ──
+
+  /** Train per-subspace codebooks on the deterministic capped sample
+    * ([[kmeansCentroids]]' exact draw: lowest xxhash64(id), ascending-
+    * id accumulation), Lloyd in doubles, then quantize every centroid
+    * to the q105 integer lattice (floor(x·1000)) ONCE at the end —
+    * integer codebooks make encode (argmin integer L2) and ADC
+    * (integer dots) bit-replayable in SQL with zero float hazards.
+    * Returns [m][ksub'][subdim] with ksub' ≤ ksub when the sample is
+    * smaller than the codebook (empty cells keep their init, the
+    * kmeansCentroids convention).
+    */
+  private[graft] def pqTrainCodebooksInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      sampleCap: Int = 4096): Array[Array[Array[Long]]] = {
+    val sample = emb.select(
+        col(idCol).cast("long").as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"))
+      .orderBy(xxhash64(col("id"))).limit(sampleCap)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getAs[Array[Byte]]("pv"))
+    require(sample.nonEmpty, "pq: empty corpus")
+    val dim = sample.head.length / 8
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val vecs = sample.map { pv =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      Array.tabulate(dim)(j => bb.getDouble(j * 8))
+    }
+    Array.tabulate(m) { ms =>
+      val subs = vecs.map(_.slice(ms * sub, (ms + 1) * sub))
+      var cents = Array.tabulate(math.min(ksub, subs.length))(i => subs(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          // argmin L2, ties to the lowest centroid index
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < sub) { val x = v(t) - cents(j)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          val s = sums(best)
+          var t = 0
+          while (t < sub) { s(t) += v(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (c, j) =>
+          if (counts(j) == 0) c
+          else Array.tabulate(sub)(t => sums(j)(t) / counts(j))
+        }
+        it += 1
+      }
+      cents.map(_.map(x => math.floor(x * 1000).toLong))
+    }
+  }
+
+  /** Integer-lattice projection of a vector (the q105 convention). */
+  private[graft] def qvInt(v: Seq[Double]): Array[Long] =
+    v.map(x => math.floor(x * 1000).toLong).toArray
+  private val qvIntUdf = udf((v: Seq[Double]) => qvInt(v))
+
+  /** PQ-encode: per subspace, the index of the integer-L2-nearest
+    * codebook entry (ties to the lowest index — the SQL row_number
+    * rule). */
+  private[graft] def pqEncode(cb: Array[Array[Array[Long]]], qv: Array[Long]): Array[Int] = {
+    val m = cb.length
+    val sub = qv.length / m
+    Array.tabulate(m) { ms =>
+      val cents = cb(ms)
+      var best = 0; var bestD = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        var d = 0L; var t = 0
+        while (t < sub) { val x = qv(ms * sub + t) - cents(j)(t); d += x * x; t += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+  }
+
+  /** Flat PQ-ADC top-k, recall-gated against the exact float ranking
+    * (the q101 judgment tail), with the integer codebooks EXPORTED as
+    * parquet `(msub, j, cv ARRAY<BIGINT>)` for the external oracle.
+    *
+    * Plan shape at 100 TB: codebooks are m·ksub·subdim longs (a few
+    * hundred KB) — broadcast; the corpus is encoded map-side to m
+    * bytes/vector in ONE narrow pass and never shuffled; each query
+    * carries its precomputed ADC lookup table (m·ksub longs), so
+    * scoring a candidate is m array reads instead of a dim-length
+    * dot; only the query-bounded top-k frames shuffle. The float
+    * vectors are touched exactly twice — once to encode, once inside
+    * the recall judge — never on the serving path.
+    */
+  def pqTopKRecallExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      m: Int,
+      ksub: Int,
+      trainIters: Int,
+      k: Int,
+      exportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
+    cb.zipWithIndex.flatMap { case (cents, ms) =>
+      cents.zipWithIndex.map { case (cv, j) => (ms, j, cv.toSeq) }
+    }.toSeq.toDF("msub", "j", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(exportPath)
+    val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k)
+    recallVsExact(approx, emb, idCol, vecCol, queries, k)
+  }
+
+  /** The shared ADC scorer: encode the corpus against `cb`, build
+    * per-query lookup tables, rank by integer ADC score (DESC, id).
+    * Returns (query_id, neighbor_id), k rows per query.
+    */
+  private[graft] def pqAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      cb: Array[Array[Array[Long]]],
+      k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val bcb = spark.sparkContext.broadcast(cb)
+    val mSub = cb.length
+    val ksubN = cb.map(_.length).max
+    val encodeUdf = udf((v: Seq[Double]) => pqEncode(bcb.value, qvInt(v)))
+    val lutUdf = udf { (v: Seq[Double]) =>
+      // LUT[ms*ksub + j] = dot(query subvector, codebook entry) — all
+      // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)]
+      val qv = qvInt(v)
+      val cbv = bcb.value
+      val sub = qv.length / cbv.length
+      val lut = new Array[Long](cbv.length * ksubN)
+      var ms = 0
+      while (ms < cbv.length) {
+        var j = 0
+        while (j < cbv(ms).length) {
+          var s = 0L; var t = 0
+          while (t < sub) { s += qv(ms * sub + t) * cbv(ms)(j)(t); t += 1 }
+          lut(ms * ksubN + j) = s
+          j += 1
+        }
+        ms += 1
+      }
+      lut
+    }
+    val adcUdf = udf { (lut: Seq[Long], codes: Seq[Int]) =>
+      var s = 0L; var ms = 0
+      while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }
+      s
+    }
+    val codes = emb.select(col(idCol).cast("long").as("nid"),
+      encodeUdf(asDouble(col(vecCol))).as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      lutUdf(asDouble(col(vecCol))).as("lut"))
+    val scoredBase = candidates match {
+      case None => codes.crossJoin(broadcast(q))
+      case Some(cand) => // probe-restricted: only (query, neighbor) pairs in cand
+        codes.join(cand.select(col("query_id"), col("neighbor_id").as("nid")), Seq("nid"))
+          .join(broadcast(q), Seq("query_id"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nid"))
+    scoredBase
+      .filter(col("nid") =!= col("query_id"))
+      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"))
+  }
+
+  /** IVF + PQ: coarse cells from [[kmeansCentroids]] (float training,
+    * the q39 machinery), candidates from the query's `nprobe` nearest
+    * cells, ADC scoring within the candidate set. The scale path for
+    * PQ serving — candidate count is probe-bounded, the scan never
+    * touches unprobed cells. Returns the recall@k judgment
+    * (query_id, n_overlap, recall_x100); [[ivfPqCandidates]] exposes
+    * the raw candidate sets, whose exact-top-k overlap is MONOTONE in
+    * nprobe by construction (probing more cells only grows the set) —
+    * the property PqSpec pins.
+    */
+  def ivfPqTopKRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      trainIters: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      pqIters: Int,
+      k: Int,
+      sampleCap: Int = 4096): DataFrame = {
+    val cand = ivfPqCandidates(emb, idCol, vecCol, queries, numCentroids,
+      trainIters, nprobe, sampleCap)
+    val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, pqIters, sampleCap)
+    val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k, Some(cand))
+    recallVsExact(approx, emb, idCol, vecCol, queries, k)
+  }
+
+  /** The probe-bounded candidate sets of [[ivfPqTopKRecall]]:
+    * (query_id, neighbor_id) for every corpus vector in one of the
+    * query's `nprobe` nearest coarse cells (self excluded). Growing
+    * `nprobe` only ADDS rows — supersets by construction.
+    */
+  def ivfPqCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCentroids: Int,
+      trainIters: Int,
+      nprobe: Int,
+      sampleCap: Int = 4096): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, numCentroids, trainIters, sampleCap)
+    val cids = cents.map(_._1)
+    val cvs = cents.map(_._2)
+    val cnrms = cents.map(_._3)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assignUdf = udf { (v: Seq[Double]) =>
+      val pv = packDoubles(v)
+      nearestCentroid(cids, cvs, cnrms)(pv, math.sqrt(dotBytes(pv, pv)))
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val pv = packDoubles(v)
+      val nrm = math.sqrt(dotBytes(pv, pv))
+      // nprobe nearest cells by the same cosine order as assignment
+      val sims = cids.indices.map { i =>
+        val d = dotBytes(pv, cvs(i))
+        val s = if (nrm == 0.0 || cnrms(i) == 0.0) 0.0 else d / (nrm * cnrms(i))
+        (s, cids(i))
+      }
+      sims.sortBy { case (s, cid) => (-s, cid) }.take(nprobe).map(_._2).toArray
+    }
+    val cells = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      assignUdf(asDouble(col(vecCol))).as("cell"))
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        explode(probeUdf(asDouble(col(vecCol)))).as("cell"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+  }
 }

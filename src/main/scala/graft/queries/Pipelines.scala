@@ -209,6 +209,23 @@ object Pipelines {
         numCentroids = 16, nprobe = 2, shortlist = 40, k = 10)
     }),
 
+    // Product quantization (round 12): the compression rung past int8
+    // SQ — 8 subspaces × 256 integer codebooks (trained on the q39
+    // deterministic capped sample, quantized to the q105 floor(x·1000)
+    // lattice ONCE after Lloyd), corpus encoded to 8 bytes/vector,
+    // queries scored by integer ADC lookup tables, recall-gated
+    // against the exact float top-10 (the q101 judgment tail). The
+    // codebooks are EXPORTED as parquet, so the DuckDB twin replays
+    // encode (argmin integer L2, ties to the lowest index) and ADC
+    // (integer dots) bit-for-bit — the q39/q109 discipline.
+    "q160_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0),
+        m = 8, ksub = 256, trainIters = 2, k = 10,
+        exportPath = PqExportPath)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2069,6 +2086,10 @@ object Pipelines {
     */
   val CentroidExportPath = "/root/repo/target/oracle-aux/q39_centroids"
 
+  /** q160's integer PQ codebook export — same contract as
+    * [[CentroidExportPath]] (Verify writes, then the oracle reads). */
+  val PqExportPath = "/root/repo/target/oracle-aux/q160_pq_codebooks"
+
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
@@ -2168,6 +2189,54 @@ object Pipelines {
                        ORDER BY CAST(${sqlDotInt("aq", "qn.qv", 64)} AS DOUBLE)
                                   / (an * qn.nrm) DESC, qn.vec_id) AS rank
                      FROM qq JOIN qn ON qn.vec_id <> query_id),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
+
+    // Product quantization: integer codebooks from the export, encode
+    // = argmin integer L2 per subspace (ties to the lowest j — the
+    // row_number rule), ADC = per-query integer lookup dots summed
+    // over the 8 codes — everything in BIGINT until the float recall
+    // judge, so the replay is exact, not approximate.
+    "q160_pq_recall" ->
+      s"""WITH $embCte,
+         cb AS (SELECT msub, j, cv FROM read_parquet('$PqExportPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM eq, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.qv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id % 100 = 0),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d) AS score
+                FROM codes c JOIN lut l ON l.msub = c.msub AND l.j = c.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY 1, 2),
+         qscored AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                     FROM adc),
          qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
          fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
          fscored AS (SELECT query_id, e.vec_id AS neighbor_id,

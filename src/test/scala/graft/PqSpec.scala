@@ -1,0 +1,122 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Product quantization (q160): integer codebooks, ADC lookup-table
+  * scoring, and the IVF-PQ composition. The oracle gates the flat ADC
+  * row end to end; these specs pin what the oracle can't see — encode
+  * semantics, the probe-budget monotonicity theorem, and the
+  * flat/probed agreement at full probe budget.
+  */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pq-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Clustered synthetic corpus: `nClusters` unit-ish centers, each
+    * vector = center + small noise — the regime where coarse cells and
+    * PQ codes are meaningful (recall on white noise is uninformative).
+    */
+  private def clustered(n: Int, dim: Int, nClusters: Int, seed: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      val raw = (0 until dim).map(j => c(j) + 0.15 * rnd.nextGaussian())
+      // unit-normalize: ADC ranks by inner product, the exact judge by
+      // cosine — on the unit sphere they agree, so recall measures PQ
+      // quantization loss, not the metric mismatch
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / nrm).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("encode picks the integer-L2-nearest codebook entry, ties to the lowest index") {
+    // hand-built codebooks: m=2 subspaces over dim 4
+    val cb: Array[Array[Array[Long]]] = Array(
+      Array(Array(0L, 0L), Array(1000L, 0L), Array(0L, 1000L)),
+      Array(Array(500L, 500L), Array(500L, 500L), Array(-500L, 0L)))
+    // qv = floor(v*1000); v = (0.9, 0.1, 0.5, 0.5)
+    val qv = Similarity.qvInt(Seq(0.9, 0.1, 0.5, 0.5))
+    assert(qv.toSeq == Seq(900L, 100L, 500L, 500L))
+    val codes = Similarity.pqEncode(cb, qv)
+    // subspace 0: d(0,0)=820k; d(1000,0)=20k; d(0,1000)=1.62M -> 1
+    // subspace 1: entries 0 and 1 tie at distance 0 -> lowest index 0
+    assert(codes.toSeq == Seq(1, 0))
+  }
+
+  test("flat PQ-ADC recall on clustered data beats noise and the export round-trips") {
+    // clusters of TEN at noise 0.15 with k = 10: the exact top-10 is
+    // (almost) exactly the query's cluster, so overlap measures
+    // whether ADC preserves cluster identity — not whether it can
+    // reproduce fine within-cluster order (it can't and needn't:
+    // with 20-member clusters the same test caps at ~5.3 overlap no
+    // matter how good the codes are)
+    val emb = clustered(160, 64, 16, seed = 7)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/cb"
+    val rec = Similarity.pqTopKRecallExport(emb, "vec_id", "embedding", queries,
+      m = 8, ksub = 16, trainIters = 2, k = 10, exportPath = path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rec.length == 4)
+    val mean = rec.map(_._2).sum.toDouble / rec.length
+    assert(mean >= 7.0, s"mean overlap@10 $mean — ADC lost the clusters")
+    // export holds one row per (subspace, centroid), integer arrays
+    val cbDf = spark.read.parquet(path)
+    assert(cbDf.count() == 8L * 16)
+    assert(cbDf.select(max(size(col("cv")))).head().getInt(0) == 8)
+  }
+
+  test("IVF-PQ candidate sets are supersets in nprobe; overlap with exact top-k is monotone") {
+    val emb = clustered(160, 64, 8, seed = 11)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    def candSet(np: Int): Map[Long, Set[Long]] =
+      Similarity.ivfPqCandidates(emb, "vec_id", "embedding", queries,
+        numCentroids = 8, trainIters = 2, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val c1 = candSet(1); val c2 = candSet(2); val c4 = candSet(4)
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      val s1 = c1.getOrElse(q, Set.empty)
+      val s2 = c2.getOrElse(q, Set.empty)
+      val s4 = c4.getOrElse(q, Set.empty)
+      assert(s1.subsetOf(s2) && s2.subsetOf(s4), s"query $q: probes not nested")
+    }
+    // overlap with the exact float top-10 can only grow with the set
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.foreach { case (q, top) =>
+      val o1 = (c1.getOrElse(q, Set.empty) & top).size
+      val o2 = (c2.getOrElse(q, Set.empty) & top).size
+      val o4 = (c4.getOrElse(q, Set.empty) & top).size
+      assert(o1 <= o2 && o2 <= o4, s"query $q: overlap not monotone ($o1, $o2, $o4)")
+    }
+  }
+
+  test("at full probe budget, IVF-PQ equals the flat ADC ranking") {
+    val emb = clustered(120, 64, 6, seed = 23)
+    val queries = emb.filter(col("vec_id") % 30 === 0)
+    val cb = Similarity.pqTrainCodebooksInt(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val flat = Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, cb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.ivfPqCandidates(emb, "vec_id", "embedding", queries,
+      numCentroids = 6, trainIters = 2, nprobe = 6) // every cell probed
+    val probed = Similarity.pqAdcTopK(emb, "vec_id", "embedding", queries, cb,
+      k = 10, candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == flat, "full probe budget must reduce to the flat scan")
+  }
+}
