@@ -3966,6 +3966,58 @@ object Media {
     }).toDF("modality", "doc_id", "b0", "b1", "b2", "b3")
   }
 
+  /** QUARANTINE ingest (round 12): the fail-loudly contract promoted
+    * from spec property to pipeline operator. Every blob is sniffed
+    * and FULLY decode-validated; rows whose bytes reject (the decoders
+    * throw IllegalArgumentException — truncations, smashed magics,
+    * checksum lies) are emitted as `quarantined` with units = -1,
+    * clean rows as `ok` with their container-specific decoded unit
+    * count (pixel bytes / total samples / luma bytes / decompressed
+    * bytes) — proof the survivors actually decoded, not just sniffed.
+    *
+    * ONLY IllegalArgumentException is quarantined: it is the decoders'
+    * documented rejection channel (MediaFuzzSpec proves no other
+    * exception class escapes them on arbitrary mutations). Anything
+    * else propagates and fails the job — quarantine must never paper
+    * over a decoder BUG, only over corrupt DATA. Map-side per
+    * partition; at crawl scale the quarantine rate is a metric, not an
+    * abort.
+    */
+  def quarantineDecode(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      try {
+        val units: Long = sniffContainer(row.content) match {
+          case "ppm" =>
+            val (_, _, _, pix) = decodePpmBytes(row.content); pix.length.toLong
+          case "png" =>
+            val (_, _, pix) = decodePngBytes(row.content); pix.length.toLong
+          case "jpeg" =>
+            val (_, _, pix) = decodeJpegBytes(row.content); pix.length.toLong
+          case "wav" =>
+            val (_, _, _, pcm) = decodeWavBytes(row.content); pcm.length / 2L
+          case "flac" =>
+            val (_, _, bps, _, pcm) = decodeFlacBytesFull(row.content)
+            pcm.length.toLong / (bps / 8)
+          case "y4m" =>
+            val (_, _, frames) = decodeY4mBytes(row.content)
+            frames.iterator.map(_.length.toLong).sum
+          case "avi" =>
+            val (_, _, frames, _) = decodeAviBytesFull(row.content)
+            frames.iterator.map(_.length.toLong).sum
+          case "gzip" =>
+            val (_, bytes) = GzipStream.decodeGzipMembers(row.content)
+            bytes.length.toLong
+          case other => throw new IllegalArgumentException(
+            s"quarantine: container '$other' has no decode route")
+        }
+        (row.doc_id, "ok", units)
+      } catch {
+        case _: IllegalArgumentException => (row.doc_id, "quarantined", -1L)
+      }
+    }).toDF("doc_id", "status", "units")
+  }
+
   /** aHash over sniff-decoded rasters: one hash pipeline over a
     * MIXED-container corpus. */
   def autoAHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {

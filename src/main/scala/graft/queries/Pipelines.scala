@@ -862,6 +862,49 @@ object Pipelines {
           graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text")),
         "doc_id", "text")),
 
+    // QUARANTINE ingest (round 12): all eight containers (doc_id % 8
+    // split) with GUARANTEED-REJECT corruption injected — half
+    // truncation (doc_id % 11: every container's decoder validates a
+    // total the cut falsifies — RIFF/PNG-IEND/EOI/STREAMINFO/frame
+    // counts/CRC trailers), magic smash (% 13: sniff itself rejects),
+    // and sub-sniff truncation (% 17: blob shorter than any magic).
+    // gzip's truncation cuts INSIDE the final member trailer instead
+    // of at half (a half-cut could in principle land exactly on a
+    // member boundary and decode clean — the one container where
+    // "half" is not provably fatal). Clean rows must aggregate with
+    // their decoded unit counts; corrupt rows must quarantine — the
+    // fail-loudly fuzz property, oracle-gated (ingest reality: some
+    // fraction of a crawl is garbage and the pipeline must neither
+    // crash nor silently absorb it).
+    "q161_quarantine_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def slot(r: Int) = docs.filter(col("doc_id") % 8 === r)
+      val blobs = Media.asPpm(slot(0), "doc_id", "text")
+        .unionByName(Media.asPng(slot(1), "doc_id", "text"))
+        .unionByName(Media.asJpegMixed(slot(2), "doc_id", "text"))
+        .unionByName(Media.asWav(slot(3), "doc_id", "text"))
+        .unionByName(Media.asFlac(slot(4), "doc_id", "text"))
+        .unionByName(Media.asY4m(slot(5), "doc_id", "text"))
+        .unionByName(Media.asAvi(slot(6), "doc_id", "text"))
+        .unionByName(graft.ops.GzipStream.asGzip(slot(7), "doc_id", "text"))
+      import s.implicits._
+      val corrupted = blobs.map { r =>
+        val b = r.content
+        val m =
+          if (r.doc_id % 11 == 0) {
+            val cut = if (r.doc_id % 8 == 7) math.max(1, b.length - 5)
+              else math.max(1, b.length / 2)
+            java.util.Arrays.copyOf(b, cut)
+          } else if (r.doc_id % 13 == 0) {
+            val c = b.clone(); c(0) = 0xDE.toByte; c(1) = 0xAD.toByte; c
+          } else if (r.doc_id % 17 == 0) {
+            java.util.Arrays.copyOf(b, math.min(b.length, 7))
+          } else b
+        graft.ops.MediaRow(r.doc_id, r.media_type, m)
+      }
+      Media.quarantineDecode(corrupted)
+    }),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006, parity-preserving: same framing) survive at
@@ -4580,6 +4623,32 @@ object Pipelines {
     // compressed corpus through the q100 curation battery: the
     // container is transparent, so q100's oracle IS the q159 oracle.
     "q159_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
+    // quarantine: corruption is by-construction fatal, so status is a
+    // pure doc_id predicate and clean units replay from the container
+    // dimension formulas (pixel bytes / total samples / luma bytes /
+    // decompressed bytes by the doc_id % 8 slot).
+    "q161_quarantine_ingest" ->
+      """WITH d AS (SELECT doc_id,
+             octet_length(encode(CASE WHEN length(text) = 0 THEN ' ' ELSE text END)) AS l1,
+             octet_length(encode(text)) AS l0
+           FROM documents),
+         u AS (SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 3*(8 + l1%40)*(6 + l1%23)
+               WHEN 1 THEN 3*(8 + l1%40)*(6 + l1%23)
+               WHEN 2 THEN (8*(1 + l1%5))*(8*(1 + l1%4))
+               WHEN 3 THEN (64 + l1%512)*(1 + l1%2)
+               WHEN 4 THEN (64 + l1%512)*(1 + l1%2)
+               WHEN 5 THEN (2 + l1%5)*(8 + l1%24)*(6 + l1%17)
+               WHEN 6 THEN (2 + l1%5)*(8*(1 + l1%5))*(8*(1 + l1%4))
+               ELSE l0 END AS units
+           FROM d)
+         SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 OR doc_id % 17 = 0
+                THEN 'quarantined' ELSE 'ok' END AS status,
+           CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 OR doc_id % 17 = 0
+                THEN -1 ELSE units END AS BIGINT) AS units
+         FROM u""",
     // FLAC is lossless over the WAV path's exact PCM formulas, so the
     // WAV/audio-envelope twins ARE the FLAC oracles — the audio analog
     // of PNG riding the PPM oracles above. Round 11 widens the corpus
