@@ -35,8 +35,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // it as the EXACT side of the comparison (the composed quantized
     // IVF under test is all equi-joins) — all inheriting the identical
     // join with the identical smallness argument.
+    // q160 adds the flat PQ-ADC scan: codes crossJoin broadcast(query
+    // LUTs) — the QUERY side broadcasts (tiny by construction), the
+    // 8-byte-code corpus streams; plus the recall judge's exact side
+    // (the q35 join again). Same smallness argument as q35/q101.
     val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
-      "q101_quantized_recall", "q109_ann_ivf_quantized")
+      "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++
