@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** Cross-encoder interop: blobs produced by the JDK's own codecs
   * (`javax.imageio` — a fully independent PNG/JPEG implementation that
-  * ships with every JVM, no network or native install needed) feeding
-  * this engine's validating decoders.
+  * ships with every JVM, no network or native install needed — and
+  * `javax.sound.sampled` for RIFF/WAVE) feeding this engine's
+  * validating decoders.
   *
   * Why this exists: every earlier image row (q132/q139/q149/…) decodes
   * streams produced by THIS repo's encoders, so a matched
@@ -198,6 +199,77 @@ object Interop {
       .mapPartitions(_.map { case (id, bytes) =>
         val (w, h, pix) = grayBlockRaster(bytes)
         MediaRow(id, "image/jpeg", imageIoJpegGrayBytes(w, h, pix, 1.0f))
+      })
+  }
+
+  /** WAVE bytes written by the JDK's own audio stack over
+    * [[Media.encodeWav]]'s envelope formulas (channels = 1 + l%2,
+    * rate = 8000 + (l%8)·1000, samples = 64 + l%512, payload = the
+    * source bytes cycled): the PCM content is identical to the
+    * self-encoded corpus — so q110's oracle applies verbatim — but
+    * every CONTAINER byte (RIFF framing, little-endian header fields,
+    * chunk sizes) comes from `javax.sound.sampled`'s writer, which
+    * this repo never implemented.
+    */
+  private[graft] def audioSystemWavBytes(src0: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val src = if (src0.isEmpty) Array(' '.toByte) else src0
+    val l = src.length
+    val channels = 1 + l % 2
+    val sampleRate = 8000 + (l % 8) * 1000
+    val nSamples = 64 + l % 512 // per channel
+    val dataBytes = nSamples * channels * 2
+    val pcm = new Array[Byte](dataBytes)
+    var i = 0
+    while (i < dataBytes) { pcm(i) = src(i % l); i += 1 }
+    // Little-endian signed 16-bit PCM: byte-identical payload pass-
+    // through (the writer re-packs only if the format needs conversion).
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /*signed*/ true, /*bigEndian*/ false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream(44 + dataBytes)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAVE blob through the JDK's reader to (channels, rate,
+    * samples-per-channel, PCM bytes) — the independent reference
+    * decode AudioSystemCrossSpec compares [[Media.decodeWavBytes]]
+    * against in both directions. Throws on undecodable/non-16-bit-PCM
+    * streams (the engine's fail-loudly contract).
+    */
+  private[graft] def audioSystemDecodeWav(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(b))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(s"audiosystem: undecodable stream: $e")
+      }
+    val f = ais.getFormat
+    require(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian,
+      s"audiosystem: expected 16-bit LE signed PCM, got $f")
+    val pcm = ais.readAllBytes()
+    require(pcm.length % (f.getChannels * 2) == 0,
+      "audiosystem: payload not frame-aligned")
+    (f.getChannels, f.getSampleRate.toInt, pcm.length / (f.getChannels * 2), pcm)
+  }
+
+  /** Wrap a text corpus as AudioSystem-encoded WAVE rows — the
+    * foreign-encoder twin of [[Media.asWav]] (the audio member of the
+    * q156/q157 decoder-independence family).
+    */
+  def asAudioSystemWav(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "audio/wav", audioSystemWavBytes(bytes))
       })
   }
 }

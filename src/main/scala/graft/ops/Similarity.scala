@@ -324,13 +324,28 @@ object Similarity {
       .withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= shortlist)
       .select("query_id", "neighbor_id")
-    // Exact float rerank of the shortlist only: the sole stage that
-    // touches float vectors, corpus restricted by the broadcast
-    // query-bounded shortlist.
+    recallVsExact(exactRerank(short, emb, queries, idCol, vecCol, k),
+      emb, idCol, vecCol, queries, k)
+  }
+
+  /** Exact float re-rank of a (query_id, neighbor_id) shortlist — the
+    * sole stage that touches float vectors: corpus restricted by the
+    * BROADCAST query-bounded shortlist (at 100 TB the float vectors
+    * live in cold storage and only shortlist rows are ever fetched),
+    * top-k by (sim DESC, id) mirroring the DuckDB row_number rule.
+    * Shared by the IVF-quantized and PQ-ADC serving paths.
+    */
+  private def exactRerank(
+      short: DataFrame,
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val nFloat = withNorm(emb, idCol, vecCol, "n")
     val qFloat = withNorm(queries, idCol, vecCol, "q")
     val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val reranked = nFloat
+    nFloat
       .join(broadcast(short), col("nid") === col("neighbor_id"))
       .join(broadcast(qFloat), col("qid") === col("query_id"))
       .withColumn("sim", dotPacked(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
@@ -338,7 +353,6 @@ object Similarity {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id")
-    recallVsExact(reranked, emb, idCol, vecCol, queries, k)
   }
 
   /** Driver-side quantized-centroid closure — the fixed coordinate
@@ -1136,6 +1150,44 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(exportPath)
     val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k)
     recallVsExact(approx, emb, idCol, vecCol, queries, k)
+  }
+
+  /** PQ-ADC shortlist + EXACT float re-rank — the standard two-stage
+    * PQ serving pattern: the 8-byte codes prune the corpus to a
+    * query-bounded shortlist of `shortlist` candidates (integer ADC
+    * only — the compressed scan), then [[exactRerank]] fetches float
+    * vectors for shortlist rows alone and re-orders by true cosine.
+    * Codebooks exported as in [[pqTopKRecallExport]] so the DuckDB
+    * twin replays shortlist AND re-rank bit-for-bit.
+    *
+    * Recall dominance is structural: ADC-top-k ⊆ ADC-top-shortlist,
+    * and exact re-rank keeps every true-top-k member that reached the
+    * shortlist — so recall@k(re-rank) ≥ recall@k(raw ADC) per query,
+    * monotone in `shortlist` (PqSpec pins both).
+    */
+  def pqRerankTopKRecallExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      m: Int,
+      ksub: Int,
+      trainIters: Int,
+      shortlist: Int,
+      k: Int,
+      exportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
+    cb.zipWithIndex.flatMap { case (cents, ms) =>
+      cents.zipWithIndex.map { case (cv, j) => (ms, j, cv.toSeq) }
+    }.toSeq.toDF("msub", "j", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(exportPath)
+    val short = pqAdcTopK(emb, idCol, vecCol, queries, cb, shortlist)
+    recallVsExact(exactRerank(short, emb, queries, idCol, vecCol, k),
+      emb, idCol, vecCol, queries, k)
   }
 
   /** The shared ADC scorer: encode the corpus against `cb`, build

@@ -226,6 +226,20 @@ object Pipelines {
         exportPath = PqExportPath)
     }),
 
+    // PQ + exact re-rank: the two-stage PQ serving pattern — integer
+    // ADC prunes to a 50-deep shortlist (compressed scan, 8 B/vector),
+    // float cosine re-ranks shortlist rows only (the sole float fetch
+    // on the serving path). Structurally recall@10 ≥ q160's raw ADC
+    // per query (PqSpec pins dominance + shortlist monotonicity); the
+    // DuckDB twin replays BOTH stages from the exported codebooks.
+    "q163_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqRerankTopKRecallExport(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") % 100 === 0),
+        m = 8, ksub = 256, trainIters = 2, shortlist = 50, k = 10,
+        exportPath = PqRerankExportPath)
+    }),
+
     // IVF ANN: 16 nearest-centroid cells, 2-probe search, exact rerank.
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -845,6 +859,17 @@ object Pipelines {
     // CRC32 + ISIZE trailer checks) → member count + decompressed
     // digest. decode ∘ encode is the identity on the text, so the
     // oracle needs only octet_length and the source bytes.
+    // The AUDIO leg of the foreign-encoder family: the same corpus
+    // envelope as q110 (identical PCM payload formulas, so q110's
+    // oracle applies verbatim) but every container byte is written by
+    // javax.sound.sampled — the JDK's independent RIFF/WAVE writer —
+    // and parsed by this engine's strict binary-field validator.
+    "q162_audiosystem_wav_decode" -> ((s, dir) =>
+      Media.decodeWav(
+        graft.ops.Interop.asAudioSystemWav(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "channels", "sample_rate", "n_samples", "pcm_md5")),
+
     "q158_gzip_decode" -> ((s, dir) =>
       graft.ops.GzipStream.decodeGzip(
         graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text"))
@@ -2133,6 +2158,11 @@ object Pipelines {
     * [[CentroidExportPath]] (Verify writes, then the oracle reads). */
   val PqExportPath = "/root/repo/target/oracle-aux/q160_pq_codebooks"
 
+  /** q163's codebook export. Identical content to [[PqExportPath]]
+    * (same deterministic training, same params) but its own path so
+    * each query run satisfies its own oracle without ordering. */
+  val PqRerankExportPath = "/root/repo/target/oracle-aux/q163_pq_codebooks"
+
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
@@ -2282,6 +2312,59 @@ object Pipelines {
                      FROM adc),
          qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
          fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
+
+    // PQ + re-rank: q160's integer chain widened to a 50-deep ADC
+    // shortlist, then the exact float cosine re-ranks shortlist rows
+    // (sim DESC, id — the row_number rule) down to 10.
+    "q163_pq_rerank" ->
+      s"""WITH $embCte,
+         cb AS (SELECT msub, j, cv FROM read_parquet('$PqRerankExportPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM eq, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.qv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id % 100 = 0),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d) AS score
+                FROM codes c JOIN lut l ON l.msub = c.msub AND l.j = c.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY 1, 2),
+         slist AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS rank
+                FROM adc) WHERE rank <= 50),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         rr AS (SELECT s.query_id, s.neighbor_id,
+                row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY ${sqlCosine("fqv", "en.v", 64)} DESC, s.neighbor_id) AS rank
+                FROM slist s
+                JOIN fq ON fq.query_id = s.query_id
+                JOIN e en ON en.vec_id = s.neighbor_id),
+         qtop AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10),
          fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
@@ -4611,6 +4694,10 @@ object Pipelines {
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(w*h AS BIGINT) AS n_pixel_bytes, dig.pixel_md5
          FROM dims d JOIN dig USING (doc_id)""",
+    // AudioSystem-encoded WAVE carries the same PCM payload formulas
+    // as the self-encoded corpus (foreign container, identical
+    // content) — the q110 oracle is the q162 oracle.
+    "q162_audiosystem_wav_decode" -> oracleSqlBase("q110_wav_decode"),
     // gzip decode ∘ encode is the identity: member count and payload
     // replay from octet_length and the source bytes alone (the
     // compressed framing needs no oracle — only what it decodes to).

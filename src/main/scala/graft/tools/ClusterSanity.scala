@@ -121,7 +121,17 @@ object ClusterSanity {
           // BPE training (k driver rounds of one shuffle each)
           "q149_jpeg_progressive_decode", "q150_avi_decode",
           "q151_avi_frame_neardup", "q152_jpeg_transcode_dc",
-          "q155_jpeg_color_transcode_dc", "q153_bpe_train")) {
+          "q155_jpeg_color_transcode_dc", "q153_bpe_train",
+          // round-12: foreign-encoder (ImageIO) streams through this
+          // repo's decoders, gzip member walks + the composed Gopher
+          // battery, PQ/ADC scoring with its broadcast codebooks, and
+          // the eight-container quarantine sniff-dispatch — all
+          // map-side codec/closure work that must serialize to
+          // executors, plus q160's broadcast-query exact side
+          "q156_imageio_png_decode", "q157_imageio_jpeg_decode",
+          "q158_gzip_decode", "q159_gzip_gopher",
+          "q160_pq_recall", "q161_quarantine_ingest",
+          "q162_audiosystem_wav_decode")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

@@ -119,4 +119,30 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probed == flat, "full probe budget must reduce to the flat scan")
   }
+
+  test("exact re-rank dominates raw ADC per query and is monotone in shortlist depth") {
+    val emb = clustered(160, 64, 16, seed = 31)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-pqrr").toString
+    def recallAt(shortlist: Int): Map[Long, Long] =
+      Similarity.pqRerankTopKRecallExport(emb, "vec_id", "embedding", queries,
+        m = 8, ksub = 16, trainIters = 2, shortlist = shortlist, k = 10,
+        exportPath = s"$base/cb$shortlist")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val raw = Similarity.pqTopKRecallExport(emb, "vec_id", "embedding", queries,
+      m = 8, ksub = 16, trainIters = 2, k = 10, exportPath = s"$base/cbraw")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r10 = recallAt(10); val r20 = recallAt(20); val r50 = recallAt(50)
+    raw.keys.foreach { q =>
+      // shortlist = k re-orders the SAME candidate set, so overlap is
+      // identical to raw ADC — the degenerate end of the dominance
+      assert(r10(q) == raw(q), s"query $q: depth-10 re-rank must equal raw ADC")
+      // deeper shortlists keep every true-top-k member they catch
+      assert(raw(q) <= r20(q) && r20(q) <= r50(q),
+        s"query $q: recall not monotone (${raw(q)}, ${r20(q)}, ${r50(q)})")
+    }
+    // on clusters of ten, a 50-deep shortlist recovers the cluster
+    val mean50 = r50.values.sum.toDouble / r50.size
+    assert(mean50 >= 8.0, s"mean overlap@10 after re-rank $mean50")
+  }
 }
