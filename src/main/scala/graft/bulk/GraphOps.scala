@@ -115,6 +115,10 @@ object GraphOps {
   }
 
   def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
+    // sub-cap: broadcast adjacency, partition-local BFS from the seeds
+    // (FusedGraph's two-regime split; cap=0 re-enables the frontier loop)
+    if (FusedGraph.edgesFit(edges))
+      return FusedGraph.descendantsFrom(edges, seed)
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
     // frontier pieces checkpointed; the visited set stays a lazy union
     // of them — checkpointing the accumulator re-writes all prior
@@ -652,6 +656,10 @@ object GraphOps {
     * order (childless chains are EMPTY via the childless check first).
     */
   def previewAll(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // sub-cap: one serving GraftDb.preview per node over the broadcast
+    // graph (FusedGraph's two-regime split; cap=0 re-enables this plan)
+    if (FusedGraph.graphFits(nodes, edges))
+      return FusedGraph.previewAll(nodes, edges)
     val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
     val emptyArr = array().cast("array<string>")
     val firstChild = e.groupBy("parent_id")

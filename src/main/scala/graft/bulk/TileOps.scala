@@ -285,6 +285,9 @@ object TileOps {
     * vocabularies remap before calling.
     */
   def subsectionMarkup(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+    // sub-cap: serving serializer over broadcast graph (see tileSkeletons)
+    if (FusedGraph.graphFits(nodes, edges))
+      return FusedGraph.subsectionMarkup(nodes, edges, roots)
     val items = sectionItems(nodes, edges, roots)
     val leaves = subsectionLeaves(nodes, edges,
       items.select(col("sub_root").as("id")).distinct())
@@ -442,6 +445,15 @@ object TileOps {
   }
 
   def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+    // Two-regime split (the Components.deltaRelabel discipline): below
+    // the cap the whole graph is a broadcast dimension and every tile
+    // renders through the serving View in one map-side pass — the
+    // ~30-job fixpoint chain below exists because the graph may NOT
+    // fit, and running it on a sub-cap graph times the scheduler, not
+    // the operator. FusedGraphSpec pins regime identity via the cap=0
+    // hook.
+    if (FusedGraph.graphFits(nodes, edges))
+      return FusedGraph.tileSkeletons(nodes, edges, roots)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -54,8 +54,15 @@ object GraphQueries {
   /** (nodes, edges) derived from documents — node schema matches
     * GraphOps/tablesFrom (`id, kind, layout, style_kind`), Long ids.
     */
-  def graphTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = Tables.load(s, dir, "documents")
+  def graphTables(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graphTablesFrom(Tables.load(s, dir, "documents"))
+
+  /** The derivation over an arbitrary (doc_id, text) frame — exposed
+    * so FusedGraphSpec can run regime-identity checks on a synthetic
+    * Long-keyed corpus without touching testdata.
+    */
+  def graphTablesFrom(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs
       .select(
         col("doc_id").as("nid"),
         (col("doc_id") % 10).as("m"),

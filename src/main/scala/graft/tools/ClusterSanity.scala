@@ -78,7 +78,11 @@ object ClusterSanity {
     val nodesC = nodes.persist(); val edgesC = edges.persist()
     nodesC.count(); edgesC.count()
     val roots = nodesC.filter(col("kind") === "LIST" && col("layout") === "PAGE").select("id")
-    time("tile_skeletons(all page roots)")(noop(
+    // pin the DISTRIBUTED fixpoints here: this battery exists to prove
+    // the above-cap plans survive real serialization — the sub-cap
+    // fused regime would route around them on this graph
+    spark.conf.set("spark.graft.fusedGraphCap", "0")
+    time("tile_skeletons(all page roots, distributed)")(noop(
       graft.bulk.TileOps.tileSkeletons(nodesC, edgesC, roots)))
 
     // 2. Representative fixpoints (frontier BFS down, bottom-up class)
@@ -87,6 +91,14 @@ object ClusterSanity {
       time(q)(noop(fn(spark, sfDir)))
       time(s"$q (steady)")(noop(fn(spark, sfDir)))
     }
+    spark.conf.unset("spark.graft.fusedGraphCap")
+    // 2b. The FUSED regime under the cluster: the broadcast compact
+    // graph + serving kernel must serialize to the worker JVMs (the
+    // GraftDb/View closure is executor-side here, not in-process)
+    time("tile_skeletons(all page roots, fused)")(noop(
+      graft.bulk.TileOps.tileSkeletons(nodesC, edgesC, roots)))
+    time("subsection_markup(fused)")(noop(
+      graft.SparkEntry.queries("q81_tile_markup")(spark, sfDir)))
     nodesC.unpersist(); edgesC.unpersist()
 
     // 3. Shuffle-heavy scale legs: real shuffle transport between

@@ -38,12 +38,17 @@ class BulkGraphSpec extends AnyFunSuite {
   test("bulk descendants equals serving-path descendants on every root") {
     val (db, root) = builtDb()
     val (_, edges) = GraphOps.tablesFrom(db, spark)
-    for (start <- Seq(root) ++ db.nodes.liveKeys.take(5)) {
-      val bulk = GraphOps.descendants(edges, start.toString)
-        .collect().map(_.getString(0)).toSet
-      val serving = db.descendants(start).map(_.toString)
-      assert(bulk === serving, s"descendants mismatch for $start")
-    }
+    // pin the DISTRIBUTED frontier BFS (the fused broadcast walk is
+    // covered by FusedGraphSpec's regime-identity cases)
+    spark.conf.set("spark.graft.fusedGraphCap", "0")
+    try {
+      for (start <- Seq(root) ++ db.nodes.liveKeys.take(5)) {
+        val bulk = GraphOps.descendants(edges, start.toString)
+          .collect().map(_.getString(0)).toSet
+        val serving = db.descendants(start).map(_.toString)
+        assert(bulk === serving, s"descendants mismatch for $start")
+      }
+    } finally spark.conf.unset("spark.graft.fusedGraphCap")
   }
 
   test("bulk isCyclic and hasSharedDescendants equal the serving path on every root") {

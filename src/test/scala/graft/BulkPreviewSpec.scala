@@ -38,7 +38,14 @@ class BulkPreviewSpec extends AnyFunSuite {
       ("BLOCK", bid.toString, bst.mkString(","), sst.mkString(","))
   }
 
-  private def checkParity(db: GraftDb, clue: String): Unit = {
+  /** Pin the DISTRIBUTED regime (see BulkTileSpec.distributedOnly —
+    * the fused path is the serving code; FusedGraphSpec covers it). */
+  private def distributedOnly[T](f: => T): T = {
+    spark.conf.set("spark.graft.fusedGraphCap", "0")
+    try f finally spark.conf.unset("spark.graft.fusedGraphCap")
+  }
+
+  private def checkParity(db: GraftDb, clue: String): Unit = distributedOnly {
     val (nodes, edges) = GraphOps.tablesFrom(db, spark)
     val bulk = GraphOps.previewAll(nodes, edges)
       .collect()

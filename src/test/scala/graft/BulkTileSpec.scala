@@ -38,7 +38,17 @@ class BulkTileSpec extends AnyFunSuite {
     }.toSet
   }
 
-  private def checkParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = {
+  /** Pin the DISTRIBUTED regime: these specs are the serving-vs-bulk
+    * parity gate, and the fused path (FusedGraph) IS the serving code,
+    * so letting sub-cap spec graphs route through it would test
+    * serving against itself. FusedGraphSpec covers regime identity.
+    */
+  private def distributedOnly[T](f: => T): T = {
+    spark.conf.set("spark.graft.fusedGraphCap", "0")
+    try f finally spark.conf.unset("spark.graft.fusedGraphCap")
+  }
+
+  private def checkParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = distributedOnly {
     import spark.implicits._
     val (nodes0, edges) = GraphOps.tablesFrom(db, spark)
     val nodes = GraphOps.siblingNodes(nodes0)
@@ -123,7 +133,7 @@ class BulkTileSpec extends AnyFunSuite {
     checkParity(db, Seq(page, parentOfPage), "parent-link")
   }
 
-  private def checkMarkupParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = {
+  private def checkMarkupParity(db: GraftDb, roots: Seq[graft.model.Gid], clue: String): Unit = distributedOnly {
     import spark.implicits._
     val (nodes, edges) = GraphOps.tablesFrom(db, spark)
     val rootsDf = roots.map(_.toString).toDF("id")

@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // LUTs) — the QUERY side broadcasts (tiny by construction), the
     // 8-byte-code corpus streams; plus the recall judge's exact side
     // (the q35 join again). Same smallness argument as q35/q101.
+    // q163 is q160's scan feeding an exact re-rank whose joins are
+    // broadcast-shortlist equi-joins — the BNLJ occurrences are the
+    // same ADC scan + recall judge, nothing new.
     val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
-      "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall")
+      "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall",
+      "q163_pq_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++
