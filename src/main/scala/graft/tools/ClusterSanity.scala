@@ -140,9 +140,15 @@ object ClusterSanity {
           // the eight-container quarantine sniff-dispatch — all
           // map-side codec/closure work that must serialize to
           // executors, plus q160's broadcast-query exact side
+          // q160/q163 are EXCLUDED here: their recall JUDGE is the
+          // deliberate corpus×queries brute-force exact side (the
+          // q22/q34 verifier class — measured once at 404 s @62x,
+          // completing without failure); the serving-path cost at
+          // scale is the 8-byte ADC codes scan those rows gate, and
+          // the sf0.1 leg in 3d covers the full judged form.
           "q156_imageio_png_decode", "q157_imageio_jpeg_decode",
           "q158_gzip_decode", "q159_gzip_gopher",
-          "q160_pq_recall", "q161_quarantine_ingest",
+          "q161_quarantine_ingest",
           "q162_audiosystem_wav_decode")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
@@ -171,6 +177,7 @@ object ClusterSanity {
     for (q <- Seq("q103_dedup_clusters_delta", "q106_exact_substr_strided",
         "q104_gate_replay", "q107_media_decode", "q110_wav_decode",
         "q108_media_dedup", "q109_ann_ivf_quantized",
+        "q160_pq_recall", "q163_pq_rerank",
         "q111_curation_delta", "q112_exact_substr_twostage",
         "q113_media_dedup_delta", "q114_curation_gate_replay")) {
       val fn = graft.SparkEntry.queries(q)
