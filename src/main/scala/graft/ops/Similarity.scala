@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1144,10 +1144,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
-    cb.zipWithIndex.flatMap { case (cents, ms) =>
-      cents.zipWithIndex.map { case (cv, j) => (ms, j, cv.toSeq) }
-    }.toSeq.toDF("msub", "j", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(exportPath)
+    pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
     val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k)
     recallVsExact(approx, emb, idCol, vecCol, queries, k)
   }
@@ -1181,10 +1178,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
-    cb.zipWithIndex.flatMap { case (cents, ms) =>
-      cents.zipWithIndex.map { case (cv, j) => (ms, j, cv.toSeq) }
-    }.toSeq.toDF("msub", "j", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(exportPath)
+    pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
     val short = pqAdcTopK(emb, idCol, vecCol, queries, cb, shortlist)
     recallVsExact(exactRerank(short, emb, queries, idCol, vecCol, k),
       emb, idCol, vecCol, queries, k)
@@ -1194,6 +1188,122 @@ object Similarity {
     * per-query lookup tables, rank by integer ADC score (DESC, id).
     * Returns (query_id, neighbor_id), k rows per query.
     */
+  /** Integer ADC lookup table of one query against the codebooks —
+    * LUT[ms*ksub + j] = dot(query subvector, codebook entry); the ADC
+    * score of a coded vector is then m array reads. Shared by the
+    * flat scan and the maintained-gate kernel.
+    */
+  private[graft] def pqLutOf(
+      cbv: Array[Array[Array[Long]]], ksubN: Int, qv: Array[Long]): Array[Long] = {
+    val sub = qv.length / cbv.length
+    val lut = new Array[Long](cbv.length * ksubN)
+    var ms = 0
+    while (ms < cbv.length) {
+      var j = 0
+      while (j < cbv(ms).length) {
+        var s = 0L; var t = 0
+        while (t < sub) { s += qv(ms * sub + t) * cbv(ms)(j)(t); t += 1 }
+        lut(ms * ksubN + j) = s
+        j += 1
+      }
+      ms += 1
+    }
+    lut
+  }
+
+  /** Codebooks as the (msub, j, cv) frame the DuckDB twins read. */
+  private[graft] def pqCbToFrame(
+      spark: SparkSession, cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.toSeq.flatMap { case (cents, ms) =>
+      cents.zipWithIndex.map { case (cv, j) => (ms, j, cv.toSeq) }
+    }.toDF("msub", "j", "cv")
+  }
+
+  /** Inverse of [[pqCbToFrame]] (manifest resume). */
+  private[graft] def pqCbFromFrame(df: DataFrame): Array[Array[Array[Long]]] = {
+    val rows = df.select("msub", "j", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.sortBy(_._2).map(_._3).toArray
+    }.toArray
+  }
+
+  /** Append 8-byte PQ codes to a postings frame: codes derive from
+    * the packed floats (bit-identical doubles → the q160 floor
+    * lattice), so re-deriving at compaction/reseed/resume is
+    * deterministic and the codebooks never retrain.
+    */
+  private[graft] def withPqCodes(
+      postings: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
+    val bcb = postings.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf((fv: Array[Byte]) => pqEncode(bcb.value, qvInt(unpackDoubles(fv))))
+    postings.withColumn("codes", enc(col("fv")))
+  }
+
+  /** [[ivfAnnotateBatch]] with the shortlist scored by integer PQ-ADC
+    * instead of the int8 dot: candidates are pruned by their 8-byte
+    * codes against each query's lookup table (the compressed-scan
+    * serving path — at 100 TB the codes table is ~16 B/vector hot,
+    * floats touched only for shortlist rows at the exact re-rank).
+    * Probe cells, fold semantics, multi-version dedupe, and every
+    * tie-break mirror the int8 kernel; with shortlist ≥ candidate
+    * count the two kernels are decision-identical (the re-rank sees
+    * the same set — VectorIndexGateSpec pins it).
+    */
+  private[graft] def ivfAnnotateBatchPq(
+      standing: DataFrame,
+      batch: DataFrame,
+      cc: CentroidClosure,
+      cb: Array[Array[Array[Long]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      includeBatchAsCandidates: Boolean = true): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = standing.sparkSession
+    val bcb = spark.sparkContext.broadcast(cb)
+    val ksubN = cb.map(_.length).max
+    val probeUdf = udf((v: Array[Byte], nrm: Double) => cc.probesOf(nprobe)(v, nrm))
+    val lutUdf = udf((fv: Array[Byte]) =>
+      pqLutOf(bcb.value, ksubN, qvInt(unpackDoubles(fv))))
+    val adcUdf = udf { (lut: Seq[Long], codes: Seq[Int]) =>
+      var s = 0L; var ms = 0
+      while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }
+      s
+    }
+    val probes = batch.select(
+        col("vec_id").as("qid"), lutUdf(col("fv")).as("lut"),
+        col("fv").as("qfv"), col("fnrm").as("qfnrm"),
+        explode(probeUdf(col("qv"), col("qn"))).as("cell"))
+    val standingLive =
+      if (includeBatchAsCandidates)
+        standing.join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+      else standing
+    val standingC = standingLive
+      .join(broadcast(probes.select("cell").distinct()), Seq("cell"), "left_semi")
+    val candidates =
+      if (includeBatchAsCandidates) standingC.unionByName(batch) else standingC
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = candidates.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("qfv"), col("qfnrm"), col("fv"), col("fnrm"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val wv = Window.partitionBy("query_id", "neighbor_id").orderBy(col("sim").desc)
+    short
+      .withColumn("sim", dotPacked(col("qfv"), col("fv")) / (col("qfnrm") * col("fnrm")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("vrank", row_number().over(wv))
+      .filter(col("vrank") === 1)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
   private[graft] def pqAdcTopK(
       emb: DataFrame,
       idCol: String,
@@ -1207,26 +1317,9 @@ object Similarity {
     val mSub = cb.length
     val ksubN = cb.map(_.length).max
     val encodeUdf = udf((v: Seq[Double]) => pqEncode(bcb.value, qvInt(v)))
-    val lutUdf = udf { (v: Seq[Double]) =>
-      // LUT[ms*ksub + j] = dot(query subvector, codebook entry) — all
-      // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)]
-      val qv = qvInt(v)
-      val cbv = bcb.value
-      val sub = qv.length / cbv.length
-      val lut = new Array[Long](cbv.length * ksubN)
-      var ms = 0
-      while (ms < cbv.length) {
-        var j = 0
-        while (j < cbv(ms).length) {
-          var s = 0L; var t = 0
-          while (t < sub) { s += qv(ms * sub + t) * cbv(ms)(j)(t); t += 1 }
-          lut(ms * ksubN + j) = s
-          j += 1
-        }
-        ms += 1
-      }
-      lut
-    }
+    // LUT[ms*ksub + j] = dot(query subvector, codebook entry) — all
+    // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)]
+    val lutUdf = udf((v: Seq[Double]) => pqLutOf(bcb.value, ksubN, qvInt(v)))
     val adcUdf = udf { (lut: Seq[Long], codes: Seq[Int]) =>
       var s = 0L; var ms = 0
       while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }

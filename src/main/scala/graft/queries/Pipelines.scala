@@ -1334,6 +1334,33 @@ object Pipelines {
       gate.decisions
     }),
 
+    // The PQ-serving gate (round 12): q127's maintained-IVF replay
+    // with the 8-byte ADC sidecar live — codebooks train ONCE on the
+    // initial batch (exported for the twin), every posting carries
+    // its PQ codes, and each fold's shortlist is scored by integer
+    // ADC lookup tables instead of the int8 dot (the compressed-scan
+    // serving path; floats touched only at the exact re-rank). The
+    // persist→resume mid-replay additionally rides the codebooks
+    // through the manifest's pqcb slot.
+    "q164_pq_vector_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2)
+      g1.pqFrame.get.coalesce(1).write.mode("overwrite").parquet(PqGateExportPath)
+      (1 to 2).foreach(i => g1.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2)
+      }
+      gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
     // Vector-index gate with the OCCUPANCY AUTO-RESEED live (round
     // 10): q127's replay with targetCellOccupancy=16, so the fold-2
     // compaction doubles the closure 16 → 32 centroids (seeded from
@@ -2163,6 +2190,10 @@ object Pipelines {
     * each query run satisfies its own oracle without ordering. */
   val PqRerankExportPath = "/root/repo/target/oracle-aux/q163_pq_codebooks"
 
+  /** q164's gate-trained codebook export (initial batch = vec_id%4=0,
+    * so the CONTENT differs from q160/q163's full-corpus training). */
+  val PqGateExportPath = "/root/repo/target/oracle-aux/q164_pq_codebooks"
+
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
@@ -2707,6 +2738,81 @@ object Pipelines {
          SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
                 CAST(rank AS BIGINT) AS rank, neighbor_id
          FROM rer2""",
+
+    // PQ-serving gate replay: q127's chain with the shortlist scored
+    // by integer ADC — cells/probes still come from the int8 closure
+    // (coarse geometry is unchanged by the sidecar), the codes/LUTs
+    // come from the EXPORTED gate-trained codebooks on the q160 floor
+    // lattice, and the fold-forward is the same single predicate
+    // batch(neighbor) ≤ batch(query).
+    "q164_pq_vector_gate" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 4 <> 0) WHERE rn <= 2),
+         cb AS (SELECT msub, j, cv FROM read_parquet('$PqGateExportPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS pqv
+                FROM embeddings),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(pqv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (pqv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM eq, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.pqv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id % 4 <> 0),
+         cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+                  FROM probes p
+                  JOIN cells cl ON cl.cell = p.cell
+                  WHERE cl.vec_id <> p.query_id
+                    AND cl.vec_id % 4 <= p.query_id % 4),
+         adc AS (SELECT c.query_id, c.neighbor_id, sum(l.d) AS score
+                 FROM cand c
+                 JOIN codes k2 ON k2.vec_id = c.neighbor_id
+                 JOIN lut l ON l.query_id = c.query_id
+                   AND l.msub = k2.msub AND l.j = k2.code
+                 GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)
+         SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer""",
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,

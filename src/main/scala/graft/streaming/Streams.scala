@@ -1858,7 +1858,13 @@ object Streams {
       compactEvery: Int = 8,
       targetCellOccupancy: Long = 0L,
       restoredDecisions: Option[DataFrame] = None,
-      initialBatchIdx: Long = 0L) extends IngestGate {
+      initialBatchIdx: Long = 0L,
+      // PQ sidecar: when set, postings carry 8-byte ADC codes and the
+      // fold/search shortlist is scored by integer ADC instead of the
+      // int8 dot (the compressed-scan serving path). Codebooks train
+      // ONCE (factory) and never move: codes re-derive from the packed
+      // floats deterministically at compaction/reseed/resume.
+      pqCb: Option[Array[Array[Array[Long]]]] = None) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(nprobe >= 1 && shortlist >= k && k >= 1,
       "need nprobe >= 1 and shortlist >= k >= 1")
@@ -1871,6 +1877,11 @@ object Streams {
       initialClosure
     /** Current centroid count — occupancy-reseed observability. */
     def centroidCount: Int = closure.numCentroids
+
+    /** The PQ codebooks as the (msub, j, cv) frame the DuckDB twin
+      * reads (None when the gate runs the int8 kernel). */
+    def pqFrame: Option[DataFrame] = pqCb.map(cb =>
+      graft.ops.Similarity.pqCbToFrame(postSegs.head.sparkSession, cb))
 
     @volatile private var postSegs: Vector[DataFrame] =
       Vector(initialPostings.transform(graft.ops.Ckpt.fresh))
@@ -1932,12 +1943,14 @@ object Streams {
         graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
       val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
         raw, "vec_id", "v", numCentroids)
+      val reposted = graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc)
       val fresh = new VectorIndexGate(
-        graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc),
+        pqCb.fold(reposted)(cb => graft.ops.Similarity.withPqCodes(reposted, cb)),
         cc, nprobe, shortlist, k, compactEvery,
         targetCellOccupancy = targetCellOccupancy,
         restoredDecisions = if (decisionSegs.nonEmpty) Some(decisions) else None,
-        initialBatchIdx = batchIdx)
+        initialBatchIdx = batchIdx,
+        pqCb = pqCb)
       release()
       fresh
     }
@@ -1947,12 +1960,16 @@ object Streams {
       * come from the INDEX only (queries never match each other), and
       * a query whose id exists in the index skips its own stored copy
       * but still gets its neighbors. */
-    def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
-      graft.ops.Similarity.ivfAnnotateBatch(
-        postingsNow,
-        graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure),
-        closure, nprobe, shortlist, k,
-        includeBatchAsCandidates = false)
+    def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val q = graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure)
+      pqCb.fold(
+        graft.ops.Similarity.ivfAnnotateBatch(
+          postingsNow, q, closure, nprobe, shortlist, k,
+          includeBatchAsCandidates = false))(cb =>
+        graft.ops.Similarity.ivfAnnotateBatchPq(
+          postingsNow, q, closure, cb, nprobe, shortlist, k,
+          includeBatchAsCandidates = false))
+    }
 
     /** Synchronously fold one micro-batch of postings-projected rows —
       * callers project raw vectors via [[Streams.newVectorIndexGate]]'s
@@ -1960,14 +1977,18 @@ object Streams {
       * [[foldRaw]]. */
     def ingest(batch: DataFrame): Unit = fold(batch)
     /** Fold a raw (idCol, vecCol) frame. */
-    def foldRaw(batch: DataFrame, idCol: String, vecCol: String): Unit =
-      fold(graft.ops.Similarity.quantizedPostings(batch, idCol, vecCol, closure))
+    def foldRaw(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+      val p = graft.ops.Similarity.quantizedPostings(batch, idCol, vecCol, closure)
+      fold(pqCb.fold(p)(cb => graft.ops.Similarity.withPqCodes(p, cb)))
+    }
 
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
       val spark = postSegs.head.sparkSession
       val txn = store.begin()
       txn.stage("postings", dedupedPostings)
       txn.stage("centroids", closure.toFrame(spark))
+      pqCb.foreach(cb => txn.stage("pqcb",
+        graft.ops.Similarity.pqCbToFrame(spark, cb)))
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
       txn.stage("meta", spark.range(1).select(
         lit(batchIdx).as("batch_idx"), lit(nprobe).as("nprobe"),
@@ -1985,8 +2006,11 @@ object Streams {
     private[graft] def fold(batchPostings: DataFrame): Unit = synchronized {
       batchIdx += 1
       val bp = batchPostings.transform(graft.ops.Ckpt.fresh)
-      val decisionSeg = graft.ops.Similarity
-        .ivfAnnotateBatch(postingsNow, bp, closure, nprobe, shortlist, k)
+      val decisionSeg = pqCb.fold(
+          graft.ops.Similarity.ivfAnnotateBatch(
+            postingsNow, bp, closure, nprobe, shortlist, k))(cb =>
+          graft.ops.Similarity.ivfAnnotateBatchPq(
+            postingsNow, bp, closure, cb, nprobe, shortlist, k))
         .select(col("query_id"), lit(batchIdx).as("batch"),
           col("rank"), col("neighbor_id"))
         .transform(graft.ops.Ckpt.fresh)
@@ -2021,8 +2045,10 @@ object Streams {
               graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
             val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
               raw, "vec_id", "v", nc)
-            val requantized = graft.ops.Similarity
+            val reposted = graft.ops.Similarity
               .quantizedPostings(raw, "vec_id", "v", cc)
+            val requantized = pqCb.fold(reposted)(cb =>
+                graft.ops.Similarity.withPqCodes(reposted, cb))
               .transform(graft.ops.Ckpt.fresh)
             releaseCheckpoint(deduped)
             deduped = requantized
@@ -2050,13 +2076,26 @@ object Streams {
       shortlist: Int = 40,
       k: Int = 10,
       compactEvery: Int = 8,
-      targetCellOccupancy: Long = 0L): VectorIndexGate = {
+      targetCellOccupancy: Long = 0L,
+      // pqM > 0 turns on the PQ sidecar: codebooks train ONCE on the
+      // initial corpus's deterministic sample (the q160 trainer) and
+      // the shortlist is scored by integer ADC over 8-byte codes.
+      pqM: Int = 0,
+      pqKsub: Int = 256,
+      pqIters: Int = 2): VectorIndexGate = {
     val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
       initialCorpus, idCol, vecCol, numCentroids)
+    val cb =
+      if (pqM <= 0) None
+      else Some(graft.ops.Similarity.pqTrainCodebooksInt(
+        initialCorpus, idCol, vecCol, pqM, pqKsub, pqIters))
+    val postings = graft.ops.Similarity.quantizedPostings(
+      initialCorpus, idCol, vecCol, cc)
     new VectorIndexGate(
-      graft.ops.Similarity.quantizedPostings(initialCorpus, idCol, vecCol, cc),
+      cb.fold(postings)(c => graft.ops.Similarity.withPqCodes(postings, c)),
       cc, nprobe, shortlist, k, compactEvery,
-      targetCellOccupancy = targetCellOccupancy)
+      targetCellOccupancy = targetCellOccupancy,
+      pqCb = cb)
   }
 
   /** Resume a [[VectorIndexGate]] from `store`'s latest committed
@@ -2089,7 +2128,8 @@ object Streams {
       nprobe, shortlist, k, compactEvery,
       targetCellOccupancy = targetCellOccupancy,
       restoredDecisions = store.read("decisions"),
-      initialBatchIdx = meta.getAs[Long]("batch_idx"))
+      initialBatchIdx = meta.getAs[Long]("batch_idx"),
+      pqCb = store.read("pqcb").map(graft.ops.Similarity.pqCbFromFrame))
   }
 
   /** Wire any [[IngestGate]] — live-constructed or resumed from a

@@ -226,4 +226,51 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_._2).sorted === Seq(1L, 2L, 3L), s"ranks not dense: ${res.toSeq}")
     gate.release()
   }
+
+  test("pq sidecar at full shortlist ≡ the int8 kernel (re-rank sees the same set)") {
+    // shortlist ≥ every candidate pool ⇒ the shortlist SCORER (ADC vs
+    // int8 dot) cannot change which rows reach the exact re-rank, so
+    // decisions must match row-for-row — the regime-identity argument
+    // for swapping scorers under a wide-enough shortlist.
+    def run(pqM: Int): Set[(Long, Long, Long, Long)] = {
+      val g = Streams.newVectorIndexGate(
+        initial, "vec_id", "embedding",
+        numCentroids = 2, nprobe = 2, shortlist = 16, k = 3,
+        compactEvery = 2, pqM = pqM, pqKsub = 4, pqIters = 2)
+      g.foldRaw(b1, "vec_id", "embedding")
+      g.foldRaw(b2, "vec_id", "embedding")
+      g.foldRaw(b3, "vec_id", "embedding")
+      val out = rows(g.decisions)
+      g.release()
+      out
+    }
+    assert(run(pqM = 2) === run(pqM = 0))
+  }
+
+  test("pq gate restart at a fold boundary ≡ uninterrupted; codebooks ride the manifest") {
+    def pqGate() = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2,
+      compactEvery = 2, pqM = 2, pqKsub = 4, pqIters = 2)
+    val uninterrupted = pqGate()
+    Seq(b1, b2, b3).foreach(b => uninterrupted.foldRaw(b, "vec_id", "embedding"))
+    val expect = rows(uninterrupted.decisions)
+    uninterrupted.release()
+
+    val g1 = pqGate()
+    Seq(b1, b2).foreach(b => g1.foldRaw(b, "vec_id", "embedding"))
+    val store = tmpStore()
+    g1.persist(store)
+    g1.release()
+    val resumed = Streams.resumeVectorIndexGate(store,
+      nprobe = 1, shortlist = 4, k = 2, compactEvery = 2)
+    assert(resumed.pqFrame.isDefined, "resumed gate lost the pq codebooks")
+    resumed.foldRaw(b3, "vec_id", "embedding")
+    assert(rows(resumed.decisions) === expect)
+    // the search path also runs the ADC kernel on the resumed state
+    val res = resumed.search(vecs(98L -> Seq(0.94, 0.12, 0.0, 0.0)),
+      "vec_id", "embedding")
+    assert(res.count() > 0)
+    resumed.release()
+  }
 }
