@@ -64,8 +64,26 @@ object FusedGraph {
     case _ => false
   }
 
-  def graphFits(nodes: DataFrame, edges: DataFrame): Boolean = {
-    val cap = fusedCap(nodes.sparkSession)
+  def graphFits(nodes: DataFrame, edges: DataFrame): Boolean =
+    graphFitsUnder(nodes, edges, fusedCap(nodes.sparkSession))
+
+  /** previewAll's cap is LOWER (`spark.graft.fusedPreviewCap`,
+    * default 100k rows): its driving frame is EVERY node, and the
+    * serving kernel re-walks chain subtrees per preview call where
+    * the distributed plan shares one non-blank closure — measured at
+    * the 62× graph (310k nodes): fused tile still wins 3.4×
+    * (30.6 vs 102.7 s) but fused preview LOSES 3.4× (93.9 vs 27.5 s,
+    * TileScaleLeg). Below 100k the fused win is decisive (0.58 vs
+    * 6.5 s at 5k nodes).
+    */
+  def previewFits(nodes: DataFrame, edges: DataFrame): Boolean = {
+    val cap = nodes.sparkSession.conf
+      .getOption("spark.graft.fusedPreviewCap").map(_.toLong)
+      .getOrElse(100000L)
+    graphFitsUnder(nodes, edges, math.min(cap, fusedCap(nodes.sparkSession)))
+  }
+
+  private def graphFitsUnder(nodes: DataFrame, edges: DataFrame, cap: Long): Boolean = {
     cap > 0 && idCastable(nodes.schema("id").dataType) &&
       nodes.count() + edges.count() <= cap
   }

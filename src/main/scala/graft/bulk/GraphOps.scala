@@ -657,8 +657,10 @@ object GraphOps {
     */
   def previewAll(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // sub-cap: one serving GraftDb.preview per node over the broadcast
-    // graph (FusedGraph's two-regime split; cap=0 re-enables this plan)
-    if (FusedGraph.graphFits(nodes, edges))
+    // graph (FusedGraph's two-regime split; cap=0 re-enables this
+    // plan). Preview fuses under a LOWER cap than the tile family —
+    // see FusedGraph.previewFits for the measured crossover.
+    if (FusedGraph.previewFits(nodes, edges))
       return FusedGraph.previewAll(nodes, edges)
     val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
     val emptyArr = array().cast("array<string>")

@@ -51,11 +51,17 @@ object TileScaleLeg {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // production regime at this size (sub-cap): broadcast + serving kernel
+    // production regime for tiles at this size (sub-cap): broadcast +
+    // serving kernel
     time("tile_skeletons @62x (fused)")(noop(
       graft.bulk.TileOps.tileSkeletons(nodesC, edgesC, roots)))
-    time("preview_all @62x (fused)")(noop(
+    // preview's PRODUCTION regime at 310k nodes is distributed (its
+    // fused cap is 100k — the measured crossover this tool found);
+    // force-fuse it here to keep the crossover measurement repeatable
+    spark.conf.set("spark.graft.fusedPreviewCap", "100000000")
+    time("preview_all @62x (fused, forced)")(noop(
       graft.bulk.GraphOps.previewAll(nodesC, edgesC)))
+    spark.conf.unset("spark.graft.fusedPreviewCap")
     // above-cap plan forced: the distributed fixpoints (wall is
     // rounds × per-job cost + frontier shuffles — depth-bound)
     spark.conf.set("spark.graft.fusedGraphCap", "0")
