@@ -211,8 +211,22 @@ object Interop {
     * chunk sizes) comes from `javax.sound.sampled`'s writer, which
     * this repo never implemented.
     */
+  /** The JDK resolves a writer through the sound service registry on
+    * EVERY `AudioSystem.write` call; under 32 concurrent encode tasks
+    * that lookup contends (the q162 62× cluster leg ran ~28× its 1×
+    * wall where the comparable decode rows ran ~7×). Resolve the
+    * WAVE writer once per JVM through the public SPI instead.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("audiosystem: no WAVE writer on this JVM"))
+  }
+
   private[graft] def audioSystemWavBytes(src0: Array[Byte]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val src = if (src0.isEmpty) Array(' '.toByte) else src0
     val l = src.length
     val channels = 1 + l % 2
@@ -229,7 +243,7 @@ object Interop {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val out = new java.io.ByteArrayOutputStream(44 + dataBytes)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

@@ -195,7 +195,7 @@ object ClusterSanity {
     for (q <- Seq("q115_curation_gate_neardup", "q116_winnowed_delta",
         "q117_decontaminate_semantic", "q118_bpe_shard_pack",
         "q119_winnow_gate_replay", "q124_media_gate_replay",
-        "q127_vector_index_gate")) {
+        "q127_vector_index_gate", "q164_pq_vector_gate")) {
       val fn = graft.SparkEntry.queries(q)
       time(q)(noop(fn(spark, sfDir)))
     }
