@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the oracle side-channel root to THIS run's outDir before any
+    // query object initializes (the oracleSql vals interpolate it) —
+    // a concurrent sbt test in the same repo then writes to its own
+    // temp root and can never clobber the exports our oracle reads.
+    sys.props.getOrElseUpdate("graft.oracleAuxDir",
+      new java.io.File(outDir, "oracle-aux").getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +36,10 @@ object Verify {
       }
       finally spark.sharedState.cacheManager.clearCache()
     }
+    // Materialize the deferred oracle-twin exports (trained centroids /
+    // PQ codebooks) the queries above registered — must precede the
+    // oracle_sql.json dump whose SQL reads them.
+    OracleAux.flush()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -64,9 +64,6 @@ object FusedGraph {
     case _ => false
   }
 
-  def graphFits(nodes: DataFrame, edges: DataFrame): Boolean =
-    graphFitsUnder(nodes, edges, fusedCap(nodes.sparkSession))
-
   /** previewAll's cap is LOWER (`spark.graft.fusedPreviewCap`,
     * default 100k rows): its driving frame is EVERY node, and the
     * serving kernel re-walks chain subtrees per preview call where
@@ -76,28 +73,18 @@ object FusedGraph {
     * TileScaleLeg). Below 100k the fused win is decisive (0.58 vs
     * 6.5 s at 5k nodes).
     */
-  def previewFits(nodes: DataFrame, edges: DataFrame): Boolean = {
-    val cap = nodes.sparkSession.conf
+  def previewCap(spark: SparkSession): Long = {
+    val cap = spark.conf
       .getOption("spark.graft.fusedPreviewCap").map(_.toLong)
       .getOrElse(100000L)
-    graphFitsUnder(nodes, edges, math.min(cap, fusedCap(nodes.sparkSession)))
-  }
-
-  private def graphFitsUnder(nodes: DataFrame, edges: DataFrame, cap: Long): Boolean = {
-    cap > 0 && idCastable(nodes.schema("id").dataType) &&
-      nodes.count() + edges.count() <= cap
-  }
-
-  def edgesFit(edges: DataFrame): Boolean = {
-    val cap = fusedCap(edges.sparkSession)
-    cap > 0 && idCastable(edges.schema("parent_id").dataType) &&
-      edges.count() <= cap
+    math.min(cap, fusedCap(spark))
   }
 
   /** The collected graph in broadcast-friendly primitive arrays; node
     * references are dense int indexes into the id table.
     */
   final case class CompactGraph(
+      numericIds: Boolean,
       ids: Array[String],
       kinds: Array[String],
       layouts: Array[String],
@@ -109,20 +96,37 @@ object FusedGraph {
       edgeC: Array[Int],
       edgeIdx: Array[Int])
 
-  /** Collect a sub-cap graph to the driver (cap-guarded by callers).
+  /** Collect a graph to the driver IF it fits under `cap` — the fit
+    * check IS the collect: each side is collected through
+    * `limit(cap+1)` (so work and driver memory are bounded by the cap
+    * even on an over-cap graph), and exceeding the cap returns None
+    * with nothing recomputed. One truncated pass per side replaces
+    * the round-12 shape (two full count jobs, then a second full
+    * derivation pass inside the old collectGraph) — for derived
+    * frames the derivation now runs exactly once on the fused path
+    * and at most a cap-bounded prefix on the distributed path.
+    *
     * Nodes may or may not carry the `aside` column ([[GraphOps
     * .siblingNodes]] adds it; previewAll's inputs don't need it).
-    * Fails loudly on edges referencing unknown node ids.
+    * Edges referencing node ids absent from `nodes` are SKIPPED —
+    * the distributed plans drop such rows via their joins, and the
+    * regimes must agree on partial/derived corpora (round-13 advice;
+    * FusedGraphSpec pins the identity on a dangling-edge graph).
     */
-  def collectGraph(nodes: DataFrame, edges: DataFrame): CompactGraph = {
+  private def tryCollectGraph(
+      nodes: DataFrame, edges: DataFrame, cap: Long): Option[CompactGraph] = {
+    if (cap <= 0 || !idCastable(nodes.schema("id").dataType)) return None
+    val lim = math.min(cap, Int.MaxValue - 2L).toInt
     val hasAside = nodes.columns.contains("aside")
     val emptyArr = array().cast("array<string>")
     val nrows = nodes.select(
       col("id").cast("string"),
       col("kind"), col("layout"), col("style_kind"),
       (if (hasAside) coalesce(col("aside"), lit(false)) else lit(false)).as("aside"),
-      col("text"), coalesce(col("styles"), emptyArr).as("styles")).collect()
+      col("text"), coalesce(col("styles"), emptyArr).as("styles"))
+      .limit(lim + 1).collect()
     val n = nrows.length
+    if (n > lim) return None
     val ids = new Array[String](n)
     val kinds = new Array[String](n)
     val layouts = new Array[String](n)
@@ -145,22 +149,29 @@ object FusedGraph {
       i += 1
     }
     val erows = edges.select(col("parent_id").cast("string"),
-      col("child_id").cast("string"), col("child_index").cast("int")).collect()
+      col("child_id").cast("string"), col("child_index").cast("int"))
+      .limit(lim - n + 1).collect()
     val m = erows.length
-    val ep = new Array[Int](m)
-    val ec = new Array[Int](m)
-    val ei = new Array[Int](m)
+    if (n + m > lim) return None
+    val ep = new mutable.ArrayBuilder.ofInt
+    val ec = new mutable.ArrayBuilder.ofInt
+    val ei = new mutable.ArrayBuilder.ofInt
     var j = 0
     while (j < m) {
       val r = erows(j)
-      ep(j) = idx.getOrElse(r.getString(0),
-        sys.error(s"fused graph: edge parent ${r.getString(0)} not in nodes"))
-      ec(j) = idx.getOrElse(r.getString(1),
-        sys.error(s"fused graph: edge child ${r.getString(1)} not in nodes"))
-      ei(j) = r.getInt(2)
+      // dangling edge (join semantics): skip, don't fail — see scaladoc
+      (idx.get(r.getString(0)), idx.get(r.getString(1))) match {
+        case (Some(p), Some(c)) => ep += p; ec += c; ei += r.getInt(2)
+        case _ => ()
+      }
       j += 1
     }
-    CompactGraph(ids, kinds, layouts, styleKinds, asides, texts, styleSets, ep, ec, ei)
+    val numeric = nodes.schema("id").dataType match {
+      case org.apache.spark.sql.types.StringType => false
+      case _ => true
+    }
+    Some(CompactGraph(numeric, ids, kinds, layouts, styleKinds, asides, texts,
+      styleSets, ep.result(), ec.result(), ei.result()))
   }
 
   /** Materialize the compact graph as a serving-path [[GraftDb]]:
@@ -187,9 +198,19 @@ object FusedGraph {
       kids(g.edgeP(j)) += ((g.edgeIdx(j), g.ids(g.edgeC(j)), g.edgeC(j)))
       j += 1
     }
-    val childVecs = Array.tabulate(n) { p =>
-      kids(p).sortBy(t => (t._1, t._2)).map(_._3).toVector
-    }
+    // Ties on duplicate child_index break in NATIVE id order — the
+    // distributed sibling walk's key is (child_index, child_id) in the
+    // id column's own type (GraphOps.siblingAdjacency), so a Long-id
+    // graph must tie 9 < 10, not "10" < "9" (round-13 advice).
+    val childVecs: Array[Vector[Int]] =
+      if (g.numericIds)
+        Array.tabulate(n) { p =>
+          kids(p).sortBy(t => (t._1, t._2.toLong)).map(_._3).toVector
+        }
+      else
+        Array.tabulate(n) { p =>
+          kids(p).sortBy(t => (t._1, t._2)).map(_._3).toVector
+        }
     val db = new GraftDb
     val parentSets = Array.fill(n)(mutable.HashSet.empty[Parent])
     i = 0
@@ -264,13 +285,15 @@ object FusedGraph {
       subsection_id: String, before_ids: Seq[String], after_ids: Seq[String])
 
   /** Fused [[TileOps.tileSkeletons]]: graph broadcast, one serving
-    * `View.tile` per root, roots distributed.
+    * `View.tile` per root, roots distributed. None above the cap (the
+    * caller falls through to the distributed fixpoints).
     */
-  def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+  def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): Option[DataFrame] =
+      tryCollectGraph(nodes, edges, fusedCap(nodes.sparkSession)).map { cg =>
     val spark = nodes.sparkSession
     import spark.implicits._
     val idType = nodes.schema("id").dataType
-    val bc = spark.sparkContext.broadcast(collectGraph(nodes, edges))
+    val bc = spark.sparkContext.broadcast(cg)
     val out = roots.select(col("id").cast("string")).as[String]
       .mapPartitions { rootIt =>
         val rootsLocal = rootIt.toArray
@@ -280,9 +303,10 @@ object FusedGraph {
           val (db, gids, back) = buildDb(g)
           val view = new View(db)
           val byId = g.ids.zipWithIndex.toMap
-          rootsLocal.iterator.flatMap { rootStr =>
-            val ri = byId.getOrElse(rootStr,
-              sys.error(s"fused tile: root $rootStr not in nodes"))
+          // a root absent from the corpus yields no rows — the
+          // distributed assembly drops it at its joins (round-13
+          // advice: regimes agree on failure semantics)
+          rootsLocal.iterator.flatMap(r => byId.get(r).map(r -> _)).flatMap { case (rootStr, ri) =>
             // subsection-less sections (childless styled section
             // roots) take no rank: the distributed assembly inner-
             // joins sections with their leaves before dense_rank
@@ -305,13 +329,14 @@ object FusedGraph {
 
   /** Fused [[TileOps.subsectionMarkup]]: per root, serving tile →
     * text-only blocks through the serving serializer, DISTINCT
-    * triples (the distributed contract).
+    * triples (the distributed contract). None above the cap.
     */
-  def subsectionMarkup(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+  def subsectionMarkup(nodes: DataFrame, edges: DataFrame, roots: DataFrame): Option[DataFrame] =
+      tryCollectGraph(nodes, edges, fusedCap(nodes.sparkSession)).map { cg =>
     val spark = nodes.sparkSession
     import spark.implicits._
     val idType = nodes.schema("id").dataType
-    val bc = spark.sparkContext.broadcast(collectGraph(nodes, edges))
+    val bc = spark.sparkContext.broadcast(cg)
     val out = roots.select(col("id").cast("string")).as[String]
       .mapPartitions { rootIt =>
         val rootsLocal = rootIt.toArray
@@ -321,9 +346,8 @@ object FusedGraph {
           val (db, gids, back) = buildDb(g)
           val view = new View(db)
           val byId = g.ids.zipWithIndex.toMap
-          rootsLocal.iterator.flatMap { rootStr =>
-            val ri = byId.getOrElse(rootStr,
-              sys.error(s"fused markup: root $rootStr not in nodes"))
+          // unknown roots drop, matching the distributed joins
+          rootsLocal.iterator.flatMap(r => byId.get(r).map(r -> _)).flatMap { case (rootStr, ri) =>
             view.tile(gids(ri)).sections.flatMap(_.subsections).flatMap { sub =>
               sub.block match {
                 case b @ VBlock.Text(_, spans)
@@ -343,11 +367,12 @@ object FusedGraph {
     * node. Output tuples mirror the distributed columns (null
     * block fields on EMPTY/CYCLIC, comma-joined sorted styles).
     */
-  def previewAll(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def previewAll(nodes: DataFrame, edges: DataFrame): Option[DataFrame] =
+      tryCollectGraph(nodes, edges, previewCap(nodes.sparkSession)).map { cg =>
     val spark = nodes.sparkSession
     import spark.implicits._
     val idType = nodes.schema("id").dataType
-    val bc = spark.sparkContext.broadcast(collectGraph(nodes, edges))
+    val bc = spark.sparkContext.broadcast(cg)
     val out = nodes.select(col("id").cast("string")).as[String]
       .mapPartitions { idIt =>
         val local = idIt.toArray
@@ -383,14 +408,20 @@ object FusedGraph {
   }
 
   /** Fused [[GraphOps.descendantsFrom]]: edge adjacency broadcast,
-    * per-partition BFS from the local seeds, global distinct.
+    * per-partition BFS from the local seeds, global distinct. None
+    * above the cap — the fit check is the (bounded) collect itself,
+    * as in [[tryCollectGraph]].
     */
-  def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
+  def descendantsFrom(edges: DataFrame, seed: DataFrame): Option[DataFrame] = {
+    val cap = fusedCap(edges.sparkSession)
+    if (cap <= 0 || !idCastable(edges.schema("parent_id").dataType)) return None
+    val lim = math.min(cap, Int.MaxValue - 2L).toInt
+    val erows = edges.select(col("parent_id").cast("string"),
+      col("child_id").cast("string")).limit(lim + 1).collect()
+    if (erows.length > lim) return None
     val spark = edges.sparkSession
     import spark.implicits._
     val idType = seed.schema("id").dataType
-    val erows = edges.select(col("parent_id").cast("string"),
-      col("child_id").cast("string")).collect()
     val adj = new mutable.HashMap[String, mutable.ArrayBuffer[String]]()
     erows.foreach { r =>
       adj.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) += r.getString(1)
@@ -408,6 +439,6 @@ object FusedGraph {
         }
         visited.iterator
       }.toDF("id").distinct()
-    castIds(out, idType, Seq("id"))
+    Some(castIds(out, idType, Seq("id")))
   }
 }

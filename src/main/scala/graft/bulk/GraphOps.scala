@@ -114,16 +114,42 @@ object GraphOps {
     c
   }
 
+  /** Drop edges whose endpoints are not BOTH present in `nodes` —
+    * the graph/tile family's input normalization. The serving model
+    * cannot represent a parent assertion from a node that does not
+    * exist (parents derive from existing nodes' child vectors), so a
+    * dangling edge in a partial/derived corpus is noise, not data:
+    * both regimes drop it identically (round-13 advice — previously
+    * the fused kernel errored and the distributed plans dropped the
+    * child side at their joins but COUNTED dangling parents in the
+    * shared-section aggregate). Two semi-joins against the node-id
+    * set — a small fraction of the fixpoints that follow, and they
+    * prune the edge table every later join re-reads.
+    */
+  private[bulk] def liveEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = nodes.select(col("id"))
+    edges
+      .join(ids.withColumnRenamed("id", "parent_id"), Seq("parent_id"), "left_semi")
+      .join(ids.withColumnRenamed("id", "child_id"), Seq("child_id"), "left_semi")
+  }
+
   def descendantsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     // sub-cap: broadcast adjacency, partition-local BFS from the seeds
-    // (FusedGraph's two-regime split; cap=0 re-enables the frontier loop)
-    if (FusedGraph.edgesFit(edges))
-      return FusedGraph.descendantsFrom(edges, seed)
+    // (FusedGraph's two-regime split; cap=0 re-enables the frontier
+    // loop). The fit check IS the fused collect — one bounded pass,
+    // no separate count job (round-13 advice).
+    FusedGraph.descendantsFrom(edges, seed) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val e = edges.select(col("parent_id"), col("child_id")).distinct().cache()
     // frontier pieces checkpointed; the visited set stays a lazy union
     // of them — checkpointing the accumulator re-writes all prior
-    // rounds' blocks each round for one extra job of no benefit
-    val seedCp = seed.select(col("id")).localCheckpoint()
+    // rounds' blocks each round for one extra job of no benefit.
+    // distinct(): the output is a SET of reached ids in both regimes —
+    // duplicate seed rows must not yield duplicate output rows here
+    // while the fused per-partition BFS dedupes (round-13 advice).
+    val seedCp = seed.select(col("id")).distinct().localCheckpoint()
     var visitedParts = Vector(seedCp)
     var frontier = seedCp
     var growing = true
@@ -659,13 +685,20 @@ object GraphOps {
     // sub-cap: one serving GraftDb.preview per node over the broadcast
     // graph (FusedGraph's two-regime split; cap=0 re-enables this
     // plan). Preview fuses under a LOWER cap than the tile family —
-    // see FusedGraph.previewFits for the measured crossover.
-    if (FusedGraph.previewFits(nodes, edges))
-      return FusedGraph.previewAll(nodes, edges)
-    val e = edges.select(col("parent_id"), col("child_id"), col("child_index"))
+    // see FusedGraph.previewCap for the measured crossover.
+    FusedGraph.previewAll(nodes, edges) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    val e = liveEdges(nodes, edges)
+      .select(col("parent_id"), col("child_id"), col("child_index"))
     val emptyArr = array().cast("array<string>")
+    // ties on duplicate child_index break by native child_id order —
+    // min_by over the (index, id) struct, matching the fused kernel's
+    // child sort (round-13 advice; plain min_by ties are unspecified)
     val firstChild = e.groupBy("parent_id")
-      .agg(min_by(col("child_id"), col("child_index")).as("nxt"))
+      .agg(min_by(col("child_id"),
+        struct(col("child_index"), col("child_id"))).as("nxt"))
       .withColumnRenamed("parent_id", "id")
     val cl = nodes
       .join(firstChild, Seq("id"), "left")

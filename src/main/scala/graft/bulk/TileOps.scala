@@ -284,10 +284,13 @@ object TileOps {
     * HEADING/LIST/QUOTE/ASIDE); callers with synthetic style
     * vocabularies remap before calling.
     */
-  def subsectionMarkup(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+  def subsectionMarkup(nodes: DataFrame, edges0: DataFrame, roots: DataFrame): DataFrame = {
     // sub-cap: serving serializer over broadcast graph (see tileSkeletons)
-    if (FusedGraph.graphFits(nodes, edges))
-      return FusedGraph.subsectionMarkup(nodes, edges, roots)
+    FusedGraph.subsectionMarkup(nodes, edges0, roots) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    val edges = GraphOps.liveEdges(nodes, edges0).localCheckpoint()
     val items = sectionItems(nodes, edges, roots)
     val leaves = subsectionLeaves(nodes, edges,
       items.select(col("sub_root").as("id")).distinct())
@@ -444,7 +447,7 @@ object TileOps {
     }
   }
 
-  def tileSkeletons(nodes: DataFrame, edges: DataFrame, roots: DataFrame): DataFrame = {
+  def tileSkeletons(nodes: DataFrame, edges0: DataFrame, roots: DataFrame): DataFrame = {
     // Two-regime split (the Components.deltaRelabel discipline): below
     // the cap the whole graph is a broadcast dimension and every tile
     // renders through the serving View in one map-side pass — the
@@ -452,8 +455,14 @@ object TileOps {
     // fit, and running it on a sub-cap graph times the scheduler, not
     // the operator. FusedGraphSpec pins regime identity via the cap=0
     // hook.
-    if (FusedGraph.graphFits(nodes, edges))
-      return FusedGraph.tileSkeletons(nodes, edges, roots)
+    FusedGraph.tileSkeletons(nodes, edges0, roots) match {
+      case Some(df) => return df
+      case None => ()
+    }
+    // dangling-edge normalization (shared contract with the fused
+    // kernel — see GraphOps.liveEdges); checkpointed once, every
+    // fixpoint below re-reads the pruned table
+    val edges = GraphOps.liveEdges(nodes, edges0).localCheckpoint()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -554,7 +563,12 @@ object TileOps {
 
     val emptyArr = array().cast("array<string>")
     val wSec = Window.partitionBy("root").orderBy("path")
-    val wSub = Window.partitionBy("root", "path").orderBy("p2")
+    // leaf id as the final key: row_number over p2 alone is
+    // NONDETERMINISTIC when duplicate child_index makes two
+    // subsections share a p2 path — with the id appended, direct ties
+    // order by native id, matching the fused kernel's (index, id)
+    // child sort (round-13 advice).
+    val wSub = Window.partitionBy("root", "path").orderBy(col("p2"), col("leaf"))
     sections
       .join(leaves.withColumnRenamed("sr", "sub_root"), Seq("sub_root"))
       .join(beforeB, Seq("root", "leaf"), "left")

@@ -772,8 +772,13 @@ object Similarity {
       (cid, (0 until pv.length / 8).map(j => bb.getDouble(j * 8)))
     }
     import spark.implicits._
-    rows.toDF("cid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(exportPath)
+    // Deferred: registering instead of writing keeps query CONSTRUCTION
+    // side-effect-free (plan audits build this plan without touching the
+    // filesystem); graft.Verify flushes before the oracle reads.
+    graft.OracleAux.register(exportPath) {
+      rows.toDF("cid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(exportPath)
+    }
     ivfTopKWith(emb, idCol, vecCol, queries, cents, nprobe, k)
   }
 
@@ -1144,7 +1149,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
-    pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
+    graft.OracleAux.register(exportPath) {
+      pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
+    }
     val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k)
     recallVsExact(approx, emb, idCol, vecCol, queries, k)
   }
@@ -1178,7 +1185,9 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters, sampleCap)
-    pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
+    graft.OracleAux.register(exportPath) {
+      pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
+    }
     val short = pqAdcTopK(emb, idCol, vecCol, queries, cb, shortlist)
     recallVsExact(exactRerank(short, emb, queries, idCol, vecCol, k),
       emb, idCol, vecCol, queries, k)
@@ -1234,6 +1243,31 @@ object Similarity {
     * lattice), so re-deriving at compaction/reseed/resume is
     * deterministic and the codebooks never retrain.
     */
+  /** Mean ADC recall@k (×100) against the exact float top-k, over a
+    * deterministic ≤`sampleCap` query sample of the corpus (lowest
+    * xxhash64(id) — the q39 sample discipline). The mean is INTEGER
+    * arithmetic (sum of per-query overlaps), so the drift trigger it
+    * feeds is bit-deterministic across partitionings. Cost: one
+    * corpus scan per call against the broadcast sample (the
+    * allowlisted flat-ADC/exact-judge class), bounded at any scale.
+    */
+  private[graft] def pqMeanRecallX100(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Array[Array[Array[Long]]],
+      k: Int,
+      sampleCap: Int): Long = {
+    val queries = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleCap)
+    val approx = pqAdcTopK(corpus, idCol, vecCol, queries, cb, k)
+    val rec = recallVsExact(approx, corpus, idCol, vecCol, queries, k)
+    val r = rec.agg(
+      sum(col("n_overlap")).as("s"), count(lit(1)).as("n")).head()
+    val n = r.getLong(1)
+    if (n == 0L) 100L else r.getLong(0) * 100L / (n * k)
+  }
+
   private[graft] def withPqCodes(
       postings: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
     val bcb = postings.sparkSession.sparkContext.broadcast(cb)

@@ -1348,7 +1348,10 @@ object Pipelines {
         emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
         numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
         compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2)
-      g1.pqFrame.get.coalesce(1).write.mode("overwrite").parquet(PqGateExportPath)
+      val pqCbFrame = g1.pqFrame.get
+      graft.OracleAux.register(PqGateExportPath) {
+        pqCbFrame.coalesce(1).write.mode("overwrite").parquet(PqGateExportPath)
+      }
       (1 to 2).foreach(i => g1.foldRaw(
         emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
       val gate = withGateStore(s) { store =>
@@ -2175,24 +2178,28 @@ object Pipelines {
   }
 
   /** Where q39 exports its trained centroid table for the DuckDB twin.
-    * Absolute so the oracle SQL works regardless of DuckDB's cwd; under
-    * target/ so it's git-ignored. The query run writes it before the
-    * driver's compare reads it (Verify dumps, then oracles run).
+    * SESSION-SCOPED (round 13): rooted at [[graft.OracleAux.dir]] —
+    * Verify pins the root to its own outDir, every other JVM gets a
+    * private temp dir, so concurrent sbt invocations cannot clobber
+    * each other's exports; and the write itself is DEFERRED to
+    * Verify's flush, so constructing the plan writes nothing. The
+    * path is absolute either way, so the oracle SQL works regardless
+    * of DuckDB's cwd (Verify dumps resolved SQL, then oracles run).
     */
-  val CentroidExportPath = "/root/repo/target/oracle-aux/q39_centroids"
+  val CentroidExportPath = s"${graft.OracleAux.dir}/q39_centroids"
 
   /** q160's integer PQ codebook export — same contract as
-    * [[CentroidExportPath]] (Verify writes, then the oracle reads). */
-  val PqExportPath = "/root/repo/target/oracle-aux/q160_pq_codebooks"
+    * [[CentroidExportPath]] (Verify flushes, then the oracle reads). */
+  val PqExportPath = s"${graft.OracleAux.dir}/q160_pq_codebooks"
 
   /** q163's codebook export. Identical content to [[PqExportPath]]
     * (same deterministic training, same params) but its own path so
     * each query run satisfies its own oracle without ordering. */
-  val PqRerankExportPath = "/root/repo/target/oracle-aux/q163_pq_codebooks"
+  val PqRerankExportPath = s"${graft.OracleAux.dir}/q163_pq_codebooks"
 
   /** q164's gate-trained codebook export (initial batch = vec_id%4=0,
     * so the CONTENT differs from q160/q163's full-corpus training). */
-  val PqGateExportPath = "/root/repo/target/oracle-aux/q164_pq_codebooks"
+  val PqGateExportPath = s"${graft.OracleAux.dir}/q164_pq_codebooks"
 
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe

@@ -1862,9 +1862,24 @@ object Streams {
       // PQ sidecar: when set, postings carry 8-byte ADC codes and the
       // fold/search shortlist is scored by integer ADC instead of the
       // int8 dot (the compressed-scan serving path). Codebooks train
-      // ONCE (factory) and never move: codes re-derive from the packed
-      // floats deterministically at compaction/reseed/resume.
-      pqCb: Option[Array[Array[Array[Long]]]] = None) extends IngestGate {
+      // once (factory); codes re-derive from the packed floats
+      // deterministically at compaction/reseed/resume. With the drift
+      // gate enabled (below) they can additionally RETRAIN at a
+      // compaction whose measured ADC recall fell under the floor.
+      pqCb: Option[Array[Array[Array[Long]]]] = None,
+      // Codebook DRIFT gate (round 13): 0 disables. When > 0, each
+      // compaction measures mean ADC recall@k (×100) against the
+      // exact float top-k over a deterministic ≤pqRefreshSampleCap
+      // query sample of the deduped corpus (the q39 sample
+      // discipline; integer mean, so the trigger is bit-
+      // deterministic); below the floor, codebooks retrain on the
+      // CURRENT corpus and all standing codes re-derive. Decisions
+      // stay immutable — only future folds see the new codebooks —
+      // and the refreshed codebooks ride the manifest's pqcb slot
+      // (the q136 reseed contract, applied to the PQ sidecar).
+      pqRefreshMinRecallX100: Long = 0L,
+      pqRefreshSampleCap: Int = 256,
+      pqTrainIters: Int = 2) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(nprobe >= 1 && shortlist >= k && k >= 1,
       "need nprobe >= 1 and shortlist >= k >= 1")
@@ -1878,9 +1893,17 @@ object Streams {
     /** Current centroid count — occupancy-reseed observability. */
     def centroidCount: Int = closure.numCentroids
 
+    // The LIVE codebooks (the constructor's pqCb until a drift-gated
+    // refresh swaps in retrained ones).
+    @volatile private var pqCbNow: Option[Array[Array[Array[Long]]]] = pqCb
+    @volatile private var pqRefreshes: Int = 0
+    /** Completed drift-gated codebook refreshes — observability for
+      * the q165 oracle's phase boundary. */
+    def pqRefreshCount: Int = pqRefreshes
+
     /** The PQ codebooks as the (msub, j, cv) frame the DuckDB twin
       * reads (None when the gate runs the int8 kernel). */
-    def pqFrame: Option[DataFrame] = pqCb.map(cb =>
+    def pqFrame: Option[DataFrame] = pqCbNow.map(cb =>
       graft.ops.Similarity.pqCbToFrame(postSegs.head.sparkSession, cb))
 
     @volatile private var postSegs: Vector[DataFrame] =
@@ -1945,12 +1968,15 @@ object Streams {
         raw, "vec_id", "v", numCentroids)
       val reposted = graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc)
       val fresh = new VectorIndexGate(
-        pqCb.fold(reposted)(cb => graft.ops.Similarity.withPqCodes(reposted, cb)),
+        pqCbNow.fold(reposted)(cb => graft.ops.Similarity.withPqCodes(reposted, cb)),
         cc, nprobe, shortlist, k, compactEvery,
         targetCellOccupancy = targetCellOccupancy,
         restoredDecisions = if (decisionSegs.nonEmpty) Some(decisions) else None,
         initialBatchIdx = batchIdx,
-        pqCb = pqCb)
+        pqCb = pqCbNow,
+        pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
+        pqRefreshSampleCap = pqRefreshSampleCap,
+        pqTrainIters = pqTrainIters)
       release()
       fresh
     }
@@ -1962,7 +1988,7 @@ object Streams {
       * but still gets its neighbors. */
     def search(queries: DataFrame, idCol: String, vecCol: String): DataFrame = {
       val q = graft.ops.Similarity.quantizedPostings(queries, idCol, vecCol, closure)
-      pqCb.fold(
+      pqCbNow.fold(
         graft.ops.Similarity.ivfAnnotateBatch(
           postingsNow, q, closure, nprobe, shortlist, k,
           includeBatchAsCandidates = false))(cb =>
@@ -1979,7 +2005,7 @@ object Streams {
     /** Fold a raw (idCol, vecCol) frame. */
     def foldRaw(batch: DataFrame, idCol: String, vecCol: String): Unit = {
       val p = graft.ops.Similarity.quantizedPostings(batch, idCol, vecCol, closure)
-      fold(pqCb.fold(p)(cb => graft.ops.Similarity.withPqCodes(p, cb)))
+      fold(pqCbNow.fold(p)(cb => graft.ops.Similarity.withPqCodes(p, cb)))
     }
 
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
@@ -1987,7 +2013,7 @@ object Streams {
       val txn = store.begin()
       txn.stage("postings", dedupedPostings)
       txn.stage("centroids", closure.toFrame(spark))
-      pqCb.foreach(cb => txn.stage("pqcb",
+      pqCbNow.foreach(cb => txn.stage("pqcb",
         graft.ops.Similarity.pqCbToFrame(spark, cb)))
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
       txn.stage("meta", spark.range(1).select(
@@ -2005,8 +2031,18 @@ object Streams {
 
     private[graft] def fold(batchPostings: DataFrame): Unit = synchronized {
       batchIdx += 1
-      val bp = batchPostings.transform(graft.ops.Ckpt.fresh)
-      val decisionSeg = pqCb.fold(
+      // A PQ gate's standing segments carry a `codes` column; derive it
+      // here when the incoming projection lacks it (the generic
+      // ingest()/gateStream path hands over caller-projected postings
+      // verbatim), so every entry path — foldRaw, ingest, streaming —
+      // folds identically. Map-side, one narrow pass, no shuffle.
+      val coded = pqCbNow match {
+        case Some(cb) if !batchPostings.columns.contains("codes") =>
+          graft.ops.Similarity.withPqCodes(batchPostings, cb)
+        case _ => batchPostings
+      }
+      val bp = coded.transform(graft.ops.Ckpt.fresh)
+      val decisionSeg = pqCbNow.fold(
           graft.ops.Similarity.ivfAnnotateBatch(
             postingsNow, bp, closure, nprobe, shortlist, k))(cb =>
           graft.ops.Similarity.ivfAnnotateBatchPq(
@@ -2047,12 +2083,35 @@ object Streams {
               raw, "vec_id", "v", nc)
             val reposted = graft.ops.Similarity
               .quantizedPostings(raw, "vec_id", "v", cc)
-            val requantized = pqCb.fold(reposted)(cb =>
+            val requantized = pqCbNow.fold(reposted)(cb =>
                 graft.ops.Similarity.withPqCodes(reposted, cb))
               .transform(graft.ops.Ckpt.fresh)
             releaseCheckpoint(deduped)
             deduped = requantized
             closure = cc
+          }
+        }
+        // Codebook drift gate: a bounded sampled exact-vs-ADC recall
+        // measurement (integer mean — deterministic), retrain + recode
+        // when it falls under the floor. Cost: one corpus scan per
+        // compaction against a ≤sampleCap broadcast query side (the
+        // allowlisted ADC-scan class), zero when disabled.
+        if (pqCbNow.isDefined && pqRefreshMinRecallX100 > 0L) {
+          val cb = pqCbNow.get
+          val raw = deduped.select(col("vec_id"),
+            graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
+          val meanX100 = graft.ops.Similarity.pqMeanRecallX100(
+            raw, "vec_id", "v", cb, k, pqRefreshSampleCap)
+          if (meanX100 < pqRefreshMinRecallX100) {
+            val ncb = graft.ops.Similarity.pqTrainCodebooksInt(
+              raw, "vec_id", "v", cb.length, cb.map(_.length).max, pqTrainIters)
+            val recoded = graft.ops.Similarity
+              .withPqCodes(deduped.drop("codes"), ncb)
+              .transform(graft.ops.Ckpt.fresh)
+            releaseCheckpoint(deduped)
+            deduped = recoded
+            pqCbNow = Some(ncb)
+            pqRefreshes += 1
           }
         }
         postSegs = Vector(deduped)
@@ -2082,7 +2141,11 @@ object Streams {
       // the shortlist is scored by integer ADC over 8-byte codes.
       pqM: Int = 0,
       pqKsub: Int = 256,
-      pqIters: Int = 2): VectorIndexGate = {
+      pqIters: Int = 2,
+      // drift gate: mean sampled ADC recall@k (×100) floor; 0 = never
+      // retrain (the q164 contract). See VectorIndexGate's scaladoc.
+      pqRefreshMinRecallX100: Long = 0L,
+      pqRefreshSampleCap: Int = 256): VectorIndexGate = {
     val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
       initialCorpus, idCol, vecCol, numCentroids)
     val cb =
@@ -2095,7 +2158,10 @@ object Streams {
       cb.fold(postings)(c => graft.ops.Similarity.withPqCodes(postings, c)),
       cc, nprobe, shortlist, k, compactEvery,
       targetCellOccupancy = targetCellOccupancy,
-      pqCb = cb)
+      pqCb = cb,
+      pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
+      pqRefreshSampleCap = pqRefreshSampleCap,
+      pqTrainIters = pqIters)
   }
 
   /** Resume a [[VectorIndexGate]] from `store`'s latest committed
@@ -2110,7 +2176,10 @@ object Streams {
       shortlist: Int = 40,
       k: Int = 10,
       compactEvery: Int = 8,
-      targetCellOccupancy: Long = 0L): VectorIndexGate = {
+      targetCellOccupancy: Long = 0L,
+      pqRefreshMinRecallX100: Long = 0L,
+      pqRefreshSampleCap: Int = 256,
+      pqTrainIters: Int = 2): VectorIndexGate = {
     val postings = store.read("postings").getOrElse(throw new IllegalStateException(
       s"no committed vector-index state in '${store.name}' (missing 'postings' slot)"))
     val cents = store.read("centroids").getOrElse(throw new IllegalStateException(
@@ -2129,7 +2198,10 @@ object Streams {
       targetCellOccupancy = targetCellOccupancy,
       restoredDecisions = store.read("decisions"),
       initialBatchIdx = meta.getAs[Long]("batch_idx"),
-      pqCb = store.read("pqcb").map(graft.ops.Similarity.pqCbFromFrame))
+      pqCb = store.read("pqcb").map(graft.ops.Similarity.pqCbFromFrame),
+      pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
+      pqRefreshSampleCap = pqRefreshSampleCap,
+      pqTrainIters = pqTrainIters)
   }
 
   /** Wire any [[IngestGate]] — live-constructed or resumed from a

@@ -203,6 +203,78 @@ class FusedGraphSpec extends AnyFunSuite {
     assert(sk(11L) == 1L && sk(13L) == 2L, s"ranks: $sk")
   }
 
+  test("dangling edges and unknown roots: fused matches the joins' drop semantics") {
+    import spark.implicits._
+    // Derived/partial corpora contain edges whose endpoint falls
+    // outside the node set and root lists naming absent ids; the
+    // distributed plans drop both at their joins, and the fused kernel
+    // must do the same instead of sys.error (round-13 advice).
+    val nodes = Seq(
+      (10L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (11L, "TEXT", null, null, false, "leaf a", Seq.empty[String]),
+      (12L, "TEXT", null, null, false, "leaf b", Seq.empty[String])
+    ).toDF("id", "kind", "layout", "style_kind", "aside", "text", "styles")
+    val edges = Seq(
+      (10L, 11L, 0), (10L, 12L, 1),
+      (10L, 999L, 2),  // dangling child
+      (998L, 11L, 0)   // dangling parent
+    ).toDF("parent_id", "child_id", "child_index")
+    val roots = Seq(10L, 777L).toDF("id") // 777 absent
+    assertRegimeIdentity("tileSkeletons/dangling") {
+      TileOps.tileSkeletons(nodes, edges, roots)
+    }
+    assertRegimeIdentity("previewAll/dangling") {
+      GraphOps.previewAll(nodes, edges)
+    }
+    // and the fused run does yield the intact root's rows
+    val sk = withCap(100000000L)(TileOps.tileSkeletons(nodes, edges, roots))
+    assert(sk.filter(col("root_id") === 10L).count() > 0)
+    assert(sk.filter(col("root_id") === 777L).count() == 0)
+  }
+
+  test("duplicate child_index ties break in native id order in both regimes") {
+    import spark.implicits._
+    // Long-id graph where siblings share a child_index: "10" < "9" as
+    // strings but not as longs — the fused kernel must tie numerically
+    // (the sibling walk's (child_index, child_id) key), and the
+    // distributed preview's min_by must not leave the tie unspecified
+    // (round-13 advice).
+    // 9 is TEXT, 10 is an EMPTY CHAIN: the preview of node 2 descends
+    // its FIRST child, so walking 9 first (native) and 10 first
+    // (string) produce DIFFERENT outcomes — the identity check is
+    // sharp, not vacuous.
+    val nodes = Seq(
+      (1L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (2L, "LIST", "CHAIN", null, false, null, Seq.empty[String]),
+      (9L, "TEXT", null, null, false, "leaf 9", Seq.empty[String]),
+      (10L, "LIST", "CHAIN", null, false, null, Seq.empty[String]),
+      (11L, "TEXT", null, null, false, "leaf 11", Seq.empty[String])
+    ).toDF("id", "kind", "layout", "style_kind", "aside", "text", "styles")
+    val edges = Seq(
+      (1L, 2L, 0),
+      // chain children 9, 10, 11 ALL at index 5: native order 9,10,11;
+      // string order would walk 10 first
+      (2L, 9L, 5), (2L, 10L, 5), (2L, 11L, 5)
+    ).toDF("parent_id", "child_id", "child_index")
+    assertRegimeIdentity("previewAll/dup-index") {
+      GraphOps.previewAll(nodes, edges)
+    }
+    assertRegimeIdentity("descendantsFrom/dup-index") {
+      GraphOps.descendantsFrom(edges, Seq(1L).toDF("id"))
+    }
+  }
+
+  test("duplicate seed rows: one output row per reached id in both regimes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0), (2L, 3L, 0)).toDF("parent_id", "child_id", "child_index")
+    val seed = Seq(1L, 1L, 2L).toDF("id") // duplicates on purpose
+    assertRegimeIdentity("descendantsFrom/dup-seed") {
+      GraphOps.descendantsFrom(edges, seed)
+    }
+    val out = withCap(0L)(GraphOps.descendantsFrom(edges, seed))
+    assert(out.count() == out.distinct().count(), "distributed emitted duplicate ids")
+  }
+
   test("fused output schema matches the query contract (long ids stay long)") {
     import spark.implicits._
     val docs = (0L until 120L).map(i => (i, s"d$i")).toDF("doc_id", "text")

@@ -73,6 +73,8 @@ class PqSpec extends AnyFunSuite {
     val mean = rec.map(_._2).sum.toDouble / rec.length
     assert(mean >= 7.0, s"mean overlap@10 $mean — ADC lost the clusters")
     // export holds one row per (subspace, centroid), integer arrays
+    // (deferred by construction — flush materializes it, as Verify does)
+    graft.OracleAux.flush()
     val cbDf = spark.read.parquet(path)
     assert(cbDf.count() == 8L * 16)
     assert(cbDf.select(max(size(col("cv")))).head().getInt(0) == 8)

@@ -247,6 +247,33 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(pqM = 2) === run(pqM = 0))
   }
 
+  test("pq gate ingest() accepts codes-less projected postings (the gateStream path)") {
+    // Regression (round-13 advice): the generic IngestGate path hands
+    // caller-projected postings to fold() verbatim; a PQ gate's
+    // standing segments carry a `codes` column only foldRaw added, so
+    // the first ingest() micro-batch failed at the unionByName. fold()
+    // now derives the codes itself — ingest() ≡ foldRaw fold-for-fold.
+    def pqGate() = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2,
+      compactEvery = 2, pqM = 2, pqKsub = 4, pqIters = 2)
+    val viaRaw = pqGate()
+    Seq(b1, b2, b3).foreach(b => viaRaw.foldRaw(b, "vec_id", "embedding"))
+    val expect = rows(viaRaw.decisions)
+    viaRaw.release()
+    // identical deterministic training reproduces the factory closure,
+    // so the external projection matches the gate's coordinate system
+    val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
+      initial, "vec_id", "embedding", 2)
+    val viaIngest = pqGate()
+    Seq(b1, b2, b3).foreach { b =>
+      viaIngest.ingest(graft.ops.Similarity.quantizedPostings(
+        b, "vec_id", "embedding", cc))
+    }
+    assert(rows(viaIngest.decisions) === expect)
+    viaIngest.release()
+  }
+
   test("pq gate restart at a fold boundary ≡ uninterrupted; codebooks ride the manifest") {
     def pqGate() = Streams.newVectorIndexGate(
       initial, "vec_id", "embedding",
