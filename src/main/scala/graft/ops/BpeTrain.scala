@@ -73,8 +73,6 @@ object BpeTrain {
       textCol: String,
       rounds: Int,
       maxBatchPerPass: Int = 64): DataFrame = {
-    require(rounds >= 1 && rounds <= 4096, s"rounds $rounds out of range 1..4096")
-    require(maxBatchPerPass >= 1, s"maxBatchPerPass $maxBatchPerPass must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     // The oracle replays token state through a chr(31)-separated
@@ -82,6 +80,63 @@ object BpeTrain {
     // would silently diverge, so fail loudly up front.
     require(docs.filter(col(textCol).contains("\u001f")).isEmpty,
       "bpe train: corpus contains the reserved separator chr(31)")
+    val state = docs
+      .select(col(textCol).cast("string").as("t"))
+      .as[String]
+      .map(s => (s.codePoints().toArray, 1L))
+    learnCore(state, rounds, maxBatchPerPass)
+  }
+
+  /** WORD-HISTOGRAM training (round 13) — the corpus-size-independent
+    * rung: pre-tokenize on whitespace, aggregate ONCE to a
+    * (word, count) histogram, and run the same batched merge loop
+    * with count-WEIGHTED pair statistics. Each merge pass then costs
+    * O(distinct words), not O(corpus) — the standard scale move for a
+    * true 32k vocab — and the one corpus-sized pass is the initial
+    * histogram aggregation (one shuffle, map-side combined).
+    *
+    * Exactness: this equals [[learnMerges]] run over the corpus with
+    * EVERY WORD OCCURRENCE AS ITS OWN DOCUMENT (BpeHistogramSpec pins
+    * it). It is NOT the same as stream training over raw documents —
+    * there merges may cross word boundaries; pre-tokenized training
+    * deliberately forbids that (Sennrich et al. 2016 train within
+    * word boundaries for exactly this cost reason). Weighted counts
+    * keep the equivalence exact: a pair occurring p times inside a
+    * word of multiplicity w contributes p·w in both framings, and the
+    * batched-≡-sequential argument in [[learnMerges]]'s scaladoc only
+    * inspects counts, never row multiplicity.
+    */
+  def learnMergesHistogram(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      maxBatchPerPass: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(docs.filter(col(textCol).contains("\u001f")).isEmpty,
+      "bpe train: corpus contains the reserved separator chr(31)")
+    val hist = docs
+      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .map { case (w, wc) => (w.codePoints().toArray, wc) }
+    learnCore(hist, rounds, maxBatchPerPass)
+  }
+
+  /** The shared batched merge loop over weighted token rows — see
+    * [[learnMerges]] for the batching equivalence argument (counts
+    * here are Σ weights; the argument is count-only, so it applies
+    * verbatim).
+    */
+  private def learnCore(
+      state0: Dataset[(Array[Int], Long)],
+      rounds: Int,
+      maxBatchPerPass: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds $rounds out of range 1..4096")
+    require(maxBatchPerPass >= 1, s"maxBatchPerPass $maxBatchPerPass must be >= 1")
+    val spark = state0.sparkSession
+    import spark.implicits._
     // Token representation: INT ids, globally consistent with zero
     // coordination — a code point IS its own id (< 0x110000), learned
     // merge r gets id MergeBase + r. Adjacent pairs pack into one
@@ -93,14 +148,7 @@ object BpeTrain {
     val MergeBase = 0x110000
     def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
     var mergeStr = Map.empty[Int, String] // learned ids only
-    def strOf(id: Int): String =
-      if (id >= MergeBase) mergeStr(id)
-      else new String(Character.toChars(id))
-    var state: Dataset[Array[Int]] = docs
-      .select(col(textCol).cast("string").as("t"))
-      .as[String]
-      .map(s => s.codePoints().toArray)
-    var stateDf = Ckpt.fresh(state.toDF("toks"))
+    var stateDf = Ckpt.fresh(state0.toDF("toks", "w"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var dry = false
@@ -114,16 +162,16 @@ object BpeTrain {
       // in binary string order — the oracle's ORDER BY): strings are
       // decoded only on the AGGREGATED pair table, and only the tiny
       // candidate head reaches the driver
-      val top = stateDf.as[Array[Int]]
-        .flatMap { t =>
+      val top = stateDf.as[(Array[Int], Long)]
+        .flatMap { case (t, w) =>
           val n = t.length - 1
-          val out = new Array[Long](math.max(0, n))
+          val out = new Array[(Long, Long)](math.max(0, n))
           var i = 0
-          while (i < n) { out(i) = pack(t(i), t(i + 1)); i += 1 }
+          while (i < n) { out(i) = (pack(t(i), t(i + 1)), w); i += 1 }
           out
         }
-        .toDF("pk")
-        .groupBy("pk").agg(count(lit(1)).as("cnt"))
+        .toDF("pk", "w")
+        .groupBy("pk").agg(sum(col("w")).as("cnt"))
         .filter(col("cnt") >= 2) // a pair seen once carries no signal
         .as[(Long, Long)]
         .map { case (pk, cnt) =>
@@ -174,7 +222,7 @@ object BpeTrain {
           mergeStr += (MergeBase + (r - 1) + i) -> (aStr + bStr)
           learned += ((r + i, aStr, bStr, cnt))
         }
-        val next = Ckpt.fresh(stateDf.as[Array[Int]].map { t =>
+        val next = Ckpt.fresh(stateDf.as[(Array[Int], Long)].map { case (t, wgt) =>
           // the exact left-to-right non-overlapping merge pass of
           // BpeTokenizer.mergePass, on ids — token-disjoint batch
           // members have non-overlapping sites, so one simultaneous
@@ -190,8 +238,8 @@ object BpeTrain {
             }
             w += 1
           }
-          java.util.Arrays.copyOf(out, w)
-        }.toDF("toks"))
+          (java.util.Arrays.copyOf(out, w), wgt)
+        }.toDF("toks", "w"))
         // release the superseded corpus-sized checkpoint (the
         // GraphOps.reachPairs loop discipline): without this, up to
         // `rounds` token-array snapshots pile up in executor storage

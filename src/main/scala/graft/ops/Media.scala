@@ -3874,6 +3874,7 @@ object Media {
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
     else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
+    else if (b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' && b(4) == '/') "warc"
     else if (new String(b, 0, math.min(9, b.length), "US-ASCII") == "YUV4MPEG2") "y4m"
     else throw new IllegalArgumentException(
       f"sniff: unknown container (leading bytes ${b(0) & 0xff}%02x${b(1) & 0xff}%02x)")
@@ -3949,8 +3950,14 @@ object Media {
             ("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3)
           }
           vid ++ aud
-        case "gzip" =>
-          val (_, bytes) = GzipStream.decodeGzipMembers(row.content)
+        case "gzip" | "warc" =>
+          // both text containers are transparent: the fingerprint is
+          // the PAYLOAD text's, so a WARC capture of a document dedups
+          // against its gzip shard and its raw form
+          val bytes =
+            if ((row.content(0) & 0xff) == 0x1f)
+              GzipStream.decodeGzipMembers(row.content)._2
+            else WarcStream.responseText(row.content)._2
           val fp = graft.functions.SimHash60.compute(
             org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
           if (fp == null) Iterator.empty // token-less text: no fingerprint
@@ -4008,6 +4015,9 @@ object Media {
           case "gzip" =>
             val (_, bytes) = GzipStream.decodeGzipMembers(row.content)
             bytes.length.toLong
+          case "warc" =>
+            val (_, body) = WarcStream.responseText(row.content)
+            body.length.toLong
           case other => throw new IllegalArgumentException(
             s"quarantine: container '$other' has no decode route")
         }

@@ -226,6 +226,23 @@ object Pipelines {
         exportPath = PqExportPath)
     }),
 
+    // SAMPLED PQ recall judge (round 13): q160's accept gate with the
+    // exact-judge leg bounded by a DETERMINISTIC 256-query sample
+    // (lowest md5(vec_id) — replayable verbatim in SQL, unlike the
+    // xxhash64 training sample) instead of the %100 slice whose size
+    // grows with the corpus. Per-query judgment is independent, so
+    // sampled ≡ full restricted to the sample (PqSpec pins it) — and
+    // the verifier cost is 256 × corpus at ANY scale, which puts the
+    // PQ family back into the 62× cluster battery at bounded cost.
+    "q169_pq_recall_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(256)
+      Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
+        queries = qs, m = 8, ksub = 256, trainIters = 2, k = 10,
+        exportPath = PqSampleExportPath)
+    }),
+
     // PQ + exact re-rank: the two-stage PQ serving pattern — integer
     // ADC prunes to a 50-deep shortlist (compressed scan, 8 B/vector),
     // float cosine re-ranks shortlist rows only (the sole float fetch
@@ -887,6 +904,33 @@ object Pipelines {
           graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text")),
         "doc_id", "text")),
 
+    // WARC record walk (round 13): the crawl-corpus framing above the
+    // gzip member stream — warcinfo + HTTP-enveloped response (+
+    // metadata on even payloads) per document, decoded by the strict
+    // ISO 28500 record walk (version line, mandatory headers,
+    // Content-Length-bounded blocks, record separators) plus the
+    // HTTP/1.1 envelope parse. decode ∘ encode is the identity, so
+    // every feature column replays from the source text in closed
+    // form (the q158 discipline).
+    "q167_warc_decode" -> ((s, dir) =>
+      graft.ops.WarcStream.decodeWarc(
+        graft.ops.WarcStream.asWarc(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "n_records", "n_body_bytes", "text_md5")),
+
+    // COMPOSED two-layer crawl unwrap: WARC response records whose
+    // HTTP bodies are multi-member GZIP streams (the actual shape of
+    // a compressed crawl capture) — record walk, then member walk,
+    // then the full q100 Gopher battery over the recovered text. Both
+    // containers must be perfectly transparent: the oracle is q100's
+    // SQL verbatim (the q159 discipline, one layer deeper).
+    "q168_warc_gzip_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(
+        graft.ops.WarcStream.warcGzipText(
+          graft.ops.WarcStream.asWarcOver(
+            graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text"))),
+        "doc_id", "text")),
+
     // QUARANTINE ingest (round 12): all eight containers (doc_id % 8
     // split) with GUARANTEED-REJECT corruption injected — half
     // truncation (doc_id % 11: every container's decoder validates a
@@ -928,6 +972,42 @@ object Pipelines {
         graft.ops.MediaRow(r.doc_id, r.media_type, m)
       }
       Media.quarantineDecode(corrupted)
+    }),
+
+    // SHIFT-TOLERANT audio near-dup (round 13): winnowed envelope
+    // anchoring — content-defined fingerprints over the frame-|PCM|
+    // sequence, so a copy of the same audio time-shifted by whole
+    // frames still collides (the q122 fixed-64-block hash is
+    // offset-sensitive by construction and misses exactly these;
+    // AudioWinnowSpec pins the contrast). Twins: docs with a
+    // ≥256-byte tail-cycle get a 96-value-shifted WAV copy at
+    // id+8000008 — offset ≢ 0 mod the q122 block size.
+    "q170_audio_winnow" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.filter(octet_length(col("text")) % 512 >= 256)
+        .select((col("doc_id") + 8000008L).as("doc_id"), col("text"))
+      val shifted = Media.asWav(twins, "doc_id", "text")
+        .map(r => graft.ops.MediaRow(r.doc_id, r.media_type,
+          graft.ops.AudioWinnow.shiftWav(r.content, 96)))
+      graft.ops.AudioWinnow.winnowPairs(
+        Media.asWav(docs, "doc_id", "text").unionByName(shifted))
+    }),
+
+    // The delta twin: the shifted copies arrive as a batch probing the
+    // STANDING corpus's winnowed-fingerprint index (standing audio
+    // never rescanned) — result-identical to q170 restricted to pairs
+    // with a delta member (the q121/q123 delta discipline).
+    "q171_audio_winnow_delta" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.filter(octet_length(col("text")) % 512 >= 256)
+        .select((col("doc_id") + 8000008L).as("doc_id"), col("text"))
+      val shifted = Media.asWav(twins, "doc_id", "text")
+        .map(r => graft.ops.MediaRow(r.doc_id, r.media_type,
+          graft.ops.AudioWinnow.shiftWav(r.content, 96)))
+      graft.ops.AudioWinnow.winnowDeltaPairs(
+        Media.asWav(docs, "doc_id", "text"), shifted)
     }),
 
     // Perceptual near-dup THROUGH the lossy container: entropy decode
@@ -1268,7 +1348,15 @@ object Pipelines {
         // offsets are ≡ 0 mod 15, so twins stay within the slot and
         // exact twins fingerprint identically through decompression.
         val aud = audAll.filter(col("doc_id") % 5 =!= 0)
-        val txt = audAll.filter(col("doc_id") % 5 === 0)
+        // round 13: the text slot itself splits across BOTH text
+        // containers — even ids ship multi-member gzip, odd ids ship
+        // WARC captures. Both are transparent to the SimHash
+        // fingerprint (it hashes the recovered text), so the oracle
+        // and the twin moduli are untouched; the gate now reads a
+        // WARC source end-to-end.
+        val txtAll = audAll.filter(col("doc_id") % 5 === 0)
+        val txt = txtAll.filter(col("doc_id") % 2 === 0)
+        val txtW = txtAll.filter(col("doc_id") % 2 =!= 0)
         val vidAll = part.filter(col("doc_id") % 3 === 2)
         val vidY = vidAll.filter(col("doc_id") % 5 =!= 0)
         val vidA = vidAll.filter(col("doc_id") % 5 === 0)
@@ -1278,6 +1366,7 @@ object Pipelines {
           .unionByName(Media.asWav(aud.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
           .unionByName(Media.asFlac(aud.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
           .unionByName(graft.ops.GzipStream.asGzip(txt, "doc_id", "text"))
+          .unionByName(graft.ops.WarcStream.asWarc(txtW, "doc_id", "text"))
           .unionByName(Media.asY4m(vidY, "doc_id", "text"))
           .unionByName(Media.asAvi(vidA, "doc_id", "text"))
       }
@@ -1361,6 +1450,64 @@ object Pipelines {
           nprobe = 2, shortlist = 40, k = 10, compactEvery = 2)
       }
       gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
+    // PQ codebook DRIFT refresh (round 13): the q164 serving gate
+    // with a distribution shift injected from batch 3 on (per-dim
+    // scaling x_j ·(1+j) — cosine structure preserved, per-subspace
+    // support moved far outside the initial codebooks' range) and the
+    // drift gate live (floor 40): the fold-2 compaction measures
+    // healthy recall and does NOT retrain (require pins it); the
+    // fold-4 compaction measures the drifted dip, RETRAINS the
+    // codebooks on the current corpus and re-derives every standing
+    // code; the refreshed books ride the manifest's pqcb slot through
+    // a persist→resume restart; batch 5 folds against them. The
+    // two-phase oracle replays batches 1-4 from the INITIAL codebook
+    // export and batch 5 from the REFRESHED export — decisions before
+    // the refresh are immutable, decisions after it see the new code
+    // space (the q136 reseed discipline, applied to the PQ sidecar).
+    "q165_pq_drift_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def b(i: Int) = {
+        val x = emb.filter(col("vec_id") % 6 === i)
+        if (i >= 3)
+          x.withColumn("embedding", transform(col("embedding"),
+            (v, j) => v * (lit(1.0f) + j.cast("float"))))
+        else x
+      }
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        b(0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
+        pqRefreshMinRecallX100 = 40L)
+      val cb0 = g1.pqFrame.get
+      graft.OracleAux.register(PqDriftCb0Path) {
+        cb0.coalesce(1).write.mode("overwrite").parquet(PqDriftCb0Path)
+      }
+      (1 to 2).foreach(i => g1.foldRaw(b(i), "vec_id", "embedding"))
+      require(g1.pqRefreshCount == 0,
+        "q165 oracle models NO refresh at the fold-2 compaction (no " +
+          s"drift yet in the corpus); gate refreshed ${g1.pqRefreshCount}")
+      (3 to 4).foreach(i => g1.foldRaw(b(i), "vec_id", "embedding"))
+      require(g1.pqRefreshCount == 1,
+        "q165 oracle models exactly ONE refresh, at the fold-4 " +
+          s"compaction; gate refreshed ${g1.pqRefreshCount}")
+      val cb1 = g1.pqFrame.get
+      graft.OracleAux.register(PqDriftCb1Path) {
+        cb1.coalesce(1).write.mode("overwrite").parquet(PqDriftCb1Path)
+      }
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2,
+          pqRefreshMinRecallX100 = 40L)
+      }
+      gate.foldRaw(b(5), "vec_id", "embedding")
+      require(gate.pqRefreshCount == 0,
+        "no compaction fires during batch 5 — the resumed gate must " +
+          "not retrain again")
       gate.decisions
     }),
 
@@ -1615,6 +1762,18 @@ object Pipelines {
     // (overlapping pairs), the tie-break, and the pass semantics.
     "q153_bpe_train" -> ((s, dir) =>
       graft.ops.BpeTrain.learnMerges(t(s, dir, "documents"), "text", rounds = 6)),
+
+    // WORD-HISTOGRAM BPE training (round 13): pre-tokenize on
+    // whitespace, aggregate ONCE to a (word, count) histogram, learn
+    // merges over the histogram with count-WEIGHTED pair statistics —
+    // merge passes cost O(distinct words), independent of corpus
+    // size (the true-32k-vocab rung past q153's stream trainer; see
+    // BpeTrain.learnMergesHistogram for the exactness contract). The
+    // oracle re-derives every weighted count and argmax from the SQL
+    // word histogram — training is oracle-gated end to end, like q153.
+    "q166_bpe_train_hist" -> ((s, dir) =>
+      graft.ops.BpeTrain.learnMergesHistogram(
+        t(s, dir, "documents"), "text", rounds = 8)),
 
     // Incremental WINNOWED exact-substring (round-9): the doc_id%7=0
     // batch's winnowed fingerprints probe the STANDING winnowed
@@ -1943,6 +2102,47 @@ object Pipelines {
     sb.toString
   }
 
+  /** The q166 oracle: [[bpeTrainSql]]'s unrolled chain over the
+    * whitespace word HISTOGRAM instead of raw documents — pair counts
+    * are Σ word-multiplicity (weighted), matching
+    * [[graft.ops.BpeTrain.learnMergesHistogram]]'s statistics exactly.
+    */
+  private def bpeTrainHistSql(rounds: Int): String = {
+    val us = "chr(31)"
+    val sep = s"$us || $us"
+    val init = s"$us || array_to_string(string_split(word, ''), $sep) || $us"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (SELECT word, count(*) AS wc
+           FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+                 FROM documents)
+           GROUP BY 1),
+         s0 AS (SELECT wc, $init AS s FROM w0)"""
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      // MATERIALIZED: each round's state is referenced several times
+      // (tk + the scalar subqueries) — inlined CTEs would re-open the
+      // base parquet ~4^rounds times and exhaust file handles.
+      sb ++= s""",
+         tk$r AS (SELECT wc, string_split(substr(s, 2, len(s) - 2), $sep) AS t
+                  FROM $prev),
+         pc$r AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i+1 AS INT)] AS b,
+                    sum(wc) AS cnt
+                  FROM tk$r, UNNEST(range(1, len(t))) u(i)
+                  GROUP BY 1, 2 HAVING sum(wc) >= 2),
+         t$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         s$r AS MATERIALIZED (SELECT wc,
+                   replace(s,
+                     $us || (SELECT a FROM t$r) || $sep || (SELECT b FROM t$r) || $us,
+                     $us || (SELECT a || b FROM t$r) || $us) AS s
+                 FROM $prev)"""
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"""
+         SELECT CAST($r AS BIGINT) AS round, a, b, CAST(cnt AS BIGINT) AS pair_count
+         FROM t$r""").mkString("", " UNION ALL", "")
+    sb.toString
+  }
+
   /** The q154 oracle, assembled per modality. Hash derivations reuse
     * the established chains (q124 image aHash, q142 audio envelope
     * with the 24-bit branch on FLAC-routed ids, q129 video frame
@@ -2201,6 +2401,15 @@ object Pipelines {
     * so the CONTENT differs from q160/q163's full-corpus training). */
   val PqGateExportPath = s"${graft.OracleAux.dir}/q164_pq_codebooks"
 
+  /** q169's codebook export — the sampled-judge form of q160. */
+  val PqSampleExportPath = s"${graft.OracleAux.dir}/q169_pq_codebooks"
+
+  /** q165's TWO codebook exports: the initial training (phase 1,
+    * batches 1-4 fold against these) and the drift-refresh retraining
+    * (phase 2, batch 5) — the two-phase oracle reads both. */
+  val PqDriftCb0Path = s"${graft.OracleAux.dir}/q165_pq_codebooks_initial"
+  val PqDriftCb1Path = s"${graft.OracleAux.dir}/q165_pq_codebooks_refreshed"
+
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
 
@@ -2350,6 +2559,54 @@ object Pipelines {
                      FROM adc),
          qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
          fq AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id % 100 = 0),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
+
+    // sampled judge: q160's chain with the md5-ordered 256-row sample
+    // as the query set on BOTH legs.
+    "q169_pq_recall_sampled" ->
+      s"""WITH $embCte,
+         smp AS MATERIALIZED (SELECT vec_id FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+         cb AS (SELECT msub, j, cv FROM read_parquet('$PqSampleExportPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM eq, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.qv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id IN (SELECT vec_id FROM smp)),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d) AS score
+                FROM codes c JOIN lut l ON l.msub = c.msub AND l.j = c.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY 1, 2),
+         qscored AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                     FROM adc),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e
+                WHERE vec_id IN (SELECT vec_id FROM smp)),
          fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
@@ -2820,6 +3077,113 @@ object Pipelines {
          SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
                 CAST(rank AS BIGINT) AS rank, neighbor_id
          FROM rer""",
+
+    // Two-phase PQ drift replay: q164's chain over the DRIFTED
+    // embedding view (vec_id%6>=3 scales dim j by (1+j), with the
+    // float rounding replayed exactly: the exact double product CAST
+    // to REAL is IEEE float multiplication), scoring batches 1-4 from
+    // the initial codebook export and batch 5 from the refreshed one.
+    // Everything else — int8 cells from the initial batch's lowest 16
+    // ids, 2-probe, ADC shortlist 40, float re-rank top 10, the
+    // fold-forward predicate batch(n) <= batch(q) — is the q164
+    // discipline at %6.
+    "q165_pq_drift_gate" ->
+      s"""WITH e AS (SELECT vec_id,
+                CASE WHEN vec_id % 6 >= 3
+                  THEN [CAST(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * i AS REAL) AS DOUBLE)
+                        for i in range(1, 65)]
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+              FROM embeddings),
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 6 = 0 ORDER BY vec_id LIMIT 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 6 <> 0) WHERE rn <= 2),
+         cb0 AS (SELECT msub, j, cv FROM read_parquet('$PqDriftCb0Path/*.parquet')),
+         cb1 AS (SELECT msub, j, cv FROM read_parquet('$PqDriftCb1Path/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(v, x -> x * 1000)] AS pqv
+                FROM e),
+         codes0 AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb0.msub, cb0.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb0.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(pqv[CAST(cb0.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (pqv[CAST(cb0.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb0.j) AS rn
+             FROM eq, cb0) WHERE rn = 1),
+         codes1 AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb1.msub, cb1.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb1.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(pqv[CAST(cb1.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (pqv[CAST(cb1.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb1.j) AS rn
+             FROM eq, cb1) WHERE rn = 1),
+         lut0 AS (SELECT q.vec_id AS query_id, cb0.msub, cb0.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.pqv[CAST(cb0.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb0 WHERE q.vec_id % 6 BETWEEN 1 AND 4),
+         lut1 AS (SELECT q.vec_id AS query_id, cb1.msub, cb1.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.pqv[CAST(cb1.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb1 WHERE q.vec_id % 6 = 5),
+         cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+                  FROM probes p
+                  JOIN cells cl ON cl.cell = p.cell
+                  WHERE cl.vec_id <> p.query_id
+                    AND cl.vec_id % 6 <= p.query_id % 6),
+         adc AS (SELECT c.query_id, c.neighbor_id, sum(l.d) AS score
+                 FROM cand c
+                 JOIN codes0 k2 ON k2.vec_id = c.neighbor_id
+                 JOIN lut0 l ON l.query_id = c.query_id
+                   AND l.msub = k2.msub AND l.j = k2.code
+                 WHERE c.query_id % 6 <= 4
+                 GROUP BY 1, 2
+                 UNION ALL
+                 SELECT c.query_id, c.neighbor_id, sum(l.d) AS score
+                 FROM cand c
+                 JOIN codes1 k2 ON k2.vec_id = c.neighbor_id
+                 JOIN lut1 l ON l.query_id = c.query_id
+                   AND l.msub = k2.msub AND l.j = k2.code
+                 WHERE c.query_id % 6 = 5
+                 GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)
+         SELECT query_id, CAST(query_id % 6 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer""",
+
 
     "q38_ann_ivf" ->
       s"""WITH $embCte,
@@ -4237,6 +4601,131 @@ object Pipelines {
              ON x.bnd = y.bnd AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""",
 
+    // Winnowed-envelope replay: the q122 hex-space PCM chain grouped
+    // into 32-value frame sums, twins derived by shifting the BASE
+    // doc's frames (+3 zero frames — the 96-value silence prefix),
+    // width-3 integer rolling hashes, leftmost-argmin winnowing
+    // (row_number over (h, i) per sliding window; global argmin when
+    // fewer than 3 hashes), df-capped fingerprint-bucket pairing.
+    "q170_audio_winnow" ->
+      """WITH tw AS (SELECT doc_id + 8000008 AS doc_id, doc_id AS src_id
+           FROM documents WHERE octet_length(encode(text)) % 512 >= 256),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m FROM src),
+         bytes AS (SELECT doc_id, j,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1, hx
+           FROM dims, UNNEST(range(0, (m // 32) * 32)) u(j)),
+         vals AS (SELECT doc_id, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+         bfr AS MATERIALIZED (SELECT doc_id, j // 32 AS f,
+             sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS fs
+           FROM vals GROUP BY 1, 2),
+         frames AS MATERIALIZED (
+           SELECT doc_id, f, fs FROM bfr
+           UNION ALL
+           SELECT tw.doc_id, b.f + 3, b.fs FROM bfr b JOIN tw ON b.doc_id = tw.src_id
+           UNION ALL
+           SELECT tw.doc_id, CAST(z.f AS BIGINT), CAST(0 AS HUGEINT)
+           FROM tw, UNNEST(range(0, 3)) z(f)),
+         hs AS MATERIALIZED (SELECT a.doc_id, a.f AS i,
+             CAST(a.fs AS BIGINT)*1000003 + CAST(b.fs AS BIGINT)*9176
+               + CAST(c.fs AS BIGINT)*31 AS h
+           FROM frames a
+           JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           JOIN frames c ON c.doc_id = a.doc_id AND c.f = a.f + 2),
+         hcnt AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY 1),
+         wins AS (SELECT doc_id, u FROM hcnt,
+                  UNNEST(range(0, greatest(nh - 2, 0))) t(u) WHERE nh >= 3),
+         selw AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT w.doc_id, w.u, hs.h,
+                    row_number() OVER (PARTITION BY w.doc_id, w.u
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM wins w JOIN hs ON hs.doc_id = w.doc_id
+               AND hs.i BETWEEN w.u AND w.u + 2) WHERE rn = 1),
+         selg AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT hs.doc_id, hs.h,
+                    row_number() OVER (PARTITION BY hs.doc_id
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM hs JOIN hcnt USING (doc_id) WHERE nh < 3) WHERE rn = 1),
+         fps AS (SELECT doc_id, h AS fh FROM selw
+                 UNION SELECT doc_id, h FROM selg),
+         hot AS (SELECT fh FROM fps GROUP BY fh HAVING count(*) > 1000),
+         kept AS (SELECT fps.* FROM fps ANTI JOIN hot USING (fh)),
+         pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ns
+                FROM kept x JOIN kept y
+                  ON x.fh = y.fh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared FROM pr""",
+
+    // the delta twin: q170's pair set restricted to pairs with a
+    // shifted-batch member.
+    "q171_audio_winnow_delta" ->
+      """WITH tw AS (SELECT doc_id + 8000008 AS doc_id, doc_id AS src_id
+           FROM documents WHERE octet_length(encode(text)) % 512 >= 256),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m FROM src),
+         bytes AS (SELECT doc_id, j,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1, hx
+           FROM dims, UNNEST(range(0, (m // 32) * 32)) u(j)),
+         vals AS (SELECT doc_id, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+         bfr AS MATERIALIZED (SELECT doc_id, j // 32 AS f,
+             sum(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS fs
+           FROM vals GROUP BY 1, 2),
+         frames AS MATERIALIZED (
+           SELECT doc_id, f, fs FROM bfr
+           UNION ALL
+           SELECT tw.doc_id, b.f + 3, b.fs FROM bfr b JOIN tw ON b.doc_id = tw.src_id
+           UNION ALL
+           SELECT tw.doc_id, CAST(z.f AS BIGINT), CAST(0 AS HUGEINT)
+           FROM tw, UNNEST(range(0, 3)) z(f)),
+         hs AS MATERIALIZED (SELECT a.doc_id, a.f AS i,
+             CAST(a.fs AS BIGINT)*1000003 + CAST(b.fs AS BIGINT)*9176
+               + CAST(c.fs AS BIGINT)*31 AS h
+           FROM frames a
+           JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           JOIN frames c ON c.doc_id = a.doc_id AND c.f = a.f + 2),
+         hcnt AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY 1),
+         wins AS (SELECT doc_id, u FROM hcnt,
+                  UNNEST(range(0, greatest(nh - 2, 0))) t(u) WHERE nh >= 3),
+         selw AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT w.doc_id, w.u, hs.h,
+                    row_number() OVER (PARTITION BY w.doc_id, w.u
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM wins w JOIN hs ON hs.doc_id = w.doc_id
+               AND hs.i BETWEEN w.u AND w.u + 2) WHERE rn = 1),
+         selg AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT hs.doc_id, hs.h,
+                    row_number() OVER (PARTITION BY hs.doc_id
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM hs JOIN hcnt USING (doc_id) WHERE nh < 3) WHERE rn = 1),
+         fps AS (SELECT doc_id, h AS fh FROM selw
+                 UNION SELECT doc_id, h FROM selg),
+         hot AS (SELECT fh FROM fps GROUP BY fh HAVING count(*) > 1000),
+         kept AS (SELECT fps.* FROM fps ANTI JOIN hot USING (fh)),
+         pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ns
+                FROM kept x JOIN kept y
+                  ON x.fh = y.fh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared FROM pr
+         WHERE id_a >= 8000000 OR id_b >= 8000000""",
+
     // q121's delta discipline over the envelope pipeline.
     "q123_audio_phash_delta" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
@@ -4823,6 +5312,15 @@ object Pipelines {
     // compressed corpus through the q100 curation battery: the
     // container is transparent, so q100's oracle IS the q159 oracle.
     "q159_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
+    "q167_warc_decode" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_records,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+           md5(hex(encode(text))) AS text_md5
+         FROM documents""",
+    // both crawl containers are transparent, so q100's oracle IS the
+    // q168 oracle (the q159 discipline, one layer deeper).
+    "q168_warc_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
     // quarantine: corruption is by-construction fatal, so status is a
     // pure doc_id predicate and clean units replay from the container
     // dimension formulas (pixel bytes / total samples / luma bytes /
@@ -4937,6 +5435,7 @@ object Pipelines {
     // unchanged over the mixed baseline/progressive corpus
     "q149_jpeg_progressive_decode" -> oracleSqlBase("q139_jpeg_decode"),
     "q153_bpe_train" -> bpeTrainSql(6),
+    "q166_bpe_train_hist" -> bpeTrainHistSql(8),
     "q154_mixed_gate_replay" -> mixedGateSql,
     // mixed-container sniff: pixels are container-independent, so the
     // q120 chain IS the oracle — only the twin offsets differ (odd

@@ -34,6 +34,11 @@ object PqDriftProbe {
         b.withColumn("embedding", transform(col("embedding"), x => -x))
       else if (i >= 3 && drift == "shift")
         b.withColumn("embedding", transform(col("embedding"), x => x + lit(8.0f)))
+      else if (i >= 3 && drift == "rev")
+        b.withColumn("embedding", reverse(col("embedding")))
+      else if (i >= 3 && drift == "dimscale")
+        b.withColumn("embedding", transform(col("embedding"),
+          (x, i) => x * (lit(1.0f) + i.cast("float"))))
       else if (i >= 3 && drift == "collapse")
         b.withColumn("embedding",
           transform(col("embedding"), x => x * lit(0.05f) + lit(0.9f)))

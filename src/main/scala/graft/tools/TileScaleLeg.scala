@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * not row count) against the FUSED broadcast kernel (the production
   * regime below the 1M-row cap) under `local-cluster` worker JVMs.
   *
+  * Round 13 adds the OTHER side of the cap: an optional third arg
+  * names a >1M-row scale dir (ScaleGen reps ≥ 100) whose graph
+  * exceeds `fusedGraphCap`, so the PRODUCTION regime there is the
+  * distributed fixpoint — timed with no conf fiddling. Together the
+  * two legs pin both regimes at both sides of the measured boundary.
+  *
   * Usage:
   *   sbt package
-  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.tools.TileScaleLeg <jar> [scaleDir]"
+  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.tools.TileScaleLeg <jar> [scaleDir] [bigDir]"
   */
 object TileScaleLeg {
   def main(args: Array[String]): Unit = {
@@ -70,6 +76,30 @@ object TileScaleLeg {
     time("preview_all @62x (distributed)")(noop(
       graft.bulk.GraphOps.previewAll(nodesC, edgesC)))
     spark.conf.unset("spark.graft.fusedGraphCap")
+
+    // The above-cap leg: the graph alone exceeds the 1M-row fused cap,
+    // so these calls take the distributed plans NATURALLY — the
+    // production regime on the far side of the boundary, pinned
+    // without any conf override.
+    if (args.length > 2) {
+      val (n2, e2) = graft.queries.GraphQueries.graphTables(spark, args(2))
+      val n2c = n2.persist(); val e2c = e2.persist()
+      val total = n2c.count() + e2c.count()
+      println(s"[tile-scale] above-cap graph: ${n2c.count()} nodes + " +
+        s"${e2c.count()} edges = $total rows (cap 1000000)")
+      require(total > 1000000L,
+        s"above-cap leg needs >1M node+edge rows, got $total — raise reps")
+      val roots2 = n2c.filter(col("layout") === "PAGE").select("id")
+      time("tile_skeletons @above-cap (distributed, production)")(noop(
+        graft.bulk.TileOps.tileSkeletons(n2c, e2c, roots2)))
+      time("preview_all @above-cap (distributed, production)")(noop(
+        graft.bulk.GraphOps.previewAll(n2c, e2c)))
+      val s2 = spark
+      import s2.implicits._
+      time("descendants @above-cap (distributed, production)")(noop(
+        graft.bulk.GraphOps.descendantsFrom(e2c,
+          roots2.limit(1000).select(col("id")))))
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,26 @@ class PqSpec extends AnyFunSuite {
     assert(probed == flat, "full probe budget must reduce to the flat scan")
   }
 
+  test("sampled judge equals the full judgment restricted to the sample") {
+    // per-query judgment is independent, so the 256-cap sample form
+    // (q169) must agree row-for-row with the all-queries form on the
+    // sampled ids — the pin that makes the bounded 62x verifier leg
+    // trustworthy
+    val emb = clustered(160, 64, 16, seed = 11)
+    val base = java.nio.file.Files.createTempDirectory("graft-pqsmp").toString
+    val sample = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(5)
+    val sampleIds = sample.collect().map(_.getLong(0)).toSet
+    val sampled = Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
+      sample, m = 8, ksub = 16, trainIters = 2, k = 10, exportPath = s"$base/a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
+      emb, m = 8, ksub = 16, trainIters = 2, k = 10, exportPath = s"$base/b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      .view.filterKeys(sampleIds).toMap
+    assert(sampled === full)
+  }
+
   test("exact re-rank dominates raw ADC per query and is monotone in shortlist depth") {
     val emb = clustered(160, 64, 16, seed = 31)
     val queries = emb.filter(col("vec_id") % 40 === 0)
