@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** SHIFT-TOLERANT audio fingerprint (round 13): content-defined
+  * segmentation of the |PCM| envelope — the q106 winnowing kernel
+  * re-targeted from text windows to audio frames, closing the gap the
+  * fixed-64-block envelope hash (q122) documents: that hash buckets
+  * sample j by its ABSOLUTE position (j·64 div m), so a copy of the
+  * same audio time-shifted by a few frames lands every sample in a
+  * different block and the hashes diverge. Here the unit is the
+  * frame-|amplitude| sequence and the selected fingerprints are
+  * winnowed (leftmost-argmin of every window of consecutive rolling
+  * hashes) — selection is content-determined, so a copy shifted by
+  * whole frames shares every interior fingerprint and collides no
+  * matter where in the stream it sits (the reference's own pitch is
+  * overlap between arbitrary byte sequences, lib.rs:47-53).
+  *
+  * All-integer end to end (frame sums are exact Longs, the rolling
+  * hash is a small-coefficient polynomial that stays under 2^42), so
+  * the DuckDB twin replays fingerprints, winnowing and pair counts
+  * bit-for-bit from the q122 hex-space PCM formulas.
+  *
+  * Scale shape: one map-side kernel pass per row, a multiplicity cap
+  * on hot fingerprints (the band-engine df discipline), and the pair
+  * join is fingerprint-bucketed — never all-pairs. The delta form
+  * probes a standing fingerprint index without rescanning standing
+  * audio (the q121/q123 contract).
+  */
+object AudioWinnow {
+
+  /** samples per envelope frame — shifts that are multiples of this
+    * align interior frames exactly */
+  val Frame = 32
+  /** frames per rolling hash */
+  val Width = 3
+  /** consecutive hashes per winnowing window */
+  val Stride = 3
+
+  /** Frame |amplitude| sums of a little-endian signed PCM stream
+    * (partial tail frame dropped). */
+  private[graft] def frameSums(pcm: Array[Byte], bytesPerSample: Int = 2): Array[Long] = {
+    val m = pcm.length / bytesPerSample
+    val t = m / Frame
+    val out = new Array[Long](t)
+    val shift = 32 - 8 * bytesPerSample
+    var j = 0
+    while (j < t * Frame) {
+      var u = 0; var bi = 0
+      while (bi < bytesPerSample) {
+        u |= (pcm(bytesPerSample * j + bi) & 0xff) << (8 * bi); bi += 1
+      }
+      val v = (u << shift) >> shift
+      out(j / Frame) += math.abs(v)
+      j += 1
+    }
+    out
+  }
+
+  /** The winnowed fingerprint set (DISTINCT selected hash values) of a
+    * frame-sum sequence. Fewer than [[Width]] frames → no fingerprint
+    * (the SimHash null convention); fewer than [[Stride]] hashes → the
+    * single global leftmost-argmin.
+    */
+  private[graft] def fingerprints(fs: Array[Long]): Array[Long] = {
+    val h = fs.length - Width + 1
+    if (h < 1) return Array.empty
+    val hs = new Array[Long](h)
+    var i = 0
+    while (i < h) {
+      // coefficients keep every term < 2^42: frame sums are at most
+      // Frame * 32768 = 2^20, so the DuckDB BIGINT twin cannot overflow
+      hs(i) = fs(i) * 1000003L + fs(i + 1) * 9176L + fs(i + 2) * 31L
+      i += 1
+    }
+    val sel = new java.util.TreeSet[Long]()
+    if (h < Stride) {
+      var best = 0
+      var k = 1
+      while (k < h) { if (hs(k) < hs(best)) best = k; k += 1 }
+      sel.add(hs(best))
+    } else {
+      var u = 0
+      while (u + Stride <= h) {
+        var best = u
+        var k = u + 1
+        while (k < u + Stride) { if (hs(k) < hs(best)) best = k; k += 1 }
+        sel.add(hs(best))
+        u += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var i2 = 0
+    while (it.hasNext) { out(i2) = it.next(); i2 += 1 }
+    out
+  }
+
+  /** Re-encode a WAV (this engine's fixed 44-byte header layout) with
+    * `shiftVals` zero 16-bit values prepended to the interleaved PCM —
+    * the time-shifted-twin builder. `shiftVals` must be a multiple of
+    * the channel count (96 covers both 1- and 2-channel encodes) and
+    * of [[Frame]] (so interior envelope frames align exactly).
+    */
+  private[graft] def shiftWav(wav: Array[Byte], shiftVals: Int): Array[Byte] = {
+    require(shiftVals % Frame == 0, "shift must be whole frames")
+    val extra = 2 * shiftVals
+    val out = new Array[Byte](wav.length + extra)
+    System.arraycopy(wav, 0, out, 0, 44)
+    System.arraycopy(wav, 44, out, 44 + extra, wav.length - 44)
+    def patch(off: Int): Unit = {
+      val v = ((wav(off) & 0xff) | ((wav(off + 1) & 0xff) << 8) |
+        ((wav(off + 2) & 0xff) << 16) | ((wav(off + 3) & 0xff) << 24)) + extra
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    patch(4)  // RIFF chunk size
+    patch(40) // data chunk size
+    out
+  }
+
+  /** (doc_id, fh) — one row per DISTINCT winnowed fingerprint of each
+    * WAV row's PCM. */
+  private[graft] def fingerprintRows(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val (_, _, _, pcm) = Media.decodeWavBytes(row.content)
+      fingerprints(frameSums(pcm)).iterator.map(h => (row.doc_id, h))
+    }).toDF("doc_id", "fh")
+  }
+
+  /** Pairs of WAV rows sharing at least `minShared` winnowed
+    * fingerprints: (id_a, id_b, n_shared), id_a < id_b. Fingerprints
+    * seen on more than `maxFpFreq` docs are dropped before pairing
+    * (the band-engine hot-key cap — bounds the bucket join at any
+    * corpus size).
+    */
+  def winnowPairs(
+      media: Dataset[MediaRow],
+      minShared: Int = 2,
+      maxFpFreq: Long = 1000L): DataFrame = {
+    val fp = fingerprintRows(media)
+    pairsOf(fp, fp, minShared, maxFpFreq, deltaOnly = false)
+  }
+
+  /** The delta form: the batch's fingerprints probe the standing
+    * corpus's fingerprint index (plus within-batch pairs) — standing
+    * audio is never rescanned. Output contract = [[winnowPairs]] over
+    * the union, restricted to pairs with a delta member (the q123
+    * discipline).
+    */
+  def winnowDeltaPairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      minShared: Int = 2,
+      maxFpFreq: Long = 1000L): DataFrame = {
+    val sfp = fingerprintRows(standing)
+    val dfp = fingerprintRows(delta)
+    pairsOf(sfp.unionByName(dfp), dfp, minShared, maxFpFreq, deltaOnly = true)
+  }
+
+  private def pairsOf(
+      all: DataFrame,
+      probe: DataFrame,
+      minShared: Int,
+      maxFpFreq: Long,
+      deltaOnly: Boolean): DataFrame = {
+    val hot = all.groupBy("fh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxFpFreq)
+      .select("fh")
+    val kept = all.join(hot, Seq("fh"), "left_anti")
+    val keptProbe =
+      if (deltaOnly) probe.join(hot, Seq("fh"), "left_anti") else kept
+    val raw = kept.select(col("doc_id").as("id_a"), col("fh"))
+      .join(keptProbe.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+    // the delta probe sees (standing × delta) with the delta member on
+    // either side of the id order plus within-delta pairs; normalize to
+    // id_a < id_b and dedupe the doubled within-delta hits
+    val sym =
+      if (deltaOnly)
+        kept.select(col("doc_id").as("id_b"), col("fh"))
+          .join(keptProbe.select(col("doc_id").as("id_a"), col("fh")), Seq("fh"))
+          .where(col("id_a") < col("id_b"))
+          .unionByName(raw)
+          .distinct()
+      else raw
+    sym
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
