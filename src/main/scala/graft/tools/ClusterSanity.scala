@@ -149,7 +149,17 @@ object ClusterSanity {
           "q156_imageio_png_decode", "q157_imageio_jpeg_decode",
           "q158_gzip_decode", "q159_gzip_gopher",
           "q161_quarantine_ingest",
-          "q162_audiosystem_wav_decode")) {
+          "q162_audiosystem_wav_decode",
+          // round-13: q169 puts the PQ recall family back in this
+          // battery — its exact judge is bounded by the 256-query md5
+          // sample, so the leg costs 256 x corpus, not corpus x
+          // corpus/100 (the exclusion note above stops applying to
+          // the sampled form). q166 is the histogram BPE trainer
+          // (merge passes O(distinct words)); q167/q168 the WARC
+          // walks; q170/q171 the winnowed audio fingerprints.
+          "q166_bpe_train_hist", "q167_warc_decode",
+          "q168_warc_gzip_gopher", "q169_pq_recall_sampled",
+          "q170_audio_winnow", "q171_audio_winnow_delta")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

@@ -50,18 +50,26 @@ object PqDriftProbe {
       numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
       compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
       pqRefreshMinRecallX100 = floor)
-    def recallNow(): Long = {
+    // mean recall over the whole corpus, plus split by mode (raw ids
+    // %6 in 0..2 vs drifted %6 in 3..5) — the BASELINE table showing
+    // WHERE the refreshed codebooks spend their capacity
+    def recallNow(): (Long, Long, Long) = {
       val raw = gate.postingsNow.select(col("vec_id"),
         graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
       val cb = graft.ops.Similarity.pqCbFromFrame(gate.pqFrame.get)
-      graft.ops.Similarity.pqMeanRecallX100(raw, "vec_id", "v", cb, 10, 256)
+      def m(f: org.apache.spark.sql.DataFrame) =
+        graft.ops.Similarity.pqMeanRecallX100(f, "vec_id", "v", cb, 10, 256)
+      (m(raw), m(raw.filter(col("vec_id") % 6 <= 2)),
+        m(raw.filter(col("vec_id") % 6 >= 3)))
     }
     println(s"initial recallX100=${recallNow()}")
     (1 to 5).foreach { i =>
       val t0 = System.nanoTime()
       gate.foldRaw(batchOf(i), "vec_id", "embedding")
+      val (all, rawM, drift) = recallNow()
       println(f"fold $i%d: refreshes=${gate.pqRefreshCount}%d " +
-        f"recallX100=${recallNow()}%d (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+        f"recallX100 all=$all%d raw=$rawM%d drifted=$drift%d " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
     }
     val n = gate.decisions.count()
     println(s"decisions: $n, refreshes: ${gate.pqRefreshCount}")

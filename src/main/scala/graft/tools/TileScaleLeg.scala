@@ -44,6 +44,7 @@ object TileScaleLeg {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (dir == "-") { aboveCapLeg(spark, args); spark.stop(); return }
     val (nodes, edges) = graft.queries.GraphQueries.graphTables(spark, dir)
     val nodesC = nodes.persist(); val edgesC = edges.persist()
     println(s"[tile-scale] nodes=${nodesC.count()} edges=${edgesC.count()}")
@@ -77,11 +78,24 @@ object TileScaleLeg {
       graft.bulk.GraphOps.previewAll(nodesC, edgesC)))
     spark.conf.unset("spark.graft.fusedGraphCap")
 
-    // The above-cap leg: the graph alone exceeds the 1M-row fused cap,
-    // so these calls take the distributed plans NATURALLY — the
-    // production regime on the far side of the boundary, pinned
-    // without any conf override.
-    if (args.length > 2) {
+    if (args.length > 2) aboveCapLeg(spark, args)
+    spark.stop()
+  }
+
+  /** The above-cap leg: the graph alone exceeds the 1M-row fused cap,
+    * so these calls take the distributed plans NATURALLY — the
+    * production regime on the far side of the boundary, pinned
+    * without any conf override.
+    */
+  private def aboveCapLeg(spark: SparkSession, args: Array[String]): Unit = {
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[tile-scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    locally {
       val (n2, e2) = graft.queries.GraphQueries.graphTables(spark, args(2))
       val n2c = n2.persist(); val e2c = e2.persist()
       val total = n2c.count() + e2c.count()
@@ -100,6 +114,5 @@ object TileScaleLeg {
         graft.bulk.GraphOps.descendantsFrom(e2c,
           roots2.limit(1000).select(col("id")))))
     }
-    spark.stop()
   }
 }
