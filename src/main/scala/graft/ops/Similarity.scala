@@ -1299,11 +1299,21 @@ object Similarity {
     val bcb = spark.sparkContext.broadcast(cb)
     val ksubN = cb.map(_.length).max
     val probeUdf = udf((v: Array[Byte], nrm: Double) => cc.probesOf(nprobe)(v, nrm))
-    val lutUdf = udf((fv: Array[Byte]) =>
-      pqLutOf(bcb.value, ksubN, qvInt(unpackDoubles(fv))))
-    val adcUdf = udf { (lut: Seq[Long], codes: Seq[Int]) =>
+    // binary-packed LUT — see pqAdcTopK: a bigint-array column boxes
+    // all m·ksub longs per candidate row inside the UDF
+    val lutUdf = udf { (fv: Array[Byte]) =>
+      val lut = pqLutOf(bcb.value, ksubN, qvInt(unpackDoubles(fv)))
+      val bb = java.nio.ByteBuffer.allocate(lut.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < lut.length) { bb.putLong(i * 8, lut(i)); i += 1 }
+      bb.array()
+    }
+    val adcUdf = udf { (lut: Array[Byte], codes: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.wrap(lut)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var s = 0L; var ms = 0
-      while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }
+      while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
       s
     }
     val probes = batch.select(
@@ -1352,11 +1362,25 @@ object Similarity {
     val ksubN = cb.map(_.length).max
     val encodeUdf = udf((v: Seq[Double]) => pqEncode(bcb.value, qvInt(v)))
     // LUT[ms*ksub + j] = dot(query subvector, codebook entry) — all
-    // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)]
-    val lutUdf = udf((v: Seq[Double]) => pqLutOf(bcb.value, ksubN, qvInt(v)))
-    val adcUdf = udf { (lut: Seq[Long], codes: Seq[Int]) =>
+    // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)].
+    // The LUT crosses the join PACKED AS BYTES: a bigint-array column
+    // would box all m·ksub longs into a Seq PER PAIR inside the Scala
+    // UDF (measured ~60 µs/pair — 10× the whole scan's cost at 256
+    // queries); a binary column hands the UDF the raw byte[] and the
+    // loop reads the 8 hit slots directly.
+    val lutUdf = udf { (v: Seq[Double]) =>
+      val lut = pqLutOf(bcb.value, ksubN, qvInt(v))
+      val bb = java.nio.ByteBuffer.allocate(lut.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < lut.length) { bb.putLong(i * 8, lut(i)); i += 1 }
+      bb.array()
+    }
+    val adcUdf = udf { (lut: Array[Byte], codes: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.wrap(lut)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var s = 0L; var ms = 0
-      while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }
+      while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
       s
     }
     val codes = emb.select(col(idCol).cast("long").as("nid"),

@@ -236,8 +236,11 @@ object Pipelines {
     // PQ family back into the 62× cluster battery at bounded cost.
     "q169_pq_recall_sampled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // checkpoint the 256-row sample: it feeds four plan branches
+      // (ADC broadcast, LUT build, exact judge, output join) and the
+      // md5 global sort would otherwise re-run once per branch
       val qs = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(256)
+        .limit(256).localCheckpoint()
       Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
         queries = qs, m = 8, ksub = 256, trainIters = 2, k = 10,
         exportPath = PqSampleExportPath)
