@@ -1355,12 +1355,53 @@ object Similarity {
       queries: DataFrame,
       cb: Array[Array[Array[Long]]],
       k: Int,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      broadcastLutCap: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     val bcb = spark.sparkContext.broadcast(cb)
     val mSub = cb.length
     val ksubN = cb.map(_.length).max
     val encodeUdf = udf((v: Seq[Double]) => pqEncode(bcb.value, qvInt(v)))
+    // BOUNDED query sets (the common serving shape — ≤ cap rows) skip
+    // carrying the LUT through the join entirely: the driver collects
+    // the query vectors once (the q39 bounded-closure pattern), builds
+    // the integer LUTs, and broadcasts a plain map — the scoring UDF
+    // then reads primitive longs with ZERO per-pair array transfer.
+    // Even binary-packed, a per-pair LUT column costs a 16 KB copy per
+    // candidate (measured: the q169 62× leg spent ~80% of its wall
+    // there); the map path is pure lookups. Above the cap the packed
+    // binary column flow below remains (still never boxes).
+    val qHead = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .limit(broadcastLutCap + 1).collect()
+    if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
+      val lutMap = qHead.map(r =>
+        r.getLong(0) -> pqLutOf(bcb.value, ksubN, qvInt(r.getSeq[Double](1)))).toMap
+      val blut = spark.sparkContext.broadcast(lutMap)
+      val adcUdf = udf { (qid: Long, codes: Seq[Int]) =>
+        val lut = blut.value(qid)
+        var s = 0L; var ms = 0
+        while (ms < codes.length) { s += lut(ms * ksubN + codes(ms)); ms += 1 }
+        s
+      }
+      val codes = emb.select(col(idCol).cast("long").as("nid"),
+        encodeUdf(asDouble(col(vecCol))).as("codes"))
+      val q = queries.select(col(idCol).cast("long").as("query_id"))
+      val scoredBase = candidates match {
+        case None => codes.crossJoin(broadcast(q))
+        case Some(cand) =>
+          codes.join(cand.select(col("query_id"), col("neighbor_id").as("nid")), Seq("nid"))
+            .join(broadcast(q), Seq("query_id"))
+      }
+      val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("nid"))
+      return scoredBase
+        .filter(col("nid") =!= col("query_id"))
+        .withColumn("adc", adcUdf(col("query_id"), col("codes")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nid").as("neighbor_id"))
+    }
     // LUT[ms*ksub + j] = dot(query subvector, codebook entry) — all
     // integer; ADC score of x is then Σ_ms LUT[ms*ksub + code_ms(x)].
     // The LUT crosses the join PACKED AS BYTES: a bigint-array column

@@ -122,6 +122,20 @@ class PqSpec extends AnyFunSuite {
     assert(probed == flat, "full probe budget must reduce to the flat scan")
   }
 
+  test("broadcast-map and packed-column LUT paths score identically") {
+    // pqAdcTopK routes bounded query sets through a driver-broadcast
+    // LUT map (zero per-pair transfer) and large ones through the
+    // binary LUT column; the integer scores must be identical — pin
+    // the boundary by forcing cap=0 (column path) on the same input.
+    val emb = clustered(160, 64, 16, seed = 23)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val cb = Similarity.pqTrainCodebooksInt(emb, "vec_id", "embedding", 8, 16, 2)
+    def rows(cap: Int) = Similarity.pqAdcTopK(
+        emb, "vec_id", "embedding", queries, cb, 10, broadcastLutCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(4096) === rows(0))
+  }
+
   test("sampled judge equals the full judgment restricted to the sample") {
     // per-query judgment is independent, so the 256-cap sample form
     // (q169) must agree row-for-row with the all-queries form on the
