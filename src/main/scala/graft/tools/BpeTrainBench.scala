@@ -19,11 +19,14 @@ object BpeTrainBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.load(spark, dir, "documents")
     docs.count() // warm the scan
+    val hist = args.length > 3 && args(3) == "hist"
     val t0 = System.nanoTime()
-    val merges = graft.ops.BpeTrain.learnMerges(docs, "text", rounds, maxBatch)
+    val merges = (if (hist)
+        graft.ops.BpeTrain.learnMergesHistogram(docs, "text", rounds, maxBatch)
+      else graft.ops.BpeTrain.learnMerges(docs, "text", rounds, maxBatch))
       .collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[bpebench] dir=$dir rounds=$rounds maxBatch=$maxBatch " +
+    println(f"[bpebench] dir=$dir rounds=$rounds maxBatch=$maxBatch hist=$hist " +
       f"learned=${merges.length} wall=$sec%.2f s")
     println("[bpebench] last merges: " + merges.takeRight(5).map(r =>
       s"(${r.getString(1)}|${r.getString(2)}@${r.getLong(3)})").mkString(" "))
