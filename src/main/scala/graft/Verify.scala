@@ -6,12 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // Pin the oracle side-channel root to THIS run's outDir before any
-    // query object initializes (the oracleSql vals interpolate it) —
-    // a concurrent sbt test in the same repo then writes to its own
-    // temp root and can never clobber the exports our oracle reads.
+    // Pin the oracle side-channel root to THIS run's sibling aux dir
+    // before any query object initializes (the oracleSql vals
+    // interpolate it) — a concurrent sbt test in the same repo then
+    // writes to its own temp root and can never clobber the exports our
+    // oracle reads. The root sits OUTSIDE outDir (`<outDir>.aux`): the
+    // driver's comparator globs every subdirectory of outDir as a query
+    // dump, and the aux exports (mixed float/int schemas) are not query
+    // dumps — placing them inside produced a phantom err row in
+    // CORRECTNESS_r13. The oracle SQL interpolates absolute paths, so
+    // DuckDB reads the exports from anywhere.
     sys.props.getOrElseUpdate("graft.oracleAuxDir",
-      new java.io.File(outDir, "oracle-aux").getAbsolutePath)
+      new java.io.File(outDir.stripSuffix("/") + ".aux", "oracle-aux").getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

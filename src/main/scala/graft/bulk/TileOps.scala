@@ -192,7 +192,19 @@ object TileOps {
   private def subsectionLeaves(nodes: DataFrame, edges: DataFrame, subRoots: DataFrame): DataFrame = {
     val kinds = nodes.select(col("id").as("cur"), col("kind"), col("layout"),
       col("style_kind"), coalesce(col("styles"), emptyStyles).as("styles"))
-    var frontier = subRoots.select(col("id").as("sr"), col("id").as("cur"), lit("").as("p2"),
+    // p2 is the leaf's DESCENT PATH as an array of (child_index,
+    // child_id) structs — NOT an index-only string: two sibling
+    // subtrees sharing a duplicate child_index with identical index
+    // paths to their leaves must order by the first-divergent SIBLING
+    // id (the fused DFS walk's (index, id) child sort), not by leaf id
+    // (round-13 advice). Spark orders array<struct> element-wise in
+    // the id column's native type, so Long-id graphs tie 9 < 10.
+    val idT = edges.schema("child_id").dataType
+    val emptyP2 = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("d", idT)))))
+    var frontier = subRoots.select(col("id").as("sr"), col("id").as("cur"), emptyP2.as("p2"),
       emptyStyles.as("bs2"), emptyStyles.as("ss2"))
       .localCheckpoint()
     // leaf pieces stay lazy plans over the checkpointed frontiers
@@ -213,7 +225,9 @@ object TileOps {
           .filter((col("kind") === "LIST" && col("layout") === "PAGE") || col("kind") === "STYLED")
           .join(edges, col("cur") === edges("parent_id"))
           .select(col("sr"), col("child_id").as("cur"),
-            concat(col("p2"), key(col("child_index"))).as("p2"),
+            concat(col("p2"), array(struct(
+              col("child_index").cast("int").as("i"),
+              col("child_id").as("d")))).as("p2"),
             when(col("kind") === "STYLED" && col("style_kind") === "BLOCK",
               array_union(col("bs2"), col("styles"))).otherwise(col("bs2")).as("bs2"),
             when(col("kind") === "STYLED" && col("style_kind") === "SPAN",
@@ -563,11 +577,11 @@ object TileOps {
 
     val emptyArr = array().cast("array<string>")
     val wSec = Window.partitionBy("root").orderBy("path")
-    // leaf id as the final key: row_number over p2 alone is
-    // NONDETERMINISTIC when duplicate child_index makes two
-    // subsections share a p2 path — with the id appended, direct ties
-    // order by native id, matching the fused kernel's (index, id)
-    // child sort (round-13 advice).
+    // p2 now carries the full (child_index, child_id) pair per step,
+    // so duplicate-index siblings order by the first-divergent sibling
+    // id exactly like the fused DFS walk; the trailing leaf key only
+    // covers the degenerate duplicate-edge case (same parent, index,
+    // and child twice) for determinism.
     val wSub = Window.partitionBy("root", "path").orderBy(col("p2"), col("leaf"))
     sections
       .join(leaves.withColumnRenamed("sr", "sub_root"), Seq("sub_root"))

@@ -115,8 +115,13 @@ object BpeTrain {
     import spark.implicits._
     require(docs.filter(col(textCol).contains("\u001f")).isEmpty,
       "bpe train: corpus contains the reserved separator chr(31)")
+    // Explicit whitespace class shared by BOTH regex engines: Java's
+    // \s includes \x0B (vertical tab) but RE2's — which DuckDB's
+    // regexp_extract_all(text,'\S+') oracle twin uses — does not, so
+    // splitting on \s+ here would diverge on a corpus containing \x0B
+    // (round-13 advice). [ \t\n\f\r] means the same thing in both.
     val hist = docs
-      .select(explode(split(col(textCol).cast("string"), "\\s+")).as("w"))
+      .select(explode(split(col(textCol).cast("string"), "[ \\t\\n\\f\\r]+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .as[(String, Long)]

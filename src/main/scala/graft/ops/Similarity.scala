@@ -1371,6 +1371,13 @@ object Similarity {
     // candidate (measured: the q169 62× leg spent ~80% of its wall
     // there); the map path is pure lookups. Above the cap the packed
     // binary column flow below remains (still never boxes).
+    //
+    // NOTE this probe collect runs a bounded job at PLAN-CONSTRUCTION
+    // time (limit cap+1 → at most a few thousand tiny rows) — query
+    // construction here is not job-free, unlike the OracleAux-deferred
+    // exports. Audit contexts that must build plans without running
+    // jobs (PlanAuditSpec-style inspection) pass broadcastLutCap = 0
+    // to force the column path, which constructs lazily.
     val qHead = queries
       .select(col(idCol).cast("long").as("query_id"),
         asDouble(col(vecCol)).as("qv"))
@@ -1378,6 +1385,12 @@ object Similarity {
     if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
       val lutMap = qHead.map(r =>
         r.getLong(0) -> pqLutOf(bcb.value, ksubN, qvInt(r.getSeq[Double](1)))).toMap
+      // A duplicate query id would silently collapse to one LUT here
+      // while the column path would keep both rows — refuse loudly
+      // instead of diverging between the two paths (round-13 advice).
+      require(lutMap.size == qHead.length,
+        s"pq adc: duplicate query ids in bounded query set " +
+          s"(${qHead.length} rows, ${lutMap.size} distinct ids)")
       val blut = spark.sparkContext.broadcast(lutMap)
       val adcUdf = udf { (qid: Long, codes: Seq[Int]) =>
         val lut = blut.value(qid)

@@ -138,7 +138,11 @@ object WarcStream {
       require(warcType != null, "warc: record missing WARC-Type")
       require(recordId != null, "warc: record missing WARC-Record-ID")
       require(contentLength >= 0, "warc: record missing Content-Length")
-      require(p + contentLength + 4 <= b.length,
+      // Overflow-safe form: a ~19-digit Content-Length would wrap
+      // `p + contentLength + 4` past the bound and the later toInt
+      // truncation could index out of range — an uncaught AIOOBE
+      // instead of the loud IAE quarantine channel (round-13 advice).
+      require(contentLength <= b.length.toLong - p - 4,
         s"warc: Content-Length $contentLength overruns the stream")
       val block = java.util.Arrays.copyOfRange(b, p, p + contentLength.toInt)
       p += contentLength.toInt

@@ -264,6 +264,45 @@ class FusedGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("tileSkeletons: interior-node index ties order by first-divergent sibling id") {
+    import spark.implicits._
+    // Two INTERIOR sibling pages (9, 10) share child_index 5 under a
+    // shared (multi-parent) section root 5, and their leaves have
+    // IDENTICAL index paths (5, then 0) — so an index-only descent key
+    // ties, and the tie must break by the first-divergent SIBLING id
+    // (9 < 10 → leaf 20 first), exactly the fused DFS (index, id)
+    // child sort. The leaf ids are INVERTED (20 under 9, 15 under 10):
+    // a leaf-id tie-break would order leaf 15 first, so the identity
+    // check is sharp on the round-13 advice shape (sub_idx regime
+    // divergence on duplicate interior indexes).
+    val nodes = Seq(
+      (1L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (2L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (5L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (9L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (10L, "LIST", "PAGE", null, false, null, Seq.empty[String]),
+      (20L, "TEXT", null, null, false, "under 9", Seq.empty[String]),
+      (15L, "TEXT", null, null, false, "under 10", Seq.empty[String])
+    ).toDF("id", "kind", "layout", "style_kind", "aside", "text", "styles")
+    val edges = Seq(
+      (1L, 5L, 0), (2L, 5L, 0), // 5 is multi-parent → a MULTI section
+      (5L, 9L, 5), (5L, 10L, 5), // interior dup-index siblings
+      (9L, 20L, 0), (10L, 15L, 0)
+    ).toDF("parent_id", "child_id", "child_index")
+    val roots = Seq(1L).toDF("id")
+    assertRegimeIdentity("tileSkeletons/interior-dup-index") {
+      TileOps.tileSkeletons(nodes, edges, roots)
+    }
+    // The distributed order itself (not just regime identity): under
+    // section 5, sub_idx 1 must be leaf 20 (sibling 9 wins the tie).
+    val sk = withCap(0L)(TileOps.tileSkeletons(nodes, edges, roots))
+      .filter(col("section_anchor") === 5L)
+      .select("sub_idx", "subsection_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == 20L, s"expected leaf 20 at sub_idx 1, got $sk")
+    assert(sk(2L) == 15L, s"expected leaf 15 at sub_idx 2, got $sk")
+  }
+
   test("duplicate seed rows: one output row per reached id in both regimes") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 0), (2L, 3L, 0)).toDF("parent_id", "child_id", "child_index")
