@@ -3913,64 +3913,96 @@ object Media {
   def mixedMediaHash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { row =>
-      sniffContainer(row.content) match {
-        case "ppm" | "png" =>
-          val (w, h, pix) = decodeRgbAuto(row.content)
-          val r = aHashRgb(row.doc_id, w, h, pix)
-          Iterator(("image", r.doc_id, r.b0, r.b1, r.b2, r.b3))
-        case "jpeg" =>
-          val (_, _, planes) = decodeJpegPlanes(row.content)
-          val (cw, ch, luma) = planes(0)
-          val b = grayFrameAHashBands(luma, cw, ch)
-          Iterator(("jpeg", row.doc_id, b(0), b(1), b(2), b(3)))
-        case "wav" =>
-          val (_, _, _, pcm) = decodeWavBytes(row.content)
-          val r = envelopeHashOfPcm(row.doc_id, pcm, 2)
-          Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
-        case "flac" =>
-          val (_, _, bps, _, pcm) = decodeFlacBytesFull(row.content)
-          val r = envelopeHashOfPcm(row.doc_id, pcm, bps / 8)
-          Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
-        case "y4m" | "avi" =>
-          val (w, h, frames, audio) =
-            if ((row.content(0) & 0xff) == 'R') decodeAviBytesFull(row.content)
-            else { val (yw, yh, fs) = decodeY4mBytes(row.content); (yw, yh, fs, None) }
-          require(frames.length < 8,
-            s"mixed hash: video ${row.doc_id} has ${frames.length} frames — " +
-              "the (doc*8+frame) key is no longer injective")
-          val vid = frames.iterator.zipWithIndex.map { case (pix, fi) =>
-            val b = grayFrameAHashBands(pix, w, h)
-            ("video", row.doc_id * 8 + fi, b(0), b(1), b(2), b(3))
-          }
-          // a dual-stream AVI's PCM track routes into the AUDIO hash
-          // space at the plain doc_id — same kernel as WAV/FLAC, so an
-          // AVI soundtrack dedups against standalone audio files
-          val aud = audio.iterator.map { case (_, _, pcmBytes) =>
-            val r = envelopeHashOfPcm(row.doc_id, pcmBytes, 2)
-            ("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3)
-          }
-          vid ++ aud
-        case "gzip" | "warc" =>
-          // both text containers are transparent: the fingerprint is
-          // the PAYLOAD text's, so a WARC capture of a document dedups
-          // against its gzip shard and its raw form
-          val bytes =
-            if ((row.content(0) & 0xff) == 0x1f)
-              GzipStream.decodeGzipMembers(row.content)._2
-            else WarcStream.responseText(row.content)._2
-          val fp = graft.functions.SimHash60.compute(
-            org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
-          if (fp == null) Iterator.empty // token-less text: no fingerprint
-          else {
-            val f = fp.longValue()
-            Iterator(("text", row.doc_id,
-              (f & 32767L).toInt, ((f >> 15) & 32767L).toInt,
-              ((f >> 30) & 32767L).toInt, ((f >> 45) & 32767L).toInt))
-          }
-        case other => throw new IllegalArgumentException(
-          s"mixed hash: container '$other' has no hash route")
-      }
+      mixedHashRows(row.doc_id, row.content, depth = 0)
     }).toDF("modality", "doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The per-blob mixed-hash kernel, recursive one level through the
+    * crawl wrapper: a WARC stream explodes into one capture per
+    * response record (identity from WARC-Record-ID — multi-record
+    * shards land one fingerprint per capture), each capture's HTTP
+    * payload is RE-SNIFFED by magic and dispatched into its own
+    * modality's hash space — a crawl capture of a PNG/WAV/video twin
+    * flags against the standalone container form (the q146 cross-
+    * container discipline applied to the wrapper). Only payloads
+    * whose envelope Content-Type is NOT text-typed re-sniff: text
+    * payloads ARE the document (a text that merely starts with
+    * container magic must not be fed to an image decoder), and this
+    * engine's media-over-WARC encoder always stamps the real media
+    * type.
+    */
+  private def mixedHashRows(
+      docId: Long,
+      content: Array[Byte],
+      depth: Int): Iterator[(String, Long, Int, Int, Int, Int)] = {
+    def textRows(id: Long, bytes: Array[Byte]): Iterator[(String, Long, Int, Int, Int, Int)] = {
+      val fp = graft.functions.SimHash60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+      if (fp == null) Iterator.empty // token-less text: no fingerprint
+      else {
+        val f = fp.longValue()
+        Iterator(("text", id,
+          (f & 32767L).toInt, ((f >> 15) & 32767L).toInt,
+          ((f >> 30) & 32767L).toInt, ((f >> 45) & 32767L).toInt))
+      }
+    }
+    sniffContainer(content) match {
+      case "ppm" | "png" =>
+        val (w, h, pix) = decodeRgbAuto(content)
+        val r = aHashRgb(docId, w, h, pix)
+        Iterator(("image", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+      case "jpeg" =>
+        val (_, _, planes) = decodeJpegPlanes(content)
+        val (cw, ch, luma) = planes(0)
+        val b = grayFrameAHashBands(luma, cw, ch)
+        Iterator(("jpeg", docId, b(0), b(1), b(2), b(3)))
+      case "wav" =>
+        val (_, _, _, pcm) = decodeWavBytes(content)
+        val r = envelopeHashOfPcm(docId, pcm, 2)
+        Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+      case "flac" =>
+        val (_, _, bps, _, pcm) = decodeFlacBytesFull(content)
+        val r = envelopeHashOfPcm(docId, pcm, bps / 8)
+        Iterator(("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3))
+      case "y4m" | "avi" =>
+        val (w, h, frames, audio) =
+          if ((content(0) & 0xff) == 'R') decodeAviBytesFull(content)
+          else { val (yw, yh, fs) = decodeY4mBytes(content); (yw, yh, fs, None) }
+        require(frames.length < 8,
+          s"mixed hash: video $docId has ${frames.length} frames — " +
+            "the (doc*8+frame) key is no longer injective")
+        val vid = frames.iterator.zipWithIndex.map { case (pix, fi) =>
+          val b = grayFrameAHashBands(pix, w, h)
+          ("video", docId * 8 + fi, b(0), b(1), b(2), b(3))
+        }
+        // a dual-stream AVI's PCM track routes into the AUDIO hash
+        // space at the plain doc_id — same kernel as WAV/FLAC, so an
+        // AVI soundtrack dedups against standalone audio files
+        val aud = audio.iterator.map { case (_, _, pcmBytes) =>
+          val r = envelopeHashOfPcm(docId, pcmBytes, 2)
+          ("audio", r.doc_id, r.b0, r.b1, r.b2, r.b3)
+        }
+        vid ++ aud
+      case "gzip" =>
+        // transparent text container: the fingerprint is the PAYLOAD
+        // text's, so a gzip shard dedups against its raw form
+        textRows(docId, GzipStream.decodeGzipMembers(content)._2)
+      case "warc" =>
+        require(depth == 0, "mixed hash: WARC nested inside a capture")
+        val records = WarcStream.decodeWarcRecords(content)
+        val responses = records.filter(_.warcType == "response")
+        require(responses.nonEmpty, s"mixed hash: WARC $docId has no response records")
+        responses.iterator.flatMap { r =>
+          require(r.contentType.startsWith("application/http"),
+            s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
+          val hp = WarcStream.httpPayload(r.block)
+          val cid = WarcStream.captureId(r.recordId)
+          if (hp.contentType.toLowerCase.startsWith("text/")) textRows(cid, hp.body)
+          else mixedHashRows(cid, hp.body, depth + 1)
+        }
+      case other => throw new IllegalArgumentException(
+        s"mixed hash: container '$other' has no hash route")
+    }
   }
 
   /** QUARANTINE ingest (round 12): the fail-loudly contract promoted
@@ -4016,8 +4048,17 @@ object Media {
             val (_, bytes) = GzipStream.decodeGzipMembers(row.content)
             bytes.length.toLong
           case "warc" =>
-            val (_, body) = WarcStream.responseText(row.content)
-            body.length.toLong
+            // sum over ALL response captures — one shard file may
+            // carry many; a single-capture stream sums to the old
+            // responseText count
+            val rs = WarcStream.decodeWarcRecords(row.content)
+              .filter(_.warcType == "response")
+            require(rs.nonEmpty, "quarantine: WARC stream has no response records")
+            rs.iterator.map { r =>
+              require(r.contentType.startsWith("application/http"),
+                s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
+              WarcStream.httpPayload(r.block).body.length.toLong
+            }.sum
           case other => throw new IllegalArgumentException(
             s"quarantine: container '$other' has no decode route")
         }
@@ -4047,6 +4088,23 @@ object Media {
       maxHamming: Int = 3,
       maxBandFreq: Long = 1000L): DataFrame =
     bandedNearDupPairs(autoAHash(media).toDF(), maxHamming, maxBandFreq)
+
+  /** Near-dup pairs within ONE modality of a fully mixed corpus —
+    * [[mixedMediaHash]] (including the WARC crawl wrapper's re-sniffed
+    * captures) feeding the shared band engine. A WARC capture of a
+    * PNG flags against the standalone PNG/PPM form because the hash
+    * is the RASTER's: containers (and the crawl wrapper) are
+    * transparent, only pixels/samples decide.
+    */
+  def mixedNearDupPairs(
+      media: Dataset[MediaRow],
+      modality: String,
+      maxHamming: Int = 3,
+      maxBandFreq: Long = 1000L): DataFrame =
+    bandedNearDupPairs(
+      mixedMediaHash(media).filter(col("modality") === modality)
+        .select("doc_id", "b0", "b1", "b2", "b3"),
+      maxHamming, maxBandFreq)
 
   final case class ResizedFeatures(
       doc_id: Long,

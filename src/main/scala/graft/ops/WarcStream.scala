@@ -60,37 +60,137 @@ object WarcStream {
     out
   }
 
+  /** The HTTP/1.1 response envelope around `payload`. `gzipBody`
+    * compresses the payload (Content-Encoding: gzip — the q158 member
+    * stream, so the decode side is the already-validated member
+    * walk); `chunked` frames the (possibly compressed) body as
+    * Transfer-Encoding: chunked 256-byte chunks. Both deterministic.
+    */
+  private def httpEnvelope(
+      payload: Array[Byte],
+      contentType: String,
+      gzipBody: Boolean,
+      chunked: Boolean): Array[Byte] = {
+    val body0 = if (gzipBody) GzipStream.encodeGzipMembers(payload) else payload
+    val body =
+      if (!chunked) body0
+      else {
+        // chunk-size line in lowercase hex, data, CRLF; 0-chunk + CRLF
+        // terminator (no trailers). 256-byte chunks exercise the
+        // multi-chunk walk on every non-trivial payload.
+        val o = new java.io.ByteArrayOutputStream(body0.length + 16 * (body0.length / 256 + 2))
+        var off = 0
+        while (off < body0.length) {
+          val n = math.min(256, body0.length - off)
+          o.write(s"${n.toHexString}$Crlf".getBytes("US-ASCII"))
+          o.write(body0, off, n)
+          o.write(Crlf.getBytes("US-ASCII"))
+          off += n
+        }
+        o.write(s"0$Crlf$Crlf".getBytes("US-ASCII"))
+        o.toByteArray
+      }
+    val sb = new StringBuilder
+    sb ++= "HTTP/1.1 200 OK" ++= Crlf
+    sb ++= s"Content-Type: $contentType" ++= Crlf
+    if (gzipBody) sb ++= "Content-Encoding: gzip" ++= Crlf
+    if (chunked) sb ++= "Transfer-Encoding: chunked" ++= Crlf
+    else sb ++= s"Content-Length: ${body.length}" ++= Crlf
+    sb ++= Crlf
+    val http = sb.result().getBytes("US-ASCII")
+    val block = new Array[Byte](http.length + body.length)
+    System.arraycopy(http, 0, block, 0, http.length)
+    System.arraycopy(body, 0, block, http.length, body.length)
+    block
+  }
+
+  /** The per-document record pair: HTTP-enveloped response
+    * (+ metadata when the ORIGINAL payload length is even — the
+    * parity rule is envelope-independent, so composed oracles stay
+    * closed-form under gzip/chunked encodings).
+    */
+  private def writeDocRecords(
+      out: java.io.ByteArrayOutputStream,
+      docId: Long,
+      payload: Array[Byte],
+      httpContentType: String,
+      gzipBody: Boolean,
+      chunked: Boolean): Unit = {
+    out.write(recordOf("response", f"00000000-0000-4000-8001-${docId}%012x",
+      "application/http;msgtype=response",
+      httpEnvelope(payload, httpContentType, gzipBody, chunked),
+      Seq("WARC-Target-URI" -> s"https://example.org/doc/$docId")))
+    if (payload.length % 2 == 0)
+      out.write(recordOf("metadata", f"00000000-0000-4000-8002-${docId}%012x",
+        "application/warc-fields",
+        s"parity: even$Crlf".getBytes("US-ASCII")))
+  }
+
   /** One document as a WARC record set: warcinfo + HTTP-enveloped
     * response (+ metadata when the payload length is even).
     */
   private[graft] def encodeWarc(
       docId: Long,
       payload: Array[Byte],
-      httpContentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+      httpContentType: String = "text/plain; charset=utf-8",
+      gzipBody: Boolean = false,
+      chunked: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 512)
     val info = s"software: graft$Crlf".getBytes("US-ASCII")
     out.write(recordOf("warcinfo", f"00000000-0000-4000-8000-${docId}%012x",
       "application/warc-fields", info))
-    val http = (s"HTTP/1.1 200 OK${Crlf}Content-Type: $httpContentType" +
-      s"${Crlf}Content-Length: ${payload.length}$Crlf$Crlf")
-      .getBytes("US-ASCII")
-    val block = new Array[Byte](http.length + payload.length)
-    System.arraycopy(http, 0, block, 0, http.length)
-    System.arraycopy(payload, 0, block, http.length, payload.length)
-    out.write(recordOf("response", f"00000000-0000-4000-8001-${docId}%012x",
-      "application/http;msgtype=response", block,
-      Seq("WARC-Target-URI" -> s"https://example.org/doc/$docId")))
-    if (payload.length % 2 == 0)
-      out.write(recordOf("metadata", f"00000000-0000-4000-8002-${docId}%012x",
-        "application/warc-fields",
-        s"parity: even$Crlf".getBytes("US-ASCII")))
+    writeDocRecords(out, docId, payload, httpContentType, gzipBody, chunked)
+    out.toByteArray
+  }
+
+  /** A SHARD of documents as ONE WARC stream — the real crawl shape
+    * (one file, thousands of captures): a single warcinfo record,
+    * then each document's response (+ parity metadata) records in the
+    * given order. Capture identity rides WARC-Record-ID (see
+    * [[captureId]]).
+    */
+  private[graft] def encodeWarcShard(
+      shardId: Long,
+      docs: Seq[(Long, Array[Byte])],
+      httpContentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+    require(docs.nonEmpty, "warc shard: no documents")
+    val out = new java.io.ByteArrayOutputStream(docs.map(_._2.length).sum + 512 * (docs.length + 1))
+    val info = s"software: graft$Crlf".getBytes("US-ASCII")
+    out.write(recordOf("warcinfo", f"00000000-0000-4000-8003-${shardId}%012x",
+      "application/warc-fields", info))
+    docs.foreach { case (docId, payload) =>
+      writeDocRecords(out, docId, payload, httpContentType,
+        gzipBody = false, chunked = false)
+    }
     out.toByteArray
   }
 
   private[graft] final case class WarcRecord(
       warcType: String,
+      recordId: String,
       contentType: String,
       block: Array[Byte])
+
+  /** Capture identity from WARC-Record-ID: the trailing 12 hex digits
+    * of the mandatory `<urn:uuid:…>` form (RFC 9562 node segment).
+    * This library's encoder derives that segment from the document
+    * id, so decode recovers the id exactly; any spec-conformant
+    * crawl's random uuids still parse — capture identity is then the
+    * uuid tail. Loud failure on anything else: a capture without a
+    * parseable identity must never silently take a neighbor's.
+    */
+  private[graft] def captureId(recordId: String): Long = {
+    require(recordId.startsWith("<urn:uuid:") && recordId.endsWith(">"),
+      s"warc: WARC-Record-ID is not <urn:uuid:…>: '${recordId.take(56)}'")
+    val uuid = recordId.substring(10, recordId.length - 1)
+    val seg = uuid.lastIndexOf('-')
+    require(seg >= 0 && uuid.length - seg - 1 == 12,
+      s"warc: uuid has no 12-hex node segment: '${uuid.take(48)}'")
+    val hexStr = uuid.substring(seg + 1)
+    require(hexStr.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"warc: non-hex uuid node segment '$hexStr'")
+    java.lang.Long.parseLong(hexStr, 16)
+  }
 
   /** Walk and validate every record of a WARC stream. Throws
     * IllegalArgumentException on malformation — bad version line,
@@ -150,18 +250,27 @@ object WarcStream {
           b(p + 2) == '\r' && b(p + 3) == '\n',
         "warc: missing record separator after block")
       p += 4
-      out += WarcRecord(warcType, contentType, block)
+      out += WarcRecord(warcType, recordId, contentType, block)
       n += 1
     }
     require(n > 0, "warc: empty stream")
     out.result()
   }
 
+  private[graft] final case class HttpPayload(
+      contentType: String,
+      body: Array[Byte])
+
   /** Parse the HTTP/1.1 envelope of a response block; returns the
-    * body (Content-Length-bounded). Loud failure on a bad status
-    * line, malformed headers, or a body length mismatch.
+    * declared Content-Type and the PAYLOAD bytes — after undoing
+    * `Transfer-Encoding: chunked` framing (strict chunk-size walk, no
+    * extensions, no trailers) and `Content-Encoding: gzip` (the q158
+    * validated member walk). Loud failure on a bad status line,
+    * malformed headers, chunk framing errors, a body length mismatch,
+    * or an encoding this parser does not implement — a crawl capture
+    * must never silently yield coded bytes as payload.
     */
-  private[graft] def httpBody(block: Array[Byte]): Array[Byte] = {
+  private[graft] def httpPayload(block: Array[Byte]): HttpPayload = {
     var p = 0
     def line(): String = {
       val start = p
@@ -175,23 +284,84 @@ object WarcStream {
     require(status.startsWith("HTTP/1.") && status.contains(" 200 "),
       s"warc: unexpected HTTP status line '${status.take(48)}'")
     var contentLength = -1L
+    var contentType = ""
+    var transferEncoding = ""
+    var contentEncoding = ""
     var h = line()
     while (h.nonEmpty) {
       val i = h.indexOf(':')
       require(i > 0, s"warc: malformed HTTP header '${h.take(48)}'")
-      if (h.substring(0, i).trim.equalsIgnoreCase("content-length")) {
-        val v = h.substring(i + 1).trim
-        require(v.nonEmpty && v.forall(_.isDigit),
-          s"warc: non-numeric HTTP Content-Length '$v'")
-        contentLength = v.toLong
+      val k = h.substring(0, i).trim.toLowerCase
+      val v = h.substring(i + 1).trim
+      k match {
+        case "content-length" =>
+          require(v.nonEmpty && v.forall(_.isDigit),
+            s"warc: non-numeric HTTP Content-Length '$v'")
+          contentLength = v.toLong
+        case "content-type" => contentType = v
+        case "transfer-encoding" => transferEncoding = v.toLowerCase
+        case "content-encoding" => contentEncoding = v.toLowerCase
+        case _ => ()
       }
       h = line()
     }
-    require(contentLength >= 0, "warc: HTTP envelope missing Content-Length")
-    require(block.length - p == contentLength,
-      s"warc: HTTP body is ${block.length - p} bytes, envelope says $contentLength")
-    java.util.Arrays.copyOfRange(block, p, block.length)
+    val framed: Array[Byte] = transferEncoding match {
+      case "" =>
+        require(contentLength >= 0, "warc: HTTP envelope missing Content-Length")
+        require(block.length - p == contentLength,
+          s"warc: HTTP body is ${block.length - p} bytes, envelope says $contentLength")
+        java.util.Arrays.copyOfRange(block, p, block.length)
+      case "chunked" =>
+        // RFC 9112 §7.1 walk: hex size line / data / CRLF, terminated
+        // by the 0-chunk and one empty line. Content-Length MUST be
+        // absent with chunked framing; chunk extensions and trailer
+        // fields reject loudly (this encoder never writes them, and
+        // accepting unvalidated forms would widen the parser beyond
+        // what decode ∘ encode pins).
+        require(contentLength < 0,
+          "warc: both Content-Length and chunked Transfer-Encoding")
+        val o = new java.io.ByteArrayOutputStream(block.length - p)
+        var done = false
+        while (!done) {
+          val szLine = line()
+          require(szLine.nonEmpty && szLine.length <= 7 &&
+              szLine.forall(c => (c >= '0' && c <= '9') ||
+                (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+            s"warc: bad chunk-size line '${szLine.take(24)}'")
+          val sz = Integer.parseInt(szLine, 16)
+          if (sz == 0) {
+            require(line().isEmpty, "warc: chunked trailers unsupported")
+            require(p == block.length,
+              s"warc: ${block.length - p} bytes after the 0-chunk")
+            done = true
+          } else {
+            require(sz <= block.length - p - 2,
+              s"warc: chunk of $sz bytes overruns the block")
+            o.write(block, p, sz)
+            p += sz
+            require(block(p) == '\r' && block(p + 1) == '\n',
+              "warc: chunk data not CRLF-terminated")
+            p += 2
+          }
+        }
+        o.toByteArray
+      case other =>
+        throw new IllegalArgumentException(
+          s"warc: unsupported Transfer-Encoding '$other'")
+    }
+    val body = contentEncoding match {
+      case "" | "identity" => framed
+      case "gzip" | "x-gzip" => GzipStream.decodeGzipMembers(framed)._2
+      case other =>
+        throw new IllegalArgumentException(
+          s"warc: unsupported Content-Encoding '$other'")
+    }
+    HttpPayload(contentType, body)
   }
+
+  /** Back-compat body accessor — see [[httpPayload]]. */
+  private[graft] def httpBody(block: Array[Byte]): Array[Byte] =
+    httpPayload(block).body
 
   /** The response-record text of a WARC stream (this engine's encode
     * shape: exactly one response record per stream). */
@@ -270,5 +440,106 @@ object WarcStream {
       val (_, body) = responseText(row.content)
       (row.doc_id, new String(body, "UTF-8"))
     }).toDF("doc_id", "text")
+  }
+
+  /** Wrap a text corpus as MULTI-RECORD WARC shard streams — the real
+    * crawl shape (one file, many captures): documents group into
+    * shards of up to `perShard` consecutive ids (shard = doc_id div
+    * perShard), each shard one warcinfo + per-document response (+
+    * parity metadata) records in ascending doc_id order.
+    *
+    * Scale: the per-shard collect_list is bounded by `perShard`
+    * payloads (a few MB at crawl-typical sizes) and the groupBy
+    * shuffles each document exactly once on its shard key — shard
+    * assembly is embarrassingly parallel at any corpus size.
+    */
+  def asWarcShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      perShard: Int = 100): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(perShard > 0, "warc shards: perShard must be positive")
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .groupBy(expr(s"doc_id div ${perShard}L").as("shard_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("t")))).as("ds"))
+      .as[(Long, Seq[(Long, Array[Byte])])]
+      .mapPartitions(_.map { case (shardId, ds) =>
+        MediaRow(shardId, "application/warc", encodeWarcShard(shardId, ds))
+      })
+  }
+
+  final case class WarcCapture(
+      shard_id: Long,
+      doc_id: Long,
+      n_shard_records: Long,
+      n_body_bytes: Long,
+      text_md5: String)
+
+  /** Explode each WARC stream into ONE ROW PER RESPONSE RECORD — the
+    * multi-record shard decode. Capture identity comes from
+    * WARC-Record-ID (see [[captureId]]); `n_shard_records` is the
+    * whole stream's validated record count on every capture row, so
+    * the oracle proves the walk saw the full shard, not just the
+    * captures it returned.
+    */
+  def decodeWarcCaptures(media: Dataset[MediaRow]): Dataset[WarcCapture] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val records = decodeWarcRecords(row.content)
+        val responses = records.filter(_.warcType == "response")
+        require(responses.nonEmpty, s"warc shard ${row.doc_id}: no response records")
+        responses.map { r =>
+          require(r.contentType.startsWith("application/http"),
+            s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
+          val body = httpPayload(r.block).body
+          val hx = Media.hexUpper(body, 0, body.length).getBytes("US-ASCII")
+          WarcCapture(row.doc_id, captureId(r.recordId), records.length.toLong,
+            body.length.toLong, md.digest(hx).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Explode WARC shard rows to per-capture (doc_id, text) — the
+    * multi-record twin of [[warcText]]: one crawl shard file feeds
+    * every text pipeline one row per capture. */
+  def warcShardText(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val records = decodeWarcRecords(row.content)
+      records.iterator.filter(_.warcType == "response").map { r =>
+        require(r.contentType.startsWith("application/http"),
+          s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
+        (captureId(r.recordId), new String(httpPayload(r.block).body, "UTF-8"))
+      }
+    }).toDF("doc_id", "text")
+  }
+
+  /** Wrap a text corpus as WARC captures with REALISTIC HTTP body
+    * encodings cycled by doc_id: % 4 == 0 identity, == 1 gzip
+    * Content-Encoding, == 2 chunked Transfer-Encoding, == 3 both
+    * (gzip inside chunked framing — coding order per RFC 9110). The
+    * envelope is transparent to the recovered payload, so composed
+    * rows reuse the identity-envelope oracles verbatim.
+    */
+  def asWarcEnveloped(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaRow(id, "application/warc",
+          encodeWarc(id, bytes,
+            gzipBody = id % 4 == 1 || id % 4 == 3,
+            chunked = id % 4 == 2 || id % 4 == 3))
+      })
   }
 }

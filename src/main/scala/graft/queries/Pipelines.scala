@@ -934,6 +934,31 @@ object Pipelines {
             graft.ops.GzipStream.asGzip(t(s, dir, "documents"), "doc_id", "text"))),
         "doc_id", "text")),
 
+    // MULTI-RECORD WARC shards (round 14): the real crawl shape — one
+    // WARC file per ~100 documents, one warcinfo + per-document
+    // response (+ parity metadata) records — exploded back to ONE ROW
+    // PER RESPONSE RECORD with capture identity from WARC-Record-ID.
+    // n_shard_records is the whole stream's validated count repeated
+    // on every capture row, so the oracle's window sum proves the
+    // record walk saw the entire shard, not just the captures it kept.
+    "q172_warc_shard_docs" -> ((s, dir) =>
+      graft.ops.WarcStream.decodeWarcCaptures(
+        graft.ops.WarcStream.asWarcShards(t(s, dir, "documents"), "doc_id", "text", 100))
+        .toDF()
+        .select("doc_id", "shard_id", "n_shard_records", "n_body_bytes", "text_md5")),
+
+    // HTTP envelope realism (round 14): captures cycle Content-
+    // Encoding: gzip (the q158 member walk composed under the
+    // envelope), Transfer-Encoding: chunked (strict chunk-size walk),
+    // and both, by doc_id % 4. Every coding is transparent to the
+    // recovered payload, so the q167 identity-envelope oracle is THIS
+    // oracle verbatim (the q159 discipline on the envelope axis).
+    "q174_warc_http_encodings" -> ((s, dir) =>
+      graft.ops.WarcStream.decodeWarc(
+        graft.ops.WarcStream.asWarcEnveloped(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("doc_id", "n_records", "n_body_bytes", "text_md5")),
+
     // QUARANTINE ingest (round 12): all eight containers (doc_id % 8
     // split) with GUARANTEED-REJECT corruption injected — half
     // truncation (doc_id % 11: every container's decoder validates a
@@ -1156,6 +1181,33 @@ object Pipelines {
       Media.autoNearDupPairs(asMixed)
     }),
 
+    // CRAWL-WRAPPER near-dup (round 14): q146's mixed PPM/PNG corpus,
+    // but every TWIN arrives as a WARC capture of its container bytes
+    // (the crawl shape: media responses inside WARC records). The
+    // mixed hash re-sniffs each capture's HTTP payload by magic and
+    // routes it into the IMAGE hash space, so a crawl capture of a
+    // PNG flags against the standalone form — pairs are pixel-decided
+    // and the q146/q120 oracle is THIS oracle verbatim (the wrapper,
+    // like the containers, is transparent).
+    "q173_warc_media_route" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactTwins = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text"))
+      val nearTwins = docs.filter(col("doc_id") % 61 === 0 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) >= 300)
+        .select((col("doc_id") + 2000001L).as("doc_id"),
+          expr("concat('~~~', substring(text, 4))").as("text"))
+      val base = docs.select("doc_id", "text")
+      def containers(part: org.apache.spark.sql.DataFrame) =
+        Media.asPpm(part.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+          .unionByName(Media.asPng(part.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      val standalone = containers(base)
+      val wrapped = graft.ops.WarcStream.asWarcOver(
+        containers(exactTwins.unionByName(nearTwins)))
+      Media.mixedNearDupPairs(standalone.unionByName(wrapped), "image")
+    }),
+
     // REAL pixel resize (round 10): decode P6 → 2× integer box
     // downsample (floor-mean per cell, true edge counts) → resized-
     // raster digest. Upgrades q52's dims-only resize contract to
@@ -1363,15 +1415,31 @@ object Pipelines {
         val vidAll = part.filter(col("doc_id") % 3 === 2)
         val vidY = vidAll.filter(col("doc_id") % 5 =!= 0)
         val vidA = vidAll.filter(col("doc_id") % 5 === 0)
-        Media.asPpm(img.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        // round 14: the WARC text slot ships as MULTI-RECORD SHARDS
+        // (one stream per 100 consecutive ids within the batch — the
+        // real crawl file shape); the hash pass explodes one capture
+        // per response record at the SAME doc ids, so decisions and
+        // the oracle are untouched while the gate now walks
+        // thousand-record streams end-to-end.
+        val raw = Media.asPpm(img.filter(col("doc_id") % 2 === 0), "doc_id", "text")
           .unionByName(Media.asPng(img.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
           .unionByName(Media.asJpegMixed(jpg, "doc_id", "text"))
           .unionByName(Media.asWav(aud.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
           .unionByName(Media.asFlac(aud.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
           .unionByName(graft.ops.GzipStream.asGzip(txt, "doc_id", "text"))
-          .unionByName(graft.ops.WarcStream.asWarc(txtW, "doc_id", "text"))
           .unionByName(Media.asY4m(vidY, "doc_id", "text"))
           .unionByName(Media.asAvi(vidA, "doc_id", "text"))
+        // round 14: every doc_id % 7 == 3 blob additionally arrives as
+        // a WARC CAPTURE of its container bytes (the crawl wrapper on
+        // the media axis). The hash pass re-sniffs each capture's HTTP
+        // payload by magic and routes it into its own modality's hash
+        // space at the same capture id, so a crawl capture of a PNG/
+        // WAV twin flags against standalone forms and the oracle is
+        // untouched — the wrapper is transparent.
+        raw.filter((r: graft.ops.MediaRow) => r.doc_id % 7 != 3)
+          .union(graft.ops.WarcStream.asWarcOver(
+            raw.filter((r: graft.ops.MediaRow) => r.doc_id % 7 == 3)))
+          .union(graft.ops.WarcStream.asWarcShards(txtW, "doc_id", "text", 100))
       }
       // The oracle's one-pass collapse needs every (modality, band,
       // key) df well under the gate's cap (the q124 caveat, per
@@ -5266,6 +5334,18 @@ object Pipelines {
   // dimension formula, same cycled payload), so the q107/q120 twins
   // ARE the PNG oracles — container-orthogonality made executable:
   // DuckDB never sees a DEFLATE stream, only what it must decode to.
+  /** WARC decode-features oracle: every column replays from the
+    * source text in closed form (decode ∘ encode identity; metadata
+    * record per even payload). Shared by q167 (identity envelope) and
+    * q174 (gzip/chunked envelopes — codings are payload-transparent).
+    */
+  private val warcDecodeSql: String =
+    """SELECT doc_id,
+         CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_records,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+         md5(hex(encode(text))) AS text_md5
+       FROM documents"""
+
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
     "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
@@ -5315,15 +5395,31 @@ object Pipelines {
     // compressed corpus through the q100 curation battery: the
     // container is transparent, so q100's oracle IS the q159 oracle.
     "q159_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
-    "q167_warc_decode" ->
-      """SELECT doc_id,
-           CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_records,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
-           md5(hex(encode(text))) AS text_md5
-         FROM documents""",
+    "q167_warc_decode" -> warcDecodeSql,
     // both crawl containers are transparent, so q100's oracle IS the
     // q168 oracle (the q159 discipline, one layer deeper).
     "q168_warc_gzip_gopher" -> oracleSqlBase("q100_gopher_rules"),
+    // multi-record shards: every capture replays from its source row;
+    // the shard-level record count is a window sum over the shard's
+    // members (1 warcinfo + 1 response + 1 metadata per even payload)
+    // — it proves the walk saw the WHOLE shard on every capture row.
+    "q172_warc_shard_docs" ->
+      """SELECT doc_id,
+           doc_id // 100 AS shard_id,
+           CAST(1 + SUM(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 2 ELSE 1 END)
+                    OVER (PARTITION BY doc_id // 100) AS BIGINT) AS n_shard_records,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
+           md5(hex(encode(text))) AS text_md5
+         FROM documents""",
+    // the crawl wrapper is transparent to the pixel-decided pairs, so
+    // the q146 oracle (the q120 chain at q146's odd twin offsets) IS
+    // the q173 oracle.
+    "q173_warc_media_route" -> oracleSqlBase("q120_media_phash")
+      .replace("doc_id + 1000000", "doc_id + 1000001")
+      .replace("doc_id + 2000000", "doc_id + 2000001"),
+    // gzip/chunked HTTP codings are transparent to the recovered
+    // payload, so the q167 identity-envelope oracle IS this oracle.
+    "q174_warc_http_encodings" -> warcDecodeSql,
     // quarantine: corruption is by-construction fatal, so status is a
     // pure doc_id predicate and clean units replay from the container
     // dimension formulas (pixel bytes / total samples / luma bytes /
