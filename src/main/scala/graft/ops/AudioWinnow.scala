@@ -37,6 +37,11 @@ object AudioWinnow {
   val Width = 3
   /** consecutive hashes per winnowing window */
   val Stride = 3
+  /** sample-level landmark predicate |v| % SegMod == SegRes — the
+    * content-defined segment boundary of the SUB-FRAME kernel (mean
+    * segment ≈ SegMod samples) */
+  val SegMod = 13
+  val SegRes = 5
 
   /** Frame |amplitude| sums of a little-endian signed PCM stream
     * (partial tail frame dropped). */
@@ -97,14 +102,59 @@ object AudioWinnow {
     out
   }
 
-  /** Re-encode a WAV (this engine's fixed 44-byte header layout) with
-    * `shiftVals` zero 16-bit values prepended to the interleaved PCM —
-    * the time-shifted-twin builder. `shiftVals` must be a multiple of
-    * the channel count (96 covers both 1- and 2-channel encodes) and
-    * of [[Frame]] (so interior envelope frames align exactly).
+  /** SAMPLE-LEVEL content-defined segment sums — the SUB-FRAME rung
+    * above [[frameSums]]: q170's frame grid is position-free only for
+    * shifts ≡ 0 mod [[Frame]] (its scaladoc says so honestly); here
+    * the segment BOUNDARIES themselves are content-defined — a new
+    * segment starts after every landmark sample (|v| % [[SegMod]] ==
+    * [[SegRes]], the LBFS/Rabin content-defined-chunking discipline,
+    * Muthitacharoen et al. 2001) — so a copy shifted by ANY whole
+    * number of samples preserves every interior boundary and every
+    * interior segment sum. Prepended silence is doubly invisible:
+    * zeros are never landmarks and add nothing to the first segment's
+    * |amplitude| sum, so a zero-padded copy fingerprints IDENTICALLY;
+    * a nonzero prefix perturbs at most the first segment (and thus
+    * the few hashes that touch it), leaving all interior fingerprints
+    * shared. All-integer: segment sums are exact Longs < 2^26 on any
+    * encode this engine produces, so the width-3 polynomial stays
+    * under 2^46 and the DuckDB twin replays it bit-for-bit.
     */
-  private[graft] def shiftWav(wav: Array[Byte], shiftVals: Int): Array[Byte] = {
-    require(shiftVals % Frame == 0, "shift must be whole frames")
+  private[graft] def segmentSums(pcm: Array[Byte], bytesPerSample: Int = 2): Array[Long] = {
+    val m = pcm.length / bytesPerSample
+    val shift = 32 - 8 * bytesPerSample
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L
+    var open = false
+    var j = 0
+    while (j < m) {
+      var u = 0; var bi = 0
+      while (bi < bytesPerSample) {
+        u |= (pcm(bytesPerSample * j + bi) & 0xff) << (8 * bi); bi += 1
+      }
+      val a = math.abs((u << shift) >> shift).toLong
+      acc += a
+      open = true
+      if (a % SegMod == SegRes) { out += acc; acc = 0L; open = false }
+      j += 1
+    }
+    if (open) out += acc // trailing segment after the last landmark
+    out.toArray
+  }
+
+  /** Re-encode a WAV with `shiftSamples` zero PER-CHANNEL samples
+    * prepended (shiftSamples × channels 16-bit values, channels read
+    * from the header so stereo stays sample-frame aligned) — NO
+    * envelope-frame-alignment requirement: the sub-frame twin builder
+    * (shift 7 ≢ 0 mod [[Frame]] is exactly the case the sample-level
+    * kernel exists for). */
+  private[graft] def shiftWavAny(wav: Array[Byte], shiftSamples: Int): Array[Byte] = {
+    val channels = (wav(22) & 0xff) | ((wav(23) & 0xff) << 8)
+    shiftWavValues(wav, shiftSamples * channels)
+  }
+
+  /** The raw primitive: prepend `shiftVals` zero 16-bit VALUES to the
+    * interleaved stream and patch the RIFF/data sizes. */
+  private def shiftWavValues(wav: Array[Byte], shiftVals: Int): Array[Byte] = {
     val extra = 2 * shiftVals
     val out = new Array[Byte](wav.length + extra)
     System.arraycopy(wav, 0, out, 0, 44)
@@ -120,6 +170,17 @@ object AudioWinnow {
     out
   }
 
+  /** Re-encode a WAV (this engine's fixed 44-byte header layout) with
+    * `shiftVals` zero 16-bit values prepended to the interleaved PCM —
+    * the time-shifted-twin builder. `shiftVals` must be a multiple of
+    * the channel count (96 covers both 1- and 2-channel encodes) and
+    * of [[Frame]] (so interior envelope frames align exactly).
+    */
+  private[graft] def shiftWav(wav: Array[Byte], shiftVals: Int): Array[Byte] = {
+    require(shiftVals % Frame == 0, "shift must be whole frames")
+    shiftWavValues(wav, shiftVals)
+  }
+
   /** (doc_id, fh) — one row per DISTINCT winnowed fingerprint of each
     * WAV row's PCM. */
   private[graft] def fingerprintRows(media: Dataset[MediaRow]): DataFrame = {
@@ -128,6 +189,40 @@ object AudioWinnow {
       val (_, _, _, pcm) = Media.decodeWavBytes(row.content)
       fingerprints(frameSums(pcm)).iterator.map(h => (row.doc_id, h))
     }).toDF("doc_id", "fh")
+  }
+
+  /** (doc_id, fh) over the SAMPLE-LEVEL content-defined segments —
+    * the sub-frame kernel's fingerprint rows. */
+  private[graft] def sampleFingerprintRows(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { row =>
+      val (_, _, _, pcm) = Media.decodeWavBytes(row.content)
+      fingerprints(segmentSums(pcm)).iterator.map(h => (row.doc_id, h))
+    }).toDF("doc_id", "fh")
+  }
+
+  /** [[winnowPairs]] over the sample-level segment kernel: pairs that
+    * survive ANY whole-sample time shift (7 samples included), not
+    * just whole-frame shifts. Same df-capped fingerprint-bucket join.
+    */
+  def winnowSamplePairs(
+      media: Dataset[MediaRow],
+      minShared: Int = 2,
+      maxFpFreq: Long = 1000L): DataFrame = {
+    val fp = sampleFingerprintRows(media)
+    pairsOf(fp, fp, minShared, maxFpFreq, deltaOnly = false)
+  }
+
+  /** The delta form of [[winnowSamplePairs]] — the batch probes the
+    * standing sample-level fingerprint index (the q123 discipline). */
+  def winnowSampleDeltaPairs(
+      standing: Dataset[MediaRow],
+      delta: Dataset[MediaRow],
+      minShared: Int = 2,
+      maxFpFreq: Long = 1000L): DataFrame = {
+    val sfp = sampleFingerprintRows(standing)
+    val dfp = sampleFingerprintRows(delta)
+    pairsOf(sfp.unionByName(dfp), dfp, minShared, maxFpFreq, deltaOnly = true)
   }
 
   /** Pairs of WAV rows sharing at least `minShared` winnowed

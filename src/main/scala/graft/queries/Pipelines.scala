@@ -1038,6 +1038,28 @@ object Pipelines {
         Media.asWav(docs, "doc_id", "text"), shifted)
     }),
 
+    // SUB-FRAME shift tolerance (round 14): q170's frame grid is
+    // position-free only for shifts ≡ 0 mod 32 samples; here segment
+    // BOUNDARIES are content-defined at SAMPLE granularity (landmark
+    // samples, the LBFS content-defined-chunking discipline), so a
+    // copy shifted by ANY whole number of samples — 7 here, which
+    // BOTH q122's fixed blocks and q170's frame grid miss — keeps
+    // every interior segment sum and collides. Prepended silence adds
+    // no landmarks and no |amplitude|, so the shifted twin's segment
+    // sequence IS the base's — the oracle copies base segments to the
+    // twin id and replays the identical hash/winnow/pair chain.
+    "q176_audio_winnow_subframe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.filter(octet_length(col("text")) % 512 >= 256)
+        .select((col("doc_id") + 9000009L).as("doc_id"), col("text"))
+      val shifted = Media.asWav(twins, "doc_id", "text")
+        .map(r => graft.ops.MediaRow(r.doc_id, r.media_type,
+          graft.ops.AudioWinnow.shiftWavAny(r.content, 7)))
+      graft.ops.AudioWinnow.winnowSamplePairs(
+        Media.asWav(docs, "doc_id", "text").unionByName(shifted))
+    }),
+
     // Perceptual near-dup THROUGH the lossy container: entropy decode
     // → IDCT → gray aHash → the shared pigeonhole band engine. Exact
     // twins (id+6000006, parity-preserving: same framing) survive at
@@ -4796,6 +4818,71 @@ object Pipelines {
                 GROUP BY 1, 2 HAVING count(*) >= 2)
          SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared FROM pr
          WHERE id_a >= 8000000 OR id_b >= 8000000""",
+
+    // Sample-level content-defined segmentation: landmark samples
+    // (|v| % 13 = 5) end segments; the segment-|amplitude|-sum
+    // sequence feeds q170's identical hash/winnow/pair chain. The
+    // 7-sample zero prefix adds no landmark and no amplitude, so the
+    // twin's segment sequence equals the base's — copied outright.
+    "q176_audio_winnow_subframe" ->
+      """WITH tw AS (SELECT doc_id + 9000009 AS doc_id, doc_id AS src_id
+           FROM documents WHERE octet_length(encode(text)) % 512 >= 256),
+         src AS (SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t FROM documents),
+         dims AS (SELECT doc_id, hex(encode(t)) AS hx,
+             octet_length(encode(t)) AS l,
+             (64 + octet_length(encode(t)) % 512)
+               * (1 + octet_length(encode(t)) % 2) AS m FROM src),
+         bytes AS (SELECT doc_id, j,
+             (2*j) % l AS k0, (2*j + 1) % l AS k1, hx
+           FROM dims, UNNEST(range(0, m)) u(j)),
+         vals AS (SELECT doc_id, j,
+             (strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, CAST(2*k0+2 AS INT), 1)) - 1
+             + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+1 AS INT), 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(hx, CAST(2*k1+2 AS INT), 1)) - 1) AS v
+           FROM bytes),
+         avs AS (SELECT doc_id, j,
+             abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS av FROM vals),
+         sg AS MATERIALIZED (SELECT doc_id, j, av,
+             coalesce(SUM(CASE WHEN av % 13 = 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+           FROM avs),
+         bsg AS MATERIALIZED (SELECT doc_id, f, sum(av) AS fs FROM sg GROUP BY 1, 2),
+         frames AS MATERIALIZED (
+           SELECT doc_id, f, fs FROM bsg
+           UNION ALL
+           SELECT tw.doc_id, b.f, b.fs FROM bsg b JOIN tw ON b.doc_id = tw.src_id),
+         hs AS MATERIALIZED (SELECT a.doc_id, a.f AS i,
+             CAST(a.fs AS BIGINT)*1000003 + CAST(b.fs AS BIGINT)*9176
+               + CAST(c.fs AS BIGINT)*31 AS h
+           FROM frames a
+           JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           JOIN frames c ON c.doc_id = a.doc_id AND c.f = a.f + 2),
+         hcnt AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY 1),
+         wins AS (SELECT doc_id, u FROM hcnt,
+                  UNNEST(range(0, greatest(nh - 2, 0))) t(u) WHERE nh >= 3),
+         selw AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT w.doc_id, w.u, hs.h,
+                    row_number() OVER (PARTITION BY w.doc_id, w.u
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM wins w JOIN hs ON hs.doc_id = w.doc_id
+               AND hs.i BETWEEN w.u AND w.u + 2) WHERE rn = 1),
+         selg AS (SELECT DISTINCT doc_id, h FROM (
+             SELECT hs.doc_id, hs.h,
+                    row_number() OVER (PARTITION BY hs.doc_id
+                      ORDER BY hs.h, hs.i) AS rn
+             FROM hs JOIN hcnt USING (doc_id) WHERE nh < 3) WHERE rn = 1),
+         fps AS (SELECT doc_id, h AS fh FROM selw
+                 UNION SELECT doc_id, h FROM selg),
+         hot AS (SELECT fh FROM fps GROUP BY fh HAVING count(*) > 1000),
+         kept AS (SELECT fps.* FROM fps ANTI JOIN hot USING (fh)),
+         pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ns
+                FROM kept x JOIN kept y
+                  ON x.fh = y.fh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT id_a, id_b, CAST(ns AS BIGINT) AS n_shared FROM pr""",
 
     // q121's delta discipline over the envelope pipeline.
     "q123_audio_phash_delta" ->
