@@ -1065,6 +1065,23 @@ object Similarity {
       val bb = java.nio.ByteBuffer.wrap(pv)
       Array.tabulate(dim)(j => bb.getDouble(j * 8))
     }
+    kmeansSubspaces(vecs, m, ksub, iters, scale = 1000.0)
+  }
+
+  /** Per-subspace k-means over driver-side sample vectors, codebook
+    * entries floored onto the integer lattice at `scale` — the shared
+    * trainer of [[pqTrainCodebooksInt]] (raw floats, scale 1000) and
+    * [[pqTrainResidualCodebooksInt]] (already-lattice residuals,
+    * scale 1). */
+  private def kmeansSubspaces(
+      vecs: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      scale: Double): Array[Array[Array[Long]]] = {
+    val dim = vecs.head.length
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
     Array.tabulate(m) { ms =>
       val subs = vecs.map(_.slice(ms * sub, (ms + 1) * sub))
       var cents = Array.tabulate(math.min(ksub, subs.length))(i => subs(i).clone())
@@ -1093,8 +1110,46 @@ object Similarity {
         }
         it += 1
       }
-      cents.map(_.map(x => math.floor(x * 1000).toLong))
+      cents.map(_.map(x => math.floor(x * scale).toLong))
     }
+  }
+
+  /** Residual codebooks for IVFADC (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 §III):
+    * each sample vector is assigned to its integer-L2-nearest coarse
+    * centroid (the [[pqEncode]] rule over `ccb` — a ONE-subspace
+    * codebook of `numCells` full-dim entries), and the per-subspace
+    * k-means trains on the RESIDUALS qvInt(v) − centroid, which are
+    * already on the ×1000 lattice (scale 1 at the floor). Residuals
+    * concentrate around 0 far more tightly than raw vectors spread
+    * over the whole space, so the same m·log2(ksub) bits quantize
+    * them with less error — the recall lift at equal bytes.
+    */
+  private[graft] def pqTrainResidualCodebooksInt(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ccb: Array[Array[Array[Long]]],
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      sampleCap: Int = 4096): Array[Array[Array[Long]]] = {
+    val sample = emb.select(
+        col(idCol).cast("long").as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"))
+      .orderBy(xxhash64(col("id"))).limit(sampleCap)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getAs[Array[Byte]]("pv"))
+    require(sample.nonEmpty, "ivfadc: empty corpus")
+    val dim = sample.head.length / 8
+    val residuals = sample.map { pv =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      val qv = qvInt(Array.tabulate(dim)(j => bb.getDouble(j * 8)).toSeq)
+      val cent = ccb(0)(pqEncode(ccb, qv)(0))
+      Array.tabulate(dim)(t => (qv(t) - cent(t)).toDouble)
+    }
+    kmeansSubspaces(residuals, m, ksub, iters, scale = 1.0)
   }
 
   /** Integer-lattice projection of a vector (the q105 convention). */
@@ -1268,11 +1323,137 @@ object Similarity {
     if (n == 0L) 100L else r.getLong(0) * 100L / (n * k)
   }
 
+  /** The residual-mode drift judge: mean ADC recall@k (×100) where
+    * candidates score as dot(q, cent_cell) + residual-ADC — the same
+    * estimate the serving shortlist uses — against the exact float
+    * top-k over the [[pqMeanRecallX100]] deterministic query sample.
+    * Flat scan (every posting a candidate): the judge measures CODE
+    * quality, not probe coverage.
+    */
+  private[graft] def pqMeanRecallX100Residual(
+      postings: DataFrame,
+      cb: Array[Array[Array[Long]]],
+      centInt: Map[Long, Array[Long]],
+      k: Int,
+      sampleCap: Int): Long = {
+    val spark = postings.sparkSession
+    val sc = spark.sparkContext
+    val bcb = sc.broadcast(cb)
+    val bci = sc.broadcast(centInt)
+    val ksubN = cb.map(_.length).max
+    val raw = postings.select(col("vec_id"), col("cell"), col("fv"),
+      unpackUdf(col("fv")).as("v"))
+    val queries = raw.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+    val coded = withPqCodesResidual(raw, cb, centInt)
+    val lutUdf = udf { (fv: Array[Byte]) =>
+      val lut = pqLutOf(bcb.value, ksubN, qvInt(unpackDoubles(fv)))
+      val bb = java.nio.ByteBuffer.allocate(lut.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < lut.length) { bb.putLong(i * 8, lut(i)); i += 1 }
+      bb.array()
+    }
+    val adcUdf = udf { (lut: Array[Byte], codes: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.wrap(lut)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var s = 0L; var ms = 0
+      while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
+      s
+    }
+    val qdUdf = udf { (qfv: Array[Byte], cell: Long) =>
+      val qv = qvInt(unpackDoubles(qfv))
+      val c = bci.value(cell)
+      var s = 0L; var t = 0
+      while (t < qv.length) { s += qv(t) * c(t); t += 1 }
+      s
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      lutUdf(col("fv")).as("lut"), col("fv").as("qfv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nid"))
+    val approx = coded.select(col("vec_id").as("nid"), col("cell"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("query_id"))
+      .withColumn("score",
+        adcUdf(col("lut"), col("codes")) + qdUdf(col("qfv"), col("cell")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"))
+    val rec = recallVsExact(approx, raw, "vec_id", "v", queries.select("vec_id", "v"), k)
+    val r = rec.agg(
+      sum(col("n_overlap")).as("s"), count(lit(1)).as("n")).head()
+    val n = r.getLong(1)
+    if (n == 0L) 100L else r.getLong(0) * 100L / (n * k)
+  }
+
   private[graft] def withPqCodes(
       postings: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame = {
     val bcb = postings.sparkSession.sparkContext.broadcast(cb)
     val enc = udf((fv: Array[Byte]) => pqEncode(bcb.value, qvInt(unpackDoubles(fv))))
     postings.withColumn("codes", enc(col("fv")))
+  }
+
+  /** The RESIDUAL form of [[withPqCodes]] (IVFADC inside the
+    * maintained gate): codes quantize qvInt(v) − centInt(cell) — the
+    * posting's residual to its own cell's lattice centroid — so the
+    * same 8 bytes carry the tighter residual distribution. `centInt`
+    * maps each closure cell id to floor(centroid_vector × 1000).
+    */
+  private[graft] def withPqCodesResidual(
+      postings: DataFrame,
+      cb: Array[Array[Array[Long]]],
+      centInt: Map[Long, Array[Long]]): DataFrame = {
+    val sc = postings.sparkSession.sparkContext
+    val bcb = sc.broadcast(cb)
+    val bci = sc.broadcast(centInt)
+    val enc = udf { (cell: Long, fv: Array[Byte]) =>
+      val qv = qvInt(unpackDoubles(fv))
+      val c = bci.value(cell)
+      pqEncode(bcb.value, Array.tabulate(qv.length)(t => qv(t) - c(t)))
+    }
+    postings.withColumn("codes", enc(col("cell"), col("fv")))
+  }
+
+  /** cid → floor(centroid × 1000) for a closure seeded from the
+    * `ids`' own raw vectors — the residual sidecar's lattice centroid
+    * table. Bounded collect (one row per centroid).
+    */
+  private[graft] def latticeCentroids(
+      raw: DataFrame, idCol: String, vecCol: String,
+      ids: Array[Long]): Map[Long, Array[Long]] = {
+    val idSet = ids.toSet
+    raw.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("id").isin(ids: _*))
+      .collect()
+      .map(r => r.getLong(0) -> qvInt(r.getSeq[Double](1)))
+      .toMap
+      .ensuring(m => idSet.forall(m.contains),
+        "residual pq: a closure centroid id is missing from the corpus")
+  }
+
+  /** Residual codebooks trained from POSTINGS rows (vec_id, cell,
+    * fv): sample residuals to the assigned cell's lattice centroid,
+    * then the shared per-subspace k-means (scale 1 — residuals are
+    * already on the ×1000 lattice). The gate-side twin of
+    * [[pqTrainResidualCodebooksInt]].
+    */
+  private[graft] def pqTrainResidualCodebooksFromPostings(
+      postings: DataFrame,
+      centInt: Map[Long, Array[Long]],
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      sampleCap: Int = 4096): Array[Array[Array[Long]]] = {
+    val sample = postings.select(col("vec_id"), col("cell"), col("fv"))
+      .orderBy(xxhash64(col("vec_id"))).limit(sampleCap)
+      .collect()
+      .sortBy(_.getLong(0))
+    require(sample.nonEmpty, "residual pq: empty postings")
+    val residuals = sample.map { r =>
+      val qv = qvInt(unpackDoubles(r.getAs[Array[Byte]]("fv")))
+      val c = centInt(r.getLong(1))
+      Array.tabulate(qv.length)(t => (qv(t) - c(t)).toDouble)
+    }
+    kmeansSubspaces(residuals, m, ksub, iters, scale = 1.0)
   }
 
   /** [[ivfAnnotateBatch]] with the shortlist scored by integer PQ-ADC
@@ -1293,7 +1474,13 @@ object Similarity {
       nprobe: Int,
       shortlist: Int,
       k: Int,
-      includeBatchAsCandidates: Boolean = true): DataFrame = {
+      includeBatchAsCandidates: Boolean = true,
+      // IVFADC mode: cid → floor(centroid × 1000). When set, `codes`
+      // are RESIDUAL codes (withPqCodesResidual) and the shortlist
+      // score becomes dot(q, cent_cell) + Σ LUT[code] — the raw-query
+      // LUT estimates dot(q, r̂), the scalar restores the cell offset
+      // (dot(q, cent + r̂) = q·cent + q·r̂).
+      residualCentInt: Option[Map[Long, Array[Long]]] = None): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = standing.sparkSession
     val bcb = spark.sparkContext.broadcast(cb)
@@ -1309,17 +1496,41 @@ object Similarity {
       while (i < lut.length) { bb.putLong(i * 8, lut(i)); i += 1 }
       bb.array()
     }
-    val adcUdf = udf { (lut: Array[Byte], codes: Seq[Int]) =>
-      val bb = java.nio.ByteBuffer.wrap(lut)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var s = 0L; var ms = 0
-      while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
-      s
+    val adcUdf = residualCentInt match {
+      case None => udf { (lut: Array[Byte], codes: Seq[Int], _: Long) =>
+        val bb = java.nio.ByteBuffer.wrap(lut)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var s = 0L; var ms = 0
+        while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
+        s
+      }
+      case Some(_) => udf { (lut: Array[Byte], codes: Seq[Int], qdotc: Long) =>
+        val bb = java.nio.ByteBuffer.wrap(lut)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var s = qdotc; var ms = 0
+        while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
+        s
+      }
+    }
+    // per-(query, probed cell) offset scalar in residual mode; a
+    // constant 0 column otherwise (one codegen'd shape either way)
+    val qdotcCol = residualCentInt match {
+      case None => lit(0L)
+      case Some(ci) =>
+        val bci = spark.sparkContext.broadcast(ci)
+        udf { (fv: Array[Byte], cell: Long) =>
+          val qv = qvInt(unpackDoubles(fv))
+          val c = bci.value(cell)
+          var s = 0L; var t = 0
+          while (t < qv.length) { s += qv(t) * c(t); t += 1 }
+          s
+        }.apply(col("qfv"), col("cell"))
     }
     val probes = batch.select(
         col("vec_id").as("qid"), lutUdf(col("fv")).as("lut"),
         col("fv").as("qfv"), col("fnrm").as("qfnrm"),
         explode(probeUdf(col("qv"), col("qn"))).as("cell"))
+      .withColumn("qdotc", qdotcCol)
     val standingLive =
       if (includeBatchAsCandidates)
         standing.join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
@@ -1331,7 +1542,7 @@ object Similarity {
     val ws = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     val short = candidates.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .withColumn("adc", adcUdf(col("lut"), col("codes"), col("qdotc")))
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
         col("adc"), col("qfv"), col("qfnrm"), col("fv"), col("fnrm"))
       .withColumn("srank", row_number().over(ws))
@@ -1466,6 +1677,178 @@ object Similarity {
     * nprobe by construction (probing more cells only grows the set) —
     * the property PqSpec pins.
     */
+  /** IVFADC serving scan (Jégou et al. 2011 §IV): every corpus vector
+    * is stored as (cell, 8-byte residual codes); a query probes its
+    * `nprobe` integer-L2-nearest cells and scores each candidate as
+    *
+    *   dot(q, x) ≈ dot(q, cent_cell) + Σ_ms LUT_cell[ms, code_ms]
+    *
+    * where LUT is the RAW query's table against the residual
+    * codebooks (dot(q, cent + r̂) = q·cent + q·r̂ — under the house
+    * inner-product scoring the query-residual LUT of the L2 IVFADC
+    * formulation would bias every candidate by −cent·r̂). One LUT per
+    * query regardless of nprobe, plus a per-cell scalar; all on the
+    * ×1000 integer lattice so the DuckDB twin replays scores
+    * bit-for-bit.
+    *
+    * Plan shape at 100 TB: coarse centroids + residual codebooks are
+    * a few hundred KB — broadcast; the corpus encodes map-side once
+    * (cell + codes, ~9 B/vector) and is never reshuffled; probing is
+    * a broadcast semi-restriction to the probed cells. Bounded query
+    * sets ride a broadcast (query, cell) → LUT map (zero per-pair
+    * transfer — the q160/q163 LUT lesson); above the cap the packed
+    * binary LUT column crosses the join (never boxes).
+    */
+  private[graft] def ivfadcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      ccb: Array[Array[Array[Long]]],
+      rcb: Array[Array[Array[Long]]],
+      nprobe: Int,
+      k: Int,
+      broadcastLutCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val numCells = ccb(0).length
+    require(numCells <= 256, "ivfadc: > 256 cells needs a wider probe key")
+    val bccb = spark.sparkContext.broadcast(ccb)
+    val brcb = spark.sparkContext.broadcast(rcb)
+    val mSub = rcb.length
+    val ksubN = rcb.map(_.length).max
+    // one narrow pass: cell assignment (the pqEncode integer-L2 +
+    // lowest-index rule over the one-subspace coarse book) + residual
+    // codes
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val qv = qvInt(v)
+      val cell = pqEncode(bccb.value, qv)(0)
+      val cent = bccb.value(0)(cell)
+      val r = Array.tabulate(qv.length)(t => qv(t) - cent(t))
+      (cell, pqEncode(brcb.value, r))
+    }
+    val codes = emb.select(col(idCol).cast("long").as("nid"),
+      encodeUdf(asDouble(col(vecCol))).as("cc"))
+      .select(col("nid"), col("cc._1").as("cell"), col("cc._2").as("codes"))
+    // probe list of one query vector: nprobe nearest cells by integer
+    // L2 (d ASC, cell ASC — the oracle's row_number order), each with
+    // its dot(q, cent) scalar; ONE raw-query LUT per query
+    def probesOf(qv: Array[Long]): Array[(Int, Long)] = {
+      val cents = bccb.value(0)
+      val byD = Array.tabulate(cents.length) { j =>
+        var d = 0L; var t = 0
+        while (t < qv.length) { val x = qv(t) - cents(j)(t); d += x * x; t += 1 }
+        (d, j)
+      }.sortBy(identity).take(nprobe)
+      byD.map { case (_, cell) =>
+        val cent = cents(cell)
+        var qc = 0L; var t = 0
+        while (t < qv.length) { qc += qv(t) * cent(t); t += 1 }
+        (cell, qc)
+      }
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nid"))
+    val qHead = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .limit(broadcastLutCap + 1).collect()
+    if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
+      // bounded: broadcast qid → [qdotc per cell…, lut…]; the scoring
+      // UDF reads primitive longs, zero per-pair transfer
+      val lutMap: Map[Long, Array[Long]] = qHead.iterator.map { r =>
+        val qid = r.getLong(0)
+        val qv = qvInt(r.getSeq[Double](1))
+        val head = new Array[Long](numCells)
+        probesOf(qv).foreach { case (cell, qc) => head(cell) = qc }
+        qid -> (head ++ pqLutOf(brcb.value, ksubN, qv))
+      }.toMap
+      require(lutMap.size == qHead.length,
+        "ivfadc: duplicate query ids in bounded query set")
+      val blut = spark.sparkContext.broadcast(lutMap)
+      val adcUdf = udf { (qid: Long, cell: Int, codes: Seq[Int]) =>
+        val a = blut.value(qid)
+        var s = a(cell); var ms = 0
+        while (ms < codes.length) { s += a(numCells + ms * ksubN + codes(ms)); ms += 1 }
+        s
+      }
+      import spark.implicits._
+      val probeRows = qHead.iterator.flatMap { r =>
+        val qid = r.getLong(0)
+        probesOf(qvInt(r.getSeq[Double](1))).iterator.map { case (cell, _) => (qid, cell) }
+      }.toSeq.toDF("query_id", "cell")
+      return codes.join(broadcast(probeRows), Seq("cell"))
+        .filter(col("nid") =!= col("query_id"))
+        .withColumn("score", adcUdf(col("query_id"), col("cell"), col("codes")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nid").as("neighbor_id"))
+    }
+    // above the cap: the (query, cell) probe frame carries qdotc and
+    // the packed-binary raw-query LUT through the join
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val qv = qvInt(v)
+      val lut = pqLutOf(brcb.value, ksubN, qv)
+      val bb = java.nio.ByteBuffer.allocate(lut.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < lut.length) { bb.putLong(i * 8, lut(i)); i += 1 }
+      val packed = bb.array()
+      probesOf(qv).map { case (cell, qc) => (cell, qc, packed) }
+    }
+    val adcUdf = udf { (qc: Long, lut: Array[Byte], codes: Seq[Int]) =>
+      val bb = java.nio.ByteBuffer.wrap(lut)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var s = qc; var ms = 0
+      while (ms < codes.length) { s += bb.getLong((ms * ksubN + codes(ms)) * 8); ms += 1 }
+      s
+    }
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+        explode(probeUdf(asDouble(col(vecCol)))).as("p"))
+      .select(col("query_id"), col("p._1").as("cell"),
+        col("p._2").as("qdotc"), col("p._3").as("lut"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("query_id"))
+      .withColumn("score", adcUdf(col("qdotc"), col("lut"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"))
+  }
+
+  /** IVFADC with the recall judgment and the oracle exports: coarse
+    * centroids (one-subspace codebook) and residual codebooks land as
+    * the standard (msub, j, cv) frames, so the DuckDB twin replays
+    * assignment, residual encode, probe order, and every score. The
+    * residual encoding lifts recall at EQUAL bytes vs direct PQ
+    * (q160/q169's form) — PqSpec pins the ≥ on a clustered corpus and
+    * BASELINE records the measured lift.
+    */
+  def ivfadcTopKRecallExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCells: Int,
+      coarseIters: Int,
+      m: Int,
+      ksub: Int,
+      pqIters: Int,
+      nprobe: Int,
+      k: Int,
+      coarseExportPath: String,
+      cbExportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val ccb = pqTrainCodebooksInt(emb, idCol, vecCol, 1, numCells, coarseIters, sampleCap)
+    val rcb = pqTrainResidualCodebooksInt(emb, idCol, vecCol, ccb, m, ksub, pqIters, sampleCap)
+    graft.OracleAux.register(coarseExportPath) {
+      pqCbToFrame(spark, ccb).coalesce(1).write.mode("overwrite").parquet(coarseExportPath)
+    }
+    graft.OracleAux.register(cbExportPath) {
+      pqCbToFrame(spark, rcb).coalesce(1).write.mode("overwrite").parquet(cbExportPath)
+    }
+    val approx = ivfadcTopK(emb, idCol, vecCol, queries, ccb, rcb, nprobe, k)
+    recallVsExact(approx, emb, idCol, vecCol, queries, k)
+  }
+
   def ivfPqTopKRecall(
       emb: DataFrame,
       idCol: String,

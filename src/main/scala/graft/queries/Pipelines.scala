@@ -246,6 +246,25 @@ object Pipelines {
         exportPath = PqSampleExportPath)
     }),
 
+    // IVFADC proper (round 14, Jégou et al. 2011): codes quantize the
+    // RESIDUAL to the assigned coarse centroid instead of the raw
+    // vector — residuals concentrate near 0, so the same 8 bytes
+    // quantize them tighter and recall rises at equal bytes (PqSpec
+    // pins residual ≥ direct on a clustered corpus; BASELINE records
+    // the measured lift). Serving scans only the nprobe probed cells;
+    // score = dot(q, cent) + residual-ADC, all on the ×1000 integer
+    // lattice; judged by the q169 sampled judge (256 lowest-md5
+    // queries, SQL-replayable verbatim).
+    "q175_ivfadc_recall_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(256).localCheckpoint()
+      Similarity.ivfadcTopKRecallExport(emb, "vec_id", "embedding",
+        queries = qs, numCells = 16, coarseIters = 3, m = 8, ksub = 256,
+        pqIters = 2, nprobe = 4, k = 10,
+        coarseExportPath = IvfAdcCoarsePath, cbExportPath = IvfAdcCbPath)
+    }),
+
     // PQ + exact re-rank: the two-stage PQ serving pattern — integer
     // ADC prunes to a 50-deep shortlist (compressed scan, 8 B/vector),
     // float cosine re-ranks shortlist rows only (the sole float fetch
@@ -1604,6 +1623,37 @@ object Pipelines {
       gate.decisions
     }),
 
+    // IVFADC serving gate (round 14): q164's maintained-IVF replay
+    // with the RESIDUAL sidecar live — codes quantize each posting's
+    // residual to its own cell's lattice centroid (centroids = the
+    // initial batch's 16 lowest ids, so the oracle's centroid lattice
+    // vectors are just those rows' floor(embedding×1000)), and every
+    // fold's shortlist scores dot(q, cent) + residual-ADC. The
+    // persist→resume mid-replay rides BOTH the residual codebooks
+    // (pqcb) and the centroid table (pqcents) through the manifest.
+    "q177_ivfadc_vector_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
+        pqResidual = true)
+      val pqCbFrame = g1.pqFrame.get
+      graft.OracleAux.register(IvfAdcGateExportPath) {
+        pqCbFrame.coalesce(1).write.mode("overwrite").parquet(IvfAdcGateExportPath)
+      }
+      (1 to 2).foreach(i => g1.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2)
+      }
+      gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
     // Vector-index gate with the OCCUPANCY AUTO-RESEED live (round
     // 10): q127's replay with targetCellOccupancy=16, so the fold-2
     // compaction doubles the closure 16 → 32 centroids (seeded from
@@ -2497,6 +2547,17 @@ object Pipelines {
   /** q169's codebook export — the sampled-judge form of q160. */
   val PqSampleExportPath = s"${graft.OracleAux.dir}/q169_pq_codebooks"
 
+  /** q175's TWO exports: the coarse quantizer (a one-subspace integer
+    * codebook — numCells full-dim centroids) and the RESIDUAL
+    * codebooks trained on sample residuals to the assigned centroid.
+    */
+  val IvfAdcCoarsePath = s"${graft.OracleAux.dir}/q175_ivfadc_coarse"
+  val IvfAdcCbPath = s"${graft.OracleAux.dir}/q175_ivfadc_codebooks"
+
+  /** q177's gate-trained RESIDUAL codebook export (trained on the
+    * initial batch's residuals to its closure cells). */
+  val IvfAdcGateExportPath = s"${graft.OracleAux.dir}/q177_ivfadc_gate_codebooks"
+
   /** q165's TWO codebook exports: the initial training (phase 1,
     * batches 1-4 fold against these) and the drift-refresh retraining
     * (phase 2, batch 5) — the two-phase oracle reads both. */
@@ -2693,6 +2754,87 @@ object Pipelines {
                 FROM codes c JOIN lut l ON l.msub = c.msub AND l.j = c.code
                 WHERE c.vec_id <> l.query_id
                 GROUP BY 1, 2),
+         qscored AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                     FROM adc),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e
+                WHERE vec_id IN (SELECT vec_id FROM smp)),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
+
+    // IVFADC: coarse assignment (integer L2 to the one-subspace
+    // coarse book, row_number ties to the lowest cell), residual
+    // encode against the residual books, nprobe=4 probe order by the
+    // SAME distance chain, score = dot(q, cent) + residual ADC —
+    // every stage replayed from the two exports, judged by the q169
+    // sampled-exact tail.
+    "q175_ivfadc_recall_sampled" ->
+      s"""WITH $embCte,
+         smp AS MATERIALIZED (SELECT vec_id FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+         ccb AS (SELECT j, cv FROM read_parquet('$IvfAdcCoarsePath/*.parquet')),
+         rcb AS (SELECT msub, j, cv FROM read_parquet('$IvfAdcCbPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
+                FROM embeddings),
+         celld AS MATERIALIZED (SELECT eq.vec_id, ccb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [(qv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                   * (qv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                   for i in range(1, 65)]), (x, y) -> x + y) AS d
+                FROM eq, ccb),
+         cells AS (SELECT vec_id, j AS cell FROM (
+             SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d ASC, j) AS rn FROM celld) WHERE rn = 1),
+         resid AS MATERIALIZED (SELECT eq.vec_id, cl.cell,
+                [qv[CAST(i AS INT)] - ccb.cv[CAST(i AS INT)] for i in range(1, 65)] AS rv
+                FROM eq JOIN cells cl USING (vec_id) JOIN ccb ON ccb.j = cl.cell),
+         codes AS MATERIALIZED (SELECT vec_id, cell, msub, j AS code FROM (
+             SELECT r.vec_id, r.cell, rcb.msub, rcb.j,
+                    row_number() OVER (PARTITION BY r.vec_id, rcb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(rv[CAST(rcb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (rv[CAST(rcb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, rcb.j) AS rn
+             FROM resid r, rcb) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, j AS cell FROM (
+             SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d ASC, j) AS rn
+             FROM celld WHERE vec_id IN (SELECT vec_id FROM smp)) WHERE rn <= 4),
+         qdc AS MATERIALIZED (SELECT p.query_id, p.cell,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [eq.qv[CAST(i AS INT)] * ccb.cv[CAST(i AS INT)] for i in range(1, 65)]),
+                  (x, y) -> x + y) AS qc
+                FROM probes p JOIN eq ON eq.vec_id = p.query_id
+                JOIN ccb ON ccb.j = p.cell),
+         lut AS MATERIALIZED (SELECT q.vec_id AS query_id, rcb.msub, rcb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.qv[CAST(rcb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, rcb WHERE q.vec_id IN (SELECT vec_id FROM smp)),
+         adcsum AS (SELECT p.query_id, c.cell, c.vec_id AS neighbor_id, sum(l.d) AS sd
+                FROM codes c
+                JOIN probes p ON p.cell = c.cell
+                JOIN lut l ON l.query_id = p.query_id
+                  AND l.msub = c.msub AND l.j = c.code
+                WHERE c.vec_id <> p.query_id
+                GROUP BY 1, 2, 3),
+         adc AS (SELECT a.query_id, a.neighbor_id, q.qc + a.sd AS score
+                FROM adcsum a JOIN qdc q
+                  ON q.query_id = a.query_id AND q.cell = a.cell),
          qscored AS (SELECT query_id, neighbor_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id) AS rank
@@ -3155,6 +3297,93 @@ object Pipelines {
                  JOIN lut l ON l.query_id = c.query_id
                    AND l.msub = k2.msub AND l.j = k2.code
                  GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)
+         SELECT query_id, CAST(query_id % 4 AS BIGINT) AS batch,
+                CAST(rank AS BIGINT) AS rank, neighbor_id
+         FROM rer""",
+
+    // IVFADC gate: q164's chain with RESIDUAL codes — every vector's
+    // rv = floor(v×1000) − floor(cent×1000) (the centroid lattice
+    // vector is just eq of the cell's seed id), encoded against the
+    // residual export; the ADC score gains the per-(query, cell)
+    // dot(q, cent) offset. Cells, probes, fold predicate, shortlist
+    // 40, float re-rank top 10 are q164's verbatim.
+    "q177_ivfadc_vector_gate" ->
+      s"""WITH $embCte,
+         mx AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+         qt AS (SELECT e.vec_id,
+                  CASE WHEN mx.m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(trunc(x * (127.0 / mx.m)) AS BIGINT))
+                  END AS qv
+                FROM e JOIN mx USING (vec_id)),
+         qn AS (SELECT vec_id, qv,
+                  sqrt(CAST(${sqlDotInt("qv", "qv", 64)} AS DOUBLE)) AS nrm
+                FROM qt),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cn FROM qn
+                   WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cell FROM (
+             SELECT qn.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY qn.vec_id
+                      ORDER BY CAST(${sqlDotInt("qn.qv", "c.cqv", 64)} AS DOUBLE)
+                                 / (qn.nrm * c.cn) DESC, c.cid) AS rn
+             FROM qn, cents c WHERE qn.vec_id % 4 <> 0) WHERE rn <= 2),
+         cb AS (SELECT msub, j, cv FROM read_parquet('$IvfAdcGateExportPath/*.parquet')),
+         eq AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS pqv
+                FROM embeddings),
+         rcd AS MATERIALIZED (SELECT eq.vec_id, cl.cell,
+                [eq.pqv[CAST(i AS INT)] - ec.pqv[CAST(i AS INT)] for i in range(1, 65)] AS rv
+                FROM eq JOIN cells cl USING (vec_id)
+                JOIN eq ec ON ec.vec_id = cl.cell),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT r.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY r.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(rv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (rv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM rcd r, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.pqv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id % 4 <> 0),
+         qd AS (SELECT p.query_id, p.cell,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.pqv[CAST(i AS INT)] * c.pqv[CAST(i AS INT)] for i in range(1, 65)]),
+                  (x, y) -> x + y) AS qc
+                FROM probes p
+                JOIN eq q ON q.vec_id = p.query_id
+                JOIN eq c ON c.vec_id = p.cell),
+         cand AS (SELECT p.query_id, p.cell, cl.vec_id AS neighbor_id
+                  FROM probes p
+                  JOIN cells cl ON cl.cell = p.cell
+                  WHERE cl.vec_id <> p.query_id
+                    AND cl.vec_id % 4 <= p.query_id % 4),
+         adc AS (SELECT c.query_id, c.neighbor_id, qd.qc + sum(l.d) AS score
+                 FROM cand c
+                 JOIN codes k2 ON k2.vec_id = c.neighbor_id
+                 JOIN lut l ON l.query_id = c.query_id
+                   AND l.msub = k2.msub AND l.j = k2.code
+                 JOIN qd ON qd.query_id = c.query_id AND qd.cell = c.cell
+                 GROUP BY 1, 2, qd.qc),
          short AS (SELECT query_id, neighbor_id FROM (
              SELECT query_id, neighbor_id,
                     row_number() OVER (PARTITION BY query_id

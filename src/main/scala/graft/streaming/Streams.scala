@@ -1879,8 +1879,19 @@ object Streams {
       // (the q136 reseed contract, applied to the PQ sidecar).
       pqRefreshMinRecallX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
-      pqTrainIters: Int = 2) extends IngestGate {
+      pqTrainIters: Int = 2,
+      // RESIDUAL sidecar (round 14, IVFADC): cid → floor(centroid ×
+      // 1000). When set (requires pqCb), every posting's codes
+      // quantize its residual to its own cell's lattice centroid and
+      // the shortlist scores dot(q, cent) + residual-ADC — tighter
+      // codes at the same 8 bytes. The table rides the manifest's
+      // pqcents slot and rebuilds from the new closure's seed vectors
+      // at every reseed (raw vectors reconstruct from the packed
+      // floats bit-identically).
+      pqResidualCentInt: Option[Map[Long, Array[Long]]] = None) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(pqResidualCentInt.isEmpty || pqCb.isDefined,
+      "residual centroids need the PQ sidecar (pqCb)")
     require(nprobe >= 1 && shortlist >= k && k >= 1,
       "need nprobe >= 1 and shortlist >= k >= 1")
 
@@ -1896,6 +1907,15 @@ object Streams {
     // The LIVE codebooks (the constructor's pqCb until a drift-gated
     // refresh swaps in retrained ones).
     @volatile private var pqCbNow: Option[Array[Array[Array[Long]]]] = pqCb
+    // The LIVE residual centroid table (rebuilt at every reseed).
+    @volatile private var pqCentIntNow: Option[Map[Long, Array[Long]]] = pqResidualCentInt
+    /** Encode postings with the live codebooks — residual codes when
+      * the residual table is set, direct codes otherwise. */
+    private def encodePq(p: DataFrame, cb: Array[Array[Array[Long]]]): DataFrame =
+      pqCentIntNow match {
+        case Some(ci) => graft.ops.Similarity.withPqCodesResidual(p, cb, ci)
+        case None => graft.ops.Similarity.withPqCodes(p, cb)
+      }
     @volatile private var pqRefreshes: Int = 0
     /** Completed drift-gated codebook refreshes — observability for
       * the q165 oracle's phase boundary. */
@@ -1966,9 +1986,17 @@ object Streams {
         graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
       val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
         raw, "vec_id", "v", numCentroids)
+      // residual mode: the lattice centroid table follows the closure
+      // (codes re-derive against the NEW cells; the codebooks stand —
+      // the drift gate catches any distribution shift)
+      val nci = pqCentIntNow.map(_ =>
+        graft.ops.Similarity.latticeCentroids(raw, "vec_id", "v", cc.cids))
       val reposted = graft.ops.Similarity.quantizedPostings(raw, "vec_id", "v", cc)
       val fresh = new VectorIndexGate(
-        pqCbNow.fold(reposted)(cb => graft.ops.Similarity.withPqCodes(reposted, cb)),
+        pqCbNow.fold(reposted)(cb => nci match {
+          case Some(ci) => graft.ops.Similarity.withPqCodesResidual(reposted, cb, ci)
+          case None => graft.ops.Similarity.withPqCodes(reposted, cb)
+        }),
         cc, nprobe, shortlist, k, compactEvery,
         targetCellOccupancy = targetCellOccupancy,
         restoredDecisions = if (decisionSegs.nonEmpty) Some(decisions) else None,
@@ -1976,7 +2004,8 @@ object Streams {
         pqCb = pqCbNow,
         pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
         pqRefreshSampleCap = pqRefreshSampleCap,
-        pqTrainIters = pqTrainIters)
+        pqTrainIters = pqTrainIters,
+        pqResidualCentInt = nci)
       release()
       fresh
     }
@@ -1994,7 +2023,8 @@ object Streams {
           includeBatchAsCandidates = false))(cb =>
         graft.ops.Similarity.ivfAnnotateBatchPq(
           postingsNow, q, closure, cb, nprobe, shortlist, k,
-          includeBatchAsCandidates = false))
+          includeBatchAsCandidates = false,
+          residualCentInt = pqCentIntNow))
     }
 
     /** Synchronously fold one micro-batch of postings-projected rows —
@@ -2005,7 +2035,7 @@ object Streams {
     /** Fold a raw (idCol, vecCol) frame. */
     def foldRaw(batch: DataFrame, idCol: String, vecCol: String): Unit = {
       val p = graft.ops.Similarity.quantizedPostings(batch, idCol, vecCol, closure)
-      fold(pqCbNow.fold(p)(cb => graft.ops.Similarity.withPqCodes(p, cb)))
+      fold(pqCbNow.fold(p)(cb => encodePq(p, cb)))
     }
 
     def persist(store: graft.bulk.ManifestStore): Long = synchronized {
@@ -2015,6 +2045,12 @@ object Streams {
       txn.stage("centroids", closure.toFrame(spark))
       pqCbNow.foreach(cb => txn.stage("pqcb",
         graft.ops.Similarity.pqCbToFrame(spark, cb)))
+      pqCentIntNow.foreach { ci =>
+        import spark.implicits._
+        txn.stage("pqcents",
+          ci.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toSeq) }
+            .toDF("cid", "civ"))
+      }
       if (decisionSegs.nonEmpty) txn.stage("decisions", decisions)
       txn.stage("meta", spark.range(1).select(
         lit(batchIdx).as("batch_idx"), lit(nprobe).as("nprobe"),
@@ -2038,7 +2074,7 @@ object Streams {
       // folds identically. Map-side, one narrow pass, no shuffle.
       val coded = pqCbNow match {
         case Some(cb) if !batchPostings.columns.contains("codes") =>
-          graft.ops.Similarity.withPqCodes(batchPostings, cb)
+          encodePq(batchPostings, cb)
         case _ => batchPostings
       }
       val bp = coded.transform(graft.ops.Ckpt.fresh)
@@ -2046,7 +2082,8 @@ object Streams {
           graft.ops.Similarity.ivfAnnotateBatch(
             postingsNow, bp, closure, nprobe, shortlist, k))(cb =>
           graft.ops.Similarity.ivfAnnotateBatchPq(
-            postingsNow, bp, closure, cb, nprobe, shortlist, k))
+            postingsNow, bp, closure, cb, nprobe, shortlist, k,
+            residualCentInt = pqCentIntNow))
         .select(col("query_id"), lit(batchIdx).as("batch"),
           col("rank"), col("neighbor_id"))
         .transform(graft.ops.Ckpt.fresh)
@@ -2081,10 +2118,13 @@ object Streams {
               graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
             val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
               raw, "vec_id", "v", nc)
+            // residual table follows the widened closure before any
+            // re-encode (encodePq reads it)
+            pqCentIntNow = pqCentIntNow.map(_ =>
+              graft.ops.Similarity.latticeCentroids(raw, "vec_id", "v", cc.cids))
             val reposted = graft.ops.Similarity
               .quantizedPostings(raw, "vec_id", "v", cc)
-            val requantized = pqCbNow.fold(reposted)(cb =>
-                graft.ops.Similarity.withPqCodes(reposted, cb))
+            val requantized = pqCbNow.fold(reposted)(cb => encodePq(reposted, cb))
               .transform(graft.ops.Ckpt.fresh)
             releaseCheckpoint(deduped)
             deduped = requantized
@@ -2098,15 +2138,29 @@ object Streams {
         // allowlisted ADC-scan class), zero when disabled.
         if (pqCbNow.isDefined && pqRefreshMinRecallX100 > 0L) {
           val cb = pqCbNow.get
-          val raw = deduped.select(col("vec_id"),
-            graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
-          val meanX100 = graft.ops.Similarity.pqMeanRecallX100(
-            raw, "vec_id", "v", cb, k, pqRefreshSampleCap)
+          val meanX100 = pqCentIntNow match {
+            case Some(ci) =>
+              // residual judge: scores with the serving estimate
+              // dot(q, cent) + residual-ADC over the same sample
+              graft.ops.Similarity.pqMeanRecallX100Residual(
+                deduped, cb, ci, k, pqRefreshSampleCap)
+            case None =>
+              val raw = deduped.select(col("vec_id"),
+                graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
+              graft.ops.Similarity.pqMeanRecallX100(
+                raw, "vec_id", "v", cb, k, pqRefreshSampleCap)
+          }
           if (meanX100 < pqRefreshMinRecallX100) {
-            val ncb = graft.ops.Similarity.pqTrainCodebooksInt(
-              raw, "vec_id", "v", cb.length, cb.map(_.length).max, pqTrainIters)
-            val recoded = graft.ops.Similarity
-              .withPqCodes(deduped.drop("codes"), ncb)
+            val ncb = pqCentIntNow match {
+              case Some(ci) => graft.ops.Similarity.pqTrainResidualCodebooksFromPostings(
+                deduped, ci, cb.length, cb.map(_.length).max, pqTrainIters)
+              case None =>
+                val raw = deduped.select(col("vec_id"),
+                  graft.ops.Similarity.unpackUdf(col("fv")).as("v"))
+                graft.ops.Similarity.pqTrainCodebooksInt(
+                  raw, "vec_id", "v", cb.length, cb.map(_.length).max, pqTrainIters)
+            }
+            val recoded = encodePq(deduped.drop("codes"), ncb)
               .transform(graft.ops.Ckpt.fresh)
             releaseCheckpoint(deduped)
             deduped = recoded
@@ -2145,23 +2199,40 @@ object Streams {
       // drift gate: mean sampled ADC recall@k (×100) floor; 0 = never
       // retrain (the q164 contract). See VectorIndexGate's scaladoc.
       pqRefreshMinRecallX100: Long = 0L,
-      pqRefreshSampleCap: Int = 256): VectorIndexGate = {
+      pqRefreshSampleCap: Int = 256,
+      // IVFADC (round 14): codes quantize each posting's RESIDUAL to
+      // its cell's lattice centroid instead of the raw vector —
+      // tighter codes at the same bytes; the shortlist scores
+      // dot(q, cent) + residual-ADC and the centroid table rides the
+      // manifest's pqcents slot. Requires pqM > 0.
+      pqResidual: Boolean = false): VectorIndexGate = {
+    require(!pqResidual || pqM > 0, "pqResidual needs the PQ sidecar (pqM > 0)")
     val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
       initialCorpus, idCol, vecCol, numCentroids)
-    val cb =
-      if (pqM <= 0) None
-      else Some(graft.ops.Similarity.pqTrainCodebooksInt(
-        initialCorpus, idCol, vecCol, pqM, pqKsub, pqIters))
+    val centInt =
+      if (!pqResidual) None
+      else Some(graft.ops.Similarity.latticeCentroids(
+        initialCorpus, idCol, vecCol, cc.cids))
     val postings = graft.ops.Similarity.quantizedPostings(
       initialCorpus, idCol, vecCol, cc)
+    val cb =
+      if (pqM <= 0) None
+      else if (pqResidual) Some(graft.ops.Similarity.pqTrainResidualCodebooksFromPostings(
+        postings, centInt.get, pqM, pqKsub, pqIters))
+      else Some(graft.ops.Similarity.pqTrainCodebooksInt(
+        initialCorpus, idCol, vecCol, pqM, pqKsub, pqIters))
     new VectorIndexGate(
-      cb.fold(postings)(c => graft.ops.Similarity.withPqCodes(postings, c)),
+      cb.fold(postings)(c => centInt match {
+        case Some(ci) => graft.ops.Similarity.withPqCodesResidual(postings, c, ci)
+        case None => graft.ops.Similarity.withPqCodes(postings, c)
+      }),
       cc, nprobe, shortlist, k, compactEvery,
       targetCellOccupancy = targetCellOccupancy,
       pqCb = cb,
       pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
       pqRefreshSampleCap = pqRefreshSampleCap,
-      pqTrainIters = pqIters)
+      pqTrainIters = pqIters,
+      pqResidualCentInt = centInt)
   }
 
   /** Resume a [[VectorIndexGate]] from `store`'s latest committed
@@ -2201,7 +2272,11 @@ object Streams {
       pqCb = store.read("pqcb").map(graft.ops.Similarity.pqCbFromFrame),
       pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
       pqRefreshSampleCap = pqRefreshSampleCap,
-      pqTrainIters = pqTrainIters)
+      pqTrainIters = pqTrainIters,
+      // presence of the pqcents slot IS the residual flag — a direct
+      // PQ (or int8) gate never stages it
+      pqResidualCentInt = store.read("pqcents").map(_.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap))
   }
 
   /** Wire any [[IngestGate]] — live-constructed or resumed from a

@@ -300,4 +300,60 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count() > 0)
     resumed.release()
   }
+
+  test("residual (IVFADC) gate restart ≡ uninterrupted; pqcents rides the manifest") {
+    def rGate() = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2,
+      compactEvery = 2, pqM = 2, pqKsub = 4, pqIters = 2, pqResidual = true)
+    val uninterrupted = rGate()
+    Seq(b1, b2, b3).foreach(b => uninterrupted.foldRaw(b, "vec_id", "embedding"))
+    val expect = rows(uninterrupted.decisions)
+    uninterrupted.release()
+
+    val g1 = rGate()
+    Seq(b1, b2).foreach(b => g1.foldRaw(b, "vec_id", "embedding"))
+    val store = tmpStore()
+    g1.persist(store)
+    g1.release()
+    assert(store.read("pqcents").isDefined, "residual gate must stage pqcents")
+    val resumed = Streams.resumeVectorIndexGate(store,
+      nprobe = 1, shortlist = 4, k = 2, compactEvery = 2)
+    resumed.foldRaw(b3, "vec_id", "embedding")
+    assert(rows(resumed.decisions) === expect)
+    val res = resumed.search(vecs(98L -> Seq(0.94, 0.12, 0.0, 0.0)),
+      "vec_id", "embedding")
+    assert(res.count() > 0)
+    resumed.release()
+  }
+
+  test("residual gate reseed rebuilds the centroid table; decisions carry over") {
+    val g = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2,
+      compactEvery = 8, pqM = 2, pqKsub = 4, pqIters = 2, pqResidual = true)
+    Seq(b1, b2).foreach(b => g.foldRaw(b, "vec_id", "embedding"))
+    val before = rows(g.decisions)
+    val wide = g.reseed(4)
+    assert(wide.centroidCount == 4)
+    assert(rows(wide.decisions) === before, "reseed must carry decisions verbatim")
+    wide.foldRaw(b3, "vec_id", "embedding")
+    assert(rows(wide.decisions).size > before.size)
+    wide.release()
+  }
+
+  test("residual drift gate: an impossible floor triggers exactly one refresh per compaction") {
+    val g = Streams.newVectorIndexGate(
+      initial, "vec_id", "embedding",
+      numCentroids = 2, nprobe = 1, shortlist = 4, k = 2,
+      compactEvery = 2, pqM = 2, pqKsub = 4, pqIters = 2, pqResidual = true,
+      pqRefreshMinRecallX100 = 101L) // > 100: every compaction judge fails the floor
+    Seq(b1, b2).foreach(b => g.foldRaw(b, "vec_id", "embedding"))
+    assert(g.pqRefreshCount == 1, s"expected one refresh, got ${g.pqRefreshCount}")
+    // the refreshed RESIDUAL codebooks still serve — fold and search run
+    g.foldRaw(b3, "vec_id", "embedding")
+    val res = g.search(vecs(99L -> Seq(0.2, 0.9, 0.0, 0.0)), "vec_id", "embedding")
+    assert(res.count() > 0)
+    g.release()
+  }
 }
