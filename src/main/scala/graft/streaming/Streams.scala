@@ -1877,7 +1877,39 @@ object Streams {
       // stay immutable — only future folds see the new codebooks —
       // and the refreshed codebooks ride the manifest's pqcb slot
       // (the q136 reseed contract, applied to the PQ sidecar).
+      //
+      // SIZING THE ABSOLUTE FLOOR: sampled ADC recall decays with
+      // corpus DENSITY alone — as an undrifted corpus grows, more
+      // near-ties crowd each query's exact top-k and the integer mean
+      // drifts down without any distribution shift (BASELINE's q165
+      // no-drift control decays to ~41 where the drifted run reads
+      // ~36). A floor above the density plateau THRASHES: every
+      // compaction retrains, recall stays at the plateau, and the
+      // recode cost is pure waste. Recipe: run the gate with the
+      // floor at 0 over a representative growth window, read the
+      // trailing mean of the logged compaction measurements, and set
+      // the floor at ~70-80% of that plateau — or use the RELATIVE
+      // trigger below, which tracks the plateau automatically.
       pqRefreshMinRecallX100: Long = 0L,
+      // RELATIVE drift trigger (round 14, the auto-floor): 0
+      // disables. When > 0 (a percentage ×100, e.g. 80 = "fire on a
+      // >20% drop"), each compaction's measured recall is compared
+      // against the PREVIOUS compaction's measurement: a refresh
+      // fires when current × 100 < frac × previous. The single-step
+      // form is deliberate — density decay on an undrifted growing
+      // corpus is SMOOTH at the compaction cadence (a few percent
+      // per compaction; any longer trailing-mean window lags the
+      // decay and misreads the cumulative slope as drift), while a
+      // genuine distribution shift lands abruptly between two
+      // compactions (VectorIndexGateSpec pins both directions).
+      // After a refresh the history resets — the refreshed codebooks
+      // are a new baseline, and the next compaction's measurement
+      // seeds it. The history is in-memory only — a resumed gate
+      // re-learns its baseline at its first post-resume compaction.
+      // Composable with the absolute floor (either trigger
+      // refreshes); pqRecallHistory exposes the trailing plateau for
+      // sizing an absolute floor by the scaladoc recipe above.
+      pqRefreshDropFracX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
       pqTrainIters: Int = 2,
       // RESIDUAL sidecar (round 14, IVFADC): cid → floor(centroid ×
@@ -1920,6 +1952,12 @@ object Streams {
     /** Completed drift-gated codebook refreshes — observability for
       * the q165 oracle's phase boundary. */
     def pqRefreshCount: Int = pqRefreshes
+    // Trailing compaction recall measurements since the last refresh
+    // (the relative trigger's baseline; bounded window of 4).
+    private var pqRecallHist: Vector[Long] = Vector.empty
+    /** Compaction recall measurements since the last refresh — the
+      * floor-sizing observability (read the plateau here). */
+    def pqRecallHistory: Seq[Long] = pqRecallHist
 
     /** The PQ codebooks as the (msub, j, cv) frame the DuckDB twin
       * reads (None when the gate runs the int8 kernel). */
@@ -2004,6 +2042,7 @@ object Streams {
         pqCb = pqCbNow,
         pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
         pqRefreshSampleCap = pqRefreshSampleCap,
+        pqRefreshDropFracX100 = pqRefreshDropFracX100,
         pqTrainIters = pqTrainIters,
         pqResidualCentInt = nci)
       release()
@@ -2136,7 +2175,8 @@ object Streams {
         // when it falls under the floor. Cost: one corpus scan per
         // compaction against a ≤sampleCap broadcast query side (the
         // allowlisted ADC-scan class), zero when disabled.
-        if (pqCbNow.isDefined && pqRefreshMinRecallX100 > 0L) {
+        if (pqCbNow.isDefined &&
+            (pqRefreshMinRecallX100 > 0L || pqRefreshDropFracX100 > 0L)) {
           val cb = pqCbNow.get
           val meanX100 = pqCentIntNow match {
             case Some(ci) =>
@@ -2150,7 +2190,19 @@ object Streams {
               graft.ops.Similarity.pqMeanRecallX100(
                 raw, "vec_id", "v", cb, k, pqRefreshSampleCap)
           }
-          if (meanX100 < pqRefreshMinRecallX100) {
+          val absTrip = pqRefreshMinRecallX100 > 0L &&
+            meanX100 < pqRefreshMinRecallX100
+          // SINGLE-STEP comparison: density decay is smooth at the
+          // compaction cadence (a few percent per compaction — any
+          // longer window's mean LAGS the decay and misreads the
+          // cumulative slope as drift), while genuine distribution
+          // drift lands abruptly between two compactions. So the
+          // trigger compares against the PREVIOUS measurement only;
+          // the 4-entry history is observability (pqRecallHistory —
+          // read the plateau there when sizing an absolute floor).
+          val relTrip = pqRefreshDropFracX100 > 0L && pqRecallHist.nonEmpty &&
+            meanX100 * 100L < pqRefreshDropFracX100 * pqRecallHist.last
+          if (absTrip || relTrip) {
             val ncb = pqCentIntNow match {
               case Some(ci) => graft.ops.Similarity.pqTrainResidualCodebooksFromPostings(
                 deduped, ci, cb.length, cb.map(_.length).max, pqTrainIters)
@@ -2166,6 +2218,11 @@ object Streams {
             deduped = recoded
             pqCbNow = Some(ncb)
             pqRefreshes += 1
+            // refreshed codebooks are a NEW baseline — the drifted
+            // measurement must not pollute the trailing mean
+            pqRecallHist = Vector.empty
+          } else {
+            pqRecallHist = (pqRecallHist :+ meanX100).takeRight(4)
           }
         }
         postSegs = Vector(deduped)
@@ -2197,9 +2254,13 @@ object Streams {
       pqKsub: Int = 256,
       pqIters: Int = 2,
       // drift gate: mean sampled ADC recall@k (×100) floor; 0 = never
-      // retrain (the q164 contract). See VectorIndexGate's scaladoc.
+      // retrain (the q164 contract). See VectorIndexGate's scaladoc
+      // for the floor-sizing recipe and the relative auto-trigger.
       pqRefreshMinRecallX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
+      // relative drift trigger: fire when a compaction's recall falls
+      // under this fraction (×100) of the trailing mean; 0 = off.
+      pqRefreshDropFracX100: Long = 0L,
       // IVFADC (round 14): codes quantize each posting's RESIDUAL to
       // its cell's lattice centroid instead of the raw vector —
       // tighter codes at the same bytes; the shortlist scores
@@ -2231,6 +2292,7 @@ object Streams {
       pqCb = cb,
       pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
       pqRefreshSampleCap = pqRefreshSampleCap,
+      pqRefreshDropFracX100 = pqRefreshDropFracX100,
       pqTrainIters = pqIters,
       pqResidualCentInt = centInt)
   }
@@ -2250,6 +2312,7 @@ object Streams {
       targetCellOccupancy: Long = 0L,
       pqRefreshMinRecallX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
+      pqRefreshDropFracX100: Long = 0L,
       pqTrainIters: Int = 2): VectorIndexGate = {
     val postings = store.read("postings").getOrElse(throw new IllegalStateException(
       s"no committed vector-index state in '${store.name}' (missing 'postings' slot)"))
@@ -2272,6 +2335,7 @@ object Streams {
       pqCb = store.read("pqcb").map(graft.ops.Similarity.pqCbFromFrame),
       pqRefreshMinRecallX100 = pqRefreshMinRecallX100,
       pqRefreshSampleCap = pqRefreshSampleCap,
+      pqRefreshDropFracX100 = pqRefreshDropFracX100,
       pqTrainIters = pqTrainIters,
       // presence of the pqcents slot IS the residual flag — a direct
       // PQ (or int8) gate never stages it

@@ -342,6 +342,59 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     wide.release()
   }
 
+  test("relative drift trigger: no thrash on undrifted growth, fires on a genuine shift") {
+    val s = spark
+    import s.implicits._
+    // clustered corpus at a scale the codes resolve (the PqSpec
+    // clustered() regime: unit-ish centers + small noise, dim 64);
+    // per-row rng seeded by id so batches are deterministic and
+    // independent of generation order. The SHIFT phase draws from a
+    // DIFFERENT center set — a genuine distribution change the
+    // trailing mean has not yet absorbed.
+    def batchOf(ids: Range, drift: Boolean): org.apache.spark.sql.DataFrame = {
+      val dim = 64; val nClusters = 8
+      val crnd = new scala.util.Random(7)
+      val centers = Array.fill(nClusters, dim)(crnd.nextGaussian())
+      ids.map { i =>
+        val rnd = new scala.util.Random(i * 2654435761L)
+        val c = centers(i % nClusters)
+        val raw = (0 until dim).map { j =>
+          val x = c(j) + 0.15 * rnd.nextGaussian()
+          // the q165 drift shape: per-dimension scaling skews the
+          // distribution away from what the codebooks trained on
+          if (drift) x * (1 + j) else x
+        }
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        (i.toLong, raw.map(_ / nrm))
+      }.toDF("vec_id", "embedding")
+    }
+    val g = Streams.newVectorIndexGate(
+      batchOf(0 until 64, drift = false), "vec_id", "embedding",
+      numCentroids = 4, nprobe = 4, shortlist = 16, k = 5,
+      compactEvery = 1, pqM = 8, pqKsub = 16, pqIters = 2,
+      pqRefreshDropFracX100 = 80L)
+    // growing, SAME distribution over 8 compactions: density decay
+    // is smooth per step (a few percent), the single-step relative
+    // trigger must not thrash even as the cumulative decay exceeds
+    // the 20% margin
+    (1 to 8).foreach(b => g.foldRaw(
+      batchOf(1000 * b until 1000 * b + 8, drift = false),
+      "vec_id", "embedding"))
+    assert(g.pqRefreshCount == 0,
+      s"thrash on undrifted growth: ${g.pqRefreshCount} refreshes " +
+        s"(history ${g.pqRecallHistory})")
+    // distribution SHIFT: two folds of per-dimension-scaled vectors
+    // (the q165 drift shape) — old codebooks quantize the skewed
+    // subvectors badly, the sampled recall drops abruptly against
+    // the previous compaction's measurement
+    (9 to 10).foreach(b => g.foldRaw(
+      batchOf(1000 * b until 1000 * b + 48, drift = true),
+      "vec_id", "embedding"))
+    assert(g.pqRefreshCount >= 1,
+      s"shift not caught (history ${g.pqRecallHistory})")
+    g.release()
+  }
+
   test("residual drift gate: an impossible floor triggers exactly one refresh per compaction") {
     val g = Streams.newVectorIndexGate(
       initial, "vec_id", "embedding",
