@@ -159,7 +159,16 @@ object ClusterSanity {
           // walks; q170/q171 the winnowed audio fingerprints.
           "q166_bpe_train_hist", "q167_warc_decode",
           "q168_warc_gzip_gopher", "q169_pq_recall_sampled",
-          "q170_audio_winnow", "q171_audio_winnow_delta")) {
+          "q170_audio_winnow", "q171_audio_winnow_delta",
+          // round-14: q172 multi-record shard walks (groupBy-shard
+          // assembly shuffles once, decode explodes map-side); q173
+          // crawl-wrapper near-dup (WARC re-sniff + band shuffle);
+          // q174 gzip/chunked envelope walks; q175 the sampled IVFADC
+          // judge (bounded like q169); q176 the sample-level winnow
+          // (segment kernel + fingerprint bucket join)
+          "q172_warc_shard_docs", "q173_warc_media_route",
+          "q174_warc_http_encodings", "q175_ivfadc_recall_sampled",
+          "q176_audio_winnow_subframe")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }
