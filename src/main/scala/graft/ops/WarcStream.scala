@@ -152,23 +152,47 @@ object WarcStream {
   private[graft] def encodeWarcShard(
       shardId: Long,
       docs: Seq[(Long, Array[Byte])],
-      httpContentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+      httpContentType: String = "text/plain; charset=utf-8"): Array[Byte] =
+    encodeWarcShardTyped(shardId, docs.map { case (id, p) => (id, p, httpContentType) })
+
+  /** [[encodeWarcShard]] with a PER-CAPTURE content type — mixed-media
+    * crawl shards (text, PNG, WAV… responses in one stream). */
+  private[graft] def encodeWarcShardTyped(
+      shardId: Long,
+      docs: Seq[(Long, Array[Byte], String)]): Array[Byte] = {
     require(docs.nonEmpty, "warc shard: no documents")
     val out = new java.io.ByteArrayOutputStream(docs.map(_._2.length).sum + 512 * (docs.length + 1))
     val info = s"software: graft$Crlf".getBytes("US-ASCII")
     out.write(recordOf("warcinfo", f"00000000-0000-4000-8003-${shardId}%012x",
       "application/warc-fields", info))
-    docs.foreach { case (docId, payload) =>
-      writeDocRecords(out, docId, payload, httpContentType,
-        gzipBody = false, chunked = false)
+    docs.foreach { case (docId, payload, ct) =>
+      writeDocRecords(out, docId, payload, ct, gzipBody = false, chunked = false)
     }
     out.toByteArray
+  }
+
+  /** Group EXISTING container rows (PNG/WAV/gzip/… MediaRows) into
+    * multi-record WARC shards, each capture stamped with its row's
+    * media type — the mixed-media crawl file: one stream whose
+    * responses span modalities, which [[Media.mixedMediaHash]]
+    * re-sniffs per capture and routes into the right hash spaces.
+    */
+  def asWarcShardsOver(media: Dataset[MediaRow], perShard: Int = 100): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(perShard > 0, "warc shards: perShard must be positive")
+    media
+      .groupByKey(r => r.doc_id / perShard)
+      .mapGroups { (shardId, rows) =>
+        val ds = rows.toSeq.sortBy(_.doc_id).map(r => (r.doc_id, r.content, r.media_type))
+        MediaRow(shardId, "application/warc", encodeWarcShardTyped(shardId, ds))
+      }
   }
 
   private[graft] final case class WarcRecord(
       warcType: String,
       recordId: String,
       contentType: String,
+      refersTo: String, // WARC-Refers-To (revisit records); "" when absent
       block: Array[Byte])
 
   /** Capture identity from WARC-Record-ID: the trailing 12 hex digits
@@ -216,6 +240,7 @@ object WarcStream {
       var warcType: String = null
       var recordId: String = null
       var contentType = ""
+      var refersTo = ""
       var contentLength = -1L
       var h = line()
       while (h.nonEmpty) {
@@ -227,6 +252,7 @@ object WarcStream {
           case "warc-type" => warcType = v
           case "warc-record-id" => recordId = v
           case "content-type" => contentType = v
+          case "warc-refers-to" => refersTo = v
           case "content-length" =>
             require(v.nonEmpty && v.forall(_.isDigit),
               s"warc: non-numeric Content-Length '$v'")
@@ -250,7 +276,7 @@ object WarcStream {
           b(p + 2) == '\r' && b(p + 3) == '\n',
         "warc: missing record separator after block")
       p += 4
-      out += WarcRecord(warcType, recordId, contentType, block)
+      out += WarcRecord(warcType, recordId, contentType, refersTo, block)
       n += 1
     }
     require(n > 0, "warc: empty stream")
@@ -519,6 +545,86 @@ object WarcStream {
         (captureId(r.recordId), new String(httpPayload(r.block).body, "UTF-8"))
       }
     }).toDF("doc_id", "text")
+  }
+
+  /** Multi-record shards where rows carrying a non-null
+    * `revisitOfCol` encode as ISO 28500 REVISIT records (the crawl
+    * world's native dedup: a re-crawled unchanged page stores no
+    * payload, only `WARC-Refers-To` the original capture — the
+    * identical-payload-digest profile). Revisit blocks are tiny
+    * warc-fields; response captures are unchanged.
+    */
+  def asWarcShardsWithRevisits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      revisitOfCol: String,
+      perShard: Int = 100): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(perShard > 0, "warc shards: perShard must be positive")
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"),
+        col(revisitOfCol).cast("long").as("rv"))
+      .as[(Long, Array[Byte], Option[Long])]
+      .groupByKey(_._1 / perShard)
+      .mapGroups { (shardId, rows) =>
+        val ds = rows.toSeq.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream(
+          ds.map(_._2.length).sum + 512 * (ds.length + 1))
+        out.write(recordOf("warcinfo", f"00000000-0000-4000-8003-${shardId}%012x",
+          "application/warc-fields", s"software: graft$Crlf".getBytes("US-ASCII")))
+        ds.foreach {
+          case (docId, _, Some(src)) =>
+            out.write(recordOf("revisit", f"00000000-0000-4000-8001-${docId}%012x",
+              "application/warc-fields",
+              s"profile: identical-payload-digest$Crlf".getBytes("US-ASCII"),
+              Seq("WARC-Refers-To" -> f"<urn:uuid:00000000-0000-4000-8001-${src}%012x>",
+                "WARC-Target-URI" -> s"https://example.org/doc/$docId")))
+          case (docId, payload, None) =>
+            writeDocRecords(out, docId, payload, "text/plain; charset=utf-8",
+              gzipBody = false, chunked = false)
+        }
+        MediaRow(shardId, "application/warc", out.toByteArray)
+      }
+  }
+
+  /** Decode revisit-bearing shards and RESOLVE each revisit to its
+    * referred capture: one row per capture,
+    * (doc_id, canonical_id, is_revisit 0/1, resolved_md5) — a revisit
+    * carries its ORIGINAL's payload digest, a response its own.
+    * Resolution is a plain equi-join of the revisit rows against the
+    * response rows on the referred capture id, so originals and
+    * revisits may live in DIFFERENT shards (the real crawl shape —
+    * re-crawls land in later files); a dangling WARC-Refers-To
+    * surfaces as a null resolved_md5 row, never silently drops.
+    */
+  def warcRevisitDocs(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val rows = media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        decodeWarcRecords(row.content).iterator.collect {
+          case r if r.warcType == "response" =>
+            require(r.contentType.startsWith("application/http"),
+              s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
+            val body = httpPayload(r.block).body
+            val hx = Media.hexUpper(body, 0, body.length).getBytes("US-ASCII")
+            val cid = captureId(r.recordId)
+            (cid, cid, 0L, md.digest(hx).map("%02x".format(_)).mkString)
+          case r if r.warcType == "revisit" =>
+            require(r.refersTo.nonEmpty,
+              s"warc: revisit record ${r.recordId.take(56)} has no WARC-Refers-To")
+            (captureId(r.recordId), captureId(r.refersTo), 1L, null: String)
+        }
+      }
+    }.toDF("doc_id", "canonical_id", "is_revisit", "own_md5")
+    val caps = rows.filter(col("is_revisit") === 0L)
+      .select(col("doc_id").as("canonical_id"), col("own_md5").as("resolved_md5"))
+    rows.select("doc_id", "canonical_id", "is_revisit")
+      .join(caps, Seq("canonical_id"), "left")
+      .select("doc_id", "canonical_id", "is_revisit", "resolved_md5")
   }
 
   /** Wrap a text corpus as WARC captures with REALISTIC HTTP body

@@ -966,6 +966,27 @@ object Pipelines {
         .toDF()
         .select("doc_id", "shard_id", "n_shard_records", "n_body_bytes", "text_md5")),
 
+    // WARC REVISIT records (round 14): the crawl world's native dedup
+    // — a re-crawled unchanged page stores NO payload, only a
+    // WARC-Refers-To pointer at the original capture (ISO 28500
+    // revisit, identical-payload-digest profile). Every %67 doc is
+    // "re-crawled" at +1000001 as a revisit record; the +1000001
+    // offset lands re-crawls in DIFFERENT shards than their
+    // originals, so resolution exercises the cross-shard equi-join
+    // (revisit rows probe the response-capture table), never an
+    // in-stream lookup. Closed form: a revisit's canonical id and
+    // resolved digest are its source row's.
+    "q178_warc_revisit_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val base = docs.withColumn("revisit_of", lit(null).cast("long"))
+      val recrawls = docs.filter(col("doc_id") % 67 === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text"),
+          col("doc_id").as("revisit_of"))
+      graft.ops.WarcStream.warcRevisitDocs(
+        graft.ops.WarcStream.asWarcShardsWithRevisits(
+          base.unionByName(recrawls), "doc_id", "text", "revisit_of", 100))
+    }),
+
     // HTTP envelope realism (round 14): captures cycle Content-
     // Encoding: gzip (the q158 member walk composed under the
     // envelope), Transfer-Encoding: chunked (strict chunk-size walk),
@@ -5727,6 +5748,19 @@ object Pipelines {
            CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes,
            md5(hex(encode(text))) AS text_md5
          FROM documents""",
+    // revisit resolution: a response row resolves to itself, a
+    // revisit to its source capture's digest.
+    "q178_warc_revisit_dedup" ->
+      """WITH caps AS (SELECT doc_id, md5(hex(encode(text))) AS m FROM documents),
+         tw AS (SELECT doc_id + 1000001 AS doc_id, doc_id AS src
+                FROM documents WHERE doc_id % 67 = 0)
+         SELECT doc_id, doc_id AS canonical_id,
+                CAST(0 AS BIGINT) AS is_revisit, m AS resolved_md5
+         FROM caps
+         UNION ALL
+         SELECT tw.doc_id, tw.src AS canonical_id,
+                CAST(1 AS BIGINT) AS is_revisit, c.m AS resolved_md5
+         FROM tw JOIN caps c ON c.doc_id = tw.src""",
     // the crawl wrapper is transparent to the pixel-decided pairs, so
     // the q146 oracle (the q120 chain at q146's odd twin offsets) IS
     // the q173 oracle.

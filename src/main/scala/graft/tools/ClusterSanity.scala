@@ -168,7 +168,10 @@ object ClusterSanity {
           // (segment kernel + fingerprint bucket join)
           "q172_warc_shard_docs", "q173_warc_media_route",
           "q174_warc_http_encodings", "q175_ivfadc_recall_sampled",
-          "q176_audio_winnow_subframe")) {
+          "q176_audio_winnow_subframe",
+          // q178: revisit-bearing shards + the cross-shard resolution
+          // equi-join (revisit rows probe the response-capture table)
+          "q178_warc_revisit_dedup")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

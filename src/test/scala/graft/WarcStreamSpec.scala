@@ -169,6 +169,51 @@ class WarcStreamSpec extends AnyFunSuite {
       graft.ops.Media.mixedMediaHash(nested).collect())
   }
 
+  test("mixed-media shards: one stream's captures route into their own modalities") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "pixels for the shard image"), (1L, "samples for the shard audio"),
+      (2L, "and plain text inside the same crawl file")).toDF("doc_id", "text")
+    val png = graft.ops.Media.asPng(docs.filter(col("doc_id") === 0L), "doc_id", "text")
+    val wav = graft.ops.Media.asWav(docs.filter(col("doc_id") === 1L), "doc_id", "text")
+    val txt = WarcStream.asWarc(docs.filter(col("doc_id") === 2L), "doc_id", "text")
+      .map(r => MediaRow(r.doc_id, "text/plain",
+        // unwrap: reuse the single-capture payload as a raw-text row
+        WarcStream.responseText(r.content)._2))
+    // standalone rows vs ONE mixed three-capture shard stream
+    val standalone = graft.ops.Media.mixedMediaHash(
+        png.unionByName(wav)).collect().map(_.toSeq).toSet
+    val shard = WarcStream.asWarcShardsOver(png.unionByName(wav).unionByName(txt), 100)
+    assert(shard.count() === 1L, "three captures must share one shard stream")
+    val viaShard = graft.ops.Media.mixedMediaHash(shard).collect().map(_.toSeq).toSet
+    val img = viaShard.filter(_.head == "image"); val aud = viaShard.filter(_.head == "audio")
+    assert(img.nonEmpty && aud.nonEmpty && viaShard.exists(_.head == "text"),
+      s"expected image+audio+text rows, got $viaShard")
+    assert((img ++ aud) === standalone,
+      "shard captures must hash identically to standalone containers")
+  }
+
+  test("revisit records: cross-shard resolution, dangling refers-to surfaces as null") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "original page body", None: Option[Long]),
+      (1L, "another page", None: Option[Long]),
+      // re-crawl of 0 lands in shard 25 (cross-shard resolution)
+      (101L, "", Some(0L)),
+      // dangling: refers to a capture that was never crawled
+      (102L, "", Some(777L))
+    ).toDF("doc_id", "text", "revisit_of")
+    val shards = WarcStream.asWarcShardsWithRevisits(docs, "doc_id", "text", "revisit_of", 4)
+    assert(shards.count() === 2L) // ids 0,1 → shard 0; 101,102 → shard 25
+    val out = WarcStream.warcRevisitDocs(shards)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(0L)._1 === 0L && out(0L)._2 === 0L && out(0L)._3.isDefined)
+    assert(out(101L)._1 === 0L && out(101L)._2 === 1L)
+    assert(out(101L)._3 === out(0L)._3, "revisit must resolve to the original's digest")
+    assert(out(102L) === ((777L, 1L, None)), "dangling refers-to must surface as null")
+  }
+
   test("quarantineDecode: clean WARC rows count body bytes, corrupt rows quarantine") {
     val s = spark
     import s.implicits._
