@@ -1491,16 +1491,18 @@ object Pipelines {
           .unionByName(graft.ops.GzipStream.asGzip(txt, "doc_id", "text"))
           .unionByName(Media.asY4m(vidY, "doc_id", "text"))
           .unionByName(Media.asAvi(vidA, "doc_id", "text"))
-        // round 14: every doc_id % 7 == 3 blob additionally arrives as
-        // a WARC CAPTURE of its container bytes (the crawl wrapper on
-        // the media axis). The hash pass re-sniffs each capture's HTTP
-        // payload by magic and routes it into its own modality's hash
-        // space at the same capture id, so a crawl capture of a PNG/
-        // WAV twin flags against standalone forms and the oracle is
-        // untouched — the wrapper is transparent.
+        // round 14: every doc_id % 7 == 3 blob additionally arrives
+        // inside MIXED-MEDIA WARC SHARDS — one multi-record crawl
+        // stream per 100 consecutive ids whose captures span
+        // modalities (PNG next to WAV next to AVI in the same file).
+        // The hash pass explodes each shard per capture, re-sniffs
+        // the HTTP payload by magic, and routes it into its own
+        // modality's hash space at the same capture id — a crawl
+        // capture of a PNG/WAV twin flags against standalone forms
+        // and the oracle is untouched (the wrapper is transparent).
         raw.filter((r: graft.ops.MediaRow) => r.doc_id % 7 != 3)
-          .union(graft.ops.WarcStream.asWarcOver(
-            raw.filter((r: graft.ops.MediaRow) => r.doc_id % 7 == 3)))
+          .union(graft.ops.WarcStream.asWarcShardsOver(
+            raw.filter((r: graft.ops.MediaRow) => r.doc_id % 7 == 3), 100))
           .union(graft.ops.WarcStream.asWarcShards(txtW, "doc_id", "text", 100))
       }
       // The oracle's one-pass collapse needs every (modality, band,
