@@ -87,6 +87,45 @@ class MediaFuzzSpec extends AnyFunSuite {
     fuzz("gzip", 400)(graft.ops.GzipStream.encodeGzipMembers)(
       graft.ops.GzipStream.decodeGzipMembers))
 
+  test("warc (identity envelope) survives byte flips and truncation")(
+    fuzz("warc", 400)(b => graft.ops.WarcStream.encodeWarc(7L, b))(
+      graft.ops.WarcStream.responseText))
+
+  test("warc gzip envelope survives byte flips and truncation")(
+    fuzz("warc-gz", 300)(b => graft.ops.WarcStream.encodeWarc(7L, b, gzipBody = true))(
+      graft.ops.WarcStream.responseText))
+
+  test("warc chunked envelope survives byte flips and truncation")(
+    fuzz("warc-ch", 300)(b => graft.ops.WarcStream.encodeWarc(7L, b, chunked = true))(
+      graft.ops.WarcStream.responseText))
+
+  test("warc multi-record shards survive byte flips and truncation")(
+    fuzz("warc-shard", 300)(b => graft.ops.WarcStream.encodeWarcShard(3L,
+        Seq((10L, b.take(b.length / 2)), (11L, b.drop(b.length / 2)))))(
+      bytes => graft.ops.WarcStream.decodeWarcRecords(bytes)
+        .filter(_.warcType == "response")
+        .map(r => graft.ops.WarcStream.httpBody(r.block).length).sum))
+
+  test("warc revisit streams survive byte flips and truncation") {
+    // revisit record walk + WARC-Refers-To/record-id parsing: the
+    // per-capture collect of warcRevisitDocs, run driver-side on the
+    // mutated bytes so non-IAE leaks (NumberFormat from the uuid hex,
+    // index errors from the refers-to parse) would surface directly
+    fuzz("warc-revisit", 300) { b =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(graft.ops.WarcStream.encodeWarcShard(5L, Seq((20L, b))))
+      out.toByteArray
+    } { bytes =>
+      graft.ops.WarcStream.decodeWarcRecords(bytes).map { r =>
+        if (r.warcType == "response")
+          graft.ops.WarcStream.captureId(r.recordId) +
+            graft.ops.WarcStream.httpBody(r.block).length
+        else if (r.refersTo.nonEmpty) graft.ops.WarcStream.captureId(r.refersTo)
+        else 0L
+      }.sum
+    }
+  }
+
   // Deterministic (non-seed-dependent) probes at the exact offsets the
   // random fuzzer can miss: FLAC's variable-length frame-header fields
   // (blocksize/rate extension bytes, UTF-8 continuations) and Y4M's
