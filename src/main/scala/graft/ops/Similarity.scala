@@ -1049,7 +1049,8 @@ object Similarity {
       m: Int,
       ksub: Int,
       iters: Int,
-      sampleCap: Int = 4096): Array[Array[Array[Long]]] = {
+      sampleCap: Int = 4096,
+      perm: Option[Array[Int]] = None): Array[Array[Array[Long]]] = {
     val sample = emb.select(
         col(idCol).cast("long").as("id"),
         packUdf(asDouble(col(vecCol))).as("pv"))
@@ -1063,7 +1064,8 @@ object Similarity {
     val sub = dim / m
     val vecs = sample.map { pv =>
       val bb = java.nio.ByteBuffer.wrap(pv)
-      Array.tabulate(dim)(j => bb.getDouble(j * 8))
+      val raw = Array.tabulate(dim)(j => bb.getDouble(j * 8))
+      perm.fold(raw)(p => Array.tabulate(dim)(k => raw(p(k))))
     }
     kmeansSubspaces(vecs, m, ksub, iters, scale = 1000.0)
   }
@@ -1113,6 +1115,68 @@ object Similarity {
       cents.map(_.map(x => math.floor(x * scale).toLong))
     }
   }
+
+  /** Variance-balancing dimension permutation — the non-parametric
+    * allocation OPQ builds on (Ge, He, Ke, Sun: "Optimized Product
+    * Quantization", CVPR 2013: balance the variance each sub-quantizer
+    * must spend its 8 bits on; their parametric rotation needs float
+    * eigendecompositions, but the PERMUTATION family is fully
+    * integer-lattice and oracle-replayable). Per-dimension variance
+    * over the deterministic sample (integer sums on the ×1000
+    * lattice), dims sorted by variance DESC, greedy-assigned to the
+    * subspace with the lowest variance sum and free slots; each
+    * subspace's dims then sort ascending so the exported (pos, src)
+    * table is canonical. Dot products are permutation-invariant, so
+    * ADC scoring and every downstream consumer work unchanged on the
+    * permuted lattice.
+    */
+  private[graft] def pqTrainPermutation(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      sampleCap: Int = 4096): Array[Int] = {
+    val sample = emb.select(
+        col(idCol).cast("long").as("id"),
+        packUdf(asDouble(col(vecCol))).as("pv"))
+      .orderBy(xxhash64(col("id"))).limit(sampleCap)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getAs[Array[Byte]]("pv"))
+    require(sample.nonEmpty, "pq perm: empty corpus")
+    val dim = sample.head.length / 8
+    require(dim % m == 0, s"pq perm: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val s1 = new Array[Long](dim)
+    val s2 = new Array[Long](dim)
+    sample.foreach { pv =>
+      val bb = java.nio.ByteBuffer.wrap(pv)
+      var j = 0
+      while (j < dim) {
+        val v = math.floor(bb.getDouble(j * 8) * 1000).toLong
+        s1(j) += v; s2(j) += v * v
+        j += 1
+      }
+    }
+    val n = sample.length.toLong
+    // n·Σv² − (Σv)² — the integer variance numerator (scale-free for
+    // ordering); Long-safe at |v| ≤ ~2^13 over ≤4096 samples
+    val varNum = Array.tabulate(dim)(j => n * s2(j) - s1(j) * s1(j))
+    val order = (0 until dim).sortBy(j => (-varNum(j), j))
+    val sums = new Array[Long](m)
+    val slots = Array.fill(m)(0)
+    val assign = Array.fill(m)(Vector.empty[Int])
+    order.foreach { j =>
+      val ms = (0 until m).filter(slots(_) < sub).minBy(k => (sums(k), k))
+      sums(ms) += varNum(j); slots(ms) += 1
+      assign(ms) = assign(ms) :+ j
+    }
+    assign.flatMap(_.sorted).toArray
+  }
+
+  /** Apply a trained permutation to a lattice vector. */
+  private[graft] def permute(perm: Array[Int], qv: Array[Long]): Array[Long] =
+    Array.tabulate(qv.length)(k => qv(perm(k)))
 
   /** Residual codebooks for IVFADC (Jégou, Douze, Schmid: "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011 §III):
@@ -1208,6 +1272,42 @@ object Similarity {
       pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(exportPath)
     }
     val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k)
+    recallVsExact(approx, emb, idCol, vecCol, queries, k)
+  }
+
+  /** [[pqTopKRecallExport]] over the variance-balanced PERMUTED
+    * lattice ([[pqTrainPermutation]]): codebooks train on permuted
+    * sample vectors, encode/LUT permute before scoring, and BOTH the
+    * permutation table (pos, src) and the codebooks export for the
+    * oracle. On anisotropic corpora (variance concentrated in a few
+    * contiguous dims) the balanced allocation lifts recall at equal
+    * bytes — PqSpec pins permuted ≥ contiguous on such a corpus.
+    */
+  def pqPermutedTopKRecallExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      m: Int,
+      ksub: Int,
+      trainIters: Int,
+      k: Int,
+      permExportPath: String,
+      cbExportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val perm = pqTrainPermutation(emb, idCol, vecCol, m, sampleCap)
+    val cb = pqTrainCodebooksInt(emb, idCol, vecCol, m, ksub, trainIters,
+      sampleCap, Some(perm))
+    graft.OracleAux.register(permExportPath) {
+      perm.zipWithIndex.map { case (src, pos) => (pos, src) }.toSeq
+        .toDF("pos", "src").coalesce(1).write.mode("overwrite").parquet(permExportPath)
+    }
+    graft.OracleAux.register(cbExportPath) {
+      pqCbToFrame(spark, cb).coalesce(1).write.mode("overwrite").parquet(cbExportPath)
+    }
+    val approx = pqAdcTopK(emb, idCol, vecCol, queries, cb, k, perm = Some(perm))
     recallVsExact(approx, emb, idCol, vecCol, queries, k)
   }
 
@@ -1567,12 +1667,23 @@ object Similarity {
       cb: Array[Array[Array[Long]]],
       k: Int,
       candidates: Option[DataFrame] = None,
-      broadcastLutCap: Int = 4096): DataFrame = {
+      broadcastLutCap: Int = 4096,
+      // variance-balancing dimension permutation (pqTrainPermutation):
+      // applied to every lattice vector before encode/LUT — dot
+      // products are permutation-invariant so scores need no unmapping
+      perm: Option[Array[Int]] = None): DataFrame = {
     val spark = emb.sparkSession
     val bcb = spark.sparkContext.broadcast(cb)
+    // the permutation is tiny (dim ints) — captured directly; a local
+    // helper def here would drag the whole enclosing scope (DataFrames
+    // included) into every UDF closure and fail serialization
+    val pArr: Array[Int] = perm.orNull
     val mSub = cb.length
     val ksubN = cb.map(_.length).max
-    val encodeUdf = udf((v: Seq[Double]) => pqEncode(bcb.value, qvInt(v)))
+    val encodeUdf = udf { (v: Seq[Double]) =>
+      val qv0 = qvInt(v)
+      pqEncode(bcb.value, if (pArr == null) qv0 else permute(pArr, qv0))
+    }
     // BOUNDED query sets (the common serving shape — ≤ cap rows) skip
     // carrying the LUT through the join entirely: the driver collects
     // the query vectors once (the q39 bounded-closure pattern), builds
@@ -1595,7 +1706,10 @@ object Similarity {
       .limit(broadcastLutCap + 1).collect()
     if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
       val lutMap = qHead.map(r =>
-        r.getLong(0) -> pqLutOf(bcb.value, ksubN, qvInt(r.getSeq[Double](1)))).toMap
+        r.getLong(0) -> {
+          val qv0 = qvInt(r.getSeq[Double](1))
+          pqLutOf(bcb.value, ksubN, if (pArr == null) qv0 else permute(pArr, qv0))
+        }).toMap
       // A duplicate query id would silently collapse to one LUT here
       // while the column path would keep both rows — refuse loudly
       // instead of diverging between the two paths (round-13 advice).
@@ -1634,7 +1748,8 @@ object Similarity {
     // queries); a binary column hands the UDF the raw byte[] and the
     // loop reads the 8 hit slots directly.
     val lutUdf = udf { (v: Seq[Double]) =>
-      val lut = pqLutOf(bcb.value, ksubN, qvInt(v))
+      val qv0 = qvInt(v)
+      val lut = pqLutOf(bcb.value, ksubN, if (pArr == null) qv0 else permute(pArr, qv0))
       val bb = java.nio.ByteBuffer.allocate(lut.length * 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var i = 0
@@ -1711,7 +1826,6 @@ object Similarity {
       broadcastLutCap: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     val numCells = ccb(0).length
-    require(numCells <= 256, "ivfadc: > 256 cells needs a wider probe key")
     val bccb = spark.sparkContext.broadcast(ccb)
     val brcb = spark.sparkContext.broadcast(rcb)
     val mSub = rcb.length
@@ -1751,7 +1865,11 @@ object Similarity {
       .select(col(idCol).cast("long").as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .limit(broadcastLutCap + 1).collect()
-    if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
+    // the broadcast-map fast path prepends a per-cell scalar slot per
+    // query, so it only engages for closure-sized cell counts; a
+    // 100 TB index with thousands of cells rides the packed-binary
+    // column path below, which has no cell-count bound
+    if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap && numCells <= 4096) {
       // bounded: broadcast qid → [qdotc per cell…, lut…]; the scoring
       // UDF reads primitive longs, zero per-pair transfer
       val lutMap: Map[Long, Array[Long]] = qHead.iterator.map { r =>

@@ -246,6 +246,22 @@ object Pipelines {
         exportPath = PqSampleExportPath)
     }),
 
+    // Variance-balanced PERMUTED PQ (round 14, the allocation idea
+    // OPQ builds on — Ge et al. 2013, integer-lattice family): dims
+    // greedy-allocate to subspaces balancing per-subspace variance so
+    // no 8-bit sub-quantizer is overloaded; dots are permutation-
+    // invariant so ADC scoring is unchanged. Both the permutation and
+    // the permuted-lattice codebooks export for the oracle; judged by
+    // the q169 sampled judge.
+    "q179_pq_permuted_recall_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(256).localCheckpoint()
+      Similarity.pqPermutedTopKRecallExport(emb, "vec_id", "embedding",
+        queries = qs, m = 8, ksub = 256, trainIters = 2, k = 10,
+        permExportPath = PqPermPath, cbExportPath = PqPermCbPath)
+    }),
+
     // IVFADC proper (round 14, Jégou et al. 2011): codes quantize the
     // RESIDUAL to the assigned coarse centroid instead of the raw
     // vector — residuals concentrate near 0, so the same 8 bytes
@@ -2581,6 +2597,11 @@ object Pipelines {
     * initial batch's residuals to its closure cells). */
   val IvfAdcGateExportPath = s"${graft.OracleAux.dir}/q177_ivfadc_gate_codebooks"
 
+  /** q179's exports: the variance-balancing dimension permutation
+    * (pos, src) and the codebooks trained on the permuted lattice. */
+  val PqPermPath = s"${graft.OracleAux.dir}/q179_pq_permutation"
+  val PqPermCbPath = s"${graft.OracleAux.dir}/q179_pq_codebooks"
+
   /** q165's TWO codebook exports: the initial training (phase 1,
     * batches 1-4 fold against these) and the drift-refresh retraining
     * (phase 2, batch 5) — the two-phase oracle reads both. */
@@ -2760,6 +2781,60 @@ object Pipelines {
          eq AS (SELECT vec_id,
                 [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv
                 FROM embeddings),
+         codes AS (SELECT vec_id, msub, j AS code FROM (
+             SELECT eq.vec_id, cb.msub, cb.j,
+                    row_number() OVER (PARTITION BY eq.vec_id, cb.msub
+                      ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [(qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         * (qv[CAST(cb.msub*8 + i AS INT)] - cv[CAST(i AS INT)])
+                         for i in range(1, 9)]), (x, y) -> x + y) ASC, cb.j) AS rn
+             FROM eq, cb) WHERE rn = 1),
+         lut AS (SELECT q.vec_id AS query_id, cb.msub, cb.j,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [q.qv[CAST(cb.msub*8 + i AS INT)] * cv[CAST(i AS INT)]
+                   for i in range(1, 9)]), (x, y) -> x + y) AS d
+                FROM eq q, cb WHERE q.vec_id IN (SELECT vec_id FROM smp)),
+         adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.d) AS score
+                FROM codes c JOIN lut l ON l.msub = c.msub AND l.j = c.code
+                WHERE c.vec_id <> l.query_id
+                GROUP BY 1, 2),
+         qscored AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                     FROM adc),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e
+                WHERE vec_id IN (SELECT vec_id FROM smp)),
+         fscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY ${sqlCosine("fqv", "e.v", 64)} DESC, e.vec_id) AS rank
+                     FROM fq JOIN e ON e.vec_id <> query_id),
+         ftop AS (SELECT query_id, neighbor_id FROM fscored WHERE rank <= 10),
+         ov AS (SELECT q.query_id, count(*) AS n
+                FROM qtop q JOIN ftop f
+                  ON q.query_id = f.query_id AND q.neighbor_id = f.neighbor_id
+                GROUP BY 1)
+         SELECT b.query_id,
+                CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(ov.n, 0) * 100 // 10 AS BIGINT) AS recall_x100
+         FROM (SELECT DISTINCT query_id FROM fq) b LEFT JOIN ov USING (query_id)""",
+
+    // permuted PQ: q169's chain over the PERMUTED lattice (qv
+    // re-indexed through the exported (pos, src) table); the exact
+    // float judge is untouched — permutation only changes what the
+    // codes see.
+    "q179_pq_permuted_recall_sampled" ->
+      s"""WITH $embCte,
+         smp AS MATERIALIZED (SELECT vec_id FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+         cb AS (SELECT msub, j, cv FROM read_parquet('$PqPermCbPath/*.parquet')),
+         perm AS (SELECT pos, src FROM read_parquet('$PqPermPath/*.parquet')),
+         eq0 AS (SELECT vec_id,
+                [CAST(floor(x) AS BIGINT) for x in list_transform(embedding, x -> CAST(x AS DOUBLE) * 1000)] AS qv0
+                FROM embeddings),
+         eq AS MATERIALIZED (SELECT vec_id,
+                list(qv0[CAST(src + 1 AS INT)] ORDER BY pos) AS qv
+                FROM eq0, perm GROUP BY vec_id),
          codes AS (SELECT vec_id, msub, j AS code FROM (
              SELECT eq.vec_id, cb.msub, cb.j,
                     row_number() OVER (PARTITION BY eq.vec_id, cb.msub

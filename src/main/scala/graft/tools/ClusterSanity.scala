@@ -171,7 +171,10 @@ object ClusterSanity {
           "q176_audio_winnow_subframe",
           // q178: revisit-bearing shards + the cross-shard resolution
           // equi-join (revisit rows probe the response-capture table)
-          "q178_warc_revisit_dedup")) {
+          "q178_warc_revisit_dedup",
+          // q179: the permuted-lattice sampled PQ judge (bounded,
+          // q169's class; the permutation is a 64-int broadcast)
+          "q179_pq_permuted_recall_sampled")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

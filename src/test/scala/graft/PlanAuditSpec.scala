@@ -48,9 +48,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast probe rows on cell); its only BNLJ is the q169-class
     // recall judge's exact side over the same bounded 256-query
     // sample — the identical smallness argument.
+    // q179 is q169's scan+judge over the permuted lattice — the
+    // identical smallness argument.
     val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
       "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall",
-      "q163_pq_rerank", "q169_pq_recall_sampled", "q175_ivfadc_recall_sampled")
+      "q163_pq_rerank", "q169_pq_recall_sampled", "q175_ivfadc_recall_sampled",
+      "q179_pq_permuted_recall_sampled")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++

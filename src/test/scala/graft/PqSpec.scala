@@ -160,6 +160,49 @@ class PqSpec extends AnyFunSuite {
     assert(residual >= 7.0, s"mean overlap@10 $residual — IVFADC lost the clusters")
   }
 
+  test("variance-balanced permutation lifts recall on an anisotropic corpus") {
+    // variance concentrated in the FIRST 8 dims: contiguous grouping
+    // hands all of it to sub-quantizer 0 (8 bits for all the signal,
+    // 8 bits apiece for noise), while the balanced allocation spreads
+    // one high-variance dim per subspace
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(16, 64)(0.0)
+    for (c <- 0 until 16; j <- 0 until 64)
+      centers(c)(j) = rnd.nextGaussian() * (if (j < 8) 5.0 else 0.3)
+    val emb = (0 until 160).map { i =>
+      val c = centers(i % 16)
+      val raw = (0 until 64).map(j => c(j) + 0.15 * rnd.nextGaussian())
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / nrm).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-pqperm").toString
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.collect().map(_.getLong(1)); r.sum.toDouble / r.length
+    }
+    // ksub = 4 STARVES the sub-quantizers (4 centroids for 16 cluster
+    // patterns): under contiguous grouping subspace 0 holds ALL the
+    // signal and can only separate ~4 of 16 clusters, while the
+    // balanced allocation gives every subspace one signal dim
+    val contiguous = mean(Similarity.pqTopKRecallExport(emb, "vec_id", "embedding",
+      queries, m = 8, ksub = 4, trainIters = 2, k = 10, exportPath = s"$base/d"))
+    val permuted = mean(Similarity.pqPermutedTopKRecallExport(emb, "vec_id", "embedding",
+      queries, m = 8, ksub = 4, trainIters = 2, k = 10,
+      permExportPath = s"$base/p", cbExportPath = s"$base/c"))
+    assert(permuted >= contiguous,
+      s"balanced allocation must not lose on anisotropic data " +
+        s"(permuted $permuted < contiguous $contiguous)")
+    // and the permutation actually moved something: one high-variance
+    // dim per subspace, not the identity
+    val perm = Similarity.pqTrainPermutation(emb, "vec_id", "embedding", 8)
+    val highPerSub = (0 until 8).map(ms =>
+      (ms * 8 until (ms + 1) * 8).count(k => perm(k) < 8))
+    assert(highPerSub.forall(_ == 1),
+      s"expected one high-variance dim per subspace, got $highPerSub")
+  }
+
   test("ivfadc broadcast-map and packed-column LUT paths score identically") {
     val emb = clustered(160, 64, 16, seed = 29)
     val queries = emb.filter(col("vec_id") % 40 === 0)
