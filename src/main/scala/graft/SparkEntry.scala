@@ -53,7 +53,8 @@ object SparkEntry {
       "q119_winnow_gate_replay", "q124_media_gate_replay",
       "q127_vector_index_gate", "q136_vector_gate_reseed",
       "q154_mixed_gate_replay", "q164_pq_vector_gate",
-      "q165_pq_drift_gate", "q177_ivfadc_vector_gate")
+      "q165_pq_drift_gate", "q177_ivfadc_vector_gate",
+      "q180_pq_drift_auto")
     // q125/q126 carry EXACT oracle legs (rank-window percentiles,
     // countDistinct, semi-join FP audits) inside the query purely to
     // gate their sketches — verify-only twins. The benched entries are

@@ -1662,6 +1662,59 @@ object Pipelines {
       gate.decisions
     }),
 
+    // The RELATIVE auto-trigger, oracle-gated end-to-end (round 14):
+    // q165's drift replay with NO absolute floor — the single-step
+    // drop detector alone must stay silent at the healthy fold-2
+    // compaction (first measurement seeds the baseline; the no-drift
+    // decay here is ~12%/compaction, under the 20% margin) and fire
+    // exactly once at the drifted fold-4 compaction (measured 34
+    // against the fold-2 baseline 56 — a 39% drop). Same refresh
+    // point as q165, so the two-phase oracle chain is q165's with
+    // this run's own codebook exports.
+    "q180_pq_drift_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def b(i: Int) = {
+        val x = emb.filter(col("vec_id") % 6 === i)
+        if (i >= 3)
+          x.withColumn("embedding", transform(col("embedding"),
+            (v, j) => v * (lit(1.0f) + j.cast("float"))))
+        else x
+      }
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        b(0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
+        pqRefreshDropFracX100 = 80L)
+      val cb0 = g1.pqFrame.get
+      graft.OracleAux.register(PqDrift2Cb0Path) {
+        cb0.coalesce(1).write.mode("overwrite").parquet(PqDrift2Cb0Path)
+      }
+      (1 to 2).foreach(i => g1.foldRaw(b(i), "vec_id", "embedding"))
+      require(g1.pqRefreshCount == 0,
+        "q180 oracle models NO refresh at the fold-2 compaction (the " +
+          s"first measurement only seeds the baseline); got ${g1.pqRefreshCount}")
+      (3 to 4).foreach(i => g1.foldRaw(b(i), "vec_id", "embedding"))
+      require(g1.pqRefreshCount == 1,
+        "q180 oracle models exactly ONE refresh, at the fold-4 " +
+          s"compaction; gate refreshed ${g1.pqRefreshCount}")
+      val cb1 = g1.pqFrame.get
+      graft.OracleAux.register(PqDrift2Cb1Path) {
+        cb1.coalesce(1).write.mode("overwrite").parquet(PqDrift2Cb1Path)
+      }
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2,
+          pqRefreshDropFracX100 = 80L)
+      }
+      gate.foldRaw(b(5), "vec_id", "embedding")
+      require(gate.pqRefreshCount == 0,
+        "no compaction fires during batch 5 — the resumed gate must " +
+          "not retrain again")
+      gate.decisions
+    }),
+
     // IVFADC serving gate (round 14): q164's maintained-IVF replay
     // with the RESIDUAL sidecar live — codes quantize each posting's
     // residual to its own cell's lattice centroid (centroids = the
@@ -2607,6 +2660,12 @@ object Pipelines {
     * (phase 2, batch 5) — the two-phase oracle reads both. */
   val PqDriftCb0Path = s"${graft.OracleAux.dir}/q165_pq_codebooks_initial"
   val PqDriftCb1Path = s"${graft.OracleAux.dir}/q165_pq_codebooks_refreshed"
+
+  /** q180's two-phase exports (the RELATIVE auto-trigger twin of
+    * q165's absolute-floor run — same drift corpus, same refresh
+    * point, trigger fired by the single-step drop detector). */
+  val PqDrift2Cb0Path = s"${graft.OracleAux.dir}/q180_pq_codebooks_initial"
+  val PqDrift2Cb1Path = s"${graft.OracleAux.dir}/q180_pq_codebooks_refreshed"
 
   private val emailRe: String = graft.ops.TextAnalysis.EmailRe
   private val phoneRe: String = graft.ops.TextAnalysis.PhoneRe
@@ -5969,5 +6028,11 @@ object Pipelines {
     // PPM/PNG container boundary)
     "q146_container_sniff_neardup" -> oracleSqlBase("q120_media_phash")
       .replace("doc_id + 1000000", "doc_id + 1000001")
-      .replace("doc_id + 2000000", "doc_id + 2000001"))
+      .replace("doc_id + 2000000", "doc_id + 2000001"),
+    // the relative auto-trigger refreshes at the SAME fold as q165's
+    // absolute floor (builder-asserted), so the two-phase chain is
+    // q165's over this run's own codebook exports.
+    "q180_pq_drift_auto" -> oracleSqlBase("q165_pq_drift_gate")
+      .replace(PqDriftCb0Path, PqDrift2Cb0Path)
+      .replace(PqDriftCb1Path, PqDrift2Cb1Path))
 }
