@@ -1967,6 +1967,45 @@ object Similarity {
     recallVsExact(approx, emb, idCol, vecCol, queries, k)
   }
 
+  /** IVFADC shortlist + EXACT float re-rank — the two-stage serving
+    * pattern (q163's discipline) over residual codes: the probed-cell
+    * residual-ADC scan prunes to a `shortlist`-deep candidate frame,
+    * the float cosine re-ranks shortlist rows only. Recall dominance
+    * over raw IVFADC@k is structural within the probed candidate set
+    * (ADC-top-k ⊆ ADC-top-shortlist; the re-rank keeps every true
+    * neighbor that reached the shortlist).
+    */
+  def ivfadcRerankTopKRecallExport(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      numCells: Int,
+      coarseIters: Int,
+      m: Int,
+      ksub: Int,
+      pqIters: Int,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int,
+      coarseExportPath: String,
+      cbExportPath: String,
+      sampleCap: Int = 4096): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val spark = emb.sparkSession
+    val ccb = pqTrainCodebooksInt(emb, idCol, vecCol, 1, numCells, coarseIters, sampleCap)
+    val rcb = pqTrainResidualCodebooksInt(emb, idCol, vecCol, ccb, m, ksub, pqIters, sampleCap)
+    graft.OracleAux.register(coarseExportPath) {
+      pqCbToFrame(spark, ccb).coalesce(1).write.mode("overwrite").parquet(coarseExportPath)
+    }
+    graft.OracleAux.register(cbExportPath) {
+      pqCbToFrame(spark, rcb).coalesce(1).write.mode("overwrite").parquet(cbExportPath)
+    }
+    val short = ivfadcTopK(emb, idCol, vecCol, queries, ccb, rcb, nprobe, shortlist)
+    recallVsExact(exactRerank(short, emb, queries, idCol, vecCol, k),
+      emb, idCol, vecCol, queries, k)
+  }
+
   def ivfPqTopKRecall(
       emb: DataFrame,
       idCol: String,

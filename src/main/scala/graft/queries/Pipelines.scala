@@ -281,6 +281,21 @@ object Pipelines {
         coarseExportPath = IvfAdcCoarsePath, cbExportPath = IvfAdcCbPath)
     }),
 
+    // IVFADC + exact re-rank (round 14): the full production serving
+    // stack — probe-bounded residual-ADC scan prunes the probed cells
+    // to a 50-deep shortlist (9 B/vector hot), float cosine re-ranks
+    // shortlist rows only (the sole float fetch). Completes the
+    // compression ladder symmetrically with q163's flat-PQ re-rank.
+    "q181_ivfadc_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(256).localCheckpoint()
+      Similarity.ivfadcRerankTopKRecallExport(emb, "vec_id", "embedding",
+        queries = qs, numCells = 16, coarseIters = 3, m = 8, ksub = 256,
+        pqIters = 2, nprobe = 4, shortlist = 50, k = 10,
+        coarseExportPath = IvfAdcRrCoarsePath, cbExportPath = IvfAdcRrCbPath)
+    }),
+
     // PQ + exact re-rank: the two-stage PQ serving pattern — integer
     // ADC prunes to a 50-deep shortlist (compressed scan, 8 B/vector),
     // float cosine re-ranks shortlist rows only (the sole float fetch
@@ -2654,6 +2669,10 @@ object Pipelines {
     * (pos, src) and the codebooks trained on the permuted lattice. */
   val PqPermPath = s"${graft.OracleAux.dir}/q179_pq_permutation"
   val PqPermCbPath = s"${graft.OracleAux.dir}/q179_pq_codebooks"
+
+  /** q181's exports (IVFADC + exact re-rank — its own training run). */
+  val IvfAdcRrCoarsePath = s"${graft.OracleAux.dir}/q181_ivfadc_coarse"
+  val IvfAdcRrCbPath = s"${graft.OracleAux.dir}/q181_ivfadc_codebooks"
 
   /** q165's TWO codebook exports: the initial training (phase 1,
     * batches 1-4 fold against these) and the drift-refresh retraining
@@ -6034,5 +6053,33 @@ object Pipelines {
     // q165's over this run's own codebook exports.
     "q180_pq_drift_auto" -> oracleSqlBase("q165_pq_drift_gate")
       .replace(PqDriftCb0Path, PqDrift2Cb0Path)
-      .replace(PqDriftCb1Path, PqDrift2Cb1Path))
+      .replace(PqDriftCb1Path, PqDrift2Cb1Path),
+    // IVFADC + re-rank: q175's chain with the ADC top-10 widened to a
+    // 50-deep shortlist and q163's float-cosine re-rank tail spliced
+    // in (fq hoisted above the re-rank CTE), over q181's own exports.
+    "q181_ivfadc_rerank" -> oracleSqlBase("q175_ivfadc_recall_sampled")
+      .replace(IvfAdcCoarsePath, IvfAdcRrCoarsePath)
+      .replace(IvfAdcCbPath, IvfAdcRrCbPath)
+      .replace(
+        """qscored AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+                     FROM adc),
+         qtop AS (SELECT query_id, neighbor_id FROM qscored WHERE rank <= 10),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e
+                WHERE vec_id IN (SELECT vec_id FROM smp)),""",
+        s"""slist AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 50),
+         fq AS (SELECT vec_id AS query_id, v AS fqv FROM e
+                WHERE vec_id IN (SELECT vec_id FROM smp)),
+         rr AS (SELECT s.query_id, s.neighbor_id,
+                row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY ${sqlCosine("fqv", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+                FROM slist s
+                JOIN fq ON fq.query_id = s.query_id
+                JOIN e ne ON ne.vec_id = s.neighbor_id),
+         qtop AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 10),"""))
 }

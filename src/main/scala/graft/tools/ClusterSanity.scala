@@ -174,7 +174,9 @@ object ClusterSanity {
           "q178_warc_revisit_dedup",
           // q179: the permuted-lattice sampled PQ judge (bounded,
           // q169's class; the permutation is a 64-int broadcast)
-          "q179_pq_permuted_recall_sampled")) {
+          "q179_pq_permuted_recall_sampled",
+          // q181: IVFADC shortlist + float re-rank (bounded judge)
+          "q181_ivfadc_rerank")) {
         val fn = graft.SparkEntry.queries(q)
         time(s"$q @62x")(noop(fn(spark, sd)))
       }

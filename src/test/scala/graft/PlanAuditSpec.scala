@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
       "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall",
       "q163_pq_rerank", "q169_pq_recall_sampled", "q175_ivfadc_recall_sampled",
-      "q179_pq_permuted_recall_sampled")
+      "q179_pq_permuted_recall_sampled", "q181_ivfadc_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++

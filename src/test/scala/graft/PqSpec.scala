@@ -203,6 +203,28 @@ class PqSpec extends AnyFunSuite {
       s"expected one high-variance dim per subspace, got $highPerSub")
   }
 
+  test("ivfadc exact re-rank dominates raw ivfadc per query at the same probe budget") {
+    // structural within the probed candidate set: ADC-top-10 ⊆
+    // ADC-top-50, and the float re-rank keeps every true neighbor
+    // that reached the shortlist
+    val emb = clustered(160, 64, 16, seed = 13)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfadcrr").toString
+    def byQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = byQuery(Similarity.ivfadcTopKRecallExport(emb, "vec_id", "embedding",
+      queries, numCells = 8, coarseIters = 3, m = 8, ksub = 16, pqIters = 2,
+      nprobe = 2, k = 10,
+      coarseExportPath = s"$base/c0", cbExportPath = s"$base/r0"))
+    val rr = byQuery(Similarity.ivfadcRerankTopKRecallExport(emb, "vec_id", "embedding",
+      queries, numCells = 8, coarseIters = 3, m = 8, ksub = 16, pqIters = 2,
+      nprobe = 2, shortlist = 50, k = 10,
+      coarseExportPath = s"$base/c1", cbExportPath = s"$base/r1"))
+    raw.foreach { case (q, n) =>
+      assert(rr(q) >= n, s"query $q: re-rank $n -> ${rr(q)} regressed")
+    }
+  }
+
   test("ivfadc broadcast-map and packed-column LUT paths score identically") {
     val emb = clustered(160, 64, 16, seed = 29)
     val queries = emb.filter(col("vec_id") % 40 === 0)
