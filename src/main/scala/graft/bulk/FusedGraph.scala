@@ -279,7 +279,13 @@ object FusedGraph {
     df.select(projected.toIndexedSeq: _*)
   }
 
-  private final case class SkelRow(
+  // private[bulk], not private: object-private compiles to a
+  // bytecode-private class, and janino then rejects the generated
+  // serializer's accessor calls ("no applicable method"), forcing an
+  // interpreted-encoder fallback that spams CompileException stacks
+  // into every Verify/test log. Qualifier-private is compile-time
+  // only — the class file stays public and codegen succeeds.
+  private[bulk] final case class SkelRow(
       root_id: String, sec_idx: Long, sub_idx: Long,
       section_anchor: Option[String], section_shared: Boolean,
       subsection_id: String, before_ids: Seq[String], after_ids: Seq[String])

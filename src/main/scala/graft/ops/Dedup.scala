@@ -263,7 +263,8 @@ object Dedup {
       numPerm: Int,
       bands: Int,
       num: Int,
-      den: Int): DataFrame = {
+      den: Int,
+      maxBandFreq: Int = 0): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(docs.sparkSession)
     // Band keys straight from the kernel: posexplode references the
     // expression once (a sig-array intermediate would be inlined into
@@ -271,10 +272,22 @@ object Dedup {
     // null (sub-k-token) docs vanish in the explode for free. (No
     // fanOut: the band self-join gives the heavy stage its parallelism,
     // and the extra exchange measured slower — 1.35 vs 1.97 s at sf0.1.)
-    val keys = docs.select(
+    // Hot-bucket discipline (maxBandFreq > 0): a band key shared by M
+    // docs yields M²/2 pairs in ONE bucket of the self-join — under
+    // the mass duplication a web crawl actually has (boilerplate,
+    // templated pages) a single hot key is a straggler task that never
+    // finishes at 100 TB. Keys above the cap are stop-buckets: they
+    // assert "these docs are all near-identical", and the capped
+    // operator's contract is that such pairs are handled by the
+    // CLUSTERING path (lshStarEdges ≡ same components at O(M) edges),
+    // not enumerated pairwise. Same agg → broadcast-anti shape as the
+    // stop-shingle prune above (sort-free, scan-sided — the 100 TB
+    // shape). 0 = off (the exact-LSH contract, oracle-pinned by q32).
+    val keys = lshBandFreqPrune(docs.select(
       col(idCol).as("id"),
       posexplode(call_function(
-        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
+        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key"))),
+      maxBandFreq)
     // candidates feed two consumers (id restriction + final semi-join):
     // localCheckpoint materializes the band self-join once and is
     // reclaimed with the frame (persist leaked cache between queries).
@@ -348,6 +361,77 @@ object Dedup {
         "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
   }
 
+  /** Drop band keys whose document frequency exceeds `cap` (0 = off).
+    * Same discipline as the stop-shingle prune: hash-agg the df on the
+    * join key (exchange reused by the downstream equi-join), broadcast
+    * the tiny hot set, anti-join — no window sort, standing side stays
+    * a scan. Shared by the self-join, delta, and star-edge paths so
+    * the cap means the same thing everywhere.
+    */
+  private def lshBandFreqPrune(bandKeys: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) bandKeys
+    else {
+      val hot = bandKeys.groupBy("band", "key").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("band", "key")
+      bandKeys.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    }
+
+  /** Anchored star-edge LSH candidates: one (anchor, member) edge per
+    * non-anchor bucket member, anchor = min id per `(band, key)`
+    * bucket — O(M) edges where the all-pairs self-join emits M²/2.
+    * For any consumer that only needs CONNECTED COMPONENTS of the
+    * bucket co-membership graph (dedup clustering: same bucket ⇒ same
+    * cluster), the star graph is provably equivalent: within one
+    * bucket every member connects to the anchor (star ⊆ pairs, and
+    * any all-pairs edge u−v is covered by u−anchor−v), so the
+    * components — and the min-id labels — are identical. This is the
+    * 100 TB hot-bucket discipline: a boilerplate key shared by 10M
+    * docs costs 10M edges, not 5·10¹³ pairs, and the per-bucket work
+    * is a window min over ONE sorted partition (linear, no join).
+    *
+    * Returns (id_a = anchor, id_b = member) with id_a < id_b, distinct
+    * across buckets. Sub-k-token docs vanish with their band keys.
+    *
+    * Shape: hash-agg the anchor per (band, key), equi-join back on the
+    * same key — NOT a window min, which would sort the entire band-key
+    * table (the jacprune lesson: at the 62× leg sorting the exploded
+    * frame costs more than the hash shuffle it saves). Both stages
+    * partition on (band, key), so the join reuses the agg's exchange.
+    */
+  def lshStarEdges(bandKeys: DataFrame): DataFrame = {
+    val anchors = bandKeys.groupBy("band", "key").agg(min(col("id")).as("anchor"))
+    bandKeys.join(anchors, Seq("band", "key"))
+      .filter(col("id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH dedup CLUSTERS straight from raw docs: components of
+    * the band-bucket co-membership graph via [[lshStarEdges]], labels
+    * from [[Components.dedupClusters]] (min id per component; isolated
+    * docs label themselves). This — not pairwise enumeration — is the
+    * production near-dup grouping shape for a mass-duplicated corpus:
+    * candidate volume is linear in the index size under ANY skew, and
+    * there is no Jaccard verification stage (the bucket graph IS the
+    * near-dup relation; callers needing verified pairs use
+    * [[minhashLshPairsNative]], optionally df-capped). `maxBandFreq`
+    * composes: capped keys drop out of the bucket graph on both the
+    * Spark and oracle sides.
+    */
+  def minhashLshClustersNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numPerm: Int,
+      bands: Int,
+      maxBandFreq: Int = 0): DataFrame = {
+    val keys = lshBandFreqPrune(
+      minhashBandKeys(docs, idCol, textCol, k, numPerm, bands), maxBandFreq)
+    Components.dedupClusters(
+      docs.select(col(idCol).as("id")), lshStarEdges(keys))
+  }
+
   /** Delta near-dup pairs against a PRE-COMPUTED standing band-key
     * index ([[minhashBandKeys]] rows of `standing`). Result-identical
     * to [[minhashLshDeltaPairsNative]]; the difference is the cost
@@ -381,11 +465,19 @@ object Dedup {
       k: Int,
       numPerm: Int,
       bands: Int,
-      broadcastDelta: Boolean = false): DataFrame = {
+      broadcastDelta: Boolean = false,
+      maxBandFreq: Int = 0): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(delta.sparkSession)
     def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
     val deltaIds = delta.select(col(idCol).as("delta_dup_id"))
-    val indexOnly = standingIndex.join(
+    // Hot-bucket cap on the STANDING index (maxBandFreq > 0): one hot
+    // standing key matched by one delta doc yields df(standing)
+    // candidates — under mass boilerplate that is a per-batch
+    // straggler. The df agg shuffles on the candidate join's own key
+    // (exchange reused); in the persisted-index production shape the
+    // df column is maintained WITH the index, making the prune a scan
+    // filter. 0 = off (gate/oracle contract unchanged).
+    val indexOnly = lshBandFreqPrune(standingIndex, maxBandFreq).join(
       small(deltaIds), col("id") === col("delta_dup_id"), "left_anti")
     indexOnly.as("s")
       .join(small(minhashBandKeys(delta, idCol, textCol, k, numPerm, bands).as("d")),
@@ -405,7 +497,8 @@ object Dedup {
       bands: Int,
       num: Int,
       den: Int,
-      broadcastDelta: Boolean = false): DataFrame = {
+      broadcastDelta: Boolean = false,
+      maxBandFreq: Int = 0): DataFrame = {
     graft.functions.DedupKernels.ensureRegistered(standing.sparkSession)
     def small(df: DataFrame): DataFrame = if (broadcastDelta) broadcast(df) else df
     // A re-ingested id present on both sides (Streams.DedupGate replays)
@@ -417,7 +510,8 @@ object Dedup {
     val standingOnly = standing.join(
       small(deltaIds), col(idCol) === col("delta_dup_id"), "left_anti")
     val candidates = lshDeltaCandidates(
-        standingIndex, delta, idCol, textCol, k, numPerm, bands, broadcastDelta)
+        standingIndex, delta, idCol, textCol, k, numPerm, bands, broadcastDelta,
+        maxBandFreq)
       .localCheckpoint() // three consumers; band-key pipelines are expensive
     val candIds = candidates.select(col("delta_id").as("id"))
       .unionByName(candidates.select(col("corpus_id").as("id")))

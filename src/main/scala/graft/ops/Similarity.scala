@@ -1699,11 +1699,14 @@ object Similarity {
     // construction here is not job-free, unlike the OracleAux-deferred
     // exports. Audit contexts that must build plans without running
     // jobs (PlanAuditSpec-style inspection) pass broadcastLutCap = 0
-    // to force the column path, which constructs lazily.
-    val qHead = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      .limit(broadcastLutCap + 1).collect()
+    // to force the column path, which constructs lazily (the probe
+    // collect below is skipped entirely at cap 0).
+    val qHead: Array[org.apache.spark.sql.Row] =
+      if (broadcastLutCap <= 0) Array.empty
+      else queries
+        .select(col(idCol).cast("long").as("query_id"),
+          asDouble(col(vecCol)).as("qv"))
+        .limit(broadcastLutCap + 1).collect()
     if (broadcastLutCap > 0 && qHead.length <= broadcastLutCap) {
       val lutMap = qHead.map(r =>
         r.getLong(0) -> {
@@ -1861,10 +1864,12 @@ object Similarity {
       }
     }
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("nid"))
-    val qHead = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      .limit(broadcastLutCap + 1).collect()
+    val qHead: Array[org.apache.spark.sql.Row] =
+      if (broadcastLutCap <= 0) Array.empty
+      else queries
+        .select(col(idCol).cast("long").as("query_id"),
+          asDouble(col(vecCol)).as("qv"))
+        .limit(broadcastLutCap + 1).collect()
     // the broadcast-map fast path prepends a per-cell scalar slot per
     // query, so it only engages for closure-sized cell counts; a
     // 100 TB index with thousands of cells rides the packed-binary

@@ -210,7 +210,9 @@ object WarcStream {
     val seg = uuid.lastIndexOf('-')
     require(seg >= 0 && uuid.length - seg - 1 == 12,
       s"warc: uuid has no 12-hex node segment: '${uuid.take(48)}'")
-    val hexStr = uuid.substring(seg + 1)
+    // RFC 9562 §4 requires parsers to accept uppercase hex, so lower
+    // the node segment before validating — external crawls emit both.
+    val hexStr = uuid.substring(seg + 1).toLowerCase(java.util.Locale.ROOT)
     require(hexStr.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
       s"warc: non-hex uuid node segment '$hexStr'")
     java.lang.Long.parseLong(hexStr, 16)

@@ -57,6 +57,13 @@ object Pipelines {
     */
   val ShingleCap = 100
 
+  /** Constant boilerplate text for the q182/q183 hot-bucket legs —
+    * ≥ 3 tokens so it shingles, single-quote-free so it inlines into
+    * the DuckDB twin verbatim.
+    */
+  val LshHotBoiler =
+    "subscribe to our newsletter terms of service privacy policy all rights reserved"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1h windows over the event stream (batch form of the
     // Structured Streaming windowed agg in graft.streaming).
@@ -342,6 +349,41 @@ object Pipelines {
       val pairs = Dedup.jaccardPairsNative(
         docs, "doc_id", "text", k = 3, num = 1, den = 2, maxShingleFreq = ShingleCap)
       Components.dedupClusters(docs.select(col("doc_id").as("id")), pairs)
+    }),
+
+    // LSH bucket clustering via anchored STAR edges (round 15): the
+    // hot-bucket-safe near-dup grouping — components of the band-bucket
+    // co-membership graph, candidates emitted as (min-id anchor →
+    // member) per bucket, O(M) edges where all-pairs is M²/2. The
+    // corpus is augmented with a 32-doc constant-boilerplate block
+    // (ids ≥ 10⁶) so the oracle exercises a genuinely hot bucket: the
+    // DuckDB twin builds the ALL-PAIRS co-membership graph and runs
+    // the q37 recursive CC over it — a hash match proves star ≡
+    // all-pairs under connected components end-to-end, not just in
+    // the spec.
+    "q182_lsh_star_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(docs.filter(col("doc_id") < 32).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), lit(LshHotBoiler).as("text")))
+      Dedup.minhashLshClustersNative(aug, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16)
+    }),
+
+    // Hot-bucket-capped LSH pairs (round 15): q32's verified-pairs
+    // operator with the band-df cap engaged (maxBandFreq = 8) over the
+    // same boilerplate-augmented corpus. The 32 identical docs share
+    // EVERY band key (df = 32 > 8), so all their buckets prune and no
+    // boilerplate pair is enumerated — the cap's contract is that mass
+    // duplication belongs to the clustering path (q182), never to
+    // pairwise O(M²) emission. Organic pairs ride through unchanged
+    // unless their bucket also crosses the cap (the oracle mirrors the
+    // df filter, so either way the sides agree).
+    "q183_lsh_banded_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(docs.filter(col("doc_id") < 32).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"), lit(LshHotBoiler).as("text")))
+      Dedup.minhashLshPairsNative(aug, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, num = 1, den = 2, maxBandFreq = 8)
     }),
 
     // Language ID by stopword-hit argmax.
@@ -2271,6 +2313,28 @@ object Pipelines {
                FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
                WHERE inter * 2 > ca.c + cb.c - inter)"""
 
+  /** The q32 minhash band-key reconstruction, parameterized over a
+    * `docsx(doc_id, text)` CTE (q182/q183 run it over the boilerplate-
+    * augmented corpus). Emits shx (distinct string shingles — also the
+    * Jaccard-verify input) and bk (doc_id, band, key).
+    */
+  private def bandKeyCtesOver(src: String): String =
+    s"""toksx AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM $src),
+       shx AS (SELECT DISTINCT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS shingle
+               FROM toksx, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+       perm(i, a, b) AS (VALUES $minhashPermValues),
+       hhx AS (SELECT doc_id, ${h60("shingle")} % 2147483647 AS h FROM shx),
+       mhx AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS h
+               FROM hhx, perm GROUP BY doc_id, i),
+       bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
+              FROM mhx GROUP BY doc_id, i // 4)"""
+
+  /** The boilerplate-augmented corpus CTE shared by q182/q183. */
+  private val lshAugDocsCte: String =
+    s"""docsx AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, '$LshHotBoiler' FROM documents WHERE doc_id < 32)"""
+
   /** Sequential-fold double dot product of two DOUBLE[] exprs (same IEEE
     * op order as Similarity.dot).
     */
@@ -3741,6 +3805,40 @@ object Pipelines {
          reach(a, b) AS (SELECT doc_id, doc_id FROM documents
                          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    // q182's twin deliberately builds the ALL-PAIRS bucket graph (the
+    // Spark side emits star edges) — matching labels prove star ≡
+    // all-pairs under connected components on a corpus with a
+    // genuinely hot (32-doc) bucket.
+    "q182_lsh_star_clusters" ->
+      s"""WITH RECURSIVE $lshAugDocsCte,
+         ${bandKeyCtesOver("docsx")},
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+                    AND x.doc_id <> y.doc_id),
+         reach(a, b) AS (SELECT doc_id, doc_id FROM docsx
+                         UNION SELECT r.a, e.b FROM reach r JOIN cand e ON r.b = e.a)
+         SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    "q183_lsh_banded_capped" ->
+      s"""WITH $lshAugDocsCte,
+         ${bandKeyCtesOver("docsx")},
+         hotb AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) > 8),
+         bkk AS (SELECT bk.doc_id, bk.band, bk.key FROM bk
+                 WHERE NOT EXISTS (SELECT 1 FROM hotb
+                   WHERE hotb.band = bk.band AND hotb.key = bk.key)),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bkk x JOIN bkk y ON x.band = y.band AND x.key = y.key
+                    AND x.doc_id < y.doc_id),
+         shcnt AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jac AS (SELECT id_a, id_b, inter, ca.c + cb.c - inter AS union_size
+                 FROM inter JOIN shcnt ca ON id_a = ca.doc_id JOIN shcnt cb ON id_b = cb.doc_id
+                 WHERE inter * 2 > ca.c + cb.c - inter)
+         SELECT j.id_a, j.id_b, j.inter, j.union_size FROM jac j
+         WHERE EXISTS (SELECT 1 FROM cand WHERE cand.id_a = j.id_a AND cand.id_b = j.id_b)""",
 
     // Text gate replay: the same minhash/band/jaccard reconstruction
     // as q85/q32 feeding the unrolled 3-batch fold chain; decisions
@@ -5838,6 +5936,16 @@ object Pipelines {
          md5(hex(encode(text))) AS text_md5
        FROM documents"""
 
+  /** Exact-substring splice that fails loudly if the anchor drifted: a
+   *  whitespace/text edit to the base SQL would otherwise silently no-op
+   *  the replace and leave the derived oracle judging the wrong chain.
+   */
+  private def spliced(base: String, anchor: String, replacement: String): String = {
+    require(base.contains(anchor),
+      s"oracle splice anchor not found (base SQL drifted): ${anchor.take(80)}...")
+    base.replace(anchor, replacement)
+  }
+
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
     "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
@@ -6057,10 +6165,10 @@ object Pipelines {
     // IVFADC + re-rank: q175's chain with the ADC top-10 widened to a
     // 50-deep shortlist and q163's float-cosine re-rank tail spliced
     // in (fq hoisted above the re-rank CTE), over q181's own exports.
-    "q181_ivfadc_rerank" -> oracleSqlBase("q175_ivfadc_recall_sampled")
-      .replace(IvfAdcCoarsePath, IvfAdcRrCoarsePath)
-      .replace(IvfAdcCbPath, IvfAdcRrCbPath)
-      .replace(
+    "q181_ivfadc_rerank" -> spliced(
+      oracleSqlBase("q175_ivfadc_recall_sampled")
+        .replace(IvfAdcCoarsePath, IvfAdcRrCoarsePath)
+        .replace(IvfAdcCbPath, IvfAdcRrCbPath),
         """qscored AS (SELECT query_id, neighbor_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id) AS rank

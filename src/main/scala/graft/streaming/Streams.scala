@@ -2259,7 +2259,10 @@ object Streams {
       pqRefreshMinRecallX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
       // relative drift trigger: fire when a compaction's recall falls
-      // under this fraction (×100) of the trailing mean; 0 = off.
+      // under this fraction (×100) of the PREVIOUS compaction's
+      // measurement (single-step comparison — deliberately not a
+      // trailing-window mean, which thrashes on genuine density
+      // decay; see the class scaladoc); 0 = off.
       pqRefreshDropFracX100: Long = 0L,
       // IVFADC (round 14): codes quantize each posting's RESIDUAL to
       // its cell's lattice centroid instead of the raw vector —
