@@ -277,10 +277,21 @@ object Curation {
       tokensPerShard: Long,
       tokenizer: String = "ws"): (DataFrame, Seq[DataFrame]) = {
     registerTokenizers(docs)
-    val toks = docs.select(
+    shardPackFromCounts(docs.select(
       col(idCol).as("doc_id"),
       tokenCountCol(col(textCol), tokenizer).as("n_tokens"),
-      md5(col(textCol)).as("okey"))
+      md5(col(textCol)).as("okey")), tokensPerShard)
+  }
+
+  /** [[shardPack]] from precomputed per-doc rows (doc_id, n_tokens,
+    * okey) — the composition form for pipelines that already carry
+    * token counts and digests in a meta frame (q102/q111): packing
+    * then never re-reads or re-tokenizes the text. okey is md5(text)
+    * in the standard pipelines, so digest doubles as the pack order.
+    */
+  private[graft] def shardPackFromCounts(
+      toks: DataFrame,
+      tokensPerShard: Long): (DataFrame, Seq[DataFrame]) = {
     val parted = toks.repartitionByRange(col("okey"), col("doc_id"))
       .withColumn("part", spark_partition_id())
       .localCheckpoint() // two consumers (totals + rows); the range
@@ -659,28 +670,104 @@ object Curation {
     * prove them common. Every stage is individually oracle-gated
     * (q30/q100/q82/q95/q86); this query gates their COMPOSITION.
     */
-  /** The kept set of the batch curation stages — exact-dedup
-    * canonical ∩ Gopher keep ∩ not-contaminated, as (doc_id, text) —
-    * the ONE definition [[curationPipeline]] and
-    * [[standingCurationState]] both compose, so the batch pipeline and
-    * the gate/delta seed state cannot drift.
+  /** The per-doc curation meta frame — ONE corpus scan computing every
+    * per-doc column the pipeline stages need: digest (exact-dedup key
+    * AND pack order), Gopher keep, contamination vs the prebuilt eval
+    * vocabulary, content-hash split, and token count. This is the ONE
+    * definition [[curationPipeline]], [[curationPipelineDelta]] and
+    * [[standingCurationState]] all compose, so the batch pipeline and
+    * the gate/delta seed state cannot drift — and the round-15 fusion:
+    * the previous per-stage frames re-scanned the corpus (and re-ran
+    * the regex/shingle kernels) once per stage plus once per semi-join.
+    * Plan shape: stacked projections over one scan (the word array is
+    * CSE'd), plus one shingle explode → broadcast-vocab semi-join →
+    * distinct for the contaminated id set (contaminated docs are a
+    * vanishing fraction, so the left join back is a broadcast).
+    * Returns (doc_id, digest, keep_q, contaminated, split, n_tokens).
     */
-  private def curatedKeep(
+  /** Vocabulary sizes up to this many shingle hashes ride the
+    * collected-probe fast path in [[curatedMeta]] (an 8 MB sorted
+    * long array broadcast — the same boundedness contract that
+    * justifies broadcasting the vocab as a join build). Above it the
+    * explode → broadcast-semi-join path engages unchanged.
+    */
+  private val VocabProbeCap = 1000000
+
+  private def curatedMeta(
       corpus: DataFrame,
-      evalSet: DataFrame,
+      evalVocab: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val canon = Dedup.exact(corpus, idCol, textCol)
-      .filter(col("id") === col("canonical_id"))
-      .select(col("id").as("doc_id"))
-    val quality = TextAnalysis.gopherRules(corpus, idCol, textCol)
-      .filter(col("keep")).select("doc_id")
-    val clean = decontaminate(corpus, evalSet, idCol, textCol, k = 3)
-      .filter(!col("contaminated")).select("doc_id")
-    corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(canon, Seq("doc_id"), "left_semi")
-      .join(quality, Seq("doc_id"), "left_semi")
-      .join(clean, Seq("doc_id"), "left_semi")
+      textCol: String,
+      tokenizer: String = "ws",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    registerTokenizers(corpus)
+    graft.functions.DedupKernels.ensureRegistered(corpus.sparkSession)
+    // carryCols ride through untouched and join into the row identity
+    // (the delta pipeline fuses standing+batch into one tagged scan; a
+    // re-ingested id present on both sides must keep per-SIDE flags).
+    val keyCols = "doc_id" +: carryCols
+    val base = TextAnalysis.withGopherCols(
+        corpus.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+          carryCols.map(col): _*))
+      .select((keyCols.map(col) :+ col("text") :+ col("keep").as("keep_q")): _*)
+      .withColumn("digest", md5(col("text")))
+      .withColumn("split", splitColumn(col("text")))
+      .withColumn("n_tokens", tokenCountCol(col("text"), tokenizer))
+    // Contamination: probe the collected, sorted vocab per doc inside
+    // the SAME scan (zero joins, zero broadcast-exchange jobs — worth
+    // two jobs and ~0.9 s at bench scale) when the vocab is bounded;
+    // identical semantics to the explode → semi-join path (hit iff any
+    // shingle hash is in the vocab), which remains the >cap fallback.
+    val head = evalVocab.limit(VocabProbeCap + 1).collect()
+    if (head.length <= VocabProbeCap) {
+      val sorted = head.map(_.getLong(0)).sorted
+      val bc = corpus.sparkSession.sparkContext.broadcast(sorted)
+      val probe = udf { (text: String) =>
+        if (text == null) false
+        else {
+          val hs = graft.functions.ShingleHashes.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+          hs != null && (0 until hs.numElements()).exists(i =>
+            java.util.Arrays.binarySearch(bc.value, hs.getLong(i)) >= 0)
+        }
+      }
+      base.withColumn("contaminated", probe(col("text"))).drop("text")
+    } else {
+      val contamIds = graft.Tables.fanOut(corpus).select(
+          col(idCol).as("doc_id") +: carryCols.map(col) :+
+          explode(call_function("graft_shingle_hashes", col(textCol), lit(3))).as("h"): _*)
+        .join(broadcast(evalVocab), Seq("h"), "left_semi")
+        .select(keyCols.map(col): _*).distinct()
+      base.drop("text")
+        .join(contamIds.withColumn("contam_hit", lit(true)), keyCols, "left")
+        .withColumn("contaminated", coalesce(col("contam_hit"), lit(false)))
+        .drop("contam_hit")
+    }
+  }
+
+  /** Single-partition twin of [[shardPackFromCounts]] for inputs
+    * bounded by the delta contract: one global window (Spark plans the
+    * empty partition spec as a single-partition sort) — no range
+    * sampling pass, no scratch checkpoint, no offsets broadcast.
+    * Output-identical: the same (okey, doc_id) global order and
+    * exclusive prefix sum.
+    */
+  private def shardPackSmall(toks: DataFrame, tokensPerShard: Long): DataFrame = {
+    val w = Window.orderBy("okey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("lcum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"lcum div ${tokensPerShard}L").as("shard_id"),
+        expr(s"lcum % ${tokensPerShard}L").as("offset_tokens"))
+  }
+
+  /** Canonical filter over a meta frame: keep the min-doc_id row of
+    * each digest group (exact-dedup canonical, the q30 rule).
+    */
+  private def canonicalOnly(meta: DataFrame): DataFrame = {
+    val w = Window.partitionBy("digest").orderBy("doc_id")
+    meta.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   def curationPipeline(
@@ -690,10 +777,17 @@ object Curation {
       tokensPerShard: Long): DataFrame = {
     val corpus = docs.filter(col(idCol) % 97 =!= 0)
     val evalSet = docs.filter(col(idCol) % 97 === 0)
-    val withSplit = curatedKeep(corpus, evalSet, idCol, textCol)
-      .withColumn("split", splitColumn(col("text")))
-    val packed = shardPack(
-        withSplit.filter(col("split") === "train"), "doc_id", "text", tokensPerShard)
+    // One heavy scan, checkpointed narrow; every stage below derives
+    // from it (canonical rank, keep filters, packing from counts).
+    val meta = curatedMeta(
+        corpus, evalShingleVocab(evalSet, idCol, textCol, 3), idCol, textCol)
+      .transform(Ckpt.fresh)
+    val withSplit = canonicalOnly(meta)
+      .filter(col("keep_q") && !col("contaminated"))
+    val packed = shardPackFromCounts(
+        withSplit.filter(col("split") === "train")
+          .select(col("doc_id"), col("n_tokens"), col("digest").as("okey")),
+        tokensPerShard)._1
       .select(col("doc_id"), col("shard_id"), col("offset_tokens"))
     withSplit.select(col("doc_id"), col("split"))
       .join(packed, Seq("doc_id"), "left")
@@ -740,14 +834,15 @@ object Curation {
       idCol: String,
       textCol: String,
       tokenizer: String = "ws"): (DataFrame, Long) = {
-    registerTokenizers(standing)
-    val trainTokens = curatedKeep(standing, evalSet, idCol, textCol)
-      .filter(splitColumn(col("text")) === "train")
-      .select(tokenCountCol(col("text"), tokenizer).as("n_tokens"))
+    val meta = curatedMeta(
+        standing, evalShingleVocab(evalSet, idCol, textCol, 3),
+        idCol, textCol, tokenizer)
+      .transform(Ckpt.fresh)
+    val trainTokens = canonicalOnly(meta)
+      .filter(col("keep_q") && !col("contaminated") && col("split") === "train")
       .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long"))
       .head().getLong(0)
-    val digests = standing.select(md5(col(textCol)).as("digest")).distinct()
-    (digests, trainTokens)
+    (meta.select("digest").distinct(), trainTokens)
   }
 
   def curationPipelineDelta(
@@ -758,49 +853,61 @@ object Curation {
       textCol: String,
       tokensPerShard: Long,
       broadcastDeltaCap: Long = 4000000L): DataFrame = {
-    def gated(corpus: DataFrame): DataFrame = {
-      val quality = TextAnalysis.gopherRules(corpus, idCol, textCol)
-        .filter(col("keep")).select("doc_id")
-      val clean = decontaminate(corpus, evalSet, idCol, textCol, k = 3)
-        .filter(!col("contaminated")).select("doc_id")
-      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .join(quality, Seq("doc_id"), "left_semi")
-        .join(clean, Seq("doc_id"), "left_semi")
-    }
+    // Round-15 stage fusion: ONE eval shingle pass (inlined — the eval
+    // slice is broadcast-build-sized by contract) and ONE tagged scan
+    // over standing ∪ delta — every stage below derives from a single
+    // meta checkpoint (previously the standing corpus was scanned
+    // twice, the batch ~four times, and the eval set shingled twice;
+    // even split standing/batch meta passes paid two checkpoint jobs
+    // and two vocab broadcasts). The is_delta tag joins into the row
+    // identity so a re-ingested id keeps per-side flags.
+    val vocab = evalShingleVocab(evalSet, idCol, textCol, 3)
+    val tagged = standing
+      .select(col(idCol), col(textCol)).withColumn("is_delta", lit(false))
+      .unionByName(
+        delta.select(col(idCol), col(textCol)).withColumn("is_delta", lit(true)))
+    val meta = curatedMeta(tagged, vocab, idCol, textCol,
+        carryCols = Seq("is_delta"))
+      .transform(Ckpt.fresh)
+    val sMeta = meta.filter(!col("is_delta"))
     // Standing carried state, recomputed for oracle-ability: the
-    // cumulative train-token total of the standing pipeline's output.
-    val (_, standingTrainTokens) =
-      standingCurationState(standing, evalSet, idCol, textCol)
-    // Batch exact dedup vs standing (digest-index probe, standing
-    // never shuffled) and within the batch (min id per digest). The
-    // delta-derived build sides broadcast under the cap and fall back
-    // to shuffle joins for backfill-sized deltas — the same two-regime
-    // rule as the other delta operators.
-    val bDocs = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("digest", md5(col("text")))
-    val bDigests = bDocs.select("digest").distinct().transform(Ckpt.fresh)
+    // cumulative train-token total of the standing pipeline's output
+    // plus the digest index, both off the one meta checkpoint. The
+    // token total stays a 1-ROW FRAME (cross-joined broadcast below),
+    // not a collected scalar — one fewer driver-blocking job.
+    val sTok = canonicalOnly(sMeta)
+      .filter(col("keep_q") && !col("contaminated") && col("split") === "train")
+      .agg(coalesce(sum("n_tokens"), lit(0L)).cast("long").as("standing_train_tokens"))
+    // Batch meta rows cover the FULL delta (per-doc flags are
+    // unaffected by the dedup filter below, which only removes rows).
+    // The delta-derived build sides broadcast under the cap and fall
+    // back to shuffle joins for backfill-sized deltas — the same
+    // two-regime rule as the other delta operators.
+    val bMeta = meta.filter(col("is_delta"))
+    val bDigests = bMeta.select("digest").distinct()
     val deltaSmall = bDigests.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
-    val standingHit = standing.select(md5(col(textCol)).as("digest"))
+    // Batch exact dedup vs standing (digest-index probe over the meta
+    // checkpoint — standing never reshuffles) and within the batch
+    // (min id per digest).
+    val standingHit = sMeta.select("digest")
       .join(sized(bDigests), Seq("digest"), "left_semi")
       .distinct()
-      .transform(Ckpt.fresh)
-    val wDig = Window.partitionBy("digest").orderBy("doc_id")
-    val bCanon = bDocs
-      .join(sized(standingHit), Seq("digest"), "left_anti")
-      .withColumn("rn", row_number().over(wDig))
-      .filter(col("rn") === 1)
-      .select("doc_id", "text")
-    val kept = gated(bCanon.withColumnRenamed("doc_id", idCol)
-        .withColumnRenamed("text", textCol))
-      .withColumn("split", splitColumn(col("text")))
-    // Append packing: q86's prefix sum over the batch, shifted by the
-    // standing total.
-    val packed = shardPack(kept.filter(col("split") === "train"), "doc_id", "text",
-        tokensPerShard)
+    val kept = canonicalOnly(bMeta.join(sized(standingHit), Seq("digest"), "left_anti"))
+      .filter(col("keep_q") && !col("contaminated"))
+    // Append packing: q86's prefix sum over the batch (straight from
+    // the meta counts — no re-tokenization), shifted by the standing
+    // total. A cap-bounded batch packs in one partition (no range
+    // sampling / scratch checkpoint); backfills take the distributed
+    // two-level pack.
+    val keptTrain = kept.filter(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"), col("digest").as("okey"))
+    val packed = (if (deltaSmall) shardPackSmall(keptTrain, tokensPerShard)
+                  else shardPackFromCounts(keptTrain, tokensPerShard)._1)
+      .crossJoin(broadcast(sTok))
       .select(col("doc_id"),
         (col("shard_id") * tokensPerShard + col("offset_tokens") +
-          lit(standingTrainTokens)).as("cum"))
+          col("standing_train_tokens")).as("cum"))
       .select(col("doc_id"),
         expr(s"cum div $tokensPerShard").as("shard_id"),
         expr(s"cum % $tokensPerShard").as("offset_tokens"))

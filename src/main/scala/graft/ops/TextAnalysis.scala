@@ -149,26 +149,36 @@ object TextAnalysis {
     * per-doc work is O(len), a single narrow projection, zero
     * shuffles. Returns metrics + rule flags + keep.
     */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGopherCols(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select("doc_id", "n_words", "mean_word_len_x100", "symbol_permille",
+        "stop_hits", "alpha_word_permille", "rule_word_count", "rule_word_len",
+        "rule_symbols", "rule_stopwords", "rule_alpha", "keep")
+
+  /** Append the Gopher metric/rule/keep columns to a frame carrying a
+    * `text` column — the composition hook for one-pass meta scans
+    * (q102/q111 compute digest + quality + split + token count in a
+    * single corpus scan instead of joining per-stage frames). Stacked
+    * projections over one scan; the non-cheap `w` array is referenced
+    * 4× so CollapseProject keeps it materialized once per row.
+    */
+  private[graft] def withGopherCols(docs: DataFrame): DataFrame = {
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("w", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("word_chars"),
-        size(expr("filter(w, x -> x rlike '[A-Za-z]')")).cast("long").as("alpha_words"),
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("word_chars", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("alpha_words",
+        size(expr("filter(w, x -> x rlike '[A-Za-z]')")).cast("long"))
+      .withColumn("symbols",
         (expr("size(regexp_extract_all(text, '#', 0))") +
-          expr("size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))")).cast("long").as("symbols"),
+          expr("size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))")).cast("long"))
+      .withColumn("stop_hits",
         size(expr(
           "filter(w, x -> array_contains(array('the','be','to','of','and','that','have','with'), lower(x)))"))
-          .cast("long").as("stop_hits"))
-      .select(
-        col("doc_id"), col("n_words"),
-        expr("word_chars * 100 div greatest(n_words, 1)").as("mean_word_len_x100"),
-        expr("symbols * 1000 div greatest(n_words, 1)").as("symbol_permille"),
-        col("stop_hits"),
-        expr("alpha_words * 1000 div greatest(n_words, 1)").as("alpha_word_permille"))
+          .cast("long"))
+      .withColumn("mean_word_len_x100", expr("word_chars * 100 div greatest(n_words, 1)"))
+      .withColumn("symbol_permille", expr("symbols * 1000 div greatest(n_words, 1)"))
+      .withColumn("alpha_word_permille", expr("alpha_words * 1000 div greatest(n_words, 1)"))
       .withColumn("rule_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("rule_word_len",
         col("mean_word_len_x100") >= 300 && col("mean_word_len_x100") <= 1000)
@@ -178,6 +188,7 @@ object TextAnalysis {
       .withColumn("keep",
         col("rule_word_count") && col("rule_word_len") && col("rule_symbols") &&
           col("rule_stopwords") && col("rule_alpha"))
+      .drop("w", "word_chars", "alpha_words", "symbols")
   }
 
   /** PII scrub: redact email addresses and phone-shaped digit runs

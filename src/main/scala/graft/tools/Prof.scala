@@ -67,6 +67,33 @@ object Prof {
         time("graphx CC (warm)")(
           graft.ops.Components.dedupClustersGraphX(ids, pinned)
             .write.format("noop").mode("overwrite").save())
+      case "q111" =>
+        import org.apache.spark.sql.functions._
+        // per-job wall breakdown (the fixed job floor is the suspect)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          private val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts(js.jobId) = js.time
+            val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+            val nstages = js.stageInfos.size
+            println(s"[prof] job ${js.jobId} START stages=$nstages site=$site")
+          }
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            println(f"[prof] job ${je.jobId}%3d: ${(je.time - starts.getOrElse(je.jobId, je.time)) / 1e3}%.2fs")
+        }
+        spark.sparkContext.addSparkListener(listener)
+        // whole-query wall, twice (codegen/warm split)
+        (1 to 3).foreach { i =>
+          time(s"q111 full #$i") {
+            graft.ops.Curation.curationPipelineDelta(
+              standing = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 =!= 0),
+              delta = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 7 === 0),
+              evalSet = docs.filter(col("doc_id") % 97 === 0),
+              "doc_id", "text", tokensPerShard = 16384L)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
       case "jaccard" =>
         val ss = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
         time("shingleSets count")(ss.count())

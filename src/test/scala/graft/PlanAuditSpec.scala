@@ -50,10 +50,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // sample — the identical smallness argument.
     // q179 is q169's scan+judge over the permuted lattice — the
     // identical smallness argument.
+    // q111's sole BNLJ is the standing-train-token shift: a crossJoin
+    // against a broadcast GLOBAL AGGREGATE — exactly one row by
+    // construction (round-15 fusion: the scalar stays a frame instead
+    // of a driver-collected literal, saving a blocking job).
     val bnljAllowed = Set("q35_ann_topk", "q94_knn_label_purity",
       "q101_quantized_recall", "q109_ann_ivf_quantized", "q160_pq_recall",
       "q163_pq_rerank", "q169_pq_recall_sampled", "q175_ivfadc_recall_sampled",
-      "q179_pq_permuted_recall_sampled", "q181_ivfadc_rerank")
+      "q179_pq_permuted_recall_sampled", "q181_ivfadc_rerank",
+      "q111_curation_delta")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = Seq("CartesianProduct").filter(plan.contains) ++
