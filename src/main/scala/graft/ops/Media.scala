@@ -3997,7 +3997,16 @@ object Media {
             s"warc: response record is not an HTTP capture ('${r.contentType.take(48)}')")
           val hp = WarcStream.httpPayload(r.block)
           val cid = WarcStream.captureId(r.recordId)
-          if (hp.contentType.toLowerCase.startsWith("text/")) textRows(cid, hp.body)
+          val ctl = hp.contentType.toLowerCase
+          // text/html routes through boilerplate EXTRACTION before the
+          // SimHash (round 15): an HTML-wrapped page fingerprints from
+          // its extracted text, so it dedups against its plain-text
+          // form — tags, scripts and markup chrome never pollute the
+          // token stream the way raw-byte hashing would.
+          if (ctl.startsWith("text/html"))
+            textRows(cid, graft.ops.Html.extract(
+              new String(hp.body, "UTF-8")).text.getBytes("UTF-8"))
+          else if (ctl.startsWith("text/")) textRows(cid, hp.body)
           else mixedHashRows(cid, hp.body, depth + 1)
         }
       case other => throw new IllegalArgumentException(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Components, Curation, Dedup, Media, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Components, Curation, Dedup, Html, Media, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -367,6 +367,54 @@ object Pipelines {
         (col("doc_id") + lit(1000000L)).as("doc_id"), lit(LshHotBoiler).as("text")))
       Dedup.minhashLshClustersNative(aug, "doc_id", "text",
         k = 3, numPerm = 64, bands = 16)
+    }),
+
+    // HTML → text boilerplate extraction (round 15): every doc wrapped
+    // in a deterministic realistic page (head/title with an entity,
+    // style + script blocks, a comment, a nav div with inline links,
+    // one <p> per raw line with &/</> entity-encoded), then run
+    // through the single-pass state-machine extractor. Closed form:
+    // extraction and every per-rule count are arithmetic in the
+    // original text, so the DuckDB twin replays them exactly —
+    // tag/script/style/comment drop, entity decode, block
+    // segmentation, whitespace normalization all hash-gated.
+    "q184_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Html.htmlText(Html.asHtml(docs, "doc_id", "text"), "doc_id", "html")
+    }),
+
+    // HTML through the crawl wrapper (round 15): every doc arrives as
+    // a WARC capture — odd ids as text/plain raw text, even ids as a
+    // text/html page (the q184 encoder). The mixed hash routes html
+    // captures through EXTRACTION before the SimHash, so an HTML page
+    // fingerprints from its extracted text (markup chrome never
+    // pollutes the token stream); the DuckDB twin replays both the
+    // extraction closed form and the q33 SimHash chain per route.
+    // Token-less captures emit no row (the q33 null convention).
+    "q186_warc_html_route" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          if (id % 2 == 0)
+            graft.ops.MediaRow(id, "text/html; charset=utf-8",
+              graft.ops.Html.encodePage(text).getBytes("UTF-8"))
+          else
+            graft.ops.MediaRow(id, "text/plain; charset=utf-8",
+              text.getBytes("UTF-8"))
+        }
+      Media.mixedMediaHash(graft.ops.WarcStream.asWarcOver(rows))
+    }),
+
+    // The crawl-shaped curation entry (round 15): HTML pages → text
+    // extraction → the Gopher quality battery, i.e. q100 running on
+    // what a real crawl actually feeds it. The DuckDB twin replays the
+    // extraction closed form and the full rule chain over it — the
+    // composition is hash-gated end to end.
+    "q185_html_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val extracted = Html.htmlText(Html.asHtml(docs, "doc_id", "text"), "doc_id", "html")
+      TextAnalysis.gopherRules(extracted, "doc_id", "text")
     }),
 
     // Hot-bucket-capped LSH pairs (round 15): q32's verified-pairs
@@ -2329,6 +2377,36 @@ object Pipelines {
        bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS key
               FROM mhx GROUP BY doc_id, i // 4)"""
 
+  /** The q184 closed form: what [[graft.ops.Html.extract]] returns
+    * over [[graft.ops.Html.encodePage]]'d text, computed straight from
+    * `documents.text` — head/nav suppress (boilerplate), so the
+    * extracted text is EXACTLY the normalized input (space/tab/CR runs
+    * collapse, trim, empties drop) and every count is arithmetic in
+    * the input's line/char counts (15 fixed tags + 2 per raw line; one
+    * entity per `&`/`<`/`>`; blocks = nonempty normalized lines; 2
+    * boilerplate subtrees). Emits `hx(doc_id, text, n_tags,
+    * n_script_blocks, n_style_blocks, n_comments, n_entities,
+    * n_blocks, n_boilerplate)`.
+    */
+  private val htmlExtractCte: String =
+    """hl AS (SELECT doc_id,
+             string_split(text, chr(10)) AS rawlines,
+             list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(regexp_replace(l, '[ \t\r]+', ' ', 'g'))),
+               l -> l <> '') AS normlines,
+             CAST(len(regexp_extract_all(text, '[&<>]')) AS BIGINT) AS special_chars
+             FROM documents),
+       hx AS (SELECT doc_id,
+              array_to_string(normlines, chr(10)) AS text,
+              CAST(15 + 2 * len(rawlines) AS BIGINT) AS n_tags,
+              CAST(1 AS BIGINT) AS n_script_blocks,
+              CAST(1 AS BIGINT) AS n_style_blocks,
+              CAST(1 AS BIGINT) AS n_comments,
+              CAST(special_chars AS BIGINT) AS n_entities,
+              CAST(len(normlines) AS BIGINT) AS n_blocks,
+              CAST(2 AS BIGINT) AS n_boilerplate
+              FROM hl)"""
+
   /** The boilerplate-augmented corpus CTE shared by q182/q183. */
   private val lshAugDocsCte: String =
     s"""docsx AS (SELECT doc_id, text FROM documents
@@ -3819,6 +3897,37 @@ object Pipelines {
          reach(a, b) AS (SELECT doc_id, doc_id FROM docsx
                          UNION SELECT r.a, e.b FROM reach r JOIN cand e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a""",
+
+    "q184_html_extract" ->
+      s"""WITH $htmlExtractCte
+         SELECT doc_id, text, n_tags, n_script_blocks, n_style_blocks,
+                n_comments, n_entities, n_blocks, n_boilerplate
+         FROM hx""",
+
+    // route-dependent source text (extraction closed form for the html
+    // captures, raw text for the plain ones), then the q33 SimHash
+    // chain split into the 4×15-bit bands.
+    "q186_warc_html_route" ->
+      s"""WITH $htmlExtractCte,
+         srcx AS (SELECT doc_id, text FROM hx WHERE doc_id % 2 = 0
+                  UNION ALL
+                  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         tfx AS (SELECT doc_id, token, count(*) AS cnt FROM
+             (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM srcx)
+             GROUP BY 1, 2),
+         thx AS (SELECT doc_id, cnt, ${h60("token")} AS h FROM tfx),
+         bitsx AS (SELECT doc_id, b,
+             sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+             FROM thx, UNNEST(range(60)) AS t(b) GROUP BY 1, 2),
+         fpx AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS f
+             FROM bitsx GROUP BY 1)
+         SELECT 'text' AS modality, doc_id,
+                CAST(f & 32767 AS INT) AS b0,
+                CAST((f >> 15) & 32767 AS INT) AS b1,
+                CAST((f >> 30) & 32767 AS INT) AS b2,
+                CAST((f >> 45) & 32767 AS INT) AS b3
+         FROM fpx""",
 
     "q183_lsh_banded_capped" ->
       s"""WITH $lshAugDocsCte,
@@ -5947,6 +6056,14 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // q100's rule chain verbatim, fed by the q184 extraction closed
+    // form (the crawl-shaped curation entry).
+    // (FROM swap first — the extraction CTE itself reads documents, so
+    // splicing it in first would make the swap hit the CTE too)
+    "q185_html_quality" -> spliced(
+      spliced(oracleSqlBase("q100_gopher_rules"),
+        "FROM documents)", "FROM hx)"),
+      "WITH f AS", s"WITH $htmlExtractCte,\n         f AS"),
     "q132_png_decode" -> oracleSqlBase("q107_media_decode"),
     "q133_png_neardup" -> oracleSqlBase("q120_media_phash"),
     // ImageIO-encoded PNG decodes to the SAME raster as the PPM/PNG

@@ -112,6 +112,45 @@ class MixedGateSpec extends AnyFunSuite {
     gate.release()
   }
 
+  test("an HTML-wrapped capture flags against its plain-text form; raw-byte hashing would not") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .filter(length(col("text")) >= 300)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(20)
+    assert(docs.length === 20)
+    // plain capture at id, html capture of the SAME text at id + 10⁶
+    val rows = mediaOf(docs.flatMap { case (id, text) => Seq(
+      (id, "text/plain; charset=utf-8", text.getBytes("UTF-8")),
+      (id + 1000000L, "text/html; charset=utf-8",
+        graft.ops.Html.encodePage(text).getBytes("UTF-8")))
+    }.toSeq)
+    val wrapped = graft.ops.WarcStream.asWarcOver(rows)
+    val pairs = Media.mixedNearDupPairs(wrapped, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = docs.count { case (id, _) => pairs((id, id + 1000000L)) }
+    // extraction routing: the fingerprint is the extracted TEXT's, and
+    // head/nav suppression makes its \S+ tokens EQUAL the plain form's
+    // — every twin pairs at Hamming 0, deterministically
+    assert(twins === 20, s"only $twins/20 html twins flagged")
+    // counterfactual: fingerprint the raw html BYTES (what the pre-15
+    // text/* route did) — markup tokens dominate and no twin pairs
+    val rawRows = mediaOf(docs.map { case (id, text) =>
+      (id + 1000000L, "text/plain; charset=utf-8",
+        graft.ops.Html.encodePage(text).getBytes("UTF-8"))
+    }.toSeq ++ docs.map { case (id, text) =>
+      (id, "text/plain; charset=utf-8", text.getBytes("UTF-8"))
+    })
+    val rawPairs = Media.mixedNearDupPairs(
+        graft.ops.WarcStream.asWarcOver(rawRows), "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawTwins = docs.count { case (id, _) => rawPairs((id, id + 1000000L)) }
+    // raw-byte hashing is LOSSY here, not exact: markup tokens distort
+    // the fingerprint and most twins drift past the Hamming radius
+    // (a long single-line doc can still sneak within it — the contrast
+    // with the routing's deterministic 20/20 is the contract)
+    assert(rawTwins < twins, s"raw-byte hashing paired $rawTwins/20 — no contrast")
+  }
+
   test("an identical payload in two different modalities never pairs") {
     val s = spark
     val txt = ("never cross the streams " * 20).trim
