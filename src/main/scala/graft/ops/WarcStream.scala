@@ -115,11 +115,13 @@ object WarcStream {
       payload: Array[Byte],
       httpContentType: String,
       gzipBody: Boolean,
-      chunked: Boolean): Unit = {
+      chunked: Boolean,
+      targetUri: String = null): Unit = {
+    val uri = if (targetUri == null) s"https://example.org/doc/$docId" else targetUri
     out.write(recordOf("response", f"00000000-0000-4000-8001-${docId}%012x",
       "application/http;msgtype=response",
       httpEnvelope(payload, httpContentType, gzipBody, chunked),
-      Seq("WARC-Target-URI" -> s"https://example.org/doc/$docId")))
+      Seq("WARC-Target-URI" -> uri)))
     if (payload.length % 2 == 0)
       out.write(recordOf("metadata", f"00000000-0000-4000-8002-${docId}%012x",
         "application/warc-fields",
@@ -193,6 +195,7 @@ object WarcStream {
       recordId: String,
       contentType: String,
       refersTo: String, // WARC-Refers-To (revisit records); "" when absent
+      targetUri: String, // WARC-Target-URI; "" when absent (warcinfo etc.)
       block: Array[Byte])
 
   /** Capture identity from WARC-Record-ID: the trailing 12 hex digits
@@ -243,6 +246,7 @@ object WarcStream {
       var recordId: String = null
       var contentType = ""
       var refersTo = ""
+      var targetUri = ""
       var contentLength = -1L
       var h = line()
       while (h.nonEmpty) {
@@ -255,6 +259,7 @@ object WarcStream {
           case "warc-record-id" => recordId = v
           case "content-type" => contentType = v
           case "warc-refers-to" => refersTo = v
+          case "warc-target-uri" => targetUri = v
           case "content-length" =>
             require(v.nonEmpty && v.forall(_.isDigit),
               s"warc: non-numeric Content-Length '$v'")
@@ -278,7 +283,7 @@ object WarcStream {
           b(p + 2) == '\r' && b(p + 3) == '\n',
         "warc: missing record separator after block")
       p += 4
-      out += WarcRecord(warcType, recordId, contentType, refersTo, block)
+      out += WarcRecord(warcType, recordId, contentType, refersTo, targetUri, block)
       n += 1
     }
     require(n > 0, "warc: empty stream")
@@ -500,12 +505,47 @@ object WarcStream {
       })
   }
 
+  /** [[asWarcShards]] with a PER-DOCUMENT `WARC-Target-URI` column —
+    * the URL-operator input shape (q187/q188): real crawls stamp every
+    * capture with the fetched URI, and the URL family (normalization,
+    * registered domains, quotas, URL-level dedup) keys on it.
+    */
+  def asWarcShardsUri(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      uriCol: String,
+      perShard: Int = 100): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(perShard > 0, "warc shards: perShard must be positive")
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("t"),
+        col(uriCol).cast("string").as("u"))
+      .as[(Long, Array[Byte], String)]
+      .groupByKey(_._1 / perShard)
+      .mapGroups { (shardId, rows) =>
+        val ds = rows.toSeq.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream(
+          ds.map(_._2.length).sum + 512 * (ds.length + 1))
+        out.write(recordOf("warcinfo", f"00000000-0000-4000-8003-${shardId}%012x",
+          "application/warc-fields", s"software: graft$Crlf".getBytes("US-ASCII")))
+        ds.foreach { case (docId, payload, uri) =>
+          writeDocRecords(out, docId, payload, "text/plain; charset=utf-8",
+            gzipBody = false, chunked = false, targetUri = uri)
+        }
+        MediaRow(shardId, "application/warc", out.toByteArray)
+      }
+  }
+
   final case class WarcCapture(
       shard_id: Long,
       doc_id: Long,
       n_shard_records: Long,
       n_body_bytes: Long,
-      text_md5: String)
+      text_md5: String,
+      target_uri: String) // "" when the capture carried no WARC-Target-URI
 
   /** Explode each WARC stream into ONE ROW PER RESPONSE RECORD — the
     * multi-record shard decode. Capture identity comes from
@@ -528,7 +568,8 @@ object WarcStream {
           val body = httpPayload(r.block).body
           val hx = Media.hexUpper(body, 0, body.length).getBytes("US-ASCII")
           WarcCapture(row.doc_id, captureId(r.recordId), records.length.toLong,
-            body.length.toLong, md.digest(hx).map("%02x".format(_)).mkString)
+            body.length.toLong, md.digest(hx).map("%02x".format(_)).mkString,
+            r.targetUri)
         }
       }
     }
@@ -561,15 +602,24 @@ object WarcStream {
       idCol: String,
       textCol: String,
       revisitOfCol: String,
-      perShard: Int = 100): Dataset[MediaRow] = {
+      perShard: Int = 100,
+      uriCol: String = null): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(perShard > 0, "warc shards: perShard must be positive")
+    // uriCol = null keeps the historical fixed per-id URI (and the q178
+    // byte streams unchanged); with a column, every record — response
+    // AND revisit — stamps its row's URI (a re-crawl reports the URL it
+    // re-fetched, which is how URL-level dedup meets revisit records).
+    val uriExpr = if (uriCol == null)
+      concat(lit("https://example.org/doc/"), col(idCol).cast("long")).cast("string")
+    else col(uriCol).cast("string")
     graft.Tables.fanOut(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("t"),
-        col(revisitOfCol).cast("long").as("rv"))
-      .as[(Long, Array[Byte], Option[Long])]
+        col(revisitOfCol).cast("long").as("rv"),
+        uriExpr.as("u"))
+      .as[(Long, Array[Byte], Option[Long], String)]
       .groupByKey(_._1 / perShard)
       .mapGroups { (shardId, rows) =>
         val ds = rows.toSeq.sortBy(_._1)
@@ -578,15 +628,15 @@ object WarcStream {
         out.write(recordOf("warcinfo", f"00000000-0000-4000-8003-${shardId}%012x",
           "application/warc-fields", s"software: graft$Crlf".getBytes("US-ASCII")))
         ds.foreach {
-          case (docId, _, Some(src)) =>
+          case (docId, _, Some(src), uri) =>
             out.write(recordOf("revisit", f"00000000-0000-4000-8001-${docId}%012x",
               "application/warc-fields",
               s"profile: identical-payload-digest$Crlf".getBytes("US-ASCII"),
               Seq("WARC-Refers-To" -> f"<urn:uuid:00000000-0000-4000-8001-${src}%012x>",
-                "WARC-Target-URI" -> s"https://example.org/doc/$docId")))
-          case (docId, payload, None) =>
+                "WARC-Target-URI" -> uri)))
+          case (docId, payload, None, uri) =>
             writeDocRecords(out, docId, payload, "text/plain; charset=utf-8",
-              gzipBody = false, chunked = false)
+              gzipBody = false, chunked = false, targetUri = uri)
         }
         MediaRow(shardId, "application/warc", out.toByteArray)
       }
@@ -602,7 +652,19 @@ object WarcStream {
     * re-crawls land in later files); a dangling WARC-Refers-To
     * surfaces as a null resolved_md5 row, never silently drops.
     */
-  def warcRevisitDocs(media: Dataset[MediaRow]): DataFrame = {
+  def warcRevisitDocs(media: Dataset[MediaRow]): DataFrame =
+    warcRevisitRows(media)
+      .select("doc_id", "canonical_id", "is_revisit", "resolved_md5")
+
+  /** [[warcRevisitDocs]] + the capture's `WARC-Target-URI` — the input
+    * the URL-level dedup keys on (q189): per-capture
+    * (doc_id, canonical_id, is_revisit, resolved_md5, target_uri).
+    */
+  def warcRevisitDocsUri(media: Dataset[MediaRow]): DataFrame =
+    warcRevisitRows(media)
+      .select("doc_id", "canonical_id", "is_revisit", "resolved_md5", "target_uri")
+
+  private def warcRevisitRows(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     val rows = media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -614,19 +676,19 @@ object WarcStream {
             val body = httpPayload(r.block).body
             val hx = Media.hexUpper(body, 0, body.length).getBytes("US-ASCII")
             val cid = captureId(r.recordId)
-            (cid, cid, 0L, md.digest(hx).map("%02x".format(_)).mkString)
+            (cid, cid, 0L, md.digest(hx).map("%02x".format(_)).mkString, r.targetUri)
           case r if r.warcType == "revisit" =>
             require(r.refersTo.nonEmpty,
               s"warc: revisit record ${r.recordId.take(56)} has no WARC-Refers-To")
-            (captureId(r.recordId), captureId(r.refersTo), 1L, null: String)
+            (captureId(r.recordId), captureId(r.refersTo), 1L, null: String, r.targetUri)
         }
       }
-    }.toDF("doc_id", "canonical_id", "is_revisit", "own_md5")
+    }.toDF("doc_id", "canonical_id", "is_revisit", "own_md5", "target_uri")
     val caps = rows.filter(col("is_revisit") === 0L)
       .select(col("doc_id").as("canonical_id"), col("own_md5").as("resolved_md5"))
-    rows.select("doc_id", "canonical_id", "is_revisit")
+    rows.select("doc_id", "canonical_id", "is_revisit", "target_uri")
       .join(caps, Seq("canonical_id"), "left")
-      .select("doc_id", "canonical_id", "is_revisit", "resolved_md5")
+      .select("doc_id", "canonical_id", "is_revisit", "resolved_md5", "target_uri")
   }
 
   /** Wrap a text corpus as WARC captures with REALISTIC HTTP body

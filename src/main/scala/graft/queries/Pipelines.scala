@@ -383,6 +383,63 @@ object Pipelines {
       Html.htmlText(Html.asHtml(docs, "doc_id", "text"), "doc_id", "html")
     }),
 
+    // URL operators (round 15): every capture stamped with a MESSY
+    // deterministic URI (mixed-case scheme/host, default and explicit
+    // ports, unsorted query params, fragments — all doc_id-derived, so
+    // the DuckDB twin regenerates both the raw and the normalized form
+    // analytically). The WARC roundtrip carries WARC-Target-URI
+    // end-to-end; the profile normalizes (scheme/host lower, default
+    // port strip, fragment strip, query sort) and extracts the
+    // registered domain through the embedded second-level-suffix list
+    // (co.uk-class hosts take three labels — a last-two-labels bug
+    // hash-mismatches immediately).
+    "q187_warc_url_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("uri", messyUriCol(col("doc_id")))
+      val caps = graft.ops.WarcStream.decodeWarcCaptures(
+        graft.ops.WarcStream.asWarcShardsUri(docs, "doc_id", "text", "uri", 100)).toDF()
+      graft.ops.Urls.urlProfile(caps, "target_uri")
+        .select("doc_id", "target_uri", "url_norm", "host", "registered_domain")
+    }),
+
+    // Per-registered-domain quota (the CCNet-class domain budget):
+    // first 5 docs of every domain in md5(text) order — composed from
+    // the URL profile and the q84 quota machinery (map-side
+    // WindowGroupLimit pre-truncation, so a mega-domain ships O(k)
+    // per map task, not its crawl share).
+    "q188_url_domain_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("uri", messyUriCol(col("doc_id")))
+      graft.ops.Urls.domainQuotaSample(
+        graft.ops.Urls.urlProfile(docs, "uri"), "doc_id", "text", 5)
+    }),
+
+    // URL-level exact dedup with revisit-aware precedence (round 15):
+    // %67 docs are re-crawled as REVISIT records (+1000001, same URL),
+    // %53 docs re-crawled with CHANGED content (+3000001, same URL,
+    // 'v2 ' prefix) — the two real re-crawl outcomes. Captures group
+    // by normalized URL; the canonical capture is the lowest-id
+    // NON-revisit (revisits carry no payload and resolve via the q178
+    // equi-join, so they can never be the kept copy).
+    "q189_url_revisit_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("revisit_of", lit(null).cast("long"))
+        .withColumn("uri", messyUriCol(col("doc_id")))
+      val revisits = docs.filter(col("doc_id") % 67 === 0).select(
+        (col("doc_id") + 1000001L).as("doc_id"), col("text"),
+        col("doc_id").as("revisit_of"), col("uri"))
+      val changed = docs.filter(col("doc_id") % 53 === 0).select(
+        (col("doc_id") + 3000001L).as("doc_id"),
+        concat(lit("v2 "), col("text")).as("text"),
+        lit(null).cast("long").as("revisit_of"), col("uri"))
+      val corpus = docs.unionByName(revisits).unionByName(changed)
+      graft.ops.Urls.urlDedupRevisitAware(
+        graft.ops.WarcStream.warcRevisitDocsUri(
+          graft.ops.WarcStream.asWarcShardsWithRevisits(
+            corpus, "doc_id", "text", "revisit_of", 100, "uri")))
+        .select("doc_id", "url_norm", "is_revisit", "url_canonical_id", "keep")
+    }),
+
     // HTML through the crawl wrapper (round 15): every doc arrives as
     // a WARC capture — odd ids as text/plain raw text, even ids as a
     // text/html page (the q184 encoder). The mixed hash routes html
@@ -2407,6 +2464,53 @@ object Pipelines {
               CAST(2 AS BIGINT) AS n_boilerplate
               FROM hl)"""
 
+  /** Deterministic MESSY URI for the URL-operator legs (q187-q189):
+    * mixed-case scheme and host, default port when id%3=0 (strip),
+    * explicit :8080 when id%3=1 (keep), no port otherwise, unsorted
+    * query params, a fragment — every piece a doc_id residue so the
+    * DuckDB twin regenerates raw and normalized forms analytically.
+    */
+  private def messyUriCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("com.au")),
+      ((id % 4) + 1).cast("int"))
+    concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("HTTP")),
+      lit("://WWW.Site"), (id % 40).cast("string"), lit("."), tld,
+      when(id % 3 === 0, when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/"), (id % 25).cast("string"), lit("/"),
+      lit("?b="), (id % 7).cast("string"), lit("&a="), (id % 5).cast("string"),
+      lit("#s"), id.cast("string"))
+  }
+
+  /** SQL twins of [[messyUriCol]] and its normalized/derived forms,
+    * over a BIGINT id expression.
+    */
+  private def sqlMessyUri(id: String): String =
+    s"""CASE WHEN ($id) % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END ||
+       '://WWW.Site' || (($id) % 40) || '.' ||
+       (['com','org','co.uk','com.au'])[CAST(($id) % 4 + 1 AS INT)] ||
+       CASE WHEN ($id) % 3 = 0 THEN (CASE WHEN ($id) % 2 = 0 THEN ':443' ELSE ':80' END)
+            WHEN ($id) % 3 = 1 THEN ':8080' ELSE '' END ||
+       '/Docs/' || (($id) % 25) || '/?b=' || (($id) % 7) || '&a=' || (($id) % 5) ||
+       '#s' || ($id)"""
+
+  private def sqlNormUri(id: String): String =
+    s"""CASE WHEN ($id) % 2 = 0 THEN 'https' ELSE 'http' END ||
+       '://www.site' || (($id) % 40) || '.' ||
+       (['com','org','co.uk','com.au'])[CAST(($id) % 4 + 1 AS INT)] ||
+       CASE WHEN ($id) % 3 = 1 THEN ':8080' ELSE '' END ||
+       '/Docs/' || (($id) % 25) || '/?a=' || (($id) % 5) || '&b=' || (($id) % 7)"""
+
+  private def sqlUriHost(id: String): String =
+    s"""'www.site' || (($id) % 40) || '.' ||
+       (['com','org','co.uk','com.au'])[CAST(($id) % 4 + 1 AS INT)]"""
+
+  private def sqlUriDomain(id: String): String =
+    s"""'site' || (($id) % 40) || '.' ||
+       (['com','org','co.uk','com.au'])[CAST(($id) % 4 + 1 AS INT)]"""
+
   /** The boilerplate-augmented corpus CTE shared by q182/q183. */
   private val lshAugDocsCte: String =
     s"""docsx AS (SELECT doc_id, text FROM documents
@@ -3903,6 +4007,41 @@ object Pipelines {
          SELECT doc_id, text, n_tags, n_script_blocks, n_style_blocks,
                 n_comments, n_entities, n_blocks, n_boilerplate
          FROM hx""",
+
+    "q187_warc_url_profile" ->
+      s"""SELECT doc_id,
+         ${sqlMessyUri("doc_id")} AS target_uri,
+         ${sqlNormUri("doc_id")} AS url_norm,
+         ${sqlUriHost("doc_id")} AS host,
+         ${sqlUriDomain("doc_id")} AS registered_domain
+         FROM documents""",
+
+    "q188_url_domain_quota" ->
+      s"""WITH p AS (SELECT doc_id, text,
+             ${sqlUriDomain("doc_id")} AS registered_domain
+           FROM documents),
+         r AS (SELECT doc_id, registered_domain,
+             CAST(row_number() OVER (PARTITION BY registered_domain
+               ORDER BY md5(text), doc_id) AS BIGINT) AS sample_rank
+           FROM p)
+         SELECT doc_id, registered_domain, sample_rank FROM r
+         WHERE sample_rank <= 5""",
+
+    "q189_url_revisit_dedup" ->
+      s"""WITH rows_ AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS is_revisit, doc_id AS src FROM documents
+           UNION ALL
+           SELECT doc_id + 1000001, CAST(1 AS BIGINT), doc_id FROM documents WHERE doc_id % 67 = 0
+           UNION ALL
+           SELECT doc_id + 3000001, CAST(0 AS BIGINT), doc_id FROM documents WHERE doc_id % 53 = 0),
+         urls AS (SELECT doc_id, is_revisit,
+             ${sqlNormUri("src")} AS url_norm
+           FROM rows_),
+         canon AS (SELECT url_norm, min(doc_id) AS url_canonical_id
+           FROM urls WHERE is_revisit = 0 GROUP BY 1)
+         SELECT u.doc_id, u.url_norm, u.is_revisit, c.url_canonical_id,
+                (u.is_revisit = 0 AND u.doc_id = c.url_canonical_id) AS keep
+         FROM urls u LEFT JOIN canon c USING (url_norm)""",
 
     // route-dependent source text (extraction closed form for the html
     // captures, raw text for the plain ones), then the q33 SimHash
