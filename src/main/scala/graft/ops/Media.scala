@@ -1213,25 +1213,43 @@ object Media {
     * near-dup detection (re-encodes, overlays, clipped copies share
     * frames long before whole files match). Runs the SAME pigeonhole
     * engine as the image/audio axes by packing (doc, frame) into one
-    * key (nf < 8 by construction, so doc_id·8 + frame is injective
+    * key (guarded injective, so doc_id·2²⁰ + frame is
     * and order-preserving across docs); the stop-band prune therefore
     * counts FRAME occurrences — the right df unit for letterbox-style
     * constant frames. Same-doc frame pairs (internal repetition) are
     * excluded from the cross-video contract.
     */
-  /** (doc·8 + frame) packed key — injective ONLY below 8 frames, so
-    * any video the parser found ≥ 8 frames in fails LOUDLY here
-    * instead of silently mis-attributing its frames to the next
-    * doc_id ([[asY4m]] caps at 6, but these are public operators
-    * over arbitrary Y4M bytes). */
+  /** Width of the packed (doc, frame) key: 2²⁰ frames per clip
+    * (~9.7 h at 30 fps — real clips fit; the synthetic corpora use
+    * ≤ 6). Packing stays injective and (doc, frame)-lexicographic up
+    * to ~8.7×10¹² doc ids (2⁶³ / 2²⁰); both bounds are guarded
+    * loudly. Round-15 widening of the historical (doc·8+frame) key,
+    * whose 8-frame cap made the video dedup family dishonest for any
+    * real clip.
+    */
+  final val FrameKeyCap: Long = 1L << 20
+
+  /** (doc·2²⁰ + frame) packed key — any video the parser found ≥ 2²⁰
+    * frames in (or a doc id that would overflow the pack) fails
+    * LOUDLY here instead of silently mis-attributing its frames to a
+    * neighboring doc_id ([[asY4m]] caps at 6, but these are public
+    * operators over arbitrary Y4M bytes). */
   private def packedFrameKey: org.apache.spark.sql.Column =
-    when(col("frame") >= 8,
+    when(col("frame") >= FrameKeyCap || col("doc_id") >= Long.MaxValue / FrameKeyCap,
       raise_error(concat(
         lit("videoNearDup frame packing: doc "), col("doc_id"),
-        lit(" has frame index "), col("frame"),
-        lit(" >= 8 — the (doc*8+frame) key is no longer injective")))
+        lit(" frame "), col("frame"),
+        lit(s" — outside the injective (doc*$FrameKeyCap+frame) key range")))
         .cast("long"))
-      .otherwise(col("doc_id") * 8 + col("frame"))
+      .otherwise(col("doc_id") * FrameKeyCap + col("frame"))
+
+  /** Unpack [[packedFrameKey]]ed pair columns back to
+    * (id, frame, id, frame). */
+  private def unpackFramePairs(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairs.select(
+      expr(s"id_a div $FrameKeyCap").as("id_a"), (col("id_a") % FrameKeyCap).as("frame_a"),
+      expr(s"id_b div $FrameKeyCap").as("id_b"), (col("id_b") % FrameKeyCap).as("frame_b"),
+      col("hamming"))
 
   def videoNearDupFramePairs(
       media: Dataset[MediaRow],
@@ -1241,10 +1259,7 @@ object Media {
       packedFrameKey.as("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
     bandedNearDupPairs(packed, maxHamming, maxBandFreq)
-      .select(
-        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
-        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
-        col("hamming"))
+      .transform(unpackFramePairs)
       .filter(col("id_a") =!= col("id_b"))
   }
 
@@ -1276,7 +1291,7 @@ object Media {
     * batch of videos forms — against the standing corpus and within
     * itself — under [[videoNearDupFramePairs]]' contract, without
     * re-pairing the standing corpus against itself. Same shared delta
-    * engine as the image/audio axes over the packed (doc·8+frame)
+    * engine as the image/audio axes over the packed (doc·2²⁰+frame)
     * keys: the standing frame-hash table is the maintained state in
     * production (≤ 7 hashes/video, 8 bytes each), probed once per
     * delta — never self-joined, never reshuffled; the stop-band prune
@@ -1311,10 +1326,7 @@ object Media {
     bandedNearDupDeltaPairs(
         packed(standingFrameHashes), packed(y4mFrameAHash(delta).toDF()),
         maxHamming, maxBandFreq, broadcastDeltaCap)
-      .select(
-        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
-        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
-        col("hamming"))
+      .transform(unpackFramePairs)
       .filter(col("id_a") =!= col("id_b"))
   }
 
@@ -1610,7 +1622,7 @@ object Media {
   }
 
   /** Cross-video frame near-dup over MJPEG-AVI —
-    * [[videoNearDupFramePairs]]' contract (packed (doc·8+frame) keys,
+    * [[videoNearDupFramePairs]]' contract (packed (doc·2²⁰+frame) keys,
     * shared pigeonhole engine, same-doc pairs excluded) on the
     * compressed container. */
   def aviNearDupFramePairs(
@@ -1621,10 +1633,7 @@ object Media {
       packedFrameKey.as("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"))
     bandedNearDupPairs(packed, maxHamming, maxBandFreq)
-      .select(
-        expr("id_a div 8").as("id_a"), (col("id_a") % 8).as("frame_a"),
-        expr("id_b div 8").as("id_b"), (col("id_b") % 8).as("frame_b"),
-        col("hamming"))
+      .transform(unpackFramePairs)
       .filter(col("id_a") =!= col("id_b"))
   }
 
@@ -3903,7 +3912,7 @@ object Media {
     *    space: a lossy raster never byte-matches a lossless one);
     *  - `audio`: WAV/FLAC → PCM → [[envelopeHashOfPcm]] at the
     *    stream's true sample width (lossless twins hash identical);
-    *  - `video`: Y4M/AVI → per-frame aHash at packed (doc·8+frame)
+    *  - `video`: Y4M/AVI → per-frame aHash at packed (doc·2²⁰+frame)
     *    keys (the q129 convention);
     *  - `text`: gzip member streams → decompressed UTF-8 text →
     *    60-bit tf-weighted SimHash split into the q33 4×15-bit bands
@@ -3968,12 +3977,12 @@ object Media {
         val (w, h, frames, audio) =
           if ((content(0) & 0xff) == 'R') decodeAviBytesFull(content)
           else { val (yw, yh, fs) = decodeY4mBytes(content); (yw, yh, fs, None) }
-        require(frames.length < 8,
+        require(frames.length < FrameKeyCap && docId < Long.MaxValue / FrameKeyCap,
           s"mixed hash: video $docId has ${frames.length} frames — " +
-            "the (doc*8+frame) key is no longer injective")
+            s"outside the injective (doc*$FrameKeyCap+frame) key range")
         val vid = frames.iterator.zipWithIndex.map { case (pix, fi) =>
           val b = grayFrameAHashBands(pix, w, h)
-          ("video", docId * 8 + fi, b(0), b(1), b(2), b(3))
+          ("video", docId * FrameKeyCap + fi, b(0), b(1), b(2), b(3))
         }
         // a dual-stream AVI's PCM track routes into the AUDIO hash
         // space at the plain doc_id — same kernel as WAV/FLAC, so an

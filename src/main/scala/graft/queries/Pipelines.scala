@@ -2846,9 +2846,9 @@ object Pipelines {
              AND b.by = (x.p // x.w) // 8 AND b.bx = (x.p % x.w) // 8),
          ${aHashBv4("va", "doc_id, f").drop(1)},
 
-         vi_keys AS (SELECT doc_id * 8 + f AS doc_id, b0, b1, b2, b3 FROM vy_bv4
-                 UNION ALL SELECT doc_id * 8 + f, b0, b1, b2, b3 FROM va_bv4),
-         ${tail("vi", "(doc_id // 8) % 4", "video").drop(1)},
+         vi_keys AS (SELECT doc_id * 1048576 + f AS doc_id, b0, b1, b2, b3 FROM vy_bv4
+                 UNION ALL SELECT doc_id * 1048576 + f, b0, b1, b2, b3 FROM va_bv4),
+         ${tail("vi", "(doc_id // 1048576) % 4", "video").drop(1)},
 
          tx_tf AS (SELECT doc_id, token, count(*) AS cnt FROM
              (SELECT doc_id, unnest(regexp_extract_all(t, '\\S+')) AS token

@@ -147,7 +147,7 @@ class AviSpec extends AnyFunSuite {
     val got = Media.mixedMediaHash(rows).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     val nf = 2 + 41 % 5
-    assert(got == (0 until nf).map(f => ("video", 7L * 8 + f)).toSet + (("audio", 7L)))
+    assert(got == (0 until nf).map(f => ("video", 7L * graft.ops.Media.FrameKeyCap + f)).toSet + (("audio", 7L)))
   }
 
   test("cross-video frame near-dup finds exact twins at hamming 0 through the RIFF walk") {

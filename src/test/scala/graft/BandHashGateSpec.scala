@@ -172,7 +172,7 @@ class BandHashGateSpec extends AnyFunSuite {
 
   test("modality-closed: VIDEO frames stream through the gate via packed (doc,frame) keys") {
     // the gate is hash-agnostic by construction — per-frame Y4M
-    // aHashes with doc_id*8+frame keys make it a streaming video
+    // aHashes with doc_id*2^20+frame keys make it a streaming video
     // frame index with zero new gate code (the q129/q130 band layout)
     val rnd = new Random(41)
     val base = Array.fill(300)(rnd.nextInt(256).toByte)
@@ -182,14 +182,14 @@ class BandHashGateSpec extends AnyFunSuite {
       graft.ops.Media.y4mFrameAHash(
         spark.createDataset(rows.map { case (id, b) =>
           graft.ops.MediaRow(id, "video/x-yuv4mpeg", graft.ops.Media.encodeY4m(b)) }))
-        .select((col("doc_id") * 8 + col("frame")).as("doc_id"),
+        .select((col("doc_id") * graft.ops.Media.FrameKeyCap + col("frame")).as("doc_id"),
           col("b0"), col("b1"), col("b2"), col("b3"))
     }
     val gate = Streams.newBandHashGate(packedHashes(Seq(1L -> base)))
     gate.ingest(packedHashes(Seq(2L -> other)))   // batch 1: unrelated video
     gate.ingest(packedHashes(Seq(3L -> base.clone()))) // batch 2: exact twin of 1
     val dec = gate.decisions.collect()
-      .map(r => (r.getLong(0) / 8, r.getLong(0) % 8, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0) / graft.ops.Media.FrameKeyCap, r.getLong(0) % graft.ops.Media.FrameKeyCap, r.getLong(1), r.getLong(2), r.getLong(3)))
     // every frame of video 3 finds its batch-0 counterpart at hamming 0
     val nf = 2 + 300 % 5
     val v3 = dec.filter(_._1 == 3L)

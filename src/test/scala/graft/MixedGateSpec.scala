@@ -50,9 +50,10 @@ class MixedGateSpec extends AnyFunSuite {
     assert(byMod("jpeg") === Set(3L, 4L), "both jpeg framings share the jpeg space")
     assert(byMod("audio") === Set(5L, 6L), "wav+flac share the audio space")
     assert(byMod("text") === Set(9L, 10L), "gzip routes to the text space")
-    // video keys are packed doc*8+frame
-    assert(byMod("video").forall(k => k / 8 == 7L || k / 8 == 8L))
-    assert(byMod("video").exists(_ / 8 == 7L) && byMod("video").exists(_ / 8 == 8L))
+    // video keys are packed doc*2^20+frame
+    val cap = graft.ops.Media.FrameKeyCap
+    assert(byMod("video").forall(k => k / cap == 7L || k / cap == 8L))
+    assert(byMod("video").exists(_ / cap == 7L) && byMod("video").exists(_ / cap == 8L))
     // lossless twins hash IDENTICAL across containers
     def bandsOf(m: String) = Media.mixedMediaHash(mediaOf(rows))
       .filter(col("modality") === m)

@@ -188,24 +188,53 @@ class VideoY4mSpec extends AnyFunSuite {
     assert(idx === deltaPairs, "indexed standing form diverged from decode-both")
   }
 
-  test("a video with >= 8 parsed frames fails the frame-key packing loudly") {
-    // hand-built Y4M: 9 frames of a 4x4 mono plane — decodes fine
-    // (the parser accepts any frame count) but must be REJECTED by
-    // the (doc*8+frame) packing instead of silently attributing
-    // frame 8 to doc_id+1
+  private def monoClip(nf: Int, seed: Int): Array[Byte] = {
     val header = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
-    val body = (0 until 9).flatMap(f =>
-      "FRAME\n".getBytes("US-ASCII").toSeq ++ Array.fill(16)(f.toByte).toSeq).toArray
-    val nineFrames = header ++ body
-    assert(Media.decodeY4mBytes(nineFrames)._3.length === 9)
+    header ++ (0 until nf).flatMap(f =>
+      "FRAME\n".getBytes("US-ASCII").toSeq ++
+        Array.fill(16)(((f * 31 + seed) % 251).toByte).toSeq).toArray
+  }
+
+  test("a 100-frame clip decodes, packs, and dedups end-to-end (round-15 widened key)") {
+    // the historical (doc*8+frame) key capped real clips at 8 frames;
+    // the 2^20 packing must take a long clip through the full
+    // near-dup chain with frame indices round-tripping exactly
+    val nf = 100
     import spark.implicits._
-    val media = spark.createDataset(Seq(MediaRow(5L, "video/x-yuv4mpeg", nineFrames)))
+    val media = spark.createDataset(Seq(
+      MediaRow(5L, "video/x-yuv4mpeg", monoClip(nf, 0)),
+      MediaRow(9L, "video/x-yuv4mpeg", monoClip(nf, 0)))) // exact twin
+    val pairs = Media.videoNearDupFramePairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every frame f of clip 5 pairs with frame f of clip 9 at hamming 0
+    val twins = pairs.filter(p => p._1 == 5L && p._3 == 9L && p._2 == p._4 && p._5 == 0L)
+    assert(twins.map(_._2).toSet === (0L until nf.toLong).toSet)
+    // frame indices above the old 8-frame cap survive the pack/unpack
+    assert(pairs.exists(_._2 >= 64L))
+    // mixedMediaHash takes the same clip (frame keys at the wide cap)
+    val mixed = Media.mixedMediaHash(
+        spark.createDataset(Seq(MediaRow(5L, "video/x-yuv4mpeg", monoClip(nf, 0)))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mixed.map(_._2).toSet ===
+      (0L until nf.toLong).map(5L * graft.ops.Media.FrameKeyCap + _).toSet)
+  }
+
+  test("a clip at >= 2^20 parsed frames would fail the frame-key packing loudly") {
+    // the guard moved with the cap: frame >= FrameKeyCap (or a doc id
+    // that would overflow the pack) must be rejected, not silently
+    // attributed to a neighboring doc_id. A 2^20-frame fixture is too
+    // big to build here; pin the guard on the OVERFLOWING DOC ID arm,
+    // which trips with a 2-frame clip.
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(Long.MaxValue / graft.ops.Media.FrameKeyCap + 1,
+        "video/x-yuv4mpeg", monoClip(2, 0))))
     val e = intercept[Exception] {
       Media.videoNearDupFramePairs(media).collect()
     }
     def rootMsg(t: Throwable): String =
       (Option(t.getMessage).getOrElse("")) +
         Option(t.getCause).map(rootMsg).getOrElse("")
-    assert(rootMsg(e).contains("no longer injective"), s"got: ${rootMsg(e).take(300)}")
+    assert(rootMsg(e).contains("outside the injective"), s"got: ${rootMsg(e).take(300)}")
   }
 }
