@@ -1580,7 +1580,13 @@ object Similarity {
       // score becomes dot(q, cent_cell) + Σ LUT[code] — the raw-query
       // LUT estimates dot(q, r̂), the scalar restores the cell offset
       // (dot(q, cent + r̂) = q·cent + q·r̂).
-      residualCentInt: Option[Map[Long, Array[Long]]] = None): DataFrame = {
+      residualCentInt: Option[Map[Long, Array[Long]]] = None,
+      // false = COMPRESSED-ONLY serving (round 15): rank directly by
+      // the integer ADC score, never touching the float vectors — the
+      // deployment where floats live in cold storage and the hot index
+      // is codes-only (8-16 B/vector). true = the two-stage default
+      // (ADC shortlist, exact float re-rank of shortlist rows only).
+      rerankFloat: Boolean = true): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val spark = standing.sparkSession
     val bcb = spark.sparkContext.broadcast(cb)
@@ -1640,23 +1646,35 @@ object Similarity {
     val candidates =
       if (includeBatchAsCandidates) standingC.unionByName(batch) else standingC
     val ws = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
-    val short = candidates.join(broadcast(probes), Seq("cell"))
+    val scored = candidates.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adc", adcUdf(col("lut"), col("codes"), col("qdotc")))
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc"), col("qfv"), col("qfnrm"), col("fv"), col("fnrm"))
-      .withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= shortlist)
-    val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val wv = Window.partitionBy("query_id", "neighbor_id").orderBy(col("sim").desc)
-    short
-      .withColumn("sim", dotPacked(col("qfv"), col("fv")) / (col("qfnrm") * col("fnrm")))
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .withColumn("vrank", row_number().over(wv))
-      .filter(col("vrank") === 1)
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    if (!rerankFloat) {
+      // a posting lives in exactly ONE cell and probe cells are
+      // distinct per query, so (query, neighbor) appears once — rank
+      // straight off the ADC order, no dedupe, no float columns
+      scored
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+        .withColumn("rank", row_number().over(ws))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    } else {
+      val short = scored
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc"), col("qfv"), col("qfnrm"), col("fv"), col("fnrm"))
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= shortlist)
+      val wr = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val wv = Window.partitionBy("query_id", "neighbor_id").orderBy(col("sim").desc)
+      short
+        .withColumn("sim", dotPacked(col("qfv"), col("fv")) / (col("qfnrm") * col("fnrm")))
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+        .withColumn("vrank", row_number().over(wv))
+        .filter(col("vrank") === 1)
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }
   }
 
   private[graft] def pqAdcTopK(

@@ -1908,6 +1908,38 @@ object Pipelines {
       gate.decisions
     }),
 
+    // IVFADC gate in COMPRESSED-ONLY serving (round 15): q177's
+    // replay with rerankFloat = false — decisions rank by the integer
+    // residual-ADC score alone, the deployment shape where the hot
+    // index is 8-16 B/vector codes and floats are cold storage. The
+    // oracle is q177's chain with the float re-rank tail swapped for
+    // the ADC-ordered top-10 (over this run's own codebook exports);
+    // VectorIndexGateSpec pins recall(re-rank) >= recall(ADC-only) at
+    // equal probes.
+    "q190_ivfadc_gate_adconly" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g1 = graft.streaming.Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
+        pqResidual = true, rerankFloat = false)
+      val pqCbFrame = g1.pqFrame.get
+      graft.OracleAux.register(IvfAdcGateAdcExportPath) {
+        pqCbFrame.coalesce(1).write.mode("overwrite").parquet(IvfAdcGateAdcExportPath)
+      }
+      (1 to 2).foreach(i => g1.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      val gate = withGateStore(s) { store =>
+        g1.persist(store)
+        g1.release()
+        graft.streaming.Streams.resumeVectorIndexGate(store,
+          nprobe = 2, shortlist = 40, k = 10, compactEvery = 2,
+          rerankFloat = false)
+      }
+      gate.foldRaw(emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+      gate.decisions
+    }),
+
     // Vector-index gate with the OCCUPANCY AUTO-RESEED live (round
     // 10): q127's replay with targetCellOccupancy=16, so the fold-2
     // compaction doubles the closure 16 → 32 centroids (seeded from
@@ -2910,6 +2942,11 @@ object Pipelines {
   /** q177's gate-trained RESIDUAL codebook export (trained on the
     * initial batch's residuals to its closure cells). */
   val IvfAdcGateExportPath = s"${graft.OracleAux.dir}/q177_ivfadc_gate_codebooks"
+
+  /** q190's own codebook export (same training inputs as q177, but the
+    * query must stay self-contained — it cannot ride q177's export).
+    */
+  val IvfAdcGateAdcExportPath = s"${graft.OracleAux.dir}/q190_ivfadc_gate_codebooks"
 
   /** q179's exports: the variance-balancing dimension permutation
     * (pos, src) and the codebooks trained on the permuted lattice. */
@@ -6195,6 +6232,29 @@ object Pipelines {
   }
 
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // q177's chain over q190's own exports, with the float re-rank
+    // tail swapped for the ADC-ordered top-10 (compressed-only
+    // serving ranks by the integer residual-ADC score alone).
+    "q190_ivfadc_gate_adconly" -> spliced(
+      oracleSqlBase("q177_ivfadc_vector_gate")
+        .replace(IvfAdcGateExportPath, IvfAdcGateAdcExportPath),
+      s"""short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 40),
+         rer AS (SELECT query_id, neighbor_id, rank FROM (
+             SELECT s.query_id, s.neighbor_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                      ORDER BY ${sqlCosine("qe.v", "ne.v", 64)} DESC, s.neighbor_id) AS rank
+             FROM short s
+             JOIN e qe ON qe.vec_id = s.query_id
+             JOIN e ne ON ne.vec_id = s.neighbor_id) WHERE rank <= 10)""",
+      """rer AS (SELECT query_id, neighbor_id, srank AS rank FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS srank
+             FROM adc) WHERE srank <= 10)"""),
     // q100's rule chain verbatim, fed by the q184 extraction closed
     // form (the crawl-shaped curation entry).
     // (FROM swap first — the extraction CTE itself reads documents, so

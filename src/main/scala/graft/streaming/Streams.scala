@@ -1920,10 +1920,19 @@ object Streams {
       // pqcents slot and rebuilds from the new closure's seed vectors
       // at every reseed (raw vectors reconstruct from the packed
       // floats bit-identically).
-      pqResidualCentInt: Option[Map[Long, Array[Long]]] = None) extends IngestGate {
+      pqResidualCentInt: Option[Map[Long, Array[Long]]] = None,
+      // COMPRESSED-ONLY serving (round 15): false ranks decisions by
+      // the integer ADC score alone — the deployment where the hot
+      // index is codes-only (8-16 B/vector) and floats are cold
+      // storage. true (default) keeps the two-stage ADC-shortlist →
+      // exact-float-re-rank serving. PQ-mode only: the raw-postings
+      // gate always scores exact.
+      rerankFloat: Boolean = true) extends IngestGate {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(pqResidualCentInt.isEmpty || pqCb.isDefined,
       "residual centroids need the PQ sidecar (pqCb)")
+    require(rerankFloat || pqCb.isDefined,
+      "ADC-only serving (rerankFloat = false) needs the PQ sidecar")
     require(nprobe >= 1 && shortlist >= k && k >= 1,
       "need nprobe >= 1 and shortlist >= k >= 1")
 
@@ -2044,7 +2053,8 @@ object Streams {
         pqRefreshSampleCap = pqRefreshSampleCap,
         pqRefreshDropFracX100 = pqRefreshDropFracX100,
         pqTrainIters = pqTrainIters,
-        pqResidualCentInt = nci)
+        pqResidualCentInt = nci,
+        rerankFloat = rerankFloat)
       release()
       fresh
     }
@@ -2063,7 +2073,8 @@ object Streams {
         graft.ops.Similarity.ivfAnnotateBatchPq(
           postingsNow, q, closure, cb, nprobe, shortlist, k,
           includeBatchAsCandidates = false,
-          residualCentInt = pqCentIntNow))
+          residualCentInt = pqCentIntNow,
+          rerankFloat = rerankFloat))
     }
 
     /** Synchronously fold one micro-batch of postings-projected rows —
@@ -2122,7 +2133,8 @@ object Streams {
             postingsNow, bp, closure, nprobe, shortlist, k))(cb =>
           graft.ops.Similarity.ivfAnnotateBatchPq(
             postingsNow, bp, closure, cb, nprobe, shortlist, k,
-            residualCentInt = pqCentIntNow))
+            residualCentInt = pqCentIntNow,
+            rerankFloat = rerankFloat))
         .select(col("query_id"), lit(batchIdx).as("batch"),
           col("rank"), col("neighbor_id"))
         .transform(graft.ops.Ckpt.fresh)
@@ -2269,7 +2281,8 @@ object Streams {
       // tighter codes at the same bytes; the shortlist scores
       // dot(q, cent) + residual-ADC and the centroid table rides the
       // manifest's pqcents slot. Requires pqM > 0.
-      pqResidual: Boolean = false): VectorIndexGate = {
+      pqResidual: Boolean = false,
+      rerankFloat: Boolean = true): VectorIndexGate = {
     require(!pqResidual || pqM > 0, "pqResidual needs the PQ sidecar (pqM > 0)")
     val cc = graft.ops.Similarity.CentroidClosure.fromInitial(
       initialCorpus, idCol, vecCol, numCentroids)
@@ -2297,7 +2310,8 @@ object Streams {
       pqRefreshSampleCap = pqRefreshSampleCap,
       pqRefreshDropFracX100 = pqRefreshDropFracX100,
       pqTrainIters = pqIters,
-      pqResidualCentInt = centInt)
+      pqResidualCentInt = centInt,
+      rerankFloat = rerankFloat)
   }
 
   /** Resume a [[VectorIndexGate]] from `store`'s latest committed
@@ -2316,7 +2330,8 @@ object Streams {
       pqRefreshMinRecallX100: Long = 0L,
       pqRefreshSampleCap: Int = 256,
       pqRefreshDropFracX100: Long = 0L,
-      pqTrainIters: Int = 2): VectorIndexGate = {
+      pqTrainIters: Int = 2,
+      rerankFloat: Boolean = true): VectorIndexGate = {
     val postings = store.read("postings").getOrElse(throw new IllegalStateException(
       s"no committed vector-index state in '${store.name}' (missing 'postings' slot)"))
     val cents = store.read("centroids").getOrElse(throw new IllegalStateException(
@@ -2343,7 +2358,8 @@ object Streams {
       // presence of the pqcents slot IS the residual flag — a direct
       // PQ (or int8) gate never stages it
       pqResidualCentInt = store.read("pqcents").map(_.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap))
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap),
+      rerankFloat = rerankFloat)
   }
 
   /** Wire any [[IngestGate]] — live-constructed or resumed from a

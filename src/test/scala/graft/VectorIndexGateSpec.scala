@@ -409,4 +409,52 @@ class VectorIndexGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.count() > 0)
     g.release()
   }
+
+  test("re-rank serving recall >= ADC-only serving recall at equal probes (q190 contract)") {
+    // the sf0.01 embeddings replayed through two IVFADC gates that
+    // differ ONLY in rerankFloat; truth = exact double cosine top-10
+    // within each query's fold-visible corpus (batch <= own batch,
+    // standing %4=0 always visible)
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def replay(rerank: Boolean) = {
+      val g = Streams.newVectorIndexGate(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        numCentroids = 16, nprobe = 2, shortlist = 40, k = 10,
+        compactEvery = 2, pqM = 8, pqKsub = 256, pqIters = 2,
+        pqResidual = true, rerankFloat = rerank)
+      (1 to 3).foreach(i => g.foldRaw(
+        emb.filter(col("vec_id") % 4 === i), "vec_id", "embedding"))
+      val dec = g.decisions.collect()
+        .map(r => (r.getLong(0), r.getLong(3))) // (query_id, neighbor_id)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      g.release()
+      dec
+    }
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def truth(q: Long): Set[Long] = {
+      val qb = q % 4
+      all.keys.filter(n => n != q && (n % 4 == 0 || n % 4 <= qb))
+        .toSeq.map(n => (cos(all(q), all(n)), n))
+        .sortBy { case (s, n) => (-s, n) }.take(10).map(_._2).toSet
+    }
+    def recall(dec: Map[Long, Set[Long]]): Double = {
+      val qs = all.keys.filter(_ % 4 != 0).toSeq
+      qs.map(q => dec.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble / 10.0)
+        .sum / qs.size
+    }
+    val rr = recall(replay(rerank = true))
+    val adc = recall(replay(rerank = false))
+    info(f"gate recall@10: rerank $rr%.4f vs adc-only $adc%.4f")
+    assert(rr >= adc, f"float re-rank recall $rr%.4f fell under ADC-only $adc%.4f")
+    // plausibility floor only: 2/16 probed cells bounds recall well
+    // under 1 (reads ~0.29 vs ~0.25 on the current corpus)
+    assert(rr > 0.15 && adc > 0.05, "degenerate replay — recalls implausibly low")
+  }
 }
