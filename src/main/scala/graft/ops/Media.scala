@@ -1830,7 +1830,12 @@ object Media {
     while (p < b.length) {
       require(!seenIend, "png: data after IEND")
       val len = readBe32()
-      require(len >= 0 && p + 4 + len + 4 <= b.length,
+      // overflow-safe bound: `p + 4 + len + 4 <= b.length` wraps for a
+      // lied ~2³¹ length and would pass the check, then blow up inside
+      // the CRC update with an AIOOBE instead of the loud IAE
+      // quarantine channel (the round-13 WARC Content-Length class —
+      // found here by the round-15 length-lie fuzz probes)
+      require(len >= 0 && len <= b.length - p - 8,
         s"png: chunk length $len overruns stream")
       val typ = new String(b, p, 4, "US-ASCII")
       val dataFrom = p + 4

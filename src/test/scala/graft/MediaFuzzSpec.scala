@@ -153,6 +153,89 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // LENGTH-FIELD LIES (round 15): the random fuzzer flips bytes, but a
+  // hostile stream lies in its SIZE fields specifically — the classic
+  // allocation attack (a 2 GB declared chunk over a 500-byte stream
+  // must reject with IAE, never NegativeArraySize/OOM/AIOOBE). Each
+  // probe rewrites a known length field to an overrunning value and
+  // requires the loud-failure contract.
+  private def lie(blob: Array[Byte])(writes: (Int, Int)*): Array[Byte] = {
+    val m = blob.clone()
+    writes.foreach { case (off, v) => m(off) = (v & 0xff).toByte }
+    m
+  }
+  private def mustReject(name: String, dec: Array[Byte] => Any)(m: Array[Byte]): Unit = {
+    val e = intercept[IllegalArgumentException](dec(m))
+    assert(e.getMessage != null && e.getMessage.nonEmpty, s"$name: empty reject message")
+  }
+
+  test("png rejects chunk-length lies") {
+    val blob = Media.encodePng(Array.tabulate(300)(i => (i * 5).toByte))
+    val rej = mustReject("png", Media.decodePngBytes) _
+    // IHDR length (bytes 8-11, BE): huge, and sign-bit set
+    rej(lie(blob)(8 -> 0x7f, 9 -> 0xff, 10 -> 0xff, 11 -> 0xff))
+    rej(lie(blob)(8 -> 0xff, 9 -> 0xff, 10 -> 0xff, 11 -> 0xff))
+    // find the first IDAT and lie about its length the same two ways
+    val idat = (0 until blob.length - 4).find(i =>
+      blob(i) == 'I' && blob(i + 1) == 'D' && blob(i + 2) == 'A' && blob(i + 3) == 'T').get
+    val ln = idat - 4
+    rej(lie(blob)(ln -> 0x7f, ln + 1 -> 0xff, ln + 2 -> 0xff, ln + 3 -> 0xff))
+    rej(lie(blob)(ln -> 0xff, ln + 1 -> 0xff, ln + 2 -> 0xff, ln + 3 -> 0xff))
+  }
+
+  test("jpeg rejects segment-length lies") {
+    val blob = Media.encodeJpegGray(Array.tabulate(300)(i => (i * 11).toByte))
+    val rej = mustReject("jpeg", Media.decodeJpegBytes) _
+    // first segment after SOI: marker at 2-3, BE length at 4-5
+    rej(lie(blob)(4 -> 0xff, 5 -> 0xff)) // overruns the stream
+    rej(lie(blob)(4 -> 0x00, 5 -> 0x00)) // below the 2-byte minimum
+    rej(lie(blob)(4 -> 0x00, 5 -> 0x01))
+  }
+
+  test("flac rejects metadata-block-length lies") {
+    val blob = Media.encodeFlac(Array.tabulate(400)(i => (i * 7).toByte))
+    val rej = mustReject("flac", Media.decodeFlacBytes) _
+    // STREAMINFO block header after 'fLaC': flags/type at 4, 24-bit BE
+    // length at 5-7 — lie it past the end of the stream
+    rej(lie(blob)(5 -> 0xff, 6 -> 0xff, 7 -> 0xff))
+    // and lie it SHORT (STREAMINFO must be exactly 34 bytes)
+    rej(lie(blob)(5 -> 0x00, 6 -> 0x00, 7 -> 0x01))
+  }
+
+  test("wav rejects chunk-size lies") {
+    val blob = Media.encodeWav(Array.tabulate(300)(i => (i * 13).toByte))
+    val rej = mustReject("wav", Media.decodeWavBytes) _
+    // data chunk size (LE u32 after the 'data' tag): overrun + sign bit
+    val d = (0 until blob.length - 4).find(i =>
+      blob(i) == 'd' && blob(i + 1) == 'a' && blob(i + 2) == 't' && blob(i + 3) == 'a').get
+    rej(lie(blob)(d + 4 -> 0xff, d + 5 -> 0xff, d + 6 -> 0xff, d + 7 -> 0x7f))
+    rej(lie(blob)(d + 4 -> 0xff, d + 5 -> 0xff, d + 6 -> 0xff, d + 7 -> 0xff))
+  }
+
+  test("avi rejects chunk-size lies") {
+    val blob = Media.encodeAvi(Array.tabulate(300)(i => (i * 17).toByte))
+    val rej = mustReject("avi", Media.decodeAviBytes) _
+    // the movi-list data chunks: find '00dc' (first video frame chunk)
+    // and lie its LE size past the stream end
+    val c = (0 until blob.length - 4).find(i =>
+      blob(i) == '0' && blob(i + 1) == '0' && blob(i + 2) == 'd' && blob(i + 3) == 'c').get
+    rej(lie(blob)(c + 4 -> 0xff, c + 5 -> 0xff, c + 6 -> 0xff, c + 7 -> 0x7f))
+    rej(lie(blob)(c + 4 -> 0xff, c + 5 -> 0xff, c + 6 -> 0xff, c + 7 -> 0xff))
+  }
+
+  test("warc rejects Content-Length lies (oversize ASCII rewrite)") {
+    val blob = graft.ops.WarcStream.encodeWarc(7L, Array.tabulate(120)(i => (i * 3).toByte))
+    val s = new String(blob, "ISO-8859-1")
+    // rewrite the RESPONSE record's Content-Length digits to a 19-digit
+    // value (the round-13 overflow-wrap class) — must reject loudly
+    val at = s.indexOf("Content-Length: ", s.indexOf("WARC-Type: response"))
+    assert(at > 0)
+    val eol = s.indexOf("\r\n", at)
+    val lied = s.substring(0, at) + "Content-Length: 9223372036854775806" + s.substring(eol)
+    mustReject("warc", b => graft.ops.WarcStream.decodeWarcRecords(b))(
+      lied.getBytes("ISO-8859-1"))
+  }
+
   test("sniffing survives arbitrary leading bytes") {
     val rnd = new Random(97)
     for (_ <- 0 until 300) {
