@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g), still env-overridable. At local[32] the old
+  // 8g heap left ~4.8g of execution+storage for 32 concurrent tasks
+  // (~150 MB/task): the full 138-query bench suite spent its second
+  // half GC-thrashing — q141 flac_decode 0.44 s solo vs 1.52 s
+  // in-suite at 8g, q190 19.2 s -> 5.0 s, suite total 149.7 -> 120.2 s
+  // with NO code change (measured 2026-08-18, idle box). 24 GiB on the
+  // 128 GiB box keeps CompressedOops (<32g) and is per-JVM sizing of
+  // THIS forked local harness only — a cluster deploy sizes executors
+  // via spark-submit, not these sbt fork options.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

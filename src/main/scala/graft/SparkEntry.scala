@@ -54,7 +54,16 @@ object SparkEntry {
       "q127_vector_index_gate", "q136_vector_gate_reseed",
       "q154_mixed_gate_replay", "q164_pq_vector_gate",
       "q165_pq_drift_gate", "q177_ivfadc_vector_gate",
-      "q180_pq_drift_auto")
+      "q180_pq_drift_auto",
+      // q190 is q177's replay with rerankFloat=false — the SAME
+      // batch-by-batch gate replay (persist→resume restart leg, two PQ
+      // trainings) whose wall time is replay feeding + training, not
+      // the serving kernel. q177 has been excluded since round 14 for
+      // exactly that reason; q190 joins it (round 15 — it was added
+      // mid-build without the exclusion). Its serving path stays
+      // timed via the q175/q181 IVFADC rows and its correctness stays
+      // oracle-gated in Verify.
+      "q190_ivfadc_gate_adconly")
     // q125/q126 carry EXACT oracle legs (rank-window percentiles,
     // countDistinct, semi-join FP audits) inside the query purely to
     // gate their sketches — verify-only twins. The benched entries are
