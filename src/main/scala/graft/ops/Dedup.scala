@@ -85,26 +85,34 @@ object Dedup {
       col(idCol).as("id"),
       explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("shingle"))
     // Stop-shingle prune stays agg→broadcast-anti, NOT a window df
-    // count. A window would leave `kept` partitioned on the self-join
-    // key (one exploded-size shuffle saved) and A/B-measures FASTER at
-    // sf0.1 (1.35 vs 2.48 s) — but windows sort their partitions, and
-    // at the 62× leg sorting the exploded table costs more than the
-    // hash shuffle it saves (14.5 vs 19.4 s warm, tools/Prof
-    // "jacprune"). Hash-agg + tiny broadcast anti is sort-free and is
-    // the shape that survives 100 TB; the window win is a small-scale
-    // fixed-cost artifact.
+    // count — the round-13 lesson holds (windows sort the whole
+    // exploded table; the hash agg's shuffle carries only map-side
+    // partial (shingle, count) rows, never the frame). See tools/Prof
+    // "jacprune".
     val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq).select("shingle")
-    // kept feeds three consumers (sizes + both self-join sides), each
-    // of which would re-run the explode AND the hot-shingle subquery —
-    // localCheckpoint materializes the narrow (id, shingle) frame once
-    // and, unlike persist(), its blocks are reclaimed when the frame
-    // goes out of scope (a persist here leaked cache across queries in
-    // any long-lived session). Per-doc `sizes` is corpus-proportional,
-    // so it carries NO broadcast hint — AQE picks the join strategy
-    // from its actual size (broadcast at bench scale, shuffle at 100 TB
+    // Checkpoint the KEPT frame in shingle-clustered layout (round 15,
+    // guide §2.3/§2.5): repartition(shingle) AFTER the prune — no
+    // post-prune key exceeds the df cap, so the exchange is
+    // skew-bounded by construction (repartitioning BEFORE the prune
+    // would ship every stop-shingle's df>cap rows to one task — the
+    // straggler this operator exists to avoid) — then localCheckpoint.
+    // Versus checkpointing the anti-join output in scan layout
+    // (round-13 shape) this (a) hands the three consumers evenly
+    // shingle-balanced partitions instead of fanOut's doc-balanced
+    // ones (per-doc shingle counts vary), and (b) leaves the kept rows
+    // already clustered on the pair-join key. Note the self-join
+    // itself goes BROADCAST at bench scale either way — the
+    // materialized LogicalRDD carries real size stats — so the win is
+    // measured, not a plan-node diff: bench subset
+    // q31/q37/q84/q95/q103 18.10 → 12.90 s (q31 4.42 → 1.80, after-run
+    // at higher ambient load); tools/Prof "jacshape" interleaved warm
+    // 2.3-2.6 → 1.7-1.9 s. Per-doc `sizes` is corpus-proportional, so
+    // it carries NO broadcast hint — AQE picks the join strategy from
+    // its actual size (broadcast at bench scale, shuffle at 100 TB
     // where forcing it through the driver would OOM).
-    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti").localCheckpoint()
+    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .repartition(col("shingle")).localCheckpoint()
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
     // Pair generation stays the codegen'd self-join: a collect_list +
     // combinations-explode variant (one exchange instead of two) was

@@ -229,6 +229,72 @@ object Prof {
             noop(pairsOf(p))
           }
         }
+      case "jacshape" =>
+        // Shipped jaccardPairsNative (kept checkpointed UNPARTITIONED →
+        // df-agg + both self-join sides each exchange the exploded
+        // frame) vs a pre-partitioned checkpoint: one repartition(shingle)
+        // before the checkpoint, then df-agg, anti-prune and the
+        // self-join all run exchange-free off the LogicalRDD's preserved
+        // hashpartitioning. 3 big-frame exchanges → 1.
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        graft.functions.DedupKernels.ensureRegistered(spark)
+        val cap = graft.queries.Pipelines.ShingleCap
+        def prepartitioned(): org.apache.spark.sql.DataFrame = {
+          val exploded = graft.Tables.fanOut(docs).select(
+            col("doc_id").as("id"),
+            explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("shingle"))
+            .localCheckpoint()
+          val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > cap).select("shingle")
+          val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+          val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+          val a = kept.select(col("id").as("id_a"), col("shingle"))
+          val b = kept.select(col("id").as("id_b"), col("shingle"))
+          a.join(b, Seq("shingle"))
+            .filter(col("id_a") < col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(count(lit(1)).as("inter"))
+            .join(sizes.select(col("id").as("id_a"), col("setsize").as("size_a")), "id_a")
+            .join(sizes.select(col("id").as("id_b"), col("setsize").as("size_b")), "id_b")
+            .withColumn("union_size", col("size_a") + col("size_b") - col("inter"))
+            .filter(col("inter") * 2 > col("union_size") * 1)
+            .select(col("id_a"), col("id_b"), col("inter"), col("union_size"))
+        }
+        for (i <- 1 to 3) {
+          time(s"A shipped $i") {
+            noop(graft.ops.Dedup.jaccardPairsNative(docs, "doc_id", "text", 3, 1, 2, cap))
+          }
+          spark.sharedState.cacheManager.clearCache()
+          System.gc() // reclaim out-of-scope localCheckpoint blocks
+          time(s"B prepart $i")(noop(prepartitioned()))
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+        }
+        if (sys.env.contains("PROF_EXPLAIN")) prepartitioned().explain("formatted")
+      case "ckptpart" =>
+        // What partitioning does the eager localCheckpoint actually
+        // report, and what does the executed (AQE-final) self-join plan
+        // look like?
+        import org.apache.spark.sql.functions._
+        graft.functions.DedupKernels.ensureRegistered(spark)
+        val cap = graft.queries.Pipelines.ShingleCap
+        val exploded = graft.Tables.fanOut(docs).select(
+          col("doc_id").as("id"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("shingle"))
+        val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .repartition(col("shingle")).localCheckpoint()
+        println("[prof] kept optimizedPlan: " + kept.queryExecution.optimizedPlan.toString)
+        val a = kept.select(col("id").as("id_a"), col("shingle"))
+        val b2 = kept.select(col("id").as("id_b"), col("shingle"))
+        val pairs = a.join(b2, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        pairs.collect()
+        println("[prof] pairs executedPlan:\n" + pairs.queryExecution.executedPlan.toString)
       case "sketch" =>
         // q125 leg split: doc-grain exact+sketch agg vs the vocab
         // (explode + countDistinct + HLL) leg vs the joined whole.
