@@ -823,13 +823,26 @@ object Media {
     val bs = phashBandRows(hashedStanding)
       .join(sized(bd.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
+    // hot and keptD are NOT materialized (round 15, guide §1.2 /
+    // round-8 job-floor lesson): both previously paid their own eager
+    // Ckpt.fresh job, and at micro-batch scale a fold's wall time is
+    // job count × the ~0.3 s scheduling/planning floor, not compute —
+    // q130's decode+hash kernels measure 0.2-0.5 s warm while the
+    // query sat at 3.7 s (tools/Prof "q130split"). Inlined, the fold
+    // runs as bd-ckpt + count + bs-ckpt + ONE final pair job (paired
+    // bench A/B q121+q123+q130: 9.77 → 8.36 s, after-run at higher
+    // ambient load; keeping hot's Ckpt and inlining only keptD
+    // measured 9.87 — the hot materialization job was the cost).
+    // Every inline rebuild reads the bd/bs CHECKPOINTS — decode/hash
+    // kernels never re-run. The hot union-agg subtree appears once
+    // per broadcast site in the STATIC plan; at runtime AQE's stage
+    // reuse (canonicalized-plan match — AQE is pinned on across this
+    // engine: GraftSession, Bench, the gates) materializes it once.
     val hot = bs.select("band", "key").unionByName(bd.select("band", "key"))
       .groupBy("band", "key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandFreq)
       .select("band", "key")
-      .transform(graft.ops.Ckpt.fresh)
     val keptD = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
-      .transform(graft.ops.Ckpt.fresh)
     // Candidate probe: standing band rows that hit a kept delta band
     // key — delta-bounded output, the standing table never shuffles.
     val candS = bs.join(broadcast(hot), Seq("band", "key"), "left_anti")

@@ -273,6 +273,27 @@ object Prof {
           System.gc()
         }
         if (sys.env.contains("PROF_EXPLAIN")) prepartitioned().explain("formatted")
+      case "q130split" =>
+        // Where do q130's seconds go: Y4M encode, frame decode+hash, or
+        // the delta band machinery?
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val d2 = docs.select("doc_id", "text")
+        val standing = d2.filter(col("doc_id") % 7 =!= 0)
+        val deltaBase = d2.filter(col("doc_id") % 7 === 0)
+        for (i <- 1 to 2) {
+          time(s"encode standing $i")(
+            noop(graft.ops.Media.asY4m(standing, "doc_id", "text").toDF()
+              .select(octet_length(col("content")).as("n"))))
+          time(s"hash standing $i")(
+            noop(graft.ops.Media.y4mFrameAHash(graft.ops.Media.asY4m(standing, "doc_id", "text"))))
+          time(s"hash delta $i")(
+            noop(graft.ops.Media.y4mFrameAHash(graft.ops.Media.asY4m(deltaBase, "doc_id", "text"))))
+          time(s"q130 full $i")(
+            noop(graft.SparkEntry.queries("q130_video_neardup_delta")(spark, dir)))
+          spark.sharedState.cacheManager.clearCache()
+        }
       case "ckptpart" =>
         // What partitioning does the eager localCheckpoint actually
         // report, and what does the executed (AQE-final) self-join plan
@@ -355,11 +376,28 @@ object Prof {
         }
       case other =>
         // run twice: the first pays JVM/codegen warmup, the second is
-        // the steady-state number comparable to Bench's post-warmup runs
+        // the steady-state number comparable to Bench's post-warmup runs.
+        // PROF_JOBS=1 adds a per-job wall breakdown for the warm run
+        // (construction-time jobs show up before the noop action).
         val q = graft.SparkEntry.queries(other)(spark, dir)
         time(s"$other cold")(q.write.format("noop").mode("overwrite").save())
         spark.sharedState.cacheManager.clearCache()
+        if (sys.env.contains("PROF_JOBS")) {
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            private val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+            override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              starts(js.jobId) = js.time
+              val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+              println(s"[prof] job ${js.jobId} START stages=${js.stageInfos.size} site=$site")
+            }
+            override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              println(f"[prof] job ${je.jobId}%3d END: ${(je.time - starts.getOrElse(je.jobId, je.time)) / 1e3}%.2fs")
+          }
+          spark.sparkContext.addSparkListener(listener)
+        }
+        val t0c = System.nanoTime()
         val q2 = graft.SparkEntry.queries(other)(spark, dir)
+        println(f"[prof] $other warm construction: ${(System.nanoTime() - t0c) / 1e9}%.2fs")
         time(s"$other warm")(q2.write.format("noop").mode("overwrite").save())
         if (sys.env.contains("PROF_EXPLAIN")) q2.explain("formatted")
     }
