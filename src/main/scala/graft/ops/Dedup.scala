@@ -291,11 +291,17 @@ object Dedup {
     // not enumerated pairwise. Same agg → broadcast-anti shape as the
     // stop-shingle prune above (sort-free, scan-sided — the 100 TB
     // shape). 0 = off (the exact-LSH contract, oracle-pinned by q32).
-    val keys = lshBandFreqPrune(docs.select(
+    // The raw band-key frame is referenced 2-3× downstream (df-cap agg
+    // + anti + both self-join sides) and each reference re-runs the
+    // minhash kernel — checkpoint it once (round 15; same move as the
+    // jaccard kept-frame, delta-proportional cost: ~numPerm/bands keys
+    // per doc).
+    val rawKeys = docs.select(
       col(idCol).as("id"),
       posexplode(call_function(
-        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key"))),
-      maxBandFreq)
+        "graft_minhash_bands", col(textCol), lit(k), lit(numPerm), lit(bands))).as(Seq("band", "key")))
+      .localCheckpoint()
+    val keys = lshBandFreqPrune(rawKeys, maxBandFreq)
     // candidates feed two consumers (id restriction + final semi-join):
     // localCheckpoint materializes the band self-join once and is
     // reclaimed with the frame (persist leaked cache between queries).
@@ -434,8 +440,12 @@ object Dedup {
       numPerm: Int,
       bands: Int,
       maxBandFreq: Int = 0): DataFrame = {
+    // Checkpoint the band keys once: lshStarEdges references them
+    // twice (anchor agg + join back) and the df-cap prune adds two
+    // more — each reference otherwise re-runs the minhash kernel.
     val keys = lshBandFreqPrune(
-      minhashBandKeys(docs, idCol, textCol, k, numPerm, bands), maxBandFreq)
+      minhashBandKeys(docs, idCol, textCol, k, numPerm, bands)
+        .localCheckpoint(), maxBandFreq)
     Components.dedupClusters(
       docs.select(col(idCol).as("id")), lshStarEdges(keys))
   }
@@ -756,6 +766,13 @@ object Dedup {
       idCol: String,
       fingerprints: DataFrame => DataFrame,
       broadcastDeltaCap: Long): (DataFrame, DataFrame) = {
+    // wd is deliberately NOT checkpointed even though it is consumed
+    // twice (multiplicity agg + the caller's hits pass): A/B-measured
+    // in round 15 — materializing the stride-1 window stream (~width×
+    // the text) costs more than the second kernel pass it saves (q99
+    // 1.41 → 1.80 s with the ckpt), and the winnowed form's gain was
+    // within noise. The kernel re-run is the cheaper side of this
+    // trade at every stride measured.
     val wd = fingerprints(delta)
     val deltaCounts = wd.groupBy("h").agg(count(lit(1)).as("cd")).localCheckpoint()
     val deltaSmall = deltaCounts.count() <= broadcastDeltaCap
