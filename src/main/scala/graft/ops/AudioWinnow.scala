@@ -209,6 +209,10 @@ object AudioWinnow {
       media: Dataset[MediaRow],
       minShared: Int = 2,
       maxFpFreq: Long = 1000L): DataFrame = {
+    // NOT checkpointed although pairsOf references it 3×: the WAV
+    // decode+fingerprint pass is cheaper than a materialization job at
+    // every scale measured (A/B round 15: q170 1.63 → 2.23 s WITH the
+    // ckpt) — same trade as the exact-substr delta stream.
     val fp = sampleFingerprintRows(media)
     pairsOf(fp, fp, minShared, maxFpFreq, deltaOnly = false)
   }
@@ -264,9 +268,11 @@ object AudioWinnow {
     val hot = all.groupBy("fh").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxFpFreq)
       .select("fh")
-    val kept = all.join(hot, Seq("fh"), "left_anti")
+    // broadcast the tiny capped-key set explicitly (the band-engine
+    // agg → broadcast-anti discipline; round 15)
+    val kept = all.join(broadcast(hot), Seq("fh"), "left_anti")
     val keptProbe =
-      if (deltaOnly) probe.join(hot, Seq("fh"), "left_anti") else kept
+      if (deltaOnly) probe.join(broadcast(hot), Seq("fh"), "left_anti") else kept
     val raw = kept.select(col("doc_id").as("id_a"), col("fh"))
       .join(keptProbe.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
       .where(col("id_a") < col("id_b"))
