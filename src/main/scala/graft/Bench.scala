@@ -100,28 +100,20 @@ object Bench {
         run()
         val elapsed = (System.nanoTime() - t0) / 1e9
         // Drop per-query persisted frames so queries don't pay each
-        // other's memory pressure. localCheckpoint blocks are NOT
-        // covered by clearCache — they unpersist only after the owning
-        // Dataset is GC'd and the async ContextCleaner drains the weak
-        // ref — so under an infrequently-GC'd heap dead checkpoint
-        // blocks from earlier queries pile into the storage region and
-        // the eviction storm lands on whatever query is running when
-        // memory finally tightens (observed as 3-6× bimodal spikes on
-        // arbitrary mid-suite rows: q141 0.4→1.5 s, q130 2.8→8.5 s).
-        // Force the GC + give the cleaner a beat to drain, OUTSIDE the
-        // timed window, so every query starts with a clean
-        // BlockManager — the same per-query isolation clearCache
-        // already provides for persisted frames.
+        // other's memory pressure. (A round-15 experiment added
+        // System.gc()+sleep here to also drain dead localCheckpoint
+        // blocks, chasing 3-6× spikes on arbitrary mid-suite rows; a
+        // clean full run still showed the spikes — on ADJACENT rows,
+        // i.e. transient host noisy-neighbor bursts, the documented
+        // ±30% variance class — so the forced GC was reverted as
+        // unproven wall-clock cost. The real fix for the earlier
+        // systematic second-half degradation was the 8g→24g heap.)
         spark.sharedState.cacheManager.clearCache()
-        System.gc()
-        Thread.sleep(150)
         elapsed
       }
       val elapsed = if (steadyState) {
         run() // plan + codegen warmup
         spark.sharedState.cacheManager.clearCache()
-        System.gc() // drain the warmup run's checkpoint blocks too
-        Thread.sleep(150)
         // best-of-2: the box shows ±30% noisy-neighbor variance between
         // runs minutes apart; the min is the standard steady-state
         // estimator under one-sided noise
