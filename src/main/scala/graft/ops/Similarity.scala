@@ -1084,7 +1084,25 @@ object Similarity {
     val dim = vecs.head.length
     require(dim % m == 0, s"pq: dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    Array.tabulate(m) { ms =>
+    // Subspaces are trained independently and deterministically — fan
+    // the m trainings across driver cores (round 15): the driver-side
+    // k-means is ksub·|sample|·subdim·iters flops per subspace and ran
+    // single-threaded while 32 cores idled. Java parallel streams keep
+    // the per-subspace math (and thus every codebook bit) identical.
+    val out = new Array[Array[Array[Long]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { ms =>
+      out(ms) = trainSubspace(vecs, ms, sub, ksub, iters, scale)
+    }
+    out
+  }
+
+  private def trainSubspace(
+      vecs: Array[Array[Double]],
+      ms: Int,
+      sub: Int,
+      ksub: Int,
+      iters: Int,
+      scale: Double): Array[Array[Long]] = {
       val subs = vecs.map(_.slice(ms * sub, (ms + 1) * sub))
       var cents = Array.tabulate(math.min(ksub, subs.length))(i => subs(i).clone())
       var it = 0
@@ -1113,7 +1131,6 @@ object Similarity {
         it += 1
       }
       cents.map(_.map(x => math.floor(x * scale).toLong))
-    }
   }
 
   /** Variance-balancing dimension permutation — the non-parametric
