@@ -15,6 +15,14 @@ run / fork := true
 // only the last 2000 chars of bench output and parses the summary JSON
 // from it — the success banner after the JSON is pure parse hazard.
 Global / showSuccess := false
+// Pass the forked JVM's stdout through VERBATIM (round 16): sbt's
+// default LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] ", which breaks a last-line JSON parse of the bench summary —
+// the driver's BENCH artifacts have carried `parsed: null` since round
+// 14 because of exactly this prefix. StdoutOutput wires the fork's
+// stdout/stderr to sbt's own streams unprefixed, so the summary line is
+// the literal last stdout line again.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

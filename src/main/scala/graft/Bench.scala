@@ -43,6 +43,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The deterministic between-rows unpersist below emits one WARN
+    // per dead locally-checkpointed RDD ("lineage has been truncated
+    // and cannot be recomputed") — correct and intended here, since
+    // every bench row reconstructs its query from parquet. Silence the
+    // RDD logger so 137 rows don't bury real warnings.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Warmup: pay one-time JVM/codegen/FS-listing costs outside the
     // per-query timings. Fault-isolated per table: one broken loader must
     // not zero the whole bench artifact (the affected queries then fail
@@ -90,6 +97,23 @@ object Bench {
       math.round(la * 100) / 100.0
     }
     val loadStart = loadAvg()
+    // Between-rows cleanup, always OUTSIDE the timed window: clearCache
+    // drops per-query persisted DataFrames, but localCheckpoint blocks
+    // are NOT in the cache manager — a dead checkpointed RDD is only
+    // released after its Dataset is GC'd AND the async ContextCleaner
+    // drains, so blocks from finished queries would otherwise pile up
+    // across 137 rows and tax later rows' storage memory. Enumerating
+    // getPersistentRDDs and unpersisting (blocking) is DETERMINISTIC —
+    // no System.gc() heuristics (round-15's forced-GC experiment was
+    // reverted as unproven; this replaces it per the round-15 verdict).
+    // Safe by construction: every bench row re-CONSTRUCTS its query
+    // from the parquet inputs, so nothing live references a prior
+    // run's blocks once its action returns.
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
@@ -108,12 +132,12 @@ object Bench {
         // ±30% variance class — so the forced GC was reverted as
         // unproven wall-clock cost. The real fix for the earlier
         // systematic second-half degradation was the 8g→24g heap.)
-        spark.sharedState.cacheManager.clearCache()
+        cleanup()
         elapsed
       }
       val elapsed = if (steadyState) {
         run() // plan + codegen warmup
-        spark.sharedState.cacheManager.clearCache()
+        cleanup()
         // best-of-2: the box shows ±30% noisy-neighbor variance between
         // runs minutes apart; the min is the standard steady-state
         // estimator under one-sided noise
@@ -127,10 +151,13 @@ object Bench {
     }
     // The driver keeps only the LAST 2000 chars of stdout, so the
     // summary line must fit whole or its JSON never parses (round 7
-    // lost 4 of 62 timings this way). Two levers: 3-decimal seconds
-    // (±1 ms, far under run-to-run variance) and the unique qNN prefix
-    // as the key (BASELINE.md's own shorthand; the full names are in
-    // the streamed rows above). A prefix collision disambiguates ONLY
+    // lost 4 of 62 timings this way). Two levers: 2-decimal seconds
+    // (±5 ms, far under run-to-run variance; was 3-decimal until round
+    // 16 — at 137 rows the line sat at 1870/1900 chars and two more
+    // bench rows would have overflowed the tail) and the unique qNN
+    // prefix as the key (BASELINE.md's own shorthand; the full names
+    // are in the streamed rows above, 4-decimal, and in the
+    // BENCH_LATEST artifact). A prefix collision disambiguates ONLY
     // the colliding keys (first two underscore segments) instead of
     // reverting ALL keys to full names — which at 95+ queries would
     // itself blow the 2000-char tail and lose the summary again
@@ -143,7 +170,7 @@ object Bench {
       else if (results.count(r => prefix2(r._1) == prefix2(n)) == 1) prefix2(n)
       else n
     val qs = results.map { case (k, v) =>
-      "\"" + shortKey(k) + "\":" + fmt(v, 3)
+      "\"" + shortKey(k) + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val mode = if (steadyState) "steady-state" else "cold"
