@@ -30,6 +30,28 @@ import org.apache.spark.sql.execution.LogicalRDD
   * is a LogicalRDD over the same checkpointed RDD.
   */
 object Ckpt {
+  /** [[fresh]] over two INDEPENDENT frames, materialized concurrently
+    * from two driver threads (guide §2.6: actions are only sequential
+    * because driver code calls them sequentially — while one
+    * materialization's task tail drains, the other's tasks back-fill
+    * the freed cores). Use only when neither frame's plan reads the
+    * other's checkpoint. Each Future inherits the session via the
+    * captured Dataset; job-description thread-locals are per-thread,
+    * which is exactly what the UI wants for concurrent jobs.
+    */
+  def freshPar(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = fresh(a)
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = fresh(b)
+      })
+      (fa.get(), fb.get())
+    } finally pool.shutdown()
+  }
+
   def fresh(df: DataFrame): DataFrame = {
     val ckpt = df.localCheckpoint()
     ckpt.queryExecution.logical match {

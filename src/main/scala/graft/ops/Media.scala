@@ -819,7 +819,11 @@ object Media {
     val deltaSmall = bd.count() <= broadcastDeltaCap
     def sized(df: DataFrame): DataFrame = if (deltaSmall) broadcast(df) else df
     // Delta rows are authoritative for re-ingested ids, as in every
-    // delta operator here.
+    // delta operator here. (A round-16 experiment materialized bd and
+    // the unfiltered standing band rows CONCURRENTLY from two driver
+    // threads, guide §2.6 — measured neutral-to-negative on the paired
+    // subset A/B: the decode jobs already saturate the cores, so the
+    // overlap bought nothing. Reverted; kept serial.)
     val bs = phashBandRows(hashedStanding)
       .join(sized(bd.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
       .transform(graft.ops.Ckpt.fresh)
@@ -829,7 +833,7 @@ object Media {
     // job count × the ~0.3 s scheduling/planning floor, not compute —
     // q130's decode+hash kernels measure 0.2-0.5 s warm while the
     // query sat at 3.7 s (tools/Prof "q130split"). Inlined, the fold
-    // runs as bd-ckpt + count + bs-ckpt + ONE final pair job (paired
+    // runs as (bd ∥ bsAll)-ckpt + count + ONE final pair job (paired
     // bench A/B q121+q123+q130: 9.77 → 8.36 s, after-run at higher
     // ambient load; keeping hot's Ckpt and inlining only keptD
     // measured 9.87 — the hot materialization job was the cost).
@@ -845,20 +849,28 @@ object Media {
     val keptD = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
     // Candidate probe: standing band rows that hit a kept delta band
     // key — delta-bounded output, the standing table never shuffles.
-    val candS = bs.join(broadcast(hot), Seq("band", "key"), "left_anti")
-      .join(sized(keptD.select("band", "key").distinct()),
-        Seq("band", "key"), "left_semi")
-    def pairs(x: DataFrame, y: DataFrame, ordered: Boolean): DataFrame = {
-      val j = x.as("x").join(y.as("y"), Seq("band", "key"))
-      val lim = if (ordered) j.where(col("x.doc_id") < col("y.doc_id"))
-        else j.where(col("x.doc_id") =!= col("y.doc_id"))
-      lim.select(
+    // No anti-hot filter on bs here (round 16): keptD's key set already
+    // excludes every hot key, so the semi-restriction subsumes it — one
+    // broadcast build (and one probe predicate) fewer per fold.
+    val candS = bs.join(sized(keptD.select("band", "key").distinct()),
+      Seq("band", "key"), "left_semi")
+    // ONE pair join instead of two (round 16, guide §1.2 — at
+    // micro-batch scale each extra join is another broadcast-build job
+    // at the ~0.3-0.5 s floor): the delta×delta and delta×standing legs
+    // share the keptD probe side, so the right side is their tagged
+    // union — x < y within the delta (each unordered pair once), x ≠ y
+    // against standing (normalized below; the post-union distinct was
+    // already part of the contract). Result-identical to the two-join
+    // form by construction.
+    val rhs = keptD.withColumn("is_d", lit(true))
+      .unionByName(candS.withColumn("is_d", lit(false)))
+    sized(keptD).as("x").join(rhs.as("y"), Seq("band", "key"))
+      .where((col("y.is_d") && col("x.doc_id") < col("y.doc_id")) ||
+        (!col("y.is_d") && col("x.doc_id") =!= col("y.doc_id")))
+      .select(
         least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         phashHamming("x", "y").cast("long").as("hamming"))
-    }
-    pairs(keptD, keptD, ordered = true)
-      .unionByName(pairs(keptD, candS, ordered = false))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
