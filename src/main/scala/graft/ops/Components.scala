@@ -294,9 +294,14 @@ object Components {
     val ids = deltaIds.select(col("id").cast("long").as("id"))
     // One count over the (delta-bounded) pair stream bounds the
     // working set (vertices <= 2*edges + batch ids) and decides both
-    // broadcast gating and fused single-task eligibility.
-    val eCount = edges.count()
-    val bound = 2 * eCount + ids.count()
+    // broadcast gating and fused single-task eligibility. ONE job for
+    // both counts (round 16, guide §1.2 — two sequential count jobs
+    // paid two scheduling floors per fold): bound = Σ weights with
+    // edge rows weighted 2 and id rows 1.
+    val bound = edges.select(lit(2L).as("w"))
+      .unionByName(ids.select(lit(1L).as("w")))
+      .agg(coalesce(sum("w"), lit(0L)))
+      .head().getLong(0)
     if (bound <= math.min(bCap, sCap))
       fusedDeltaRelabel(standingLabels, ids, edges)
     else

@@ -81,6 +81,17 @@ object Dedup {
     // fanOut: the shingle kernel fans each doc out ~token-count×, so an
     // under-parallel scan (single small row group) would run the whole
     // map side serially — no-op on real cluster scans.
+    // The exploded frame is NOT checkpointed, although the shingle
+    // kernel consequently runs twice (df agg + kept materialization):
+    // a round-16 A/B of the one-kernel-pass shape (Ckpt.fresh here,
+    // both consumers reading it) measured WORSE — q31 2.01→2.41,
+    // q37 2.02→2.52, q103 3.74→4.04 s on a paired subset — the raw
+    // exploded materialization (pre-prune, every stop-shingle row)
+    // costs more than the second kernel pass it saves, the same trade
+    // the audio-winnow fingerprint checkpoint lost (AudioWinnow
+    // round-15 note) and the LSH band keys WON (they explode 16×
+    // fewer rows per doc). Kernel cost vs materialized bytes decides
+    // this per operator; do not re-try without new evidence.
     val exploded = graft.Tables.fanOut(docs).select(
       col(idCol).as("id"),
       explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("shingle"))
