@@ -273,20 +273,26 @@ object AudioWinnow {
     val kept = all.join(broadcast(hot), Seq("fh"), "left_anti")
     val keptProbe =
       if (deltaOnly) probe.join(broadcast(hot), Seq("fh"), "left_anti") else kept
-    val raw = kept.select(col("doc_id").as("id_a"), col("fh"))
-      .join(keptProbe.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
-      .where(col("id_a") < col("id_b"))
-    // the delta probe sees (standing × delta) with the delta member on
-    // either side of the id order plus within-delta pairs; normalize to
-    // id_a < id_b and dedupe the doubled within-delta hits
+    // The delta probe sees (standing × delta) with the delta member on
+    // either side of the id order plus within-delta pairs: ONE join
+    // with x ≠ y, normalized to (min, max) and deduped (round 16 —
+    // previously two mirror joins unioned, which ran the standing
+    // decode+winnow kernel under BOTH legs; the fused form halves the
+    // kernel passes on the join and is set-identical: every
+    // cross-side pair lands in exactly the (min, max) orientation the
+    // two-leg union produced, and the doubled within-delta hits fall
+    // to the same distinct that always dedup'd them).
     val sym =
       if (deltaOnly)
-        kept.select(col("doc_id").as("id_b"), col("fh"))
-          .join(keptProbe.select(col("doc_id").as("id_a"), col("fh")), Seq("fh"))
-          .where(col("id_a") < col("id_b"))
-          .unionByName(raw)
+        kept.select(col("doc_id").as("xa"), col("fh"))
+          .join(keptProbe.select(col("doc_id").as("xb"), col("fh")), Seq("fh"))
+          .where(col("xa") =!= col("xb"))
+          .select(least(col("xa"), col("xb")).as("id_a"),
+            greatest(col("xa"), col("xb")).as("id_b"), col("fh"))
           .distinct()
-      else raw
+      else kept.select(col("doc_id").as("id_a"), col("fh"))
+        .join(keptProbe.select(col("doc_id").as("id_b"), col("fh")), Seq("fh"))
+        .where(col("id_a") < col("id_b"))
     sym
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
