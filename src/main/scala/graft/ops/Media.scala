@@ -846,7 +846,18 @@ object Media {
       .groupBy("band", "key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxBandFreq)
       .select("band", "key")
-    val keptD = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    // keptD feeds THREE sites below (the probe side, the tagged union,
+    // the candidate key set): with AQE on (GraftSession/Bench/gate
+    // default) the runtime stage cache materializes its hot-anti
+    // subtree once; with AQE OFF each broadcast site would rebuild it
+    // — bounded work (agg + anti over the bd/bs checkpoints, never a
+    // decode), but the round-15 verdict asked for the local-config
+    // assumption to be pinned, so the non-AQE session gets an explicit
+    // checkpoint instead (MediaPHashSpec pins pair-identity both ways).
+    val aqeOn = hashedDelta.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true") == "true"
+    val keptD0 = bd.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val keptD = if (aqeOn) keptD0 else graft.ops.Ckpt.fresh(keptD0)
     // Candidate probe: standing band rows that hit a kept delta band
     // key — delta-bounded output, the standing table never shuffles.
     // No anti-hot filter on bs here (round 16): keptD's key set already

@@ -142,6 +142,29 @@ class MediaPHashSpec extends AnyFunSuite {
     assert(idx === inc, "indexed standing form diverged from decode-both")
   }
 
+  test("delta fold is pair-identical with adaptive execution OFF (non-AQE fallback ckpt)") {
+    // The delta band engine leans on AQE's runtime stage reuse to
+    // materialize the shared keptD subtree once; a non-AQE session
+    // takes the explicit-checkpoint fallback instead. Pin that both
+    // regimes produce identical pairs (round-15 verdict: the AQE
+    // assumption must be spec-pinned, not implicit).
+    val rnd = new Random(43)
+    val base = (0 until 30).map(i =>
+      i.toLong -> Array.fill(300 + rnd.nextInt(200))(('a' + rnd.nextInt(26)).toByte)).toMap
+    val rows = base + (25L -> base(1L)) + (20L -> base(15L))
+    val standingRows = rows.filter(_._1 % 5 != 0).toSeq
+    val deltaRows = rows.filter(_._1 % 5 == 0).toSeq
+    val withAqe = Media.phashNearDupDeltaPairs(mediaOf(standingRows), mediaOf(deltaRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withAqe.nonEmpty, "fixture must produce pairs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = Media.phashNearDupDeltaPairs(mediaOf(standingRows), mediaOf(deltaRows))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(noAqe === withAqe, "non-AQE fallback diverged from the AQE fold")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("stop-band prune drops hot bands; pairs sharing only cold bands survive") {
     // 20 identical PATTERNED docs (all four of their band keys exceed
     // cap 10) + 2 identical docs of different patterned content (cold,
