@@ -268,8 +268,16 @@ object AudioWinnow {
     val hot = all.groupBy("fh").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxFpFreq)
       .select("fh")
-    // broadcast the tiny capped-key set explicitly (the band-engine
-    // agg → broadcast-anti discipline; round 15)
+    // Broadcast the over-cap key set explicitly (the band-engine
+    // agg → broadcast-anti discipline, same as Dedup's stop-shingle
+    // and Media's stop-band prunes). Scale bound, stated rather than
+    // assumed (round-16 advice follow-up): |hot| ≤ totalFpRows /
+    // maxFpFreq — corpus-proportional in the worst case, but at the
+    // default cap (1000) that is ≤ 0.1% of the fingerprint stream at
+    // 8 B/key; a corpus whose hot set outgrows the driver would first
+    // have to push ~10^12 fingerprint rows through this fold, at which
+    // point maxFpFreq is raised (the cap is the operator's knob), the
+    // same story as every df-capped prune in this engine.
     val kept = all.join(broadcast(hot), Seq("fh"), "left_anti")
     val keptProbe =
       if (deltaOnly) probe.join(broadcast(hot), Seq("fh"), "left_anti") else kept

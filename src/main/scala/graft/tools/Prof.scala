@@ -230,25 +230,31 @@ object Prof {
           }
         }
       case "jacshape" =>
-        // Shipped jaccardPairsNative (kept checkpointed UNPARTITIONED →
-        // df-agg + both self-join sides each exchange the exploded
-        // frame) vs a pre-partitioned checkpoint: one repartition(shingle)
-        // before the checkpoint, then df-agg, anti-prune and the
-        // self-join all run exchange-free off the LogicalRDD's preserved
-        // hashpartitioning. 3 big-frame exchanges → 1.
+        // A/B of the shipped jaccardPairsNative (kept frame
+        // repartition(shingle)-clustered then checkpointed, round 15)
+        // against the round-13 SCAN-LAYOUT checkpoint (anti-join output
+        // checkpointed as-is, doc-balanced partitions, no repartition).
+        // NOTE (round-16 advice fix): an earlier revision of variant B
+        // checkpointed the PRE-prune exploded frame with no repartition
+        // and the case comment claimed an exchange-elimination
+        // ("3 exchanges → 1" off preserved hashpartitioning) that the
+        // executed plans disproved — eager localCheckpoint reports
+        // UnknownPartitioning(0), so no exchange is ever elided. The
+        // shipped win is physical LAYOUT (shingle-balanced partitions),
+        // visible in seconds, not in plan-node diffs.
         import org.apache.spark.sql.functions._
         def noop(df: org.apache.spark.sql.DataFrame): Unit =
           df.write.format("noop").mode("overwrite").save()
         graft.functions.DedupKernels.ensureRegistered(spark)
         val cap = graft.queries.Pipelines.ShingleCap
-        def prepartitioned(): org.apache.spark.sql.DataFrame = {
+        def scanLayout(): org.apache.spark.sql.DataFrame = {
           val exploded = graft.Tables.fanOut(docs).select(
             col("doc_id").as("id"),
             explode(call_function("graft_shingle_hashes", col("text"), lit(3))).as("shingle"))
-            .localCheckpoint()
           val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
             .filter(col("df") > cap).select("shingle")
           val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+            .localCheckpoint()
           val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
           val a = kept.select(col("id").as("id_a"), col("shingle"))
           val b = kept.select(col("id").as("id_b"), col("shingle"))
@@ -268,11 +274,11 @@ object Prof {
           }
           spark.sharedState.cacheManager.clearCache()
           System.gc() // reclaim out-of-scope localCheckpoint blocks
-          time(s"B prepart $i")(noop(prepartitioned()))
+          time(s"B scan-layout ckpt $i")(noop(scanLayout()))
           spark.sharedState.cacheManager.clearCache()
           System.gc()
         }
-        if (sys.env.contains("PROF_EXPLAIN")) prepartitioned().explain("formatted")
+        if (sys.env.contains("PROF_EXPLAIN")) scanLayout().explain("formatted")
       case "q130split" =>
         // Where do q130's seconds go: Y4M encode, frame decode+hash, or
         // the delta band machinery?
