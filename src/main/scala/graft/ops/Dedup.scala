@@ -102,28 +102,26 @@ object Dedup {
     // "jacprune".
     val hot = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleFreq).select("shingle")
-    // Checkpoint the KEPT frame in shingle-clustered layout (round 15,
-    // guide §2.3/§2.5): repartition(shingle) AFTER the prune — no
-    // post-prune key exceeds the df cap, so the exchange is
-    // skew-bounded by construction (repartitioning BEFORE the prune
-    // would ship every stop-shingle's df>cap rows to one task — the
-    // straggler this operator exists to avoid) — then localCheckpoint.
-    // Versus checkpointing the anti-join output in scan layout
-    // (round-13 shape) this (a) hands the three consumers evenly
-    // shingle-balanced partitions instead of fanOut's doc-balanced
-    // ones (per-doc shingle counts vary), and (b) leaves the kept rows
-    // already clustered on the pair-join key. Note the self-join
-    // itself goes BROADCAST at bench scale either way — the
-    // materialized LogicalRDD carries real size stats — so the win is
-    // measured, not a plan-node diff: bench subset
-    // q31/q37/q84/q95/q103 18.10 → 12.90 s (q31 4.42 → 1.80, after-run
-    // at higher ambient load); tools/Prof "jacshape" interleaved warm
-    // 2.3-2.6 → 1.7-1.9 s. Per-doc `sizes` is corpus-proportional, so
+    // Checkpoint the KEPT frame in SCAN layout (round 16 — reverting
+    // round 15's repartition(shingle)-then-checkpoint): the
+    // shingle-clustered layout was a local-bench wash and a SCALE
+    // REGRESSION. Evidence (tools/Prof "jacshape", interleaved warm
+    // A/B, AQE on): at sf0.1 shipped-vs-scan-layout 1.73-1.91 vs
+    // 1.74-1.84 s (neutral — the self-join goes BROADCAST here, so
+    // layout only moves probe-task balance); at the ScaleGen 62× leg,
+    // where the self-join is a SortMergeJoin (executed plan committed,
+    // plans/r16/jaccard_pairs_executed.txt), 24.6-43.7 vs 10.8-11.9 s
+    // — the repartition pays a full exchange of the corpus-sized kept
+    // frame that buys NOTHING downstream, because the eager
+    // localCheckpoint reports UnknownPartitioning(0) and the SMJ
+    // re-exchanges both sides regardless (the round-15 plan dump
+    // itself showed the partitioning loss). Guide §2.4: remove
+    // shuffles outright. Per-doc `sizes` is corpus-proportional, so
     // it carries NO broadcast hint — AQE picks the join strategy from
     // its actual size (broadcast at bench scale, shuffle at 100 TB
     // where forcing it through the driver would OOM).
     val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .repartition(col("shingle")).localCheckpoint()
+      .localCheckpoint()
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
     // Pair generation stays the codegen'd self-join: a collect_list +
     // combinations-explode variant (one exchange instead of two) was

@@ -300,6 +300,32 @@ object Prof {
             noop(graft.SparkEntry.queries("q130_video_neardup_delta")(spark, dir)))
           spark.sharedState.cacheManager.clearCache()
         }
+      case "bigjoinplans" =>
+        // Round-16 verdict item 5: the EXECUTED (AQE-final) plans of
+        // the jaccard and LSH self-joins at a scale where the
+        // broadcast threshold no longer covers the kept frames — run
+        // against a ScaleGen 62× dir to see the shuffle-side join
+        // strategy the 100 TB path takes. Writes per-operator files
+        // next to PROF_PLAN_OUT (default /tmp).
+        import org.apache.spark.sql.functions.col
+        graft.functions.DedupKernels.ensureRegistered(spark)
+        val outDir = sys.env.getOrElse("PROF_PLAN_OUT", "/tmp")
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"${name}_executed.txt"),
+            f"== $name executed plan (dir=$dir, ${secs}%.2f s) ==%n" +
+              df.queryExecution.executedPlan.toString)
+          println(f"[prof] $name: $secs%.2f s, plan -> $outDir/${name}_executed.txt")
+          spark.sharedState.cacheManager.clearCache()
+        }
+        dump("jaccard_pairs", graft.ops.Dedup.jaccardPairsNative(
+          docs, "doc_id", "text", 3, 1, 2, graft.queries.Pipelines.ShingleCap))
+        dump("minhash_lsh_pairs", graft.ops.Dedup.minhashLshPairsNative(
+          docs, "doc_id", "text", k = 3, numPerm = 64, bands = 16,
+          num = 1, den = 2))
       case "ckptpart" =>
         // What partitioning does the eager localCheckpoint actually
         // report, and what does the executed (AQE-final) self-join plan
