@@ -703,6 +703,9 @@ object Pipelines {
       val standingLabels = Components.dedupClusters(
         docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id").as("id")),
         standingPairs)
+        .localCheckpoint() // consumed twice (fold probe + final output
+      // join); un-checkpointed, each consumer job re-executes the
+      // serial single-task union-find stage (round 16)
       Components.dedupClustersDelta(
         standingLabels,
         docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")),
