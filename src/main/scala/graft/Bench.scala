@@ -36,10 +36,24 @@ object Bench {
     // on (also the cluster-correct default). The skewed joins don't
     // depend on it — they salt/broadcast explicitly.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // coalescePartitions.parallelismFirst: REJECTED flip, knob kept
+    // for A/Bs (round 16). Theory: the 8-core suite beats the 32-core
+    // suite outright (67.7 vs 91.65 s, same code, same idle box), so
+    // letting AQE coalesce reduce partitions to the byte-size target
+    // (parallelismFirst=false, guide §2.2) should shed the near-empty
+    // tasks. Measured: the heavy subset got WORSE (q31 2.03→2.44,
+    // q37 2.22→2.63, q103 3.32→3.95) — at sf0.1 the 64 MB advisory
+    // coalesces the pair-join shuffles to ONE partition, serializing
+    // their compute; the 8c win is per-task scheduling overhead, not
+    // reduce-side fragmentation. At 100 TB the byte target yields many
+    // partitions either way, so the flip buys nothing there to trade
+    // against the local loss. Default stays Spark's (true).
+    val pFirst = sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pFirst)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
