@@ -833,7 +833,7 @@ object Media {
     // job count × the ~0.3 s scheduling/planning floor, not compute —
     // q130's decode+hash kernels measure 0.2-0.5 s warm while the
     // query sat at 3.7 s (tools/Prof "q130split"). Inlined, the fold
-    // runs as (bd ∥ bsAll)-ckpt + count + ONE final pair job (paired
+    // runs as bd-ckpt + count + bs-ckpt + ONE final pair job (paired
     // bench A/B q121+q123+q130: 9.77 → 8.36 s, after-run at higher
     // ambient load; keeping hot's Ckpt and inlining only keptD
     // measured 9.87 — the hot materialization job was the cost).
